@@ -1,0 +1,238 @@
+package graft
+
+/** DuckDB-dialect ANSI SQL oracles, one per [[Queries.all]] entry
+  * (driver runs these against the same parquet tables and hash-compares
+  * with the Spark result — column names/types must match exactly; see
+  * Queries scaladoc for the parity rules). */
+object OracleSql {
+
+  val all: Map[String, String] = Map(
+
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q3_join_revenue" ->
+      """SELECT c_mktsegment,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q4_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q6_events_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, event_type""".stripMargin,
+
+    "q7_event_props" ->
+      """SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+        | count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q8_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL OR (epoch_ns(ts) - epoch_ns(prev_ts)) > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |       FROM events)) GROUP BY user_id""".stripMargin,
+
+    "doc_hash" ->
+      """SELECT doc_id, sha256(text) AS content_hash,
+        | CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin,
+
+    "chunk_fixed" ->
+      """SELECT doc_id, i - 1 AS chunk_ordinal,
+        | trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200)) AS chunk_text
+        |FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(ceil(length(text)/200.0) AS BIGINT))) AS i FROM documents)
+        |WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200))) > 0""".stripMargin,
+
+    "chunk_sliding" ->
+      """SELECT doc_id, i AS chunk_ordinal,
+        | trim(substring(text, CAST(i*150 + 1 AS INT), 200)) AS chunk_text,
+        | CAST(1 AS BIGINT) AS page_number
+        |FROM (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((length(text)-1)/150.0) AS BIGINT))) AS i FROM documents)
+        |WHERE length(trim(substring(text, CAST(i*150 + 1 AS INT), 200))) > 0""".stripMargin,
+
+    "ascii_clean" ->
+      """SELECT doc_id, regexp_replace(text, '[^\n\t\x20-\x7e]', '', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+
+    "keyword_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE position('spark' IN lower(text)) > 0""".stripMargin,
+
+    "knn_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | s AS (SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
+        |        FROM embeddings, q)
+        |SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
+    "knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 5),
+        | s AS (SELECT q.query_id, e.vec_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+        |       FROM embeddings e, q),
+        | r AS (SELECT query_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        |       FROM s)
+        |SELECT query_id, vec_id, rank, round(c, 6) AS cosine FROM r WHERE rank <= 5""".stripMargin,
+
+    "knn_threshold" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | d AS (SELECT vec_id AS id, 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS distance
+        |       FROM embeddings, q ORDER BY distance, id LIMIT 20),
+        | s AS (SELECT id, distance, least(greatest(1 - distance, 0), 1) AS similarity_score FROM d)
+        |SELECT id, round(distance, 6) AS distance, round(similarity_score, 6) AS similarity_score
+        |FROM s WHERE similarity_score >= 0.2""".stripMargin,
+
+    "sim_l2_batchrel" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | d AS (SELECT vec_id AS id, list_distance(CAST(embedding AS DOUBLE[]), qv) AS distance
+        |       FROM embeddings, q ORDER BY distance, id LIMIT 10),
+        | m AS (SELECT max(distance) AS maxd FROM d)
+        |SELECT id, round(distance, 6) AS distance,
+        | round(least(greatest(CASE WHEN maxd > 0 THEN 1 - distance/maxd ELSE 1 END, 0), 1), 6) AS similarity_score
+        |FROM d, m""".stripMargin,
+
+    "citation_agg" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | h AS (SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
+        |       FROM embeddings, q ORDER BY c DESC, vec_id LIMIT 50)
+        |SELECT d.source, round(min(h.c), 6) AS min_score, round(max(h.c), 6) AS max_score,
+        | count(*) AS n_hits
+        |FROM h JOIN documents d ON h.vec_id = d.doc_id GROUP BY d.source""".stripMargin,
+
+    "page_ranges" ->
+      """WITH p AS (SELECT DISTINCT source, CAST(doc_id % 20 AS BIGINT) AS page FROM documents),
+        | g AS (SELECT source, page,
+        |        page - row_number() OVER (PARTITION BY source ORDER BY page) AS grp FROM p),
+        | r AS (SELECT source, min(page) AS s, max(page) AS e FROM g GROUP BY source, grp)
+        |SELECT source,
+        | string_agg(CASE WHEN s = e THEN CAST(s AS VARCHAR)
+        |             ELSE CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR) END, ', ' ORDER BY s) AS page_ranges
+        |FROM r GROUP BY source""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id FROM (
+        | SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        | FROM documents) WHERE rn = 1""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH sh AS (SELECT DISTINCT doc_id AS sid, substring(text, CAST(i AS INT), 8) AS shingle
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | sz AS (SELECT sid, count(*) AS s FROM sh GROUP BY sid),
+        | inter AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS i
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+        |           GROUP BY a.sid, b.sid)
+        |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.sid = id_a JOIN sz sb ON sb.sid = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.2""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (SELECT DISTINCT doc_id AS sid, substring(text, CAST(i AS INT), 8) AS shingle
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | sig AS (SELECT sid, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+        |         FROM sh, generate_series(0, 15) AS s(seed) GROUP BY sid, seed),
+        | bands AS (SELECT sid, seed // 4 AS band, string_agg(mh, ',' ORDER BY seed) AS band_key
+        |           FROM sig GROUP BY sid, seed // 4)
+        |SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+        |FROM bands a JOIN bands b
+        | ON a.band = b.band AND a.band_key = b.band_key AND a.sid < b.sid""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.8""".stripMargin,
+
+    "text_stats" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed FROM documents),
+        | u AS (SELECT doc_id, text,
+        |  CASE WHEN length(trimmed) = 0 THEN 0
+        |       ELSE CAST(length(string_split_regex(trimmed, '\s+')) AS BIGINT) END AS n_tokens
+        |  FROM s)
+        |SELECT doc_id, n_tokens,
+        | round(CASE WHEN n_tokens = 0 THEN 0.0
+        |   ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6) AS avg_token_len,
+        | round(CASE WHEN length(text) = 0 THEN 0.0
+        |   ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio,
+        | round(CASE WHEN length(text) = 0 THEN 0.0
+        |   ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END, 6) AS digit_ratio,
+        | round(least(greatest(
+        |   least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+        |   * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 4.0, 1.0) * 0.5)
+        |   * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 4.0, 1.0) * 0.5)
+        |  , 0.0), 1.0), 6) AS quality
+        |FROM u""".stripMargin,
+
+    "lang_id" -> langIdSql("SELECT doc_id, {CASE} AS lang_pred FROM scored"),
+
+    "fingerprint" ->
+      """WITH sh AS (SELECT DISTINCT doc_id AS sid, md5(substring(text, CAST(i AS INT), 8)) AS h
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | r AS (SELECT sid, h FROM sh QUALIFY row_number() OVER (PARTITION BY sid ORDER BY h) <= 4)
+        |SELECT sid AS doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint FROM r GROUP BY sid""".stripMargin,
+
+    "corpus_stats" -> langIdSql(
+      """SELECT {CASE} AS lang_pred, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |      ELSE CAST(length(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) END) AS BIGINT) AS total_tokens,
+        | count(DISTINCT text) AS distinct_docs
+        |FROM scored GROUP BY 1""".stripMargin),
+
+    "mm_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_size,
+        | sha256(text) AS content_sha256 FROM documents""".stripMargin,
+
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS bl FROM documents)
+        |SELECT doc_id, i AS frame_index, CAST(least(4096, bl - i*4096) AS BIGINT) AS frame_len
+        |FROM (SELECT doc_id, bl, unnest(generate_series(0, greatest(CAST(ceil(bl/4096.0) AS BIGINT) - 1, 0), 2)) AS i FROM d)""".stripMargin)
+
+  /** Shared language-ID scoring CTE: occurrence counts of per-language
+    * marker words via length/replace arithmetic (mirrors
+    * TextAnalytics.langIdColumn exactly, including en-first tiebreak). */
+  private def langIdSql(outer: String): String = {
+    val markers = graft.ops.TextAnalytics.langMarkers
+    val scoreExprs = markers.map { case (lang, ms) =>
+      ms.map { m =>
+        val esc = m.replace("'", "''")
+        s"(length(p) - length(replace(p, '$esc', ''))) // ${m.length}"
+      }.mkString(" + ") + s" AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val caseExpr =
+      s"CASE WHEN $best = 0 THEN 'und' " +
+        langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ") +
+        " ELSE 'und' END"
+    s"""WITH t AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
+       | scored AS (SELECT doc_id, text,
+       |  $scoreExprs
+       | FROM t)
+       |${outer.replace("{CASE}", caseExpr)}""".stripMargin
+  }
+}

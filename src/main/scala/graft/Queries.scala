@@ -1,0 +1,354 @@
+package graft
+
+import graft.functions.{Chunker, TextFunctions, VectorFunctions}
+import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalytics}
+import graft.search.VectorSearch
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared operator inventory (SURVEY.md §2 + the scale
+  * extensions), each as a (SparkSession, sfDir) => DataFrame paired with
+  * a DuckDB oracle in [[Queries.oracleSql]].
+  *
+  * Oracle-parity rules used throughout:
+  *  - every computed column is aliased identically on both sides;
+  *  - money/value sums go through per-row integer cents
+  *    (`cast(round(x*100) as bigint)`) so sums are order-independent
+  *    and exact — distributed summation order must never affect the
+  *    hash (SURVEY.md §7.4 #4);
+  *  - similarity/ratio doubles are rounded to 6 dp on both sides;
+  *  - ranking ties are broken by an id column on both sides.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read `ts` as raw nanos-since-epoch (LongType) and
+    * do integer epoch arithmetic — which is also exactly reproducible
+    * in the oracle (epoch_ns), with no datetime-unit ambiguity. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Integer-cents sum: order-independent exact aggregation of a
+    * 2-decimal money column (see class doc). */
+  private def centsSum(c: Column): Column = sum(round(c * 100).cast("long"))
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  // ---------------------------------------------------------------------
+  // Relational core (scan/filter/agg/join/window/top-k on TPC-H-ish data)
+  // ---------------------------------------------------------------------
+
+  /** A1/§2.4 — grouped aggregation with partial (map-side) agg. */
+  def q1PricingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        centsSum(col("l_extendedprice")).as("sum_price_cents"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+
+  /** O2-analog — global top-k = TakeOrderedAndProject, no full sort. */
+  def q2TopkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** J1/J2-analog — 3-way join; dims broadcast, fact shuffles once. */
+  def q3JoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = broadcast(t(s, dir, "customer"))
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** §2.5 — per-group ranking window. */
+  def q4WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** §2.3 — anti join (customers with no orders). */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Streaming-shape op in batch: tumbling 1-hour event-time window
+    * (the Structured Streaming variant shares this exact agg). */
+  def q6EventsWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("hour_epoch", expr("ts div 3600000000000") * 3600)
+      .groupBy(col("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** §2.8 — json-ish extraction from event props (regexp, engine-neutral). */
+  def q7EventProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k_val", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy(col("k_val")).agg(count(lit(1)).as("n"))
+
+  /** Gap-based sessionization (30-min inactivity) — the batch twin of
+    * the stateful-streaming session operator. */
+  def q8Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > 1800L * 1000000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Reference parity: ingest/chunk/clean/hash (S4-S5, O1/O3, P2/P3/P7)
+  // ---------------------------------------------------------------------
+
+  /** S5 — sha256 content identity. */
+  def docHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.contentHash(col("text")).as("content_hash"),
+        length(col("text")).cast("long").as("text_len"))
+
+  /** O1 non-PDF — fixed 200-char windows, strip, drop empty
+    * (FixedSizeTextSplitter parity through the real engine UDF). */
+  def chunkFixed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Chunker.chunkFixedCol(col("text"), lit(200))).as("c"))
+      .select(col("doc_id"), col("c.ordinal").cast("long").as("chunk_ordinal"),
+        col("c.text").as("chunk_text"))
+
+  /** O1 PDF + O3 — sliding windows (size 200, overlap 50) over
+    * `[[page1]]`-marked text through the marker-parsing engine path. */
+  def chunkSliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Chunker.chunkMarkedCol(
+          concat(lit("[[page1]]"), col("text")), lit(200), lit(50))).as("c"))
+      .select(col("doc_id"), col("c.ordinal").cast("long").as("chunk_ordinal"),
+        col("c.text").as("chunk_text"),
+        col("c.page_number").cast("long").as("page_number"))
+
+  /** P2 — printable-ASCII clean. */
+  def asciiClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.asciiClean(col("text")).as("clean_text"))
+
+  /** P5 — case-insensitive keyword post-filter. */
+  def keywordFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(TextFunctions.keywordPredicate(col("text"), "spark"))
+      .select(col("doc_id"), col("n_chars"))
+
+  // ---------------------------------------------------------------------
+  // Vector search (O2/O4/P4, A2/A4) over the embeddings table
+  // ---------------------------------------------------------------------
+
+  private def queryVec(s: SparkSession, dir: String): Array[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+
+  /** O2 — exact brute-force cosine top-k (TakeOrderedAndProject). */
+  def knnTopk(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"))
+
+  /** O2 batched — per-query top-5 for 5 broadcast queries. */
+  def knnBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    SimilaritySearch.bruteForceTopKBatch(e, "vec_id", "embedding", queries, "query_id", "qv", 5)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        r6(col("cosine")).as("cosine"))
+  }
+
+  /** O2+O4(cosine)+P4 — the reference's full query chain: top-20 by
+    * cosine distance, similarity = clip(1-d), threshold 0.2, no
+    * backfill after the filter (ordering preserved, O5). */
+  def knnThreshold(s: SparkSession, dir: String): DataFrame = {
+    val chunksLike = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val q = lit(queryVec(s, dir))
+    val hits = chunksLike
+      .withColumn("distance", VectorSearch.distanceColumn("cosine", col("vector"), q))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(20)
+    VectorSearch.withSimilarity(hits, "cosine")
+      .filter(col("similarity_score") >= 0.2)
+      .select(col("id"), r6(col("distance")).as("distance"),
+        r6(col("similarity_score")).as("similarity_score"))
+  }
+
+  /** O4 l2 branch — BATCH-RELATIVE similarity: sim = 1 − d/max(d) over
+    * the returned top-k only (vector_db_query.py:174-179). */
+  def simL2BatchRelative(s: SparkSession, dir: String): DataFrame = {
+    val chunksLike = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val q = lit(queryVec(s, dir))
+    val hits = chunksLike
+      .withColumn("distance", VectorSearch.distanceColumn("l2", col("vector"), q))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(10)
+    VectorSearch.withSimilarity(hits, "l2")
+      .select(col("id"), r6(col("distance")).as("distance"),
+        r6(col("similarity_score")).as("similarity_score"))
+  }
+
+  /** A2+A4 — citation grouping of a hit set against document provenance
+    * (group by source "file", min/max score, count; ordered by min). */
+  def citationAgg(s: SparkSession, dir: String): DataFrame = {
+    val hits = SimilaritySearch.bruteForceTopK(
+      t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 50)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    hits.join(docs, hits("vec_id") === docs("doc_id"))
+      .groupBy(col("source"))
+      .agg(r6(min(col("cosine"))).as("min_score"),
+        r6(max(col("cosine"))).as("max_score"),
+        count(lit(1)).as("n_hits"))
+  }
+
+  /** A3 — consecutive-run page-range compaction over per-group page sets. */
+  def pageRanges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), (col("doc_id") % 20).cast("int").as("page"))
+      .groupBy(col("source"))
+      .agg(TextFunctions.formatPageRangesUdf(sort_array(collect_set(col("page"))))
+        .as("page_ranges"))
+
+  // ---------------------------------------------------------------------
+  // Dedup ladder (scale extensions)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup survivors (hash groupBy + deterministic winner). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text").select(col("doc_id"))
+
+  /** N-gram Jaccard near-dup pairs (8-gram chars, ≥ 0.2). */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, threshold = 0.2)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+
+  /** MinHash+LSH candidate pairs (16 hashes, 4 rows/band, md5 min-wise
+    * family — oracle replays the identical hash family in SQL). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, numHashes = 16, rowsPerBand = 4)
+
+  /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.8). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.8)
+      .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
+
+  // ---------------------------------------------------------------------
+  // Text analytics (scale extensions)
+  // ---------------------------------------------------------------------
+
+  /** Token/char/ratio surface stats + quality score. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.withStats(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("avg_token_len")).as("avg_token_len"),
+        r6(col("punct_ratio")).as("punct_ratio"),
+        r6(col("digit_ratio")).as("digit_ratio"),
+        r6(TextAnalytics.qualityScore(col("text"))).as("quality"))
+
+  /** N-gram-marker language ID. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalytics.langIdColumn(col("text")).as("lang_pred"))
+
+  /** K-min-sketch document fingerprint (4 smallest md5 8-gram hashes). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 8, k = 4)
+      .select(col("sid").as("doc_id"), col("fingerprint"))
+
+  /** Corpus rollup by predicted language (exact distinct for oracle). */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("lang_pred", TextAnalytics.langIdColumn(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("text")).as("distinct_docs"))
+
+  // ---------------------------------------------------------------------
+  // Multimodal plumbing (binary columns; decode is a deterministic stub)
+  // ---------------------------------------------------------------------
+
+  /** Binary payload metadata: byte size + content digest (the oracle
+    * checks the real part; stub decode fields are covered by unit tests). */
+  def mmMediaMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_size"),
+        sha2(col("payload"), 256).as("content_sha256"))
+
+  /** Frame-sampling plumbing: every 2nd 4-KiB slice of the payload. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", stride = 2)
+      .select(col("doc_id"), col("frame_index").cast("long").as("frame_index"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_agg" -> q1PricingAgg _,
+    "q2_topk_orders" -> q2TopkOrders _,
+    "q3_join_revenue" -> q3JoinRevenue _,
+    "q4_window_rank" -> q4WindowRank _,
+    "q5_anti_join" -> q5AntiJoin _,
+    "q6_events_window" -> q6EventsWindow _,
+    "q7_event_props" -> q7EventProps _,
+    "q8_sessionize" -> q8Sessionize _,
+    "doc_hash" -> docHash _,
+    "chunk_fixed" -> chunkFixed _,
+    "chunk_sliding" -> chunkSliding _,
+    "ascii_clean" -> asciiClean _,
+    "keyword_filter" -> keywordFilter _,
+    "knn_topk" -> knnTopk _,
+    "knn_batch" -> knnBatch _,
+    "knn_threshold" -> knnThreshold _,
+    "sim_l2_batchrel" -> simL2BatchRelative _,
+    "citation_agg" -> citationAgg _,
+    "page_ranges" -> pageRanges _,
+    "dedup_exact" -> dedupExact _,
+    "dedup_jaccard" -> dedupJaccard _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_embedding" -> dedupEmbedding _,
+    "text_stats" -> textStats _,
+    "lang_id" -> langId _,
+    "fingerprint" -> fingerprint _,
+    "corpus_stats" -> corpusStats _,
+    "mm_media_meta" -> mmMediaMeta _,
+    "mm_frames" -> mmFrames _)
+}

@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Vector math as native Catalyst expressions with whole-stage codegen.
+  *
+  * This is the hot path of flat (exact brute-force) vector search — the
+  * reference's FlatIndex.query scans every stored vector per query
+  * (vector_db_query.py:143-161 over the flat index written at
+  * vector_db_creator.py:212-216). At 100 TB the scan is distributed and
+  * the per-row cost is one fused dot-product loop inside
+  * WholeStageCodegen — no UDF boxing, no per-element Object allocation.
+  *
+  * All expressions accept `array<float>` or `array<double>` children and
+  * compute in double with sequential accumulation (deterministic per row;
+  * partitioning cannot change summation order — SURVEY.md §7.4).
+  */
+private[graft] object VectorExprUtils {
+  def elementType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => other
+  }
+  def checkVec(name: String, exprs: Expression*): TypeCheckResult = {
+    val ok = exprs.forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> or array<double> arguments, got " +
+        exprs.map(_.dataType.simpleString).mkString(", "))
+  }
+  /** Java accessor snippet for element i of an ArrayData of the given
+    * element type, widened to double. */
+  def getter(arr: String, et: DataType, i: String): String = et match {
+    case FloatType => s"(double)$arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+  @inline def get(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+}
+
+/** dot(x, y) — inner product in double precision. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExprUtils._
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = checkVec("dot_product", left, right)
+  private lazy val (lt, rt) = (elementType(left), elementType(right))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += get(x, lt, i) * get(y, rt, i); i += 1 }
+    dot
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(x, lt, i)} * ${getter(y, rt, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine_similarity(x, y) = dot / (||x|| * ||y||); 0.0 when either norm
+  * is zero (matches the safe-division convention of the reference's
+  * normalized-embedding path — embedding_models.py:122 normalizes at
+  * encode time so stored vectors have unit norm and cos == dot). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExprUtils._
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = checkVec("cosine_similarity", left, right)
+  private lazy val (lt, rt) = (elementType(left), elementType(right))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = get(x, lt, i); val yi = get(y, rt, i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = ${getter(x, lt, i)};
+         |  double $yi = ${getter(y, rt, i)};
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / Math.sqrt($nx * $ny);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** euclidean_distance(x, y) = sqrt(sum((xi-yi)^2)) — the "l2" metric
+  * branch of vector_db_query.py:180-185. */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExprUtils._
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = checkVec("euclidean_distance", left, right)
+  private lazy val (lt, rt) = (elementType(left), elementType(right))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = get(x, lt, i) - get(y, rt, i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(x, lt, i)} - ${getter(y, rt, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** l2_normalize(x) — returns x / ||x|| as array<float> (identity for the
+  * zero vector). The reference normalizes at encode time
+  * (embedding_models.py:122 `normalize_embeddings=True`); storing unit
+  * vectors makes cosine similarity a plain dot product at query time. */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  import VectorExprUtils._
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = checkVec("l2_normalize", child)
+  private lazy val et = elementType(child)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val v = get(x, et, i); s += v * v; i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (norm == 0.0) get(x, et, i).toFloat else (get(x, et, i) / norm).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  // Interpreted eval is fine here: normalization runs once per row at
+  // ingest, never in the per-query scan loop.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("l2norm", this, classOf[L2Normalize].getName)
+      s"(org.apache.spark.sql.catalyst.util.ArrayData)$self.nullSafeEval($c)"
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-level API + SQL registration for the vector expressions. */
+object VectorFunctions {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  def dotProduct(x: Column, y: Column): Column = col(DotProduct(ex(x), ex(y)))
+  def cosineSimilarity(x: Column, y: Column): Column = col(CosineSimilarity(ex(x), ex(y)))
+  def cosineDistance(x: Column, y: Column): Column =
+    org.apache.spark.sql.functions.lit(1.0) - cosineSimilarity(x, y)
+  def euclideanDistance(x: Column, y: Column): Column = col(EuclideanDistance(ex(x), ex(y)))
+  def l2Normalize(x: Column): Column = col(L2Normalize(ex(x)))
+
+  /** Register SQL names so `spark.sql("... cosine_similarity(a,b) ...")`
+    * works (idempotent; per-session). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("euclidean_distance", es => EuclideanDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es(0)), "built-in")
+  }
+}

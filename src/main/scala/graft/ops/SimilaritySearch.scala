@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md extension
+  * surface): exact brute-force top-k as the correctness baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Brute force is a codegen'd scan + TakeOrderedAndProject — at 100 TB
+  * it's one pass, embarrassingly parallel, no shuffle before the final
+  * k·partitions merge. The LSH variant prunes the scan to matching sign
+  * buckets (probing the query's bucket plus optional multi-probe
+  * neighbors), trading recall for a ~2^planes scan reduction; buckets
+  * are a column, so a Parquet layout partitioned by bucket turns the
+  * probe into partition pruning at the source. */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine similarity against a literal query vector.
+    * Deterministic tiebreak on id. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int): DataFrame =
+    df.withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component: hash(plane, dim)
+    * mapped to [-1, 1] — no stored plane matrix, any executor can
+    * recompute it. */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    // splitmix64-style scramble of (plane, d) — stable across JVMs
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Sign-bucket id of a vector under `numPlanes` hyperplanes. */
+  def lshBucketColumn(vecCol: Column, dim: Int, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = (0 until dim).map { d =>
+        element_at(vecCol, d + 1).cast("double") * lit(planeComponent(p, d))
+      }.reduce(_ + _)
+      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def lshBucket(vec: Array[Double], numPlanes: Int): Long = {
+    (0 until numPlanes).map { p =>
+      val proj = vec.indices.map(d => vec(d) * planeComponent(p, d)).sum
+      if (proj >= 0.0) 1L << p else 0L
+    }.reduce(_ | _)
+  }
+
+  /** Approximate top-k: scan only rows whose LSH bucket is within
+    * `probeHamming` bit flips of the query's bucket (multi-probe), then
+    * exact cosine rank inside the pruned set. With a bucket-partitioned
+    * layout the filter becomes partition pruning. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryVec: Array[Double], k: Int, numPlanes: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    val qBucket = lshBucket(queryVec, numPlanes)
+    val withBucket = df.withColumn("bucket", lshBucketColumn(col(vecCol), dim, numPlanes))
+    val pruned = withBucket.filter(
+      bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+    pruned
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batched exact top-k: every query row against every data row,
+    * queries broadcast, per-query rank window — the N×M scoring matrix
+    * streams through codegen without materializing. */
+  def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    val joined = df.crossJoin(broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("query_vec"))))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), col("query_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("query_vec")
+  }
+
+  /** IVF-style coarse quantization with deterministic "centroids" =
+    * LSH buckets; returns per-bucket sizes + centroids (mean vector) —
+    * the build side of a partition-pruned ANN layout. */
+  def ivfBuild(df: DataFrame, vecCol: String, dim: Int, numPlanes: Int): DataFrame = {
+    val withBucket = df.withColumn("bucket", lshBucketColumn(col(vecCol), dim, numPlanes))
+    val comps = (0 until dim).map(d => avg(element_at(col(vecCol), d + 1)).as(s"c$d"))
+    val aggCols = count(lit(1)).as("n_vectors") +: comps
+    withBucket.groupBy("bucket")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("centroid", array((0 until dim).map(d => col(s"c$d")): _*))
+      .select("bucket", "n_vectors", "centroid")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.search
+
+import graft.embed.Embedder
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.store.VectorStore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact (flat) vector search with the reference's full post-filter
+  * chain (QueryVectorDB.search, vector_db_query.py:136-267; SURVEY.md
+  * §3.1). The plan shape is:
+  *
+  *   chunks scan → distance expr → TakeOrderedAndProject(k)
+  *     → batch similarity conversion → threshold / keyword / type filters
+  *
+  * Everything before the take is exchange-free and whole-stage-codegen'd
+  * (per-partition top-k heaps, driver merges k·numPartitions rows).
+  * Filters run ABOVE the take on purpose: the reference bounds the
+  * candidate set at k first and never backfills after filtering
+  * (SURVEY.md §7.4 #3) — pushing them down would change results.
+  */
+object SearchOptions {
+  val DefaultK = 6          // config.py:28 "contexts"
+  val DefaultThreshold = 0.4 // config.py:29 "similarity"
+}
+
+final case class SearchOptions(
+    k: Int = SearchOptions.DefaultK,
+    scoreThreshold: Double = SearchOptions.DefaultThreshold,
+    searchTerm: String = "",
+    documentTypes: String = "")
+
+object VectorSearch {
+
+  /** Distance of a stored vector to the query under the manifest metric.
+    * Only "cosine" is ever written by the creator
+    * (vector_db_creator.py:210) but all metrics are reachable by
+    * manifest edit, so all are supported (vector_db_query.py:170-202). */
+  def distanceColumn(metric: String, vec: Column, query: Column): Column = metric match {
+    case "l2" => VectorFunctions.euclideanDistance(vec, query)
+    case "sum_of_squares" =>
+      val d = VectorFunctions.euclideanDistance(vec, query); d * d
+    case "inner_product" => VectorFunctions.dotProduct(vec, query)
+    case _ => VectorFunctions.cosineDistance(vec, query)
+  }
+
+  /** O4 — distance → similarity_score on the k-row hit batch
+    * (vector_db_query.py:170-202). The l2 / sum_of_squares /
+    * inner_product conversions are BATCH-RELATIVE (normalized by the
+    * max/min of the returned top-k), so they must run after the take —
+    * expressed as window aggregates partitioned by `batchCols` (empty =
+    * the single-query case; query_id for batched search). */
+  def withSimilarity(hits: DataFrame, metric: String,
+      batchCols: Seq[String] = Nil): DataFrame = {
+    val w = if (batchCols.isEmpty) Window.partitionBy() else Window.partitionBy(batchCols.map(col): _*)
+    val d = col("distance")
+    val sim = metric match {
+      case "cosine" => TextFunctions.clip01(lit(1.0) - d)
+      case "l2" | "sum_of_squares" =>
+        val maxD = max(d).over(w)
+        TextFunctions.clip01(when(maxD > 0.0, lit(1.0) - d / maxD).otherwise(lit(1.0)))
+      case "inner_product" =>
+        val maxD = max(d).over(w); val minD = min(d).over(w)
+        // NB: no clip in this branch, and "all equal" ⇒ 1.0 (:188-197)
+        when(maxD > minD, (d - minD) / (maxD - minD)).otherwise(lit(1.0))
+      case _ => TextFunctions.clip01(lit(1.0) - (d * d) / 2.0)
+    }
+    hits.withColumn("similarity_score", sim)
+  }
+
+  /** Core single-query search over a chunks DataFrame. `queryVec` is a
+    * literal array — broadcast to every task inside the codegen'd
+    * distance expression, no join, no shuffle before the take. */
+  def searchChunks(chunks: DataFrame, queryVec: Array[Float], metric: String,
+      opts: SearchOptions): DataFrame = {
+    val q = lit(queryVec.map(_.toDouble))
+    val hits = chunks
+      .withColumn("distance", distanceColumn(metric, col("vector"), q))
+      .orderBy(col("distance").asc)
+      .limit(opts.k)
+    withSimilarity(hits, metric)
+      .filter(col("similarity_score") >= lit(opts.scoreThreshold)) // P4 (:206-213)
+      .filter(TextFunctions.keywordPredicate(col("text"), opts.searchTerm)) // P5 (:247-254)
+      .filter(TextFunctions.docTypePredicate(col("document_type"), opts.documentTypes)) // P6 (:256-261)
+      .orderBy(col("distance").asc) // O5 — index order = ascending distance
+  }
+
+  /** Full entry point against a stored database: embeds the query with
+    * the database's embedder (prompt-prefixed, embedding_models.py:155-157)
+    * and searches under the manifest's metric. */
+  def search(spark: SparkSession, dbDir: String, query: String,
+      embedder: Embedder, opts: SearchOptions = SearchOptions()): DataFrame = {
+    val metric = VectorStore.readManifest(dbDir).distanceMetric
+    val qv = embedder.embedQuery(spark, query)
+    searchChunks(VectorStore.chunks(spark, dbDir), qv, metric, opts)
+  }
+
+  /** Batched multi-query search (the scale path: N queries × M chunks).
+    * Queries are broadcast (tiny side) against the chunk scan; per-query
+    * top-k via window ranking. One shuffle total (the rank), no
+    * cartesian materialization beyond the joined stream. */
+  def searchBatch(chunks: DataFrame, queries: DataFrame, metric: String,
+      opts: SearchOptions): DataFrame = {
+    val joined = chunks.crossJoin(broadcast(queries))
+      .withColumn("distance", distanceColumn(metric, col("vector"), col("query_vector")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("distance").asc, col("id").asc)
+    val topk = joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= opts.k)
+      .drop("rank", "query_vector")
+    withSimilarity(topk, metric, Seq("query_id"))
+      .filter(col("similarity_score") >= lit(opts.scoreThreshold))
+      .filter(TextFunctions.keywordPredicate(col("text"), opts.searchTerm))
+      .filter(TextFunctions.docTypePredicate(col("document_type"), opts.documentTypes))
+  }
+
+  /** RAG prompt assembly (chat_llm.py:45-50): contexts joined with
+    * `\n\n---\n\n` in hit order, then the user question. */
+  def ragPrompt(hits: DataFrame, ragString: String, question: String): String = {
+    val ctx = hits.orderBy(col("distance").asc)
+      .agg(concat_ws("\n\n---\n\n", collect_list(col("text"))).as("ctx"))
+      .head.getString(0)
+    s"$ragString\n\n$ctx\n\n$question"
+  }
+}

@@ -1,0 +1,108 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.embed.Embedder
+import graft.ingest.DocumentIngest
+import graft.model.DbManifest
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Parquet-backed vector database (SURVEY.md §1.1 #3, S8-S13).
+  *
+  * One database = one directory:
+  *   chunks/        id, text, vector, file/chunk metadata — the flat index
+  *   documents/     per-document row incl. full page_content (sqlite_operations.py:12-20)
+  *   chunk_doc_map/ chunk id → document hash (sqlite_operations.py:22-27)
+  *   manifest.json  distance metric, dims, vector type, model, chunk params
+  *                  (index_metadata.json + config registry,
+  *                   vector_db_creator.py:218-225, config.py:166-172)
+  *
+  * Scale posture: `chunks` is written partitioned only by Spark's file
+  * splits (no hot keys); at 100 TB the same layout shards across
+  * executors and flat search remains an embarrassingly-parallel scan +
+  * TakeOrdered merge. Re-partitioning/bucketing by a centroid column is
+  * the documented IVF upgrade path and changes nothing here. */
+object VectorStore {
+
+  private val mapper = new ObjectMapper()
+
+  def manifestPath(dbDir: String): java.nio.file.Path = Paths.get(dbDir, "manifest.json")
+
+  def writeManifest(dbDir: String, m: DbManifest): Unit = {
+    Files.createDirectories(Paths.get(dbDir))
+    val node = mapper.createObjectNode()
+    node.put("distance_metric", m.distanceMetric)
+    node.put("dimensions", m.dimensions)
+    node.put("vector_type", m.vectorType)
+    node.put("model", m.model)
+    node.put("chunk_size", m.chunkSize)
+    node.put("chunk_overlap", m.chunkOverlap)
+    Files.write(manifestPath(dbDir), mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readManifest(dbDir: String): DbManifest = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(dbDir)))
+    DbManifest(
+      node.get("distance_metric").asText("cosine"),
+      node.get("dimensions").asInt(),
+      node.get("vector_type").asText("float32"),
+      node.get("model").asText(""),
+      node.get("chunk_size").asInt(),
+      node.get("chunk_overlap").asInt())
+  }
+
+  /** End-to-end database build (CreateVectorDB.run,
+    * vector_db_creator.py:245-288): scan → extract → chunk → clean →
+    * embed → write three tables + manifest. All one lazy plan per sink. */
+  def create(spark: SparkSession, dbDir: String, sourceDir: String,
+      embedder: Embedder, chunkSize: Int = 1200, chunkOverlap: Int = 600): DbManifest = {
+    val docs = DocumentIngest.loadDocuments(spark, sourceDir)
+      // document ids: deterministic, from content hash (reference uses
+      // random ids, vector_db_creator.py:79 — a bug, not a feature)
+      .withColumn("id", xxhash64(col("hash")))
+      .cache() // read twice (documents sink + chunk pipeline); tiny vs chunks
+
+    val chunks = DocumentIngest.chunkDocuments(docs, chunkSize, chunkOverlap)
+    val embedded = embedder.embed(chunks, "text")
+      .select("id", "text", "vector", "file_path", "file_type", "file_name",
+        "creation_date", "modification_date", "hash", "document_type", "page_number")
+
+    embedded.write.mode(SaveMode.Overwrite).parquet(s"$dbDir/chunks")
+    docs.select(col("id"), col("file_name"), col("hash"), col("file_path"), col("page_content"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dbDir/documents")
+    spark.read.parquet(s"$dbDir/chunks").select(col("id").as("chunk_id"), col("hash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dbDir/chunk_doc_map")
+    docs.unpersist()
+
+    val m = DbManifest("cosine", embedder.dim, "float32",
+      embedder.getClass.getSimpleName, chunkSize, chunkOverlap)
+    writeManifest(dbDir, m)
+    m
+  }
+
+  def chunks(spark: SparkSession, dbDir: String): DataFrame =
+    spark.read.parquet(s"$dbDir/chunks")
+  def documents(spark: SparkSession, dbDir: String): DataFrame =
+    spark.read.parquet(s"$dbDir/documents")
+  def chunkDocMap(spark: SparkSession, dbDir: String): DataFrame =
+    spark.read.parquet(s"$dbDir/chunk_doc_map")
+
+  /** S11 — catalog scan: per-db document list. */
+  def listDocuments(spark: SparkSession, dbDir: String): DataFrame =
+    documents(spark, dbDir).select("file_name", "file_path")
+
+  /** S12 — database drop. */
+  def drop(dbDir: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(c => rm(c))
+      Files.deleteIfExists(p)
+    }
+    val p = Paths.get(dbDir)
+    if (Files.exists(p)) rm(p)
+  }
+}

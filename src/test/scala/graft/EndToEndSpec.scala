@@ -1,0 +1,114 @@
+package graft
+
+import graft.embed.DeterministicEmbedder
+import graft.ingest.DocumentIngest
+import graft.search.{Citations, SearchOptions, VectorSearch}
+import graft.store.VectorStore
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+/** Golden end-to-end: corpus files → build database → search with the
+  * full post-filter chain (SURVEY.md §5.2 #4; pipeline of §3.3 + §3.1). */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpusDir: Path = {
+    val dir = Files.createTempDirectory("graft-corpus")
+    def w(name: String, content: String): Unit =
+      Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+    w("a.txt", "alpha bravo charlie delta echo foxtrot golf hotel india juliet")
+    w("b.txt", "kilo lima mike november oscar papa quebec romeo sierra tango")
+    w("dup_of_a.txt", "alpha bravo charlie delta echo foxtrot golf hotel india juliet")
+    w("c.html", "<html><head><style>p{}</style></head><body><p>uniform &amp; victor</p></body></html>")
+    w("d.pages.json", """{"pages": ["whiskey xray yankee", "", "zulu alpha"]}""")
+    w("skip.bin", "binary noise")
+    dir
+  }
+
+  private lazy val dbDir: Path = Files.createTempDirectory("graft-db")
+  private lazy val embedder = DeterministicEmbedder(dim = 16)
+  private lazy val manifest =
+    VectorStore.create(spark, dbDir.toString, corpusDir.toString, embedder,
+      chunkSize = 30, chunkOverlap = 10)
+
+  test("ingest: scans supported formats only, extracts text + metadata") {
+    val docs = DocumentIngest.loadDocuments(spark, corpusDir.toString)
+    val names = docs.select("file_name").as[String].collect().toSet
+    assert(names == Set("a.txt", "b.txt", "dup_of_a.txt", "c.html", "d.pages.json"))
+    val html = docs.filter($"file_name" === "c.html").select("page_content").as[String].head()
+    assert(html == "uniform & victor")
+    val pdf = docs.filter($"file_name" === "d.pages.json")
+      .select("page_content", "file_type").as[(String, String)].head()
+    assert(pdf._1 == "[[page1]]whiskey xray yankee[[page3]]zulu alpha")
+    assert(pdf._2 == ".pdf")
+    // identical content -> identical hash (dedup natural key)
+    val hashes = docs.filter($"file_name".isin("a.txt", "dup_of_a.txt"))
+      .select("hash").as[String].collect()
+    assert(hashes.toSet.size == 1)
+  }
+
+  test("build: three tables + manifest written, chunks carry vectors") {
+    assert(manifest.dimensions == 16 && manifest.distanceMetric == "cosine")
+    val chunks = VectorStore.chunks(spark, dbDir.toString)
+    assert(chunks.count() > 0)
+    assert(chunks.filter(size($"vector") =!= 16).count() == 0)
+    // PDF chunks carry page numbers; others null
+    val pdfPages = chunks.filter($"file_type" === ".pdf").select("page_number")
+      .as[Option[Int]].collect()
+    assert(pdfPages.nonEmpty && pdfPages.forall(_.isDefined))
+    assert(VectorStore.documents(spark, dbDir.toString).count() == 5)
+    assert(VectorStore.chunkDocMap(spark, dbDir.toString).count() == chunks.count())
+  }
+
+  test("search: finds the right document, respects k and ordering") {
+    val hits = VectorSearch.search(spark, dbDir.toString, "alpha bravo charlie delta echo",
+      embedder, SearchOptions(k = 3, scoreThreshold = 0.0))
+    val rows = hits.select($"file_name", $"distance").collect()
+    assert(rows.length <= 3)
+    val ds = rows.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted) // ascending distance order (O5)
+  }
+
+  test("search: keyword + doc-type post-filters, no backfill below k") {
+    val all = VectorSearch.search(spark, dbDir.toString, "anything",
+      embedder, SearchOptions(k = 100, scoreThreshold = 0.0))
+    val withTerm = VectorSearch.search(spark, dbDir.toString, "anything",
+      embedder, SearchOptions(k = 100, scoreThreshold = 0.0, searchTerm = "ZULU"))
+    // case-insensitive containment (vector_db_query.py:247-254)
+    assert(withTerm.select("text").as[String].collect().forall(_.toLowerCase.contains("zulu")))
+    assert(withTerm.count() < all.count())
+    val typed = VectorSearch.search(spark, dbDir.toString, "anything",
+      embedder, SearchOptions(k = 100, scoreThreshold = 0.0, documentTypes = "image"))
+    assert(typed.count() == 0) // everything is "document"; no backfill
+  }
+
+  test("threshold filter can shrink results below k without backfill") {
+    val strict = VectorSearch.search(spark, dbDir.toString, "alpha bravo",
+      embedder, SearchOptions(k = 10, scoreThreshold = 0.999999))
+    assert(strict.count() <= 10)
+  }
+
+  test("citations: grouped by file, ordered by min score, page ranges") {
+    val hits = VectorSearch.search(spark, dbDir.toString, "zulu whiskey",
+      embedder, SearchOptions(k = 20, scoreThreshold = 0.0))
+    val cites = Citations.aggregate(hits).collect()
+    assert(cites.nonEmpty)
+    val minScores = cites.map(_.getAs[Double]("min_score")).toSeq
+    assert(minScores == minScores.sorted)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("deterministic embedder is partitioning-invariant") {
+    val df1 = Seq("hello world").toDF("text").repartition(1)
+    val df4 = Seq("hello world").toDF("text").repartition(4)
+    val v1 = embedder.embed(df1, "text").select("vector").as[Seq[Float]].head()
+    val v4 = embedder.embed(df4, "text").select("vector").as[Seq[Float]].head()
+    assert(v1 == v4)
+    assert(math.abs(v1.map(x => x.toDouble * x).sum - 1.0) < 1e-5) // unit norm
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalytics}
+import org.apache.spark.sql.functions._
+
+/** Scale-extension operators: dedup ladder, text analytics, similarity
+  * search, multimodal plumbing. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    val survivors = Dedup.exact(docs, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 4L))
+  }
+
+  test("jaccard: exact dups -> 1.0; near dups high; unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (x, y) => x == 4L || y == 4L })
+  }
+
+  test("minhash LSH finds exact and near dup candidates") {
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        n = 4, numHashes = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L))) // identical docs share every band
+    assert(!cand.exists { case (x, y) => x == 4L || y == 4L })
+  }
+
+  test("simhash: identical docs -> hamming 0; blocking finds them") {
+    val dups = Dedup.simhashNearDups(docs, "doc_id", "text", n = 4, maxHammingDistance = 3)
+      .selectExpr("id_a", "id_b", "cast(hamming as long) h")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(dups((1L, 2L)) == 0L)
+  }
+
+  test("embedding near-dups by cosine threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.04f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k returns k best, deterministic tiebreak") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(-1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding",
+      Array(1.0, 0.0), 3).select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 4L, 2L)) // ties (1,4) broken by id
+  }
+
+  test("LSH top-k: query bucket contains its own vector; recall on clones") {
+    val base = Array.fill(8)(0.5f)
+    val vecs = (1L to 20L).map { i =>
+      (i, base.map(x => x + (i % 5).toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = base.map(_.toDouble)
+    val exact = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = SimilaritySearch.lshTopK(vecs, "vec_id", "embedding", 8, q, 5,
+      numPlanes = 4, probeHamming = 4) // full probe = exact
+    assert(approx.select("vec_id").as[Long].collect().toSet == exact)
+  }
+
+  test("language id: marker argmax with en-first tiebreak, und on none") {
+    val df = Seq(
+      (1L, "the cat and the hat of a house"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "xxxx yyyy zzzz")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalytics.langIdColumn($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+
+  test("token count + page range formatting") {
+    assert(TextFunctions.formatPageRanges(Seq(1, 2, 3, 7, 9, 10)) == "1-3, 7, 9-10")
+    assert(TextFunctions.formatPageRanges(Nil) == "")
+    val n = Seq("  a b   c  ").toDF("t")
+      .select(TextFunctions.tokenCount($"t")).head.getInt(0)
+    assert(n == 3)
+    assert(Seq("").toDF("t").select(TextFunctions.tokenCount($"t")).head.getInt(0) == 0)
+  }
+
+  test("multimodal: deterministic fake decode + frame sampling shapes") {
+    val df = Seq((1L, "x" * 10000), (2L, "y")).toDF("doc_id", "payload_s")
+      .withColumn("payload", $"payload_s".cast("binary"))
+    val meta = Multimodal.withMediaMetadata(df, "payload")
+    val m = meta.select("doc_id", "byte_size", "width", "height", "format")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(m(1L)._1 == 10000L && m(2L)._1 == 1L)
+    assert(m(1L)._2 >= 16 && m(1L)._3 >= 16)
+    // deterministic: same input -> same decode
+    val again = Multimodal.withMediaMetadata(df, "payload")
+      .select("doc_id", "width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again(1L) == m(1L)._2)
+    // frames: 10000 bytes -> 3 slices (0,1,2), stride 2 -> indices 0,2
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", stride = 2)
+      .filter($"doc_id" === 1L).select("frame_index").as[Int].collect().toSeq.sorted
+    assert(frames == Seq(0, 2))
+  }
+}

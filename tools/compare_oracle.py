@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate:
+runs each oracle_sql.json query in DuckDB against the sf dir's parquet
+tables, loads the Spark parquet result, sorts columns by name + rows by
+all values, rounds floats, and hash-compares. Dev tool only (driver-side
+python env); not part of the Scala library."""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    body = df.to_csv(index=False, float_format="%.6f")
+    return hashlib.sha256(body.encode()).hexdigest()[:16], len(df), body
+
+def main(sf_dir: str, out_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            ddf = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        sdf = pd.concat([pd.read_parquet(f) for f in files])
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+            n_fail += 1
+            continue
+        sh, sn, sb = canon(sdf)
+        dh, dn, db = canon(ddf)
+        if sh == dh:
+            print(f"PASS {name} rows={sn}")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: hash mismatch spark_rows={sn} duck_rows={dn}")
+            sl, dl = sb.splitlines(), db.splitlines()
+            diffs = [i for i in range(min(len(sl), len(dl))) if sl[i] != dl[i]][:3]
+            for i in diffs:
+                print(f"  spark[{i}]: {sl[i][:200]}")
+                print(f"  duck [{i}]: {dl[i][:200]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
