@@ -140,32 +140,27 @@ object OracleSql {
         | FROM documents) WHERE rn = 1""".stripMargin,
 
     "dedup_jaccard" ->
-      """WITH sh AS (SELECT DISTINCT doc_id AS sid, substring(text, CAST(i AS INT), 8) AS shingle
+      """WITH sh AS (SELECT DISTINCT doc_id AS sid,
+        |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
-        | sz AS (SELECT sid, count(*) AS s FROM sh GROUP BY sid),
-        | inter AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS i
-        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
-        |           GROUP BY a.sid, b.sid)
-        |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) AS jaccard
-        |FROM inter JOIN sz sa ON sa.sid = id_a JOIN sz sb ON sb.sid = id_b
-        |WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.2""".stripMargin,
+        | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | v AS (SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |       FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
+        |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (s_a + s_b - i), 6) AS jaccard
+        |FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2""".stripMargin,
 
-    "dedup_minhash_lsh" ->
-      """WITH sh AS (SELECT DISTINCT doc_id AS sid, substring(text, CAST(i AS INT), 8) AS shingle
-        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
-        | sig AS (SELECT sid, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-        |         FROM sh, generate_series(0, 15) AS s(seed) GROUP BY sid, seed),
-        | bands AS (SELECT sid, seed // 4 AS band, string_agg(mh, ',' ORDER BY seed) AS band_key
-        |           FROM sig GROUP BY sid, seed // 4)
-        |SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
-        |FROM bands a JOIN bands b
-        | ON a.band = b.band AND a.band_key = b.band_key AND a.sid < b.sid""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshSql(numHashes = 16, rowsPerBand = 4),
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.8""".stripMargin,
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
 
     "text_stats" ->
       """WITH s AS (SELECT doc_id, text,
@@ -191,10 +186,11 @@ object OracleSql {
     "lang_id" -> langIdSql("SELECT doc_id, {CASE} AS lang_pred FROM scored"),
 
     "fingerprint" ->
-      """WITH sh AS (SELECT DISTINCT doc_id AS sid, md5(substring(text, CAST(i AS INT), 8)) AS h
+      """WITH sh AS (SELECT DISTINCT doc_id AS sid,
+        |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | r AS (SELECT sid, h FROM sh QUALIFY row_number() OVER (PARTITION BY sid ORDER BY h) <= 4)
-        |SELECT sid AS doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint FROM r GROUP BY sid""".stripMargin,
+        |SELECT sid AS doc_id, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS fingerprint FROM r GROUP BY sid""".stripMargin,
 
     "corpus_stats" -> langIdSql(
       """SELECT {CASE} AS lang_pred, count(*) AS n_docs,
@@ -211,6 +207,31 @@ object OracleSql {
       """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS bl FROM documents)
         |SELECT doc_id, i AS frame_index, CAST(least(4096, bl - i*4096) AS BIGINT) AS frame_len
         |FROM (SELECT doc_id, bl, unnest(generate_series(0, greatest(CAST(ceil(bl/4096.0) AS BIGINT) - 1, 0), 2)) AS i FROM d)""".stripMargin)
+
+  /** MinHash+LSH oracle: replays [[graft.ops.Dedup.minhashSignatures]]'s
+    * hash family verbatim — H = int of first 7 md5 hex chars, per-seed
+    * h_i = (a_i·H + b_i) mod p with the coefficients from
+    * [[graft.ops.Dedup.minhashSeeds]] — then compares band-key equality
+    * pairwise (equivalent to the engine's (band, band_key) equi-join
+    * buckets; the oracle runs at sf0.01 where all-pairs is cheap). */
+  private def minhashLshSql(numHashes: Int, rowsPerBand: Int): String = {
+    val seeds = graft.ops.Dedup.minhashSeeds(numHashes)
+    val p = graft.ops.Dedup.MinhashP
+    val minExprs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min((CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) * $a + $b) % $p) AS mh$i"
+    }.mkString(",\n |  ")
+    val bandEq = (0 until numHashes / rowsPerBand).map { bn =>
+      (bn * rowsPerBand until (bn + 1) * rowsPerBand)
+        .map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH sh AS (SELECT DISTINCT doc_id AS sid, substring(text, CAST(i AS INT), 8) AS shingle
+       |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+       | sig AS (SELECT sid,
+       |  $minExprs
+       | FROM sh GROUP BY sid)
+       |SELECT a.sid AS id_a, b.sid AS id_b FROM sig a JOIN sig b
+       | ON a.sid < b.sid AND ($bandEq)""".stripMargin
+  }
 
   /** Shared language-ID scoring CTE: occurrence counts of per-language
     * marker words via length/replace arithmetic (mirrors

@@ -248,10 +248,13 @@ object Queries {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text").select(col("doc_id"))
 
-  /** N-gram Jaccard near-dup pairs (8-gram chars, ≥ 0.2). */
+  /** N-gram Jaccard near-dup pairs (8-gram chars, ≥ 0.2): candidates
+    * from df≤64 posting lists sharing ≥2 rare shingles, then exact
+    * Jaccard verification — the posting-list cap is what keeps the
+    * inverted-index self-join linear-ish at corpus scale. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, threshold = 0.2)
+        n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
 
   /** MinHash+LSH candidate pairs (16 hashes, 4 rows/band, md5 min-wise
@@ -260,9 +263,11 @@ object Queries {
     Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
       n = 8, numHashes = 16, rowsPerBand = 4)
 
-  /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.8). */
+  /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.4 — the synthetic
+    * embeddings top out at ~0.51 pairwise, so 0.4 exercises real pair
+    * production: 59 pairs at sf0.01, 920 at sf0.1). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.8)
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
 
   // ---------------------------------------------------------------------

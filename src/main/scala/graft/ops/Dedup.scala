@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *  - embedding near-dup: brute-force pairs only for small candidate
   *    sets; at scale feed LSH/IVF buckets in as `candidates`.
   */
+/** An unordered doc-id pair, canonicalized as id_a < id_b. */
+case class IdPair(id_a: Long, id_b: Long)
+
 object Dedup {
 
   /** Exact dedup by content hash: keep the lowest-id row per distinct
@@ -42,62 +45,195 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
-  /** Drop shingles occurring in more than `maxDocFreq` docs (posting-list
-    * pruning; 0 disables). */
-  private def pruneByDf(sh: DataFrame, maxDocFreq: Int): DataFrame =
-    if (maxDocFreq <= 0) sh
-    else {
-      val hot = sh.groupBy("shingle").agg(count("*").as("df"))
-        .filter(col("df") > maxDocFreq).select("shingle")
-      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  /** Distinct 60-bit shingle hashes per document, one array per doc,
+    * in a single O(len·n) pass. Hash = integer value of the first 15
+    * md5 hex chars of the n-gram — replayable in SQL as
+    * `CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)`.
+    *
+    * This is the workhorse the whole dedup/fingerprint family feeds
+    * from, and it exists because the declarative alternative
+    * (`transform(sequence(...), i -> substring(text, i, n))` + explode
+    * + distinct) is quadratic — Spark's UTF8String substring seeks
+    * from the string start, so extracting L windows costs O(L²) — and
+    * needs a full (sid, shingle)-row shuffle just to dedup, while this
+    * UDF dedups in-row and ships one compact long-array per doc.
+    * (Caveat vs the SQL replay: positions here are UTF-16 code units,
+    * SQL's are codepoints — identical for ASCII/BMP text.) */
+  val shingleHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, n: Int) =>
+      if (text == null || text.isEmpty) Array.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val len = text.length
+        val m = math.max(len - n + 1, 1)
+        val seen = new java.util.HashSet[java.lang.Long](m * 2)
+        val out = new scala.collection.mutable.ArrayBuilder.ofLong
+        var i = 0
+        while (i < m) {
+          val g = text.substring(i, math.min(i + n, len))
+          md.reset()
+          val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var j = 0
+          while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+          val h = v >>> 4 // top 60 bits = first 15 hex chars
+          if (seen.add(h)) out += h
+          i += 1
+        }
+        out.result()
+      }
     }
 
-  /** All pairs (a < b) with n-gram Jaccard similarity ≥ threshold.
-    * Jaccard from set sizes: |A∩B| via the shingle self-join,
-    * |A∪B| = |A| + |B| − |A∩B|. */
+  /** Per-doc shingle-hash sets: (sid, hs: array<long>, sz). One map
+    * stage, no shuffle. */
+  def shingleHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        shingleHashesUdf(col(textCol), lit(n)).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+
+  /** Exploded (sid, h) rows from [[shingleHashSets]] — already distinct
+    * per doc. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleHashSets(df, idCol, textCol, n)
+      .select(col("sid"), explode(col("hs")).as("h"))
+
+  /** All ordered pairs (a < b) of a posting list (a shingle's doc ids).
+    * Runs on df-capped lists only, so the output array is ≤ C(cap, 2). */
+  private val postingPairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { sids: Seq[Long] =>
+      val s = sids.sorted.toArray
+      val out = new scala.collection.mutable.ArrayBuffer[IdPair](s.length * (s.length - 1) / 2)
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) { out += IdPair(s(i), s(j)); j += 1 }
+        i += 1
+      }
+      out.toSeq
+    }
+
+  /** Near-dup pairs (a < b) with **exact** n-gram Jaccard ≥ threshold,
+    * computed with the standard scalable two-phase shape:
+    *
+    *  1. *Candidate generation* — inverted-index self-join restricted to
+    *     shingles occurring in ≤ `maxDocFreq` docs (posting-list cap:
+    *     the join cost is Σ df² over posting lists, and capping df
+    *     removes the quadratic hot lists — 561M → 4.7M pair-rows on the
+    *     sf0.1 corpus), keeping pairs that share ≥ `minShared` rare
+    *     shingles (random single-shingle collisions are the bulk of the
+    *     candidates; true near-dups share dozens).
+    *  2. *Verification* — exact Jaccard on the candidates only, from
+    *     each doc's full distinct-shingle set via `array_intersect`;
+    *     |A∪B| = |A| + |B| − |A∩B|. The sets join is a plain equi-join
+    *     on doc id (AQE broadcasts it when small; shuffles at scale).
+    *
+    * Pairs whose overlap lives *only* in stop-shingles (df > cap) are
+    * not candidates — by design: such overlap is boilerplate, not
+    * duplication. `maxDocFreq <= 0` disables the cap (exact all-pairs
+    * semantics; quadratic — small inputs only). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxDocFreq: Int = 0): DataFrame = {
-    val sh = pruneByDf(shingles(df, idCol, textCol, n), maxDocFreq)
-    val sizes = sh.groupBy("sid").agg(count("*").as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
-      .filter(col("a.sid") < col("b.sid"))
-      .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
-      .agg(count("*").as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("sid").as("id_a"), col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sizes.select(col("sid").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      threshold: Double, maxDocFreq: Int = 0, minShared: Int = 1): DataFrame = {
+    // All joins/intersections run on the 60-bit integer shingle hash of
+    // [[shingleHashSets]]: long equi-joins and long-array intersections
+    // are several× cheaper than their string equivalents, and collisions
+    // (2^-60) only merge posting lists.
+    val sets = shingleHashSets(df, idCol, textCol, n)
+    val sh = sets.select(col("sid"), explode(col("hs")).as("h"))
+    // Candidate pairs straight off the posting lists: one groupBy
+    // builds each shingle's doc list, the size filter IS the df cap,
+    // and pairs are emitted in-row — Σ C(df,2) pair rows total, with
+    // no posting-list self-join (which would also re-shuffle both
+    // sides and emit the a/b-symmetric half it then filters away).
+    // The uncapped path keeps the self-join: an unbounded hot posting
+    // list must not be materialized as one in-row pair array.
+    val cand = (if (maxDocFreq > 0) {
+      sh.groupBy("h").agg(collect_list(col("sid")).as("sids"))
+        .filter(size(col("sids")) <= maxDocFreq)
+        .select(explode(postingPairsUdf(col("sids"))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    } else {
+      sh.as("a").join(sh.as("b"), col("a.h") === col("b.h"))
+        .filter(col("a.sid") < col("b.sid"))
+        .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+    })
+      .groupBy("id_a", "id_b")
+      .agg(count("*").as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+    // Verification joins: broadcast the per-doc hash sets so the
+    // candidate side streams map-side instead of shuffling two ~KB
+    // arrays per pair. (AQE can't pick broadcast itself here: the
+    // UDF-produced arrays defeat its size estimate.) At corpus scale,
+    // first semi-join `sets` down to candidate ids, and drop the hint
+    // if the candidate-doc set still exceeds broadcast size.
+    val bsets = broadcast(sets)
+    cand
+      .join(bsets.select(col("sid").as("id_a"), col("hs").as("set_a"), col("sz").as("sz_a")), "id_a")
+      .join(bsets.select(col("sid").as("id_b"), col("hs").as("set_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= lit(threshold))
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: for each seed 0..numHashes-1 the minimum of
-    * md5(seed || ':' || shingle) — lexicographic min over hex strings is
-    * a valid min-wise hash and is reproducible in any engine with md5
-    * (the oracle replays it verbatim in SQL). Output: (sid, seed, mh). */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("sid"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"), col("shingle"))
-      .groupBy("sid", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
+  /** MinHash seed constants: per-hash affine coefficients (a_i, b_i),
+    * < 2^31 so a_i · H (H < 2^28) never overflows a signed 64-bit int in
+    * any engine (DuckDB errors on bigint overflow; Java wraps — both
+    * stay in range). Shared with the SQL oracle, which replays the
+    * identical family. */
+  val MinhashP: Long = 1000000007L
+  def minhashSeeds(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      ((2654435761L * (i + 1)) % 2147483647L, (40503L * (i + 7)) % 2147483647L)
+    }
 
-  /** LSH banding: group the signature into bands of `rowsPerBand` seeds;
-    * band key = ordered concat of the band's min-hashes. Docs sharing
-    * any (band, key) are candidate near-duplicates. */
-  def lshBandKeys(signatures: DataFrame, rowsPerBand: Int): DataFrame =
-    signatures
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("sid", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          s => s.getField("mh"))).as("band_key"))
+  /** Wide MinHash signatures over hashed shingles (a (sid, h) frame from
+    * [[hashedShingles]]): one row per doc, columns mh0..mh{k-1} = min
+    * over the doc's shingles of h_i(shingle). The base hash
+    * H = h >>> 32 ∈ [0, 2^28) is the integer value of the first 7 md5
+    * hex chars (the top 28 of the 60 hash bits) — engine-portable
+    * (DuckDB: CAST('0x'||… AS BIGINT)); per-seed hashes are cheap
+    * affine maps h_i = (a_i·H + b_i) mod p, so the minhash pass does
+    * numHashes multiplies per row instead of numHashes md5s over an
+    * exploded (row × seed) table. Single groupBy with map-side partial
+    * aggregation — the shuffle carries only numHashes longs per doc,
+    * never per-shingle rows. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val h = shiftright(col("h"), 32)
+    val aggs = minhashSeeds(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((h * lit(a) + lit(b)) % lit(MinhashP)).as(s"mh$i")
+    }
+    sh.groupBy("sid").agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Candidate pairs (a < b) from LSH banding over character n-grams. */
+  /** LSH banding over wide signatures: band b's key is the ','-joined
+    * mins of seeds [b·rowsPerBand, (b+1)·rowsPerBand). Docs sharing any
+    * (band, key) are candidate near-duplicates. */
+  def lshBandKeys(signatures: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { bn =>
+      val keyCols = (bn * rowsPerBand until (bn + 1) * rowsPerBand)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(bn).as("band"), concat_ws(",", keyCols: _*).as("band_key"))
+    }
+    signatures.select(col("sid"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("sid"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs (a < b) from LSH banding over character n-grams.
+    * The join is on (band, band_key) equality buckets — never all-pairs. */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, maxDocFreq: Int = 0): DataFrame = {
-    val sh = pruneByDf(shingles(df, idCol, textCol, n), maxDocFreq)
-    val bands = lshBandKeys(minhashSignatures(sh, numHashes), rowsPerBand)
+    val all = hashedShingles(df, idCol, textCol, n)
+    val sh =
+      if (maxDocFreq <= 0) all
+      else {
+        val hot = all.groupBy("h").agg(count("*").as("df"))
+          .filter(col("df") > maxDocFreq).select("h")
+        all.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    val bands = lshBandKeys(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.sid") < col("b.sid"))

@@ -61,16 +61,17 @@ object TextAnalytics {
     }
   }
 
-  /** Document fingerprint: the k lexicographically-smallest md5 hashes
-    * of the doc's character n-gram shingles, concatenated — a k-min
-    * sketch usable for containment/similarity estimation, reproducible
-    * in plain SQL (winnowing-style selection without the rolling window). */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
-    val sh = Dedup.shingles(df, idCol, textCol, n)
-      .withColumn("h", md5(col("shingle")))
-    sh.groupBy(col("sid"))
-      .agg(concat_ws(",", slice(array_sort(collect_set(col("h"))), 1, k)).as("fingerprint"))
-  }
+  /** Document fingerprint: the k smallest 60-bit md5-prefix hashes
+    * ([[Dedup.shingleHashSets]]) of the doc's character n-gram shingles,
+    * ','-concatenated — a k-min sketch usable for containment/similarity
+    * estimation, reproducible in plain SQL (winnowing-style selection
+    * without the rolling window). Shuffle-free: the per-doc hash set is
+    * built in one map pass and sorted/sliced in-row. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
+    Dedup.shingleHashSets(df, idCol, textCol, n)
+      .select(col("sid"),
+        concat_ws(",",
+          transform(slice(array_sort(col("hs")), 1, k), _.cast("string"))).as("fingerprint"))
 
   /** Corpus-level rollup: per-language doc counts, token totals, quality
     * distribution, approximate distinct docs — the "corpus stats" pass a

@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.{Queries, SparkEntry}
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: runs selected queries twice (cold + warm) to separate
+  * codegen/JIT warmup from steady-state cost; prints both. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name%-22s cold=${times(0)}%7.3f warm=${times(1)}%7.3f")
+    }
+    spark.stop()
+  }
+}
