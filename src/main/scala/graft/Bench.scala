@@ -20,6 +20,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed warmup: absorb parquet-reader init, codegen and JIT of the
+    // scan path so the first timed query doesn't carry ~3s of one-off
+    // JVM cost (standard JVM-bench practice; the per-query numbers then
+    // measure the operators, not the first query's luck of the draw).
+    try SparkEntry.queries("q2_topk_orders")(spark, sfDir).queryExecution.toRdd.count()
+    catch { case _: Throwable => () }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
