@@ -107,6 +107,27 @@ object OracleSql {
         |SELECT id, round(distance, 6) AS distance, round(similarity_score, 6) AS similarity_score
         |FROM s WHERE similarity_score >= 0.2""".stripMargin,
 
+    "lsh_topk" -> lshTopkSql(dim = 64, numPlanes = 8, probeHamming = 1, k = 10),
+
+    "dedup_simhash" -> simhashSql(n = 8, maxHamming = 3),
+
+    "token_bpe" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+         |      ELSE CAST(length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS BIGINT) END AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.BpeTokenPattern}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "normalize_ws" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '\n[ \t]+\n', chr(10)||chr(10), 'g'),
+        |   '^\s+|\s+$', '', 'g'),
+        |   '\n\s*\n\s*\n*', chr(10)||chr(10), 'g') AS normalized,
+        | CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN ' '
+        |      ELSE regexp_replace(text, '^\s+|\s+$', '', 'g') END AS coerced
+        |FROM documents""".stripMargin,
+
     "sim_l2_batchrel" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         | d AS (SELECT vec_id AS id, list_distance(CAST(embedding AS DOUBLE[]), qv) AS distance
@@ -207,6 +228,56 @@ object OracleSql {
       """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS bl FROM documents)
         |SELECT doc_id, i AS frame_index, CAST(least(4096, bl - i*4096) AS BIGINT) AS frame_len
         |FROM (SELECT doc_id, bl, unnest(generate_series(0, greatest(CAST(ceil(bl/4096.0) AS BIGINT) - 1, 0), 2)) AS i FROM d)""".stripMargin)
+
+  /** LSH top-k oracle: replays the deterministic random-hyperplane
+    * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the
+    * plane matrix is regenerated from the same splitmix-style
+    * `planeComponent(plane, d)` constants, emitted as double literals
+    * (Double.toString round-trips exactly) — then prunes to buckets
+    * within `probeHamming` bit flips of the query's own bucket and
+    * ranks by exact cosine. */
+  private def lshTopkSql(dim: Int, numPlanes: Int, probeHamming: Int, k: Int): String = {
+    val bucketExpr = (0 until numPlanes).map { p =>
+      val comps = (0 until dim)
+        .map(d => graft.ops.SimilaritySearch.planeComponent(p, d).toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $comps) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       | b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        ($bucketExpr) AS bucket
+       |       FROM embeddings),
+       | qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0)
+       |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+       |FROM b, q, qb
+       |WHERE bit_count(xor(bucket, qbucket)) <= $probeHamming
+       |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** SimHash oracle: replays [[graft.ops.Dedup.simhash]] — 60 bit-vote
+    * sums over the portable md5-prefix hash, fingerprint from positive
+    * votes, 4×15-bit chunk blocking, hamming ≤ maxHamming. */
+  private def simhashSql(n: Int, maxHamming: Int): String = {
+    val votes = (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n |  ")
+    val fp = (0 until 60)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (SELECT DISTINCT doc_id AS sid,
+       |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), $n)), 1, 15) AS BIGINT) AS h
+       |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i FROM documents)),
+       | votes AS (SELECT sid,
+       |  $votes
+       | FROM sh GROUP BY sid),
+       | fp AS (SELECT sid, ($fp) AS f FROM votes),
+       | ch AS (SELECT sid, f, ci, (f >> (ci * 15)) & 32767 AS chunk
+       |        FROM fp, generate_series(0, 3) AS g(ci)),
+       | cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b, a.f AS fa, b.f AS fb
+       |          FROM ch a JOIN ch b ON a.ci = b.ci AND a.chunk = b.chunk AND a.sid < b.sid)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
+  }
 
   /** MinHash+LSH oracle: replays [[graft.ops.Dedup.minhashSignatures]]'s
     * hash family verbatim — H = int of first 7 md5 hex chars, per-seed

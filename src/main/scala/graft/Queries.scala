@@ -219,6 +219,15 @@ object Queries {
         r6(col("similarity_score")).as("similarity_score"))
   }
 
+  /** Approximate top-k: random-hyperplane LSH bucket pruning (probe the
+    * query's bucket ± 1 bit flip), exact cosine rank inside the pruned
+    * set — the scale path where the bucket becomes a partition key. The
+    * oracle replays the identical deterministic plane matrix. */
+  def lshTopk(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, queryVec = queryVec(s, dir), k = 10, numPlanes = 8, probeHamming = 1)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"))
+
   /** A2+A4 — citation grouping of a hit set against document provenance
     * (group by source "file", min/max score, count; ordered by min). */
   def citationAgg(s: SparkSession, dir: String): DataFrame = {
@@ -270,9 +279,31 @@ object Queries {
     Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
 
+  /** SimHash near-dup pairs over the portable 60-bit shingle hash,
+    * blocked on 4×15-bit fingerprint chunks (pigeonhole: hamming ≤ 3
+    * pairs share ≥ 1 exact chunk — no all-pairs join). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, maxHammingDistance = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
   // ---------------------------------------------------------------------
   // Text analytics (scale extensions)
   // ---------------------------------------------------------------------
+
+  /** BPE-ish regex token count next to the whitespace count. */
+  def tokenBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  /** P7+P9 — display whitespace normalization + text coercion. */
+  def normalizeWs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.normalizeWhitespace(col("text")).as("normalized"),
+        TextFunctions.coerceText(col("text")).as("coerced"))
 
   /** Token/char/ratio surface stats + quality score. */
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -343,6 +374,7 @@ object Queries {
     "knn_topk" -> knnTopk _,
     "knn_batch" -> knnBatch _,
     "knn_threshold" -> knnThreshold _,
+    "lsh_topk" -> lshTopk _,
     "sim_l2_batchrel" -> simL2BatchRelative _,
     "citation_agg" -> citationAgg _,
     "page_ranges" -> pageRanges _,
@@ -350,6 +382,9 @@ object Queries {
     "dedup_jaccard" -> dedupJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_embedding" -> dedupEmbedding _,
+    "dedup_simhash" -> dedupSimhash _,
+    "token_bpe" -> tokenBpe _,
+    "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,

@@ -85,6 +85,16 @@ object TextFunctions {
   def digitRatio(c: Column): Column = charClassRatio(c, "[0-9]")
   def upperRatio(c: Column): Column = charClassRatio(c, "[A-Z]")
 
+  /** BPE-ish tokenizer pattern: alphanumeric runs, or single
+    * non-alphanumeric non-space chars (each punctuation mark its own
+    * token — the shape of a byte-pair-encoding pre-tokenizer). Plain
+    * ASCII classes so Java regex and RE2 (DuckDB) agree. */
+  val BpeTokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** BPE-ish token count over [[BpeTokenPattern]]. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Count of non-overlapping occurrences of a literal marker substring,
     * via length arithmetic (identical semantics in Spark and DuckDB —
     * used by the language-ID heuristic so the oracle can replicate it). */

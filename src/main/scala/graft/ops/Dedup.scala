@@ -241,16 +241,17 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: 64-bit fingerprint from per-shingle xxhash64 bit votes;
-    * near-dups = fingerprints within `maxHammingDistance`. JVM-hash
-    * based (no SQL oracle — verified by property tests instead). */
+  /** SimHash: 60-bit fingerprint from per-shingle bit votes over the
+    * portable 60-bit md5-prefix hash ([[shingleHashSets]]), so the SQL
+    * oracle can replay it bit for bit. One wide groupBy (60 small sum
+    * aggregates, map-side partial) per doc. */
   def simhash(sh: DataFrame): DataFrame = {
-    val h = xxhash64(col("shingle"))
-    val bitVotes = (0 until 64).map { b =>
+    val h = col("h")
+    val bitVotes = (0 until 60).map { b =>
       sum(when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
     }
     val votes = sh.groupBy("sid").agg(bitVotes.head, bitVotes.tail: _*)
-    val fp = (0 until 64).map { b =>
+    val fp = (0 until 60).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     votes.select(col("sid"), fp.as("simhash"))
@@ -258,19 +259,19 @@ object Dedup {
 
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxHammingDistance: Int): DataFrame = {
-    val fps = simhash(shingles(df, idCol, textCol, n))
-    // block on 4×16-bit chunks: pairs within distance d ≤ 3 share at
-    // least one exact 16-bit chunk (pigeonhole) — avoids all-pairs
+    val fps = simhash(hashedShingles(df, idCol, textCol, n))
+    // block on 4×15-bit chunks: pairs within distance d ≤ 3 share at
+    // least one exact 15-bit chunk (pigeonhole) — avoids all-pairs
     val chunks = fps.select(col("sid"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("ci"))
-      .withColumn("chunk", expr("shiftright(simhash, ci * 16)").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("chunk", expr("shiftright(simhash, ci * 15)").bitwiseAND(lit(0x7FFFL)))
     val cand = chunks.as("a").join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
           col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
         col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
       .distinct()
-    cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+    cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHammingDistance)
       .select("id_a", "id_b", "hamming")
   }

@@ -29,7 +29,7 @@ object SimilaritySearch {
   /** Deterministic pseudo-random hyperplane component: hash(plane, dim)
     * mapped to [-1, 1] — no stored plane matrix, any executor can
     * recompute it. */
-  private def planeComponent(plane: Int, d: Int): Double = {
+  private[graft] def planeComponent(plane: Int, d: Int): Double = {
     // splitmix64-style scramble of (plane, d) — stable across JVMs
     var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

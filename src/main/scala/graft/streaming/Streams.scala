@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.embed.Embedder
+import graft.functions.{Chunker, TextFunctions}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.9: the reference is batch
+  * only, so these are the engine's forward-looking extensions, designed
+  * so every streaming op shares its aggregation semantics with a batch
+  * twin in [[graft.Queries]]):
+  *
+  *  - incremental corpus ingest: file source → the SAME chunk/embed
+  *    stages as the batch build → append sink. New files in the source
+  *    dir become searchable chunks on the next trigger; nothing else in
+  *    the store layout changes (the flat index is just parquet rows).
+  *  - windowed event aggregation: watermarked tumbling event-time
+  *    window (batch twin: q6_events_window).
+  *  - gap sessionization: flatMapGroupsWithState with event-time
+  *    timeout (batch twin: q8_sessionize via lag/window).
+  *
+  * Scale notes: the file source lists+tracks files incrementally
+  * (maxFilesPerTrigger bounds a trigger's work); stateful ops keep one
+  * small state row per key in the state store, and the watermark bounds
+  * state retention — no unbounded driver or executor accumulation. */
+object Streams {
+
+  /** Streaming document source over a directory of text files: each new
+    * file becomes one document row with the same metadata columns as the
+    * batch [[graft.ingest.DocumentIngest.loadDocuments]] txt path. */
+  def streamDocuments(spark: SparkSession, sourceDir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .load(sourceDir)
+      .select(
+        col("value").as("page_content"),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.file_name").as("file_name"),
+        date_format(col("_metadata.file_modification_time"), tsFmt).as("modification_date"))
+      .withColumn("creation_date", col("modification_date"))
+      .withColumn("file_type", lower(regexp_extract(col("file_name"), "(\\.[^.]+)$", 1)))
+      .withColumn("document_type", lit("document"))
+      .withColumn("is_pdf", lit(false))
+      .filter(length(col("page_content")) > 0)
+      .withColumn("hash", TextFunctions.contentHash(col("page_content")))
+  }
+
+  /** Incremental index build: stream documents → chunk → clean → embed →
+    * append to `dbDir/chunks`. One trigger = one batch of new files;
+    * with `Trigger.AvailableNow` it drains the backlog and stops, which
+    * is also how the test drives it deterministically. */
+  def incrementalIngest(spark: SparkSession, sourceDir: String, dbDir: String,
+      embedder: Embedder, chunkSize: Int, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val docs = streamDocuments(spark, sourceDir)
+    val chunks = docs
+      .withColumn("chunk", explode(Chunker.chunkFixedCol(col("page_content"), lit(chunkSize))))
+      .withColumn("text", TextFunctions.asciiClean(col("chunk.text")))
+      .filter(length(col("text")) > 0)
+      .withColumn("chunk_ordinal", col("chunk.ordinal"))
+      .withColumn("page_number", lit(null).cast("int"))
+      .withColumn("id", xxhash64(col("hash"), col("chunk_ordinal")))
+    val embedded = embedder.embed(chunks, "text")
+      .select("id", "text", "vector", "file_path", "file_type", "file_name",
+        "creation_date", "modification_date", "hash", "document_type", "page_number")
+    embedded.writeStream
+      .format("parquet")
+      .option("path", s"$dbDir/chunks")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Watermarked tumbling event-time window counts — works identically
+    * on a streaming or batch frame with (ts: timestamp, event_type,
+    * value) columns; batch twin of q6_events_window. */
+  def windowedEventCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    wm.groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+  }
+
+  case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization over a stream: per-user state holds the
+    * open session; an event within `gapSeconds` of the session end
+    * extends it, a later event closes it (emitting the finished
+    * session), and the event-time timeout flushes sessions the
+    * watermark has passed. State per key is one (start, end, n) row —
+    * bounded regardless of stream length. */
+  def sessionizeStream(events: Dataset[UserEvent], gapSeconds: Long,
+      watermark: String = "2 hours"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def fn(userId: Long, evs: Iterator[UserEvent],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(UserSession(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+            case Some(s) =>
+              closed += UserSession(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.iterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.embed.DeterministicEmbedder
+import graft.search.{SearchOptions, VectorSearch}
+import graft.streaming.Streams
+import graft.streaming.Streams.UserEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("windowed event counts: watermarked tumbling window (streaming) == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val events = Seq(
+      UserEvent(1, ts(5), "click", 1.0), UserEvent(1, ts(20), "click", 2.0),
+      UserEvent(2, ts(70), "view", 3.5), UserEvent(1, ts(95), "click", 0.25))
+    input.addData(events: _*)
+    val q = Streams.windowedEventCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .select("window_start", "event_type", "n_events", "value_cents")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(got == Set(
+        (ts(0), "click", 2L, 300L),
+        (ts(60), "view", 1L, 350L),
+        (ts(60), "click", 1L, 25L)))
+      // batch twin: same function over a batch frame, same result
+      val batch = Streams.windowedEventCounts(events.toDF(), "1 hour")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
+  test("sessionization: gap close + event-time timeout flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = Streams.sessionizeStream(input.toDS(), gapSeconds = 1800, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then 40 min gap
+      // (new session). Starts at minute 1: an event AT the initial
+      // watermark (t=0) would be dropped as late.
+      input.addData(
+        UserEvent(1, ts(1), "a", 0), UserEvent(1, ts(11), "a", 0),
+        UserEvent(1, ts(51), "a", 0))
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark past 50min+gap,
+      // timing out the open session
+      input.addData(UserEvent(99, ts(10000), "z", 0))
+      q.processAllAvailable()
+      input.addData(UserEvent(98, ts(20000), "z", 0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .as[Streams.UserSession].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.getTime / 60000, s.session_end.getTime / 60000, s.n_events))
+        .toSet
+      assert(got == Set((1L, 11L, 2L), (51L, 51L, 1L)))
+    } finally q.stop()
+  }
+
+  test("incremental ingest: new files become searchable chunks") {
+    val src = Files.createTempDirectory("graft_stream_src")
+    val db = Files.createTempDirectory("graft_stream_db")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+    val embedder = DeterministicEmbedder(dim = 32)
+
+    Files.writeString(src.resolve("a.txt"), "the quick brown fox jumps over the lazy dog. " * 10)
+    val q1 = Streams.incrementalIngest(spark, src.toString, db.toString,
+      embedder, chunkSize = 100, checkpointDir = ckpt.toString)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(s"$db/chunks").count()
+    assert(n1 > 0)
+
+    // a second file arrives; a new AvailableNow run picks up ONLY it
+    Files.writeString(src.resolve("b.txt"), "vector search over spark dataframes. " * 10)
+    val q2 = Streams.incrementalIngest(spark, src.toString, db.toString,
+      embedder, chunkSize = 100, checkpointDir = ckpt.toString)
+    q2.awaitTermination()
+    val chunks = spark.read.parquet(s"$db/chunks")
+    assert(chunks.count() > n1)
+    assert(chunks.select("file_name").distinct().count() == 2)
+
+    // the appended index is immediately searchable with the batch engine
+    val qv = embedder.embedQuery(spark, "vector search spark")
+    val hits = VectorSearch.searchChunks(chunks, qv, "cosine",
+      SearchOptions(k = 3, scoreThreshold = 0.0)).collect()
+    assert(hits.nonEmpty)
+  }
+}
