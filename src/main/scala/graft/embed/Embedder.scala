@@ -49,16 +49,93 @@ final case class DeterministicEmbedder(dim: Int, override val queryPrompt: Strin
   }
 }
 
-/** Placeholder for a real in-JVM model (ONNX Runtime etc. — not present
-  * in this environment). The Spark-side contract is identical to
-  * DeterministicEmbedder: partition-local batched inference would live
-  * in `mapPartitions` behind `embed`, with the model session held in an
-  * executor-local lazy val (one load per executor, reused across tasks —
-  * the Spark analogue of the reference's thread-local model cache,
-  * vector_db_query.py:293-305). */
-final case class OnnxEmbedder(modelPath: String, dim: Int) extends Embedder {
+/** Executor-batched embedding via `mapPartitions` — the real-model
+  * inference plumbing (SURVEY.md §2.10 embed_batch). Texts are buffered
+  * into `batchSize` batches per partition (the reference's device-batch
+  * sizing, utilities_core.py:162-180); `encodeBatch` runs once per
+  * batch against a model handle implementations hold in an
+  * executor-local lazy val (one load per executor JVM, reused across
+  * tasks — the Spark analogue of the reference's thread-local cache,
+  * vector_db_query.py:293-305). A failing batch falls back to
+  * per-element encodes, one more failure → null vector
+  * (embedding_models.py:134-157).
+  *
+  * The output schema appends `outCol: array<float>` to the input
+  * schema, so this stage composes with the same downstream plan as the
+  * expression-based embedders. Rows never leave their partition — no
+  * shuffle; batch sizing is decoupled from partition sizing. */
+trait BatchedEmbedder extends Embedder {
+  def batchSize: Int
+  /** One model invocation. Must return exactly one vector per text. */
+  def encodeBatch(texts: Seq[String]): Seq[Array[Float]]
+
+  override def embed(df: DataFrame, textCol: String, outCol: String = "vector"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(textCol)
+    val bs = batchSize
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val texts = batch.map(r => Option(r.getString(idx)).getOrElse(" "))
+        val vecs =
+          try encodeBatch(texts)
+          catch {
+            case _: Throwable => texts.map { t =>
+              try encodeBatch(Seq(t)).head catch { case _: Throwable => null }
+            }
+          }
+        batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   override def embedColumn(text: Column): Column =
     throw new UnsupportedOperationException(
+      "BatchedEmbedder embeds via mapPartitions; use embed(df, textCol)")
+
+  override def embedQuery(spark: org.apache.spark.sql.SparkSession, text: String): Array[Float] =
+    encodeBatch(Seq(queryPrompt + text)).head
+}
+
+/** The deterministic embedder routed through the batched mapPartitions
+  * machinery: JVM-side xxhash64 replicating [[DeterministicEmbedder]]'s
+  * column expression bit for bit, so the two paths are interchangeable
+  * and the batching plumbing is testable against the codegen'd truth. */
+final case class DeterministicBatchedEmbedder(dim: Int, batchSize: Int = 8,
+    override val queryPrompt: String = "") extends BatchedEmbedder {
+  override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map { t =>
+      val raw = new Array[Double](dim)
+      var norm = 0.0
+      val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      var i = 0
+      while (i < dim) {
+        // xxhash64(lit(i), text): seed 42, fold in the int literal,
+        // then the UTF8 bytes — mirrors HashExpression eval order
+        val s1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes(), s1)
+        raw(i) = h.toDouble / Long.MaxValue.toDouble
+        norm += raw(i) * raw(i)
+        i += 1
+      }
+      val n = math.sqrt(norm)
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = (if (n > 0) raw(i) / n else raw(i)).toFloat; i += 1 }
+      out
+    }
+}
+
+/** Placeholder for a real in-JVM model (ONNX Runtime etc. — not present
+  * in this environment). Holds the model in an executor-local lazy
+  * companion slot; everything else (batching, fallback, schema) comes
+  * from [[BatchedEmbedder]]. */
+final case class OnnxEmbedder(modelPath: String, dim: Int,
+    batchSize: Int = 8) extends BatchedEmbedder {
+  override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
+    throw new UnsupportedOperationException(
       "OnnxEmbedder requires an ONNX runtime, which is not available in this " +
-        "environment; use DeterministicEmbedder for tests/oracles")
+        "environment; use DeterministicEmbedder/DeterministicBatchedEmbedder")
 }
