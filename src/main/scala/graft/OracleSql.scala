@@ -109,6 +109,45 @@ object OracleSql {
 
     "lsh_topk" -> lshTopkSql(dim = 64, numPlanes = 8, probeHamming = 1, k = 10),
 
+    "ivf_topk" -> ivfTopkSql(dim = 64, numPlanes = 6, nProbe = 8, k = 10),
+
+    "sim_inner_product" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | d AS (SELECT vec_id AS id, list_inner_product(CAST(embedding AS DOUBLE[]), qv) AS distance
+        |       FROM embeddings, q ORDER BY distance, id LIMIT 10),
+        | m AS (SELECT max(distance) AS maxd, min(distance) AS mind FROM d)
+        |SELECT id, round(distance, 6) AS distance,
+        | round(CASE WHEN maxd > mind THEN (distance - mind) / (maxd - mind) ELSE 1.0 END, 6) AS similarity_score
+        |FROM d, m""".stripMargin,
+
+    "search_chain" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | d AS (SELECT vec_id AS id, 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS distance
+        |       FROM embeddings, q ORDER BY distance, id LIMIT 20),
+        | s AS (SELECT id, distance, least(greatest(1 - distance, 0), 1) AS similarity_score FROM d)
+        |SELECT id, round(distance, 6) AS distance, round(similarity_score, 6) AS similarity_score
+        |FROM s JOIN documents ON id = doc_id
+        |WHERE similarity_score >= 0.2
+        |  AND position('data' IN lower(text)) > 0
+        |  AND lang = 'en'""".stripMargin,
+
+    "rag_prompt" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | h AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS c
+        |       FROM embeddings, q
+        |       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id LIMIT 6)
+        |SELECT 'Answer based on the contexts below.' || chr(10) || chr(10) ||
+        | string_agg(d.text, chr(10)||chr(10)||'---'||chr(10)||chr(10) ORDER BY h.c DESC, h.vec_id) ||
+        | chr(10)||chr(10)||'What is spark?' AS prompt
+        |FROM h JOIN documents d ON h.vec_id = d.doc_id""".stripMargin,
+
+    "chunk_counts" ->
+      """SELECT doc_id, count(*) AS n_chunks FROM (
+        | SELECT doc_id, i - 1 AS chunk_ordinal
+        | FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(ceil(length(text)/200.0) AS BIGINT))) AS i FROM documents)
+        | WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200))) > 0
+        |) GROUP BY doc_id""".stripMargin,
+
     "dedup_simhash" -> simhashSql(n = 8, maxHamming = 3),
 
     "token_bpe" ->
@@ -251,6 +290,31 @@ object OracleSql {
        |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
        |FROM b, q, qb
        |WHERE bit_count(xor(bucket, qbucket)) <= $probeHamming
+       |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** IVF top-k oracle: replays [[graft.ops.SimilaritySearch.ivfTopK]] —
+    * same deterministic plane matrix for the bucket, per-bucket mean
+    * centroids, probe = nProbe buckets by 6-dp-rounded centroid cosine
+    * (bucket tiebreak — rounding absorbs summation-order ulps between
+    * engines), exact cosine rank inside the probed buckets. */
+  private def ivfTopkSql(dim: Int, numPlanes: Int, nProbe: Int, k: Int): String = {
+    val bucketExpr = (0 until numPlanes).map { p =>
+      val comps = (0 until dim)
+        .map(d => graft.ops.SimilaritySearch.planeComponent(p, d).toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $comps) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val centroid = (1 to dim).map(d => s"avg(v[$d])").mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       | b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        ($bucketExpr) AS bucket
+       |       FROM embeddings),
+       | cent AS (SELECT bucket, $centroid AS c FROM b GROUP BY bucket),
+       | probe AS (SELECT bucket FROM cent, q
+       |           ORDER BY round(list_cosine_similarity(c, qv), 6) DESC, bucket LIMIT $nProbe)
+       |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+       |FROM b JOIN probe USING (bucket), q
        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT $k""".stripMargin
   }
 

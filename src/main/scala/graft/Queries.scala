@@ -152,6 +152,11 @@ object Queries {
         col("c.text").as("chunk_text"),
         col("c.page_number").cast("long").as("page_number"))
 
+  /** A1 — per-file chunk counter (vector_db_creator.py:94-104) over the
+    * real chunker output: map-side partial count, one shuffle. */
+  def chunkCounts(s: SparkSession, dir: String): DataFrame =
+    chunkFixed(s, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+
   /** P2 — printable-ASCII clean. */
   def asciiClean(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -227,6 +232,73 @@ object Queries {
     SimilaritySearch.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, queryVec = queryVec(s, dir), k = 10, numPlanes = 8, probeHamming = 1)
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
+
+  /** IVF ANN: probe the nProbe nearest of 2^6 LSH-bucket centroids,
+    * exact cosine rank inside the probed buckets — the partition-pruned
+    * scale path (bucket = Parquet partition key ⇒ the probe is dynamic
+    * partition pruning; only nProbe/64 of the corpus is scanned). */
+  def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, queryVec = queryVec(s, dir), k = 10, numPlanes = 6, nProbe = 8)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"))
+
+  /** O4 inner_product branch — batch-relative MIN-MAX normalization
+    * over the returned top-k (vector_db_query.py:188-197: no clip,
+    * all-equal ⇒ 1.0). */
+  def simInnerProduct(s: SparkSession, dir: String): DataFrame = {
+    val chunksLike = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val q = lit(queryVec(s, dir))
+    val hits = chunksLike
+      .withColumn("distance", VectorSearch.distanceColumn("inner_product", col("vector"), q))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(10)
+    VectorSearch.withSimilarity(hits, "inner_product")
+      .select(col("id"), r6(col("distance")).as("distance"),
+        r6(col("similarity_score")).as("similarity_score"))
+  }
+
+  /** The reference's full post-filter chain in one plan (§3.1 steps
+    * 5-10): top-20 by cosine distance → batch similarity → threshold
+    * (P4) → keyword substring (P5) → type equality (P6, on `lang`) —
+    * filters run ABOVE the take, no backfill (O5/§7.4 #3). */
+  def searchChain(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val q = lit(queryVec(s, dir))
+    val hits = e
+      .withColumn("distance", VectorSearch.distanceColumn("cosine", col("vector"), q))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(20)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    VectorSearch.withSimilarity(hits, "cosine")
+      .join(broadcast(docs), col("id") === col("doc_id"))
+      .filter(col("similarity_score") >= 0.2)
+      .filter(TextFunctions.keywordPredicate(col("text"), "data"))
+      .filter(TextFunctions.docTypePredicate(col("lang"), "en"))
+      .select(col("id"), r6(col("distance")).as("distance"),
+        r6(col("similarity_score")).as("similarity_score"))
+  }
+
+  /** RAG prompt assembly (chat_llm.py:45-50) as a deterministic
+    * single-row aggregate: contexts of the top-6 hits joined with
+    * `\n\n---\n\n` in (similarity desc, id) order via array_sort over
+    * collected structs — collect_list alone is partition-order-
+    * dependent; the sort makes it reproducible anywhere. */
+  def ragPrompt(s: SparkSession, dir: String): DataFrame = {
+    val hits = SimilaritySearch.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 6)
+      .withColumn("c6", r6(col("cosine")))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    hits.join(docs, hits("vec_id") === docs("doc_id"))
+      .agg(concat(
+        lit("Answer based on the contexts below.\n\n"),
+        array_join(transform(
+          array_sort(collect_list(struct((-col("c6")).as("negc"),
+            col("vec_id").as("vid"), col("text").as("txt")))),
+          x => x.getField("txt")), "\n\n---\n\n"),
+        lit("\n\nWhat is spark?")).as("prompt"))
+  }
 
   /** A2+A4 — citation grouping of a hit set against document provenance
     * (group by source "file", min/max score, count; ordered by min). */
@@ -375,7 +447,12 @@ object Queries {
     "knn_batch" -> knnBatch _,
     "knn_threshold" -> knnThreshold _,
     "lsh_topk" -> lshTopk _,
+    "ivf_topk" -> ivfTopk _,
     "sim_l2_batchrel" -> simL2BatchRelative _,
+    "sim_inner_product" -> simInnerProduct _,
+    "search_chain" -> searchChain _,
+    "rag_prompt" -> ragPrompt _,
+    "chunk_counts" -> chunkCounts _,
     "citation_agg" -> citationAgg _,
     "page_ranges" -> pageRanges _,
     "dedup_exact" -> dedupExact _,

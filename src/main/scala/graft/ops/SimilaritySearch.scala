@@ -99,4 +99,27 @@ object SimilaritySearch {
       .withColumn("centroid", array((0 until dim).map(d => col(s"c$d")): _*))
       .select("bucket", "n_vectors", "centroid")
   }
+
+  /** IVF query path: rank bucket centroids by cosine to the query, probe
+    * the `nProbe` nearest buckets (broadcast semi-join — the centroid
+    * table is ≤ 2^numPlanes rows), exact cosine rank inside the probed
+    * set. At scale the data sits Parquet-partitioned by `bucket` and the
+    * semi-join becomes dynamic partition pruning: only nProbe/2^planes
+    * of the corpus is read. Centroid ranking uses the 6-dp-rounded
+    * similarity with a bucket-id tiebreak so the probe set is stable
+    * across engines/summation orders. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryVec: Array[Double], k: Int, numPlanes: Int = 6, nProbe: Int = 8): DataFrame = {
+    val withBucket = df.withColumn("bucket", lshBucketColumn(col(vecCol), dim, numPlanes))
+    val probed = ivfBuild(df, vecCol, dim, numPlanes)
+      .withColumn("centroid_sim",
+        round(VectorFunctions.cosineSimilarity(col("centroid"), lit(queryVec)), 6))
+      .orderBy(col("centroid_sim").desc, col("bucket").asc)
+      .limit(nProbe)
+      .select("bucket")
+    withBucket.join(broadcast(probed), Seq("bucket"), "left_semi")
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -75,6 +75,24 @@ class OpsSpec extends SparkSpec {
     assert(approx.select("vec_id").as[Long].collect().toSet == exact)
   }
 
+  test("IVF top-k: full probe = exact; pruned probe returns <= k from probed buckets") {
+    val base = Array.fill(8)(0.5f)
+    val vecs = (1L to 40L).map { i =>
+      (i, base.map(x => x + (i % 7).toFloat * 0.02f - (if (i % 3 == 0) 0.9f else 0f)))
+    }.toDF("vec_id", "embedding")
+    val q = base.map(_.toDouble)
+    val exact = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    // probing every bucket (nProbe = 2^planes) must equal brute force
+    val full = SimilaritySearch.ivfTopK(vecs, "vec_id", "embedding", 8, q, 5,
+      numPlanes = 3, nProbe = 8)
+    assert(full.select("vec_id").as[Long].collect().toSet == exact)
+    // pruned probe: still k rows, each from the probed (nearest-centroid) set
+    val pruned = SimilaritySearch.ivfTopK(vecs, "vec_id", "embedding", 8, q, 5,
+      numPlanes = 3, nProbe = 2)
+    assert(pruned.count() <= 5)
+  }
+
   test("language id: marker argmax with en-first tiebreak, und on none") {
     val df = Seq(
       (1L, "the cat and the hat of a house"),
