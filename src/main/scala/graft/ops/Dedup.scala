@@ -80,7 +80,12 @@ object Dedup {
           if (seen.add(h)) out += h
           i += 1
         }
-        out.result()
+        val r = out.result()
+        // ascending sets: downstream intersection counts are linear
+        // merges (SortedLongIntersectCount); hashes are >= 0 so signed
+        // sort == unsigned sort
+        java.util.Arrays.sort(r)
+        r
       }
     }
 
@@ -110,6 +115,26 @@ object Dedup {
         i += 1
       }
       out.toSeq
+    }
+
+  /** [[postingPairsUdf]] with each pair packed as one long
+    * `(a << 32) | b` (requires ids in [0, 2^31)): a primitive long
+    * array instead of C(df,2) case-class rows through the generic UDF
+    * encoder — the pair stream then shuffles/aggregates as a single
+    * 8-byte key. */
+  private val packedPostingPairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { sids: Seq[Long] =>
+      val s = sids.sorted.toArray
+      val m = s.length
+      val out = new Array[Long](m * (m - 1) / 2)
+      var k = 0; var i = 0
+      while (i < m) {
+        val a = s(i) << 32
+        var j = i + 1
+        while (j < m) { out(k) = a | s(j); k += 1; j += 1 }
+        i += 1
+      }
+      out
     }
 
   /** Near-dup pairs (a < b) with **exact** n-gram Jaccard ≥ threshold,
@@ -146,20 +171,38 @@ object Dedup {
     // sides and emit the a/b-symmetric half it then filters away).
     // The uncapped path keeps the self-join: an unbounded hot posting
     // list must not be materialized as one in-row pair array.
-    val cand = (if (maxDocFreq > 0) {
-      sh.groupBy("h").agg(collect_list(col("sid")).as("sids"))
+    val cand = if (maxDocFreq > 0) {
+      val lists = sh.groupBy("h").agg(collect_list(col("sid")).as("sids"))
         .filter(size(col("sids")) <= maxDocFreq)
-        .select(explode(postingPairsUdf(col("sids"))).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // Pack each pair into one long when ids fit in 31 bits (checked
+      // with a one-column bounds scan — the UDF projection prunes away):
+      // the Σ C(df,2) pair stream becomes primitive 8-byte keys instead
+      // of struct rows through the generic UDF encoder, and the
+      // shared-count groupBy hashes a single long.
+      val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head
+      val packable = !bounds.isNullAt(0) &&
+        bounds.getLong(0) >= 0 && bounds.getLong(1) < Int.MaxValue.toLong
+      if (packable) {
+        lists.select(explode(packedPostingPairsUdf(col("sids"))).as("p"))
+          .groupBy("p").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(shiftrightunsigned(col("p"), 32).as("id_a"),
+            col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+      } else {
+        lists.select(explode(postingPairsUdf(col("sids"))).as("p"))
+          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select("id_a", "id_b")
+      }
     } else {
       sh.as("a").join(sh.as("b"), col("a.h") === col("b.h"))
         .filter(col("a.sid") < col("b.sid"))
-        .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
-    })
-      .groupBy("id_a", "id_b")
-      .agg(count("*").as("shared"))
-      .filter(col("shared") >= minShared)
-      .select("id_a", "id_b")
+        .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .select("id_a", "id_b")
+    }
     // Verification joins: broadcast the per-doc hash sets so the
     // candidate side streams map-side instead of shuffling two ~KB
     // arrays per pair. (AQE can't pick broadcast itself here: the
@@ -170,7 +213,8 @@ object Dedup {
     cand
       .join(bsets.select(col("sid").as("id_a"), col("hs").as("set_a"), col("sz").as("sz_a")), "id_a")
       .join(bsets.select(col("sid").as("id_b"), col("hs").as("set_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("set_a"), col("set_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= lit(threshold))
