@@ -189,6 +189,70 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** lsh_bucket(x, numPlanes) — sign-bucket id of a vector under
+  * `numPlanes` deterministic pseudo-random hyperplanes (bit p set iff
+  * dot(x, plane_p) >= 0). Plane components come from the splitmix-style
+  * `SimilaritySearch.planeComponent(p, d)` formula, recomputed on the
+  * fly — no stored matrix, any executor/SQL oracle regenerates it.
+  *
+  * Exists because the composed-column form (numPlanes × dim
+  * `element_at` nodes) is a 300-500-node expression tree: janino spends
+  * seconds compiling it and every element is re-fetched per plane. This
+  * is one codegen node with a fused two-level loop — O(planes·dim) with
+  * one array read per (p,d) and negligible compile cost. */
+case class LshBucket(child: Expression, numPlanes: Int) extends UnaryExpression {
+  import VectorExprUtils._
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = checkVec("lsh_bucket", child)
+  private lazy val et = elementType(child)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var proj = 0.0; var d = 0
+      while (d < n) { proj += get(x, et, d) * LshBucket.planeComponent(p, d); d += 1 }
+      if (proj >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val b = ctx.freshName("bucket"); val proj = ctx.freshName("proj")
+      val cls = classOf[LshBucket].getName
+      s"""
+         |int $n = $x.numElements();
+         |long $b = 0L;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $proj = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $proj += ${getter(x, et, d)} * $cls.planeComponent($p, $d);
+         |  }
+         |  if ($proj >= 0.0) $b |= (1L << $p);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LshBucket {
+  /** Static (Java-callable from generated code) splitmix64-style plane
+    * component — the single source of truth; SimilaritySearch delegates
+    * here and the SQL oracles emit these values as literals. */
+  def planeComponent(plane: Int, d: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+}
+
 /** Column-level API + SQL registration for the vector expressions. */
 object VectorFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)

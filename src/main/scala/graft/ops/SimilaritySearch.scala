@@ -28,26 +28,19 @@ object SimilaritySearch {
 
   /** Deterministic pseudo-random hyperplane component: hash(plane, dim)
     * mapped to [-1, 1] — no stored plane matrix, any executor can
-    * recompute it. */
-  private[graft] def planeComponent(plane: Int, d: Int): Double = {
-    // splitmix64-style scramble of (plane, d) — stable across JVMs
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    z.toDouble / Long.MaxValue.toDouble
-  }
+    * recompute it (single source of truth:
+    * [[graft.functions.LshBucket.planeComponent]]). */
+  private[graft] def planeComponent(plane: Int, d: Int): Double =
+    graft.functions.LshBucket.planeComponent(plane, d)
 
-  /** Sign-bucket id of a vector under `numPlanes` hyperplanes. */
-  def lshBucketColumn(vecCol: Column, dim: Int, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(vecCol, d + 1).cast("double") * lit(planeComponent(p, d))
-      }.reduce(_ + _)
-      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-bucket id of a vector under `numPlanes` hyperplanes — one
+    * native codegen node ([[graft.functions.LshBucket]]); the `dim`
+    * param is kept for API stability but the expression reads the
+    * array's own length. */
+  def lshBucketColumn(vecCol: Column, dim: Int, numPlanes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LshBucket(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vecCol), numPlanes))
 
   def lshBucket(vec: Array[Double], numPlanes: Int): Long = {
     (0 until numPlanes).map { p =>
