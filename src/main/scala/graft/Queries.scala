@@ -396,7 +396,11 @@ object Queries {
     TextAnalytics.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 8, k = 4)
       .select(col("sid").as("doc_id"), col("fingerprint"))
 
-  /** Corpus rollup by predicted language (exact distinct for oracle). */
+  /** Corpus rollup by predicted language. distinct_docs counts distinct
+    * sha256(text), not distinct text: the count is identical (modulo
+    * 2^-256 collisions) but the distinct shuffle moves 32-byte keys
+    * instead of whole documents — at corpus scale the difference is
+    * shuffling the entire corpus vs a hash column. */
   def corpusStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("lang_pred", TextAnalytics.langIdColumn(col("text")))
@@ -404,7 +408,7 @@ object Queries {
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        countDistinct(col("text")).as("distinct_docs"))
+        countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing (binary columns; decode is a deterministic stub)

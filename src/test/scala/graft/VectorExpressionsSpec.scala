@@ -61,6 +61,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got == 1.0)
   }
 
+  test("LshBucket expression == scala lshBucket for random vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 50L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val got = df.select($"id",
+        graft.ops.SimilaritySearch.lshBucketColumn($"v", 16, 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    vecs.foreach { case (i, v) =>
+      val expect = graft.ops.SimilaritySearch.lshBucket(v.map(_.toDouble), 8)
+      assert(got(i) == expect, s"bucket mismatch for id=$i")
+    }
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on sorted sets") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 40).map { i =>
+      val x = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val y = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i, x, y)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val got = df.select($"id",
+        graft.functions.ArrayFunctions.sortedIntersectCount($"x", $"y").as("c"),
+        size(array_intersect($"x", $"y")).cast("long").as("ref"))
+      .as[(Int, Long, Long)].collect()
+    got.foreach { case (id, c, ref) => assert(c == ref, s"mismatch at id=$id") }
+  }
+
   test("expressions stay inside WholeStageCodegen (scan hot path)") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the real shape: vectors scanned from parquet, scored in-plan
