@@ -148,6 +148,12 @@ object OracleSql {
         | WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200))) > 0
         |) GROUP BY doc_id""".stripMargin,
 
+    "embed_chunks" ->
+      """SELECT doc_id, i - 1 AS chunk_ordinal,
+        | CAST(64 AS BIGINT) AS vec_dim, 1.0 AS vec_norm
+        |FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(ceil(length(text)/200.0) AS BIGINT))) AS i FROM documents)
+        |WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200))) > 0""".stripMargin,
+
     "dedup_simhash" -> simhashSql(n = 8, maxHamming = 3),
 
     "token_bpe" ->

@@ -157,6 +157,24 @@ object Queries {
   def chunkCounts(s: SparkSession, dir: String): DataFrame =
     chunkFixed(s, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
 
+  /** The ingest centerpiece (§3.3 steps 3-5) as a benchable plan:
+    * chunk → deterministic embed, verified structurally (dimension +
+    * unit norm per chunk — the vectors themselves are not
+    * SQL-expressible, the chunk frame and normalization contract are).
+    * One map-only stage: no shuffle between chunking and embedding. */
+  def embedChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Chunker.chunkFixedCol(col("text"), lit(200))).as("c"))
+      .select(col("doc_id"), col("c.ordinal").cast("long").as("chunk_ordinal"),
+        col("c.text").as("chunk_text"))
+    graft.embed.DeterministicEmbedder(dim = 64).embed(chunks, "chunk_text")
+      .select(col("doc_id"), col("chunk_ordinal"),
+        size(col("vector")).cast("long").as("vec_dim"),
+        round(sqrt(aggregate(col("vector"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("vec_norm"))
+  }
+
   /** P2 — printable-ASCII clean. */
   def asciiClean(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -457,6 +475,7 @@ object Queries {
     "search_chain" -> searchChain _,
     "rag_prompt" -> ragPrompt _,
     "chunk_counts" -> chunkCounts _,
+    "embed_chunks" -> embedChunks _,
     "citation_agg" -> citationAgg _,
     "page_ranges" -> pageRanges _,
     "dedup_exact" -> dedupExact _,

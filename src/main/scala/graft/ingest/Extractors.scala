@@ -20,9 +20,11 @@ object Extractors {
 
   /** Extensions we accept (subset of constants.py:294-311 expressible
     * without binary parser libraries; `.pages.json` stands in for
-    * `.pdf`). */
+    * `.pdf`). DOCX/EPUB are real binary formats parsed with
+    * java.util.zip + XML stripping; EML is RFC-822 parsing. */
   val supportedExtensions: Set[String] =
-    Set(".txt", ".md", ".csv", ".html", ".htm", ".json", ".pages.json")
+    Set(".txt", ".md", ".csv", ".html", ".htm", ".json", ".pages.json",
+      ".docx", ".epub", ".eml")
 
   private val TagRe = "(?s)<(script|style)[^>]*>.*?</\\1>".r
   private val AnyTagRe = "<[^>]+>".r
@@ -53,6 +55,107 @@ object Extractors {
     else (0 until arr.size()).map(i => arr.get(i).asText(""))
   }
 
+  /** Zip entries as (name, bytes), in archive order. */
+  private def zipEntries(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val zis = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var e = zis.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out += ((e.getName, zis.readAllBytes()))
+      e = zis.getNextEntry
+    }
+    out.result()
+  }
+
+  /** DOCX → text: `word/document.xml` with paragraph/break/tab elements
+    * mapped to \n / \n / \t, remaining XML stripped, entities decoded —
+    * the Docx2txtLoader shape (document_processor.py:134). Pure
+    * java.util.zip, no POI. */
+  def docx(bytes: Array[Byte]): String = {
+    val xml = zipEntries(bytes).collectFirst {
+      case ("word/document.xml", b) => new String(b, StandardCharsets.UTF_8)
+    }.getOrElse(return "")
+    val withBreaks = xml
+      .replaceAll("</w:p>", "\n")
+      .replaceAll("<w:br[^>]*/?>", "\n")
+      .replaceAll("<w:tab[^>]*/?>", "\t")
+    val noTags = AnyTagRe.replaceAllIn(withBreaks, "")
+    EntityMap.foldLeft(noTags) { case (s, (k, v)) => s.replace(k, v) }.strip()
+  }
+
+  /** EPUB → text: every (x)html content entry in archive order through
+    * the HTML extractor, blank-line separated (UnstructuredEPubLoader
+    * single-mode shape, document_processor.py:139). */
+  def epub(bytes: Array[Byte]): String =
+    zipEntries(bytes)
+      .filter { case (n, _) =>
+        val l = n.toLowerCase
+        l.endsWith(".xhtml") || l.endsWith(".html") || l.endsWith(".htm") }
+      .map { case (_, b) => html(b) }
+      .filter(_.nonEmpty)
+      .mkString("\n\n")
+
+  private val QpRe = "=([0-9A-Fa-f]{2})".r
+
+  /** EML → text: subject + body. Handles one level of multipart
+    * (preferring text/plain over text/html), quoted-printable and
+    * base64 transfer encodings (UnstructuredEmailLoader shape,
+    * document_processor.py:141-144). */
+  def eml(bytes: Array[Byte]): String = {
+    val raw = text(bytes).replace("\r\n", "\n")
+    val (headers, body) = raw.indexOf("\n\n") match {
+      case -1 => (raw, "")
+      case i  => (raw.substring(0, i), raw.substring(i + 2))
+    }
+    def header(name: String): Option[String] = {
+      val unfolded = headers.replaceAll("\n[ \t]+", " ")
+      unfolded.linesIterator.collectFirst {
+        case l if l.toLowerCase.startsWith(name.toLowerCase + ":") =>
+          l.substring(name.length + 1).trim
+      }
+    }
+    def decodeBody(b: String, enc: Option[String]): String = enc.map(_.toLowerCase) match {
+      case Some("base64") =>
+        try new String(java.util.Base64.getMimeDecoder.decode(b.trim), StandardCharsets.UTF_8)
+        catch { case scala.util.control.NonFatal(_) => b }
+      case Some("quoted-printable") =>
+        QpRe.replaceAllIn(b.replaceAll("=\n", ""),
+          m => java.util.regex.Matcher.quoteReplacement(
+            Integer.parseInt(m.group(1), 16).toChar.toString))
+      case _ => b
+    }
+    val contentType = header("Content-Type").getOrElse("text/plain")
+    val bodyText =
+      if (contentType.toLowerCase.startsWith("multipart/")) {
+        val boundary = "boundary=\"?([^\";]+)\"?".r
+          .findFirstMatchIn(contentType).map(_.group(1))
+        boundary match {
+          case Some(bd) =>
+            val parts = body.split(java.util.regex.Pattern.quote("--" + bd)).toSeq
+              .map(_.strip).filter(p => p.nonEmpty && p != "--")
+              .flatMap { p =>
+                val (ph, pb) = p.indexOf("\n\n") match {
+                  case -1 => (p, ""); case i => (p.substring(0, i), p.substring(i + 2))
+                }
+                val ct = ph.linesIterator.map(_.replaceAll("\n[ \t]+", " "))
+                  .find(_.toLowerCase.startsWith("content-type:")).getOrElse("text/plain")
+                val enc = ph.linesIterator
+                  .find(_.toLowerCase.startsWith("content-transfer-encoding:"))
+                  .map(_.split(":", 2)(1).trim)
+                Some((ct.toLowerCase, decodeBody(pb, enc)))
+              }
+            parts.collectFirst { case (ct, b) if ct.contains("text/plain") => b }
+              .orElse(parts.collectFirst {
+                case (ct, b) if ct.contains("text/html") => html(b.getBytes(StandardCharsets.UTF_8)) })
+              .getOrElse("")
+          case None => body
+        }
+      } else if (contentType.toLowerCase.contains("text/html"))
+        html(decodeBody(body, header("Content-Transfer-Encoding")).getBytes(StandardCharsets.UTF_8))
+      else decodeBody(body, header("Content-Transfer-Encoding"))
+    (header("Subject").map(_ + "\n\n").getOrElse("") + bodyText).strip()
+  }
+
   /** Dispatch: extension → plain text (PDF-fixture files are converted
     * to `[[pageN]]`-marked text so the downstream chunker sees exactly
     * the reference's parser output, document_processor.py:104-110). */
@@ -63,6 +166,9 @@ object Extractors {
         if (lower.endsWith(".pages.json"))
           graft.functions.Chunker.pagesToMarkedText(pages(bytes))
         else if (lower.endsWith(".html") || lower.endsWith(".htm")) html(bytes)
+        else if (lower.endsWith(".docx")) docx(bytes)
+        else if (lower.endsWith(".epub")) epub(bytes)
+        else if (lower.endsWith(".eml")) eml(bytes)
         else text(bytes)
       if (out == null || out.strip().isEmpty) None else Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }

