@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins and aggregations: salt the skewed
+  * (large) side's key into `factor` sub-keys and replicate the small
+  * side across all salt values, so one hot key's rows spread over
+  * `factor` reducers instead of one straggler task. AQE's skew-join
+  * handles sort-merge skew adaptively; explicit salting remains the
+  * tool when (a) the join is hash-based, (b) the skew is extreme
+  * enough that even split SMJ partitions straggle, or (c) the skewed
+  * stage is an aggregation with large per-key state (collect/distinct)
+  * that map-side partial aggregation cannot compact. The salt is
+  * `pmod(xxhash64(spreadCols), factor)` — a pure function of row
+  * content, so task retries and recomputed partitions salt
+  * identically (a `rand()` salt would not). */
+object Salting {
+
+  /** Join `large` (skewed keys) with `small` on `key`, spreading each
+    * large-side key over `factor` salt buckets. `spreadCols` pick the
+    * salt per large row — pass row-identifying columns (e.g. a primary
+    * key) so the hot key's rows spread uniformly. Result equals
+    * `large.join(small, key)` exactly, in any order. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      factor: Int, spreadCols: Seq[String]): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(spreadCols.map(col): _*), lit(factor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted two-phase aggregation: groupBy(key) where one key
+    * dominates. Phase 1 aggregates (key, salt) partials, phase 2
+    * merges partials per key — the classic hot-key split. `aggs` maps
+    * output column name -> (phase1 agg over input, phase2 merge over
+    * phase-1 partials). Counts/sums merge with sum, min with min, etc. */
+  def saltedAgg(df: DataFrame, key: String, factor: Int, spreadCols: Seq[String],
+      aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(spreadCols.map(col): _*), lit(factor)).cast("int"))
+    val phase1 = salted.groupBy(col(key), col("__salt"))
+      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, a, _) => a.as(s"__p_$n") }: _*)
+    phase1.groupBy(col(key))
+      .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
+        aggs.tail.map { case (n, _, m) => m(col(s"__p_$n")).as(n) }: _*)
+  }
+}

@@ -93,6 +93,42 @@ object SimilaritySearch {
       .select("bucket", "n_vectors", "centroid")
   }
 
+  /** Materialized IVF layout: vectors Parquet-partitioned by LSH
+    * bucket + a tiny `centroids` side table (≤ 2^numPlanes rows). The
+    * build cost is one shuffle-free scan for bucketing plus one
+    * aggregation for centroids; queries against the layout
+    * ([[ivfTopKStored]]) then prune at the SOURCE — only the probed
+    * buckets' files are read. */
+  def ivfWrite(df: DataFrame, dir: String, vecCol: String, dim: Int,
+      numPlanes: Int): Unit = {
+    df.withColumn("bucket", lshBucketColumn(col(vecCol), dim, numPlanes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/vectors")
+    ivfBuild(df, vecCol, dim, numPlanes)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Query the [[ivfWrite]] layout: rank the centroid table (driver-side
+    * — it is index metadata, ≤ 2^numPlanes rows), then scan ONLY the
+    * probed partitions: the `bucket isin(...)` filter is a static
+    * partition filter, so unprobed buckets' files are never opened —
+    * the on-disk analogue of [[ivfTopK]]'s semi-join, with pruning
+    * guaranteed at planning time instead of runtime. */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val probed = spark.read.parquet(s"$dir/centroids")
+      .withColumn("centroid_sim",
+        round(VectorFunctions.cosineSimilarity(col("centroid"), lit(queryVec)), 6))
+      .orderBy(col("centroid_sim").desc, col("bucket").asc)
+      .limit(nProbe)
+      .select("bucket").collect().map(_.getLong(0))
+    spark.read.parquet(s"$dir/vectors")
+      .filter(col("bucket").isin(probed: _*))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF query path: rank bucket centroids by cosine to the query, probe
     * the `nProbe` nearest buckets (broadcast semi-join — the centroid
     * table is ≤ 2^numPlanes rows), exact cosine rank inside the probed
