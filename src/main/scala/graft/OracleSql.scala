@@ -99,6 +99,17 @@ object OracleSql {
         |       FROM s)
         |SELECT query_id, vec_id, rank, round(c, 6) AS cosine FROM r WHERE rank <= 5""".stripMargin,
 
+    "knn_batch_agg" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 5),
+        | s AS (SELECT q.query_id, e.vec_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+        |       FROM embeddings e, q),
+        | r AS (SELECT query_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        |       FROM s)
+        |SELECT query_id, vec_id, rank, round(c, 6) AS cosine FROM r WHERE rank <= 5""".stripMargin,
+
     "knn_threshold" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         | d AS (SELECT vec_id AS id, 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS distance

@@ -210,6 +210,18 @@ object Queries {
         r6(col("cosine")).as("cosine"))
   }
 
+  /** O2 batched, heap-aggregate plan: same results as knn_batch, but
+    * the map-side TopKHits partial prunes each partition to k rows per
+    * query before the shuffle — the bounded-exchange scale shape. */
+  def knnBatchAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    SimilaritySearch.bruteForceTopKBatchAgg(e, "vec_id", "embedding", queries, "query_id", "qv", 5)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        r6(col("cosine")).as("cosine"))
+  }
+
   /** O2+O4(cosine)+P4 — the reference's full query chain: top-20 by
     * cosine distance, similarity = clip(1-d), threshold 0.2, no
     * backfill after the filter (ordering preserved, O5). */
@@ -467,6 +479,7 @@ object Queries {
     "keyword_filter" -> keywordFilter _,
     "knn_topk" -> knnTopk _,
     "knn_batch" -> knnBatch _,
+    "knn_batch_agg" -> knnBatchAgg _,
     "knn_threshold" -> knnThreshold _,
     "lsh_topk" -> lshTopk _,
     "ivf_topk" -> ivfTopk _,

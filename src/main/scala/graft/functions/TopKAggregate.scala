@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer: the k (score desc, id asc)-best entries seen,
+  * kept as parallel arrays in ascending "worst first" insertion order.
+  * k is small (search contexts, ≤ ~100): O(k) sorted insertion beats
+  * heap constant factors and serializes trivially. */
+final class TopKBuffer(val k: Int) {
+  var size = 0
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+
+  /** true if (s, id) ranks strictly better than (s2, id2):
+    * higher score, or equal score and lower id. */
+  @inline private def better(s: Double, id: Long, s2: Double, id2: Long): Boolean =
+    s > s2 || (s == s2 && id < id2)
+
+  def insert(s: Double, id: Long): Unit = {
+    if (size < k) {
+      // find insertion point from the back (arrays are best-first)
+      var i = size
+      while (i > 0 && better(s, id, scores(i - 1), ids(i - 1))) {
+        scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+      }
+      scores(i) = s; ids(i) = id; size += 1
+    } else if (better(s, id, scores(size - 1), ids(size - 1))) {
+      var i = size - 1
+      while (i > 0 && better(s, id, scores(i - 1), ids(i - 1))) {
+        scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+      }
+      scores(i) = s; ids(i) = id
+    }
+  }
+
+  def mergeFrom(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { insert(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
+/** top_k_hits(score, id, k) — aggregate returning the k best
+  * (score desc, id asc) pairs as array<struct<score:double,id:bigint>>
+  * in rank order.
+  *
+  * This is the scale shape of batched exact KNN: with a window-rank
+  * plan the shuffle carries EVERY scored (query, vector) row — N·M for
+  * M queries — and sorts each query's group; with this aggregate the
+  * map-side partial pass prunes each partition to k rows per query, so
+  * the exchange moves k · partitions · M rows and the final merge is
+  * O(k) per partial buffer. Same results, bounded shuffle. */
+case class TopKHits(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) {
+      rows(i) = InternalRow(buf.scores(i), buf.ids(i)); i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buf.size * 16)
+    bb.putInt(buf.k); bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    // entries arrive best-first (already in rank order) — insert keeps order
+    while (i < n) { buf.insert(bb.getDouble(), bb.getLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKHits =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKHits =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKHits =
+    copy(score = newChildren(0), id = newChildren(1))
+  override def prettyName: String = "top_k_hits"
+}
+
+object TopKFunctions {
+  /** Column API: `groupBy(qid).agg(topKHits($"score", $"id", k))`. */
+  def topKHits(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(TopKHits(
+      ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
+}

@@ -93,6 +93,26 @@ object SimilaritySearch {
       .select("bucket", "n_vectors", "centroid")
   }
 
+  /** Batched exact top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKHits]]): identical results to
+    * [[bruteForceTopKBatch]], different physical shape — the window
+    * plan shuffles every scored (query, vector) row (N·M for M
+    * queries) and sorts each group; this plan's map-side partial
+    * aggregation prunes every partition to k rows per query BEFORE the
+    * exchange, so the shuffle moves k·partitions·M rows regardless of
+    * corpus size. The scale path for batch KNN. */
+  def bruteForceTopKBatchAgg(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("query_vec"))))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), col("query_vec")))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col(idCol), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("query_id"), col("h.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"), col("h.score").as("cosine"))
+  }
+
   /** Materialized IVF layout: vectors Parquet-partitioned by LSH
     * bucket + a tiny `centroids` side table (≤ 2^numPlanes rows). The
     * build cost is one shuffle-free scan for bucketing plus one

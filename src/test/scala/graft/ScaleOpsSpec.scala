@@ -36,6 +36,36 @@ class ScaleOpsSpec extends SparkSpec {
       brute.select("vec_id").as[Long].collect().toSeq)
   }
 
+  test("heap-aggregate batch top-k == window batch top-k, all partitionings") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (1L to 300L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" <= 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val a = SimilaritySearch.bruteForceTopKBatchAgg(df, "vec_id", "embedding",
+          queries, "query_id", "qv", 7)
+        .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Long)].collect().sorted.toSeq
+      val w = SimilaritySearch.bruteForceTopKBatch(df, "vec_id", "embedding",
+          queries, "query_id", "qv", 7)
+        .select($"query_id", $"vec_id", $"rank".cast("long")).as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+      assert(a == w)
+    }
+    run(vecs)                   // default partitioning
+    run(vecs.repartition(17))   // many partitions: partial buffers merge
+    run(vecs.coalesce(1))       // single partition: no merge path
+  }
+
+  test("TopKBuffer: tie-break by id, serialization round-trip") {
+    val b = new graft.functions.TopKBuffer(3)
+    b.insert(0.5, 10); b.insert(0.5, 2); b.insert(0.9, 7); b.insert(0.1, 1); b.insert(0.5, 1)
+    // best-first: (0.9,7), then 0.5s by id asc: 1, 2
+    assert(b.size == 3)
+    assert((b.scores.take(3).toSeq, b.ids.take(3).toSeq) ==
+      (Seq(0.9, 0.5, 0.5), Seq(7L, 1L, 2L)))
+  }
+
   test("salted join == plain join, exactly, with a hot key") {
     val large = ((1 to 3000).map(i => (1L, i.toLong)) ++ // hot key 1
       (1 to 300).map(i => (i.toLong % 7 + 2, i.toLong + 10000))).toDF("k", "payload")
