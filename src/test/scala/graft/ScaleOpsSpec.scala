@@ -79,6 +79,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.count(_._1 == 1L) == 3000)
   }
 
+  test("bucketed tables co-locate: equi-join plans with zero exchanges") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      (1L to 500L).map(i => (i, s"chunk text $i")).toDF("id", "text")
+        .write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("bkt_chunks")
+      (1L to 500L).map(i => (i, s"/src/doc$i.txt")).toDF("id", "file_path")
+        .write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("bkt_docs")
+      val joined = spark.table("bkt_chunks").join(spark.table("bkt_docs"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_chunks")
+      spark.sql("DROP TABLE IF EXISTS bkt_docs")
+    }
+  }
+
   test("salted agg == plain agg for sum/count/min merges") {
     val df = ((1 to 5000).map(i => (1L, i.toLong)) ++
       (1 to 100).map(i => (2L, i.toLong))).toDF("k", "v")
