@@ -206,17 +206,20 @@ object Dedup {
     // Verification joins: broadcast the per-doc hash sets so the
     // candidate side streams map-side instead of shuffling two ~KB
     // arrays per pair. (AQE can't pick broadcast itself here: the
-    // UDF-produced arrays defeat its size estimate.) At corpus scale,
-    // first semi-join `sets` down to candidate ids, and drop the hint
-    // if the candidate-doc set still exceeds broadcast size.
+    // UDF-produced arrays defeat its size estimate.) Both joins build
+    // from the SAME broadcast DataFrame (projections applied after the
+    // join), so ReuseExchange ships + computes the shingle sets once,
+    // not twice. At corpus scale, first semi-join `sets` down to
+    // candidate ids, and drop the hint if the candidate-doc set still
+    // exceeds broadcast size.
     val bsets = broadcast(sets)
-    cand
-      .join(bsets.select(col("sid").as("id_a"), col("hs").as("set_a"), col("sz").as("sz_a")), "id_a")
-      .join(bsets.select(col("sid").as("id_b"), col("hs").as("set_b"), col("sz").as("sz_b")), "id_b")
+    val joinedA = cand.join(bsets, cand("id_a") === bsets("sid"))
+      .select(col("id_a"), col("id_b"), col("hs").as("set_a"), col("sz").as("sz_a"))
+    joinedA.join(bsets, joinedA("id_b") === bsets("sid"))
       .withColumn("inter",
-        graft.functions.ArrayFunctions.sortedIntersectCount(col("set_a"), col("set_b")))
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("set_a"), col("hs")))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        col("inter").cast("double") / (col("sz_a") + col("sz") - col("inter")).cast("double"))
       .filter(col("jaccard") >= lit(threshold))
       .select("id_a", "id_b", "jaccard")
   }
