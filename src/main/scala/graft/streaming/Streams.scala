@@ -77,6 +77,21 @@ object Streams {
       .start()
   }
 
+  /** Streaming exact dedup by content hash — the streaming twin of
+    * [[graft.ops.Dedup.exact]] for incremental corpus ingest: a
+    * document whose sha256 was already seen within the watermark
+    * horizon is dropped before chunking/embedding (first writer wins).
+    * `dropDuplicatesWithinWatermark` keys state by hash and expires it
+    * with the watermark, so state stays bounded on an endless stream —
+    * plain `dropDuplicates` would accumulate every hash forever. */
+  def dedupStream(docs: DataFrame, watermark: String = "24 hours"): DataFrame = {
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    docs
+      .withColumn("ingest_ts", to_timestamp(col("modification_date"), tsFmt))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("hash")
+  }
+
   /** Watermarked tumbling event-time window counts — works identically
     * on a streaming or batch frame with (ts: timestamp, event_type,
     * value) columns; batch twin of q6_events_window. */

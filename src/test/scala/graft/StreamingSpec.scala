@@ -98,4 +98,25 @@ class StreamingSpec extends SparkSpec {
       SearchOptions(k = 3, scoreThreshold = 0.0)).collect()
     assert(hits.nonEmpty)
   }
+
+  test("streaming dedup: duplicate content within the watermark is dropped") {
+    val src = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt")
+    // three files, two with identical content -> identical sha256
+    java.nio.file.Files.writeString(src.resolve("a.txt"), "same content here")
+    java.nio.file.Files.writeString(src.resolve("b.txt"), "same content here")
+    java.nio.file.Files.writeString(src.resolve("c.txt"), "different content")
+
+    val docs = Streams.dedupStream(Streams.streamDocuments(spark, src.toString))
+    val q = docs.writeStream
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("dedup_out").select("hash").collect().map(_.getString(0))
+    assert(out.length == 2, s"expected 2 survivors, got ${out.length}")
+    assert(out.distinct.length == 2)
+  }
 }
