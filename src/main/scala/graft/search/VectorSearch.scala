@@ -115,6 +115,29 @@ object VectorSearch {
       .filter(TextFunctions.docTypePredicate(col("document_type"), opts.documentTypes))
   }
 
+  /** [[searchBatch]] with the bounded-shuffle physical shape: per-query
+    * top-k via the [[graft.functions.TopKHits]] heap aggregate
+    * (map-side partial prunes every partition to k rows per query —
+    * 8× the window plan at 2M vectors, see BASELINE.md), then the
+    * reference's own J1 fetch-back join (vector_db_query.py:215-219)
+    * re-attaches text/metadata to the k·M surviving ids, and the
+    * similarity conversion + post-filter chain runs unchanged.
+    * Identical results to [[searchBatch]]. */
+  def searchBatchAgg(chunks: DataFrame, queries: DataFrame, metric: String,
+      opts: SearchOptions): DataFrame = {
+    val scored = chunks.select(col("id"), col("vector")).crossJoin(broadcast(queries))
+      .withColumn("distance", distanceColumn(metric, col("vector"), col("query_vector")))
+    val hits = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKHits(-col("distance"), col("id"), opts.k).as("hs"))
+      .select(col("query_id"), explode(col("hs")).as("h"))
+      .select(col("query_id"), col("h.id").as("id"), (-col("h.score")).as("distance"))
+    val fetched = broadcast(hits).join(chunks.drop("vector"), "id")
+    withSimilarity(fetched, metric, Seq("query_id"))
+      .filter(col("similarity_score") >= lit(opts.scoreThreshold))
+      .filter(TextFunctions.keywordPredicate(col("text"), opts.searchTerm))
+      .filter(TextFunctions.docTypePredicate(col("document_type"), opts.documentTypes))
+  }
+
   /** RAG prompt assembly (chat_llm.py:45-50): contexts joined with
     * `\n\n---\n\n` in hit order, then the user question. */
   def ragPrompt(hits: DataFrame, ragString: String, question: String): String = {

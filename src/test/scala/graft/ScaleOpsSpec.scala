@@ -57,6 +57,26 @@ class ScaleOpsSpec extends SparkSpec {
     run(vecs.coalesce(1))       // single partition: no merge path
   }
 
+  test("searchBatchAgg == searchBatch through the full post-filter chain") {
+    import graft.search.{SearchOptions, VectorSearch}
+    val rnd = new scala.util.Random(23)
+    val chunks = (1L to 150L).map { i =>
+      (i, s"chunk text number $i ${if (i % 3 == 0) "needle" else "hay"}",
+        if (i % 2 == 0) "document" else "image",
+        Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "text", "document_type", "vector")
+    val queries = (0L to 2L).map(qi =>
+      (qi, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("query_id", "query_vector")
+    val opts = SearchOptions(k = 10, scoreThreshold = 0.0,
+      searchTerm = "needle", documentTypes = "document")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"id", round($"distance", 9), round($"similarity_score", 9))
+        .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+    val window = proj(VectorSearch.searchBatch(chunks, queries, "cosine", opts))
+    val agg = proj(VectorSearch.searchBatchAgg(chunks, queries, "cosine", opts))
+    assert(agg == window && agg.nonEmpty)
+  }
+
   test("TopKBuffer: tie-break by id, serialization round-trip") {
     val b = new graft.functions.TopKBuffer(3)
     b.insert(0.5, 10); b.insert(0.5, 2); b.insert(0.9, 7); b.insert(0.1, 1); b.insert(0.5, 1)
