@@ -55,4 +55,37 @@ object Multimodal {
         expr(s"substring($binCol, frame_index * 4096 + 1, 4096)"))
       .drop(binCol)
   }
+
+  /** STUB resize: deterministic fake "resize" — the output payload is a
+    * size-bounded transform of the input (truncate-or-cycle to
+    * w·h/64 bytes) with the target dims recorded. A real image lib
+    * replaces `fakeResize` only; the map-only plan, binary-in/
+    * binary-out signature and metadata column stay. */
+  private[ops] def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
+    val n = math.max(w * h / 64, 1)
+    Array.tabulate(n)(i => bytes(i % bytes.length))
+  }
+
+  def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
+    val f = udf((b: Array[Byte]) => fakeResize(b, width, height))
+    df.withColumn("resized", f(col(binCol)))
+      .withColumn("resize_dims", struct(lit(width).as("width"), lit(height).as("height")))
+  }
+
+  /** STUB feature extractor, batched like a real model would be: rides
+    * the [[graft.embed.BatchedEmbedder]] machinery (partition-local
+    * fixed-size batches, executor-local model slot, per-element
+    * fallback) over a binary column rendered to a model-input string;
+    * the fake "model" hashes bytes into an L2-normalized
+    * `array<float>` so the features compose directly with
+    * [[SimilaritySearch]] (embedding-space dedup / ANN over media). */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int,
+      batchSize: Int = 8): DataFrame = {
+    val b64 = base64(col(binCol)).as("__media_repr")
+    val withRepr = df.withColumn("__media_repr", b64)
+    graft.embed.DeterministicBatchedEmbedder(dim, batchSize)
+      .embed(withRepr, "__media_repr", "features")
+      .drop("__media_repr")
+  }
 }

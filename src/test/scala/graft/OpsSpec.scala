@@ -112,6 +112,28 @@ class OpsSpec extends SparkSpec {
     assert(Seq("").toDF("t").select(TextFunctions.tokenCount($"t")).head.getInt(0) == 0)
   }
 
+  test("multimodal: resize + batched feature extraction shapes") {
+    val df = Seq((1L, "image bytes one".getBytes), (2L, "image bytes two".getBytes),
+      (3L, Array.emptyByteArray)).toDF("id", "payload")
+    val resized = Multimodal.resize(df, "payload", 64, 32)
+    assert(resized.columns.contains("resized"))
+    assert(resized.select($"resize_dims.width").as[Int].head() == 64)
+    resized.select(length($"resized")).as[Int].collect().take(2)
+      .foreach(n => assert(n == 64 * 32 / 64))
+    val feats = Multimodal.extractFeatures(df, "payload", dim = 16, batchSize = 2)
+    assert(feats.columns.toSeq == Seq("id", "payload", "features"))
+    val vecs = feats.select($"id", $"features").as[(Long, Array[Float])].collect().toMap
+    assert(vecs.size == 3)
+    vecs.values.foreach { v =>
+      assert(v.length == 16)
+      assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    }
+    // deterministic: same payload -> same features
+    val again = Multimodal.extractFeatures(df, "payload", dim = 16)
+      .select($"id", $"features").as[(Long, Array[Float])].collect().toMap
+    vecs.foreach { case (k, v) => assert(v.sameElements(again(k))) }
+  }
+
   test("multimodal: deterministic fake decode + frame sampling shapes") {
     val df = Seq((1L, "x" * 10000), (2L, "y")).toDF("doc_id", "payload_s")
       .withColumn("payload", $"payload_s".cast("binary"))
