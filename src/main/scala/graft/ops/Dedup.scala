@@ -155,7 +155,15 @@ object Dedup {
     * Pairs whose overlap lives *only* in stop-shingles (df > cap) are
     * not candidates — by design: such overlap is boilerplate, not
     * duplication. `maxDocFreq <= 0` disables the cap (exact all-pairs
-    * semantics; quadratic — small inputs only). */
+    * semantics; quadratic — small inputs only).
+    *
+    * Scale rules (measured, BASELINE.md "Dedup family at 10x corpus"):
+    * `maxDocFreq` is a corpus FRACTION (~1.3% of docs), not a
+    * constant — a fixed cap silently loses recall as the corpus grows;
+    * and on replica-heavy corpora run [[exact]] FIRST — posting-pair
+    * generation is quadratic in duplicate-group size, so collapsing
+    * exact groups before the near-dup pass is the difference between
+    * 2.4s and 63s at 50k docs. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = 0, minShared: Int = 1): DataFrame = {
     // All joins/intersections run on the 60-bit integer shingle hash of

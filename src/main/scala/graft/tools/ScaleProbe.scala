@@ -59,6 +59,52 @@ object ScaleProbe {
       SimilaritySearch.bruteForceTopKBatchAgg(vecs, "vec_id", "embedding",
         queries, "query_id", "qv", 10).count()
     }
+
+    // Dedup family at 10x the sf0.1 corpus: 50k docs = the 5k corpus
+    // replicated 10x with distinct ids — every doc has 9 planted exact
+    // replicas, so candidate/verify volume is ~45x the bench load
+    // (225k+ true pairs) and hot shingles stress the df cap.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val docs10 = (0 until 10).map(r =>
+        base.select((col("doc_id") + lit(r * 1000000)).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] dedup corpus: ${docs10.count()} docs")
+    time("jaccard pairs (n=8, thr=0.5, cap=64)") {
+      println("[probe]   pairs=" + graft.ops.Dedup.jaccardPairs(
+        docs10, "doc_id", "text", n = 8, threshold = 0.5, maxDocFreq = 64, minShared = 2).count())
+    }
+    // the cap is a FRACTION of the corpus, not a constant: 64/5k = 1.3%
+    // of docs; at 50k docs the same fraction is 640. A fixed cap loses
+    // recall under corpus growth (shingle df scales with corpus).
+    time("jaccard pairs (cap=640 = same corpus fraction)") {
+      println("[probe]   pairs=" + graft.ops.Dedup.jaccardPairs(
+        docs10, "doc_id", "text", n = 8, threshold = 0.5, maxDocFreq = 640, minShared = 2).count())
+    }
+    // The scalable shape for replica-heavy corpora: the dedup LADDER —
+    // exact dedup first collapses duplicate groups (0.6s), then
+    // near-dup jaccard runs on survivors at the base-corpus cost; the
+    // dropped replicas inherit their survivor's pair set by transitivity.
+    time("ladder: exact survivors -> jaccard") {
+      val survivors = graft.ops.Dedup.exact(docs10, "doc_id", "text")
+        .select("doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+      println("[probe]   survivors=" + survivors.count())
+      println("[probe]   pairs=" + graft.ops.Dedup.jaccardPairs(
+        survivors, "doc_id", "text", n = 8, threshold = 0.5, maxDocFreq = 64, minShared = 2).count())
+      survivors.unpersist()
+    }
+    time("minhash LSH candidates (16x4)") {
+      println("[probe]   pairs=" + graft.ops.Dedup.minhashLshCandidates(
+        docs10, "doc_id", "text", n = 8, numHashes = 16, rowsPerBand = 4).count())
+    }
+    time("simhash pairs (<=3 bits)") {
+      println("[probe]   pairs=" + graft.ops.Dedup.simhashNearDups(
+        docs10, "doc_id", "text", n = 8, maxHammingDistance = 3).count())
+    }
+    time("exact dedup survivors") {
+      println("[probe]   rows=" + graft.ops.Dedup.exact(docs10, "doc_id", "text").count())
+    }
     spark.stop()
   }
 }
