@@ -233,6 +233,27 @@ object OracleSql {
 
     "dedup_minhash_lsh" -> minhashLshSql(numHashes = 16, rowsPerBand = 4),
 
+    // Full ladder replay: exact dedup -> jaccard (corpus-fraction cap,
+    // floor+16 floor both sides) on survivors -> drop higher-id pair ends.
+    "dedup_corpus" ->
+      """WITH ex AS (SELECT doc_id, text FROM (
+        |   SELECT doc_id, text, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |   FROM documents) WHERE rn = 1),
+        | cap AS (SELECT greatest(CAST(floor(count(*) * 0.013) AS BIGINT), 16) AS c FROM ex),
+        | sh AS (SELECT DISTINCT doc_id AS sid,
+        |         CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+        |         FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM ex)),
+        | dfc AS (SELECT h, count(*) AS cnt FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h), cap WHERE cnt <= cap.c),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | v AS (SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |       FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b),
+        | dropids AS (SELECT DISTINCT id_b FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.5)
+        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_b FROM dropids)""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

@@ -381,6 +381,14 @@ object Queries {
     Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
 
+  /** The full ladder in measured-correct order: exact-collapse, then
+    * jaccard near-dup (corpus-fraction cap) on survivors, lower id
+    * wins each pair. */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, threshold = 0.5, maxDocFreqFraction = 0.013, minShared = 2)
+      .select(col("doc_id"))
+
   /** SimHash near-dup pairs over the portable 60-bit shingle hash,
     * blocked on 4×15-bit fingerprint chunks (pigeonhole: hamming ≤ 3
     * pairs share ≥ 1 exact chunk — no all-pairs join). */
@@ -492,6 +500,7 @@ object Queries {
     "citation_agg" -> citationAgg _,
     "page_ranges" -> pageRanges _,
     "dedup_exact" -> dedupExact _,
+    "dedup_corpus" -> dedupCorpus _,
     "dedup_jaccard" -> dedupJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_embedding" -> dedupEmbedding _,

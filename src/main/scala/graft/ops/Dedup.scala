@@ -343,4 +343,26 @@ object Dedup {
       .filter(col("cosine") >= lit(threshold))
       .select("id_a", "id_b", "cosine")
   }
+
+  /** The full dedup ladder as one corpus pass, in the measured-correct
+    * order (BASELINE.md "Dedup family at 10x corpus"): exact dedup
+    * FIRST (collapses replica groups — posting-pair generation is
+    * quadratic in group size), then exact-Jaccard near-dup on the
+    * survivors with the posting-list cap sized as a FRACTION of the
+    * surviving corpus (a fixed cap loses recall as the corpus grows).
+    * Of each near-dup pair the lower id survives; a doc is dropped if
+    * ANY lower-id near-dup exists (greedy, deterministic — not
+    * transitive clustering, which would need iterative connected
+    * components). Returns surviving rows. The survivor count() is one
+    * cheap action on the already-hash-deduped frame. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      threshold: Double = 0.8, maxDocFreqFraction: Double = 0.013,
+      minShared: Int = 2): DataFrame = {
+    val survivors = exact(df, idCol, textCol)
+    val cap = math.max(
+      math.floor(survivors.count() * maxDocFreqFraction).toInt, 16)
+    val pairs = jaccardPairs(survivors, idCol, textCol, n, threshold, cap, minShared)
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    survivors.join(drop, Seq(idCol), "left_anti")
+  }
 }

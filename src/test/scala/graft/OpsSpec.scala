@@ -29,6 +29,21 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (x, y) => x == 4L || y == 4L })
   }
 
+  test("dedup ladder: exact collapse then near-dup, lower id survives") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq(
+      (1L, base),                       // survives (lowest of exact group {1,2})
+      (2L, base),                       // exact dup of 1 -> dropped in rung 1
+      (3L, base + " tiny tail change"), // near-dup of 1 -> dropped in rung 2
+      (4L, "completely different content about spark dataframes and joins " * 5),
+      (5L, "another unrelated corpus document with its own words entirely " * 5)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text",
+        n = 8, threshold = 0.5, maxDocFreqFraction = 0.013, minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L, 5L))
+  }
+
   test("minhash LSH finds exact and near dup candidates") {
     val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
         n = 4, numHashes = 16, rowsPerBand = 4)
