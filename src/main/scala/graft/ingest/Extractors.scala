@@ -24,7 +24,7 @@ object Extractors {
     * java.util.zip + XML stripping; EML is RFC-822 parsing. */
   val supportedExtensions: Set[String] =
     Set(".txt", ".md", ".csv", ".html", ".htm", ".json", ".pages.json",
-      ".docx", ".epub", ".eml")
+      ".docx", ".epub", ".eml", ".odt", ".enex", ".rtf")
 
   private val TagRe = "(?s)<(script|style)[^>]*>.*?</\\1>".r
   private val AnyTagRe = "<[^>]+>".r
@@ -94,6 +94,64 @@ object Extractors {
       .map { case (_, b) => html(b) }
       .filter(_.nonEmpty)
       .mkString("\n\n")
+
+  /** ODT → text: `content.xml` with OpenDocument paragraph/heading ends
+    * and tabs/line-breaks mapped, XML stripped, entities decoded
+    * (UnstructuredODTLoader shape, document_processor.py:150). Same
+    * zip+XML approach as [[docx]]. */
+  def odt(bytes: Array[Byte]): String = {
+    val xml = zipEntries(bytes).collectFirst {
+      case ("content.xml", b) => new String(b, StandardCharsets.UTF_8)
+    }.getOrElse(return "")
+    val withBreaks = xml
+      .replaceAll("</text:p>", "\n")
+      .replaceAll("</text:h>", "\n")
+      .replaceAll("<text:line-break[^>]*/?>", "\n")
+      .replaceAll("<text:tab[^>]*/?>", "\t")
+      .replaceAll("<text:s[^>]*/>", " ")
+    val noTags = AnyTagRe.replaceAllIn(withBreaks, "")
+    EntityMap.foldLeft(noTags) { case (s, (k, v)) => s.replace(k, v) }.strip()
+  }
+
+  /** ENEX (Evernote export) → text: per-note title + ENML content
+    * (CDATA-wrapped XHTML, stripped like html), blank-line separated
+    * (EverNoteLoader shape, document_processor.py:137). */
+  def enex(bytes: Array[Byte]): String = {
+    val raw = text(bytes)
+    val notes = "(?s)<note>(.*?)</note>".r.findAllMatchIn(raw).map(_.group(1)).toSeq
+    notes.map { n =>
+      val title = "(?s)<title>(.*?)</title>".r.findFirstMatchIn(n).map(_.group(1).strip).getOrElse("")
+      val content = "(?s)<content>\\s*(?:<!\\[CDATA\\[)?(.*?)(?:\\]\\]>)?\\s*</content>".r
+        .findFirstMatchIn(n).map(_.group(1)).getOrElse("")
+      val body = html(content.getBytes(StandardCharsets.UTF_8))
+      Seq(title, body).filter(_.nonEmpty).mkString("\n\n")
+    }.filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  /** RTF → text: drop groups that carry no document text (fonttbl,
+    * colortbl, stylesheet, info, pict...), map \par/\line/\tab, decode
+    * \'hh hex escapes, strip remaining control words and braces
+    * (UnstructuredRTFLoader shape, document_processor.py:152). A
+    * pragmatic parser: covers the common writer output, not the full
+    * spec. */
+  def rtf(bytes: Array[Byte]): String = {
+    var s = text(bytes)
+    // destination groups whose content must not surface; innermost-first
+    val destRe = "(?s)\\{\\\\\\*?\\\\?(?:fonttbl|colortbl|stylesheet|info|pict|themedata|generator)[^{}]*(?:\\{[^{}]*\\}[^{}]*)*\\}".r
+    var prev: String = null
+    while (prev != s) { prev = s; s = destRe.replaceAllIn(s, "") }
+    // a control word consumes one following space as its delimiter
+    s = s.replaceAll("\\\\par[d]?\\b ?", "\n")
+      .replaceAll("\\\\line\\b ?", "\n")
+      .replaceAll("\\\\tab\\b ?", "\t")
+    s = "\\\\'([0-9A-Fa-f]{2})".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+    s = s.replaceAll("\\\\[a-zA-Z]+-?\\d* ?", "") // control words
+      .replaceAll("[{}]", "")
+      .replaceAll("\\\\([\\\\{}])", "$1")
+    s.replaceAll("  +", " ").strip()
+  }
 
   private val QpRe = "=([0-9A-Fa-f]{2})".r
 
@@ -169,6 +227,9 @@ object Extractors {
         else if (lower.endsWith(".docx")) docx(bytes)
         else if (lower.endsWith(".epub")) epub(bytes)
         else if (lower.endsWith(".eml")) eml(bytes)
+        else if (lower.endsWith(".odt")) odt(bytes)
+        else if (lower.endsWith(".enex")) enex(bytes)
+        else if (lower.endsWith(".rtf")) rtf(bytes)
         else text(bytes)
       if (out == null || out.strip().isEmpty) None else Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -82,6 +82,38 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(Extractors.eml(raw.getBytes(UTF_8)) == "B\n\nsecret payload")
   }
 
+  test("odt: paragraphs, headings, tabs, spaces") {
+    val xml =
+      """<?xml version="1.0"?><office:document-content xmlns:text="ns">
+        |<office:body><office:text><text:h>Title</text:h>
+        |<text:p>First<text:tab/>tabbed</text:p>
+        |<text:p>A<text:s/>B<text:line-break/>C</text:p>
+        |</office:text></office:body></office:document-content>""".stripMargin.replaceAll("\n", "")
+    val out = Extractors.odt(zip("content.xml" -> xml, "mimetype" -> "odt"))
+    assert(out.contains("Title\nFirst\ttabbed"))
+    assert(out.contains("A B\nC"))
+  }
+
+  test("enex: note titles + ENML bodies, html-stripped") {
+    val raw =
+      """<?xml version="1.0"?><en-export>
+        |<note><title>Note One</title>
+        |<content><![CDATA[<en-note><div>Body &amp; text.</div></en-note>]]></content></note>
+        |<note><title>Note Two</title>
+        |<content><![CDATA[<en-note>Second body.</en-note>]]></content></note>
+        |</en-export>""".stripMargin
+    val out = Extractors.enex(raw.getBytes(UTF_8))
+    assert(out == "Note One\n\nBody & text.\n\nNote Two\n\nSecond body.")
+  }
+
+  test("rtf: control words stripped, par/tab/hex decoded, fonttbl dropped") {
+    val raw = """{\rtf1\ansi{\fonttbl{\f0 Calibri;}}\f0\fs22 Caf\'e9 text\par second\tab col}"""
+    val out = Extractors.rtf(raw.getBytes(UTF_8))
+    assert(out.contains("Café text"))
+    assert(out.contains("second\tcol"))
+    assert(!out.contains("Calibri"))
+  }
+
   test("extract dispatch covers the new formats and failure -> None") {
     assert(Extractors.extract("x.docx", Array[Byte](1, 2, 3)).isEmpty) // not a zip
     assert(Extractors.extract("x.eml", "Subject: s\n\nbody".getBytes(UTF_8)).contains("s\n\nbody"))
