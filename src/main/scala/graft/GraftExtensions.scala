@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance, L2Normalize, LshBucket, SortedLongIntersectCount, TopKHits}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions entry point: registers every graft expression and
+  * aggregate as a SQL function at session build time, so a cluster can
+  * enable the whole engine surface with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — no driver code
+  * required. (The per-session `VectorFunctions.register` remains for
+  * programmatic use on an existing session.) */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  private def inject(e: SparkSessionExtensions, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name), info(name),
+      (es: Seq[Expression]) => builder(es)))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    inject(e, "dot_product", es => DotProduct(es(0), es(1)))
+    inject(e, "cosine_similarity", es => CosineSimilarity(es(0), es(1)))
+    inject(e, "euclidean_distance", es => EuclideanDistance(es(0), es(1)))
+    inject(e, "l2_normalize", es => L2Normalize(es(0)))
+    inject(e, "sorted_intersect_count", es => SortedLongIntersectCount(es(0), es(1)))
+    inject(e, "lsh_bucket", es => LshBucket(es(0),
+      es(1).eval().asInstanceOf[Number].intValue()))
+    inject(e, "top_k_hits", es => TopKHits(es(0), es(1),
+      es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+  }
+}

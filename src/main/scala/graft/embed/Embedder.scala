@@ -34,6 +34,21 @@ trait Embedder extends Serializable {
   }
 }
 
+object Embedder {
+  /** Query prompt per model family (embedding_models.py:16-33): family
+    * is inferred from the model path; ONLY embed_query applies the
+    * prompt (embedding_models.py:151-153 — documents embed bare, even
+    * for bge where the family function returns a prompt for both). */
+  def queryPromptFor(modelPath: String): String = {
+    val l = modelPath.toLowerCase
+    if (l.contains("qwen"))
+      "Instruct: Given a web search query, retrieve relevant passages that answer the query\nQuery: "
+    else if (l.contains("bge"))
+      "Represent this sentence for searching relevant passages: "
+    else ""
+  }
+}
+
 /** Deterministic hash-seeded embedder (FIXTURES.md §3): component i is
   * `xxhash64(i, text)` mapped to [-1, 1], then L2-normalized. A pure
   * codegen'd column expression — no UDF, no model, bitwise-identical on

@@ -24,7 +24,7 @@ object Extractors {
     * java.util.zip + XML stripping; EML is RFC-822 parsing. */
   val supportedExtensions: Set[String] =
     Set(".txt", ".md", ".csv", ".html", ".htm", ".json", ".pages.json",
-      ".docx", ".epub", ".eml", ".odt", ".enex", ".rtf")
+      ".docx", ".epub", ".eml", ".odt", ".enex", ".rtf", ".xlsx")
 
   private val TagRe = "(?s)<(script|style)[^>]*>.*?</\\1>".r
   private val AnyTagRe = "<[^>]+>".r
@@ -94,6 +94,43 @@ object Extractors {
       .map { case (_, b) => html(b) }
       .filter(_.nonEmpty)
       .mkString("\n\n")
+
+  /** XLSX → text: shared strings resolved into tab-separated cell rows
+    * per sheet (sheets in entry-name order, blank-line separated) — the
+    * UnstructuredExcelLoader single-mode shape
+    * (document_processor.py:146-148). Covers shared ("t=\"s\""),
+    * inline, and literal cell values; formulas surface as their cached
+    * <v> result. */
+  def xlsx(bytes: Array[Byte]): String = {
+    val entries = zipEntries(bytes)
+    def innerText(s: String): String = {
+      val ts = "(?s)<t[^>]*>(.*?)</t>".r.findAllMatchIn(s).map(_.group(1)).mkString
+      EntityMap.foldLeft(ts) { case (acc, (k, v)) => acc.replace(k, v) }
+    }
+    val shared: Vector[String] = entries.collectFirst {
+      case ("xl/sharedStrings.xml", b) =>
+        "(?s)<si>(.*?)</si>".r.findAllMatchIn(new String(b, StandardCharsets.UTF_8))
+          .map(m => innerText(m.group(1))).toVector
+    }.getOrElse(Vector.empty)
+    val CellRe = "(?s)<c ([^>]*?)/?>((.*?)</c>)?".r
+    entries
+      .filter { case (n, _) => n.startsWith("xl/worksheets/") && n.endsWith(".xml") }
+      .sortBy(_._1)
+      .map { case (_, b) =>
+        val xml = new String(b, StandardCharsets.UTF_8)
+        "(?s)<row[^>]*>(.*?)</row>".r.findAllMatchIn(xml).map { r =>
+          CellRe.findAllMatchIn(r.group(1)).flatMap { c =>
+            val attrs = c.group(1)
+            val inner = Option(c.group(3)).getOrElse("")
+            if (attrs.contains("t=\"inlineStr\"")) Some(innerText(inner))
+            else "(?s)<v>(.*?)</v>".r.findFirstMatchIn(inner).map(_.group(1)).map { v =>
+              if (attrs.contains("t=\"s\"")) shared.lift(v.trim.toInt).getOrElse("") else v
+            }
+          }.mkString("\t")
+        }.filter(_.nonEmpty).mkString("\n")
+      }
+      .filter(_.nonEmpty).mkString("\n\n")
+  }
 
   /** ODT → text: `content.xml` with OpenDocument paragraph/heading ends
     * and tabs/line-breaks mapped, XML stripped, entities decoded
@@ -228,6 +265,7 @@ object Extractors {
         else if (lower.endsWith(".epub")) epub(bytes)
         else if (lower.endsWith(".eml")) eml(bytes)
         else if (lower.endsWith(".odt")) odt(bytes)
+        else if (lower.endsWith(".xlsx")) xlsx(bytes)
         else if (lower.endsWith(".enex")) enex(bytes)
         else if (lower.endsWith(".rtf")) rtf(bytes)
         else text(bytes)

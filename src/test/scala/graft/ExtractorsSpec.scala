@@ -114,6 +114,29 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(!out.contains("Calibri"))
   }
 
+  test("xlsx: shared + inline + numeric cells, tab rows, sheet order") {
+    val sharedXml =
+      """<sst><si><t>Name</t></si><si><r><t>Wid</t></r><r><t>get</t></r></si></sst>"""
+    val sheet1 =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="inlineStr"><is><t>inline!</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bytes = zip(
+      "xl/sharedStrings.xml" -> sharedXml,
+      "xl/worksheets/sheet1.xml" -> sheet1)
+    val out = Extractors.xlsx(bytes)
+    assert(out == "Name\t42\nWidget\tinline!")
+  }
+
+  test("embedder query prompts follow the reference family table") {
+    import graft.embed.Embedder
+    assert(Embedder.queryPromptFor("BAAI/bge-small-en-v1.5") ==
+      "Represent this sentence for searching relevant passages: ")
+    assert(Embedder.queryPromptFor("Qwen/Qwen3-Embedding-0.6B").startsWith("Instruct:"))
+    assert(Embedder.queryPromptFor("sentence-transformers/all-MiniLM-L6-v2") == "")
+  }
+
   test("extract dispatch covers the new formats and failure -> None") {
     assert(Extractors.extract("x.docx", Array[Byte](1, 2, 3)).isEmpty) // not a zip
     assert(Extractors.extract("x.eml", "Subject: s\n\nbody".getBytes(UTF_8)).contains("s\n\nbody"))

@@ -119,6 +119,29 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions registers the SQL surface at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      assert(s2.sql("SELECT cosine_similarity(array(3.0D, 0.0D), array(7.0D, 0.0D)) AS c")
+        .head.getDouble(0) == 1.0)
+      assert(s2.sql("SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L)) AS n")
+        .head.getLong(0) == 2L)
+      assert(s2.sql("SELECT lsh_bucket(array(1.0D, 0.5D), 4) AS b").head.getLong(0) ==
+        graft.ops.SimilaritySearch.lshBucket(Array(1.0, 0.5), 4))
+      val topk = s2.sql(
+        """SELECT top_k_hits(s, i, 2) AS hits FROM VALUES
+          | (0.9D, 1L), (0.1D, 2L), (0.5D, 3L) AS t(s, i)""".stripMargin)
+        .selectExpr("transform(hits, h -> h.id) AS ids").head.getSeq[Long](0)
+      assert(topk == Seq(1L, 3L))
+    } finally {
+      SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("salted agg == plain agg for sum/count/min merges") {
     val df = ((1 to 5000).map(i => (1L, i.toLong)) ++
       (1 to 100).map(i => (2L, i.toLong))).toDF("k", "v")
