@@ -131,6 +131,14 @@ object OracleSql {
         | round(CASE WHEN maxd > mind THEN (distance - mind) / (maxd - mind) ELSE 1.0 END, 6) AS similarity_score
         |FROM d, m""".stripMargin,
 
+    "sim_unknown_metric" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | d AS (SELECT vec_id AS id, 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS distance
+        |       FROM embeddings, q ORDER BY distance, id LIMIT 10)
+        |SELECT id, round(distance, 6) AS distance,
+        | round(least(greatest(1 - distance * distance / 2, 0), 1), 6) AS similarity_score
+        |FROM d""".stripMargin,
+
     "search_chain" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         | d AS (SELECT vec_id AS id, 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS distance

@@ -254,6 +254,22 @@ object Queries {
         r6(col("similarity_score")).as("similarity_score"))
   }
 
+  /** O4 unknown-metric branch — sim = clip(1 - d^2/2)
+    * (vector_db_query.py:199-202: any unrecognized manifest metric) over
+    * the cosine-distance hit set the engine serves for unknown metrics. */
+  def simUnknownMetric(s: SparkSession, dir: String): DataFrame = {
+    val chunksLike = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val q = lit(queryVec(s, dir))
+    val hits = chunksLike
+      .withColumn("distance", VectorSearch.distanceColumn("mystery", col("vector"), q))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(10)
+    VectorSearch.withSimilarity(hits, "mystery")
+      .select(col("id"), r6(col("distance")).as("distance"),
+        r6(col("similarity_score")).as("similarity_score"))
+  }
+
   /** Approximate top-k: random-hyperplane LSH bucket pruning (probe the
     * query's bucket ± 1 bit flip), exact cosine rank inside the pruned
     * set — the scale path where the bucket becomes a partition key. The
@@ -493,6 +509,7 @@ object Queries {
     "ivf_topk" -> ivfTopk _,
     "sim_l2_batchrel" -> simL2BatchRelative _,
     "sim_inner_product" -> simInnerProduct _,
+    "sim_unknown_metric" -> simUnknownMetric _,
     "search_chain" -> searchChain _,
     "rag_prompt" -> ragPrompt _,
     "chunk_counts" -> chunkCounts _,
