@@ -57,6 +57,20 @@ object OracleSql {
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |       FROM events)) GROUP BY user_id""".stripMargin,
 
+    "q9_sliding_window" ->
+      """SELECT (tss // 1800) * 1800 - k * 1800 AS window_start, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM (SELECT epoch_ns(ts) // 1000000000 AS tss, event_type, value FROM events),
+        |     (VALUES (0), (1)) AS t(k)
+        |GROUP BY 1, event_type""".stripMargin,
+
+    "corpus_rollup" -> langIdSql(
+      """SELECT coalesce(lang, '<all>') AS lang_pred, n_docs, total_chars FROM (
+        | SELECT {CASE} AS lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        | FROM scored GROUP BY ROLLUP({CASE}))""".stripMargin),
+
     "doc_hash" ->
       """SELECT doc_id, sha256(text) AS content_hash,
         | CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin,

@@ -121,6 +121,31 @@ object Queries {
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Sliding event-time window (1h length, 30m slide): each event maps
+    * to exactly length/slide = 2 windows, generated by an in-plan
+    * explode — integer epoch arithmetic end to end, no timezone or
+    * datetime-unit ambiguity vs the oracle. */
+  def q9SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("tss", expr("ts div 1000000000"))
+      .withColumn("k", explode(array(lit(0L), lit(1L))))
+      .withColumn("window_start", expr("(tss div 1800) * 1800") - col("k") * 1800)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Corpus rollup with subtotals: ROLLUP(lang_pred) gives per-language
+    * rows plus the grand total in one pass (partial-agg friendly;
+    * Catalyst plans Expand + single aggregation, not two jobs). */
+  def corpusRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("lang_pred", TextAnalytics.langIdColumn(col("text")))
+      .rollup(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .select(coalesce(col("lang_pred"), lit("<all>")).as("lang_pred"),
+        col("n_docs"), col("total_chars"))
+
   // ---------------------------------------------------------------------
   // Reference parity: ingest/chunk/clean/hash (S4-S5, O1/O3, P2/P3/P7)
   // ---------------------------------------------------------------------
@@ -496,6 +521,8 @@ object Queries {
     "q6_events_window" -> q6EventsWindow _,
     "q7_event_props" -> q7EventProps _,
     "q8_sessionize" -> q8Sessionize _,
+    "q9_sliding_window" -> q9SlidingWindow _,
+    "corpus_rollup" -> corpusRollup _,
     "doc_hash" -> docHash _,
     "chunk_fixed" -> chunkFixed _,
     "chunk_sliding" -> chunkSliding _,
