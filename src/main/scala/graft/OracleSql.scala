@@ -312,6 +312,24 @@ object OracleSql {
         | r AS (SELECT sid, h FROM sh QUALIFY row_number() OVER (PARTITION BY sid ORDER BY h) <= 4)
         |SELECT sid AS doc_id, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS fingerprint FROM r GROUP BY sid""".stripMargin,
 
+    "hash_split" ->
+      """SELECT split, count(*) AS n_docs FROM (
+        | SELECT CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split
+        | FROM (SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+        |       FROM documents)) GROUP BY split""".stripMargin,
+
+    "token_packing" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |       ELSE CAST(length(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) END AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        | CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+        | CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS bin
+        |FROM base""".stripMargin,
+
     "corpus_stats" -> langIdSql(
       """SELECT {CASE} AS lang_pred, count(*) AS n_docs,
         | CAST(sum(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0

@@ -470,6 +470,19 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalytics.langIdColumn(col("text")).as("lang_pred"))
 
+  /** Deterministic train/val/test split (portable md5 id hash — the
+    * oracle replays the identical buckets). */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.hashSplit(t(s, dir, "documents"), "doc_id")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+
+  /** Greedy token packing into 4096-token bins within 8 id-hash shards. */
+  def tokenPacking(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.tokenPacking(t(s, dir, "documents"), "doc_id", "text",
+        tokensPerBin = 4096, numShards = 8)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("cum_before"), col("bin"))
+
   /** K-min-sketch document fingerprint (4 smallest md5 8-gram hashes). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 8, k = 4)
@@ -554,6 +567,8 @@ object Queries {
     "text_stats" -> textStats _,
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
+    "hash_split" -> hashSplit _,
+    "token_packing" -> tokenPacking _,
     "corpus_stats" -> corpusStats _,
     "mm_media_meta" -> mmMediaMeta _,
     "mm_frames" -> mmFrames _)

@@ -88,4 +88,42 @@ object TextAnalytics {
         avg(col("quality")).as("avg_quality"),
         approx_count_distinct(col(textCol)).as("approx_distinct_docs"))
   }
+
+  /** Portable 60-bit hash of an id rendered as a string: the
+    * md5-prefix family shared with the shingle hashes — replayable in
+    * any SQL engine, unlike xxhash64/rand. */
+  private def portableIdHash(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic train/val/test split by id hash: stable across
+    * runs, partitionings, and engines (no rand(), no sampleBy seed
+    * coupling); a document keeps its split forever, which is what a
+    * training pipeline needs for held-out sets. `valPct`/`testPct` are
+    * percentages of the 0-99 hash bucket space. */
+  def hashSplit(df: DataFrame, idCol: String, valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    val bucket = pmod(portableIdHash(col(idCol)), lit(100))
+    df.withColumn("split",
+      when(bucket < lit(testPct), "test")
+        .when(bucket < lit(testPct + valPct), "val")
+        .otherwise("train"))
+  }
+
+  /** Greedy sequence packing: assign docs (in id order within a hash
+    * shard) to fixed token-budget bins — the batch-construction step of
+    * a training pipeline. A doc starts in the bin its cumulative token
+    * count (exclusive) falls into; long docs may overflow their bin,
+    * greedy semantics. Sharding keys the window so the cumulative sum
+    * parallelizes (one global ordered window would single-thread). */
+  def tokenPacking(df: DataFrame, idCol: String, textCol: String,
+      tokensPerBin: Int, numShards: Int = 8): DataFrame = {
+    val shard = pmod(col(idCol), lit(numShards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard.cast("long"))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("cum_before") / tokensPerBin).cast("long"))
+  }
 }
