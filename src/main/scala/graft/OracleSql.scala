@@ -318,6 +318,12 @@ object OracleSql {
         | FROM (SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
         |       FROM documents)) GROUP BY split""".stripMargin,
 
+    "mix_corpus" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE lang = 'en'
+        |   OR CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 2500
+        |GROUP BY lang""".stripMargin,
+
     "token_packing" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
         |  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0

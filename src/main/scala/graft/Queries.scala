@@ -483,6 +483,16 @@ object Queries {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("cum_before"), col("bin"))
 
+  /** Weighted corpus mixing: all English + a deterministic 25% hash
+    * sample of every other language, per-language counts. */
+  def mixCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalytics.mixCorpus(Seq(
+        docs.filter(col("lang") === "en") -> 1.0,
+        docs.filter(col("lang") =!= "en") -> 0.25), "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** K-min-sketch document fingerprint (4 smallest md5 8-gram hashes). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 8, k = 4)
@@ -568,6 +578,7 @@ object Queries {
     "lang_id" -> langId _,
     "fingerprint" -> fingerprint _,
     "hash_split" -> hashSplit _,
+    "mix_corpus" -> mixCorpus _,
     "token_packing" -> tokenPacking _,
     "corpus_stats" -> corpusStats _,
     "mm_media_meta" -> mmMediaMeta _,

@@ -92,7 +92,7 @@ object TextAnalytics {
   /** Portable 60-bit hash of an id rendered as a string: the
     * md5-prefix family shared with the shingle hashes — replayable in
     * any SQL engine, unlike xxhash64/rand. */
-  private def portableIdHash(idCol: Column): Column =
+  def portableIdHash(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Deterministic train/val/test split by id hash: stable across
@@ -108,6 +108,20 @@ object TextAnalytics {
         .when(bucket < lit(testPct + valPct), "val")
         .otherwise("train"))
   }
+
+  /** Deterministic weighted corpus mixing — the data-mixing step of a
+    * training run: each source contributes a hash-selected fraction of
+    * its rows (fraction 1.0 = all; 0.25 = the quarter of ids whose
+    * portable hash falls under the threshold). Membership is a pure
+    * function of the id, so re-runs, retries, and other engines select
+    * the same rows; sources then union by name. */
+  def mixCorpus(sources: Seq[(DataFrame, Double)], idCol: String): DataFrame =
+    sources.map { case (df, frac) =>
+      require(frac > 0 && frac <= 1.0, s"fraction must be in (0,1], got $frac")
+      if (frac >= 1.0) df
+      else df.filter(
+        pmod(portableIdHash(col(idCol)), lit(10000)) < lit((frac * 10000).toInt))
+    }.reduce(_.unionByName(_))
 
   /** Greedy sequence packing: assign docs (in id order within a hash
     * shard) to fixed token-budget bins — the batch-construction step of
