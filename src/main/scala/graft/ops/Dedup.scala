@@ -362,7 +362,11 @@ object Dedup {
     val cap = math.max(
       math.floor(survivors.count() * maxDocFreqFraction).toInt, 16)
     val pairs = jaccardPairs(survivors, idCol, textCol, n, threshold, cap, minShared)
-    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    // near-dup ids are a small fraction of the corpus by construction —
+    // broadcast the drop list so the anti-join is map-side (the static
+    // planner can't estimate the UDF-derived pair count and would pick
+    // a sort-merge join)
+    val drop = broadcast(pairs.select(col("id_b").as(idCol)).distinct())
     survivors.join(drop, Seq(idCol), "left_anti")
   }
 }
