@@ -105,4 +105,57 @@ object VectorStore {
     val p = Paths.get(dbDir)
     if (Files.exists(p)) rm(p)
   }
+
+  /** P8 — database-name validation (gui_tabs_databases.py:106-108 +
+    * utilities.py:131-164 preconditions): lowercase alnum/_/- only,
+    * length ≥ 3, not the literal strings "null"/"none". Returns the
+    * reason a name is invalid, or None if acceptable. */
+  def validateDbName(name: String): Option[String] = {
+    val lower = Option(name).getOrElse("").toLowerCase
+    if (lower.length < 3) Some("database name must be at least 3 characters")
+    else if (!lower.matches("^[a-z0-9_-]*$"))
+      Some("database name may only contain lowercase letters, digits, _ and -")
+    else if (lower == "null" || lower == "none")
+      Some("database name must not be 'null' or 'none'")
+    else None
+  }
+
+  /** S13 — backup: recursive copy of the database directory
+    * (utilities.py:79-105 backup_database_incremental's copytree
+    * semantics; the Parquet layout is plain files, so a file copy IS a
+    * consistent backup once writes are finished). */
+  def backup(dbDir: String, backupDir: String): Unit = {
+    val src = Paths.get(dbDir)
+    require(Files.exists(src), s"no database at $dbDir")
+    def cp(p: java.nio.file.Path): Unit = {
+      val dest = Paths.get(backupDir).resolve(src.relativize(p))
+      if (Files.isDirectory(p)) {
+        Files.createDirectories(dest)
+        Files.list(p).forEach(cp)
+      } else {
+        Files.createDirectories(dest.getParent)
+        Files.copy(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    cp(src)
+  }
+
+  /** S13 — restore: drop the live dir and copy the backup back
+    * (initialize.py:55-81 restore_vector_db_backup). */
+  def restore(backupDir: String, dbDir: String): Unit = {
+    require(Files.exists(Paths.get(backupDir)), s"no backup at $backupDir")
+    drop(dbDir)
+    val src = Paths.get(backupDir)
+    def cp(p: java.nio.file.Path): Unit = {
+      val dest = Paths.get(dbDir).resolve(src.relativize(p))
+      if (Files.isDirectory(p)) {
+        Files.createDirectories(dest)
+        Files.list(p).forEach(cp)
+      } else {
+        Files.createDirectories(dest.getParent)
+        Files.copy(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    cp(src)
+  }
 }

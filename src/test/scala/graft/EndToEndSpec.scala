@@ -99,6 +99,29 @@ class EndToEndSpec extends SparkSpec {
     assert(minScores == minScores.sorted)
   }
 
+  test("db-name validation: regex, length, null-literal rules (P8)") {
+    import graft.store.VectorStore.validateDbName
+    assert(validateDbName("my_db-1").isEmpty)
+    assert(validateDbName("ab").isDefined)        // too short
+    assert(validateDbName("Has Upper").isDefined) // charset
+    assert(validateDbName("null").isDefined)
+    assert(validateDbName(null).isDefined)
+  }
+
+  test("backup + restore round-trips a database (S13)") {
+    import graft.store.VectorStore
+    val db = java.nio.file.Files.createTempDirectory("graft_bak_db").toString
+    val bak = java.nio.file.Files.createTempDirectory("graft_bak_dst").toString + "/copy"
+    VectorStore.writeManifest(db, graft.model.DbManifest("cosine", 8, "float32", "det", 100, 0))
+    spark.range(5).toDF("id").write.parquet(s"$db/chunks")
+    VectorStore.backup(db, bak)
+    VectorStore.drop(db)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(db)))
+    VectorStore.restore(bak, db)
+    assert(VectorStore.readManifest(db).dimensions == 8)
+    assert(spark.read.parquet(s"$db/chunks").count() == 5)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
