@@ -71,6 +71,14 @@ object OracleSql {
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         | FROM scored GROUP BY ROLLUP({CASE}))""".stripMargin),
 
+    "q10_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "doc_hash" ->
       """SELECT doc_id, sha256(text) AS content_hash,
         | CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin,

@@ -146,6 +146,17 @@ object Queries {
       .select(coalesce(col("lang_pred"), lit("<all>")).as("lang_pred"),
         col("n_docs"), col("total_chars"))
 
+  /** Exact percentiles per event type (Spark `percentile` interpolates
+    * identically to SQL quantile_cont; rounded to absorb summation-order
+    * ulps). */
+  def q10Percentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"),
+        r6(expr("percentile(value, 0.99)")).as("p99"),
+        count(lit(1)).as("n"))
+
   // ---------------------------------------------------------------------
   // Reference parity: ingest/chunk/clean/hash (S4-S5, O1/O3, P2/P3/P7)
   // ---------------------------------------------------------------------
@@ -545,6 +556,7 @@ object Queries {
     "q7_event_props" -> q7EventProps _,
     "q8_sessionize" -> q8Sessionize _,
     "q9_sliding_window" -> q9SlidingWindow _,
+    "q10_percentiles" -> q10Percentiles _,
     "corpus_rollup" -> corpusRollup _,
     "doc_hash" -> docHash _,
     "chunk_fixed" -> chunkFixed _,
