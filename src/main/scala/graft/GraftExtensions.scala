@@ -29,7 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "sorted_intersect_count", es => SortedLongIntersectCount(es(0), es(1)))
     inject(e, "lsh_bucket", es => LshBucket(es(0),
       es(1).eval().asInstanceOf[Number].intValue()))
-    inject(e, "top_k_hits", es => TopKHits(es(0), es(1),
+    // implicit casts: SQL callers may pass float scores / int ids
+    inject(e, "top_k_hits", es => TopKHits(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
       es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
   }
 }

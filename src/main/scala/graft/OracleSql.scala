@@ -36,7 +36,8 @@ object OracleSql {
 
     "q5_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)""".stripMargin,
 
     "q6_events_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch, event_type,
@@ -83,18 +84,21 @@ object OracleSql {
       """SELECT doc_id, sha256(text) AS content_hash,
         | CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin,
 
+    // trim uses the explicit ASCII whitespace set (matches the engine
+    // chunker's String.strip semantics for ASCII text; DuckDB's bare
+    // trim() strips spaces ONLY, which diverges on \n / \t boundaries)
     "chunk_fixed" ->
       """SELECT doc_id, i - 1 AS chunk_ordinal,
-        | trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200)) AS chunk_text
+        | trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200), E' \t\n\r\x0B\x0C') AS chunk_text
         |FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(ceil(length(text)/200.0) AS BIGINT))) AS i FROM documents)
-        |WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200))) > 0""".stripMargin,
+        |WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200), E' \t\n\r\x0B\x0C')) > 0""".stripMargin,
 
     "chunk_sliding" ->
       """SELECT doc_id, i AS chunk_ordinal,
-        | trim(substring(text, CAST(i*150 + 1 AS INT), 200)) AS chunk_text,
+        | trim(substring(text, CAST(i*150 + 1 AS INT), 200), E' \t\n\r\x0B\x0C') AS chunk_text,
         | CAST(1 AS BIGINT) AS page_number
         |FROM (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((length(text)-1)/150.0) AS BIGINT))) AS i FROM documents)
-        |WHERE length(trim(substring(text, CAST(i*150 + 1 AS INT), 200))) > 0""".stripMargin,
+        |WHERE length(trim(substring(text, CAST(i*150 + 1 AS INT), 200), E' \t\n\r\x0B\x0C')) > 0""".stripMargin,
 
     "ascii_clean" ->
       """SELECT doc_id, regexp_replace(text, '[^\n\t\x20-\x7e]', '', 'g') AS clean_text
@@ -144,10 +148,11 @@ object OracleSql {
 
     "ivf_topk" -> ivfTopkSql(dim = 64, numPlanes = 6, nProbe = 8, k = 10),
 
+    // NB: top-k by dot product DESC — nearest = largest inner product
     "sim_inner_product" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         | d AS (SELECT vec_id AS id, list_inner_product(CAST(embedding AS DOUBLE[]), qv) AS distance
-        |       FROM embeddings, q ORDER BY distance, id LIMIT 10),
+        |       FROM embeddings, q ORDER BY distance DESC, id LIMIT 10),
         | m AS (SELECT max(distance) AS maxd, min(distance) AS mind FROM d)
         |SELECT id, round(distance, 6) AS distance,
         | round(CASE WHEN maxd > mind THEN (distance - mind) / (maxd - mind) ELSE 1.0 END, 6) AS similarity_score
@@ -186,14 +191,14 @@ object OracleSql {
       """SELECT doc_id, count(*) AS n_chunks FROM (
         | SELECT doc_id, i - 1 AS chunk_ordinal
         | FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(ceil(length(text)/200.0) AS BIGINT))) AS i FROM documents)
-        | WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200))) > 0
+        | WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200), E' \t\n\r\x0B\x0C')) > 0
         |) GROUP BY doc_id""".stripMargin,
 
     "embed_chunks" ->
       """SELECT doc_id, i - 1 AS chunk_ordinal,
         | CAST(64 AS BIGINT) AS vec_dim, 1.0 AS vec_norm
         |FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(ceil(length(text)/200.0) AS BIGINT))) AS i FROM documents)
-        |WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200))) > 0""".stripMargin,
+        |WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200), E' \t\n\r\x0B\x0C')) > 0""".stripMargin,
 
     "dedup_simhash" -> simhashSql(n = 8, maxHamming = 3),
 
@@ -261,7 +266,8 @@ object OracleSql {
         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (s_a + s_b - i), 6) AS jaccard
         |FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2""".stripMargin,
 
-    "dedup_minhash_lsh" -> minhashLshSql(numHashes = 16, rowsPerBand = 4),
+    "dedup_minhash_lsh" -> minhashLshSql(numHashes = 16, rowsPerBand = 4,
+      dfFraction = graft.Queries.MinhashDfFraction, dfFloor = graft.Queries.MinhashDfFloor),
 
     // Full ladder replay: exact dedup -> jaccard (corpus-fraction cap,
     // floor+16 floor both sides) on survivors -> drop higher-id pair ends.
@@ -441,7 +447,8 @@ object OracleSql {
     * [[graft.ops.Dedup.minhashSeeds]] — then compares band-key equality
     * pairwise (equivalent to the engine's (band, band_key) equi-join
     * buckets; the oracle runs at sf0.01 where all-pairs is cheap). */
-  private def minhashLshSql(numHashes: Int, rowsPerBand: Int): String = {
+  private def minhashLshSql(numHashes: Int, rowsPerBand: Int,
+      dfFraction: Double, dfFloor: Int): String = {
     val seeds = graft.ops.Dedup.minhashSeeds(numHashes)
     val p = graft.ops.Dedup.MinhashP
     val minExprs = seeds.zipWithIndex.map { case ((a, b), i) =>
@@ -451,11 +458,17 @@ object OracleSql {
       (bn * rowsPerBand until (bn + 1) * rowsPerBand)
         .map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
     }.mkString(" OR ")
+    // rare = hot-shingle cap: signatures are built from shingles in
+    // <= greatest(floor(n_docs * dfFraction), dfFloor) docs, mirroring
+    // Queries.dedupMinhashLsh / Dedup.minhashLshCandidates(maxDocFreq)
     s"""WITH sh AS (SELECT DISTINCT doc_id AS sid, substring(text, CAST(i AS INT), 8) AS shingle
        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+       | cap AS (SELECT greatest(CAST(floor(count(*) * $dfFraction) AS BIGINT), $dfFloor) AS c FROM documents),
+       | dfc AS (SELECT shingle, count(*) AS cnt FROM sh GROUP BY shingle),
+       | rare AS (SELECT sid, sh.shingle FROM sh JOIN dfc USING (shingle), cap WHERE cnt <= cap.c),
        | sig AS (SELECT sid,
        |  $minExprs
-       | FROM sh GROUP BY sid)
+       | FROM rare GROUP BY sid)
        |SELECT a.sid AS id_a, b.sid AS id_b FROM sig a JOIN sig b
        | ON a.sid < b.sid AND ($bandEq)""".stripMargin
   }

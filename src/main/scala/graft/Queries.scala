@@ -84,10 +84,16 @@ object Queries {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
 
-  /** §2.3 — anti join (customers with no orders). */
+  /** §2.3 — anti join: customers with no high-value order (> 350k).
+    * The filter keeps the anti side NON-empty at every test SF (the
+    * synthetic data gives every customer at least one order, so a bare
+    * "no orders" anti-join passes vacuously); it pushes below the join
+    * so the plan is still scan→filter→anti-join. */
   def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders").select(col("o_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 350000.0)
+      .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }
@@ -326,14 +332,16 @@ object Queries {
 
   /** O4 inner_product branch — batch-relative MIN-MAX normalization
     * over the returned top-k (vector_db_query.py:188-197: no clip,
-    * all-equal ⇒ 1.0). */
+    * all-equal ⇒ 1.0). Top-k selection is by dot product DESC — the
+    * index returns the LARGEST inner products (nearest); ranking
+    * ascending would return the k least similar vectors. */
   def simInnerProduct(s: SparkSession, dir: String): DataFrame = {
     val chunksLike = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vector"))
     val q = lit(queryVec(s, dir))
     val hits = chunksLike
       .withColumn("distance", VectorSearch.distanceColumn("inner_product", col("vector"), q))
-      .orderBy(col("distance").asc, col("id").asc)
+      .orderBy(col("distance").desc, col("id").asc)
       .limit(10)
     VectorSearch.withSimilarity(hits, "inner_product")
       .select(col("id"), r6(col("distance")).as("distance"),
@@ -421,10 +429,22 @@ object Queries {
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
 
   /** MinHash+LSH candidate pairs (16 hashes, 4 rows/band, md5 min-wise
-    * family — oracle replays the identical hash family in SQL). */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
-      n = 8, numHashes = 16, rowsPerBand = 4)
+    * family — oracle replays the identical hash family AND the
+    * hot-shingle cap in SQL). The cap is a corpus FRACTION like
+    * [[dedupCorpus]]'s: boilerplate shingles shared by most docs
+    * otherwise align minhashes and inflate every band bucket —
+    * quadratic bucket joins (the round-1 bench regression). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cap = math.max(
+      math.floor(docs.count() * MinhashDfFraction).toInt, MinhashDfFloor)
+    Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      n = 8, numHashes = 16, rowsPerBand = 4, maxDocFreq = cap)
+  }
+
+  /** Hot-shingle cap constants shared with the DuckDB oracle replay. */
+  val MinhashDfFraction = 0.013
+  val MinhashDfFloor = 16
 
   /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.4 — the synthetic
     * embeddings top out at ~0.51 pairwise, so 0.4 exercises real pair

@@ -66,6 +66,20 @@ case class TopKHits(
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(score, id)
+
+  /** update() reads the children as primitive Double/Long — reject
+    * anything else at ANALYSIS time (the builders insert implicit
+    * casts, but a hand-built expression could otherwise pass analysis
+    * and throw ClassCastException mid-job). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (score.dataType != DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_hits score must be DOUBLE, got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_hits id must be BIGINT, got ${id.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType, nullable = false),
@@ -122,9 +136,12 @@ case class TopKHits(
 }
 
 object TopKFunctions {
-  /** Column API: `groupBy(qid).agg(topKHits($"score", $"id", k))`. */
+  /** Column API: `groupBy(qid).agg(topKHits($"score", $"id", k))`.
+    * Inserts implicit casts so integer ids / float scores work (the
+    * aggregate itself requires exactly DOUBLE/BIGINT). */
   def topKHits(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKHits(
-      ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      ColumnBridge.expression(score.cast("double")),
+      ColumnBridge.expression(id.cast("long")), k)
       .toAggregateExpression())
 }

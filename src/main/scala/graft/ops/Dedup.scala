@@ -148,9 +148,14 @@ object Dedup {
     *     shingles (random single-shingle collisions are the bulk of the
     *     candidates; true near-dups share dozens).
     *  2. *Verification* — exact Jaccard on the candidates only, from
-    *     each doc's full distinct-shingle set via `array_intersect`;
-    *     |A∪B| = |A| + |B| − |A∩B|. The sets join is a plain equi-join
-    *     on doc id (AQE broadcasts it when small; shuffles at scale).
+    *     each doc's full distinct-shingle set; |A∪B| = |A| + |B| − |A∩B|.
+    *     The set table is first semi-joined down to candidate docs,
+    *     then broadcast ONLY if its measured size fits under
+    *     `broadcastBytesCap` — above the cap both verification joins
+    *     fall back to shuffle equi-joins, so no corpus size can OOM
+    *     the driver. NOTE: eager — the candidate and verification jobs
+    *     run at call time and the returned (small) pair frame is
+    *     persisted; intermediates are unpersisted before returning.
     *
     * Pairs whose overlap lives *only* in stop-shingles (df > cap) are
     * not candidates — by design: such overlap is boilerplate, not
@@ -165,7 +170,8 @@ object Dedup {
     * exact groups before the near-dup pass is the difference between
     * 2.4s and 63s at 50k docs. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxDocFreq: Int = 0, minShared: Int = 1): DataFrame = {
+      threshold: Double, maxDocFreq: Int = 0, minShared: Int = 1,
+      broadcastBytesCap: Long = 128L << 20): DataFrame = {
     // All joins/intersections run on the 60-bit integer shingle hash of
     // [[shingleHashSets]]: long equi-joins and long-array intersections
     // are several× cheaper than their string equivalents, and collisions
@@ -211,25 +217,47 @@ object Dedup {
         .filter(col("shared") >= minShared)
         .select("id_a", "id_b")
     }
-    // Verification joins: broadcast the per-doc hash sets so the
-    // candidate side streams map-side instead of shuffling two ~KB
-    // arrays per pair. (AQE can't pick broadcast itself here: the
-    // UDF-produced arrays defeat its size estimate.) Both joins build
-    // from the SAME broadcast DataFrame (projections applied after the
-    // join), so ReuseExchange ships + computes the shingle sets once,
-    // not twice. At corpus scale, first semi-join `sets` down to
-    // candidate ids, and drop the hint if the candidate-doc set still
-    // exceeds broadcast size.
-    val bsets = broadcast(sets)
-    val joinedA = cand.join(bsets, cand("id_a") === bsets("sid"))
+    // Verification — scale-safe shape:
+    //   1. persist the candidate pairs (used for the id set AND both
+    //      verification joins — without the persist the whole
+    //      posting-list build re-executes per use);
+    //   2. semi-join the per-doc hash sets down to candidate docs ONLY
+    //      (the full-corpus set table must never be broadcast: at real
+    //      corpus sizes it exceeds any driver/broadcast limit);
+    //   3. broadcast the pruned sets only if their MEASURED size fits
+    //      under `broadcastBytesCap`, else fall back to shuffle
+    //      equi-joins (AQE still converts them at runtime if small).
+    // The function is eager (it runs the candidate+verify jobs when
+    // called) so intermediates can be unpersisted before returning;
+    // the returned pair frame itself is persisted — it is the small
+    // end product of the pass and is typically consumed 2+ times
+    // (drop-list + reporting).
+    val cand2 = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = cand2.count()
+    val candIds = cand2.select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
+    // candidate-id side is 8-byte longs: broadcast it for a map-side
+    // semi-join unless even the id list is too big for the cap
+    val idsFit = nPairs * 2L * 24L < broadcastBytesCap
+    val prunedSets = sets.join(
+      if (idsFit) broadcast(candIds) else candIds, Seq("sid"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = prunedSets.agg(count(lit(1)), coalesce(sum(col("sz")), lit(0L))).head
+    val setsBytes = st.getLong(0) * 64L + st.getLong(1) * 8L
+    val vsets = if (setsBytes < broadcastBytesCap) broadcast(prunedSets) else prunedSets
+    val joinedA = cand2.join(vsets, cand2("id_a") === vsets("sid"))
       .select(col("id_a"), col("id_b"), col("hs").as("set_a"), col("sz").as("sz_a"))
-    joinedA.join(bsets, joinedA("id_b") === bsets("sid"))
+    val verified = joinedA.join(vsets, joinedA("id_b") === vsets("sid"))
       .withColumn("inter",
         graft.functions.ArrayFunctions.sortedIntersectCount(col("set_a"), col("hs")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz") - col("inter")).cast("double"))
       .filter(col("jaccard") >= lit(threshold))
       .select("id_a", "id_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize, then drop the (larger) intermediates
+    cand2.unpersist()
+    prunedSets.unpersist()
+    verified
   }
 
   /** MinHash seed constants: per-hash affine coefficients (a_i, b_i),
@@ -358,9 +386,17 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int = 8,
       threshold: Double = 0.8, maxDocFreqFraction: Double = 0.013,
       minShared: Int = 2): DataFrame = {
+    // survivors feed THREE consumers (the cap count, the jaccard pass,
+    // the final anti-join) — persist so the exact-dedup window runs
+    // once, spilling to disk if the surviving corpus outgrows memory.
+    // (At 100 TB a staging parquet write is the equivalent durable
+    // form.) The cache stays alive for the returned lazy plan; it is
+    // evictable and the cap count below materializes it.
     val survivors = exact(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = math.max(
       math.floor(survivors.count() * maxDocFreqFraction).toInt, 16)
+    // jaccardPairs is eager and returns a persisted (small) pair frame
     val pairs = jaccardPairs(survivors, idCol, textCol, n, threshold, cap, minShared)
     // near-dup ids are a small fraction of the corpus by construction —
     // broadcast the drop list so the anti-join is map-side (the static

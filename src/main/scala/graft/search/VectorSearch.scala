@@ -45,6 +45,15 @@ object VectorSearch {
     case _ => VectorFunctions.cosineDistance(vec, query)
   }
 
+  /** Top-k selection order for a raw `distance` column: smaller is
+    * nearer for every metric EXCEPT inner_product, where the index
+    * returns the LARGEST dot products (the reference's conversion,
+    * vector_db_query.py:188-197, presumes exactly that: higher distance
+    * ⇒ higher similarity). Ranking ascending-by-dot would select the k
+    * LEAST similar vectors. */
+  def rankOrder(metric: String, distance: Column): Column =
+    if (metric == "inner_product") -distance else distance
+
   /** O4 — distance → similarity_score on the k-row hit batch
     * (vector_db_query.py:170-202). The l2 / sum_of_squares /
     * inner_product conversions are BATCH-RELATIVE (normalized by the
@@ -53,7 +62,12 @@ object VectorSearch {
     * the single-query case; query_id for batched search). */
   def withSimilarity(hits: DataFrame, metric: String,
       batchCols: Seq[String] = Nil): DataFrame = {
-    val w = if (batchCols.isEmpty) Window.partitionBy() else Window.partitionBy(batchCols.map(col): _*)
+    // single-query case: partition by a constant literal, not an empty
+    // spec — same single-partition semantics over the ≤k-row batch, but
+    // the partition is DECLARED, so WindowExec doesn't spray
+    // "No Partition Defined" warnings (the batch is k rows by
+    // construction; moving them to one partition is the intent)
+    val w = if (batchCols.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(batchCols.map(col): _*)
     val d = col("distance")
     val sim = metric match {
       case "cosine" => TextFunctions.clip01(lit(1.0) - d)
@@ -77,13 +91,13 @@ object VectorSearch {
     val q = lit(queryVec.map(_.toDouble))
     val hits = chunks
       .withColumn("distance", distanceColumn(metric, col("vector"), q))
-      .orderBy(col("distance").asc)
+      .orderBy(rankOrder(metric, col("distance")).asc)
       .limit(opts.k)
     withSimilarity(hits, metric)
       .filter(col("similarity_score") >= lit(opts.scoreThreshold)) // P4 (:206-213)
       .filter(TextFunctions.keywordPredicate(col("text"), opts.searchTerm)) // P5 (:247-254)
       .filter(TextFunctions.docTypePredicate(col("document_type"), opts.documentTypes)) // P6 (:256-261)
-      .orderBy(col("distance").asc) // O5 — index order = ascending distance
+      .orderBy(rankOrder(metric, col("distance")).asc) // O5 — index order = nearest first
   }
 
   /** Full entry point against a stored database: embeds the query with
@@ -104,7 +118,8 @@ object VectorSearch {
       opts: SearchOptions): DataFrame = {
     val joined = chunks.crossJoin(broadcast(queries))
       .withColumn("distance", distanceColumn(metric, col("vector"), col("query_vector")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("distance").asc, col("id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(rankOrder(metric, col("distance")).asc, col("id").asc)
     val topk = joined
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= opts.k)
@@ -127,10 +142,15 @@ object VectorSearch {
       opts: SearchOptions): DataFrame = {
     val scored = chunks.select(col("id"), col("vector")).crossJoin(broadcast(queries))
       .withColumn("distance", distanceColumn(metric, col("vector"), col("query_vector")))
+    // TopKHits keeps the LARGEST scores: feed -rankOrder so "nearest"
+    // wins under every metric (raw dot for inner_product, negated
+    // distance otherwise), then invert back to the raw distance.
     val hits = scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKFunctions.topKHits(-col("distance"), col("id"), opts.k).as("hs"))
+      .agg(graft.functions.TopKFunctions.topKHits(
+        -rankOrder(metric, col("distance")), col("id"), opts.k).as("hs"))
       .select(col("query_id"), explode(col("hs")).as("h"))
-      .select(col("query_id"), col("h.id").as("id"), (-col("h.score")).as("distance"))
+      .select(col("query_id"), col("h.id").as("id"),
+        (-rankOrder(metric, col("h.score"))).as("distance"))
     val fetched = broadcast(hits).join(chunks.drop("vector"), "id")
     withSimilarity(fetched, metric, Seq("query_id"))
       .filter(col("similarity_score") >= lit(opts.scoreThreshold))
@@ -139,10 +159,19 @@ object VectorSearch {
   }
 
   /** RAG prompt assembly (chat_llm.py:45-50): contexts joined with
-    * `\n\n---\n\n` in hit order, then the user question. */
-  def ragPrompt(hits: DataFrame, ragString: String, question: String): String = {
-    val ctx = hits.orderBy(col("distance").asc)
-      .agg(concat_ws("\n\n---\n\n", collect_list(col("text"))).as("ctx"))
+    * `\n\n---\n\n` in hit order (nearest first), then the user
+    * question. Ordering is done IN-aggregate —
+    * `array_sort(collect_list(struct(...)))` — because a pre-aggregate
+    * `orderBy` is not guaranteed to survive into `collect_list` once an
+    * exchange sits between them; the sorted-struct form is reproducible
+    * under any partitioning. */
+  def ragPrompt(hits: DataFrame, ragString: String, question: String,
+      metric: String = "cosine"): String = {
+    val ctx = hits
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(
+          rankOrder(metric, col("distance")).as("r"), col("text").as("txt")))),
+        x => x.getField("txt")), "\n\n---\n\n").as("ctx"))
       .head.getString(0)
     s"$ragString\n\n$ctx\n\n$question"
   }

@@ -62,7 +62,16 @@ object VectorStore {
       embedder: Embedder, chunkSize: Int = 1200, chunkOverlap: Int = 600): DbManifest = {
     val docs = DocumentIngest.loadDocuments(spark, sourceDir)
       // document ids: deterministic, from content hash (reference uses
-      // random ids, vector_db_creator.py:79 — a bug, not a feature)
+      // random ids, vector_db_creator.py:79 — a bug, not a feature).
+      // Natural-key semantics require ONE row per content hash: two
+      // byte-identical files at different paths must not produce
+      // duplicate ids (which would fan out the chunk_doc_map build and
+      // every fetch-back join on id). Keep the lexicographically first
+      // path — deterministic winner.
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hash")).orderBy(col("file_path").asc)))
+      .filter(col("__rn") === 1).drop("__rn")
       .withColumn("id", xxhash64(col("hash")))
       .cache() // read twice (documents sink + chunk pipeline); tiny vs chunks
 
@@ -94,6 +103,34 @@ object VectorStore {
   /** S11 — catalog scan: per-db document list. */
   def listDocuments(spark: SparkSession, dbDir: String): DataFrame =
     documents(spark, dbDir).select("file_name", "file_path")
+
+  /** Cross-database catalog (reference config registry,
+    * config.py:55-58,166-172 + the Manage-Databases listing,
+    * gui_tabs_manage_databases.py:104-111): scan `rootDir` for child
+    * directories carrying a manifest.json and return one row per
+    * database with its model/metric/chunk params. Driver-side directory
+    * listing (catalog metadata, not data) → small local DataFrame. */
+  def listDatabases(spark: SparkSession, rootDir: String): DataFrame = {
+    import spark.implicits._
+    val root = Paths.get(rootDir)
+    val rows =
+      if (!Files.isDirectory(root)) Seq.empty
+      else {
+        val it = Files.list(root).iterator()
+        val b = Seq.newBuilder[(String, String, Int, String, String, Int, Int)]
+        while (it.hasNext) {
+          val child = it.next()
+          if (Files.isDirectory(child) && Files.exists(manifestPath(child.toString))) {
+            val m = readManifest(child.toString)
+            b += ((child.getFileName.toString, m.distanceMetric, m.dimensions,
+              m.vectorType, m.model, m.chunkSize, m.chunkOverlap))
+          }
+        }
+        b.result().sortBy(_._1)
+      }
+    rows.toDF("database", "distance_metric", "dimensions", "vector_type",
+      "model", "chunk_size", "chunk_overlap")
+  }
 
   /** S12 — database drop. */
   def drop(dbDir: String): Unit = {
