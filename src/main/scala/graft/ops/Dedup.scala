@@ -175,8 +175,11 @@ object Dedup {
     // All joins/intersections run on the 60-bit integer shingle hash of
     // [[shingleHashSets]]: long equi-joins and long-array intersections
     // are several× cheaper than their string equivalents, and collisions
-    // (2^-60) only merge posting lists.
+    // (2^-60) only merge posting lists. The set table feeds BOTH the
+    // candidate pipeline and the verification semi-join — persist it for
+    // the pass so the md5-per-shingle build runs once, not twice.
     val sets = shingleHashSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("sid"), explode(col("hs")).as("h"))
     // Candidate pairs straight off the posting lists: one groupBy
     // builds each shingle's doc list, the size filter IS the df cap,
@@ -257,7 +260,8 @@ object Dedup {
     verified.count() // materialize, then drop the (larger) intermediates
     cand2.unpersist()
     prunedSets.unpersist()
-    verified
+    sets.unpersist()
+    verified // caller owns the persisted pair frame: unpersist() when done
   }
 
   /** MinHash seed constants: per-hash affine coefficients (a_i, b_i),
@@ -379,10 +383,11 @@ object Dedup {
     * survivors with the posting-list cap sized as a FRACTION of the
     * surviving corpus (a fixed cap loses recall as the corpus grows).
     * Of each near-dup pair the lower id survives; a doc is dropped if
-    * ANY lower-id near-dup exists (greedy, deterministic — not
-    * transitive clustering, which would need iterative connected
-    * components). Returns surviving rows. The survivor count() is one
-    * cheap action on the already-hash-deduped frame. */
+    * ANY lower-id near-dup exists (greedy, deterministic — for
+    * transitive A≈B≈C clustering see [[dedupClusters]]). Returns the
+    * surviving rows as a persisted, materialized frame — every
+    * intermediate cache (survivors, pairs) is released before
+    * returning; the CALLER owns the returned frame's `unpersist()`. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int = 8,
       threshold: Double = 0.8, maxDocFreqFraction: Double = 0.013,
       minShared: Int = 2): DataFrame = {
@@ -403,6 +408,12 @@ object Dedup {
     // planner can't estimate the UDF-derived pair count and would pick
     // a sort-merge join)
     val drop = broadcast(pairs.select(col("id_b").as(idCol)).distinct())
-    survivors.join(drop, Seq(idCol), "left_anti")
+    val result = survivors.join(drop, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize so the upstream caches can be released
+    pairs.unpersist()
+    survivors.unpersist()
+    result // caller owns unpersist() (at 100 TB: write to a staging
+           // parquet instead of holding the cache)
   }
 }

@@ -62,25 +62,43 @@ object VectorSearch {
     * the single-query case; query_id for batched search). */
   def withSimilarity(hits: DataFrame, metric: String,
       batchCols: Seq[String] = Nil): DataFrame = {
-    // single-query case: partition by a constant literal, not an empty
-    // spec — same single-partition semantics over the ≤k-row batch, but
-    // the partition is DECLARED, so WindowExec doesn't spray
-    // "No Partition Defined" warnings (the batch is k rows by
-    // construction; moving them to one partition is the intent)
-    val w = if (batchCols.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(batchCols.map(col): _*)
     val d = col("distance")
-    val sim = metric match {
+    def sim(maxD: Column, minD: Column): Column = metric match {
       case "cosine" => TextFunctions.clip01(lit(1.0) - d)
       case "l2" | "sum_of_squares" =>
-        val maxD = max(d).over(w)
         TextFunctions.clip01(when(maxD > 0.0, lit(1.0) - d / maxD).otherwise(lit(1.0)))
       case "inner_product" =>
-        val maxD = max(d).over(w); val minD = min(d).over(w)
         // NB: no clip in this branch, and "all equal" ⇒ 1.0 (:188-197)
         when(maxD > minD, (d - minD) / (maxD - minD)).otherwise(lit(1.0))
       case _ => TextFunctions.clip01(lit(1.0) - (d * d) / 2.0)
     }
-    hits.withColumn("similarity_score", sim)
+    val batchRelative = metric match {
+      case "l2" | "sum_of_squares" | "inner_product" => true
+      case _ => false
+    }
+    if (!batchRelative) {
+      // cosine / unknown metrics are pointwise — no batch stats needed
+      hits.withColumn("similarity_score", sim(lit(null), lit(null)))
+    } else if (batchCols.nonEmpty) {
+      // batched search: a real partition key — a declared, skew-free
+      // window over k rows per query
+      val w = Window.partitionBy(batchCols.map(col): _*)
+      hits.withColumn("similarity_score", sim(max(d).over(w), min(d).over(w)))
+    } else {
+      // single-query case: the batch is ≤k rows by construction. A
+      // partition-less window would warn ("No Partition Defined") and
+      // `partitionBy(lit(0))` is erased by Spark 4's
+      // EliminateWindowPartitions — so compute the batch stats and the
+      // rows in ONE scalar aggregation pass (collect_list is safe: ≤k
+      // rows) and re-explode. No window, no second scan of the take.
+      val cols = hits.columns
+      hits
+        .agg(max(d).as("__maxd"), min(d).as("__mind"),
+          collect_list(struct(cols.map(col): _*)).as("__rows"))
+        .select(col("__maxd"), col("__mind"), explode(col("__rows")).as("__r"))
+        .select(cols.map(c => col(s"__r.`$c`").as(c)) :+
+          sim(col("__maxd"), col("__mind")).as("similarity_score"): _*)
+    }
   }
 
   /** Core single-query search over a chunks DataFrame. `queryVec` is a
@@ -170,7 +188,9 @@ object VectorSearch {
     val ctx = hits
       .agg(array_join(transform(
         array_sort(collect_list(struct(
-          rankOrder(metric, col("distance")).as("r"), col("text").as("txt")))),
+          rankOrder(metric, col("distance")).as("r"),
+          col("id").as("i"), // tie-break by id, matching searchBatch + the oracle
+          col("text").as("txt")))),
         x => x.getField("txt")), "\n\n---\n\n").as("ctx"))
       .head.getString(0)
     s"$ragString\n\n$ctx\n\n$question"

@@ -60,22 +60,27 @@ object VectorStore {
     * embed → write three tables + manifest. All one lazy plan per sink. */
   def create(spark: SparkSession, dbDir: String, sourceDir: String,
       embedder: Embedder, chunkSize: Int = 1200, chunkOverlap: Int = 600): DbManifest = {
+    // documents: ONE row per FILE (reference parity,
+    // sqlite_operations.py:12-20 writes per-file rows, duplicates
+    // included). Ids are deterministic from (hash, path) — unique even
+    // for byte-identical files at different paths (reference uses random
+    // ids, vector_db_creator.py:79 — a bug, not a feature).
     val docs = DocumentIngest.loadDocuments(spark, sourceDir)
-      // document ids: deterministic, from content hash (reference uses
-      // random ids, vector_db_creator.py:79 — a bug, not a feature).
-      // Natural-key semantics require ONE row per content hash: two
-      // byte-identical files at different paths must not produce
-      // duplicate ids (which would fan out the chunk_doc_map build and
-      // every fetch-back join on id). Keep the lexicographically first
-      // path — deterministic winner.
+      .withColumn("id", xxhash64(col("hash"), col("file_path")))
+      .cache() // read twice (documents sink + chunk pipeline); tiny vs chunks
+
+    // chunk pipeline: dedup by content hash — byte-identical files SHARE
+    // chunks (chunk ids are xxhash64(hash, ordinal), so duplicate inputs
+    // would produce duplicate chunk rows). Provenance survives because
+    // chunk_doc_map keys on `hash`: both files resolve to the shared
+    // chunks. Lexicographically-first path wins (deterministic).
+    val distinctDocs = docs
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("hash")).orderBy(col("file_path").asc)))
       .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("id", xxhash64(col("hash")))
-      .cache() // read twice (documents sink + chunk pipeline); tiny vs chunks
 
-    val chunks = DocumentIngest.chunkDocuments(docs, chunkSize, chunkOverlap)
+    val chunks = DocumentIngest.chunkDocuments(distinctDocs, chunkSize, chunkOverlap)
     val embedded = embedder.embed(chunks, "text")
       .select("id", "text", "vector", "file_path", "file_type", "file_name",
         "creation_date", "modification_date", "hash", "document_type", "page_number")
@@ -116,27 +121,34 @@ object VectorStore {
     val rows =
       if (!Files.isDirectory(root)) Seq.empty
       else {
-        val it = Files.list(root).iterator()
-        val b = Seq.newBuilder[(String, String, Int, String, String, Int, Int)]
-        while (it.hasNext) {
-          val child = it.next()
-          if (Files.isDirectory(child) && Files.exists(manifestPath(child.toString))) {
-            val m = readManifest(child.toString)
-            b += ((child.getFileName.toString, m.distanceMetric, m.dimensions,
-              m.vectorType, m.model, m.chunkSize, m.chunkOverlap))
+        val stream = Files.list(root) // must be closed: holds a directory fd
+        try {
+          val it = stream.iterator()
+          val b = Seq.newBuilder[(String, String, Int, String, String, Int, Int)]
+          while (it.hasNext) {
+            val child = it.next()
+            if (Files.isDirectory(child) && Files.exists(manifestPath(child.toString))) {
+              val m = readManifest(child.toString)
+              b += ((child.getFileName.toString, m.distanceMetric, m.dimensions,
+                m.vectorType, m.model, m.chunkSize, m.chunkOverlap))
+            }
           }
-        }
-        b.result().sortBy(_._1)
+          b.result().sortBy(_._1)
+        } finally stream.close()
       }
     rows.toDF("database", "distance_metric", "dimensions", "vector_type",
       "model", "chunk_size", "chunk_overlap")
   }
 
+  private def withChildren(p: java.nio.file.Path)(f: java.nio.file.Path => Unit): Unit = {
+    val stream = Files.list(p) // must be closed: holds a directory fd
+    try stream.forEach(c => f(c)) finally stream.close()
+  }
+
   /** S12 — database drop. */
   def drop(dbDir: String): Unit = {
     def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => rm(c))
+      if (Files.isDirectory(p)) withChildren(p)(rm)
       Files.deleteIfExists(p)
     }
     val p = Paths.get(dbDir)
@@ -168,7 +180,7 @@ object VectorStore {
       val dest = Paths.get(backupDir).resolve(src.relativize(p))
       if (Files.isDirectory(p)) {
         Files.createDirectories(dest)
-        Files.list(p).forEach(cp)
+        withChildren(p)(cp)
       } else {
         Files.createDirectories(dest.getParent)
         Files.copy(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -187,7 +199,7 @@ object VectorStore {
       val dest = Paths.get(dbDir).resolve(src.relativize(p))
       if (Files.isDirectory(p)) {
         Files.createDirectories(dest)
-        Files.list(p).forEach(cp)
+        withChildren(p)(cp)
       } else {
         Files.createDirectories(dest.getParent)
         Files.copy(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -58,8 +58,35 @@ class EndToEndSpec extends SparkSpec {
     val pdfPages = chunks.filter($"file_type" === ".pdf").select("page_number")
       .as[Option[Int]].collect()
     assert(pdfPages.nonEmpty && pdfPages.forall(_.isDefined))
-    assert(VectorStore.documents(spark, dbDir.toString).count() == 5)
+    val docs = VectorStore.documents(spark, dbDir.toString)
+    assert(docs.count() == 5) // one row per FILE, duplicates included (sqlite_operations.py:12-20)
+    assert(docs.select("id").distinct().count() == 5) // ids unique even for identical content
+    // byte-identical files share chunks: no duplicate chunk rows
+    assert(chunks.select("id").distinct().count() == chunks.count())
     assert(VectorStore.chunkDocMap(spark, dbDir.toString).count() == chunks.count())
+  }
+
+  test("catalog: listDocuments shows BOTH paths of byte-identical files (S11)") {
+    manifest // force build
+    val names = VectorStore.listDocuments(spark, dbDir.toString)
+      .select("file_name").as[String].collect().toSet
+    assert(names.contains("a.txt") && names.contains("dup_of_a.txt"))
+  }
+
+  test("catalog: listDatabases lists every child db with its params (J3)") {
+    val root = Files.createTempDirectory("graft-dbs")
+    VectorStore.writeManifest(root.resolve("db_a").toString,
+      graft.model.DbManifest("cosine", 16, "float32", "det", 100, 20))
+    VectorStore.writeManifest(root.resolve("db_b").toString,
+      graft.model.DbManifest("l2", 32, "float32", "onnx", 400, 0))
+    Files.createDirectory(root.resolve("not_a_db")) // no manifest → skipped
+    val rows = VectorStore.listDatabases(spark, root.toString).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("db_a", "db_b"))
+    val b = rows.find(_.getString(0) == "db_b").get
+    assert(b.getAs[String]("distance_metric") == "l2")
+    assert(b.getAs[Int]("dimensions") == 32)
+    assert(b.getAs[Int]("chunk_size") == 400)
+    assert(VectorStore.listDatabases(spark, root.resolve("missing").toString).count() == 0)
   }
 
   test("search: finds the right document, respects k and ordering") {
