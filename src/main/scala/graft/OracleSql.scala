@@ -296,6 +296,10 @@ object OracleSql {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
 
+    "dedup_embedding_bucketed" -> dedupEmbeddingBucketedSql(
+      dim = 64, numPlanes = graft.Queries.EmbBucketPlanes,
+      bandBits = graft.Queries.EmbBucketBandBits, threshold = 0.4),
+
     "text_stats" ->
       """WITH s AS (SELECT doc_id, text,
         |  regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed FROM documents),
@@ -373,6 +377,33 @@ object OracleSql {
     * (Double.toString round-trips exactly) — then prunes to buckets
     * within `probeHamming` bit flips of the query's own bucket and
     * ranks by exact cosine. */
+  /** Bucketed embedding near-dup oracle: replays
+    * [[graft.ops.Dedup.embeddingNearDupsBucketed]] — identical
+    * deterministic plane matrix (emitted as double literals), band keys
+    * = bandBits-wide slices of the sign bucket, candidate pairs from the
+    * (band, key) equi-join, exact cosine verification on candidates. */
+  private def dedupEmbeddingBucketedSql(dim: Int, numPlanes: Int,
+      bandBits: Int, threshold: Double): String = {
+    val bands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1L
+    val bucketExpr = (0 until numPlanes).map { p =>
+      val comps = (0 until dim)
+        .map(d => graft.ops.SimilaritySearch.planeComponent(p, d).toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $comps) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        ($bucketExpr) AS bits
+       |       FROM embeddings),
+       | bk AS (SELECT vec_id, band, (bits >> (band * $bandBits)) & $mask AS key
+       |        FROM (SELECT vec_id, bits, unnest(generate_series(0, ${bands - 1})) AS band FROM b)),
+       | cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |          FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+       |FROM cand JOIN b va ON va.vec_id = id_a JOIN b vb ON vb.vec_id = id_b
+       |WHERE list_cosine_similarity(va.v, vb.v) >= $threshold""".stripMargin
+  }
+
   private def lshTopkSql(dim: Int, numPlanes: Int, probeHamming: Int, k: Int): String = {
     val bucketExpr = (0 until numPlanes).map { p =>
       val comps = (0 until dim)
@@ -465,7 +496,13 @@ object OracleSql {
        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
        | cap AS (SELECT greatest(CAST(floor(count(*) * $dfFraction) AS BIGINT), $dfFloor) AS c FROM documents),
        | dfc AS (SELECT shingle, count(*) AS cnt FROM sh GROUP BY shingle),
-       | rare AS (SELECT sid, sh.shingle FROM sh JOIN dfc USING (shingle), cap WHERE cnt <= cap.c),
+       | ranked AS (SELECT sid, sh.shingle, cnt,
+       |    min(cnt) OVER (PARTITION BY sid) AS mindf,
+       |    row_number() OVER (PARTITION BY sid ORDER BY cnt,
+       |      CAST('0x' || substring(md5(sh.shingle), 1, 15) AS BIGINT)) AS rk
+       |   FROM sh JOIN dfc USING (shingle)),
+       | rare AS (SELECT sid, shingle FROM ranked, cap
+       |          WHERE cnt <= cap.c OR (mindf > cap.c AND rk <= $numHashes)),
        | sig AS (SELECT sid,
        |  $minExprs
        | FROM rare GROUP BY sid)

@@ -434,13 +434,10 @@ object Queries {
     * [[dedupCorpus]]'s: boilerplate shingles shared by most docs
     * otherwise align minhashes and inflate every band bucket —
     * quadratic bucket joins (the round-1 bench regression). */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val cap = math.max(
-      math.floor(docs.count() * MinhashDfFraction).toInt, MinhashDfFloor)
-    Dedup.minhashLshCandidates(docs, "doc_id", "text",
-      n = 8, numHashes = 16, rowsPerBand = 4, maxDocFreq = cap)
-  }
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, numHashes = 16, rowsPerBand = 4,
+      maxDocFreqFraction = MinhashDfFraction, dfFloor = MinhashDfFloor)
 
   /** Hot-shingle cap constants shared with the DuckDB oracle replay. */
   val MinhashDfFraction = 0.013
@@ -451,6 +448,21 @@ object Queries {
     * production: 59 pairs at sf0.01, 920 at sf0.1). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
+
+  /** Banded sign-LSH plane family shared with the DuckDB oracle. */
+  val EmbBucketPlanes = 32
+  val EmbBucketBandBits = 4
+
+  /** The scale path for embedding near-dup: banded sign-LSH candidates
+    * (8 bands × 4 plane-sign bits — equi-join buckets, never all-pairs)
+    * + exact cosine verification. The oracle replays the identical
+    * deterministic plane matrix, so the pair set matches bit for bit;
+    * vs the all-pairs query it is a ~75%-recall subset at this low 0.4
+    * threshold (≥97% at real near-dup thresholds ≥0.8). */
+  def dedupEmbeddingBucketed(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsBucketed(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, numPlanes = EmbBucketPlanes, bandBits = EmbBucketBandBits)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
 
   /** The full ladder in measured-correct order: exact-collapse, then
@@ -603,6 +615,7 @@ object Queries {
     "dedup_jaccard" -> dedupJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_embedding" -> dedupEmbedding _,
+    "dedup_embedding_bucketed" -> dedupEmbeddingBucketed _,
     "dedup_simhash" -> dedupSimhash _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,

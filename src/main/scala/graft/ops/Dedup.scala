@@ -309,16 +309,49 @@ object Dedup {
   }
 
   /** Candidate pairs (a < b) from LSH banding over character n-grams.
-    * The join is on (band, band_key) equality buckets — never all-pairs. */
+    * The join is on (band, band_key) equality buckets — never all-pairs.
+    *
+    * Hot-shingle cap: with `maxDocFreq` (fixed) or `maxDocFreqFraction`
+    * (cap = greatest(floor(corpus × fraction), dfFloor), computed
+    * IN-PLAN — the 1-row corpus-count aggregate is cross-joined onto
+    * the doc-frequency table, so sizing the cap costs no separate
+    * driver-side count job), shingles in more docs than the cap are
+    * dropped before signatures — boilerplate would otherwise align
+    * minhashes and make every band bucket quadratic.
+    *
+    * Fallback for all-hot docs: a doc whose EVERY shingle is over the
+    * cap would otherwise lose all its rows — no signature, silently
+    * invisible to LSH even when it has verbatim near-dups. Such docs
+    * keep their `numHashes` lowest-df shingles instead ((df, h)
+    * ordering — deterministic, replayed by the SQL oracle). The
+    * fallback path touches only the lost docs' rows: the capped
+    * mainline stays a broadcast anti-join, no corpus-wide window. */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, rowsPerBand: Int, maxDocFreq: Int = 0): DataFrame = {
+      n: Int, numHashes: Int, rowsPerBand: Int, maxDocFreq: Int = 0,
+      maxDocFreqFraction: Double = 0.0, dfFloor: Int = 16): DataFrame = {
     val all = hashedShingles(df, idCol, textCol, n)
     val sh =
-      if (maxDocFreq <= 0) all
+      if (maxDocFreq <= 0 && maxDocFreqFraction <= 0) all
       else {
-        val hot = all.groupBy("h").agg(count("*").as("df"))
-          .filter(col("df") > maxDocFreq).select("h")
-        all.join(broadcast(hot), Seq("h"), "left_anti")
+        val capDf =
+          if (maxDocFreq > 0) df.sparkSession.range(1).select(lit(maxDocFreq.toLong).as("cap"))
+          else df.agg(greatest(floor(count(lit(1)) * lit(maxDocFreqFraction)),
+            lit(dfFloor.toLong)).as("cap"))
+        val dfc = all.groupBy("h").agg(count(lit(1)).as("dfh"))
+        val hot = dfc.crossJoin(broadcast(capDf))
+          .filter(col("dfh") > col("cap")).select("h")
+        val kept = all.join(broadcast(hot), Seq("h"), "left_anti")
+        // all-hot docs: no kept rows at all — rank THEIR rows by
+        // (df, h) and keep the numHashes lowest-df shingles
+        val lost = all.select("sid").distinct()
+          .join(kept.select("sid").distinct(), Seq("sid"), "left_anti")
+        val fallback = all.join(broadcast(lost), Seq("sid"), "left_semi")
+          .join(dfc, Seq("h"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("sid")).orderBy(col("dfh").asc, col("h").asc)))
+          .filter(col("rk") <= numHashes)
+          .select("sid", "h")
+        kept.select("sid", "h").unionByName(fallback)
       }
     val bands = lshBandKeys(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
     bands.as("a").join(bands.as("b"),
@@ -364,13 +397,85 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
-    * All-pairs within `df` — intended for candidate sets / small-to-mid
-    * tables; for 100 TB pre-bucket with LSH and pass buckets here. */
+    * All-pairs within `df` — EXACT but quadratic, so it is guarded:
+    * inputs larger than `maxExactRows` throw (the guard count is a
+    * column-pruned scan of the id column — cheap next to C(N,2) cosine
+    * evaluations it prevents). Intended for candidate sets and
+    * small-to-mid tables; the corpus-scale path is
+    * [[embeddingNearDupsBucketed]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxExactRows: Long = 100000L): DataFrame = {
+    val n = df.select(col(idCol)).count()
+    require(n <= maxExactRows,
+      s"embeddingNearDups is all-pairs (C($n,2) cosine evaluations); " +
+        s"input exceeds maxExactRows=$maxExactRows — use embeddingNearDupsBucketed " +
+        "(banded sign-LSH candidates + exact verification) or raise the guard explicitly")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= lit(threshold))
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding near-dup pairs at corpus scale: banded sign-LSH candidate
+    * generation + exact cosine verification — the same two-phase shape
+    * as [[jaccardPairs]], with hyperplane sign bands playing the
+    * posting-list role. Never all-pairs.
+    *
+    *  1. Each vector gets `numPlanes` deterministic hyperplane sign bits
+    *     (one fused [[graft.functions.LshBucket]] codegen node), split
+    *     into `numPlanes / bandBits` bands of `bandBits` bits. A pair is
+    *     a CANDIDATE iff some band's bits match exactly — an equi-join
+    *     on (band, key) buckets, Σ C(bucket, 2) pairs, never N².
+    *     For cosine ≥ t the per-plane sign-agreement probability is
+    *     p = 1 − arccos(t)/π, so candidate recall is
+    *     1 − (1 − p^bandBits)^bands: more/narrower bands ⇒ higher
+    *     recall + more candidates; wider bands ⇒ the reverse. Defaults
+    *     (8 bands × 4 bits) give ~0.75 recall at t = 0.4 and ≥ 0.97 at
+    *     t ≥ 0.8 (real near-dup territory).
+    *  2. Exact cosine on candidate ids only (two fetch-back equi-joins
+    *     on the id — AQE broadcasts the candidate side when small).
+    *
+    * `maxBucket > 0` skips buckets larger than the cap — at corpus
+    * scale a hot band bucket (e.g. a degenerate all-zeros region) is
+    * the analogue of a stop-shingle posting list: quadratic cost,
+    * near-zero signal. Buckets are a column, so a Parquet layout
+    * partitioned by (band, key) turns candidate generation into
+    * co-located per-partition joins.
+    *
+    * Results are a recall-bounded SUBSET of [[embeddingNearDups]] with
+    * identical (id_a, id_b, cosine) semantics per emitted pair. */
+  def embeddingNearDupsBucketed(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 32, bandBits: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
+    require(numPlanes > 0 && numPlanes <= 60 && numPlanes % bandBits == 0,
+      s"numPlanes ($numPlanes) must be in (0, 60] and divisible by bandBits ($bandBits)")
+    val bands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1L
+    val vecs = df.select(col(idCol).as("sid"), col(vecCol).as("v"))
+    val banded = vecs
+      .select(col("sid"),
+        graft.ops.SimilaritySearch.lshBucketColumn(col("v"), 0, numPlanes).as("bits"))
+      .select(col("sid"), col("bits"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .select(col("sid"), col("band"),
+        expr(s"shiftright(bits, band * $bandBits)").bitwiseAND(lit(mask)).as("key"))
+    val pruned =
+      if (maxBucket <= 0) banded
+      else {
+        val hot = banded.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBucket).select("band", "key")
+        banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      }
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .distinct()
+    val va = vecs.select(col("sid").as("id_a"), col("v").as("v_a"))
+    val vb = vecs.select(col("sid").as("id_b"), col("v").as("v_b"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine", VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")))
       .filter(col("cosine") >= lit(threshold))
       .select("id_a", "id_b", "cosine")

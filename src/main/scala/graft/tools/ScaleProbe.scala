@@ -49,6 +49,60 @@ object ScaleProbe {
     time("lsh top-10 (8 planes, probe<=1)") {
       SimilaritySearch.lshTopK(vecs, "vec_id", "embedding", dim, q, 10).collect()
     }
+    // ANN recall@10 vs exact at 2M vectors, 20 corpus vectors as
+    // queries. Uniform-random vectors are the WORST case for ANN (true
+    // neighbors are barely more aligned than chance, so sign buckets
+    // carry little signal); real embedding corpora cluster and recall
+    // is far higher — the planted-clone near-dup probe below shows the
+    // clustered regime. Exact ground truth comes from ONE heap-agg
+    // batch pass over the corpus.
+    val recallQs = vecs.filter(col("vec_id").between(100, 119))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exactTop = SimilaritySearch.bruteForceTopKBatchAgg(
+        vecs, "vec_id", "embedding", recallQs, "query_id", "qv", 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val qvecs = recallQs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def recall10(label: String)(approx: Array[Double] => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rs = qvecs.map { case (qid, qv) =>
+        val got = approx(qv).select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & exactTop(qid)).size / 10.0
+      }
+      println(f"[probe] recall@10 $label%-28s mean=${rs.sum / rs.length}%.3f " +
+        f"min=${rs.min}%.2f  (${(System.nanoTime() - t0) / 1e9}%.1f s / 20 queries)")
+    }
+    for (ph <- Seq(1, 2, 3))
+      recall10(s"lsh 8 planes probe<=$ph") (qv =>
+        SimilaritySearch.lshTopK(vecs, "vec_id", "embedding", dim, qv, 10,
+          numPlanes = 8, probeHamming = ph))
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-probe").toString
+    time("ivf write (6 planes, bucket-partitioned)") {
+      SimilaritySearch.ivfWrite(vecs, ivfDir, "embedding", dim, numPlanes = 6)
+    }
+    for (np <- Seq(8, 16, 32))
+      recall10(s"ivf 64 buckets nProbe=$np") (qv =>
+        SimilaritySearch.ivfTopKStored(spark, ivfDir, "vec_id", "embedding", qv, 10, np))
+
+    // Embedding near-dup at 2M vectors: the all-pairs form is C(2M,2) =
+    // 2e12 cosine evaluations — infeasible at any setting; the banded
+    // sign-LSH path runs it as (band,key) equi-joins. 1000 planted
+    // near-clones (cosine ~0.99998) are the recall target.
+    val clones = vecs.filter(col("vec_id") < 1000)
+      .select((col("vec_id") + lit(n)).as("vec_id"),
+        VectorFunctions.l2Normalize(expr(
+          "transform(embedding, (x, i) -> x + CASE WHEN i = 0 THEN CAST(0.01 AS FLOAT) ELSE CAST(0 AS FLOAT) END)"))
+          .as("embedding"))
+    val withClones = vecs.unionByName(clones).persist(StorageLevel.MEMORY_AND_DISK)
+    withClones.count()
+    time("near-dup bucketed (48 planes, 16-bit bands)") {
+      println("[probe]   pairs=" + graft.ops.Dedup.embeddingNearDupsBucketed(
+        withClones, "vec_id", "embedding", threshold = 0.95,
+        numPlanes = 48, bandBits = 16, maxBucket = 4096).count())
+    }
+    withClones.unpersist()
+
     val queries = vecs.filter(col("vec_id") < 32)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     time("batch 32-query top-10, window") {

@@ -68,6 +68,40 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding near-dups: size guard refuses an unguarded cartesian") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9, maxExactRows = 1L)
+    }
+    assert(e.getMessage.contains("embeddingNearDupsBucketed"))
+  }
+
+  test("bucketed embedding near-dups: subset of exact pairs, finds clones") {
+    // 40 vectors in 4 well-separated directions + near-clones of id 1
+    val dim = 16
+    val vecs = (1L to 40L).map { i =>
+      val base = Array.tabulate(dim)(d => if (d == (i % 4).toInt) 1.0f else 0.0f)
+      if (i <= 4) base(dim - 1) = 0.02f * i // near-clones of the i%4 axis
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embeddingNearDupsBucketed(vecs, "vec_id", "embedding",
+        threshold = 0.99, numPlanes = 32, bandBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+    // clone pair (1,5): same axis, cosine ~0.9998 — the tiny perturbation
+    // can flip at most a plane or two, leaving other bands identical, so
+    // the pair is always a candidate and always verified
+    assert(bucketed.contains((1L, 5L)))
+    assert(bucketed.nonEmpty)
+    // hot-bucket cap: capping at 1 kills every bucket of >=2 -> no pairs
+    val capped = Dedup.embeddingNearDupsBucketed(vecs, "vec_id", "embedding",
+      threshold = 0.0, numPlanes = 32, bandBits = 4, maxBucket = 1)
+    assert(capped.count() == 0L)
+  }
+
   test("brute-force top-k returns k best, deterministic tiebreak") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(-1.0f, 0.0f)),
