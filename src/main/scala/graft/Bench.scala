@@ -27,15 +27,27 @@ object Bench {
     try SparkEntry.queries("q2_topk_orders")(spark, sfDir).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
 
+    // Min of N runs per query (default 2): a single loaded-box sample
+    // (GC pause, CPU contention from a co-tenant process) cannot then
+    // masquerade as a code regression — the min is the best available
+    // estimate of the query's intrinsic cost. Caches are cleared between
+    // runs so eager queries (jaccard/minhash/corpus persist their
+    // results under a caller-owns-unpersist contract) are measured cold
+    // each time and cached blocks don't accumulate across the suite.
+    val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt, 1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) dt else -1.0
+      }
+      name -> (if (samples.exists(_ >= 0)) samples.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

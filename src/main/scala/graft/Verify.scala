@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Eager queries (jaccard/minhash/corpus) return persisted frames
+      // with a caller-owns-unpersist contract — this harness is that
+      // caller, and the result is fully consumed by the write above.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

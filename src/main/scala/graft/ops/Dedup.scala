@@ -329,36 +329,75 @@ object Dedup {
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, maxDocFreq: Int = 0,
       maxDocFreqFraction: Double = 0.0, dfFloor: Int = 16): DataFrame = {
-    val all = hashedShingles(df, idCol, textCol, n)
-    val sh =
-      if (maxDocFreq <= 0 && maxDocFreqFraction <= 0) all
-      else {
-        val capDf =
-          if (maxDocFreq > 0) df.sparkSession.range(1).select(lit(maxDocFreq.toLong).as("cap"))
-          else df.agg(greatest(floor(count(lit(1)) * lit(maxDocFreqFraction)),
-            lit(dfFloor.toLong)).as("cap"))
-        val dfc = all.groupBy("h").agg(count(lit(1)).as("dfh"))
-        val hot = dfc.crossJoin(broadcast(capDf))
-          .filter(col("dfh") > col("cap")).select("h")
-        val kept = all.join(broadcast(hot), Seq("h"), "left_anti")
-        // all-hot docs: no kept rows at all — rank THEIR rows by
-        // (df, h) and keep the numHashes lowest-df shingles
-        val lost = all.select("sid").distinct()
-          .join(kept.select("sid").distinct(), Seq("sid"), "left_anti")
-        val fallback = all.join(broadcast(lost), Seq("sid"), "left_semi")
-          .join(dfc, Seq("h"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("sid")).orderBy(col("dfh").asc, col("h").asc)))
-          .filter(col("rk") <= numHashes)
-          .select("sid", "h")
-        kept.select("sid", "h").unionByName(fallback)
+    def bandPairs0(signatures: DataFrame): DataFrame = {
+      val bands = lshBandKeys(signatures, numHashes, rowsPerBand)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.sid") < col("b.sid"))
+        .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+        .distinct()
+    }
+    def bandPairs(sh: DataFrame): DataFrame =
+      bandPairs0(minhashSignatures(sh, numHashes))
+    if (maxDocFreq <= 0 && maxDocFreqFraction <= 0) {
+      // uncapped: the shingle scan has a single consumer — stay lazy
+      bandPairs(hashedShingles(df, idCol, textCol, n))
+    } else {
+      // The md5-per-shingle scan (the expensive pass) feeds THREE
+      // lineages in the capped branch: the doc-frequency table, the
+      // signature aggregation, and the (usually-empty) all-hot-doc
+      // fallback. Persist the COMPACT per-doc set form for the pass —
+      // one long-array row per doc, re-exploding is cheap next to the
+      // md5 build — so the scan runs once, not 4-5×. Like
+      // [[jaccardPairs]] the function is then eager: the (small)
+      // candidate pair frame is materialized so the scan cache can be
+      // released before returning. Caller owns the returned frame's
+      // `unpersist()`.
+      val sets = shingleHashSets(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val all = sets.select(col("sid"), explode(col("hs")).as("h"))
+      val capDf =
+        if (maxDocFreq > 0) df.sparkSession.range(1).select(lit(maxDocFreq.toLong).as("cap"))
+        else df.agg(greatest(floor(count(lit(1)) * lit(maxDocFreqFraction)),
+          lit(dfFloor.toLong)).as("cap"))
+      val dfc = all.groupBy("h").agg(count(lit(1)).as("dfh"))
+      val hot = dfc.crossJoin(broadcast(capDf))
+        .filter(col("dfh") > col("cap")).select("h")
+      // ONE groupBy computes both the over-cap-filtered signatures and
+      // each doc's kept-row count: minhash mins over non-hot rows only,
+      // via a broadcast hot-flag join — no separate kept/lost distinct
+      // shuffles over the exploded rows (those two extra aggregations
+      // were ~40% of the query's wall time at sf0.1).
+      val h28 = shiftright(col("h"), 32)
+      val keptMins = minhashSeeds(numHashes).zipWithIndex.map { case ((a, b), i) =>
+        min(when(col("hot_flag").isNull,
+          (h28 * lit(a) + lit(b)) % lit(MinhashP))).as(s"mh$i")
       }
-    val bands = lshBandKeys(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.sid") < col("b.sid"))
-      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
-      .distinct()
+      val sigs = all
+        .join(broadcast(hot.withColumn("hot_flag", lit(1))), Seq("h"), "left")
+        .groupBy("sid")
+        .agg(keptMins.head, (keptMins.tail :+
+          count(when(col("hot_flag").isNull, lit(1))).as("kept_cnt")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val okSigs = sigs.filter(col("kept_cnt") > 0).drop("kept_cnt")
+      // all-hot docs: every shingle over the cap — no kept rows, so no
+      // signature; rank THEIR rows by (df, h) and re-signature over the
+      // numHashes lowest-df shingles. Touches only the lost docs' rows.
+      val lost = sigs.filter(col("kept_cnt") === 0).select("sid")
+      val fallbackRows = all.join(broadcast(lost), Seq("sid"), "left_semi")
+        .join(dfc, Seq("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("sid")).orderBy(col("dfh").asc, col("h").asc)))
+        .filter(col("rk") <= numHashes)
+        .select("sid", "h")
+      val allSigs = okSigs.unionByName(minhashSignatures(fallbackRows, numHashes))
+      val result = bandPairs0(allSigs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count() // materialize, then drop the scan + signature caches
+      sigs.unpersist()
+      sets.unpersist()
+      result // caller owns the persisted pair frame: unpersist() when done
+    }
   }
 
   /** SimHash: 60-bit fingerprint from per-shingle bit votes over the
@@ -402,10 +441,15 @@ object Dedup {
     * column-pruned scan of the id column — cheap next to C(N,2) cosine
     * evaluations it prevents). Intended for candidate sets and
     * small-to-mid tables; the corpus-scale path is
-    * [[embeddingNearDupsBucketed]]. */
+    * [[embeddingNearDupsBucketed]].
+    *
+    * Callers that already know the input is small (e.g. composing over a
+    * pre-counted candidate set in a lazy plan) can pass
+    * `maxExactRows = Long.MaxValue` to skip the guard scan entirely and
+    * keep the call lazy. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxExactRows: Long = 100000L): DataFrame = {
-    val n = df.select(col(idCol)).count()
+    val n = if (maxExactRows == Long.MaxValue) 0L else df.select(col(idCol)).count()
     require(n <= maxExactRows,
       s"embeddingNearDups is all-pairs (C($n,2) cosine evaluations); " +
         s"input exceeds maxExactRows=$maxExactRows — use embeddingNearDupsBucketed " +

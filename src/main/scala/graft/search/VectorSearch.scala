@@ -59,7 +59,16 @@ object VectorSearch {
     * inner_product conversions are BATCH-RELATIVE (normalized by the
     * max/min of the returned top-k), so they must run after the take —
     * expressed as window aggregates partitioned by `batchCols` (empty =
-    * the single-query case; query_id for batched search). */
+    * the single-query case; query_id for batched search).
+    *
+    * PRECONDITION (empty `batchCols` only): `hits` must already be a
+    * bounded top-k batch — ≤ k rows, as produced by [[searchChunks]]'s
+    * take. The single-query path materializes the batch as ONE
+    * collect_list array row to compute the batch stats without a
+    * partition-less window; an unbounded input would put the whole
+    * frame into a single array value in one task. With non-empty
+    * `batchCols` the window is a real partitioned one and the input
+    * may be any size. */
   def withSimilarity(hits: DataFrame, metric: String,
       batchCols: Seq[String] = Nil): DataFrame = {
     val d = col("distance")

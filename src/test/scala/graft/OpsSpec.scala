@@ -44,6 +44,27 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(1L, 4L, 5L))
   }
 
+  test("dedup cache ownership: zero persisted blocks after round-trip + unpersist") {
+    // the eager dedup entry points persist their returned frames under a
+    // caller-owns-unpersist contract and must release every intermediate
+    // cache themselves — a long-lived session running the ladder
+    // repeatedly must not accumulate blocks
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val ladder = Dedup.dedupCorpus(docs, "doc_id", "text",
+      n = 4, threshold = 0.5, maxDocFreqFraction = 0.5, minShared = 2)
+    ladder.count()
+    ladder.unpersist(blocking = true)
+    val mh = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      n = 4, numHashes = 16, rowsPerBand = 4, maxDocFreq = 64)
+    mh.count()
+    mh.unpersist(blocking = true)
+    val jp = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 4, threshold = 0.5, maxDocFreq = 64)
+    jp.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("minhash LSH finds exact and near dup candidates") {
     val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
         n = 4, numHashes = 16, rowsPerBand = 4)
