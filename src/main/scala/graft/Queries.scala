@@ -473,6 +473,19 @@ object Queries {
         n = 8, threshold = 0.5, maxDocFreqFraction = 0.013, minShared = 2)
       .select(col("doc_id"))
 
+  /** Transitive near-dup clustering over the jaccard pair graph: the
+    * same pair set as [[dedupJaccard]], collapsed to connected
+    * components by min-label propagation — a chain A≈B≈C lands in ONE
+    * cluster keyed by its minimum doc id. The oracle replays the pair
+    * SQL plus a recursive-CTE reachability closure. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+    val clusters = Dedup.dedupClusters(pairs)
+    pairs.unpersist()
+    clusters.select(col("sid").as("doc_id"), col("cluster"))
+  }
+
   /** SimHash near-dup pairs over the portable 60-bit shingle hash,
     * blocked on 4×15-bit fingerprint chunks (pigeonhole: hamming ≤ 3
     * pairs share ≥ 1 exact chunk — no all-pairs join). */
@@ -617,6 +630,7 @@ object Queries {
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_embedding_bucketed" -> dedupEmbeddingBucketed _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_clusters" -> dedupClusters _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

@@ -537,6 +537,113 @@ object Dedup {
     * surviving rows as a persisted, materialized frame — every
     * intermediate cache (survivors, pairs) is released before
     * returning; the CALLER owns the returned frame's `unpersist()`. */
+  /** Transitive near-dup clustering: connected components over an
+    * undirected pair graph ((id_a, id_b) rows — e.g. [[jaccardPairs]] /
+    * [[minhashLshCandidates]] / [[simhashNearDups]] output), so a chain
+    * A≈B≈C collapses to ONE cluster even when (A, C) is not itself a
+    * pair. Returns (sid, cluster) for every doc that appears in ≥1 pair;
+    * `cluster` = the minimum doc id reachable in the component (the
+    * deterministic representative — docs with no near-dup pair are
+    * implicitly their own singleton cluster and are not emitted).
+    *
+    * Two execution paths behind one semantics (cluster = component min):
+    *
+    *  - **Small graphs** (≤ `maxLocalPairs`, measured by a count of the
+    *    pair frame): collect the pairs and run driver-side union-find —
+    *    O(E α(E)) and microseconds. A near-dup pair set is corpus-tiny
+    *    by construction (it IS the duplication found), so this is the
+    *    common path even on large corpora; 4M pairs ≈ 64 MB on the
+    *    driver. The distributed loop below costs ~2-3 s of fixed
+    *    job/codegen overhead PER ROUND regardless of size — pure waste
+    *    under a few million rows.
+    *  - **Large graphs**: iterative min-label propagation — each round
+    *    every node adopts the min of its own and its neighbors' labels
+    *    (one equi-join + one groupBy per round, both on the pair-graph
+    *    rows only, never the corpus). Converges in graph-diameter
+    *    rounds; near-dup components are small and dense, so 2-4 rounds
+    *    in practice. Labels are persisted per round and the previous
+    *    round released, so lineage stays flat at any iteration count. A
+    *    component with diameter > `maxIters` throws rather than
+    *    returning silently-unconverged clusters (at that shape the
+    *    input is not a near-dup graph — raise `maxIters` deliberately
+    *    if so; the local path always converges).
+    *
+    * Eager, like the pair generators: runs at call time and returns the
+    * final persisted (sid, cluster) frame — caller owns `unpersist()`. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50,
+      maxLocalPairs: Long = 4000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val prj = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    if (maxLocalPairs > 0 && prj.count() <= maxLocalPairs) {
+      val edgeArr = prj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      edgeArr.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union toward the smaller root: the final root IS the min id
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(sid => rows += ((sid, find(sid))))
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      return rows.toSeq.toDF("sid", "cluster")
+    }
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("sid")).distinct()
+      .withColumn("cluster", col("sid"))
+      .persist(lvl)
+    var handle = labels // the persisted frame backing `labels`
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // One aggregation yields both the new label (min over self +
+      // neighbors) and the previous label (the own=1 row), so the
+      // convergence check rides the same job that materializes the
+      // round — no separate changed-count join. The loop re-executes a
+      // structurally identical plan each round over persisted inputs,
+      // so codegen is compiled once and lineage stays one round deep.
+      val prop = edges.join(labels, edges("src") === labels("sid"))
+        .select(col("dst").as("sid"), col("cluster"), lit(0).as("own"))
+      val next = labels.withColumn("own", lit(1)).unionByName(prop)
+        .groupBy("sid")
+        .agg(min(col("cluster")).as("cluster"),
+          min(when(col("own") === 1, col("cluster"))).as("prev"))
+        .persist(lvl)
+      changed = next.filter(col("cluster") < col("prev")).count()
+      handle.unpersist()
+      handle = next
+      labels = next.drop("prev") // reads the cached aggregate via plan match
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0) {
+      handle.unpersist()
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIters rounds — the pair graph has a " +
+          s"component of diameter > $maxIters, which no near-dup process produces; " +
+          "raise maxIters explicitly if this topology is intended")
+    }
+    // re-root the (sid, cluster) projection as its own cache entry so the
+    // caller's unpersist() releases everything (the projected frame's
+    // plan is not the cached aggregate's, so unpersisting via it would
+    // otherwise leave the final round's cache behind)
+    val result = labels.persist(lvl)
+    result.count()
+    handle.unpersist()
+    result // caller owns the persisted (sid, cluster) frame
+  }
+
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int = 8,
       threshold: Double = 0.8, maxDocFreqFraction: Double = 0.013,
       minShared: Int = 2): DataFrame = {

@@ -65,6 +65,51 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("transitive clustering: chains collapse, components stay separate") {
+    import spark.implicits._
+    // component {1,2,3} via chain edges only (no 1-3 edge), component
+    // {5,6}, and a 5-node path 10..14 that needs several propagation
+    // rounds to converge
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    // driver-side union-find path (the small-graph default)
+    val local = Dedup.dedupClusters(pairs)
+    assert(local.as[(Long, Long)].collect().toMap == expected)
+    // distributed min-label propagation path: identical result
+    val dist = Dedup.dedupClusters(pairs, maxLocalPairs = 0)
+    val got = dist.as[(Long, Long)].collect().toMap
+    dist.unpersist()
+    assert(got == expected)
+    // non-convergence guard: a diameter-4 path cannot converge in 1 round
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(pairs, maxIters = 1, maxLocalPairs = 0)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("transitive clustering end-to-end: planted A~B~C text chain -> one cluster") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"word$i")
+    def doc(from: Int, until: Int) = w.slice(from, until).mkString(" ")
+    val docs = Seq(
+      (1L, doc(0, 20)), (2L, doc(4, 24)), (3L, doc(8, 28)), // sliding chain
+      (9L, "entirely unrelated content about something else altogether")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 8, threshold = 0.55, maxDocFreq = 0, minShared = 1)
+    val pairSet = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // adjacent docs overlap 16/24 words; 1 vs 3 only 12/28 — chain only
+    assert(pairSet.contains((1L, 2L)) && pairSet.contains((2L, 3L)))
+    assert(!pairSet.contains((1L, 3L)))
+    val clusters = Dedup.dedupClusters(pairs)
+    val got = clusters.as[(Long, Long)].collect().toMap
+    clusters.unpersist(); pairs.unpersist()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("minhash LSH finds exact and near dup candidates") {
     val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
         n = 4, numHashes = 16, rowsPerBand = 4)
