@@ -24,7 +24,8 @@ object Extractors {
     * java.util.zip + XML stripping; EML is RFC-822 parsing. */
   val supportedExtensions: Set[String] =
     Set(".txt", ".md", ".csv", ".html", ".htm", ".json", ".pages.json",
-      ".docx", ".epub", ".eml", ".odt", ".enex", ".rtf", ".xlsx")
+      ".docx", ".epub", ".eml", ".odt", ".enex", ".rtf", ".xlsx", ".xlsm",
+      ".pdf", ".msg", ".xls")
 
   private val TagRe = "(?s)<(script|style)[^>]*>.*?</\\1>".r
   private val AnyTagRe = "<[^>]+>".r
@@ -251,6 +252,313 @@ object Extractors {
     (header("Subject").map(_ + "\n\n").getOrElse("") + bodyText).strip()
   }
 
+  /** MSG (Outlook message, MS-OXMSG) → subject + body. The OLE2
+    * container stores each MAPI property as a stream
+    * `__substg1.0_<id><type>`: subject = 0x0037, body = 0x1000; type
+    * 001F = UTF-16LE, 001E = 8-bit. Same output shape as [[eml]]
+    * (UnstructuredEmailLoader handles both, document_processor.py:143). */
+  def msg(bytes: Array[Byte]): String = {
+    val sts = Ole2.streams(bytes)
+    def prop(id: String): Option[String] =
+      sts.collectFirst {
+        case (n, b) if n.contains(s"__substg1.0_${id}001F") =>
+          new String(b, StandardCharsets.UTF_16LE)
+      }.orElse(sts.collectFirst {
+        case (n, b) if n.contains(s"__substg1.0_${id}001E") =>
+          new String(b, StandardCharsets.UTF_8)
+      }).map(_.strip).filter(_.nonEmpty)
+    (prop("0037").map(_ + "\n\n").getOrElse("") + prop("1000").getOrElse("")).strip
+  }
+
+  /** XLS (BIFF8 workbook) → tab-separated cell rows per sheet, the same
+    * output shape as [[xlsx]]. Reads the `Workbook` stream's record
+    * sequence: SST shared strings (simple and rich/extended headers;
+    * strings that span Continue records are dropped, not mangled),
+    * LABELSST / LABEL / NUMBER / RK / MULRK cells, BOF substream
+    * boundaries for sheet order. Formulas surface only via their
+    * cached RK/NUMBER results when present. */
+  def xls(bytes: Array[Byte]): String = {
+    val wb = Ole2.streams(bytes).collectFirst {
+      case (n, b) if n == "Workbook" || n == "Book" => b
+    }.getOrElse(return "")
+    val buf = java.nio.ByteBuffer.wrap(wb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sst = scala.collection.mutable.ArrayBuffer[String]()
+    // sheet → row → col → text
+    val sheets = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.TreeMap[Int, scala.collection.mutable.TreeMap[Int, String]]]()
+    def cell(sheet: Int, row: Int, col: Int, v: String): Unit =
+      if (sheet >= 0 && sheet < sheets.length)
+        sheets(sheet).getOrElseUpdate(row, scala.collection.mutable.TreeMap.empty)
+          .update(col, v)
+    def fmtNum(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    def rkValue(rk: Long): Double = {
+      val base =
+        if ((rk & 2L) != 0) (rk >> 2).toInt.toDouble // 30-bit signed int
+        else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
+      if ((rk & 1L) != 0) base / 100.0 else base
+    }
+    var sheet = -1 // BIFF globals substream precedes the first sheet
+    var pos = 0
+    while (pos + 4 <= wb.length) {
+      val typ = buf.getShort(pos).toInt & 0xFFFF
+      val len = buf.getShort(pos + 2).toInt & 0xFFFF
+      val p = pos + 4
+      if (p + len > wb.length) { pos = wb.length } // truncated record
+      else {
+        typ match {
+          case 0x0809 => // BOF: dt at +2 (0x0005 globals, 0x0010 worksheet)
+            if (len >= 4 && (buf.getShort(p + 2).toInt & 0xFFFF) == 0x0010) {
+              sheets += scala.collection.mutable.TreeMap.empty
+              sheet = sheets.length - 1
+            }
+          case 0x00FC => // SST: 8-byte header then XLUnicodeRichExtendedString*
+            var q = p + 8
+            var ok = true
+            while (ok && q + 3 <= p + len) {
+              val cch = buf.getShort(q).toInt & 0xFFFF
+              val flags = wb(q + 2).toInt & 0xFF
+              var r = q + 3
+              val cRun = if ((flags & 0x08) != 0) {
+                val v = if (r + 2 <= p + len) buf.getShort(r).toInt & 0xFFFF else 0
+                r += 2; v
+              } else 0
+              val cbExt = if ((flags & 0x04) != 0) {
+                val v = if (r + 4 <= p + len) buf.getInt(r) else 0
+                r += 4; v
+              } else 0
+              val nBytes = if ((flags & 0x01) != 0) cch * 2 else cch
+              if (r + nBytes + cRun * 4 + cbExt <= p + len) {
+                sst += (if ((flags & 0x01) != 0)
+                  new String(wb, r, nBytes, StandardCharsets.UTF_16LE)
+                else new String(wb, r, nBytes, StandardCharsets.ISO_8859_1))
+                q = r + nBytes + cRun * 4 + cbExt
+              } else ok = false // string continues into a Continue record
+            }
+          case 0x00FD if len >= 10 => // LABELSST
+            val idx = buf.getInt(p + 6)
+            cell(sheet, buf.getShort(p).toInt & 0xFFFF, buf.getShort(p + 2).toInt & 0xFFFF,
+              if (idx >= 0 && idx < sst.length) sst(idx) else "")
+          case 0x0204 if len >= 9 => // LABEL (inline BIFF8 string)
+            val cch = buf.getShort(p + 6).toInt & 0xFFFF
+            val flags = wb(p + 8).toInt & 0xFF
+            val nBytes = if ((flags & 0x01) != 0) cch * 2 else cch
+            if (p + 9 + nBytes <= p + len)
+              cell(sheet, buf.getShort(p).toInt & 0xFFFF, buf.getShort(p + 2).toInt & 0xFFFF,
+                if ((flags & 0x01) != 0) new String(wb, p + 9, nBytes, StandardCharsets.UTF_16LE)
+                else new String(wb, p + 9, nBytes, StandardCharsets.ISO_8859_1))
+          case 0x0203 if len >= 14 => // NUMBER: xnum f64
+            cell(sheet, buf.getShort(p).toInt & 0xFFFF, buf.getShort(p + 2).toInt & 0xFFFF,
+              fmtNum(buf.getDouble(p + 6)))
+          case 0x027E if len >= 10 => // RK
+            cell(sheet, buf.getShort(p).toInt & 0xFFFF, buf.getShort(p + 2).toInt & 0xFFFF,
+              fmtNum(rkValue(buf.getInt(p + 6).toLong & 0xFFFFFFFFL)))
+          case 0x00BD if len >= 10 => // MULRK: row, colFirst, (ixfe, rk)*, colLast
+            val row = buf.getShort(p).toInt & 0xFFFF
+            val colFirst = buf.getShort(p + 2).toInt & 0xFFFF
+            val nCells = (len - 6) / 6
+            (0 until nCells).foreach { k =>
+              cell(sheet, row, colFirst + k,
+                fmtNum(rkValue(buf.getInt(p + 4 + k * 6 + 2).toLong & 0xFFFFFFFFL)))
+            }
+          case _ => ()
+        }
+        pos = p + len
+      }
+    }
+    sheets.map { rows =>
+      rows.values.map(_.values.mkString("\t")).filter(_.nonEmpty).mkString("\n")
+    }.filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  // -------------------------------------------------------------------
+  // Real binary PDF (ISO 32000): object scan → page-tree traversal →
+  // FlateDecode → BT/ET text-operator extraction. The reference's
+  // flagship loader is PyMuPDF page texts joined with [[pageN]] markers
+  // (document_processor.py:95-113); this parser produces the same
+  // page-text sequence for the dominant real-world shape — Flate or
+  // uncompressed content streams, simple-font ASCII/Latin-1 text shown
+  // with Tj / TJ / ' / ". Out of scope (extractor returns what it can):
+  // CMap/ToUnicode composite-font remapping, encrypted files,
+  // object/xref streams (PDF 1.5 compressed object containers),
+  // LZW/DCT-only streams.
+  // -------------------------------------------------------------------
+
+  /** One indirect object: its dictionary source and raw stream bytes. */
+  private case class PdfObj(dict: String, stream: Array[Byte])
+
+  private val ObjStartRe = "(\\d+)\\s+(\\d+)\\s+obj\\b".r
+  private val RefRe = "(\\d+)\\s+\\d+\\s+R".r
+
+  /** Scan every `N G obj … endobj` in the file. Stream extents come
+    * from a direct /Length when present (binary stream data may contain
+    * `endobj`/`endstream` byte runs, so delimiter search alone is not
+    * safe), else the nearest `endstream`. */
+  private def pdfObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    // ISO-8859-1 round-trips bytes 1:1, so offsets in this string are
+    // byte offsets and stream segments convert back losslessly
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val out = Map.newBuilder[Int, PdfObj]
+    for (m <- ObjStartRe.findAllMatchIn(s)) {
+      val num = m.group(1).toInt
+      val bodyStart = m.end
+      val streamKw = s.indexOf("stream", bodyStart)
+      val endobj = s.indexOf("endobj", bodyStart)
+      if (endobj >= 0) {
+        if (streamKw >= 0 && streamKw < endobj) {
+          val dict = s.substring(bodyStart, streamKw)
+          var dataStart = streamKw + "stream".length
+          if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+          val len = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r.findFirstMatchIn(dict)
+            .map(_.group(1).toInt)
+          val dataEnd = len match {
+            case Some(n) if dataStart + n <= s.length => dataStart + n
+            case _ => math.max(s.lastIndexOf("endstream",
+              s.indexOf("endstream", dataStart) max dataStart), dataStart)
+          }
+          out += num -> PdfObj(dict,
+            s.substring(dataStart, dataEnd).getBytes(StandardCharsets.ISO_8859_1))
+        } else out += num -> PdfObj(s.substring(bodyStart, endobj), Array.emptyByteArray)
+      }
+    }
+    out.result()
+  }
+
+  /** Inflate a /FlateDecode stream (zlib-wrapped per spec; raw-deflate
+    * fallback for writers that omit the wrapper). */
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](8192)
+        var n = inf.inflate(buf)
+        while (n > 0) { // n == 0 with !finished means corrupt/needs-dict: stop
+          out.write(buf, 0, n)
+          n = if (inf.finished()) 0 else inf.inflate(buf)
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    try run(false) catch { case scala.util.control.NonFatal(_) => run(true) }
+  }
+
+  /** Text shown by one content stream: literal/hex strings fed to the
+    * text-show operators, in order; line moves (Td, TD, `T*`, ET) map
+    * to '\n'. */
+  private def pdfContentText(data: Array[Byte]): String = {
+    val s = new String(data, StandardCharsets.ISO_8859_1)
+    val sb = new StringBuilder
+    val line = new StringBuilder
+    var pending = new StringBuilder // strings seen since the last operator
+    def flushLine(): Unit = {
+      if (line.nonEmpty) { sb.append(line.toString.strip()).append('\n'); line.clear() }
+    }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '(' => // literal string; parens nest, backslash escapes
+          var depth = 1; i += 1
+          while (i < n && depth > 0) {
+            s.charAt(i) match {
+              case '\\' if i + 1 < n =>
+                s.charAt(i + 1) match {
+                  case 'n' => pending.append('\n'); i += 2
+                  case 'r' => pending.append('\r'); i += 2
+                  case 't' => pending.append('\t'); i += 2
+                  case 'b' => pending.append('\b'); i += 2
+                  case 'f' => pending.append('\f'); i += 2
+                  case '\n' => i += 2 // line continuation
+                  case c if c >= '0' && c <= '7' => // \ooo octal, 1-3 digits
+                    var j = i + 1; var v = 0
+                    while (j < n && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+                      v = v * 8 + (s.charAt(j) - '0'); j += 1
+                    }
+                    pending.append(v.toChar); i = j
+                  case c => pending.append(c); i += 2
+                }
+              case '(' => depth += 1; pending.append('('); i += 1
+              case ')' => depth -= 1; if (depth > 0) pending.append(')'); i += 1
+              case c => pending.append(c); i += 1
+            }
+          }
+        case '<' if i + 1 < n && s.charAt(i + 1) != '<' => // hex string
+          val close = s.indexOf('>', i)
+          if (close < 0) i = n
+          else {
+            val hex = s.substring(i + 1, close).replaceAll("\\s", "")
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            var k = 0
+            while (k + 1 < padded.length + 1 && k + 2 <= padded.length) {
+              pending.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
+              k += 2
+            }
+            i = close + 1
+          }
+        case '<' => i += 2 // '<<' dict open
+        case '%' => while (i < n && s.charAt(i) != '\n') i += 1 // comment
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          val start = i
+          while (i < n && !s.charAt(i).isWhitespace &&
+            !"()<>[]{}/%".contains(s.charAt(i))) i += 1
+          s.substring(start, i) match {
+            case "Tj" | "TJ" | "'" | "\"" =>
+              line.append(pending); pending = new StringBuilder
+            case "Td" | "TD" | "T*" => pending.clear(); flushLine()
+            case "ET" => pending.clear(); flushLine()
+            case _ => pending.clear() // any other op: strings were operands
+          }
+        case _ => i += 1
+      }
+    }
+    flushLine()
+    sb.toString.strip()
+  }
+
+  /** Page texts in page-tree order. Traversal: trailer-less — find the
+    * /Catalog object, walk /Pages → /Kids recursively (inner nodes may
+    * nest), resolve each page's /Contents ref(s). Falls back to
+    * file-order /Type /Page objects when no catalog resolves. */
+  def pdfPages(bytes: Array[Byte]): Seq[String] = {
+    val objs = pdfObjects(bytes)
+    val PageTypeRe = "/Type\\s*/Page\\b".r
+    val KidsRe = "/Kids\\s*\\[([^\\]]*)\\]".r
+    def pageOrder: Seq[Int] = {
+      val catalog = objs.collectFirst {
+        case (_, o) if o.dict.contains("/Catalog") =>
+          "/Pages\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      }.flatten
+      def walk(num: Int, depth: Int): Seq[Int] =
+        if (depth > 64) Seq.empty
+        else objs.get(num).toSeq.flatMap { o =>
+          if (PageTypeRe.findFirstIn(o.dict).isDefined) Seq(num)
+          else KidsRe.findFirstMatchIn(o.dict).toSeq.flatMap(k =>
+            RefRe.findAllMatchIn(k.group(1)).map(_.group(1).toInt).toSeq
+              .flatMap(walk(_, depth + 1)))
+        }
+      val viaTree = catalog.map(walk(_, 0)).getOrElse(Seq.empty)
+      if (viaTree.nonEmpty) viaTree
+      else objs.toSeq.sortBy(_._1).collect {
+        case (num, o) if PageTypeRe.findFirstIn(o.dict).isDefined => num
+      }
+    }
+    pageOrder.map { pnum =>
+      val dict = objs(pnum).dict
+      val contentRefs = "/Contents\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict)
+        .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
+        .orElse("/Contents\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(dict)
+          .map(m => Seq(m.group(1).toInt)))
+        .getOrElse(Seq.empty)
+      contentRefs.flatMap(objs.get).map { c =>
+        val data = if (c.dict.contains("/FlateDecode")) inflate(c.stream) else c.stream
+        pdfContentText(data)
+      }.filter(_.nonEmpty).mkString("\n")
+    }
+  }
+
   /** Dispatch: extension → plain text (PDF-fixture files are converted
     * to `[[pageN]]`-marked text so the downstream chunker sees exactly
     * the reference's parser output, document_processor.py:104-110). */
@@ -260,12 +568,18 @@ object Extractors {
       val out =
         if (lower.endsWith(".pages.json"))
           graft.functions.Chunker.pagesToMarkedText(pages(bytes))
+        else if (lower.endsWith(".pdf"))
+          graft.functions.Chunker.pagesToMarkedText(pdfPages(bytes))
         else if (lower.endsWith(".html") || lower.endsWith(".htm")) html(bytes)
         else if (lower.endsWith(".docx")) docx(bytes)
         else if (lower.endsWith(".epub")) epub(bytes)
         else if (lower.endsWith(".eml")) eml(bytes)
         else if (lower.endsWith(".odt")) odt(bytes)
-        else if (lower.endsWith(".xlsx")) xlsx(bytes)
+        // .xlsm is the same OOXML zip as .xlsx with a macro part added —
+        // the worksheet/sharedStrings layout is identical
+        else if (lower.endsWith(".xlsx") || lower.endsWith(".xlsm")) xlsx(bytes)
+        else if (lower.endsWith(".xls")) xls(bytes)
+        else if (lower.endsWith(".msg")) msg(bytes)
         else if (lower.endsWith(".enex")) enex(bytes)
         else if (lower.endsWith(".rtf")) rtf(bytes)
         else text(bytes)

@@ -23,6 +23,10 @@ class EndToEndSpec extends SparkSpec {
     w("dup_of_a.txt", "alpha bravo charlie delta echo foxtrot golf hotel india juliet")
     w("c.html", "<html><head><style>p{}</style></head><body><p>uniform &amp; victor</p></body></html>")
     w("d.pages.json", """{"pages": ["whiskey xray yankee", "", "zulu alpha"]}""")
+    // a REAL binary PDF: two pages, Flate + raw content streams
+    Files.write(dir.resolve("e.pdf"), PdfFixture.mkPdf(
+      (PdfFixture.pageSource("golf echo november"), true),
+      (PdfFixture.pageSource("oscar kilo"), false)))
     w("skip.bin", "binary noise")
     dir
   }
@@ -36,13 +40,18 @@ class EndToEndSpec extends SparkSpec {
   test("ingest: scans supported formats only, extracts text + metadata") {
     val docs = DocumentIngest.loadDocuments(spark, corpusDir.toString)
     val names = docs.select("file_name").as[String].collect().toSet
-    assert(names == Set("a.txt", "b.txt", "dup_of_a.txt", "c.html", "d.pages.json"))
+    assert(names == Set("a.txt", "b.txt", "dup_of_a.txt", "c.html", "d.pages.json", "e.pdf"))
     val html = docs.filter($"file_name" === "c.html").select("page_content").as[String].head()
     assert(html == "uniform & victor")
     val pdf = docs.filter($"file_name" === "d.pages.json")
       .select("page_content", "file_type").as[(String, String)].head()
     assert(pdf._1 == "[[page1]]whiskey xray yankee[[page3]]zulu alpha")
     assert(pdf._2 == ".pdf")
+    // the real binary PDF parses to the same marked-page form
+    val realPdf = docs.filter($"file_name" === "e.pdf")
+      .select("page_content", "file_type").as[(String, String)].head()
+    assert(realPdf._1 == "[[page1]]golf echo november[[page2]]oscar kilo")
+    assert(realPdf._2 == ".pdf")
     // identical content -> identical hash (dedup natural key)
     val hashes = docs.filter($"file_name".isin("a.txt", "dup_of_a.txt"))
       .select("hash").as[String].collect()
@@ -59,8 +68,8 @@ class EndToEndSpec extends SparkSpec {
       .as[Option[Int]].collect()
     assert(pdfPages.nonEmpty && pdfPages.forall(_.isDefined))
     val docs = VectorStore.documents(spark, dbDir.toString)
-    assert(docs.count() == 5) // one row per FILE, duplicates included (sqlite_operations.py:12-20)
-    assert(docs.select("id").distinct().count() == 5) // ids unique even for identical content
+    assert(docs.count() == 6) // one row per FILE, duplicates included (sqlite_operations.py:12-20)
+    assert(docs.select("id").distinct().count() == 6) // ids unique even for identical content
     // byte-identical files share chunks: no duplicate chunk rows
     assert(chunks.select("id").distinct().count() == chunks.count())
     assert(VectorStore.chunkDocMap(spark, dbDir.toString).count() == chunks.count())

@@ -129,6 +129,65 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(out == "Name\t42\nWidget\tinline!")
   }
 
+  import PdfFixture.mkPdf
+
+  test("pdf: flate + raw streams, escapes, hex strings, TJ arrays, line moves") {
+    val p1 = "BT /F1 12 Tf 72 720 Td (Hello) Tj ( ) Tj (World \\(nested\\) \\101B) Tj " +
+      "0 -14 Td [(arr) -250 (ay)] TJ ET"
+    val p2 = "BT 72 720 Td <48 65 6C 6C 6F 21> Tj ET"
+    val bytes = mkPdf((p1, true), (p2, false))
+    val pages = Extractors.pdfPages(bytes)
+    assert(pages.size == 2)
+    assert(pages(0) == "Hello World (nested) AB\narray")
+    assert(pages(1) == "Hello!")
+  }
+
+  test("pdf: extract dispatch emits page markers for the chunker") {
+    val bytes = mkPdf(("BT (First page.) Tj ET", true), ("BT (Second page.) Tj ET", true))
+    val out = Extractors.extract("doc.pdf", bytes)
+    assert(out.contains("[[page1]]First page.[[page2]]Second page."))
+    assert(Extractors.isPdfLike("doc.pdf"))
+    assert(Extractors.supportedExtensions.contains(".pdf"))
+  }
+
+  test("pdf: blank pages skipped by markers; empty pdf -> None") {
+    val bytes = mkPdf(("BT (Visible.) Tj ET", false), ("BT ( ) Tj ET", false))
+    // pagesToMarkedText skips blank page texts, 1-based numbering kept
+    assert(Extractors.extract("d.pdf", bytes).contains("[[page1]]Visible."))
+    assert(Extractors.extract("e.pdf", "%PDF-1.4\n%%EOF".getBytes(UTF_8)).isEmpty)
+    assert(Extractors.extract("f.pdf", Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("msg: OLE2 property streams -> subject + body; big bodies via main FAT") {
+    val small = Ole2Fixture.msgFile("Quarterly report", "Body line one.\nLine two.")
+    assert(Extractors.msg(small) == "Quarterly report\n\nBody line one.\nLine two.")
+    assert(Extractors.extract("m.msg", small).contains("Quarterly report\n\nBody line one.\nLine two."))
+    // a >4096-byte body lands in regular FAT sectors, not the ministream
+    val longBody = "lorem ipsum " * 500
+    val big = Ole2Fixture.msgFile("Big", longBody)
+    assert(Extractors.msg(big) == "Big\n\n" + longBody.strip)
+    // not an OLE2 container -> extract None
+    assert(Extractors.extract("m.msg", Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("xls: BIFF8 SST/LABELSST/NUMBER/RK/MULRK cells, sheet rows") {
+    val out = Extractors.xls(Ole2Fixture.xlsFile())
+    assert(out == "Name\t42\n7\t1.5\t1.5\nWídget")
+    assert(Extractors.extract("wb.xls", Ole2Fixture.xlsFile()).exists(_.contains("Wídget")))
+    assert(Extractors.supportedExtensions.contains(".xls"))
+    assert(Extractors.supportedExtensions.contains(".msg"))
+  }
+
+  test("xlsm dispatches through the xlsx path") {
+    val bytes = zip(
+      "xl/sharedStrings.xml" -> "<sst><si><t>Macro</t></si></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row></sheetData></worksheet>""",
+      "xl/vbaProject.bin" -> "binary macro blob")
+    assert(Extractors.extract("wb.xlsm", bytes).contains("Macro"))
+    assert(Extractors.supportedExtensions.contains(".xlsm"))
+  }
+
   test("embedder query prompts follow the reference family table") {
     import graft.embed.Embedder
     assert(Embedder.queryPromptFor("BAAI/bge-small-en-v1.5") ==

@@ -1,0 +1,58 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+/** Builds small structurally valid PDFs (header, page tree, content
+  * streams, xref table, trailer) for extractor and end-to-end specs. */
+object PdfFixture {
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** `pages` = (content-stream source, flate-compress?). Object layout:
+    * catalog(1) → pages(2) → per-page page+content objects. */
+  def mkPdf(pages: (String, Boolean)*): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def w(s: String): Unit = out.write(s.getBytes(iso))
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += out.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val kidRefs = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w(s"<< /Type /Pages /Kids [$kidRefs] /Count ${pages.size} >>\n"))
+    pages.zipWithIndex.foreach { case ((src, compress), i) =>
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      obj(pageNum)(w(
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $contNum 0 R >>\n"))
+      val data = if (compress) deflate(src.getBytes(iso)) else src.getBytes(iso)
+      obj(contNum) {
+        val filter = if (compress) " /Filter /FlateDecode" else ""
+        w(s"<< /Length ${data.length}$filter >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  /** A simple text-showing content stream for `lines` on one page. */
+  def pageSource(lines: String*): String =
+    "BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"(${l.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")}) Tj")
+        .mkString(" 0 -14 Td ") + " ET"
+}
