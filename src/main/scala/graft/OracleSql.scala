@@ -292,6 +292,60 @@ object OracleSql {
         | )
         |SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id""".stripMargin,
 
+    // Word 5-gram overlap vs the doc_id%10==0 benchmark slice; grams
+    // hashed with the portable md5-prefix family on both sides.
+    "decontaminate" ->
+      """WITH wdocs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        | grams AS (SELECT doc_id,
+        |            CAST('0x' || substring(md5(array_to_string(words[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |           FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |                 FROM wdocs WHERE len(words) >= 5)),
+        | dg AS (SELECT DISTINCT doc_id, gh FROM grams),
+        | bench AS (SELECT DISTINCT gh FROM dg WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS n_contaminated_grams
+        |FROM dg WHERE doc_id % 10 <> 0 AND gh IN (SELECT gh FROM bench)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Word-level repetition: top-word fraction over non-empty words,
+    // distinct ratio, duplicate 5-gram fraction (grams built from the
+    // UNfiltered split array, mirroring the engine exactly).
+    "repetition_stats" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        | wnz AS (SELECT doc_id, w FROM w WHERE w <> ''),
+        | wc AS (SELECT doc_id, w, count(*) AS c FROM wnz GROUP BY doc_id, w),
+        | wa AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top FROM wc GROUP BY doc_id),
+        | g AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS g
+        |       FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |             FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+        |             WHERE len(words) >= 5)),
+        | ga AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct_grams FROM g GROUP BY doc_id)
+        |SELECT wa.doc_id,
+        | round(CAST(top AS DOUBLE) / n_words, 6) AS top_word_frac,
+        | round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_word_ratio,
+        | round(coalesce(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 0.0), 6) AS dup_gram_frac
+        |FROM wa LEFT JOIN ga ON wa.doc_id = ga.doc_id""".stripMargin,
+
+    // PII enrich + sequential redaction; each count runs on the text
+    // after the preceding categories were replaced, like the engine.
+    "pii_redact" ->
+      """WITH e AS (SELECT doc_id,
+        |   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1555010'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |        || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t0
+        |   FROM documents),
+        | s1 AS (SELECT doc_id, t0,
+        |   CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |   regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |   FROM e),
+        | s2 AS (SELECT doc_id, n_email,
+        |   CAST(len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |   regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+        |   FROM s1)
+        |SELECT doc_id, n_email, n_ipv4,
+        | CAST(len(regexp_extract_all(t2, '\+?\d[\d().-]{7,}\d')) AS BIGINT) AS n_phone,
+        | regexp_replace(t2, '\+?\d[\d().-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM s2""".stripMargin,
+
     "dedup_minhash_lsh" -> minhashLshSql(numHashes = 16, rowsPerBand = 4,
       dfFraction = graft.Queries.MinhashDfFraction, dfFloor = graft.Queries.MinhashDfFloor),
 

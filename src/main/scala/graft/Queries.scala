@@ -494,6 +494,43 @@ object Queries {
         n = 8, maxHammingDistance = 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
 
+  /** Benchmark decontamination: every 10th doc plays the held-out
+    * benchmark set; flag remaining corpus docs sharing any exact 5-word
+    * gram with it (the GPT-3 train-set hygiene pass, smaller n =
+    * stricter). Both sides hash grams with the portable md5-prefix
+    * family, so the oracle replays the overlap join exactly. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 5)
+      .select(col("sid").as("doc_id"), col("n_contaminated_grams"))
+  }
+
+  /** Within-doc repetition signals (Gopher/C4 quality-filter family). */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.repetitionStats(t(s, dir, "documents"), "doc_id", "text", gramN = 5)
+      .select(col("sid").as("doc_id"),
+        r6(col("top_word_frac")).as("top_word_frac"),
+        r6(col("distinct_word_ratio")).as("distinct_word_ratio"),
+        r6(col("dup_gram_frac")).as("dup_gram_frac"))
+
+  /** PII redaction over deterministically enriched text (the synthetic
+    * corpus carries no organic PII, so the query plants one email, one
+    * IPv4, and one phone per doc — making the counts and replacements
+    * non-vacuous while staying exactly replayable in SQL). */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val enriched = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1555010"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 192.168."), pmod(col("doc_id"), lit(256)), lit(".1")).as("pii_text"))
+    TextAnalytics.redactPii(enriched, "pii_text")
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"), col("redacted"))
+  }
+
   // ---------------------------------------------------------------------
   // Text analytics (scale extensions)
   // ---------------------------------------------------------------------
@@ -631,6 +668,9 @@ object Queries {
     "dedup_embedding_bucketed" -> dedupEmbeddingBucketed _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
+    "decontaminate" -> decontaminate _,
+    "repetition_stats" -> repetitionStats _,
+    "pii_redact" -> piiRedact _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

@@ -537,6 +537,49 @@ object Dedup {
     * surviving rows as a persisted, materialized frame — every
     * intermediate cache (survivors, pairs) is released before
     * returning; the CALLER owns the returned frame's `unpersist()`. */
+  /** Distinct word n-gram hashes per doc: (sid, gh) rows, gh = the
+    * portable 60-bit md5-prefix hash of the space-joined n-gram —
+    * replayable in SQL as `CAST('0x'||substring(md5(g),1,15) AS
+    * BIGINT)`. Pure built-ins (split / slice / concat_ws / md5 / conv),
+    * fully codegen — no UDF. Docs with fewer than n words emit no
+    * grams (the GPT-3 decontamination convention). */
+  def wordGramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        split(trim(col(textCol)), "\\s+").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("sid"), explode(expr(
+        s"transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n)))"))
+        .as("gram"))
+      .select(col("sid"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+      .distinct()
+
+  /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
+    * exact word n-grams with an evaluation/benchmark set — the standard
+    * train-set hygiene pass (GPT-3 used 13-gram overlap; smaller n is
+    * stricter). Returns (sid, n_contaminated_grams) for flagged docs.
+    *
+    * Scale shape: the benchmark side is the SMALL side by construction
+    * (eval sets are thousands of docs, the corpus is the 100 TB side) —
+    * its distinct gram-hash set is broadcast when it fits under
+    * `broadcastBytesCap` (measured with one count), else the overlap
+    * join falls back to a hash shuffle on the 8-byte gram key. The
+    * corpus side stays a single map-side explode → semi-join →
+    * per-doc count: no corpus self-join anywhere. */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minOverlap: Long = 1,
+      broadcastBytesCap: Long = 128L << 20): DataFrame = {
+    val benchGrams = wordGramHashes(benchmark, benchId, benchText, n)
+      .select(col("gh")).distinct()
+    val corpusGrams = wordGramHashes(corpus, corpusId, corpusText, n)
+    val nBench = benchGrams.count()
+    val benchSide = if (nBench * 24L < broadcastBytesCap) broadcast(benchGrams) else benchGrams
+    corpusGrams.join(benchSide, Seq("gh"), "left_semi")
+      .groupBy("sid").agg(count(lit(1)).as("n_contaminated_grams"))
+      .filter(col("n_contaminated_grams") >= minOverlap)
+  }
+
   /** Transitive near-dup clustering: connected components over an
     * undirected pair graph ((id_a, id_b) rows — e.g. [[jaccardPairs]] /
     * [[minhashLshCandidates]] / [[simhashNearDups]] output), so a chain

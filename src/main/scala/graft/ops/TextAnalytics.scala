@@ -89,6 +89,66 @@ object TextAnalytics {
         approx_count_distinct(col(textCol)).as("approx_distinct_docs"))
   }
 
+  /** Within-document repetition signals (the Gopher/C4 quality-filter
+    * family): fraction of word occurrences taken by the most frequent
+    * word, distinct-word ratio, and the duplicate fraction of word
+    * n-grams (1 − distinct/total). High top-word or duplicate-gram
+    * fractions mark boilerplate and degenerate repetition. Two bounded
+    * shuffles, both keyed by (doc, word|gram) with map-side partial
+    * aggregation — no corpus-wide state. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 5): DataFrame = {
+    val words = df.select(col(idCol).as("sid"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val wordAgg = words.groupBy("sid", "w").agg(count(lit(1)).as("c"))
+      .groupBy("sid").agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_word_count"))
+    val grams = df.select(col(idCol).as("sid"),
+        split(trim(col(textCol)), "\\s+").as("words"))
+      .filter(size(col("words")) >= gramN)
+      .select(col("sid"), explode(expr(
+        s"transform(sequence(1, size(words) - ${gramN - 1}), i -> concat_ws(' ', slice(words, i, $gramN)))"))
+        .as("g"))
+    val gramAgg = grams.groupBy("sid").agg(
+      count(lit(1)).as("n_grams"),
+      count_distinct(col("g")).as("n_distinct_grams"))
+    wordAgg.join(gramAgg, Seq("sid"), "left")
+      .select(col("sid"),
+        (col("top_word_count").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("n_distinct_words").cast("double") / col("n_words")).as("distinct_word_ratio"),
+        coalesce(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"),
+          lit(0.0)).as("dup_gram_frac"))
+  }
+
+  /** PII redaction patterns: category → (RE2-safe regex, placeholder).
+    * The patterns avoid lookaround/backreferences so the SQL oracle
+    * (RE2) and Spark (java.util.regex) agree; application order is
+    * fixed (emails first so their digits can't half-match as phones). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d().-]{7,}\\d", "<PHONE>"))
+
+  /** PII detection + redaction: per-category match counts and the text
+    * with every match replaced by its placeholder, patterns applied in
+    * [[piiPatterns]] order. Each count is taken on the text AFTER the
+    * preceding categories were redacted, so e.g. an IPv4 (digits and
+    * dots) is never double-counted as a phone number. Map-only column
+    * expressions (regexp_count / regexp_replace are codegen'd) — a
+    * full-corpus redaction pass is one scan. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    var cur: Column = col(textCol)
+    var acc = df
+    piiPatterns.foreach { case (cat, pat, repl) =>
+      acc = acc.withColumn(s"n_$cat", regexp_count(cur, lit(pat)).cast("long"))
+      cur = regexp_replace(cur, pat, repl)
+    }
+    acc.withColumn("redacted", cur)
+  }
+
   /** Portable 60-bit hash of an id rendered as a string: the
     * md5-prefix family shared with the shingle hashes — replayable in
     * any SQL engine, unlike xxhash64/rand. */

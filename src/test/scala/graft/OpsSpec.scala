@@ -208,6 +208,59 @@ class OpsSpec extends SparkSpec {
     assert(pruned.count() <= 5)
   }
 
+  test("decontamination: flags docs sharing word n-grams with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // contains bench gram
+      (2L, "a completely original sentence with no overlap here at all"),
+      (3L, "quick brown fox jumps over nothing important")) // 5-gram overlap via prefix
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over a fence"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown fox jumps" + "quick brown fox jumps over";
+    // doc 3 shares "quick brown fox jumps over"; doc 2 clean
+    assert(flagged.keySet == Set(1L, 3L))
+    assert(flagged(1L) == 2L && flagged(3L) == 1L)
+    // docs shorter than n words emit no grams and cannot be flagged
+    val shortDoc = Seq((9L, "quick brown fox")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(shortDoc, "doc_id", "text", bench, "doc_id", "text", n = 5)
+      .count() == 0L)
+  }
+
+  test("repetition stats: boilerplate scores high, varied text low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight entirely distinct words compose this small sentence")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.repetitionStats(df, "doc_id", "text", gramN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (top1, distinct1, dup1) = got(1L)
+    assert(top1 == 1.0 && distinct1 == 0.125)
+    assert(dup1 > 0.8) // 6 grams, 1 distinct -> 5/6 duplicated
+    val (top2, distinct2, dup2) = got(2L)
+    assert(top2 == 0.125 && distinct2 == 1.0 && dup2 == 0.0)
+  }
+
+  test("pii redaction: sequential counts, ip not double-counted as phone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail alice.smith@corp.example.org server 10.0.255.7 call +14155550101 done"),
+      (2L, "no pii in this text at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.redactPii(df, "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    val ((e1, i1, p1), red1) = got(1L)
+    assert((e1, i1, p1) == ((1L, 1L, 1L)))
+    assert(red1 == "mail <EMAIL> server <IP> call <PHONE> done")
+    val ((e2, i2, p2), red2) = got(2L)
+    assert((e2, i2, p2) == ((0L, 0L, 0L)) && red2 == "no pii in this text at all")
+  }
+
   test("language id: marker argmax with en-first tiebreak, und on none") {
     val df = Seq(
       (1L, "the cat and the hat of a house"),
