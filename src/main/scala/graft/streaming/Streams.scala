@@ -92,6 +92,38 @@ object Streams {
       .dropDuplicatesWithinWatermark("hash")
   }
 
+  /** Streaming benchmark decontamination — the streaming twin of
+    * [[graft.ops.Dedup.decontaminate]] for incremental ingest: each
+    * incoming document is flagged when any of its word n-grams appears
+    * in the STATIC benchmark set. The benchmark's distinct gram hashes
+    * are collected once and broadcast (an eval set is small by
+    * definition — millions of 8-byte hashes = tens of MB), so the
+    * stream side is a stateless map: per-row gram hashing with the
+    * same portable md5-prefix family as the batch op, then a broadcast
+    * set probe. No watermark, no state store, no stream-side shuffle.
+    * Returns the input with a `contaminated` boolean column. */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 8): DataFrame = {
+    val spark = benchmark.sparkSession
+    val benchGrams = graft.ops.Dedup
+      .wordGramHashes(benchmark, benchId, benchText, n)
+      .select("gh").collect().map(_.getLong(0))
+    val bc = spark.sparkContext.broadcast(
+      new java.util.HashSet[java.lang.Long](java.util.Arrays.asList(
+        benchGrams.map(java.lang.Long.valueOf): _*)))
+    val hitUdf = udf { ghs: Seq[Long] =>
+      ghs != null && ghs.exists(bc.value.contains(_))
+    }
+    val w = s"split(trim($textCol), '\\\\s+')"
+    val gramsExpr = expr(
+      s"""CASE WHEN size($w) >= $n THEN
+         |  transform(sequence(1, size($w) - ${n - 1}),
+         |    i -> cast(conv(substring(md5(concat_ws(' ', slice($w, i, $n))), 1, 15), 16, 10) AS BIGINT))
+         |ELSE cast(array() AS ARRAY<BIGINT>) END""".stripMargin)
+    docs.withColumn("contaminated", hitUdf(gramsExpr))
+  }
+
   /** Watermarked tumbling event-time window counts — works identically
     * on a streaming or batch frame with (ts: timestamp, event_type,
     * value) columns; batch twin of q6_events_window. */

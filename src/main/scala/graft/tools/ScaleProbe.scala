@@ -159,6 +159,34 @@ object ScaleProbe {
     time("exact dedup survivors") {
       println("[probe]   rows=" + graft.ops.Dedup.exact(docs10, "doc_id", "text").count())
     }
+    // Transitive clustering over the replica-corpus pair graph: with 10
+    // exact replicas per doc plus jaccard near-dups the components are
+    // dense — both execution paths must agree and the distributed
+    // label-propagation path must converge in a few rounds.
+    val probePairs = graft.ops.Dedup.jaccardPairs(
+      docs10, "doc_id", "text", n = 8, threshold = 0.5, maxDocFreq = 640, minShared = 2)
+    println(s"[probe] cluster input pairs=${probePairs.count()}")
+    var localClusters = 0L
+    time("clusters: driver union-find path") {
+      val c = graft.ops.Dedup.dedupClusters(probePairs)
+      localClusters = c.select("cluster").distinct().count()
+      println(s"[probe]   clusters=$localClusters")
+      c.unpersist()
+    }
+    time("clusters: distributed propagation path") {
+      val c = graft.ops.Dedup.dedupClusters(probePairs, maxLocalPairs = 0)
+      println(s"[probe]   clusters=${c.select("cluster").distinct().count()}" +
+        s" (match=${c.select("cluster").distinct().count() == localClusters})")
+      c.unpersist()
+    }
+    probePairs.unpersist()
+    // Decontamination at 10x: every 100th doc is the "benchmark"; the
+    // corpus side is one explode + broadcast semi-join + count.
+    time("decontaminate 50k docs vs 500-doc benchmark") {
+      println("[probe]   flagged=" + graft.ops.Dedup.decontaminate(
+        docs10.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        docs10.filter(col("doc_id") % 100 === 0), "doc_id", "text", n = 5).count())
+    }
     spark.stop()
   }
 }

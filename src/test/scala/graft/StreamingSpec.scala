@@ -99,6 +99,32 @@ class StreamingSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("streaming decontamination: flags match the batch op, stateless plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over a fence"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely original sentence with no overlap here at all"),
+      (3L, "quick brown fox jumps over nothing important"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val stream = Streams.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "text", bench, "doc_id", "text", n = 5)
+    val q = stream.writeStream.format("memory").queryName("decontam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("decontam_out").select("doc_id", "contaminated")
+        .as[(Long, Boolean)].collect().toMap
+      val batchFlagged = graft.ops.Dedup.decontaminate(
+          docs.toDF("doc_id", "text"), "doc_id", "text", bench, "doc_id", "text", n = 5)
+        .select("sid").as[Long].collect().toSet
+      assert(got.filter(_._2).keySet == batchFlagged)
+      assert(got.keySet == Set(1L, 2L, 3L)) // every doc passes through, flagged or not
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate content within the watermark is dropped") {
     val src = java.nio.file.Files.createTempDirectory("graft_dedup_src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt")
