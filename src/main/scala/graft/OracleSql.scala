@@ -292,6 +292,26 @@ object OracleSql {
         | )
         |SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id""".stripMargin,
 
+    // Int8 quantize→dequantize in the same double-precision operation
+    // order as the engine, approximate top-50, exact float rerank.
+    "quant_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        | vi AS (SELECT vec_id, e, unnest(generate_series(1, 64)) AS i FROM v),
+        | dims AS (SELECT i, min(e[i]) AS mn, max(e[i]) AS mx FROM vi GROUP BY i),
+        | dq AS (SELECT vec_id, vi.i AS i,
+        |         CASE WHEN mx = mn THEN mn
+        |          ELSE mn + round((e[vi.i] - mn) * 255.0 / (mx - mn)) * (mx - mn) / 255.0
+        |         END AS xh
+        |        FROM vi JOIN dims ON vi.i = dims.i),
+        | xl AS (SELECT vec_id, list(xh ORDER BY i) AS xhat FROM dq GROUP BY vec_id),
+        | ap AS (SELECT vec_id, list_cosine_similarity(xhat, qv) AS ac
+        |        FROM xl, q ORDER BY ac DESC, vec_id LIMIT 50),
+        | re AS (SELECT ap.vec_id, list_cosine_similarity(v.e, q.qv) AS c, ap.ac
+        |        FROM ap JOIN v ON ap.vec_id = v.vec_id, q)
+        |SELECT vec_id, round(c, 6) AS cosine, round(ac, 6) AS approx_cosine
+        |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
     // Word 5-gram overlap vs the doc_id%10==0 benchmark slice; grams
     // hashed with the portable md5-prefix family on both sides.
     "decontaminate" ->

@@ -465,6 +465,20 @@ object Queries {
         threshold = 0.4, numPlanes = EmbBucketPlanes, bandBits = EmbBucketBandBits)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
 
+  /** Int8-quantized two-stage search: top-50 by cosine against the
+    * per-dimension affine int8 reconstruction (the 4×-cheaper scan a
+    * quantized index serves), exact float rerank of those candidates →
+    * top-10. The oracle replays the identical double-precision
+    * quantize→dequantize arithmetic and both rankings. */
+  def quantTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    ops.Quantization.quantizedTopK(emb, "vec_id", "embedding", q, k = 10, candidates = 50)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"),
+        r6(col("approx_cosine")).as("approx_cosine"))
+  }
+
   /** The full ladder in measured-correct order: exact-collapse, then
     * jaccard near-dup (corpus-fraction cap) on survivors, lower id
     * wins each pair. */
@@ -671,6 +685,7 @@ object Queries {
     "decontaminate" -> decontaminate _,
     "repetition_stats" -> repetitionStats _,
     "pii_redact" -> piiRedact _,
+    "quant_topk" -> quantTopk _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

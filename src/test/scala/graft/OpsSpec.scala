@@ -168,6 +168,37 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("int8 quantization: codes bounded, reconstruction close, rerank = exact top-k") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (1L to 200L).map { i =>
+      (i, Array.tabulate(dim)(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (mins, maxs) = ops.Quantization.dimStats(vecs, "embedding", dim)
+    assert(mins.length == dim && maxs.length == dim)
+    assert(mins.zip(maxs).forall { case (a, b) => a <= b })
+    // codes fit in a tinyint and reconstruction error is within half a step
+    val codes = ops.Quantization.quantize(vecs, "embedding", mins, maxs)
+      .select("qvec").as[Seq[Byte]].collect()
+    assert(codes.forall(_.length == dim))
+    val recon = vecs.select(col("embedding"),
+        ops.Quantization.dequantizedColumn("embedding", mins, maxs).as("xh"))
+      .as[(Seq[Float], Seq[Double])].collect()
+    recon.foreach { case (x, xh) =>
+      x.zip(xh).zipWithIndex.foreach { case ((xi, xhi), d) =>
+        val step = (maxs(d) - mins(d)) / 255.0
+        assert(math.abs(xi - xhi) <= step / 2 + 1e-9)
+      }
+    }
+    // with a generous candidate pool the reranked result IS the exact top-k
+    val q = Array.tabulate(dim)(d => math.cos(d * 0.5))
+    val exact = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val quant = ops.Quantization.quantizedTopK(vecs, "vec_id", "embedding", q, 5, candidates = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(quant == exact)
+  }
+
   test("brute-force top-k returns k best, deterministic tiebreak") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(-1.0f, 0.0f)),
