@@ -178,6 +178,32 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(Extractors.supportedExtensions.contains(".msg"))
   }
 
+  test("pdf: property — random page texts round-trip through build + parse") {
+    val rnd = new scala.util.Random(42) // deterministic
+    val alphabet = "abcdefghijklmnopqrstuvwxyz ()\\%<>[]0123456789.,"
+    (1 to 25).foreach { trial =>
+      val nPages = 1 + rnd.nextInt(4)
+      val pages = (1 to nPages).map { _ =>
+        val lines = (1 to 1 + rnd.nextInt(3)).map { _ =>
+          val len = 1 + rnd.nextInt(40)
+          // strip() both here and in the parser: leading/trailing spaces
+          // inside a shown string are not recoverable from layout alone
+          (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+            .strip().replaceAll(" +", " ")
+        }.filter(_.nonEmpty)
+        (lines, rnd.nextBoolean())
+      }.filter(_._1.nonEmpty)
+      if (pages.nonEmpty) {
+        val bytes = PdfFixture.mkPdf(pages.map { case (lines, compress) =>
+          (PdfFixture.pageSource(lines: _*), compress)
+        }: _*)
+        val got = Extractors.pdfPages(bytes)
+        val expected = pages.map(_._1.mkString("\n"))
+        assert(got == expected, s"trial $trial: $got != $expected")
+      }
+    }
+  }
+
   test("xlsm dispatches through the xlsx path") {
     val bytes = zip(
       "xl/sharedStrings.xml" -> "<sst><si><t>Macro</t></si></sst>",
