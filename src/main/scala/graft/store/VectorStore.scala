@@ -100,6 +100,72 @@ object VectorStore {
 
   def chunks(spark: SparkSession, dbDir: String): DataFrame =
     spark.read.parquet(s"$dbDir/chunks")
+
+  // -------------------------------------------------------------------
+  // Quantized index sidecar: chunks_q/ holds (id, qvec array<tinyint>)
+  // — 1/4 the vector bytes and none of the text/metadata columns, so
+  // the stage-1 scan of a two-stage search reads a small fraction of
+  // the full table's IO. quant.json carries the per-dimension affine
+  // stats. The sidecar is derived data: rebuildable from chunks/ at
+  // any time, dropped and re-written as one pass.
+  // -------------------------------------------------------------------
+
+  def quantStatsPath(dbDir: String): java.nio.file.Path = Paths.get(dbDir, "quant.json")
+
+  /** Build/refresh the quantized sidecar from the stored chunks. */
+  def writeQuantized(spark: SparkSession, dbDir: String): Unit = {
+    val m = readManifest(dbDir)
+    val ch = chunks(spark, dbDir)
+    val (mins, maxs) = graft.ops.Quantization.dimStats(ch, "vector", m.dimensions)
+    graft.ops.Quantization.quantize(ch, "vector", mins, maxs)
+      .select("id", "qvec")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dbDir/chunks_q")
+    val node = mapper.createObjectNode()
+    val mnArr = node.putArray("mins"); mins.foreach(mnArr.add)
+    val mxArr = node.putArray("maxs"); maxs.foreach(mxArr.add)
+    Files.write(quantStatsPath(dbDir),
+      mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readQuantStats(dbDir: String): (Array[Double], Array[Double]) = {
+    val node = mapper.readTree(Files.readAllBytes(quantStatsPath(dbDir)))
+    def arr(name: String): Array[Double] = {
+      val a = node.get(name)
+      (0 until a.size()).map(a.get(_).asDouble()).toArray
+    }
+    (arr("mins"), arr("maxs"))
+  }
+
+  /** Two-stage search against the quantized sidecar: stage 1 ranks the
+    * int8 reconstruction under the database's metric and keeps
+    * `candidates` ids (a column-pruned scan of chunks_q only); stage 2
+    * broadcast-joins those ids back to the full chunks table and runs
+    * the standard exact search chain (distance, batch-relative
+    * similarity, threshold/keyword/type post-filters, ordering) on the
+    * candidate subset. With `candidates` ≥ corpus size this equals the
+    * exact [[graft.search.VectorSearch.searchChunks]]. */
+  def searchQuantized(spark: SparkSession, dbDir: String, queryVec: Array[Float],
+      opts: graft.search.SearchOptions, candidates: Int = 64): DataFrame = {
+    import graft.search.VectorSearch
+    val metric = readManifest(dbDir).distanceMetric
+    val (mins, maxs) = readQuantStats(dbDir)
+    val mn = mins.map(v => s"CAST(${v} AS DOUBLE)").mkString("array(", ",", ")")
+    val mx = maxs.map(v => s"CAST(${v} AS DOUBLE)").mkString("array(", ",", ")")
+    // stored-code reconstruction: x̂_i = mn_i + (q_i + 128)·(mx_i − mn_i)/255
+    val dq = expr(s"""transform(qvec, (q, i) ->
+      |  element_at($mn, i + 1) + (CAST(q AS DOUBLE) + 128.0)
+      |    * (element_at($mx, i + 1) - element_at($mn, i + 1)) / 255.0)""".stripMargin)
+    val qCol = lit(queryVec.map(_.toDouble))
+    val cand = spark.read.parquet(s"$dbDir/chunks_q")
+      .withColumn("__approx_d", VectorSearch.distanceColumn(metric, dq, qCol))
+      .orderBy(VectorSearch.rankOrder(metric, org.apache.spark.sql.functions.col("__approx_d")).asc,
+        col("id").asc)
+      .limit(candidates)
+      .select("id")
+    val subset = chunks(spark, dbDir)
+      .join(org.apache.spark.sql.functions.broadcast(cand), Seq("id"))
+    VectorSearch.searchChunks(subset, queryVec, metric, opts)
+  }
   def documents(spark: SparkSession, dbDir: String): DataFrame =
     spark.read.parquet(s"$dbDir/documents")
   def chunkDocMap(spark: SparkSession, dbDir: String): DataFrame =

@@ -107,6 +107,28 @@ class EndToEndSpec extends SparkSpec {
     assert(ds == ds.sorted) // ascending distance order (O5)
   }
 
+  test("quantized sidecar: tinyint codes + two-stage search equals exact") {
+    manifest // force build
+    VectorStore.writeQuantized(spark, dbDir.toString)
+    val q = spark.read.parquet(s"$dbDir/chunks_q")
+    assert(q.schema("qvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      q.schema("qvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = true))
+    assert(q.count() == VectorStore.chunks(spark, dbDir.toString).count())
+    val (mins, maxs) = VectorStore.readQuantStats(dbDir.toString)
+    assert(mins.length == 16 && maxs.length == 16)
+    // candidates >= corpus: the two-stage result equals the exact search
+    val qv = embedder.embedQuery(spark, "alpha bravo charlie delta echo")
+    val exact = VectorSearch.search(spark, dbDir.toString, "alpha bravo charlie delta echo",
+      embedder, SearchOptions(k = 4, scoreThreshold = 0.0))
+      .select("id").as[Long].collect().toSeq
+    val quant = VectorStore.searchQuantized(spark, dbDir.toString, qv,
+      SearchOptions(k = 4, scoreThreshold = 0.0), candidates = 1000)
+      .select("id").as[Long].collect().toSeq
+    assert(quant == exact)
+  }
+
   test("search: keyword + doc-type post-filters, no backfill below k") {
     val all = VectorSearch.search(spark, dbDir.toString, "anything",
       embedder, SearchOptions(k = 100, scoreThreshold = 0.0))
