@@ -312,6 +312,29 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine, round(ac, 6) AS approx_cosine
         |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    "top_ngrams" ->
+      """WITH g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+        |           FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+        |                 FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+        |                 WHERE len(words) >= 3))
+        |SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 50""".stripMargin,
+
+    // tf·ln(N/df), scores rounded to 6dp BEFORE ranking on both sides
+    // so a 1-ulp ln() difference cannot flip a rank; ties break on w.
+    "tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        | wnz AS (SELECT doc_id, w FROM w WHERE w <> ''),
+        | tf AS (SELECT doc_id, w, count(*) AS tf FROM wnz GROUP BY doc_id, w),
+        | dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        | nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        | sc AS (SELECT doc_id, tf.w AS w,
+        |         round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |        FROM tf JOIN dfq ON tf.w = dfq.w, nd),
+        | rk AS (SELECT doc_id, w, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk FROM sc)
+        |SELECT doc_id, w AS keyword, rk, tfidf FROM rk WHERE rk <= 3""".stripMargin,
+
     // Word 5-gram overlap vs the doc_id%10==0 benchmark slice; grams
     // hashed with the portable md5-prefix family on both sides.
     "decontaminate" ->

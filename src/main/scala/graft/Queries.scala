@@ -556,6 +556,17 @@ object Queries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
         TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
+  /** Corpus-wide top word 3-grams: the boilerplate report. */
+  def topNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.topNgrams(t(s, dir, "documents"), "doc_id", "text", n = 3, k = 50)
+
+  /** Per-doc top-3 TF-IDF keywords (6dp-rounded scores rank, word
+    * breaks ties — reproducible across engines). */
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .select(col("sid").as("doc_id"), col("keyword"),
+        col("rk").cast("long").as("rk"), col("tfidf"))
+
   /** P7+P9 — display whitespace normalization + text coercion. */
   def normalizeWs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -686,6 +697,8 @@ object Queries {
     "repetition_stats" -> repetitionStats _,
     "pii_redact" -> piiRedact _,
     "quant_topk" -> quantTopk _,
+    "top_ngrams" -> topNgrams _,
+    "tfidf_keywords" -> tfidfKeywords _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

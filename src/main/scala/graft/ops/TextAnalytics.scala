@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus text-analysis operators for training-data pipelines
@@ -147,6 +148,52 @@ object TextAnalytics {
       cur = regexp_replace(cur, pat, repl)
     }
     acc.withColumn("redacted", cur)
+  }
+
+  /** Corpus-wide most frequent word n-grams — the boilerplate report a
+    * pipeline runs before writing repetition filters: total occurrences
+    * and containing-doc counts per gram, top `k`. One (gram) shuffle
+    * with map-side partial aggregation, then TakeOrdered(k) — no
+    * full sort. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        split(trim(col(textCol)), "\\s+").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("sid"), explode(expr(
+        s"transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n)))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("sid")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+
+  /** Per-document top-`k` keywords by TF-IDF (tf · ln(N/df), N = docs
+    * with ≥1 word). N and df are computed IN-PLAN (scalar aggregate
+    * cross-joined in), so the pass is two bounded shuffles — (doc,
+    * word) term counts and per-word doc frequencies — plus a per-doc
+    * window over ≤ distinct-word rows. Scores are rounded to 6dp
+    * BEFORE ranking so the rank order is reproducible across engines
+    * (a 1-ulp `ln` difference must not flip a rank); ties break on the
+    * word. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val words = df.select(col(idCol).as("sid"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("sid", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col("sid")).distinct()
+      .agg(count(lit(1)).as("n_corpus_docs"))
+    val scored = tf.join(dfreq, Seq("w")).crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("n_corpus_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("sid"))
+      .orderBy(col("tfidf").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("sid"), col("w").as("keyword"), col("rk"), col("tfidf"))
   }
 
   /** Portable 60-bit hash of an id rendered as a string: the

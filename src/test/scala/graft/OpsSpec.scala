@@ -292,6 +292,31 @@ class OpsSpec extends SparkSpec {
     assert((e2, i2, p2) == ((0L, 0L, 0L)) && red2 == "no pii in this text at all")
   }
 
+  test("top n-grams: occurrence + doc counts, deterministic order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "to be or not to be"),
+      (2L, "to be or something else entirely")).toDF("doc_id", "text")
+    val top = TextAnalytics.topNgrams(df, "doc_id", "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top.head == (("to be or", 2L, 2L))) // in both docs
+    assert(top.map(_._1).distinct.size == 3)
+  }
+
+  test("tfidf keywords: corpus-common words rank below distinctive ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "shared shared shared unique1 unique1 unique1 unique1"),
+      (2L, "shared other2"),
+      (3L, "shared other3")).toDF("doc_id", "text")
+    val kw = TextAnalytics.tfidfKeywords(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // 'shared' is in every doc -> idf 0 -> never the top keyword
+    assert(kw.find(t => t._1 == 1L && t._3 == 1).get._2 == "unique1")
+    assert(kw.find(t => t._1 == 2L && t._3 == 1).get._2 == "other2")
+    assert(kw.find(t => t._1 == 3L && t._3 == 1).get._2 == "other3")
+  }
+
   test("language id: marker argmax with en-first tiebreak, und on none") {
     val df = Seq(
       (1L, "the cat and the hat of a house"),
