@@ -312,6 +312,21 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine, round(ac, 6) AS approx_cosine
         |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    // Per-group mean embedding, L2-normalized, emitted as integer
+    // micro-units (','-joined) so float formatting can't skew the hash.
+    "doc_centroids" ->
+      """WITH e AS (SELECT vec_id % 25 AS group_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | ei AS (SELECT group_id, i, avg(v[i]) AS c
+        |        FROM (SELECT group_id, v, unnest(generate_series(1, 64)) AS i FROM e)
+        |        GROUP BY group_id, i),
+        | ce AS (SELECT group_id, list(c ORDER BY i) AS raw FROM ei GROUP BY group_id),
+        | nm AS (SELECT group_id, raw,
+        |         sqrt(list_sum(list_transform(raw, y -> y * y))) AS nrm FROM ce)
+        |SELECT group_id,
+        | array_to_string(list_transform(raw,
+        |   x -> CAST(CAST(round((CASE WHEN nrm = 0 THEN x ELSE x / nrm END) * 1000000.0) AS BIGINT) AS VARCHAR)), ',') AS centroid_u
+        |FROM nm""".stripMargin,
+
     "top_ngrams" ->
       """WITH g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
         |           FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i

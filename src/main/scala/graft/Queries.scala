@@ -556,6 +556,18 @@ object Queries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
         TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
+  /** Per-group L2-normalized centroid embeddings (vec_id % 25 plays
+    * the doc key — one centroid per 25-vector "document"). Emitted as
+    * integer micro-units so the hash compare is float-format-proof. */
+  def docCentroids(s: SparkSession, dir: String): DataFrame =
+    ops.SimilaritySearch.docCentroids(
+        t(s, dir, "embeddings").withColumn("group_id", pmod(col("vec_id"), lit(25))),
+        "group_id", "embedding", dim = 64)
+      .select(col("group_id"),
+        concat_ws(",", expr(
+          "transform(centroid, x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS STRING))"))
+          .as("centroid_u"))
+
   /** Corpus-wide top word 3-grams: the boilerplate report. */
   def topNgrams(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.topNgrams(t(s, dir, "documents"), "doc_id", "text", n = 3, k = 50)
@@ -699,6 +711,7 @@ object Queries {
     "quant_topk" -> quantTopk _,
     "top_ngrams" -> topNgrams _,
     "tfidf_keywords" -> tfidfKeywords _,
+    "doc_centroids" -> docCentroids _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

@@ -26,6 +26,30 @@ object SimilaritySearch {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Per-group centroid embeddings: the L2-normalized per-dimension
+    * mean of the group's vectors — the standard document-level
+    * representation when chunks (or passages) carry the embeddings and
+    * dedup/similarity must operate per document. ONE groupBy with `dim`
+    * map-side-partial avg expressions (no explode of row × dim pairs,
+    * no second shuffle); normalization is an in-row array fold. Groups
+    * whose mean is the zero vector keep it unnormalized. Returns
+    * (`groupCol`, centroid: array<double>). */
+  def docCentroids(df: DataFrame, groupCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val avgs = (1 to dim).map(i =>
+      avg(element_at(col(vecCol), i).cast("double")).as(s"c$i"))
+    df.groupBy(col(groupCol))
+      .agg(avgs.head, avgs.tail: _*)
+      .withColumn("raw", array((1 to dim).map(i => col(s"c$i")): _*))
+      .withColumn("centroid", expr(
+        """CASE WHEN aggregate(transform(raw, y -> y * y), CAST(0 AS DOUBLE), (a, y) -> a + y) = 0
+          | THEN raw
+          | ELSE transform(raw, x -> x / sqrt(
+          |   aggregate(transform(raw, y -> y * y), CAST(0 AS DOUBLE), (a, y) -> a + y)))
+          |END""".stripMargin))
+      .select(col(groupCol), col("centroid"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: hash(plane, dim)
     * mapped to [-1, 1] — no stored plane matrix, any executor can
     * recompute it (single source of truth:

@@ -199,6 +199,21 @@ class OpsSpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("doc centroids: unit-norm per-group means; zero group unnormalized") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Array(1.0f, 0.0f)), (2L, "a", Array(0.0f, 1.0f)),
+      (3L, "b", Array(2.0f, 0.0f)),
+      (4L, "z", Array(1.0f, -1.0f)), (5L, "z", Array(-1.0f, 1.0f))) // zero mean
+      .toDF("id", "grp", "vec")
+    val got = SimilaritySearch.docCentroids(df, "grp", "vec", dim = 2)
+      .as[(String, Seq[Double])].collect().toMap
+    val s = 1.0 / math.sqrt(2.0)
+    assert(got("a").zip(Seq(s, s)).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+    assert(got("b") == Seq(1.0, 0.0))
+    assert(got("z") == Seq(0.0, 0.0)) // zero vector stays, no NaN
+  }
+
   test("brute-force top-k returns k best, deterministic tiebreak") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(-1.0f, 0.0f)),
