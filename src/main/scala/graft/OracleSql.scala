@@ -428,6 +428,36 @@ object OracleSql {
         | dropids AS (SELECT DISTINCT id_b FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.5)
         |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id_b FROM dropids)""".stripMargin,
 
+    // Ladder + transitive collapse: the dedup_corpus pair pipeline,
+    // closed under reachability; only each component's min id survives.
+    "dedup_corpus_transitive" ->
+      """WITH RECURSIVE ex AS (SELECT doc_id, text FROM (
+        |   SELECT doc_id, text, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |   FROM documents) WHERE rn = 1),
+        | cap AS (SELECT greatest(CAST(floor(count(*) * 0.013) AS BIGINT), 16) AS c FROM ex),
+        | sh AS (SELECT DISTINCT doc_id AS sid,
+        |         CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+        |         FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM ex)),
+        | dfc AS (SELECT h, count(*) AS cnt FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h), cap WHERE cnt <= cap.c),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | p AS (SELECT id_a, id_b FROM (
+        |        SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |        FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
+        |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.5),
+        | e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        | reach(id, root) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT e.b, reach.root FROM reach JOIN e ON e.a = reach.id
+        | ),
+        | cl AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id)
+        |SELECT doc_id FROM ex
+        |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

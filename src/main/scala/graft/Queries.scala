@@ -500,6 +500,15 @@ object Queries {
     clusters.select(col("sid").as("doc_id"), col("cluster"))
   }
 
+  /** The ladder with transitive collapse: connected near-dup
+    * components keep only their minimum id (vs [[dedupCorpus]]'s
+    * greedy pair-drop, which keeps docs that share a near-dup without
+    * being pairs themselves). */
+  def dedupCorpusTransitive(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpusTransitive(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, threshold = 0.5, maxDocFreqFraction = 0.013, minShared = 2)
+      .select(col("doc_id"))
+
   /** SimHash near-dup pairs over the portable 60-bit shingle hash,
     * blocked on 4×15-bit fingerprint chunks (pigeonhole: hamming ≤ 3
     * pairs share ≥ 1 exact chunk — no all-pairs join). */
@@ -705,6 +714,7 @@ object Queries {
     "dedup_embedding_bucketed" -> dedupEmbeddingBucketed _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_corpus_transitive" -> dedupCorpusTransitive _,
     "decontaminate" -> decontaminate _,
     "repetition_stats" -> repetitionStats _,
     "pii_redact" -> piiRedact _,

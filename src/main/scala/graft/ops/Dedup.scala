@@ -687,6 +687,33 @@ object Dedup {
     result // caller owns the persisted (sid, cluster) frame
   }
 
+  /** [[dedupCorpus]] with TRANSITIVE collapse: near-dup pairs are
+    * clustered into connected components ([[dedupClusters]]) and only
+    * each component's minimum id survives. Differs from the greedy
+    * pair-drop when docs share a near-dup without being pairs
+    * themselves — e.g. pairs (1,5),(2,5): greedy keeps {1,2}, the
+    * transitive form collapses the whole component to {1}. Same
+    * eager/persist contract as [[dedupCorpus]]. */
+  def dedupCorpusTransitive(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, threshold: Double = 0.8, maxDocFreqFraction: Double = 0.013,
+      minShared: Int = 2): DataFrame = {
+    val survivors = exact(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = math.max(
+      math.floor(survivors.count() * maxDocFreqFraction).toInt, 16)
+    val pairs = jaccardPairs(survivors, idCol, textCol, n, threshold, cap, minShared)
+    val clusters = dedupClusters(pairs)
+    val drop = broadcast(
+      clusters.filter(col("sid") =!= col("cluster")).select(col("sid").as(idCol)))
+    val result = survivors.join(drop, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    clusters.unpersist()
+    pairs.unpersist()
+    survivors.unpersist()
+    result // caller owns unpersist()
+  }
+
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int = 8,
       threshold: Double = 0.8, maxDocFreqFraction: Double = 0.013,
       minShared: Int = 2): DataFrame = {

@@ -90,6 +90,35 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("transitive ladder collapses shared-near-dup components; greedy keeps them") {
+    import spark.implicits._
+    // docs 1 and 2 are unrelated to each other but both near-dup doc 5:
+    // pairs (1,5),(2,5) — greedy keeps {1,2}, transitive keeps {1} only
+    val w = (1 to 40).map(i => s"tok$i")
+    def doc(ixs: Range) = ixs.map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(1 to 20)),
+      (2L, doc(14 to 33)),
+      (5L, doc(6 to 25)), // overlaps both 1 and 2
+      (9L, "wholly unrelated content about nothing shared at all with others"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 8, threshold = 0.3, maxDocFreq = 0, minShared = 1)
+    val pairSet = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairSet.contains((1L, 5L)) && pairSet.contains((2L, 5L)))
+    assert(!pairSet.contains((1L, 2L)))
+    val greedy = Dedup.dedupCorpus(docs, "doc_id", "text",
+      n = 8, threshold = 0.3, maxDocFreqFraction = 0.9, minShared = 1)
+    val greedyIds = greedy.select("doc_id").as[Long].collect().toSet
+    greedy.unpersist()
+    val trans = Dedup.dedupCorpusTransitive(docs, "doc_id", "text",
+      n = 8, threshold = 0.3, maxDocFreqFraction = 0.9, minShared = 1)
+    val transIds = trans.select("doc_id").as[Long].collect().toSet
+    trans.unpersist()
+    assert(greedyIds == Set(1L, 2L, 9L))
+    assert(transIds == Set(1L, 9L))
+  }
+
   test("transitive clustering end-to-end: planted A~B~C text chain -> one cluster") {
     import spark.implicits._
     val w = (1 to 30).map(i => s"word$i")
