@@ -312,6 +312,16 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine, round(ac, 6) AS approx_cosine
         |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    // DuckDB's native ASOF JOIN — an independent implementation of the
+    // operator (not a replay of the engine's union+window plan).
+    "q11_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        | coalesce(epoch_us(v.ts), -1) AS asof_ts_us,
+        | coalesce(CAST(round(v.value * 100) AS BIGINT), -1) AS asof_value_cents
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
     // Per-group mean embedding, L2-normalized, emitted as integer
     // micro-units (','-joined) so float formatting can't skew the hash.
     "doc_centroids" ->

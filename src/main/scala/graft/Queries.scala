@@ -565,6 +565,28 @@ object Queries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
         TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
+  /** As-of join: each purchase matched to the user's most recent view
+    * at or before it (union + running-last window — one shuffle, no
+    * range-join explosion). The oracle is DuckDB's NATIVE `ASOF LEFT
+    * JOIN` — an independent implementation of the operator, not a
+    * replay of ours. Null matches are surfaced as -1 so the compare
+    * stays in exact integer space. */
+  def q11AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    // timestamps emitted in MICROseconds: DuckDB reads TIMESTAMP(NANOS)
+    // parquet at micro precision, so raw nanos would differ in the last
+    // three digits
+    ops.TemporalJoins.asofJoin(purchases, views, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        coalesce(expr("asof_ts div 1000"), lit(-1L)).as("asof_ts_us"),
+        coalesce(round(col("asof_value") * 100).cast("long"), lit(-1L)).as("asof_value_cents"))
+  }
+
   /** Per-group L2-normalized centroid embeddings (vec_id % 25 plays
     * the doc key — one centroid per 25-vector "document"). Emitted as
     * integer micro-units so the hash compare is float-format-proof. */
@@ -722,6 +744,7 @@ object Queries {
     "top_ngrams" -> topNgrams _,
     "tfidf_keywords" -> tfidfKeywords _,
     "doc_centroids" -> docCentroids _,
+    "q11_asof_join" -> q11AsofJoin _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

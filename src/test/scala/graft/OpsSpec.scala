@@ -228,6 +228,25 @@ class OpsSpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("as-of join: latest at-or-before match per key, nulls when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L), (4L, 30L, 10L))
+      .toDF("event_id", "key", "ts")
+    val right = Seq((10L, 90L, 1.0), (10L, 250L, 2.0), (10L, 260L, 3.0), (20L, 60L, 9.0))
+      .toDF("key", "ts", "v")
+    val out = graft.ops.TemporalJoins.asofJoin(left, right, "key", "ts", Seq("v"))
+      .select($"event_id", $"asof_ts", $"asof_v")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(1L) == ((Some(90L), Some(1.0))))   // latest before 100
+    assert(out(2L) == ((Some(250L), Some(2.0))))  // exact tie counts ("at or before")
+    assert(out(3L) == ((None, None)))             // right exists but only after
+    assert(out(4L) == ((None, None)))             // key has no right rows
+    // every left row survives exactly once
+    assert(graft.ops.TemporalJoins.asofJoin(left, right, "key", "ts", Seq("v")).count() == 4)
+  }
+
   test("doc centroids: unit-norm per-group means; zero group unnormalized") {
     import spark.implicits._
     val df = Seq(
