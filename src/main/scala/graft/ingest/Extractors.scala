@@ -294,7 +294,7 @@ object Extractors {
       if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
     def rkValue(rk: Long): Double = {
       val base =
-        if ((rk & 2L) != 0) (rk >> 2).toInt.toDouble // 30-bit signed int
+        if ((rk & 2L) != 0) (rk.toInt >> 2).toDouble // 30-bit signed int (arithmetic shift on the 32-bit value)
         else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
       if ((rk & 1L) != 0) base / 100.0 else base
     }

@@ -84,8 +84,13 @@ object Ole2 {
     }
 
     def readChain(start: Long, size: Long): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream(math.min(size, 1 << 26).toInt)
-      chain(start).foreach { s =>
+      val secs = chain(start)
+      // size the buffer from the actual chain length, not the caller's
+      // declared size — directory/miniFAT reads pass a huge sentinel size
+      val cap = math.min(math.min(size, secs.length.toLong * sectorSize),
+        Int.MaxValue.toLong).toInt
+      val out = new java.io.ByteArrayOutputStream(math.max(cap, 16))
+      secs.foreach { s =>
         val off = sectorOffset(s)
         val n = math.min(sectorSize.toLong, bytes.length.toLong - off).toInt
         if (n > 0) out.write(bytes, off, n)

@@ -616,12 +616,29 @@ object Dedup {
   def dedupClusters(pairs: DataFrame, maxIters: Int = 50,
       maxLocalPairs: Long = 4000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val prj = pairs.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b"))
+    val prj = pairs.select(col("id_a"), col("id_b"))
     if (maxLocalPairs > 0 && prj.count() <= maxLocalPairs) {
-      val edgeArr = prj.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
+      // Generic-key union-find: the local path accepts the SAME input
+      // domain as the distributed loop (ids of any orderable type, not
+      // just numerics), and "union toward the smaller root" uses the
+      // ordering Spark's min() applies in that loop — so the two paths
+      // stay swappable via `maxLocalPairs` as documented.
+      import org.apache.spark.sql.types._
+      val idType = prj.schema("id_a").dataType
+      val ord: Ordering[Any] = idType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Ordering.by((v: Any) => v.asInstanceOf[java.lang.Number].longValue())
+        case FloatType | DoubleType =>
+          Ordering.by((v: Any) => v.asInstanceOf[java.lang.Number].doubleValue())
+        case _: DecimalType =>
+          Ordering.by((v: Any) => scala.math.BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
+        case StringType => Ordering.by((v: Any) => v.asInstanceOf[String])
+        case dt => throw new IllegalArgumentException(
+          s"dedupClusters: unsupported id type $dt (integral, float, decimal, or string)")
+      }
+      val edgeArr = prj.collect().map(r => (r.get(0), r.get(1)))
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
         var c = x // path compression
@@ -632,13 +649,15 @@ object Dedup {
         parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
         val (ra, rb) = (find(a), find(b))
         // union toward the smaller root: the final root IS the min id
-        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        val cmp = ord.compare(ra, rb)
+        if (cmp < 0) parent.put(rb, ra) else if (cmp > 0) parent.put(ra, rb)
       }
-      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-      parent.keySet.forEach(sid => rows += ((sid, find(sid))))
+      val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+      parent.keySet.forEach(sid => rows += org.apache.spark.sql.Row(sid, find(sid)))
       val sp = pairs.sparkSession
-      import sp.implicits._
-      return rows.toSeq.toDF("sid", "cluster")
+      val schema = StructType(Seq(
+        StructField("sid", idType), StructField("cluster", idType)))
+      return sp.createDataFrame(sp.sparkContext.parallelize(rows.toSeq, 1), schema)
     }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -37,11 +37,18 @@ object TemporalJoins {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAsof = prefixed.foldLeft(
-        unioned.withColumn("asof_ts", last(col("__r_ts"), ignoreNulls = true).over(w))) {
-      case (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    withAsof.filter(col("__tag") === 1)
-      .drop("__tag", "__r_ts")
+    // One struct per RIGHT row (null on left rows, so ignoreNulls skips
+    // them): ts and every value column are projected from the SAME
+    // matched row, matching ASOF semantics even when a value column of
+    // the matched row is null — running last() per column independently
+    // would silently backfill such a column from an older right row.
+    val rowStruct = when(col("__tag") === 0,
+      struct(col("__r_ts").as("__ts") +: prefixed.map(col): _*))
+    val withAsof = unioned
+      .withColumn("__asof", last(rowStruct, ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .withColumn("asof_ts", col("__asof.__ts"))
+    prefixed.foldLeft(withAsof) { case (df, p) => df.withColumn(p, col(s"__asof.$p")) }
+      .drop("__tag", "__r_ts", "__asof")
   }
 }

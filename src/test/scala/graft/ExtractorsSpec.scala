@@ -172,7 +172,7 @@ class ExtractorsSpec extends AnyFunSuite {
 
   test("xls: BIFF8 SST/LABELSST/NUMBER/RK/MULRK cells, sheet rows") {
     val out = Extractors.xls(Ole2Fixture.xlsFile())
-    assert(out == "Name\t42\n7\t1.5\t1.5\nWídget")
+    assert(out == "Name\t42\n7\t1.5\t1.5\nWídget\t-1\t-2.5")
     assert(Extractors.extract("wb.xls", Ole2Fixture.xlsFile()).exists(_.contains("Wídget")))
     assert(Extractors.supportedExtensions.contains(".xls"))
     assert(Extractors.supportedExtensions.contains(".msg"))

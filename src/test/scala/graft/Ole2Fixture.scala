@@ -166,6 +166,16 @@ object Ole2Fixture {
       b.putShort(2.toShort).putShort(0.toShort).putShort(0.toShort).putInt(1)
       b.array()
     }
+    val rkNeg = { // row 2 col 1: integer -1 → rk = 0xFFFFFFFE (sign bit set)
+      val b = ByteBuffer.allocate(10).order(le)
+      b.putShort(2.toShort).putShort(1.toShort).putShort(0.toShort).putInt((-1 << 2) | 2)
+      b.array()
+    }
+    val rkNegDiv = { // row 2 col 2: -250 with div-100 flag → -2.5
+      val b = ByteBuffer.allocate(10).order(le)
+      b.putShort(2.toShort).putShort(2.toShort).putShort(0.toShort).putInt((-250 << 2) | 3)
+      b.array()
+    }
     val biff =
       rec(0x0809, u16(0x0600, 0x0005, 0, 0)) ++ // BOF globals
         rec(0x00FC, sstPayload) ++
@@ -173,6 +183,7 @@ object Ole2Fixture {
         rec(0x0809, u16(0x0600, 0x0010, 0, 0)) ++ // BOF worksheet
         rec(0x00FD, labelSst0) ++ rec(0x0203, number) ++
         rec(0x027E, rkInt) ++ rec(0x00BD, mulrk) ++ rec(0x00FD, labelSst1) ++
+        rec(0x027E, rkNeg) ++ rec(0x027E, rkNegDiv) ++
         rec(0x000A, Array.emptyByteArray)
     cfbf(Seq("Workbook" -> biff))
   }

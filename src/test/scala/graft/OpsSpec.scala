@@ -90,6 +90,22 @@ class OpsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("transitive clustering accepts string ids on both execution paths") {
+    import spark.implicits._
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val expected = Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "x" -> "x", "y" -> "x")
+    val local = Dedup.dedupClusters(pairs)
+    assert(local.schema("cluster").dataType == org.apache.spark.sql.types.StringType)
+    assert(local.as[(String, String)].collect().toMap == expected)
+    val dist = Dedup.dedupClusters(pairs, maxLocalPairs = 0)
+    val got = dist.as[(String, String)].collect().toMap
+    dist.unpersist()
+    assert(got == expected)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("transitive ladder collapses shared-near-dup components; greedy keeps them") {
     import spark.implicits._
     // docs 1 and 2 are unrelated to each other but both near-dup doc 5:
@@ -245,6 +261,20 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((None, None)))             // key has no right rows
     // every left row survives exactly once
     assert(graft.ops.TemporalJoins.asofJoin(left, right, "key", "ts", Seq("v")).count() == 4)
+  }
+
+  test("as-of join: null value column comes from the MATCHED row, not an older one") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 300L)).toDF("event_id", "key", "ts")
+    // the matched row (ts=250) has v=null; an older row (ts=90) has v=1.0.
+    // ASOF semantics (DuckDB parity): take the matched row's null, never
+    // backfill v from the older row while reporting asof_ts=250.
+    val right = Seq((10L, 90L, Some(1.0)), (10L, 250L, None))
+      .toDF("key", "ts", "v")
+    val r = graft.ops.TemporalJoins.asofJoin(left, right, "key", "ts", Seq("v"))
+      .select($"asof_ts", $"asof_v").head()
+    assert(r.getLong(0) == 250L)
+    assert(r.isNullAt(1))
   }
 
   test("doc centroids: unit-norm per-group means; zero group unnormalized") {
