@@ -322,6 +322,109 @@ object OracleSql {
         | coalesce(CAST(round(v.value * 100) AS BIGINT), -1) AS asof_value_cents
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
+    // Naive range-predicate join — correct at sf, independent of the
+    // engine's grain-bucketed plan.
+    "q12_interval_join" ->
+      """WITH p AS (SELECT event_id AS p_event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT event_id AS v_event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.p_event_id, v.v_event_id, p.user_id,
+        | epoch_us(p.ts) AS p_ts_us, epoch_us(v.ts) AS v_ts_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        | AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT lang, count(*) AS n_kept FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 <
+        |  CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.75 END) * 10000 AS BIGINT)
+        |GROUP BY lang""".stripMargin,
+
+    "stratified_quota" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |   ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id) AS sample_rank
+        | FROM documents) WHERE sample_rank <= 10""".stripMargin,
+
+    // Same replace-length occurrence counting as lang_id; planted docs
+    // (negative ids) exercise each rule. Booleans as 0/1 ints.
+    "quality_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (-1, 'tiny doc'),
+        |    (-2, '#### $$$$ %%%% {{{{ }}}} <<<< >>>> #### $$$$ %%%%'),
+        |    (-3, repeat('x y z w v u t s r q ', 40)),
+        |    (-4, 'the cat sat on the mat and it is a fine day in the sun')) t(doc_id, text)),
+        | s AS (SELECT doc_id, text,
+        |   regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed,
+        |   ' ' || lower(text) || ' ' AS padded FROM d),
+        | u AS (SELECT doc_id, text, padded,
+        |   CASE WHEN length(trimmed) = 0 THEN 0
+        |        ELSE CAST(len(string_split_regex(trimmed, '\s+')) AS BIGINT) END AS n_words
+        |   FROM s),
+        | m AS (SELECT doc_id, n_words,
+        |   CASE WHEN n_words = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / n_words END AS awl,
+        |   CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' a ', ''))) / 3 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' to ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' in ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' is ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' it ', ''))) / 4 AS BIGINT) AS n_stop,
+        |   (length(text) - length(replace(text, '#', '')))
+        |   + (length(text) - length(replace(text, '$', '')))
+        |   + (length(text) - length(replace(text, '%', '')))
+        |   + (length(text) - length(replace(text, '{', '')))
+        |   + (length(text) - length(replace(text, '}', '')))
+        |   + (length(text) - length(replace(text, '<', '')))
+        |   + (length(text) - length(replace(text, '>', ''))) AS n_sym
+        |   FROM u),
+        | f AS (SELECT doc_id, n_words, awl,
+        |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_words END AS stop_frac,
+        |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / n_words END AS sym_ratio
+        |   FROM m)
+        |SELECT doc_id, n_words,
+        | CAST(n_words >= 8 AND n_words <= 100000 AS INT) AS ok_word_count,
+        | CAST(awl >= 2.0 AND awl <= 12.0 AS INT) AS ok_word_len,
+        | CAST(sym_ratio <= 0.1 AS INT) AS ok_symbol,
+        | CAST(stop_frac >= 0.02 AS INT) AS ok_stopword,
+        | CAST(n_words >= 8 AND n_words <= 100000 AND awl >= 2.0 AND awl <= 12.0
+        |   AND sym_ratio <= 0.1 AND stop_frac >= 0.02 AS INT) AS passes_quality,
+        | round(awl, 6) AS avg_word_len,
+        | round(stop_frac, 6) AS stopword_frac
+        |FROM f""".stripMargin,
+
+    // The dedup_clusters reachability closure plus arg-max survivor
+    // selection: per cluster, the member with the most characters
+    // (ties to the smaller doc id).
+    "dedup_best_keep" ->
+      """WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS sid,
+        |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | p AS (SELECT id_a, id_b FROM (
+        |        SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |        FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
+        |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
+        | e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        | reach(id, root) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT e.b, reach.root FROM reach JOIN e ON e.a = reach.id
+        | ),
+        | cl AS (SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id),
+        | j AS (SELECT cl.cluster, cl.doc_id, d.n_chars FROM cl JOIN documents d USING (doc_id))
+        |SELECT cluster, doc_id AS keep_id, n_chars AS keep_n_chars,
+        | count(*) OVER (PARTITION BY cluster) AS n_members
+        |FROM j QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) = 1""".stripMargin,
+
     // Per-group mean embedding, L2-normalized, emitted as integer
     // micro-units (','-joined) so float formatting can't skew the hash.
     "doc_centroids" ->

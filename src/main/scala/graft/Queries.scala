@@ -587,6 +587,89 @@ object Queries {
         coalesce(round(col("asof_value") * 100).cast("long"), lit(-1L)).as("asof_value_cents"))
   }
 
+  /** Point-in-interval join: every view inside the 30-minute
+    * attribution window opened by a purchase of the same user —
+    * grain-bucketed equi-join (one shuffle, no per-key cartesian; see
+    * [[graft.ops.TemporalJoins.pointInIntervalJoin]]). The oracle is
+    * the naive range-predicate join, fine at sf but not the plan you'd
+    * run at scale. */
+  def q12IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val winNs = 1800L * 1000000000L // 30 min in nanos
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"), (col("ts") + winNs).as("p_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id"), col("ts").as("v_ts"))
+    ops.TemporalJoins.pointInIntervalJoin(purchases, views,
+        "user_id", "p_ts", "p_end", "v_ts", grain = winNs)
+      .select(col("p_event_id"), col("v_event_id"), col("user_id"),
+        expr("p_ts div 1000").as("p_ts_us"), expr("v_ts div 1000").as("v_ts_us"))
+  }
+
+  /** Deterministic per-language rate sampling (hash-bucket membership,
+    * map-only — the language-rebalancing step of a data mix). Emitted
+    * as per-stratum survivor counts. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25), defaultRate = 0.75)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+
+  /** Deterministic fixed-quota sample per language: the 10 docs with
+    * the smallest portable id-hash per stratum, two-stage pruned so no
+    * single reducer ever sorts a whole stratum. */
+  def stratifiedQuota(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.stratifiedQuota(t(s, dir, "documents"), "doc_id", "lang",
+        quota = 10, shards = 8)
+      .select(col("lang"), col("sample_rank"), col("doc_id"))
+
+  /** Gopher-style quality gates over the corpus plus four PLANTED docs
+    * (negative ids) that exercise each rule — the synthetic corpus text
+    * is uniformly "clean", so without them the booleans would be
+    * vacuously constant. Booleans emitted as 0/1 ints (cross-engine
+    * bool formatting differs), ratios at 6 dp. */
+  def qualityFilterQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, "tiny doc"),                                          // word count
+      (-2L, "#### $$$$ %%%% {{{{ }}}} <<<< >>>> #### $$$$ %%%%"), // symbols
+      (-3L, "x y z w v u t s r q " * 40),                         // word length
+      (-4L, "the cat sat on the mat and it is a fine day in the sun")) // passes
+      .toDF("doc_id", "text")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    TextAnalytics.qualityFilter(docs, "text")
+      .select(col("doc_id"), col("n_words"),
+        col("ok_word_count").cast("int").as("ok_word_count"),
+        col("ok_word_len").cast("int").as("ok_word_len"),
+        col("ok_symbol").cast("int").as("ok_symbol"),
+        col("ok_stopword").cast("int").as("ok_stopword"),
+        col("passes_quality").cast("int").as("passes_quality"),
+        r6(col("avg_word_len")).as("avg_word_len"),
+        r6(col("stopword_frac")).as("stopword_frac"))
+  }
+
+  /** Best-doc-per-cluster survivor selection: the same transitive
+    * near-dup components as [[dedupClusters]], but each cluster keeps
+    * its HIGHEST-QUALITY member (max n_chars, ties to the smaller id)
+    * instead of the minimum id — the selection rule real pipelines
+    * want. Arg-max is a partial-aggregating `max(struct(quality,
+    * -id))`, not a per-cluster window: one shuffle keyed by cluster. */
+  def dedupBestKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+    val clusters = Dedup.dedupClusters(pairs)
+    pairs.unpersist()
+    clusters.join(docs.select(col("doc_id"), col("n_chars")),
+        clusters("sid") === docs("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("m.nid")).as("keep_id"),
+        col("m.n_chars").as("keep_n_chars"), col("n_members"))
+  }
+
   /** Per-group L2-normalized centroid embeddings (vec_id % 25 plays
     * the doc key — one centroid per 25-vector "document"). Emitted as
     * integer micro-units so the hash compare is float-format-proof. */
@@ -745,6 +828,11 @@ object Queries {
     "tfidf_keywords" -> tfidfKeywords _,
     "doc_centroids" -> docCentroids _,
     "q11_asof_join" -> q11AsofJoin _,
+    "q12_interval_join" -> q12IntervalJoin _,
+    "stratified_sample" -> stratifiedSample _,
+    "stratified_quota" -> stratifiedQuota _,
+    "quality_filter" -> qualityFilterQ _,
+    "dedup_best_keep" -> dedupBestKeep _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,5 +50,66 @@ object TemporalJoins {
       .withColumn("asof_ts", col("__asof.__ts"))
     prefixed.foldLeft(withAsof) { case (df, p) => df.withColumn(p, col(s"__asof.$p")) }
       .drop("__tag", "__r_ts", "__asof")
+  }
+
+  /** Point-in-interval join: every (interval, point) pair with the same
+    * key where `start <= ts < end` — the other workhorse temporal join
+    * (attribution windows, incident correlation, session containment).
+    *
+    * The scale shape is a GRAIN-BUCKETED EQUI-JOIN, not the naive theta
+    * join (which Spark plans as a per-key cartesian — O(|L|·|R|) per key
+    * before the range filter): each interval explodes to the fixed-width
+    * grain buckets it covers, each point carries its single bucket, and
+    * the join is an equi-join on (key, bucket) followed by the exact
+    * containment filter. A point can meet a given interval in exactly ONE
+    * bucket (its own), so no distinct/dedup pass is needed; shuffle
+    * volume is |points| + Σ ceil(span/grain) — linear, AQE/skew-join
+    * eligible, and sized by `grain` (pick it near the typical interval
+    * span so most intervals explode to 1-2 rows). An interval spanning
+    * more than `maxBucketsPerInterval` grains fails fast with
+    * `raise_error` rather than silently exploding the build side.
+    *
+    * Inputs: `intervals` carries `keyCol` + integer `startCol`/`endCol`
+    * (end exclusive; empty intervals drop); `points` carries `keyCol` +
+    * integer `tsCol`. Column names other than `keyCol` must be disjoint
+    * across the two frames. Output = all interval columns + the point's
+    * non-key columns, one row per containment. Bucketing uses exact
+    * integer floor-division (pmod-then-div — no double rounding at
+    * epoch-nano magnitudes), so negative values are handled correctly. */
+  def pointInIntervalJoin(intervals: DataFrame, points: DataFrame,
+      keyCol: String, startCol: String, endCol: String, tsCol: String,
+      grain: Long, maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(grain > 0, s"grain must be positive, got $grain")
+    val overlap = intervals.columns.toSet.intersect(points.columns.toSet) - keyCol
+    require(overlap.isEmpty, s"non-key column names must be disjoint: $overlap")
+    // exact floor division: c - pmod(c, g) is the largest multiple of g
+    // <= c (pmod is non-negative), and integral `div` of an exact
+    // multiple is exact for any sign — Column `/` would go through
+    // DOUBLE, which mis-buckets at epoch-nano magnitudes (> 2^53)
+    def floorMult(c: Column): Column = (c - pmod(c, lit(grain))).cast("long")
+    def divGrain(name: String): Column = expr(s"$name div ${grain}L")
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__s0", floorMult(col(startCol)))
+      .withColumn("__e0", floorMult(col(endCol) - 1))
+      .withColumn("__bs", divGrain("__s0"))
+      .withColumn("__be", divGrain("__e0"))
+      .drop("__s0", "__e0")
+      .withColumn("__b",
+        explode(when(col("__be") - col("__bs") < lit(maxBucketsPerInterval.toLong),
+          sequence(col("__bs"), col("__be")))
+          .otherwise(raise_error(concat(
+            lit(s"pointInIntervalJoin: interval spans more than $maxBucketsPerInterval "),
+            lit("grains — use a coarser grain ([") , col(startCol), lit(","), col(endCol), lit("))"))))))
+      .drop("__bs", "__be")
+    val ptCols = points.columns.filter(_ != keyCol)
+    val pt = points.select(
+      col(keyCol).as("__pk") +: col(tsCol).as("__pt") +: ptCols.map(col): _*)
+      .withColumn("__p0", floorMult(col("__pt")))
+      .withColumn("__pb", divGrain("__p0"))
+      .drop("__p0")
+    iv.join(pt, iv(keyCol) === pt("__pk") && iv("__b") === pt("__pb"))
+      .filter(col("__pt") >= col(startCol) && col("__pt") < col(endCol))
+      .drop("__b", "__pk", "__pt", "__pb")
   }
 }

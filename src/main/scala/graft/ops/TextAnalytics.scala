@@ -38,6 +38,57 @@ object TextAnalytics {
     TextFunctions.clip01(lengthScore * (lit(1.0) - punctPenalty * 0.5) * (lit(1.0) - digitPenalty * 0.5))
   }
 
+  /** Stopword markers for [[qualityFilter]]'s prose-likeness gate,
+    * space-padded for the same substring-occurrence counting as
+    * [[langMarkers]]. */
+  val stopwordMarkers: Seq[String] =
+    Seq(" the ", " a ", " of ", " and ", " to ", " in ", " is ", " it ")
+
+  /** Markup/symbol characters whose density marks non-prose (code,
+    * tables, boilerplate) in [[qualityFilter]]. */
+  val symbolMarkers: Seq[String] = Seq("#", "$", "%", "{", "}", "<", ">")
+
+  /** Gopher-style hard quality gates — the rule-based document filter
+    * of a training-data pipeline, one boolean per rule plus their
+    * conjunction `passes_quality`:
+    *
+    *  - `ok_word_count`: whitespace word count in [minWords, maxWords];
+    *  - `ok_word_len`: mean word length in [minAvgWordLen, maxAvgWordLen]
+    *    (gibberish/char-soup gate);
+    *  - `ok_symbol`: markup-symbol count per word ≤ maxSymbolRatio;
+    *  - `ok_stopword`: stopword occurrences per word ≥ minStopwordFrac
+    *    (prose-likeness gate).
+    *
+    * Counting uses the replace-length substring trick shared with
+    * [[langIdColumn]] — exactly replayable in any SQL engine. Pure
+    * column expressions: a single codegen'd map stage at any corpus
+    * size, with ratios exposed (6 dp) for threshold tuning. */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minWords: Int = 8, maxWords: Int = 100000,
+      minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1, minStopwordFrac: Double = 0.02): DataFrame = {
+    val t = col(textCol)
+    val nW = TextFunctions.tokenCount(t).cast("long")
+    val nWd = nW.cast("double")
+    val avgLen = when(nW === 0, lit(0.0)).otherwise(
+      length(regexp_replace(t, "\\s+", "")).cast("double") / nWd)
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val nStop = stopwordMarkers.map(m => TextFunctions.occurrences(padded, m)).reduce(_ + _)
+    val nSym = symbolMarkers.map(m => TextFunctions.occurrences(t, m)).reduce(_ + _)
+    val stopFrac = when(nW === 0, lit(0.0)).otherwise(nStop.cast("double") / nWd)
+    val symRatio = when(nW === 0, lit(0.0)).otherwise(nSym.cast("double") / nWd)
+    df.withColumn("n_words", nW)
+      .withColumn("avg_word_len", avgLen)
+      .withColumn("stopword_frac", stopFrac)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("ok_word_count", nW >= minWords && nW <= maxWords)
+      .withColumn("ok_word_len", avgLen >= minAvgWordLen && avgLen <= maxAvgWordLen)
+      .withColumn("ok_symbol", symRatio <= maxSymbolRatio)
+      .withColumn("ok_stopword", stopFrac >= minStopwordFrac)
+      .withColumn("passes_quality",
+        col("ok_word_count") && col("ok_word_len") && col("ok_symbol") && col("ok_stopword"))
+  }
+
   /** Language markers: high-frequency function words per language,
     * counted as ` word `-padded substring occurrences. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -229,6 +280,54 @@ object TextAnalytics {
       else df.filter(
         pmod(portableIdHash(col(idCol)), lit(10000)) < lit((frac * 10000).toInt))
     }.reduce(_.unionByName(_))
+
+  /** Deterministic stratified RATE sampling — the per-domain /
+    * per-language downsampling step of a training-data mix: keep a row
+    * iff its portable id-hash bucket (0-9999) falls under its stratum's
+    * rate. Membership is a pure function of the id (no rand(), no seed
+    * coupling), so re-runs, retries, and other engines keep the same
+    * rows. Map-only — no shuffle at any corpus size. Strata missing
+    * from `rates` use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.toSeq.map(_._2) :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(stratumCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(
+      pmod(portableIdHash(col(idCol)), lit(10000)) < (rate * 10000).cast("long"))
+  }
+
+  /** Deterministic stratified QUOTA sampling: the `quota` rows with the
+    * smallest portable id-hash per stratum, ranked as `sample_rank` — a
+    * fixed-size "random" sample that is stable across engines and runs.
+    *
+    * Scale shape: strata are few (languages, sources) while rows are
+    * billions, so a single row_number window per stratum would sort the
+    * whole corpus on a handful of reducers. Instead a two-stage prune:
+    * a local top-`quota` per (stratum, id-hash shard) — `shards`-way
+    * parallel, keeps ≤ shards·quota rows per stratum, and provably
+    * retains every global top-`quota` row (a row's shard rank lower-
+    * bounds its stratum rank) — then the exact global rank over that
+    * pruned sliver. */
+  def stratifiedQuota(df: DataFrame, idCol: String, stratumCol: String,
+      quota: Int, shards: Int = 64): DataFrame = {
+    require(quota > 0 && shards > 0, "quota and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val shard = pmod(portableIdHash(col(idCol)), lit(shards))
+    val wLocal = w.partitionBy(col(stratumCol), col("__shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val wGlobal = w.partitionBy(col(stratumCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", portableIdHash(col(idCol)))
+      .withColumn("__shard", shard)
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= quota)
+      .withColumn("sample_rank", row_number().over(wGlobal))
+      .filter(col("sample_rank") <= quota)
+      .drop("__h", "__shard", "__lr")
+  }
 
   /** Greedy sequence packing: assign docs (in id order within a hash
     * shard) to fixed token-budget bins — the batch-construction step of

@@ -277,6 +277,88 @@ class OpsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("point-in-interval join: containment pairs only, no dup from multi-bucket spans") {
+    import spark.implicits._
+    // interval A [100, 400) spans 4 grain-10 buckets; B [95, 105) spans 2;
+    // key 2 has no points
+    val intervals = Seq((1L, "A", 100L, 400L), (1L, "B", 95L, 105L), (2L, "C", 0L, 1000L))
+      .toDF("key", "iv_name", "start_ts", "end_ts")
+    val points = Seq((1L, 10L, 99L), (1L, 11L, 100L), (1L, 12L, 399L), (1L, 13L, 400L))
+      .toDF("key", "pt_id", "ts")
+    val out = graft.ops.TemporalJoins.pointInIntervalJoin(
+        intervals, points, "key", "start_ts", "end_ts", "ts", grain = 10L)
+      .select($"iv_name", $"pt_id").as[(String, Long)].collect().toSet
+    // 99 ∈ B only; 100 ∈ A and B; 399 ∈ A; 400 excluded (end-exclusive)
+    assert(out == Set(("B", 10L), ("A", 11L), ("B", 11L), ("A", 12L)))
+    // exactly one row per containment — the bucketed join must not duplicate
+    val n = graft.ops.TemporalJoins.pointInIntervalJoin(
+      intervals, points, "key", "start_ts", "end_ts", "ts", grain = 10L).count()
+    assert(n == 4)
+    // negative-domain bucketing is exact (floor, not truncate-toward-zero)
+    val negIv = Seq((1L, -25L, -5L)).toDF("key", "start_ts", "end_ts")
+    val negPt = Seq((1L, 77L, -25L), (1L, 78L, -6L), (1L, 79L, -5L)).toDF("key", "pt_id", "ts")
+    val neg = graft.ops.TemporalJoins.pointInIntervalJoin(
+        negIv, negPt, "key", "start_ts", "end_ts", "ts", grain = 10L)
+      .select($"pt_id").as[Long].collect().toSet
+    assert(neg == Set(77L, 78L))
+    // an interval wider than the bucket cap fails fast instead of exploding
+    val wide = Seq((1L, 0L, 100000L)).toDF("key", "start_ts", "end_ts")
+    val e = intercept[Exception] {
+      graft.ops.TemporalJoins.pointInIntervalJoin(
+        wide, negPt, "key", "start_ts", "end_ts", "ts", grain = 1L,
+        maxBucketsPerInterval = 16).count()
+    }
+    assert(e.getMessage.contains("coarser grain"))
+  }
+
+  test("stratified sampling: rate membership is a pure id function; quota ranks stable") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "lang")
+    val kept = TextAnalytics.stratifiedSample(df, "id", "lang",
+      rates = Map("en" -> 0.5), defaultRate = 1.0)
+    // default-rate stratum keeps everything; rated stratum keeps a strict subset
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("zh") == 200L)
+    assert(byLang("en") > 0L && byLang("en") < 200L)
+    // determinism: same membership on re-run
+    val again = TextAnalytics.stratifiedSample(df, "id", "lang",
+      rates = Map("en" -> 0.5), defaultRate = 1.0)
+    assert(kept.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // quota: exactly `quota` rows per stratum, ranks 1..quota, and the
+    // two-stage prune returns the same set as a direct global sort
+    val q = TextAnalytics.stratifiedQuota(df, "id", "lang", quota = 7, shards = 4)
+    val got = q.select($"lang", $"sample_rank", $"id").as[(String, Int, Long)].collect()
+    assert(got.count(_._1 == "en") == 7 && got.count(_._1 == "zh") == 7)
+    assert(got.filter(_._1 == "en").map(_._2).sorted.toSeq == (1 to 7))
+    val direct = df.withColumn("__h", TextAnalytics.portableIdHash(col("id")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("__h").asc, col("id").asc)))
+      .filter(col("rk") <= 7).select($"lang", $"id").as[(String, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._3)).toSet == direct)
+  }
+
+  test("quality filter: each rule trips on its planted document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is a fine day in the sun"),
+      (2L, "tiny doc"),
+      (3L, "#### $$$$ %%%% {{{{ }}}} <<<< >>>> #### $$$$ %%%%"),
+      (4L, "x y z w v u t s r q " * 40),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalytics.qualityFilter(docs, "text")
+      .select($"doc_id", $"ok_word_count", $"ok_word_len", $"ok_symbol",
+        $"ok_stopword", $"passes_quality")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true)))
+    assert(!out(2L)._2 && !out(2L)._6)           // too few words
+    assert(!out(3L)._4 && !out(3L)._6)           // symbol soup
+    assert(!out(4L)._3 && !out(4L)._6)           // 1-char words
+    assert(!out(5L)._2 && !out(5L)._6)           // empty text: no div-by-zero
+  }
+
   test("doc centroids: unit-norm per-group means; zero group unnormalized") {
     import spark.implicits._
     val df = Seq(
