@@ -396,6 +396,55 @@ object OracleSql {
         | round(stop_frac, 6) AS stopword_frac
         |FROM f""".stripMargin,
 
+    // Chained min-per-user completions, strictly ordered (ts > prev).
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        | c0 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        | c1 AS (SELECT e.user_id, min(ts) AS t1 FROM e JOIN c0 USING (user_id)
+        |        WHERE event_type = 'view' AND ts > t0 GROUP BY e.user_id),
+        | c2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN c1 USING (user_id)
+        |        WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id)
+        |SELECT 0 AS step_idx, 'signup' AS step, (SELECT count(*) FROM c0) AS n_users
+        |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM c1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM c2)""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        | f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+        | a AS (SELECT DISTINCT d.user_id, f.cohort_day, d.day - f.cohort_day AS day_offset
+        |       FROM d JOIN f USING (user_id))
+        |SELECT cohort_day, day_offset, count(*) AS n_active_users
+        |FROM a GROUP BY cohort_day, day_offset""".stripMargin,
+
+    // Two Lloyd iterations replayed: init = 4 lowest-id vectors,
+    // assignment = argmin in-order squared-diff sum (ties to the lower
+    // cluster), centroid update snapped to exact micro-units — the
+    // identical doubles the engine broadcasts.
+    "kmeans_clusters" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
+        |        FROM v ORDER BY vec_id LIMIT 4),
+        | d1 AS (SELECT v.vec_id, c.cl,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+        |        FROM v CROSS JOIN c0 c),
+        | a1 AS (SELECT vec_id, cl FROM d1
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+        | m1 AS (SELECT cl, i, CAST(round(avg(e[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
+        |        FROM (SELECT a1.cl, v.e, unnest(generate_series(1, 64)) AS i
+        |              FROM a1 JOIN v USING (vec_id))
+        |        GROUP BY cl, i),
+        | c1 AS (SELECT cl, list(c ORDER BY i) AS e FROM m1 GROUP BY cl),
+        | d2 AS (SELECT v.vec_id, c.cl,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+        |        FROM v CROSS JOIN c1 c),
+        | a2 AS (SELECT vec_id, cl, sqrt(d2) AS d FROM d2
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1)
+        |SELECT cl AS cluster, count(*) AS n_members,
+        | round(avg(d), 6) AS mean_dist, min(vec_id) AS min_member
+        |FROM a2 GROUP BY cl""".stripMargin,
+
     // The dedup_clusters reachability closure plus arg-max survivor
     // selection: per cluster, the member with the most characters
     // (ties to the smaller doc id).

@@ -670,6 +670,33 @@ object Queries {
         col("m.n_chars").as("keep_n_chars"), col("n_members"))
   }
 
+  /** Strictly-ordered signup→view→purchase funnel: per-step distinct
+    * user conversion counts (chained partial-aggregating min-per-user
+    * steps — see [[graft.ops.EventAnalytics.funnel]]). */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnelCounts(events(s, dir), "user_id", "event_type",
+      "ts", Seq("signup", "view", "purchase"))
+
+  /** Cohort retention: first-activity-day cohorts × active-day offset
+    * → distinct active users (exact integer day arithmetic on the
+    * nanosecond timestamps). */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.cohortRetention(events(s, dir), "user_id", "ts")
+
+  /** Deterministic Lloyd's k-means (k=4, 2 iterations) over the
+    * embeddings table: per-cluster membership count, mean distance to
+    * the assignment centroid (6 dp), and the smallest member id. The
+    * oracle replays both iterations in SQL — micro-unit-snapped
+    * centroids make the trajectory engine-exact. */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame =
+    ops.Clustering.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 4, iters = 2)
+      .withColumn("cluster", col("cluster").cast("long")) // oracle row_number() is BIGINT
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        r6(avg(col("dist"))).as("mean_dist"),
+        min(col("vec_id")).as("min_member"))
+
   /** Per-group L2-normalized centroid embeddings (vec_id % 25 plays
     * the doc key — one centroid per 25-vector "document"). Emitted as
     * integer micro-units so the hash compare is float-format-proof. */
@@ -833,6 +860,9 @@ object Queries {
     "stratified_quota" -> stratifiedQuota _,
     "quality_filter" -> qualityFilterQ _,
     "dedup_best_keep" -> dedupBestKeep _,
+    "funnel_steps" -> funnelSteps _,
+    "cohort_retention" -> cohortRetention _,
+    "kmeans_clusters" -> kmeansClusters _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the corpus
+  * clustering / IVF-coarse-quantizer training step of an embedding
+  * pipeline. Deterministic and engine-reproducible by construction:
+  *
+  *  - centroids initialize to the k lowest-id vectors (no rand);
+  *  - after each update, centroid components are snapped to exact
+  *    micro-units (`round(mean·1e6) as long / 1e6`), so distributed
+  *    summation order can never leak into the trajectory — any engine
+  *    computing the same means to 6 dp follows the same path;
+  *  - assignment ties break to the lower cluster index;
+  *  - vectors are cast to double before distance so the float→double
+  *    widening point matches a plain-SQL replay.
+  *
+  * Scale shape: per iteration ONE broadcast of k·dim doubles (as plan
+  * literals) and ONE partial-aggregating `groupBy(cluster)` — the
+  * canonical distributed k-means; no per-row state, no driver data
+  * beyond the k×dim centroid matrix. */
+object Clustering {
+
+  /** Runs `iters` Lloyd iterations; returns (idCol, cluster, dist)
+    * for the LAST assignment (the one the final means were computed
+    * from — dist is the distance to that assignment's centroid). */
+  def kmeans(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0 && dim > 0, "k, iters, dim must be positive")
+    val v = vecs.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    var centroids: Seq[(Int, Seq[Double])] =
+      v.orderBy(col("__id").asc).limit(k).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+
+    def assign(): DataFrame = {
+      val cands = centroids.map { case (ci, c) =>
+        struct(
+          VectorFunctions.euclideanDistance(col("__v"),
+            array(c.map(lit): _*)).as("d"),
+          lit(ci).as("cl"))
+      }
+      // least() over (d, cl) structs = argmin distance, ties to lower index
+      v.withColumn("__best", least(cands: _*))
+        .select(col("__id"), col("__v"),
+          col("__best.cl").as("cluster"), col("__best.d").as("dist"))
+    }
+
+    var assigned = assign()
+    for (_ <- 1 until iters) {
+      // exact micro-unit snap: round→long→/1e6 yields the identical
+      // double in any engine; a bare round(x, 6) can disagree by 1 ulp
+      val meanCols = (0 until dim).map(i =>
+        (round(avg(col("__v")(i)) * 1000000.0).cast("long") / 1000000.0).as(s"c$i"))
+      centroids = assigned.groupBy(col("cluster"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), (1 to dim).map(r.getDouble).toSeq))
+        .sortBy(_._1).toSeq
+      assigned = assign()
+    }
+    assigned.select(col("__id").as(idCol), col("cluster"), col("dist"))
+  }
+}

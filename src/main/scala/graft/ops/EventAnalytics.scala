@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels and cohort retention —
+  * the two workhorse product-analytics operators over event logs. The
+  * reference has no event model (SURVEY.md "What it is NOT"); these
+  * extend the events surface (q6-q9, q11-q12) the same way the dedup
+  * ladder extends the documents surface. */
+object EventAnalytics {
+
+  /** Strictly-ordered funnel: per user, step i completes at the
+    * earliest `steps(i)` event strictly AFTER that user's step i-1
+    * completion time. Returns one row per user who completed step 0
+    * with a nullable `step<i>_ts` per later step.
+    *
+    * Scale shape: one partial-aggregating `groupBy(user).min(ts)` per
+    * step, chained by equi-joins on the user key — k small shuffles on
+    * the same key (co-partitioned after the first exchange), never a
+    * per-user event collection or an unbounded-history window. Step
+    * frames shrink monotonically, so later joins are broadcast-eligible
+    * under AQE. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val completions = steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val evs = events.filter(col(typeCol) === step).select(col(userCol), col(tsCol))
+        val compl =
+          if (i == 0) evs.groupBy(col(userCol)).agg(min(col(tsCol)).as("step0_ts"))
+          else evs.join(acc.last.select(col(userCol), col(s"step${i - 1}_ts")), userCol)
+            .filter(col(tsCol) > col(s"step${i - 1}_ts"))
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"step${i}_ts"))
+        acc :+ compl
+    }
+    completions.zipWithIndex.tail.foldLeft(completions.head) {
+      case (df, (c, i)) =>
+        df.join(c.select(col(userCol), col(s"step${i}_ts")), Seq(userCol), "left")
+    }
+  }
+
+  /** Funnel conversion counts: (step_idx, step, n_users) per step —
+    * a single job over [[funnel]]'s output (`count(col)` skips nulls,
+    * `stack` unpivots the one aggregate row). */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, typeCol, tsCol, steps)
+    val aggs = steps.indices.map(i => count(col(s"step${i}_ts")).as(s"n$i"))
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"$i, '${s.replace("'", "''")}', n$i" }
+      .mkString(", ")
+    f.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${steps.length}, $stackArgs) AS (step_idx, step, n_users)")
+  }
+
+  /** Cohort retention: users cohorted by first-activity day (exact
+    * integer floor-division of the timestamp — no datetime-unit or
+    * timezone ambiguity); for each (cohort_day, day_offset) the number
+    * of distinct cohort users active on that offset day. Two
+    * partial-aggregating shuffles (first-day per user, then the
+    * distinct-activity rollup) — no window, no per-user state. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      dayUnits: Long = 86400L * 1000000000L): DataFrame = {
+    require(dayUnits > 0, "dayUnits must be positive")
+    def floorDay(c: Column): Column = c - pmod(c, lit(dayUnits))
+    val withDay = events
+      .select(col(userCol), floorDay(col(tsCol)).cast("long").as("__d0"))
+      .withColumn("__day", expr(s"__d0 div ${dayUnits}L"))
+      .drop("__d0")
+    val firstDay = withDay.groupBy(col(userCol)).agg(min(col("__day")).as("cohort_day"))
+    withDay.join(firstDay, userCol)
+      .select(col(userCol), col("cohort_day"),
+        (col("__day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+}

@@ -359,6 +359,66 @@ class OpsSpec extends SparkSpec {
     assert(!out(5L)._2 && !out(5L)._6)           // empty text: no div-by-zero
   }
 
+  test("funnel: strict ordering, per-step shrinkage, out-of-order users drop") {
+    import spark.implicits._
+    // u1 completes all three in order; u2 purchases BEFORE viewing (view
+    // at 30 never precedes a later purchase) — depth 2; u3 never signs up
+    val ev = Seq(
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "purchase", 30L),
+      (2L, "signup", 10L), (2L, "purchase", 20L), (2L, "view", 30L),
+      (3L, "view", 10L), (3L, "purchase", 20L))
+      .toDF("user_id", "event_type", "ts")
+    val steps = Seq("signup", "view", "purchase")
+    val f = graft.ops.EventAnalytics.funnel(ev, "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) ->
+        (2 to 3).map(i => if (r.isNullAt(i - 1)) None else Some(r.getLong(i - 1)))).toMap
+    assert(f.keySet == Set(1L, 2L)) // u3 absent: never entered the funnel
+    val counts = graft.ops.EventAnalytics
+      .funnelCounts(ev, "user_id", "event_type", "ts", steps)
+      .select($"step_idx", $"n_users").as[(Int, Long)].collect().toMap
+    assert(counts == Map(0 -> 2L, 1 -> 2L, 2 -> 1L))
+    // same-timestamp events do NOT complete the next step (strict >)
+    val tie = Seq((1L, "signup", 10L), (1L, "view", 10L)).toDF("user_id", "event_type", "ts")
+    val tc = graft.ops.EventAnalytics
+      .funnelCounts(tie, "user_id", "event_type", "ts", Seq("signup", "view"))
+      .select($"step_idx", $"n_users").as[(Int, Long)].collect().toMap
+    assert(tc == Map(0 -> 1L, 1 -> 0L))
+  }
+
+  test("cohort retention: first-day cohorts, distinct users per offset") {
+    import spark.implicits._
+    val day = 86400L
+    // u1 active day 0 (twice) and day 2; u2 active day 1 only
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 2 * day), (2L, day + 5L))
+      .toDF("user_id", "ts")
+    val got = graft.ops.EventAnalytics
+      .cohortRetention(ev, "user_id", "ts", dayUnits = day)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("kmeans: separable clusters recovered; deterministic tie + trajectory") {
+    import spark.implicits._
+    // two tight groups around (0,0) and (10,10); ids 1-2 seed the init
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.1f)), (2L, Array(10.0f, 9.9f)),
+      (3L, Array(0.1f, -0.1f)), (4L, Array(9.9f, 10.1f)),
+      (5L, Array(0.2f, 0.0f)), (6L, Array(10.2f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Clustering.kmeans(vecs, "vec_id", "embedding",
+        dim = 2, k = 2, iters = 3)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(out.size == 6)
+    assert(Set(out(1L), out(3L), out(5L)).size == 1) // near-origin group together
+    assert(Set(out(2L), out(4L), out(6L)).size == 1)
+    assert(out(1L) != out(2L))
+    // re-run: identical assignment (no rand anywhere)
+    val again = graft.ops.Clustering.kmeans(vecs, "vec_id", "embedding",
+        dim = 2, k = 2, iters = 3)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(again == out)
+  }
+
   test("doc centroids: unit-norm per-group means; zero group unnormalized") {
     import spark.implicits._
     val df = Seq(
