@@ -697,6 +697,24 @@ object Queries {
         r6(avg(col("dist"))).as("mean_dist"),
         min(col("vec_id")).as("min_member"))
 
+  /** BM25 lexical top-20 for a three-term query — two corpus passes
+    * (row-local tf/dl, one broadcast stats row) + TakeOrdered; scores
+    * 6 dp-rounded BEFORE ranking. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "join", "window"), topK = 20)
+
+  /** Keep-latest snapshot per user over the event log (SCD-1 /
+    * CDC-merge shape: partial-aggregating max(struct), no window). */
+  def latestEvent(s: SparkSession, dir: String): DataFrame =
+    ops.Upsert.keepLatest(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value")),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .select(col("user_id"), expr("ts div 1000").as("last_ts_us"),
+        col("event_type").as("last_type"),
+        round(col("value") * 100).cast("long").as("last_value_cents"))
+
   /** Per-group L2-normalized centroid embeddings (vec_id % 25 plays
     * the doc key — one centroid per 25-vector "document"). Emitted as
     * integer micro-units so the hash compare is float-format-proof. */
@@ -863,6 +881,8 @@ object Queries {
     "funnel_steps" -> funnelSteps _,
     "cohort_retention" -> cohortRetention _,
     "kmeans_clusters" -> kmeansClusters _,
+    "bm25_search" -> bm25Search _,
+    "latest_event" -> latestEvent _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

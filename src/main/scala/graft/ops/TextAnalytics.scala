@@ -281,6 +281,54 @@ object TextAnalytics {
         pmod(portableIdHash(col(idCol)), lit(10000)) < lit((frac * 10000).toInt))
     }.reduce(_.unionByName(_))
 
+  /** BM25 ranked retrieval for a literal term set — the lexical-search
+    * complement to the vector search path (hybrid retrieval needs
+    * both). Okapi BM25 with the Lucene-style idf
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Scale shape: term frequencies and document length are row-local
+    * expressions (map-only); N, per-term document frequencies, and the
+    * exact average document length (integer token sum / count — no
+    * order-dependent double accumulation) come from ONE global
+    * aggregate whose single row is broadcast back; the final ranking is
+    * TakeOrdered top-k. Two corpus passes total, no posting-list
+    * shuffle — the right trade for a handful of query terms (a full
+    * inverted index would pay a corpus-wide explode+shuffle to
+    * amortize over many queries).
+    *
+    * Scores are rounded to 6 dp BEFORE ranking so a last-ulp `ln`
+    * difference between engines cannot flip the order; ties break by
+    * id. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val words = split(trim(col(textCol)), "\\s+")
+    val tfCols = terms.indices.map(i =>
+      size(filter(words, w => w === lit(terms(i)))).cast("double").as(s"__tf$i"))
+    val base = df.select(
+      col(idCol) +: TextFunctions.tokenCount(col(textCol)).cast("long").as("__dl") +: tfCols: _*)
+    val statAggs =
+      count(lit(1)).cast("double").as("__n") +:
+        (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"__tf$i") > 0).cast("long")).cast("double").as(s"__df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val dl = col("__dl").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i"); val dfT = col(s"__df$i")
+      log((col("__n") - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0)) *
+        (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("__avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("bm25", round(score, 6))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), col("bm25"))
+  }
+
   /** Deterministic stratified RATE sampling — the per-domain /
     * per-language downsampling step of a training-data mix: keep a row
     * iff its portable id-hash bucket (0-9999) falls under its stratum's

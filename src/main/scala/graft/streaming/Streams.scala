@@ -124,6 +124,28 @@ object Streams {
     docs.withColumn("contaminated", hitUdf(gramsExpr))
   }
 
+  /** Streaming quality gating — the streaming twin of
+    * [[graft.ops.TextAnalytics.qualityFilter]] for incremental ingest:
+    * the gates are pure row-local column expressions (replace-length
+    * counting, no aggregation), so the streaming plan is STATELESS — no
+    * watermark, no state store, no stream-side shuffle. Documents
+    * failing any gate are dropped before the expensive chunk/embed
+    * stages; the rule booleans stay attached for auditing. */
+  def qualityGateStream(docs: DataFrame, textCol: String): DataFrame =
+    graft.ops.TextAnalytics.qualityFilter(docs, textCol)
+      .filter(col("passes_quality"))
+
+  /** Streaming stratified rate sampling — the streaming twin of
+    * [[graft.ops.TextAnalytics.stratifiedSample]]: membership is a pure
+    * function of the id hash, so the plan is a stateless map and a
+    * restarted/replayed stream keeps exactly the same rows (critical
+    * for exactly-once sinks — a rand()-based sample would re-flip
+    * coins on replay). */
+  def stratifiedSampleStream(docs: DataFrame, idCol: String,
+      stratumCol: String, rates: Map[String, Double],
+      defaultRate: Double): DataFrame =
+    graft.ops.TextAnalytics.stratifiedSample(docs, idCol, stratumCol, rates, defaultRate)
+
   /** Watermarked tumbling event-time window counts — works identically
     * on a streaming or batch frame with (ts: timestamp, event_type,
     * value) columns; batch twin of q6_events_window. */

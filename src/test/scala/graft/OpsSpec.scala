@@ -419,6 +419,40 @@ class OpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("bm25: rarer term outranks common term; tf saturates; absent term scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark common common"), // high tf of rare term
+      (2L, "spark common common common common common"),
+      (3L, "common common common common common common"),
+      (4L, "unrelated words only here")).toDF("doc_id", "text")
+    val got = TextAnalytics.bm25Search(docs, "doc_id", "text",
+        terms = Seq("spark"), topK = 10)
+      .as[(Long, Double)].collect()
+    // only docs containing 'spark' score > 0; higher tf ranks first
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 > got(1)._2)
+    // saturation: quadrupled tf is worth far less than 4x the score
+    assert(got(0)._2 < got(1)._2 * 4)
+  }
+
+  test("keepLatest/upsertMerge: newest version per key wins, no window in plan") {
+    import spark.implicits._
+    val base = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c")).toDF("k", "v", "payload")
+    val latest = graft.ops.Upsert.keepLatest(base, Seq("k"), Seq("v"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(latest == Set((1L, 2L, "b"), (2L, 1L, "c")))
+    val updates = Seq((2L, 5L, "c2"), (3L, 1L, "d")).toDF("k", "v", "payload")
+    val merged = graft.ops.Upsert.upsertMerge(base, updates, Seq("k"), Seq("v"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(merged == Set((1L, 2L, "b"), (2L, 5L, "c2"), (3L, 1L, "d")))
+    // the aggregation plan must partial-aggregate, not window-sort
+    val plan = graft.ops.Upsert.keepLatest(base, Seq("k"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
   test("doc centroids: unit-norm per-group means; zero group unnormalized") {
     import spark.implicits._
     val df = Seq(

@@ -125,6 +125,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate + stratified sample: stateless, match batch twins") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat and it is a fine day in the sun"),
+      (2L, "en", "tiny doc"),
+      (3L, "zh", "#### $$$$ %%%% {{{{ }}}} <<<< >>>> #### $$$$ %%%%"),
+      (4L, "zh", "the quick brown fox jumps over the lazy dog in a field of tall grass"))
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(docs: _*)
+    val streamDf = input.toDF().toDF("doc_id", "lang", "text")
+    val gated = Streams.qualityGateStream(streamDf, "text")
+    val q = gated.writeStream.format("memory").queryName("quality_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty) // stateless plan
+      val got = spark.table("quality_out").select("doc_id").as[Long].collect().toSet
+      val batch = graft.ops.TextAnalytics
+        .qualityFilter(docs.toDF("doc_id", "lang", "text"), "text")
+        .filter(org.apache.spark.sql.functions.col("passes_quality"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == batch && got == Set(1L, 4L))
+    } finally q.stop()
+
+    val input2 = MemoryStream[(Long, String, String)]
+    input2.addData(docs: _*)
+    val sampled = Streams.stratifiedSampleStream(
+      input2.toDF().toDF("doc_id", "lang", "text"), "doc_id", "lang",
+      rates = Map("zh" -> 0.0), defaultRate = 1.0)
+    val q2 = sampled.writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q2.processAllAvailable()
+      assert(q2.lastProgress.stateOperators.isEmpty)
+      val got = spark.table("sample_out").select("doc_id").as[Long].collect().toSet
+      val batch = graft.ops.TextAnalytics.stratifiedSample(
+          docs.toDF("doc_id", "lang", "text"), "doc_id", "lang",
+          rates = Map("zh" -> 0.0), defaultRate = 1.0)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == batch && got == Set(1L, 2L)) // zh stratum fully dropped
+    } finally q2.stop()
+  }
+
   test("streaming dedup: duplicate content within the watermark is dropped") {
     val src = java.nio.file.Files.createTempDirectory("graft_dedup_src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt")
