@@ -482,6 +482,61 @@ object OracleSql {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
 
+    "lm_score" ->
+      """WITH ww AS (SELECT doc_id, w
+        |   FROM (SELECT doc_id,
+        |          unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+        |         FROM documents)
+        |   WHERE length(w) > 0),
+        | f AS (SELECT w, count(*) AS wc FROM ww GROUP BY w),
+        | t AS (SELECT count(*) AS tc FROM ww)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(sum(ln(CAST(wc AS DOUBLE) / CAST(tc AS DOUBLE))) / count(*), 6) AS mean_logprob
+        |FROM ww JOIN f USING (w), t GROUP BY doc_id""".stripMargin,
+
+    // RRF over the bm25 top-50 and cosine top-50: ranks assigned on
+    // 6 dp-rounded scores (id ties) on both sides; each RRF term is
+    // exact 1/(60+rank) rational arithmetic.
+    "hybrid_search" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed,
+        |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS words
+        |   FROM documents),
+        | base AS (SELECT doc_id,
+        |    CASE WHEN length(trimmed) = 0 THEN 0
+        |         ELSE CAST(len(words) AS BIGINT) END AS dl_i,
+        |    len(list_filter(words, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(words, x -> x = 'join')) AS tf1,
+        |    len(list_filter(words, x -> x = 'window')) AS tf2
+        |   FROM w),
+        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl_i) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |   FROM base),
+        | sc AS (SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |   FROM (SELECT doc_id, CAST(dl_i AS DOUBLE) AS dl,
+        |          CAST(tf0 AS DOUBLE) AS tf0, CAST(tf1 AS DOUBLE) AS tf1, CAST(tf2 AS DOUBLE) AS tf2,
+        |          n, avgdl, df0, df1, df2
+        |         FROM base, stats)),
+        | bmtop AS (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |           ORDER BY bm25 DESC, doc_id LIMIT 50),
+        | bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bmtop),
+        | q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        | ve AS (SELECT e.vec_id AS doc_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv) AS c
+        |        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q),
+        | vtop AS (SELECT doc_id, round(c, 6) AS cr FROM ve ORDER BY c DESC, doc_id LIMIT 50),
+        | vr AS (SELECT doc_id, row_number() OVER (ORDER BY cr DESC, doc_id) AS rank FROM vtop),
+        | u AS (SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM bmr
+        |       UNION ALL SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM vr)
+        |SELECT doc_id, round(sum(c), 6) AS rrf, count(*) AS n_lists
+        |FROM u GROUP BY doc_id ORDER BY sum(c) DESC, doc_id LIMIT 20""".stripMargin,
+
     // The dedup_clusters reachability closure plus arg-max survivor
     // selection: per cluster, the member with the most characters
     // (ties to the smaller doc id).

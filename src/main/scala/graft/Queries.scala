@@ -715,6 +715,45 @@ object Queries {
         col("event_type").as("last_type"),
         round(col("value") * 100).cast("long").as("last_value_cents"))
 
+  /** CCNet-style fluency score: mean unigram log-probability under the
+    * corpus's own unigram LM (explode → freq join → per-doc mean, 6 dp
+    * before output). */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    * lexical top-50 and the cosine vector top-50 (doc i ↔ embedding i
+    * stand-in mapping). Ranks are assigned over 6 dp-rounded scores
+    * with id tie-breaks on BOTH engines, so a last-ulp score
+    * divergence cannot shift a rank; each RRF term is then exact
+    * rational arithmetic. */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // rank window keyed by pmod(id, 1): a NON-foldable constant key, so
+    // Spark keeps the partition spec (no "No Partition Defined"
+    // WindowExec warning) and the exchange moves only the ≤50-row list
+    def ranked(df: DataFrame, idC: String, scoreC: String): DataFrame =
+      df.withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(col(idC), lit(1)))
+          .orderBy(col(scoreC).desc, col(idC).asc)))
+    val bm = ranked(
+        TextAnalytics.bm25Search(docs, "doc_id", "text",
+          terms = Seq("spark", "join", "window"), topK = 50),
+        "doc_id", "bm25")
+      .select(col("doc_id"), col("rank"))
+    val docEmb = t(s, dir, "embeddings")
+      .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+    val vec = ranked(
+        SimilaritySearch.bruteForceTopK(docEmb, "vec_id", "embedding",
+            queryVec(s, dir), 50)
+          .select(col("vec_id").as("doc_id"), r6(col("cosine")).as("cr")),
+        "doc_id", "cr")
+      .select(col("doc_id"), col("rank"))
+    ops.HybridRetrieval.rrfFuse(Seq(bm, vec), "doc_id", "rank",
+        rrfK = 60, topK = 20)
+      .select(col("doc_id"), r6(col("rrf")).as("rrf"), col("n_lists"))
+  }
+
   /** Per-group L2-normalized centroid embeddings (vec_id % 25 plays
     * the doc key — one centroid per 25-vector "document"). Emitted as
     * integer micro-units so the hash compare is float-format-proof. */
@@ -883,6 +922,8 @@ object Queries {
     "kmeans_clusters" -> kmeansClusters _,
     "bm25_search" -> bm25Search _,
     "latest_event" -> latestEvent _,
+    "lm_score" -> lmScore _,
+    "hybrid_search" -> hybridSearch _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

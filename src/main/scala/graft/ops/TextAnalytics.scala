@@ -329,6 +329,31 @@ object TextAnalytics {
       .select(col(idCol), col("bm25"))
   }
 
+  /** Mean unigram log-probability under the corpus's own unigram LM —
+    * the CCNet-style fluency/quality proxy (docs of common words score
+    * high, gibberish and rare-token soup score low).
+    *
+    * Scale shape: one token explode, a count aggregation for the
+    * frequency table, then a join back on the word key — vocabulary is
+    * sublinear in corpus size (Heaps' law), so AQE turns the frequency
+    * side into a broadcast at any realistic scale; hot stopword keys
+    * skew the explode join's build side, not the stream side. Mean
+    * log-prob is rounded to 6 dp (per-doc ln() summation order and a
+    * last-ulp ln() divergence both vanish at that precision). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(split(regexp_replace(col(textCol), "^\\s+|\\s+$", ""), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val freqs = words.groupBy(col("__w")).agg(count(lit(1)).as("__wc"))
+    val total = words.agg(count(lit(1)).as("__tc"))
+    words.join(freqs, "__w").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("__wc").cast("double") / col("__tc").cast("double"))).as("__lp"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__lp") / col("n_tokens").cast("double"), 6).as("mean_logprob"))
+  }
+
   /** Deterministic stratified RATE sampling — the per-domain /
     * per-language downsampling step of a training-data mix: keep a row
     * iff its portable id-hash bucket (0-9999) falls under its stratum's

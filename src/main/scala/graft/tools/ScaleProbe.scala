@@ -187,6 +187,47 @@ object ScaleProbe {
         docs10.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
         docs10.filter(col("doc_id") % 100 === 0), "doc_id", "text", n = 5).count())
     }
+    // K-means at the full vector corpus: each iteration is one
+    // broadcast of k x dim doubles + one partial-aggregating shuffle,
+    // so wall time should be ~iters x a scan, independent of k.
+    time("kmeans k=8 x 2 iters (full corpus)") {
+      val a = graft.ops.Clustering.kmeans(vecs, "vec_id", "embedding", dim,
+        k = 8, iters = 2)
+      println("[probe]   clusters=" + a.select("cluster").distinct().count())
+    }
+
+    // Temporal/event ops at 10M events over 500k users: the interval
+    // join must stay linear (bucketed equi-join — a theta join here
+    // would be ~20 rows x 20 rows per user before filtering), the
+    // funnel is three keyed partial aggregations, keep-latest one.
+    val nEv = 10000000L
+    val ev = spark.range(nEv).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id")), lit(500000L)).as("user_id"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(86400L * 30)) * 1000000000L).as("ts"),
+        element_at(array(lit("signup"), lit("view"), lit("purchase"), lit("click")),
+          (pmod(xxhash64(col("id"), lit(2)), lit(4)) + 1).cast("int")).as("event_type"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] events=${ev.count()}")
+    time("interval join: purchase wins x views (10M ev)") {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
+          (col("ts") + 1800L * 1000000000L).as("p_end"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      println("[probe]   pairs=" + graft.ops.TemporalJoins.pointInIntervalJoin(
+        p, v, "user_id", "p_ts", "p_end", "v_ts", grain = 1800L * 1000000000L).count())
+    }
+    time("funnel 3 steps (10M ev, 500k users)") {
+      println("[probe]   " + graft.ops.EventAnalytics.funnelCounts(ev,
+          "user_id", "event_type", "ts", Seq("signup", "view", "purchase"))
+        .collect().map(r => s"${r.get(1)}=${r.getLong(2)}").mkString(" "))
+    }
+    time("keep-latest per user (10M ev)") {
+      println("[probe]   users=" + graft.ops.Upsert.keepLatest(ev,
+        Seq("user_id"), Seq("ts", "event_id")).count())
+    }
+    ev.unpersist()
     spark.stop()
   }
 }

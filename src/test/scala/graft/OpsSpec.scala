@@ -453,6 +453,37 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
   }
 
+  test("rrf fusion: both-list docs outrank single-list; absent lists contribute nothing") {
+    import spark.implicits._
+    val bm = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val vec = Seq((12L, 1), (13L, 2)).toDF("id", "rank")
+    val fused = graft.ops.HybridRetrieval.rrfFuse(Seq(bm, vec), "id", "rank")
+      .as[(Long, Double, Long)].collect()
+    // 12 appears in both lists (ranks 3 and 1) and must fuse on top
+    assert(fused.head._1 == 12L && fused.head._3 == 2L)
+    assert(math.abs(fused.head._2 - (1.0 / 63 + 1.0 / 61)) < 1e-12)
+    // singles ranked by their own reciprocal rank: 10 (r1) > 11,13 (r2) > ...
+    assert(fused.map(_._1).toSeq == Seq(12L, 10L, 11L, 13L))
+    // the 11 vs 13 tie (both rank 2, same score) breaks by id
+    assert(fused(2)._1 == 11L && fused(3)._1 == 13L)
+  }
+
+  test("unigram LM score: common-word docs outscore rare-word docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"),     // only the most frequent word
+      (2L, "the the rare1 rare2"), // half rare singletons
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalytics.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(3L)) // empty doc: no tokens, no row (not NaN)
+    assert(got(1L)._2 == 4L && got(2L)._2 == 4L)
+    assert(got(1L)._3 > got(2L)._3)
+    // exact value: doc1 = ln(6/8) each token
+    assert(math.abs(got(1L)._3 - BigDecimal(math.log(6.0 / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("doc centroids: unit-norm per-group means; zero group unnormalized") {
     import spark.implicits._
     val df = Seq(
