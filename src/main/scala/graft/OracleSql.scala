@@ -482,6 +482,20 @@ object OracleSql {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
 
+    // Same md5-prefix rolling-hash cut points, replayed with DuckDB
+    // list ops; chunks are substrings between consecutive cuts.
+    "chunk_cdc" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    [1] || list_filter(
+        |      CASE WHEN length(text) - 7 >= 2
+        |           THEN range(2, length(text) - 7 + 1) ELSE [] END,
+        |      i -> CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) % 64 = 0)
+        |    || [length(text) + 1] AS cuts
+        |   FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+        | substring(text, CAST(cuts[j] AS INT), CAST(cuts[j + 1] - cuts[j] AS INT)) AS chunk_text
+        |FROM (SELECT doc_id, text, cuts, unnest(generate_series(1, len(cuts) - 1)) AS j FROM c)""".stripMargin,
+
     "lm_score" ->
       """WITH ww AS (SELECT doc_id, w
         |   FROM (SELECT doc_id,

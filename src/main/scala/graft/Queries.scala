@@ -715,6 +715,13 @@ object Queries {
         col("event_type").as("last_type"),
         round(col("value") * 100).cast("long").as("last_value_cents"))
 
+  /** Content-defined chunking over the corpus: rolling-hash cut
+    * points (expected ~64-char chunks), the dedup-stable alternative
+    * to fixed-size chunking. */
+  def chunkCdc(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.contentDefinedChunks(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, divisor = 64)
+
   /** CCNet-style fluency score: mean unigram log-probability under the
     * corpus's own unigram LM (explode → freq join → per-doc mean, 6 dp
     * before output). */
@@ -924,6 +931,7 @@ object Queries {
     "latest_event" -> latestEvent _,
     "lm_score" -> lmScore _,
     "hybrid_search" -> hybridSearch _,
+    "chunk_cdc" -> chunkCdc _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

@@ -329,6 +329,39 @@ object TextAnalytics {
       .select(col(idCol), col("bm25"))
   }
 
+  /** Content-defined chunking: chunk boundaries where the portable
+    * 60-bit hash of the local character n-gram is ≡ 0 mod `divisor`
+    * (expected chunk length ≈ divisor chars) — the dedup-friendly
+    * chunker: because boundaries depend only on LOCAL content, an
+    * insertion near the start shifts only the chunks up to the next
+    * boundary, where a fixed-size chunker re-cuts the whole document
+    * (so downstream chunk-level dedup keeps matching).
+    *
+    * Entirely in-row (transform/filter over the position sequence, no
+    * explode before chunk emission) — a single codegen'd map stage;
+    * the md5-prefix hash family is the same one the dedup ladder uses,
+    * so the cut points replay in plain SQL. Emits
+    * (id, chunk_idx, chunk_text). */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, divisor: Int = 64): DataFrame = {
+    require(n > 0 && divisor > 0, "n and divisor must be positive")
+    val L = s"length(`$textCol`)"
+    // candidate boundaries at shingle starts 2..L-n+1 (1 is always a cut)
+    // NB: Spark's sequence(2, x) DESCENDS for x < 2 — short docs need
+    // the empty-array guard, not a clamped upper bound
+    val cuts =
+      s"""concat(array(1),
+         |  filter(IF($L - ${n - 1} >= 2, sequence(2, $L - ${n - 1}), cast(array() AS array<int>)),
+         |    i -> pmod(cast(conv(substring(md5(substring(`$textCol`, i, $n)), 1, 15), 16, 10) AS BIGINT), $divisor) = 0),
+         |  array($L + 1))""".stripMargin
+    df.filter(length(col(textCol)) > 0)
+      .withColumn("__cuts", expr(cuts))
+      .withColumn("__chunks", expr(
+        s"transform(sequence(1, size(__cuts) - 1), j -> substring(`$textCol`, element_at(__cuts, j), element_at(__cuts, j + 1) - element_at(__cuts, j)))"))
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_idx", (col("chunk_idx") + 1).cast("long"))
+  }
+
   /** Mean unigram log-probability under the corpus's own unigram LM —
     * the CCNet-style fluency/quality proxy (docs of common words score
     * high, gibberish and rare-token soup score low).

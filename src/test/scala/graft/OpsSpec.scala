@@ -484,6 +484,28 @@ class OpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("content-defined chunking: lossless cover; prefix insert shifts only a prefix") {
+    import spark.implicits._
+    val text = ("spark shuffles data across the cluster while the optimizer prunes " +
+      "columns and pushes filters down to the parquet scan layer for speed") * 4
+    val docs = Seq((1L, text), (2L, "xyz " + text), (3L, "short"), (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalytics.contentDefinedChunks(docs, "doc_id", "text", n = 8, divisor = 32)
+      .as[(Long, Long, String)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // chunks concatenate back to the exact input (lossless, in order)
+    assert(byDoc(1L).mkString == text)
+    assert(byDoc(3L) == Seq("short")) // sub-n doc: one whole-text chunk
+    assert(!byDoc.contains(4L))       // empty doc emits nothing
+    // CDC property: the prefix edit changes chunking only BEFORE the
+    // first shared boundary — the chunk multiset tail is identical
+    val c1 = byDoc(1L); val c2 = byDoc(2L)
+    val shared = c1.toSet.intersect(c2.toSet)
+    assert(shared.nonEmpty && c1.takeRight(shared.size) == c2.takeRight(shared.size))
+    // a fixed-size chunker would share nothing after a 4-char shift
+    assert(graft.functions.Chunker.chunkFixed("xyz " + text, 64).map(_.text)
+      .toSet.intersect(graft.functions.Chunker.chunkFixed(text, 64).map(_.text).toSet).isEmpty)
+  }
+
   test("doc centroids: unit-norm per-group means; zero group unnormalized") {
     import spark.implicits._
     val df = Seq(
