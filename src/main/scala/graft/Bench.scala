@@ -19,6 +19,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     // Untimed warmup: absorb parquet-reader init, codegen and JIT of the
     // scan path so the first timed query doesn't carry ~3s of one-off
@@ -35,7 +37,12 @@ object Bench {
     // results under a caller-owns-unpersist contract) are measured cold
     // each time and cached blocks don't accumulate across the suite.
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt, 1)
+    // Optional comma-separated query filter for single-operator timing
+    // during development (unset => the full declared suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val samples = (1 to runs).map { _ =>
@@ -52,7 +59,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Self-describing protocol fields: min-of-N runs and the box's
+    // 1-minute load average at start vs end, so a reader can tell a
+    // loaded-box outlier from a code regression without a re-run.
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":{"runs":$runs,"agg":"min","cpus":$cpus,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}""")
     spark.stop()
   }
 }

@@ -329,36 +329,67 @@ object TextAnalytics {
       .select(col(idCol), col("bm25"))
   }
 
+  /** Single-pass CDC chunker kernel: one in-row scan computing the
+    * portable 60-bit md5-prefix hash of each full character n-gram
+    * (the same hash family as `Dedup.shingleHashesUdf`, so cut points
+    * replay in plain SQL as
+    * `CAST('0x'||substring(md5(g),1,15) AS BIGINT) % divisor`), cutting
+    * where the hash is ≡ 0 mod divisor. Each n-gram extraction is a
+    * Java `String.substring` (O(n) copy), so a length-L doc costs
+    * O(L·n) — NOT the O(L²) of the declarative
+    * `filter(sequence, i -> md5(substring(text, i, n)))` form, whose
+    * per-position UTF8String substring seeks from the string start
+    * (the anti-pattern documented at Dedup.shingleHashesUdf). Positions
+    * are UTF-16 code units vs the SQL replay's codepoints — identical
+    * for ASCII/BMP text (same caveat as shingleHashesUdf). */
+  private val cdcChunksUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, n: Int, divisor: Int) =>
+      if (text == null || text.isEmpty) Array.empty[String]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val len = text.length
+        val cuts = new scala.collection.mutable.ArrayBuilder.ofInt
+        cuts += 1 // position 1 is always a cut
+        var i = 2 // 1-based shingle starts 2..len-n+1: full n-grams only
+        val last = len - n + 1
+        while (i <= last) {
+          md.reset()
+          val d = md.digest(text.substring(i - 1, i - 1 + n)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var j = 0
+          while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+          if (((v >>> 4) % divisor) == 0L) cuts += i // top 60 bits = 15 hex chars
+          i += 1
+        }
+        cuts += len + 1
+        val c = cuts.result()
+        val out = new Array[String](c.length - 1)
+        var k = 0
+        while (k < out.length) { out(k) = text.substring(c(k) - 1, c(k + 1) - 1); k += 1 }
+        out
+      }
+    }
+
   /** Content-defined chunking: chunk boundaries where the portable
     * 60-bit hash of the local character n-gram is ≡ 0 mod `divisor`
     * (expected chunk length ≈ divisor chars) — the dedup-friendly
     * chunker: because boundaries depend only on LOCAL content, an
     * insertion near the start shifts only the chunks up to the next
     * boundary, where a fixed-size chunker re-cuts the whole document
-    * (so downstream chunk-level dedup keeps matching).
+    * (so downstream chunk-level dedup keeps matching — see the
+    * `chunk_cdc_dedup` query for the end-to-end property).
     *
-    * Entirely in-row (transform/filter over the position sequence, no
-    * explode before chunk emission) — a single codegen'd map stage;
-    * the md5-prefix hash family is the same one the dedup ladder uses,
-    * so the cut points replay in plain SQL. Emits
+    * One map stage: the [[cdcChunksUdf]] kernel emits the chunk list
+    * in a single in-row pass, then posexplode yields
     * (id, chunk_idx, chunk_text). */
   def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, divisor: Int = 64): DataFrame = {
     require(n > 0 && divisor > 0, "n and divisor must be positive")
-    val L = s"length(`$textCol`)"
-    // candidate boundaries at shingle starts 2..L-n+1 (1 is always a cut)
-    // NB: Spark's sequence(2, x) DESCENDS for x < 2 — short docs need
-    // the empty-array guard, not a clamped upper bound
-    val cuts =
-      s"""concat(array(1),
-         |  filter(IF($L - ${n - 1} >= 2, sequence(2, $L - ${n - 1}), cast(array() AS array<int>)),
-         |    i -> pmod(cast(conv(substring(md5(substring(`$textCol`, i, $n)), 1, 15), 16, 10) AS BIGINT), $divisor) = 0),
-         |  array($L + 1))""".stripMargin
     df.filter(length(col(textCol)) > 0)
-      .withColumn("__cuts", expr(cuts))
-      .withColumn("__chunks", expr(
-        s"transform(sequence(1, size(__cuts) - 1), j -> substring(`$textCol`, element_at(__cuts, j), element_at(__cuts, j + 1) - element_at(__cuts, j)))"))
-      .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol),
+        posexplode(cdcChunksUdf(col(textCol), lit(n), lit(divisor)))
+          .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_idx", (col("chunk_idx") + 1).cast("long"))
   }
 

@@ -486,14 +486,19 @@ class OpsSpec extends SparkSpec {
 
   test("content-defined chunking: lossless cover; prefix insert shifts only a prefix") {
     import spark.implicits._
-    val text = ("spark shuffles data across the cluster while the optimizer prunes " +
-      "columns and pushes filters down to the parquet scan layer for speed") * 4
+    // fixture chosen for provable interior cut points: at n=8/divisor=32
+    // this text has exactly 3 interior cuts (verified by replaying the
+    // md5-prefix hash outside Spark) — the cut-count assertion below
+    // keeps the fixture honest if the hash family ever changes
+    val text = (0 until 12).map(i =>
+      f"token$i%03d spark shuffles data partition${i % 7} across executors").mkString(" ")
     val docs = Seq((1L, text), (2L, "xyz " + text), (3L, "short"), (4L, "")).toDF("doc_id", "text")
     val out = TextAnalytics.contentDefinedChunks(docs, "doc_id", "text", n = 8, divisor = 32)
       .as[(Long, Long, String)].collect()
     val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     // chunks concatenate back to the exact input (lossless, in order)
     assert(byDoc(1L).mkString == text)
+    assert(byDoc(1L).size == 4)       // 3 interior cuts => 4 chunks
     assert(byDoc(3L) == Seq("short")) // sub-n doc: one whole-text chunk
     assert(!byDoc.contains(4L))       // empty doc emits nothing
     // CDC property: the prefix edit changes chunking only BEFORE the
