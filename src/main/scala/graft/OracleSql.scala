@@ -496,6 +496,35 @@ object OracleSql {
         | substring(text, CAST(cuts[j] AS INT), CAST(cuts[j + 1] - cuts[j] AS INT)) AS chunk_text
         |FROM (SELECT doc_id, text, cuts, unnest(generate_series(1, len(cuts) - 1)) AS j FROM c)""".stripMargin,
 
+    // CDC dedup stability end-to-end: original + prefix-edited corpus,
+    // same cut-point replay, then exact chunk-text dedup counters.
+    "chunk_cdc_dedup" ->
+      """WITH docs AS (
+        |  SELECT 'o:' || CAST(doc_id AS VARCHAR) AS cid, text FROM documents
+        |  UNION ALL
+        |  SELECT 'e:' || CAST(doc_id AS VARCHAR) AS cid, 'prefix edit ' || text FROM documents),
+        | c AS (SELECT cid, text,
+        |    [1] || list_filter(
+        |      CASE WHEN length(text) - 7 >= 2
+        |           THEN range(2, length(text) - 7 + 1) ELSE [] END,
+        |      i -> CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) % 64 = 0)
+        |    || [length(text) + 1] AS cuts
+        |   FROM docs WHERE length(text) > 0),
+        | chunks AS (SELECT cid,
+        |    substring(text, CAST(cuts[j] AS INT), CAST(cuts[j + 1] - cuts[j] AS INT)) AS chunk_text
+        |   FROM (SELECT cid, text, cuts, unnest(generate_series(1, len(cuts) - 1)) AS j FROM c)),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+        |    CAST(sum(CASE WHEN cid LIKE 'o:%' THEN 1 ELSE 0 END) AS BIGINT) AS orig_chunks,
+        |    CAST(sum(CASE WHEN cid LIKE 'e:%' THEN 1 ELSE 0 END) AS BIGINT) AS edited_chunks
+        |   FROM chunks),
+        | surv AS (SELECT CAST(count(DISTINCT chunk_text) AS BIGINT) AS surviving_chunks FROM chunks),
+        | re AS (SELECT CAST(count(*) AS BIGINT) AS reused_chunks
+        |   FROM chunks WHERE cid LIKE 'e:%'
+        |    AND chunk_text IN (SELECT chunk_text FROM chunks WHERE cid LIKE 'o:%'))
+        |SELECT total_chunks, orig_chunks, edited_chunks, surviving_chunks, reused_chunks,
+        | round(CAST(reused_chunks AS DOUBLE) / edited_chunks, 6) AS reuse_pct
+        |FROM tot, surv, re""".stripMargin,
+
     "lm_score" ->
       """WITH ww AS (SELECT doc_id, w
         |   FROM (SELECT doc_id,

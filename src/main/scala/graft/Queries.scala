@@ -722,6 +722,20 @@ object Queries {
     TextAnalytics.contentDefinedChunks(t(s, dir, "documents"), "doc_id", "text",
       n = 8, divisor = 64)
 
+  /** The point of CDC chunking, proven end-to-end: chunk-level dedup
+    * stability under edits. Corpus + prefix-edited copy of every doc →
+    * [[TextAnalytics.contentDefinedChunks]] → [[Dedup.exact]] on chunk
+    * text → survivor / reuse counters. Because cut points depend only
+    * on local content, a prefix edit re-cuts only the first chunk(s);
+    * the rest hash-match the original doc's chunks, so exact dedup
+    * collapses them (reuse_pct ≈ 1 - divisor/len; a fixed-size chunker
+    * would score ~0 here). All joins are on chunk_text after a distinct
+    * — the 1-row stat frames cross-join at the end. */
+  def chunkCdcDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.cdcDedupStats(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", editPrefix = "prefix edit ", n = 8, divisor = 64)
+
   /** CCNet-style fluency score: mean unigram log-probability under the
     * corpus's own unigram LM (explode → freq join → per-doc mean, 6 dp
     * before output). */
@@ -932,6 +946,7 @@ object Queries {
     "lm_score" -> lmScore _,
     "hybrid_search" -> hybridSearch _,
     "chunk_cdc" -> chunkCdc _,
+    "chunk_cdc_dedup" -> chunkCdcDedup _,
     "token_bpe" -> tokenBpe _,
     "normalize_ws" -> normalizeWs _,
     "text_stats" -> textStats _,

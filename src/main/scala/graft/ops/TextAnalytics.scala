@@ -393,6 +393,48 @@ object TextAnalytics {
       .withColumn("chunk_idx", (col("chunk_idx") + 1).cast("long"))
   }
 
+  /** CDC dedup stability, end-to-end: chunk the corpus AND a
+    * prefix-edited copy of every doc with [[contentDefinedChunks]],
+    * exact-dedup chunk text with [[Dedup.exact]], and report reuse
+    * counters in one row. Because cut points depend only on local
+    * content, the edit re-cuts only the first chunk(s); the rest
+    * hash-match the original doc's chunks and collapse under exact
+    * dedup — expected reuse_pct ≈ 1 - divisor/len per doc (a
+    * fixed-size chunker scores ~0 on the same edit).
+    *
+    * Scale shape: the chunkers are one map stage each; the reuse
+    * check is a left-semi join on distinct original chunk text; the
+    * three 1-row stat frames cross-join at the end. */
+  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+      editPrefix: String, n: Int = 8, divisor: Int = 64): DataFrame = {
+    // tag provenance in a string id so it survives the chunker's
+    // (id, chunk_idx, chunk_text) projection
+    val tagged = df
+      .select(concat(lit("o:"), col(idCol)).as("cid"), col(textCol).as("text"))
+      .unionByName(df.select(concat(lit("e:"), col(idCol)).as("cid"),
+        concat(lit(editPrefix), col(textCol)).as("text")))
+    val chunks = contentDefinedChunks(tagged, "cid", "text", n, divisor)
+    // unique, deterministic per-row key for exact dedup's winner pick
+    val keyed = chunks.withColumn("chunk_key",
+      concat_ws("#", col("cid"), col("chunk_idx")))
+    val survivors = Dedup.exact(keyed, "chunk_key", "chunk_text")
+      .agg(count(lit(1)).as("surviving_chunks"))
+    val counts = chunks.agg(
+      count(lit(1)).as("total_chunks"),
+      sum(when(col("cid").startsWith("o:"), 1L).otherwise(0L)).as("orig_chunks"),
+      sum(when(col("cid").startsWith("e:"), 1L).otherwise(0L)).as("edited_chunks"))
+    val origTexts = chunks.filter(col("cid").startsWith("o:"))
+      .select("chunk_text").distinct()
+    val reused = chunks.filter(col("cid").startsWith("e:"))
+      .join(origTexts, Seq("chunk_text"), "left_semi")
+      .agg(count(lit(1)).as("reused_chunks"))
+    counts.crossJoin(survivors).crossJoin(reused)
+      .select(col("total_chunks"), col("orig_chunks"), col("edited_chunks"),
+        col("surviving_chunks"), col("reused_chunks"),
+        round(col("reused_chunks").cast("double") / col("edited_chunks"), 6)
+          .as("reuse_pct"))
+  }
+
   /** Mean unigram log-probability under the corpus's own unigram LM —
     * the CCNet-style fluency/quality proxy (docs of common words score
     * high, gibberish and rare-token soup score low).

@@ -511,6 +511,26 @@ class OpsSpec extends SparkSpec {
       .toSet.intersect(graft.functions.Chunker.chunkFixed(text, 64).map(_.text).toSet).isEmpty)
   }
 
+  test("cdc dedup stats: prefix-edited copies reuse >50% of chunks") {
+    import spark.implicits._
+    // long docs (~40 expected chunks at divisor 64) so the single
+    // re-cut first chunk is a small fraction of each edited copy
+    val docs = (1 to 6).map { d =>
+      (d.toLong, (0 until 40).map(i =>
+        f"doc$d%02d token$i%03d spark shuffles data partition${(d * i) % 7} across executors").mkString(" "))
+    }.toDF("doc_id", "text")
+    val row = TextAnalytics.cdcDedupStats(docs, "doc_id", "text",
+        editPrefix = "prefix edit ", n = 8, divisor = 64)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    val (total, orig, edited, surviving, reused, reusePct) = row
+    assert(total == orig + edited)
+    assert(orig > 0 && edited > 0)
+    // the defining property: most edited-copy chunks are byte-identical
+    // to an original chunk, so chunk-level dedup collapses them
+    assert(reusePct > 0.5, s"reuse_pct=$reusePct (reused=$reused/$edited)")
+    assert(surviving < total) // dedup actually removed duplicates
+  }
+
   test("doc centroids: unit-norm per-group means; zero group unnormalized") {
     import spark.implicits._
     val df = Seq(
