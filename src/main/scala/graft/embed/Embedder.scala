@@ -143,14 +143,120 @@ final case class DeterministicBatchedEmbedder(dim: Int, batchSize: Int = 8,
     }
 }
 
-/** Placeholder for a real in-JVM model (ONNX Runtime etc. — not present
-  * in this environment). Holds the model in an executor-local lazy
-  * companion slot; everything else (batching, fallback, schema) comes
-  * from [[BatchedEmbedder]]. */
+/** Minimal transformer-inference-session abstraction, shaped like ONNX
+  * Runtime's `OrtSession.run` over the standard sentence-transformer
+  * signature: (input_ids, attention_mask) → last_hidden_state
+  * [batch, seqLen, hiddenDim]. The production provider wraps
+  * OrtEnvironment/OrtSession; tests plug a deterministic fake, so every
+  * line of [[OnnxEmbedder]] above the native call is exercised offline.
+  * Instances live in the per-executor [[OnnxEmbedder.sessionCache]] —
+  * they are NOT serialized or shipped. */
+trait InferenceSession {
+  def hiddenDim: Int
+  /** Run the model on a padded batch. Must return one
+    * [seqLen][hiddenDim] hidden-state matrix per input row. */
+  def run(inputIds: Array[Array[Long]], attentionMask: Array[Array[Long]]): Array[Array[Array[Float]]]
+}
+
+/** Serializable factory shipped inside the embedder; `open` runs on the
+  * executor, once per (JVM, modelPath) — the Spark analogue of the
+  * reference's thread-local model cache (vector_db_query.py:293-305). */
+trait SessionProvider extends Serializable {
+  def open(modelPath: String): InferenceSession
+}
+
+/** Real-model embedding via the [[BatchedEmbedder]] machinery with the
+  * full inference pipeline in-JVM: hash-vocab tokenize → pad/truncate →
+  * session run → attention-masked mean pooling → fp32 L2 normalize
+  * (the reference's encode path: embedding_models.py:54-131, pooling +
+  * `normalize_embeddings=True`; batch sizing utilities_core.py:162-180).
+  * Only the native runtime behind [[SessionProvider.open]] is absent in
+  * this environment — [[SessionProvider]] implementations wrapping a
+  * real OrtSession drop in without touching this class. */
 final case class OnnxEmbedder(modelPath: String, dim: Int,
-    batchSize: Int = 8) extends BatchedEmbedder {
-  override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
-    throw new UnsupportedOperationException(
-      "OnnxEmbedder requires an ONNX runtime, which is not available in this " +
-        "environment; use DeterministicEmbedder/DeterministicBatchedEmbedder")
+    batchSize: Int = 8, maxSeqLen: Int = 512,
+    provider: SessionProvider = OnnxEmbedder.NativeRuntimeProvider)
+    extends BatchedEmbedder {
+
+  override def queryPrompt: String = Embedder.queryPromptFor(modelPath)
+
+  /** Whitespace hash-vocab tokenizer: lowercase word → stable 32-bit
+    * id in [reservedIds, vocabSize). A stand-in for the model's
+    * WordPiece vocab file (same shape: ids + padding id 0), NOT a
+    * linguistic tokenizer — the session is what interprets ids. */
+  private[embed] def tokenize(text: String): Array[Long] = {
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val ids = new Array[Long](math.min(words.length, maxSeqLen))
+    var i = 0
+    while (i < ids.length) {
+      val h = scala.util.hashing.MurmurHash3.stringHash(words(i))
+      ids(i) = (((h.toLong & 0xffffffffL) % (OnnxEmbedder.VocabSize - 1)) + 1) // 0 is [PAD]
+      i += 1
+    }
+    ids
+  }
+
+  override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    val session = OnnxEmbedder.sessionCache(modelPath, provider)
+    require(session.hiddenDim == dim,
+      s"model hidden dim ${session.hiddenDim} != declared dim $dim")
+    val tokens = texts.map(tokenize).toArray
+    val seqLen = math.max(tokens.map(_.length).max, 1)
+    val inputIds = Array.ofDim[Long](tokens.length, seqLen)
+    val mask = Array.ofDim[Long](tokens.length, seqLen)
+    var b = 0
+    while (b < tokens.length) {
+      System.arraycopy(tokens(b), 0, inputIds(b), 0, tokens(b).length)
+      java.util.Arrays.fill(mask(b), 0, tokens(b).length, 1L)
+      b += 1
+    }
+    val hidden = session.run(inputIds, mask)
+    require(hidden.length == texts.length,
+      s"session returned ${hidden.length} rows for ${texts.length} inputs")
+    hidden.toIndexedSeq.zip(mask).map { case (states, m) =>
+      // attention-masked mean pooling (padded positions excluded), then
+      // fp32 L2 normalization — the all-masked edge (empty text) pools
+      // over position 0 so the output is still finite
+      val n = math.max(m.sum, 1L).toDouble
+      val pooled = new Array[Float](dim)
+      var s = 0
+      while (s < states.length) {
+        if (m(s) == 1L || (s == 0 && m.forall(_ == 0L))) {
+          var d = 0
+          while (d < dim) { pooled(d) += states(s)(d); d += 1 }
+        }
+        s += 1
+      }
+      var norm = 0.0
+      var d = 0
+      while (d < dim) { pooled(d) = (pooled(d) / n).toFloat; norm += pooled(d).toDouble * pooled(d); d += 1 }
+      val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 1.0
+      d = 0
+      while (d < dim) { pooled(d) = (pooled(d) * inv).toFloat; d += 1 }
+      pooled
+    }
+  }
+}
+
+object OnnxEmbedder {
+  /** Hash-vocab size (BERT-family magnitude). */
+  val VocabSize: Long = 30522L
+
+  /** One session per (executor JVM, modelPath), loaded on first use and
+    * reused across tasks — never serialized. */
+  private val sessions = new java.util.concurrent.ConcurrentHashMap[String, InferenceSession]()
+  private[graft] def sessionCache(modelPath: String, provider: SessionProvider): InferenceSession =
+    sessions.computeIfAbsent(modelPath, p => provider.open(p))
+  /** Test hook: drop cached sessions (e.g. between fake providers). */
+  private[graft] def evictSession(modelPath: String): Unit = sessions.remove(modelPath)
+
+  /** The production provider slot: wraps ONNX Runtime, which is not
+    * installed in this environment (no native .so, no ai.onnxruntime
+    * jar) — the only unimplemented step in the pipeline. */
+  object NativeRuntimeProvider extends SessionProvider {
+    override def open(modelPath: String): InferenceSession =
+      throw new UnsupportedOperationException(
+        "ONNX Runtime is not available in this environment; supply a " +
+          "SessionProvider wrapping OrtSession, or use DeterministicEmbedder")
+  }
 }
