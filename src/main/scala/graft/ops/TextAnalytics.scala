@@ -235,7 +235,10 @@ object TextAnalytics {
       .filter(col("w") =!= "")
     val tf = words.groupBy("sid", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val nDocs = tf.select(col("sid")).distinct()
+    // N = docs contributing ≥1 token == docs with non-whitespace text:
+    // a single partial-agg scan of the text column, instead of
+    // re-shuffling tf through distinct+count (one exchange fewer)
+    val nDocs = df.filter(length(trim(col(textCol))) > 0)
       .agg(count(lit(1)).as("n_corpus_docs"))
     val scored = tf.join(dfreq, Seq("w")).crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf").cast("double") *
