@@ -408,6 +408,19 @@ object OracleSql {
         |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM c1)
         |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM c2)""".stripMargin,
 
+    // identical semantics via the single-shuffle FunnelTimes aggregate;
+    // the k-join CTE chain IS the semantic spec for both paths
+    "funnel_steps_agg" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        | c0 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        | c1 AS (SELECT e.user_id, min(ts) AS t1 FROM e JOIN c0 USING (user_id)
+        |        WHERE event_type = 'view' AND ts > t0 GROUP BY e.user_id),
+        | c2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN c1 USING (user_id)
+        |        WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id)
+        |SELECT 0 AS step_idx, 'signup' AS step, (SELECT count(*) FROM c0) AS n_users
+        |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM c1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM c2)""".stripMargin,
+
     "cohort_retention" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         | f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
@@ -833,7 +846,89 @@ object OracleSql {
     "mm_frames" ->
       """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS bl FROM documents)
         |SELECT doc_id, i AS frame_index, CAST(least(4096, bl - i*4096) AS BIGINT) AS frame_len
-        |FROM (SELECT doc_id, bl, unnest(generate_series(0, greatest(CAST(ceil(bl/4096.0) AS BIGINT) - 1, 0), 2)) AS i FROM d)""".stripMargin)
+        |FROM (SELECT doc_id, bl, unnest(generate_series(0, greatest(CAST(ceil(bl/4096.0) AS BIGINT) - 1, 0), 2)) AS i FROM d)""".stripMargin,
+
+    // SemDeDup: the kmeans_clusters assignment replay (identical k=4 x
+    // 2-iteration exact-snapped trajectory) + within-cell min-id greedy
+    // survivor at cosine >= 0.4.
+    "semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
+        |        FROM v ORDER BY vec_id LIMIT 4),
+        | d1 AS (SELECT v.vec_id, c.cl,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+        |        FROM v CROSS JOIN c0 c),
+        | a1 AS (SELECT vec_id, cl FROM d1
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+        | m1 AS (SELECT cl, i, CAST(round(avg(e[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
+        |        FROM (SELECT a1.cl, v.e, unnest(generate_series(1, 64)) AS i
+        |              FROM a1 JOIN v USING (vec_id))
+        |        GROUP BY cl, i),
+        | c1 AS (SELECT cl, list(c ORDER BY i) AS e FROM m1 GROUP BY cl),
+        | d2 AS (SELECT v.vec_id, c.cl,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+        |        FROM v CROSS JOIN c1 c),
+        | a2 AS (SELECT vec_id, cl FROM d2
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+        | dropped AS (SELECT DISTINCT b.vec_id
+        |        FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |        JOIN v va ON va.vec_id = a.vec_id
+        |        JOIN v vb ON vb.vec_id = b.vec_id
+        |        WHERE list_cosine_similarity(va.e, vb.e) >= 0.4)
+        |SELECT a2.vec_id, a2.cl AS cluster,
+        | a2.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+        |FROM a2""".stripMargin,
+
+    "shard_assign" ->
+      """SELECT doc_id, shard,
+        | row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard
+        |      FROM documents)""".stripMargin,
+
+    // Same arithmetic order as the engine: ((frac * N) * (ng^(1/T) / Z)
+    // / ng) * 10000, rounded ONCE to basis points.
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS ng FROM documents GROUP BY lang),
+        | tot AS (SELECT CAST(sum(ng) AS DOUBLE) AS n,
+        |         sum(pow(CAST(ng AS DOUBLE), 0.5)) AS z FROM c),
+        | r AS (SELECT lang, least(10000, CAST(round(
+        |         0.5 * n * (pow(CAST(ng AS DOUBLE), 0.5) / z) / ng * 10000) AS BIGINT)) AS bp
+        |       FROM c CROSS JOIN tot)
+        |SELECT d.lang, count(*) AS n_kept
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < bp
+        |GROUP BY d.lang""".stripMargin,
+
+    "length_histogram" ->
+      """WITH t AS (SELECT CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |        ELSE CAST(length(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) END AS nt
+        |       FROM documents)
+        |SELECT CASE WHEN nt = 0 THEN 0 ELSE CAST(length(bin(nt)) AS INTEGER) END AS bucket,
+        | count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+        | min(nt) AS min_tokens, max(nt) AS max_tokens
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "blocklist_filter" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed,
+        |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS words
+        |   FROM documents),
+        | b AS (SELECT doc_id,
+        |    CASE WHEN length(trimmed) = 0 THEN 0
+        |         ELSE CAST(length(words) AS BIGINT) END AS nt,
+        |    CAST(length(list_filter(words, x -> x = 'slow'))
+        |       + length(list_filter(words, x -> x = 'big'))
+        |       + length(list_filter(words, x -> x = 'merge')) AS BIGINT) AS hits
+        |   FROM w)
+        |SELECT doc_id,
+        | CASE WHEN nt = 0 THEN 0 ELSE hits END AS n_hits,
+        | round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / nt END, 6) AS hit_ratio,
+        | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
+        |FROM b""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -677,6 +677,13 @@ object Queries {
     ops.EventAnalytics.funnelCounts(events(s, dir), "user_id", "event_type",
       "ts", Seq("signup", "view", "purchase"))
 
+  /** Same funnel through the single-shuffle FunnelTimes aggregate —
+    * the long-funnel scale path (one exchange regardless of step
+    * count); identical results, same oracle. */
+  def funnelStepsAgg(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnelCountsAgg(events(s, dir), "user_id", "event_type",
+      "ts", Seq("signup", "view", "purchase"))
+
   /** Cohort retention: first-activity-day cohorts × active-day offset
     * → distinct active users (exact integer day arithmetic on the
     * nanosecond timestamps). */
@@ -882,6 +889,37 @@ object Queries {
       .select(col("doc_id"), col("frame_index").cast("long").as("frame_index"),
         length(col("frame_bytes")).cast("long").as("frame_len"))
 
+  /** SemDeDup semantic dedup: k-means cells (same k=4 x 2-iteration
+    * trajectory as kmeans_clusters) + within-cell greedy min-id
+    * survivor at cosine >= 0.4; full per-vector keep/drop decision. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 4, iters = 2, threshold = 0.4)
+      .withColumn("cluster", col("cluster").cast("long"))
+
+  /** Deterministic corpus shuffle: 8-shard assignment + in-shard
+    * position by portable hash order. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.shardAssign(t(s, dir, "documents"), "doc_id", numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Temperature mixing T=2, half-corpus budget: per-language kept
+    * counts (small languages keep a higher fraction than p_g). */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.mixTemperature(t(s, dir, "documents"), "doc_id", "lang",
+        temperature = 2.0, sampleFrac = 0.5)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+
+  /** Power-of-two token-length histogram over the corpus. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.lengthHistogram(t(s, dir, "documents"), "text")
+
+  /** Blocklist screen over three terms at a 5% hit-ratio gate. */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.blocklistScore(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("slow", "big", "merge"), maxRatio = 0.05)
+      .select(col("doc_id"), col("n_hits"), col("hit_ratio"), col("flagged"))
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -957,5 +995,11 @@ object Queries {
     "token_packing" -> tokenPacking _,
     "corpus_stats" -> corpusStats _,
     "mm_media_meta" -> mmMediaMeta _,
-    "mm_frames" -> mmFrames _)
+    "mm_frames" -> mmFrames _,
+    "funnel_steps_agg" -> funnelStepsAgg _,
+    "semantic_dedup" -> semanticDedup _,
+    "shard_assign" -> shardAssign _,
+    "mix_temperature" -> mixTemperature _,
+    "length_histogram" -> lengthHistogram _,
+    "blocklist_filter" -> blocklistFilter _)
 }

@@ -525,6 +525,52 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023): k-means the
+    * embedding space into k cells, then compare pairs ONLY within a
+    * cell and greedily keep the lowest id of every near-dup pair — the
+    * clustering bounds the candidate volume to Σ C(cell, 2) instead of
+    * C(N, 2), trading cross-cell recall for a ~k× cost cut (a true
+    * near-dup pair lands in one cell with high probability because
+    * near-identical vectors share a nearest centroid).
+    *
+    * Returns every input id as (id, cluster, kept): kept = false iff a
+    * LOWER-id same-cell neighbor with cosine ≥ threshold exists — the
+    * same greedy min-id survivor rule as [[corpusDedup]], deterministic
+    * and engine-replayable (the k-means trajectory is exact-snapped,
+    * see [[graft.ops.Clustering.kmeans]]).
+    *
+    * Scale shape: k-means is per-iteration one k·dim broadcast + one
+    * partial-agg shuffle; the pair phase is one self-join co-partitioned
+    * on the cluster id. `maxCell` fail-fasts if any cell exceeds the
+    * cap (quadratic blow-up guard — raise k, not the cap): one cheap
+    * grouped count next to the C(cell,2) cosine evaluations it
+    * prevents. */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, threshold: Double,
+      maxCell: Long = 100000L): DataFrame = {
+    val assigned = Clustering.kmeans(vecs, idCol, vecCol, dim, k, iters)
+      .select(col(idCol).as("sid"), col("cluster"))
+    val withVec = assigned.join(
+      vecs.select(col(idCol).as("sid"), col(vecCol).as("v")), "sid")
+    if (maxCell != Long.MaxValue) {
+      val hot = withVec.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCell).limit(1).collect()
+      require(hot.isEmpty,
+        s"semanticDedup cell ${hot.head.getInt(0)} has ${hot.head.getLong(1)} vectors " +
+          s"(> maxCell=$maxCell): the within-cell pair phase is quadratic per cell — " +
+          "raise k so cells shrink, or raise maxCell explicitly")
+    }
+    val a = withVec.select(col("cluster"), col("sid").as("id_a"), col("v").as("v_a"))
+    val b = withVec.select(col("cluster"), col("sid").as("id_b"), col("v").as("v_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")) >= lit(threshold))
+      .select(col("id_b").as("sid")).distinct()
+    withVec.join(dropped.withColumn("__drop", lit(true)), Seq("sid"), "left")
+      .select(col("sid").as(idCol), col("cluster"),
+        coalesce(col("__drop"), lit(false)).unary_!.as("kept"))
+  }
+
   /** The full dedup ladder as one corpus pass, in the measured-correct
     * order (BASELINE.md "Dedup family at 10x corpus"): exact dedup
     * FIRST (collapses replica groups — posting-pair generation is

@@ -528,4 +528,97 @@ object TextAnalytics {
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", (col("cum_before") / tokensPerBin).cast("long"))
   }
+
+  /** Deterministic global shuffle + shard assignment — the final
+    * write-side step of a training-data pipeline: every row gets a
+    * shard (portable id-hash mod numShards, so shard membership is
+    * stable across runs and engines) and a position within its shard
+    * (rank by (hash, id) — the hash ordering IS the shuffle; id breaks
+    * the rare hash tie). Downstream loaders read shard files
+    * sequentially and see a reproducible random document order.
+    *
+    * Scale shape: ONE exchange on the shard key, then a per-shard sort
+    * — each shard sorts |N|/numShards rows independently, so the knob
+    * for 100 TB is numShards (100k shards ⇒ ~1 GB sorts), never a
+    * global order-by. */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", portableIdHash(col(idCol)))
+      .withColumn("shard", pmod(col("__h"), lit(numShards)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__h")
+  }
+
+  /** Temperature-weighted source mixing (the multinomial-sampling rule
+    * of multilingual/multi-domain training runs, e.g. mBERT/XLM-R):
+    * group g with share p_g = n_g/N is sampled with probability
+    * q_g ∝ p_g^(1/T), so T > 1 up-samples small groups (T = 1 is
+    * proportional, T → ∞ uniform). With a total budget of
+    * `sampleFrac · N` rows, group g's keep-rate is
+    * min(1, sampleFrac · N · q_g / n_g). Membership is the portable
+    * id-hash against the per-group rate snapped to basis points —
+    * deterministic, engine-replayable, re-run-stable (same contract as
+    * [[mixCorpus]], but rates are DERIVED from group sizes instead of
+    * caller-fixed).
+    *
+    * Scale shape: one grouped count (tiny — one row per group), rates
+    * computed on that aggregate, broadcast back; membership is a
+    * map-only hash compare. Two corpus scans total, no shuffle of data
+    * rows. */
+  def mixTemperature(df: DataFrame, idCol: String, groupCol: String,
+      temperature: Double, sampleFrac: Double): DataFrame = {
+    require(temperature > 0 && sampleFrac > 0 && sampleFrac <= 1.0,
+      s"need temperature > 0 and sampleFrac in (0,1], got T=$temperature frac=$sampleFrac")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    val tot = counts.agg(sum(col("__ng")).as("__n"),
+      sum(pow(col("__ng").cast("double"), lit(1.0 / temperature))).as("__z"))
+    // keep-rate per group in basis points, rounded once so a last-ulp
+    // pow() difference between engines cannot move the hash threshold
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__bp", least(lit(10000L),
+        round(lit(sampleFrac) * col("__n") *
+          (pow(col("__ng").cast("double"), lit(1.0 / temperature)) / col("__z")) /
+          col("__ng") * 10000.0).cast("long")))
+      .select(col(groupCol), col("__bp"))
+    df.join(broadcast(rates), groupCol)
+      .filter(pmod(portableIdHash(col(idCol)), lit(10000)) < col("__bp"))
+      .drop("__bp")
+  }
+
+  /** Power-of-two sequence-length histogram — the corpus profile a
+    * packing/curriculum planner reads before choosing context length
+    * and bin budgets. Bucket = bit length of the token count (0 for
+    * empty docs), i.e. bucket b holds docs with 2^(b-1) ≤ tokens < 2^b;
+    * integer-exact in any engine (no log/float). One partial-agg
+    * shuffle of ≤ 64 groups. */
+  def lengthHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextFunctions.tokenCount(col(textCol)).cast("long").as("__t"))
+      .select(col("__t"),
+        when(col("__t") === 0, lit(0))
+          .otherwise(length(conv(col("__t"), 10, 2))).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("total_tokens"),
+        min(col("__t")).as("min_tokens"), max(col("__t")).as("max_tokens"))
+
+  /** Blocklist scoring — the word-list screen of a quality pipeline
+    * (profanity/boilerplate/spam-term lists): per doc, total occurrences
+    * of the listed terms among its whitespace tokens and the hit ratio,
+    * flagged when the ratio crosses `maxRatio`. Terms are plan
+    * literals (lists are ~10²-10⁴ terms — executor-local by
+    * construction); the whole op is row-local map-only, codegen'd
+    * `filter(words, ...)` per term, no UDF, no shuffle. */
+  def blocklistScore(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], maxRatio: Double = 0.1): DataFrame = {
+    require(terms.nonEmpty, "blocklistScore needs at least one term")
+    val words = split(trim(col(textCol)), "\\s+")
+    val hits = terms.map(t => size(filter(words, w => w === lit(t))).cast("long"))
+      .reduce(_ + _)
+    df.withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_hits", when(col("n_tokens") === 0, 0L).otherwise(hits))
+      .withColumn("hit_ratio", round(when(col("n_tokens") === 0, 0.0)
+        .otherwise(col("n_hits").cast("double") / col("n_tokens")), 6))
+      .withColumn("flagged", col("hit_ratio") > lit(maxRatio))
+  }
 }

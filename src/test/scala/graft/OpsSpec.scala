@@ -385,6 +385,41 @@ class OpsSpec extends SparkSpec {
     assert(tc == Map(0 -> 1L, 1 -> 0L))
   }
 
+  test("funnelAgg: single-shuffle path equals the k-join funnel row-for-row") {
+    import spark.implicits._
+    // 200 synthetic users x 5 steps with hash-scattered types/ts: covers
+    // skipped steps, out-of-order arrivals, repeated step events, ties
+    val ev = spark.range(4000).selectExpr(
+      "id % 200 AS user_id",
+      "element_at(array('a','b','c','d','e','x'), CAST(pmod(hash(id, 1), 6) + 1 AS INT)) AS event_type",
+      "CAST(pmod(hash(id, 2), 50) AS BIGINT) AS ts")
+    val steps = Seq("a", "b", "c", "d", "e")
+    val joinPath = graft.ops.EventAnalytics
+      .funnel(ev, "user_id", "event_type", "ts", steps)
+    val aggPath = graft.ops.EventAnalytics
+      .funnelAgg(ev, "user_id", "event_type", "ts", steps)
+    assert(aggPath.columns.toSeq == joinPath.columns.toSeq)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 6).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i))).toSeq).sortBy(_.toString).toSeq
+    assert(canon(aggPath) == canon(joinPath))
+    // counts twin agrees too
+    val cj = graft.ops.EventAnalytics
+      .funnelCounts(ev, "user_id", "event_type", "ts", steps)
+      .select($"step_idx", $"n_users").as[(Int, Long)].collect().toMap
+    val ca = graft.ops.EventAnalytics
+      .funnelCountsAgg(ev, "user_id", "event_type", "ts", steps)
+      .select($"step_idx", $"n_users").as[(Int, Long)].collect().toMap
+    assert(ca == cj)
+    // buffer cap fail-fasts instead of silently dropping events
+    val err = intercept[org.apache.spark.SparkException] {
+      graft.ops.EventAnalytics.funnelAgg(ev, "user_id", "event_type", "ts",
+        steps, maxEventsPerKey = 4).collect()
+    }
+    assert(err.getMessage.contains("maxEvents") ||
+      err.getCause != null && err.getCause.getMessage.contains("maxEvents"))
+  }
+
   test("cohort retention: first-day cohorts, distinct users per offset") {
     import spark.implicits._
     val day = 86400L
@@ -721,5 +756,90 @@ class OpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(df, "doc_id", "payload", stride = 2)
       .filter($"doc_id" === 1L).select("frame_index").as[Int].collect().toSeq.sorted
     assert(frames == Seq(0, 2))
+  }
+
+  test("semantic dedup: within-cell min-id survivor; cross-cell near-dups untouched") {
+    def v(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    // two clean cells seeded by the two lowest ids (kmeans init rule);
+    // 3 dups 1, 5 dups 2; 4 and 6 are same-cell but below threshold
+    val vecs = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(0.99, 0.05, 0, 0)), (4L, v(0.8, 0.6, 0, 0)),
+      (5L, v(0.05, 0.99, 0, 0)), (6L, v(0.6, 0.8, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.size == 6)
+    assert(out(1L)._2 && out(2L)._2, "lowest id of each dup group survives")
+    assert(!out(3L)._2 && !out(5L)._2, "higher-id near-dups dropped")
+    assert(out(4L)._2 && out(6L)._2, "below-threshold cellmates kept")
+    assert(out(1L)._1 == out(3L)._1 && out(2L)._1 == out(5L)._1,
+      "dup pairs landed in the same cell")
+    // quadratic-cell guard fails fast instead of running C(cell,2)
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 1, threshold = 0.95, maxCell = 2)
+    }
+  }
+
+  test("shard assign: dense 0-based positions per shard, stable across runs") {
+    val df = (1L to 100L).toDF("doc_id")
+    val out = TextAnalytics.shardAssign(df, "doc_id", numShards = 4)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 100)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        "positions are a dense 0-based sequence within each shard")
+    }
+    val again = TextAnalytics.shardAssign(df, "doc_id", numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "deterministic")
+  }
+
+  test("temperature mixing: T=1 is proportional; T>1 up-samples small groups") {
+    val docs = ((1L to 90L).map(i => (i, "big")) ++ (91L to 100L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    // T=1: q_g = p_g, so every group keeps exactly sampleFrac of the
+    // hash space (bp = 5000) — realized counts match a direct hash scan
+    val t1 = TextAnalytics.mixTemperature(docs, "doc_id", "lang", 1.0, 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = docs
+      .filter(pmod(TextAnalytics.portableIdHash($"doc_id"), lit(10000)) < 5000)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t1 == direct)
+    // T=2: the small group's keep-RATE strictly exceeds the big group's
+    val t2 = TextAnalytics.mixTemperature(docs, "doc_id", "lang", 2.0, 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t2("small").toDouble / 10 > t2("big").toDouble / 90)
+  }
+
+  test("length histogram: power-of-two buckets, integer-exact") {
+    val docs = Seq("", "one", "two words", "now three words",
+      "a b c d e f g", "a b c d e f g h").toDF("text")
+    val m = TextAnalytics.lengthHistogram(docs, "text")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // tokens: 0 -> bucket 0; 1 -> 1; 2,3 -> 2; 7 -> 3; 8 -> 4
+    assert(m == Map(0 -> (1L, 0L), 1 -> (1L, 1L), 2 -> (2L, 5L),
+      3 -> (1L, 7L), 4 -> (1L, 8L)))
+  }
+
+  test("blocklist score: hit counting, ratio gate, empty text safe") {
+    val docs = Seq(
+      (1L, "bad bad words here"),        // 2/4 hits -> flagged
+      (2L, "clean text entirely"),       // 0 hits
+      (3L, "")                           // empty: zero everything
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.blocklistScore(docs, "doc_id", "text",
+        terms = Seq("bad", "evil"), maxRatio = 0.25)
+      .select("doc_id", "n_hits", "hit_ratio", "flagged")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((2L, 0.5, true)))
+    assert(out(2L) == ((0L, 0.0, false)))
+    assert(out(3L) == ((0L, 0.0, false)))
   }
 }
