@@ -54,6 +54,51 @@ object EventAnalytics {
       .selectExpr(s"stack(${steps.length}, $stackArgs) AS (step_idx, step, n_users)")
   }
 
+  /** [[funnel]] semantics in ONE aggregation — the LONG-funnel scale
+    * shape. The k-join [[funnel]] plan re-executes each step's subtree
+    * in the final assembly join, so executed work grows O(k²) in step
+    * count (measured 6× at 8 steps vs 3 — BASELINE.md round-6 probe);
+    * this path filters to the step types, shuffles each event ONCE on
+    * the key, and runs the per-key strict-order DP inside
+    * [[graft.functions.FunnelTimes]] — one exchange regardless of k.
+    * The trade is a per-key buffer of that key's funnel-type events
+    * (capped, fail-fast) — prefer [[funnel]] for short funnels over
+    * keys with unbounded event counts, this for long funnels.
+    * Output schema and rows are asserted equal to [[funnel]] in
+    * OpsSpec. */
+  def funnelAgg(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], maxEventsPerKey: Int = 1 << 20): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "funnelAgg maps each event type to ONE step index; use funnel() for repeated steps")
+    val stepIdx = steps.zipWithIndex.tail.foldLeft(
+      when(col(typeCol) === steps.head, lit(0))) {
+        case (acc, (s, i)) => acc.when(col(typeCol) === s, lit(i))
+      }
+    val comp = events
+      .filter(col(typeCol).isInCollection(steps))
+      .select(col(userCol), stepIdx.as("__step"), col(tsCol).as("__ts"))
+      .groupBy(col(userCol))
+      .agg(graft.functions.FunnelFunctions.funnelTimes(
+        col("__step"), col("__ts"), steps.length, maxEventsPerKey).as("__c"))
+      .filter(col("__c")(0).isNotNull)
+    steps.indices.foldLeft(comp) { case (df, i) =>
+      df.withColumn(s"step${i}_ts", col("__c")(i))
+    }.drop("__c")
+  }
+
+  /** [[funnelCounts]] over the single-aggregation [[funnelAgg]] path. */
+  def funnelCountsAgg(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    val f = funnelAgg(events, userCol, typeCol, tsCol, steps)
+    val aggs = steps.indices.map(i => count(col(s"step${i}_ts")).as(s"n$i"))
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"$i, '${s.replace("'", "''")}', n$i" }
+      .mkString(", ")
+    f.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${steps.length}, $stackArgs) AS (step_idx, step, n_users)")
+  }
+
   /** Cohort retention: users cohorted by first-activity day (exact
     * integer floor-division of the timestamp — no datetime-unit or
     * timezone ambiguity); for each (cohort_day, day_offset) the number

@@ -14,6 +14,11 @@ import org.apache.spark.storage.StorageLevel
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    // optional 2nd arg gates one section ("ann" | "dedup" | "events");
+    // default runs all — single sections keep re-runs cheap and avoid
+    // cross-section memory pressure when iterating on one probe
+    val sec = args.drop(1).headOption.getOrElse("all")
+    def on(s: String): Boolean = sec == "all" || sec == s
     val dim = 64
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -29,9 +34,11 @@ object ScaleProbe {
         VectorFunctions.l2Normalize(array(comps: _*)).as("embedding"))
       .repartition(32)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val t0 = System.nanoTime()
-    vecs.count()
-    println(f"[probe] materialize $n%d x $dim vectors: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    if (on("ann") || on("dedup")) {
+      val t0 = System.nanoTime()
+      vecs.count()
+      println(f"[probe] materialize $n%d x $dim vectors: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
 
     def time(label: String)(f: => Unit): Unit = {
       val t = System.nanoTime()
@@ -40,6 +47,7 @@ object ScaleProbe {
     }
 
     val q = Array.tabulate(dim)(d => math.sin(d + 1.0))
+    if (on("ann")) {
     time("brute-force top-10 (exact scan)") {
       SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q, 10).collect()
     }
@@ -50,40 +58,61 @@ object ScaleProbe {
       SimilaritySearch.lshTopK(vecs, "vec_id", "embedding", dim, q, 10).collect()
     }
     // ANN recall@10 vs exact at 2M vectors, 20 corpus vectors as
-    // queries. Uniform-random vectors are the WORST case for ANN (true
-    // neighbors are barely more aligned than chance, so sign buckets
-    // carry little signal); real embedding corpora cluster and recall
-    // is far higher — the planted-clone near-dup probe below shows the
-    // clustered regime. Exact ground truth comes from ONE heap-agg
-    // batch pass over the corpus.
-    val recallQs = vecs.filter(col("vec_id").between(100, 119))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val exactTop = SimilaritySearch.bruteForceTopKBatchAgg(
-        vecs, "vec_id", "embedding", recallQs, "query_id", "qv", 10)
-      .select("query_id", "vec_id").collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val qvecs = recallQs.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-    def recall10(label: String)(approx: Array[Double] => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val rs = qvecs.map { case (qid, qv) =>
-        val got = approx(qv).select("vec_id").collect().map(_.getLong(0)).toSet
-        (got & exactTop(qid)).size / 10.0
+    // queries, in BOTH data regimes: uniform-random vectors (the WORST
+    // case for ANN — true neighbors are barely more aligned than
+    // chance, so sign buckets carry little signal) and a 64-center
+    // clustered corpus (the regime real embedding corpora live in —
+    // neighbors share a center, so bucket structure aligns with true
+    // neighborhoods). Exact ground truth comes from ONE heap-agg batch
+    // pass per corpus.
+    def recallSuite(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val recallQs = corpus.filter(col("vec_id").between(100, 119))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val exactTop = SimilaritySearch.bruteForceTopKBatchAgg(
+          corpus, "vec_id", "embedding", recallQs, "query_id", "qv", 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val qvecs = recallQs.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      def recall10(label: String)(approx: Array[Double] => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val rs = qvecs.map { case (qid, qv) =>
+          val got = approx(qv).select("vec_id").collect().map(_.getLong(0)).toSet
+          (got & exactTop(qid)).size / 10.0
+        }
+        println(f"[probe] recall@10 $label%-38s mean=${rs.sum / rs.length}%.3f " +
+          f"min=${rs.min}%.2f  (${(System.nanoTime() - t0) / 1e9}%.1f s / 20 queries)")
       }
-      println(f"[probe] recall@10 $label%-28s mean=${rs.sum / rs.length}%.3f " +
-        f"min=${rs.min}%.2f  (${(System.nanoTime() - t0) / 1e9}%.1f s / 20 queries)")
+      for (ph <- Seq(1, 2, 3))
+        recall10(s"$tag lsh 8 planes probe<=$ph") (qv =>
+          SimilaritySearch.lshTopK(corpus, "vec_id", "embedding", dim, qv, 10,
+            numPlanes = 8, probeHamming = ph))
+      val ivfDir = java.nio.file.Files.createTempDirectory(s"graft-ivf-$tag").toString
+      time(s"$tag ivf write (6 planes, bucket-partitioned)") {
+        SimilaritySearch.ivfWrite(corpus, ivfDir, "embedding", dim, numPlanes = 6)
+      }
+      for (np <- Seq(4, 8, 16, 32))
+        recall10(s"$tag ivf 64 buckets nProbe=$np") (qv =>
+          SimilaritySearch.ivfTopKStored(spark, ivfDir, "vec_id", "embedding", qv, 10, np))
     }
-    for (ph <- Seq(1, 2, 3))
-      recall10(s"lsh 8 planes probe<=$ph") (qv =>
-        SimilaritySearch.lshTopK(vecs, "vec_id", "embedding", dim, qv, 10,
-          numPlanes = 8, probeHamming = ph))
-    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-probe").toString
-    time("ivf write (6 planes, bucket-partitioned)") {
-      SimilaritySearch.ivfWrite(vecs, ivfDir, "embedding", dim, numPlanes = 6)
-    }
-    for (np <- Seq(8, 16, 32))
-      recall10(s"ivf 64 buckets nProbe=$np") (qv =>
-        SimilaritySearch.ivfTopKStored(spark, ivfDir, "vec_id", "embedding", qv, 10, np))
+    recallSuite("uniform", vecs)
+    // clustered corpus: 64 deterministic unit centers; each vector is
+    // its id-hashed center plus ~15% noise, renormalized (cosine to
+    // own center ≈ 0.97, cross-center ≈ chance)
+    val centerComps = (0 until dim).map(d =>
+      (xxhash64(lit(d + 7919), pmod(xxhash64(col("id")), lit(64)))
+        .cast("double") / lit(Long.MaxValue.toDouble)).cast("float"))
+    val noiseComps = (0 until dim).map(d =>
+      (xxhash64(lit(d), col("id")).cast("double") / lit(Long.MaxValue.toDouble))
+        .cast("float") * lit(0.15f))
+    val vecsC = spark.range(n).select(col("id").as("vec_id"),
+        VectorFunctions.l2Normalize(array(
+          centerComps.zip(noiseComps).map { case (c, nz) => c + nz }: _*)).as("embedding"))
+      .repartition(32)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vecsC.count()
+    recallSuite("clustered", vecsC)
+    vecsC.unpersist()
 
     // Embedding near-dup at 2M vectors: the all-pairs form is C(2M,2) =
     // 2e12 cosine evaluations — infeasible at any setting; the banded
@@ -113,7 +142,9 @@ object ScaleProbe {
       SimilaritySearch.bruteForceTopKBatchAgg(vecs, "vec_id", "embedding",
         queries, "query_id", "qv", 10).count()
     }
+    }
 
+    if (on("dedup")) {
     // Dedup family at 10x the sf0.1 corpus: 50k docs = the 5k corpus
     // replicated 10x with distinct ids — every doc has 9 planted exact
     // replicas, so candidate/verify volume is ~45x the bench load
@@ -195,7 +226,9 @@ object ScaleProbe {
         k = 8, iters = 2)
       println("[probe]   clusters=" + a.select("cluster").distinct().count())
     }
+    }
 
+    if (on("events")) {
     // Temporal/event ops at 10M events over 500k users: the interval
     // join must stay linear (bucketed equi-join — a theta join here
     // would be ~20 rows x 20 rows per user before filtering), the
@@ -228,6 +261,31 @@ object ScaleProbe {
         Seq("user_id"), Seq("ts", "event_id")).count())
     }
     ev.unpersist()
+    // Long funnel: 8 steps over 10M events. The funnel chains one
+    // groupBy(user).min(ts) per step, so the probe confirms wall time
+    // grows ~linearly in step count (not quadratically) and that AQE
+    // broadcasts the monotonically-shrinking later step frames.
+    val steps8 = (0 until 8).map(i => s"s$i")
+    val ev8 = spark.range(nEv).select(
+        pmod(xxhash64(col("id")), lit(500000L)).as("user_id"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(86400L * 30)) * 1000000000L).as("ts"),
+        concat(lit("s"), pmod(xxhash64(col("id"), lit(3)), lit(8))).as("event_type"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] events(8-type)=${ev8.count()}")
+    for (k <- Seq(3, 8)) time(s"funnel $k steps (10M ev, 500k users)") {
+      println("[probe]   " + graft.ops.EventAnalytics.funnelCounts(ev8,
+          "user_id", "event_type", "ts", steps8.take(k))
+        .orderBy("step_idx")
+        .collect().map(r => s"${r.get(1)}=${r.getLong(2)}").mkString(" "))
+    }
+    for (k <- Seq(3, 8)) time(s"funnelAgg $k steps (single-shuffle)") {
+      println("[probe]   " + graft.ops.EventAnalytics.funnelCountsAgg(ev8,
+          "user_id", "event_type", "ts", steps8.take(k))
+        .orderBy("step_idx")
+        .collect().map(r => s"${r.get(1)}=${r.getLong(2)}").mkString(" "))
+    }
+    ev8.unpersist()
+    }
     spark.stop()
   }
 }
