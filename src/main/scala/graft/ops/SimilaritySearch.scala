@@ -76,10 +76,17 @@ object SimilaritySearch {
   /** Approximate top-k: scan only rows whose LSH bucket is within
     * `probeHamming` bit flips of the query's bucket (multi-probe), then
     * exact cosine rank inside the pruned set. With a bucket-partitioned
-    * layout the filter becomes partition pruning. */
+    * layout the filter becomes partition pruning.
+    *
+    * Default `probeHamming = 2` from the round-6 recall probe
+    * (BASELINE.md): on a clustered 2M-vector corpus recall@10 is
+    * 0.995 (min 0.90) at ≤2 flips vs 0.89 (min 0.30) at ≤1 — the
+    * extra probe width mostly fixes the worst queries. On the
+    * uniform-random WORST case it is 0.52; no bucketing ANN does well
+    * there (neighbors are barely above chance). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryVec: Array[Double], k: Int, numPlanes: Int = 8,
-      probeHamming: Int = 1): DataFrame = {
+      probeHamming: Int = 2): DataFrame = {
     val qBucket = lshBucket(queryVec, numPlanes)
     val withBucket = df.withColumn("bucket", lshBucketColumn(col(vecCol), dim, numPlanes))
     val pruned = withBucket.filter(
@@ -180,9 +187,14 @@ object SimilaritySearch {
     * semi-join becomes dynamic partition pruning: only nProbe/2^planes
     * of the corpus is read. Centroid ranking uses the 6-dp-rounded
     * similarity with a bucket-id tiebreak so the probe set is stable
-    * across engines/summation orders. */
+    * across engines/summation orders.
+    *
+    * Default `nProbe = 16` (of 64 buckets) from the round-6 recall
+    * probe (BASELINE.md): clustered-corpus recall@10 0.965 at 16 vs
+    * 0.92 at 8, for ~10% more query time; the uniform worst case
+    * needs 32+ (0.90) — tune per corpus. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      queryVec: Array[Double], k: Int, numPlanes: Int = 6, nProbe: Int = 8): DataFrame = {
+      queryVec: Array[Double], k: Int, numPlanes: Int = 6, nProbe: Int = 16): DataFrame = {
     val withBucket = df.withColumn("bucket", lshBucketColumn(col(vecCol), dim, numPlanes))
     val probed = ivfBuild(df, vecCol, dim, numPlanes)
       .withColumn("centroid_sim",
