@@ -158,6 +158,89 @@ object SimilaritySearch {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incremental upsert into an [[ivfWrite]] layout — index maintenance
+    * without a full rebuild. Rows whose id already exists are REPLACED
+    * (including vectors whose new embedding lands in a different
+    * bucket: the old copy is removed from its old bucket); new ids are
+    * inserted. Single-writer contract, like the build.
+    *
+    * Scale shape — work is proportional to TOUCHED buckets, never the
+    * index size:
+    *  1. locate old copies of the upserted ids with a column-pruned
+    *     (id, bucket) scan + a broadcast semi-join (the upsert batch is
+    *     the small side by construction);
+    *  2. rewrite only the union of old+new buckets via DYNAMIC
+    *     partition overwrite (survivors = old rows anti-joined on the
+    *     upserted ids, plus the new rows); untouched bucket partitions
+    *     are never read or written;
+    *  3. recompute centroids for touched buckets only, merged into the
+    *     collected (≤ 2^numPlanes-row) centroid table; buckets emptied
+    *     by a move have their partition dir removed and centroid row
+    *     dropped.
+    *
+    * The plane family is deterministic by (plane, dim), so bucket
+    * assignment needs no state from the stored layout. */
+  def ivfUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numPlanes: Int): Unit = {
+    val vecsPath = s"$dir/vectors"
+    val newB = newVecs
+      .withColumn("bucket", lshBucketColumn(col(vecCol), dim, numPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newIds = newB.select(col(idCol)).distinct()
+    require(newB.count() == newIds.count(),
+      s"ivfUpsert batch has duplicate $idCol values — an upsert needs one row per id")
+    // old buckets of replaced ids: reads only (id, bucket) — bucket is
+    // the partition column, so this scan moves one slim column per row
+    val oldLoc = spark.read.parquet(vecsPath)
+      .select(col(idCol), col("bucket").cast("long").as("bucket"))
+      .join(broadcast(newIds), Seq(idCol))
+    val touched = (newB.select(col("bucket").cast("long")).distinct()
+      .unionByName(oldLoc.select(col("bucket")).distinct())
+      .distinct().collect().map(_.getLong(0))).sorted
+    // survivors of the touched buckets + the new rows, one dynamic
+    // partition overwrite (only partitions present in this frame are
+    // replaced)
+    val survivors = spark.read.parquet(vecsPath)
+      .filter(col("bucket").isin(touched: _*))
+      .withColumn("bucket", col("bucket").cast("long"))
+      .join(broadcast(newIds), Seq(idCol), "left_anti")
+    // localCheckpoint materializes the touched-bucket survivors BEFORE
+    // the write: the write overwrites the same path the survivors were
+    // read from, which Spark (correctly) refuses in one lazy plan
+    val rewritten = survivors.select(col(idCol), col(vecCol), col("bucket"))
+      .unionByName(newB.select(col(idCol), col(vecCol), col("bucket")))
+      .localCheckpoint(true)
+    val keptBuckets = rewritten.select(col("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(vecsPath)
+    // a touched bucket with NO surviving or new rows contributes nothing
+    // to the write, so dynamic overwrite never clears it — drop its
+    // stale partition dir explicitly (bounded by the touched count)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(vecsPath), spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(keptBuckets).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$vecsPath/bucket=$b"), true)
+    }
+    // centroid maintenance: collect the tiny table, replace touched rows
+    val oldCentroids = spark.read.parquet(s"$dir/centroids")
+      .filter(!col("bucket").isin(touched: _*))
+    val freshCentroids = ivfBuild(
+      spark.read.parquet(vecsPath)
+        .filter(col("bucket").isin(touched: _*)).drop("bucket"),
+      vecCol, dim, numPlanes)
+    val merged = oldCentroids.unionByName(freshCentroids).collect()
+    newB.unpersist()
+    val centroidSchema = spark.read.parquet(s"$dir/centroids").schema
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(merged: _*)),
+        centroidSchema)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
   /** Query the [[ivfWrite]] layout: rank the centroid table (driver-side
     * — it is index metadata, ≤ 2^numPlanes rows), then scan ONLY the
     * probed partitions: the `bucket isin(...)` filter is a static

@@ -163,6 +163,9 @@ object Streams {
   case class SessionState(start: Long, end: Long, n: Long)
   case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
+  case class FunnelEvent(user_id: Long, step: Int, ts: Timestamp)
+  case class FunnelStreamState(ts: Array[Long], step: Array[Byte])
+  case class FunnelCompletion(user_id: Long, completions: Seq[Option[Long]])
 
   /** Gap-based sessionization over a stream: per-user state holds the
     * open session; an event within `gapSeconds` of the session end
@@ -206,6 +209,65 @@ object Streams {
     }
 
     events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming strict-order funnel (batch twins: funnel_steps /
+    * funnel_steps_agg). Events of the funnel step types are buffered
+    * per user in the state store; when the WATERMARK passes the user's
+    * first event + `horizon`, the same sorted strict-order DP as the
+    * batch [[graft.functions.FunnelTimes]] aggregate runs over the
+    * buffer and ONE completion row is emitted (users who never reach
+    * step 0 emit nothing). Buffering-then-evaluating is what makes the
+    * stream equal the batch result under out-of-order arrival — an
+    * incremental DP could not revisit an already-seen step-1 event when
+    * a late step-0 event improves comp(0).
+    *
+    * State per user is its funnel-type events inside the horizon —
+    * the same bounded-buffer trade as funnelAgg (`maxEventsPerKey`
+    * fail-fasts pathological keys); the event-time timeout removes
+    * state, so retention is horizon-bounded. Events arriving after the
+    * user's row was emitted are dropped with the state gone (exactly a
+    * batch run over the horizon's events). */
+  def funnelStream(events: Dataset[UserEvent], steps: Seq[String],
+      horizonSeconds: Long, watermark: String = "2 hours",
+      maxEventsPerKey: Int = 1 << 20): Dataset[FunnelCompletion] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnelStream needs non-empty distinct steps")
+    val horizonMs = horizonSeconds * 1000L
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.length
+
+    def fn(userId: Long, evs: Iterator[FunnelEvent],
+        state: GroupState[FunnelStreamState]): Iterator[FunnelCompletion] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        val buf = new graft.functions.FunnelBuffer(k, maxEventsPerKey)
+        s.ts.zip(s.step).foreach { case (t, st) => buf.append(t, st.toInt) }
+        val comp = buf.completions()
+        if (comp(0) == Long.MinValue) Iterator.empty
+        else Iterator(FunnelCompletion(userId,
+          comp.map(c => if (c == Long.MinValue) None else Some(c)).toSeq))
+      } else {
+        val fresh = evs.toSeq
+        val prev = state.getOption.getOrElse(FunnelStreamState(Array.empty, Array.empty))
+        require(prev.ts.length + fresh.size <= maxEventsPerKey,
+          s"funnelStream key $userId exceeded maxEventsPerKey=$maxEventsPerKey")
+        val next = FunnelStreamState(
+          prev.ts ++ fresh.map(_.ts.getTime),
+          prev.step ++ fresh.map(_.step.toByte))
+        state.update(next)
+        state.setTimeoutTimestamp(next.ts.min + horizonMs)
+        Iterator.empty
+      }
+    }
+
+    events.filter(e => stepIdx.contains(e.event_type))
+      .map(e => FunnelEvent(e.user_id, stepIdx(e.event_type), e.ts))
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }

@@ -621,6 +621,76 @@ class OpsSpec extends SparkSpec {
     assert(pruned.count() <= 5)
   }
 
+  test("IVF upsert: replace + insert + bucket move == full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_upsert").toString
+    val dim = 8
+    def mk(i: Long, neg: Boolean): (Long, Array[Float]) =
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 13.0 + d) * (if (neg) -1 else 1)).toFloat))
+    val base = (1L to 100L).map(mk(_, neg = false)).toDF("vec_id", "embedding")
+    SimilaritySearch.ivfWrite(base, dir, "embedding", dim, numPlanes = 3)
+
+    // every member of vector 1's bucket moves out (negation flips every
+    // plane sign -> a different bucket), plus 10 fresh inserts
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .select($"vec_id", $"bucket".cast("long")).as[(Long, Long)].collect().toMap
+    val bucketB = stored(1L)
+    val movers = stored.collect { case (id, b) if b == bucketB => id }.toSeq
+    // fresh inserts chosen OUTSIDE bucket B so the move leaves it empty
+    val inserts = (1000L to 1040L).map(mk(_, neg = false))
+      .toDF("vec_id", "embedding")
+      .withColumn("b", SimilaritySearch.lshBucketColumn($"embedding", dim, 3))
+      .filter($"b" =!= bucketB).drop("b")
+      .limit(10).as[(Long, Array[Float])].collect().toSeq
+    assert(inserts.size == 10)
+    val upserts = (movers.map(mk(_, neg = true)) ++ inserts)
+      .toDF("vec_id", "embedding")
+    SimilaritySearch.ivfUpsert(spark, dir, upserts, "vec_id", "embedding", dim, 3)
+
+    val after = spark.read.parquet(s"$dir/vectors")
+      .select($"vec_id", $"bucket".cast("long"), $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+    assert(after.length == 110 && after.map(_._1).distinct.length == 110,
+      "one row per id: replaced, not duplicated")
+    movers.foreach { id =>
+      val row = after.find(_._1 == id).get
+      assert(row._2 != bucketB, "moved id left its old bucket")
+      assert(row._3(0) == -math.sin(id * 13.0 + 0).toFloat, "new vector won")
+    }
+    // the emptied bucket is gone: no rows, no partition dir, no centroid
+    assert(!after.exists(_._2 == bucketB))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/vectors/bucket=$bucketB")))
+    val centroidBuckets = spark.read.parquet(s"$dir/centroids")
+      .select($"bucket").as[Long].collect().toSet
+    assert(!centroidBuckets.contains(bucketB))
+
+    // equivalence with a from-scratch build of the same logical corpus
+    val logical = base.filter(!$"vec_id".isin(movers: _*))
+      .unionByName(upserts)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
+    SimilaritySearch.ivfWrite(logical, dir2, "embedding", dim, numPlanes = 3)
+    def canonVecs(d: String) = spark.read.parquet(s"$d/vectors")
+      .select($"vec_id", $"bucket".cast("long"), $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+      .map { case (i, b, v) => (i, b, v.toSeq) }.sortBy(_._1).toSeq
+    assert(canonVecs(dir) == canonVecs(dir2))
+    def canonCentroids(d: String) = spark.read.parquet(s"$d/centroids")
+      .select($"bucket", $"n_vectors", $"centroid")
+      .as[(Long, Long, Array[Double])].collect().sortBy(_._1)
+    val (cu, cr) = (canonCentroids(dir), canonCentroids(dir2))
+    assert(cu.map(c => (c._1, c._2)).toSeq == cr.map(c => (c._1, c._2)).toSeq)
+    cu.zip(cr).foreach { case (a, b) =>
+      a._3.zip(b._3).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    val q = Array.tabulate(dim)(d => math.cos(d.toDouble))
+    val topU = SimilaritySearch.ivfTopKStored(spark, dir, "vec_id", "embedding", q, 5, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val topR = SimilaritySearch.ivfTopKStored(spark, dir2, "vec_id", "embedding", q, 5, 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(topU == topR)
+  }
+
   test("decontamination: flags docs sharing word n-grams with the benchmark") {
     import spark.implicits._
     val corpus = Seq(

@@ -70,6 +70,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: watermark-flushed completions == batch funnelAgg") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val steps = Seq("signup", "view", "purchase")
+    // u1 completes all 3 (with the view arriving OUT OF ORDER in a later
+    // trigger — the buffered DP must still see it); u2 purchases before
+    // viewing (depth 2); u3 never signs up (no row)
+    val batch1 = Seq(
+      UserEvent(1, ts(1), "signup", 0), UserEvent(1, ts(30), "purchase", 0),
+      UserEvent(2, ts(1), "signup", 0), UserEvent(2, ts(10), "purchase", 0),
+      UserEvent(2, ts(20), "view", 0), UserEvent(3, ts(5), "view", 0))
+    val batch2 = Seq(UserEvent(1, ts(15), "view", 0))
+    // 1-hour watermark delay: batch2's view (minute 15) arrives after a
+    // minute-30 event — a 0s watermark would drop it as late
+    val q = Streams.funnelStream(input.toDS(), steps,
+        horizonSeconds = 3600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // sentinel advances the watermark past every horizon -> flush all
+      input.addData(UserEvent(99, ts(10000), "signup", 0))
+      q.processAllAvailable()
+      input.addData(UserEvent(98, ts(20000), "signup", 0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .as[Streams.FunnelCompletion].collect()
+        .filter(_.user_id < 90)
+        .map(c => c.user_id -> c.completions).toMap
+      // unix_millis matches the stream path's Timestamp.getTime units
+      val batch = graft.ops.EventAnalytics.funnelAgg(
+          (batch1 ++ batch2).toDF()
+            .withColumn("ts", org.apache.spark.sql.functions.expr("unix_millis(ts)")),
+          "user_id", "event_type", "ts", steps)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 3).map(i => if (r.isNullAt(i)) None
+            else Some(r.getLong(i))).toSeq).toMap
+      assert(got == batch)
+      assert(got(1L).forall(_.isDefined) && got(2L)(2).isEmpty && !got.contains(3L))
+    } finally q.stop()
+  }
+
   test("incremental ingest: new files become searchable chunks") {
     val src = Files.createTempDirectory("graft_stream_src")
     val db = Files.createTempDirectory("graft_stream_db")
