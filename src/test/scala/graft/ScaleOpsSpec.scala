@@ -176,6 +176,42 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("round-6 op plan shapes: map-only gates, single-exchange shard, broadcast mixing") {
+    val docs = (1L to 500L).map(i => (i, s"some text body number $i", if (i % 10 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+
+    // blocklist scoring is row-local: ZERO exchanges
+    val bl = graft.ops.TextAnalytics.blocklistScore(docs, "doc_id", "text", Seq("text"))
+    assert(!bl.queryExecution.executedPlan.toString.contains("Exchange"),
+      "blocklistScore must be map-only")
+
+    // shard assign: exactly ONE shuffle exchange (the shard partition),
+    // per-shard sort local to it
+    val sa = graft.ops.TextAnalytics.shardAssign(docs, "doc_id", 8)
+    val saPlan = sa.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(saPlan).size == 1 &&
+      !saPlan.contains("Exchange rangepartitioning"),
+      s"shardAssign must shuffle once on shard, never globally sort:\n$saPlan")
+
+    // temperature mixing: corpus rows join the tiny rate table via
+    // BROADCAST — data rows are never shuffled
+    val mt = graft.ops.TextAnalytics.mixTemperature(docs, "doc_id", "lang", 2.0, 0.5)
+    val mtPlan = mt.queryExecution.executedPlan.toString
+    assert(mtPlan.contains("BroadcastHashJoin") && !mtPlan.contains("SortMergeJoin"),
+      s"mixTemperature membership must broadcast the rate table:\n$mtPlan")
+
+    // semantic dedup's pair phase: co-partitioned equi-join on the
+    // cluster id, never a cartesian
+    val vecs = (1L to 60L).map(i => (i, Array.tabulate(4)(d => math.sin(i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val sd = graft.ops.Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 1, threshold = 0.9)
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("CartesianProduct") &&
+      !sdPlan.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup must stay an equi-join on cluster:\n$sdPlan")
+  }
+
   test("salted agg == plain agg for sum/count/min merges") {
     val df = ((1 to 5000).map(i => (1L, i.toLong)) ++
       (1 to 100).map(i => (2L, i.toLong))).toDF("k", "v")
