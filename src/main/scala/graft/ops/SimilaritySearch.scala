@@ -241,6 +241,45 @@ object SimilaritySearch {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Compact an [[ivfWrite]] layout after repeated [[ivfUpsert]]s: each
+    * upsert appends at least one file per touched bucket, and small
+    * files are the classic death of a partitioned store (every query
+    * opens file-count footers, not byte-count). Rewrites each bucket
+    * whose file count exceeds `maxFilesPerBucket` into single-file
+    * partitions; buckets already compact are untouched (their files
+    * are neither read nor written).
+    *
+    * Scale shape: the bucket selection is a driver-side LISTING (one
+    * FileSystem scan of partition dirs — metadata, not data); the
+    * rewrite reads only the selected buckets, repartitions by bucket so
+    * each writes exactly one file, and replaces them via dynamic
+    * partition overwrite. Vectors and centroids are unchanged —
+    * asserted in the spec. Single-writer, like the build. */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerBucket: Int = 1): Unit = {
+    require(maxFilesPerBucket > 0, "maxFilesPerBucket must be positive")
+    val vecsPath = s"$dir/vectors"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(vecsPath), spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(vecsPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    val oversized = buckets.filter { b =>
+      fs.listStatus(b.getPath).count(f => f.getPath.getName.endsWith(".parquet")) >
+        maxFilesPerBucket
+    }.map(_.getPath.getName.stripPrefix("bucket=").toLong).sorted
+    if (oversized.nonEmpty) {
+      val compacted = spark.read.parquet(vecsPath)
+        .filter(col("bucket").isin(oversized: _*))
+        .withColumn("bucket", col("bucket").cast("long"))
+        .repartition(col("bucket"))
+        .localCheckpoint(true)
+      compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", 0)
+        .partitionBy("bucket").parquet(vecsPath)
+    }
+  }
+
   /** Query the [[ivfWrite]] layout: rank the centroid table (driver-side
     * — it is index metadata, ≤ 2^numPlanes rows), then scan ONLY the
     * probed partitions: the `bucket isin(...)` filter is a static

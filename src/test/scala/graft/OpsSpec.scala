@@ -689,6 +689,26 @@ class OpsSpec extends SparkSpec {
     val topR = SimilaritySearch.ivfTopKStored(spark, dir2, "vec_id", "embedding", q, 5, 8)
       .select("vec_id").as[Long].collect().toSeq
     assert(topU == topR)
+
+    // compaction: repeated upserts fragment bucket partitions; compact
+    // rewrites only oversized buckets to one file each, content unchanged
+    def bucketFiles(): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(s"$dir/vectors")
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("bucket="))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))).toMap
+    }
+    SimilaritySearch.ivfUpsert(spark,  dir,
+      (2000L to 2004L).map(mk(_, neg = false)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim, 3)
+    assert(bucketFiles().values.exists(_ > 1), "upserts fragment buckets")
+    val before = canonVecs(dir)
+    SimilaritySearch.ivfCompact(spark, dir)
+    assert(bucketFiles().values.forall(_ == 1), "compaction leaves one file per bucket")
+    assert(canonVecs(dir) == before, "compaction preserves content")
   }
 
   test("decontamination: flags docs sharing word n-grams with the benchmark") {
