@@ -489,6 +489,36 @@ object OracleSql {
         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
+    // the indexed path reproduces the scan path bit-for-bit: same oracle
+    "bm25_indexed" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed,
+        |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS words
+        |   FROM documents),
+        | base AS (SELECT doc_id,
+        |    CASE WHEN length(trimmed) = 0 THEN 0
+        |         ELSE CAST(len(words) AS BIGINT) END AS dl_i,
+        |    len(list_filter(words, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(words, x -> x = 'join')) AS tf1,
+        |    len(list_filter(words, x -> x = 'window')) AS tf2
+        |   FROM w),
+        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl_i) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |   FROM base),
+        | sc AS (SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |   FROM (SELECT doc_id, CAST(dl_i AS DOUBLE) AS dl,
+        |          CAST(tf0 AS DOUBLE) AS tf0, CAST(tf1 AS DOUBLE) AS tf1, CAST(tf2 AS DOUBLE) AS tf2,
+        |          n, avgdl, df0, df1, df2
+        |         FROM base, stats))
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
     "latest_event" ->
       """SELECT user_id, epoch_us(ts) AS last_ts_us, event_type AS last_type,
         | CAST(round(value * 100) AS BIGINT) AS last_value_cents

@@ -711,6 +711,16 @@ object Queries {
     TextAnalytics.bm25Search(t(s, dir, "documents"), "doc_id", "text",
       terms = Seq("spark", "join", "window"), topK = 20)
 
+  /** Same BM25 query through the materialized inverted index (build +
+    * bucket-pruned posting-list query); scores are bit-identical to
+    * the scan path, so the oracle SQL is the same. */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    ops.InvertedIndex.write(t(s, dir, "documents"), "doc_id", "text", idx)
+    ops.InvertedIndex.bm25SearchIndexed(s, idx,
+      terms = Seq("spark", "join", "window"), topK = 20)
+  }
+
   /** Keep-latest snapshot per user over the event log (SCD-1 /
     * CDC-merge shape: partial-aggregating max(struct), no window). */
   def latestEvent(s: SparkSession, dir: String): DataFrame =
@@ -980,6 +990,7 @@ object Queries {
     "cohort_retention" -> cohortRetention _,
     "kmeans_clusters" -> kmeansClusters _,
     "bm25_search" -> bm25Search _,
+    "bm25_indexed" -> bm25Indexed _,
     "latest_event" -> latestEvent _,
     "lm_score" -> lmScore _,
     "hybrid_search" -> hybridSearch _,

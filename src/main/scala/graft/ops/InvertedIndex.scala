@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized inverted index for lexical (BM25) retrieval — the text
+  * analogue of [[SimilaritySearch.ivfWrite]]/[[SimilaritySearch.ivfTopKStored]].
+  * [[TextAnalytics.bm25Search]] scans the whole corpus per query-term
+  * set (right for one-off queries); this layout pays ONE corpus pass at
+  * build time and then answers every query from the query terms'
+  * posting lists only:
+  *
+  *  - `postings` parquet, partitioned by a term-hash bucket (≤
+  *    `numBuckets` dirs): one row per (term, doc) carrying tf and the
+  *    doc length, so the query path needs no doc-table join;
+  *  - `stats` sidecar: one row with N, avgdl (computed with the exact
+  *    expressions of the scan path, so scores match bit-for-bit) and
+  *    the bucket count (the layout is self-describing).
+  *
+  * At query time only the terms' hash buckets are READ (static
+  * partition pruning — other buckets' files are never opened), df per
+  * term is a count over those pruned lists, and the per-doc score
+  * reproduces the scan path's arithmetic term-by-term in the same
+  * order, so `bm25SearchIndexed` == `bm25Search` exactly (same oracle).
+  *
+  * Scale: the build is explode→count (one shuffle on (term, doc));
+  * a query reads terms/numBuckets of the index regardless of corpus
+  * size. Partitioning by HASH BUCKET, not raw term, bounds the
+  * directory count (a raw-term layout is millions of dirs). */
+object InvertedIndex {
+
+  /** Portable 60-bit md5-prefix hash of a term — same family as the
+    * shingle/id hashes, replayable in any engine. */
+  private def termHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def write(df: DataFrame, idCol: String, textCol: String, dir: String,
+      numBuckets: Int = 256): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val words = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+      words.as("__w"))
+    // stats FIRST and with the scan path's exact expressions (count
+    // cast double; integer token sum / count) — identical doubles
+    base.agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+        lit(numBuckets).as("num_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    base.select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(termHash(col("term")), lit(numBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
+  /** BM25 top-k from the stored index; identical results to
+    * [[TextAnalytics.bm25Search]] over the indexed corpus (asserted in
+    * OpsSpec; the driver oracle replays the same SQL for both). */
+  def bm25SearchIndexed(spark: SparkSession, dir: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchIndexed needs at least one term")
+    val stats = spark.read.parquet(s"$dir/stats").collect().head
+    val (n, avgdl, numBuckets) =
+      (stats.getDouble(0), stats.getDouble(1), stats.getInt(2))
+    // bucket the query terms with the SAME expression as the build side
+    // (a driver-side reimplementation could drift from Spark's md5)
+    import spark.implicits._
+    val termBuckets = terms.toDF("t")
+      .select(pmod(termHash(col("t")), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    // static partition pruning: only the query terms' buckets are read
+    val p = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
+    // df per term over the pruned lists (exact: one row per (term, doc))
+    val dfByTerm = p.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tfCols = terms.indices.map(i =>
+      sum(when(col("term") === terms(i), col("tf")).otherwise(lit(0L)))
+        .cast("double").as(s"__tf$i"))
+    val byDoc = p.groupBy(col("doc_id"), col("dl")).agg(tfCols.head, tfCols.tail: _*)
+    val dl = col("dl").cast("double")
+    // the scan path's score, term by term in the same fold order
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val dfT = lit(dfByTerm.getOrElse(terms(i), 0.0))
+      log((lit(n) - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0)) *
+        (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    byDoc.withColumn("bm25", round(score, 6))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+      .select(col("doc_id"), col("bm25"))
+  }
+}

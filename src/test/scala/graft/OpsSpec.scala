@@ -711,6 +711,29 @@ class OpsSpec extends SparkSpec {
     assert(canonVecs(dir) == before, "compaction preserves content")
   }
 
+  test("inverted index: bm25SearchIndexed == bm25Search; only term buckets read") {
+    val docs = Seq(
+      (1L, "spark join window spark spark"),
+      (2L, "join join join window nothing else here"),
+      (3L, "completely unrelated words about databases"),
+      (4L, ""),                          // empty doc: counts for N/avgdl
+      (5L, "window window spark")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "join", "absentterm")
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+    graft.ops.InvertedIndex.write(docs, "doc_id", "text", dir, numBuckets = 16)
+    val scan = TextAnalytics.bm25Search(docs, "doc_id", "text", terms, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    val indexed = graft.ops.InvertedIndex.bm25SearchIndexed(spark, dir, terms, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed == scan, "indexed path must reproduce the scan path exactly")
+    // the postings scan prunes to the query terms' hash buckets
+    val plan = graft.ops.InvertedIndex.bm25SearchIndexed(spark, dir, terms)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+  }
+
   test("decontamination: flags docs sharing word n-grams with the benchmark") {
     import spark.implicits._
     val corpus = Seq(
