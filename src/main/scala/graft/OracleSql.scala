@@ -869,6 +869,12 @@ object OracleSql {
         | count(DISTINCT text) AS distinct_docs
         |FROM scored GROUP BY 1""".stripMargin),
 
+    // approx_ok is the MEASURED HLL error bound; the oracle's literal
+    // TRUE makes the hash gate fail if the sketch drifts out of bound
+    "corpus_distinct_approx" ->
+      """SELECT lang, count(DISTINCT text) AS n_exact, TRUE AS approx_ok
+        |FROM documents GROUP BY lang""".stripMargin,
+
     "mm_media_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_size,
         | sha256(text) AS content_sha256 FROM documents""".stripMargin,

@@ -878,6 +878,24 @@ object Queries {
         sum(col("n_tokens")).as("total_tokens"),
         countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
 
+  /** Distinct-document profile via HyperLogLog++ next to the exact
+    * count. At 100 TB `countDistinct` shuffles every distinct 32-byte
+    * key; `approx_count_distinct` keeps a fixed-size sketch per group,
+    * merged map-side — the only viable distinct at that scale. The
+    * query PROVES the sketch's error on this corpus instead of
+    * trusting the rsd parameter: `approx_ok` is the measured
+    * |approx−exact| ≤ max(1, 5%·exact) bound, and the oracle expects
+    * literal TRUE — the hash gate fails if the sketch ever drifts out
+    * of bound. */
+  def corpusDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(countDistinct(sha2(col("text"), 256)).as("n_exact"),
+        approx_count_distinct(sha2(col("text"), 256), rsd = 0.02).as("__approx"))
+      .select(col("lang"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")) <=
+          greatest(lit(1.0), col("n_exact") * lit(0.05))).as("approx_ok"))
+
   // ---------------------------------------------------------------------
   // Multimodal plumbing (binary columns; decode is a deterministic stub)
   // ---------------------------------------------------------------------
@@ -1005,6 +1023,7 @@ object Queries {
     "mix_corpus" -> mixCorpus _,
     "token_packing" -> tokenPacking _,
     "corpus_stats" -> corpusStats _,
+    "corpus_distinct_approx" -> corpusDistinctApprox _,
     "mm_media_meta" -> mmMediaMeta _,
     "mm_frames" -> mmFrames _,
     "funnel_steps_agg" -> funnelStepsAgg _,

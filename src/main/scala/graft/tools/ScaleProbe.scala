@@ -211,6 +211,23 @@ object ScaleProbe {
       c.unpersist()
     }
     probePairs.unpersist()
+    // Inverted-index amortization at 10x corpus: one build pass, then
+    // per-query cost is the terms' posting buckets only — vs the scan
+    // path's two full corpus passes PER query.
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-probe-idx").toString
+    time("inverted index build (50k docs)") {
+      graft.ops.InvertedIndex.write(docs10, "doc_id", "text", idxDir)
+    }
+    time("bm25 x 5 queries, indexed") {
+      Seq("spark", "join", "window", "hash", "stream").foreach { t =>
+        graft.ops.InvertedIndex.bm25SearchIndexed(spark, idxDir, Seq(t)).count()
+      }
+    }
+    time("bm25 x 5 queries, corpus scan") {
+      Seq("spark", "join", "window", "hash", "stream").foreach { t =>
+        graft.ops.TextAnalytics.bm25Search(docs10, "doc_id", "text", Seq(t)).count()
+      }
+    }
     // Decontamination at 10x: every 100th doc is the "benchmark"; the
     // corpus side is one explode + broadcast semi-join + count.
     time("decontaminate 50k docs vs 500-doc benchmark") {
