@@ -869,6 +869,17 @@ object OracleSql {
         | count(DISTINCT text) AS distinct_docs
         |FROM scored GROUP BY 1""".stripMargin),
 
+    // linear probe replay: identical weight literals (Double.toString
+    // round-trips exactly), same widened-double inner product, score
+    // rounded BEFORE the keep threshold
+    "quality_classifier" -> {
+      val w = graft.Queries.ProbeWeights.map(_.toString).mkString("[", ", ", "]")
+      s"""SELECT vec_id,
+         | round(1.0 / (1.0 + exp(-(list_inner_product(CAST(embedding AS DOUBLE[]), $w) + -0.05))), 6) AS score,
+         | (round(1.0 / (1.0 + exp(-(list_inner_product(CAST(embedding AS DOUBLE[]), $w) + -0.05))), 6) >= 0.5) AS keep
+         |FROM embeddings""".stripMargin
+    },
+
     // approx_ok is the MEASURED HLL error bound; the oracle's literal
     // TRUE makes the hash gate fail if the sketch drifts out of bound
     "corpus_distinct_approx" ->

@@ -878,6 +878,19 @@ object Queries {
         sum(col("n_tokens")).as("total_tokens"),
         countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
 
+  /** Deterministic linear-probe weights shared with the DuckDB oracle
+    * (Double.toString round-trips exactly into the SQL literal). */
+  val ProbeWeights: Array[Double] = Array.tabulate(64)(d => math.sin(d + 1.0))
+  val ProbeBias: Double = -0.05
+
+  /** Model-based quality gate: sigmoid linear probe over the embedding
+    * column — one codegen'd map stage, keep decided on the rounded
+    * score. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    ops.Scoring.linearProbe(t(s, dir, "embeddings"), "embedding",
+        ProbeWeights, ProbeBias)
+      .select(col("vec_id"), col("score"), col("keep"))
+
   /** Distinct-document profile via HyperLogLog++ next to the exact
     * count. At 100 TB `countDistinct` shuffles every distinct 32-byte
     * key; `approx_count_distinct` keeps a fixed-size sketch per group,
@@ -1024,6 +1037,7 @@ object Queries {
     "token_packing" -> tokenPacking _,
     "corpus_stats" -> corpusStats _,
     "corpus_distinct_approx" -> corpusDistinctApprox _,
+    "quality_classifier" -> qualityClassifier _,
     "mm_media_meta" -> mmMediaMeta _,
     "mm_frames" -> mmFrames _,
     "funnel_steps_agg" -> funnelStepsAgg _,

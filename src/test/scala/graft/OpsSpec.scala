@@ -941,6 +941,23 @@ class OpsSpec extends SparkSpec {
       3 -> (1L, 7L), 4 -> (1L, 8L)))
   }
 
+  test("linear probe: sigmoid scoring map-only, threshold on rounded score") {
+    val w = Array(1.0, 0.0, 0.0)
+    val vecs = Seq(
+      (1L, Array(5f, 0f, 0f)),    // z = 5  -> score ~1
+      (2L, Array(-5f, 0f, 0f)),   // z = -5 -> score ~0
+      (3L, Array(0f, 9f, 9f))     // z = 0  -> score exactly 0.5 -> keep
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Scoring.linearProbe(vecs, "embedding", w, bias = 0.0)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "probe scoring must be map-only")
+    val m = out.select("vec_id", "score", "keep")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(m(1L)._1 > 0.99 && m(1L)._2)
+    assert(m(2L)._1 < 0.01 && !m(2L)._2)
+    assert(m(3L) == ((0.5, true)), "z=0 scores exactly 0.5, kept at the default gate")
+  }
+
   test("blocklist score: hit counting, ratio gate, empty text safe") {
     val docs = Seq(
       (1L, "bad bad words here"),        // 2/4 hits -> flagged
