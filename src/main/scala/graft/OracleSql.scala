@@ -421,6 +421,23 @@ object OracleSql {
         |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM c1)
         |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM c2)""".stripMargin,
 
+    // exact integer delay stats (epoch-MICROsecond deltas — DuckDB's
+    // timestamp precision; the engine truncates ns div 1000 to match)
+    "funnel_timing" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tn FROM events),
+        | c0 AS (SELECT user_id, min(tn) AS t0 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        | c1 AS (SELECT e.user_id, min(tn) AS t1 FROM e JOIN c0 USING (user_id)
+        |        WHERE event_type = 'view' AND tn > t0 GROUP BY e.user_id),
+        | c2 AS (SELECT e.user_id, min(tn) AS t2 FROM e JOIN c1 USING (user_id)
+        |        WHERE event_type = 'purchase' AND tn > t1 GROUP BY e.user_id)
+        |SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_converted,
+        |  CAST(sum(t1 - t0) AS BIGINT) AS sum_delta, min(t1 - t0) AS min_delta, max(t1 - t0) AS max_delta
+        | FROM c1 JOIN c0 USING (user_id)
+        |UNION ALL
+        |SELECT 2, 'purchase', count(*),
+        |  CAST(sum(t2 - t1) AS BIGINT), min(t2 - t1), max(t2 - t1)
+        | FROM c2 JOIN c1 USING (user_id)""".stripMargin,
+
     "cohort_retention" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         | f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),

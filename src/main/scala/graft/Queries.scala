@@ -721,6 +721,16 @@ object Queries {
       terms = Seq("spark", "join", "window"), topK = 20)
   }
 
+  /** Funnel transition timing: converters + exact integer delay stats
+    * per step transition. Timestamps are truncated to MICROSECONDS
+    * first (`ts div 1000` == DuckDB's µs timestamp precision), so the
+    * integer delta stats are engine-exact — at nano precision the
+    * oracle's µs-truncated endpoints would drift every delta by ±999 ns. */
+  def funnelTiming(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnelTiming(
+      events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "event_type", "ts_us", Seq("signup", "view", "purchase"))
+
   /** Keep-latest snapshot per user over the event log (SCD-1 /
     * CDC-merge shape: partial-aggregating max(struct), no window). */
   def latestEvent(s: SparkSession, dir: String): DataFrame =
@@ -1041,6 +1051,7 @@ object Queries {
     "mm_media_meta" -> mmMediaMeta _,
     "mm_frames" -> mmFrames _,
     "funnel_steps_agg" -> funnelStepsAgg _,
+    "funnel_timing" -> funnelTiming _,
     "semantic_dedup" -> semanticDedup _,
     "shard_assign" -> shardAssign _,
     "mix_temperature" -> mixTemperature _,

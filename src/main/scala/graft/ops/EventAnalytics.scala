@@ -99,6 +99,29 @@ object EventAnalytics {
       .selectExpr(s"stack(${steps.length}, $stackArgs) AS (step_idx, step, n_users)")
   }
 
+  /** Per-transition funnel timing: for each step i ≥ 1, how many users
+    * converted and the exact integer stats of their step(i-1)→step(i)
+    * delay (sum/min/max in the timestamp's own units). Deliberately NO
+    * float aggregates — sums of integer deltas hash identically in any
+    * engine, where an avg's last-ulp could not. One aggregation over
+    * [[funnelAgg]]'s single-shuffle output. */
+  def funnelTiming(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "funnelTiming needs at least two steps")
+    val f = funnelAgg(events, userCol, typeCol, tsCol, steps)
+    val aggs = (1 until steps.length).flatMap { i =>
+      val delta = col(s"step${i}_ts") - col(s"step${i - 1}_ts")
+      Seq(count(col(s"step${i}_ts")).as(s"n$i"),
+        sum(delta).as(s"s$i"), min(delta).as(s"mn$i"), max(delta).as(s"mx$i"))
+    }
+    val stackArgs = (1 until steps.length)
+      .map(i => s"$i, '${steps(i).replace("'", "''")}', n$i, s$i, mn$i, mx$i")
+      .mkString(", ")
+    f.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${steps.length - 1}, $stackArgs) AS " +
+        "(step_idx, step, n_converted, sum_delta, min_delta, max_delta)")
+  }
+
   /** Cohort retention: users cohorted by first-activity day (exact
     * integer floor-division of the timestamp — no datetime-unit or
     * timezone ambiguity); for each (cohort_day, day_offset) the number

@@ -385,6 +385,30 @@ class OpsSpec extends SparkSpec {
     assert(tc == Map(0 -> 1L, 1 -> 0L))
   }
 
+  test("funnelTiming: exact integer delta stats per transition") {
+    import spark.implicits._
+    // u1: a@10 b@25 c@30; u2: a@10 b@15 (no c); u3: b@5 only (never enters)
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 25L), (1L, "c", 30L),
+      (2L, "a", 10L), (2L, "b", 15L), (3L, "b", 5L))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.ops.EventAnalytics
+      .funnelTiming(ev, "user_id", "event_type", "ts", Seq("a", "b", "c"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    // a->b: u1 delta 15, u2 delta 5 -> n=2 sum=20 min=5 max=15
+    assert(got(1) == ((2L, 20L, 5L, 15L)))
+    // b->c: u1 delta 5 only
+    assert(got(2) == ((1L, 5L, 5L, 5L)))
+    // no converters -> count 0, null stats
+    val none = graft.ops.EventAnalytics
+      .funnelTiming(ev, "user_id", "event_type", "ts", Seq("a", "missing"))
+      .collect().head
+    assert(none.getLong(2) == 0L && none.isNullAt(3) && none.isNullAt(4))
+  }
+
   test("funnelAgg: single-shuffle path equals the k-join funnel row-for-row") {
     import spark.implicits._
     // 200 synthetic users x 5 steps with hash-scattered types/ts: covers
