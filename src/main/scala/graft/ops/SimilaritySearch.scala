@@ -197,7 +197,7 @@ object SimilaritySearch {
       .join(broadcast(newIds), Seq(idCol))
     val touched = (newB.select(col("bucket").cast("long")).distinct()
       .unionByName(oldLoc.select(col("bucket")).distinct())
-      .distinct().collect().map(_.getLong(0))).sorted
+      .distinct().collect().map(_.getLong(0))).sorted.toSeq
     // survivors of the touched buckets + the new rows, one dynamic
     // partition overwrite (only partitions present in this frame are
     // replaced)
@@ -266,7 +266,7 @@ object SimilaritySearch {
     val oversized = buckets.filter { b =>
       fs.listStatus(b.getPath).count(f => f.getPath.getName.endsWith(".parquet")) >
         maxFilesPerBucket
-    }.map(_.getPath.getName.stripPrefix("bucket=").toLong).sorted
+    }.map(_.getPath.getName.stripPrefix("bucket=").toLong).sorted.toSeq
     if (oversized.nonEmpty) {
       val compacted = spark.read.parquet(vecsPath)
         .filter(col("bucket").isin(oversized: _*))
@@ -294,7 +294,7 @@ object SimilaritySearch {
         round(VectorFunctions.cosineSimilarity(col("centroid"), lit(queryVec)), 6))
       .orderBy(col("centroid_sim").desc, col("bucket").asc)
       .limit(nProbe)
-      .select("bucket").collect().map(_.getLong(0))
+      .select("bucket").collect().map(_.getLong(0)).toSeq
     spark.read.parquet(s"$dir/vectors")
       .filter(col("bucket").isin(probed: _*))
       .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
