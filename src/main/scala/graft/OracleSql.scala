@@ -992,7 +992,97 @@ object OracleSql {
         | CASE WHEN nt = 0 THEN 0 ELSE hits END AS n_hits,
         | round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / nt END, 6) AS hit_ratio,
         | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+
+    // PMI in one fixed-association double expression, rounded 6 dp
+    // BEFORE ranking; ties break on the word pair.
+    "pmi_collocations" ->
+      """WITH ws AS (SELECT list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws FROM documents),
+        | uni AS (SELECT unnest(ws) AS w FROM ws),
+        | cu AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+        | tw AS (SELECT CAST(sum(cw) AS DOUBLE) AS tw FROM cu),
+        | bi AS (SELECT ws[i] AS a, ws[i+1] AS b
+        |        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM ws WHERE len(ws) >= 2)),
+        | cb AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY a, b),
+        | tb AS (SELECT CAST(sum(cab) AS DOUBLE) AS tb FROM cb)
+        |SELECT a, b, CAST(cab AS BIGINT) AS n_pairs,
+        | round(ln((CAST(cab AS DOUBLE) * tw * tw) / (tb * CAST(ca.cw AS DOUBLE) * CAST(cbu.cw AS DOUBLE))), 6) AS pmi
+        |FROM cb JOIN cu ca ON cb.a = ca.w JOIN cu cbu ON cb.b = cbu.w, tw, tb
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin,
+
+    // decontaminate's gram pipeline with a LEFT membership count:
+    // zeros included, ratio = exact integer division rounded 6 dp.
+    "decontaminate_overlap" ->
+      """WITH wdocs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        | grams AS (SELECT doc_id,
+        |            CAST('0x' || substring(md5(array_to_string(words[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |           FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |                 FROM wdocs WHERE len(words) >= 5)),
+        | dg AS (SELECT DISTINCT doc_id, gh FROM grams),
+        | bench AS (SELECT DISTINCT gh FROM dg WHERE doc_id % 10 = 0),
+        | c AS (SELECT doc_id, count(*) AS n_grams,
+        |        CAST(sum(CASE WHEN gh IN (SELECT gh FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |       FROM dg WHERE doc_id % 10 <> 0 GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_contaminated,
+        | round(CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS overlap_frac
+        |FROM c""".stripMargin,
+
+    // dedup_jaccard's pair pipeline rolled up by unordered source pair.
+    "dedup_cross_source" ->
+      """WITH sh AS (SELECT DISTINCT doc_id AS sid,
+        |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | v AS (SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |       FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b),
+        | p AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (s_a + s_b - i) AS j FROM v
+        |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
+        | sp AS (SELECT least(da.source, db.source) AS source_a,
+        |               greatest(da.source, db.source) AS source_b, j
+        |        FROM p JOIN documents da ON p.id_a = da.doc_id
+        |               JOIN documents db ON p.id_b = db.doc_id)
+        |SELECT source_a, source_b, count(*) AS n_pairs, round(max(j), 6) AS max_jaccard
+        |FROM sp GROUP BY source_a, source_b""".stripMargin,
+
+    // Per-label centroid snapped to exact micro-units (the kmeans
+    // convention), in-order squared-diff distance, 6 dp-rounded BEFORE
+    // the per-label rank, ties to the lower vec_id.
+    "embedding_outliers" ->
+      """WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | m AS (SELECT label, i, CAST(round(avg(e[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
+        |       FROM (SELECT label, e, unnest(generate_series(1, 64)) AS i FROM v)
+        |       GROUP BY label, i),
+        | ce AS (SELECT label, list(c ORDER BY i) AS ce FROM m GROUP BY label),
+        | d AS (SELECT v.label, v.vec_id,
+        |        round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |          i -> (v.e[i] - ce.ce[i]) * (v.e[i] - ce.ce[i])))), 6) AS dist
+        |       FROM v JOIN ce USING (label))
+        |SELECT label, vec_id, rk, dist FROM (
+        | SELECT label, vec_id, dist,
+        |  row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk FROM d)
+        |WHERE rk <= 3""".stripMargin,
+
+    // First event per user ordered by (µs timestamp, event_id) — the
+    // same µs truncation as funnel_timing/latest_event.
+    "first_touch" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        | fu AS (SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rk FROM ev),
+        | ft AS (SELECT user_id, event_type AS first_touch FROM fu WHERE rk = 1),
+        | cv AS (SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nconv
+        |        FROM ev GROUP BY user_id)
+        |SELECT first_touch, count(*) AS n_users,
+        | CAST(sum(CASE WHEN nconv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_users,
+        | CAST(sum(nconv) AS BIGINT) AS n_conversions,
+        | round(CAST(sum(CASE WHEN nconv > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conversion_rate
+        |FROM ft JOIN cv USING (user_id) GROUP BY first_touch""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -234,7 +234,7 @@ object Queries {
 
   private def queryVec(s: SparkSession, dir: String): Array[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
 
   /** O2 — exact brute-force cosine top-k (TakeOrderedAndProject). */
   def knnTopk(s: SparkSession, dir: String): DataFrame =
@@ -971,6 +971,58 @@ object Queries {
         terms = Seq("slow", "big", "merge"), maxRatio = 0.05)
       .select(col("doc_id"), col("n_hits"), col("hit_ratio"), col("flagged"))
 
+  /** Top-50 adjacent-word collocations by PMI (count ≥ 5), 6 dp-rounded
+    * before ranking, pair-lexicographic tie-break. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.pmiCollocations(t(s, dir, "documents"), "text",
+      minCount = 5, k = 50)
+
+  /** Graded decontamination: per-doc distinct 5-gram total, benchmark
+    * overlap count (zeros included), and exact overlap fraction —
+    * same bench slice (doc_id % 10 == 0) as [[decontaminate]]. */
+  def decontaminateOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminateOverlap(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 5)
+      .select(col("sid").as("doc_id"), col("n_grams"),
+        col("n_contaminated"), col("overlap_frac"))
+  }
+
+  /** Cross-source duplication matrix: [[dedupJaccard]]'s near-dup pairs
+    * rolled up by unordered source pair — the "which sources overlap"
+    * audit a corpus-curation pass runs before mixing. Sources come from
+    * a broadcast id→source join onto the (tiny) pair set. */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("__sa"))), "id_a")
+      .join(broadcast(src.select(col("doc_id").as("id_b"), col("source").as("__sb"))), "id_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), r6(max(col("jaccard"))).as("max_jaccard"))
+  }
+
+  /** Per-label embedding outliers: top-3 farthest from the label's
+    * micro-unit-snapped mean vector, distances 6 dp-rounded before
+    * ranking, ties to the lower vec_id. */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame =
+    ops.Clustering.centroidOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", dim = 64, k = 3)
+      .withColumn("rk", col("rk").cast("long")) // oracle row_number() is BIGINT
+
+  /** First-touch attribution of purchases to each user's entry event
+    * type; timestamps pre-truncated to µs (DuckDB's precision) so the
+    * (ts, event_id) "first" ordering replays exactly. */
+  def firstTouch(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.firstTouchAttribution(
+      events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "event_type", "ts_us", "event_id", convType = "purchase")
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1056,5 +1108,10 @@ object Queries {
     "shard_assign" -> shardAssign _,
     "mix_temperature" -> mixTemperature _,
     "length_histogram" -> lengthHistogram _,
-    "blocklist_filter" -> blocklistFilter _)
+    "blocklist_filter" -> blocklistFilter _,
+    "pmi_collocations" -> pmiCollocations _,
+    "decontaminate_overlap" -> decontaminateOverlap _,
+    "dedup_cross_source" -> dedupCrossSource _,
+    "embedding_outliers" -> embeddingOutliers _,
+    "first_touch" -> firstTouch _)
 }

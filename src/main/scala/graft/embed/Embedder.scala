@@ -30,7 +30,7 @@ trait Embedder extends Serializable {
     * the reference, utilities_core.py:197). */
   def embedQuery(spark: org.apache.spark.sql.SparkSession, text: String): Array[Float] = {
     import spark.implicits._
-    Seq(queryPrompt + text).toDF("q").select(embedColumn(col("q"))).head.getSeq[Float](0).toArray
+    Seq(queryPrompt + text).toDF("q").select(embedColumn(col("q"))).head().getSeq[Float](0).toArray
   }
 }
 

@@ -63,4 +63,40 @@ object Clustering {
     }
     assigned.select(col("__id").as(idCol), col("cluster"), col("dist"))
   }
+
+  /** Per-group centroid outliers: the `k` vectors farthest (euclidean)
+    * from their own group's mean vector — the embedding-space anomaly
+    * screen of a curation pipeline (mislabeled / off-distribution docs
+    * sit far from their group centroid). Returns (groupCol, idCol, rk,
+    * dist) with rk 1..k per group, farthest first.
+    *
+    * Deterministic and engine-replayable by the same construction as
+    * [[kmeans]]: centroid components snap to exact micro-units so
+    * distributed mean order cannot leak; per-row distances round to
+    * 6 dp BEFORE ranking; ties break on the id.
+    *
+    * Scale shape: one partial-aggregating `groupBy(group)` for the
+    * centroids (group-count rows — broadcast back), one map stage for
+    * distances, then a per-group top-k window over groups that are each
+    * a partition-sized slice; no all-pairs, no driver data beyond the
+    * centroid matrix. */
+  def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, dim: Int, k: Int): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    val v = vecs.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val meanCols = (0 until dim).map(i =>
+      (round(avg(col("__v")(i)) * 1000000.0).cast("long") / 1000000.0).as(s"__c$i"))
+    val centroids = v.groupBy(col("__g"))
+      .agg(meanCols.head, meanCols.tail: _*)
+      .select(col("__g"), array((0 until dim).map(i => col(s"__c$i")): _*).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("dist").desc, col("__id").asc)
+    v.join(broadcast(centroids), "__g")
+      .withColumn("dist",
+        round(VectorFunctions.euclideanDistance(col("__v"), col("__c")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("__g").as(groupCol), col("__id").as(idCol), col("rk"), col("dist"))
+  }
 }

@@ -196,7 +196,7 @@ object Dedup {
       // the Σ C(df,2) pair stream becomes primitive 8-byte keys instead
       // of struct rows through the generic UDF encoder, and the
       // shared-count groupBy hashes a single long.
-      val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head
+      val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
       val packable = !bounds.isNullAt(0) &&
         bounds.getLong(0) >= 0 && bounds.getLong(1) < Int.MaxValue.toLong
       if (packable) {
@@ -244,7 +244,7 @@ object Dedup {
     val prunedSets = sets.join(
       if (idsFit) broadcast(candIds) else candIds, Seq("sid"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val st = prunedSets.agg(count(lit(1)), coalesce(sum(col("sz")), lit(0L))).head
+    val st = prunedSets.agg(count(lit(1)), coalesce(sum(col("sz")), lit(0L))).head()
     val setsBytes = st.getLong(0) * 64L + st.getLong(1) * 8L
     val vsets = if (setsBytes < broadcastBytesCap) broadcast(prunedSets) else prunedSets
     val joinedA = cand2.join(vsets, cand2("id_a") === vsets("sid"))
@@ -624,6 +624,37 @@ object Dedup {
     corpusGrams.join(benchSide, Seq("gh"), "left_semi")
       .groupBy("sid").agg(count(lit(1)).as("n_contaminated_grams"))
       .filter(col("n_contaminated_grams") >= minOverlap)
+  }
+
+  /** Per-document contamination FRACTION against a benchmark set —
+    * [[decontaminate]]'s graded counterpart: instead of flagging docs
+    * over a hard overlap count, report every corpus doc's distinct-gram
+    * total, contaminated count (0 included), and their exact ratio, so
+    * the pipeline can threshold or stratify on severity (the
+    * "contamination budget" view of train-set hygiene).
+    *
+    * Scale shape: identical to [[decontaminate]] — benchmark gram set
+    * broadcast under the cap, corpus side one map-side explode — except
+    * the membership check is a broadcast LEFT join against the distinct
+    * benchmark grams (no row multiplication) so hit and total counts
+    * come out of ONE per-doc aggregation; docs with < n words emit no
+    * grams and are absent, same convention both sides. The ratio is an
+    * exact integer division rounded to 6 dp. */
+  def decontaminateOverlap(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, broadcastBytesCap: Long = 128L << 20): DataFrame = {
+    val benchGrams = wordGramHashes(benchmark, benchId, benchText, n)
+      .select(col("gh")).distinct()
+      .withColumn("__hit", lit(1L))
+    val corpusGrams = wordGramHashes(corpus, corpusId, corpusText, n)
+    val nBench = benchGrams.count()
+    val benchSide = if (nBench * 24L < broadcastBytesCap) broadcast(benchGrams) else benchGrams
+    corpusGrams.join(benchSide, Seq("gh"), "left")
+      .groupBy("sid")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("overlap_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6))
   }
 
   /** Transitive near-dup clustering: connected components over an

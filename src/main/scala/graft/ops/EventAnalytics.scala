@@ -144,4 +144,35 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_active_users"))
   }
+
+  /** First-touch conversion attribution: every user's conversions
+    * (`convType` events) are credited to the event type of their FIRST
+    * event ever — the entry channel. Returns one row per first-touch
+    * type: user count, converted-user count, total conversions, and the
+    * exact user-level conversion rate (integer division rounded 6 dp).
+    *
+    * Determinism: "first" orders by (timestamp, event id) — the id
+    * breaks same-instant ties, and the timestamp compares at the
+    * precision of `tsCol` as passed (callers on nanosecond sources
+    * should pre-truncate to the replay engine's precision, see the
+    * `first_touch` query). The per-user reduction is ONE
+    * `min(struct(ts, id, type))` partial aggregate — no window sort, no
+    * per-user event collection — followed by a type-cardinality rollup. */
+  def firstTouchAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, eventIdCol: String,
+      convType: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        min(struct(col(tsCol).as("ts"), col(eventIdCol).as("eid"),
+          col(typeCol).as("et"))).as("__first"),
+        sum(when(col(typeCol) === lit(convType), 1L).otherwise(0L)).as("__nconv"))
+    perUser
+      .groupBy(col("__first.et").as("first_touch"))
+      .agg(count(lit(1)).as("n_users"),
+        sum((col("__nconv") > 0).cast("long")).as("n_converted_users"),
+        sum(col("__nconv")).as("n_conversions"))
+      .withColumn("conversion_rate",
+        round(col("n_converted_users").cast("double") / col("n_users").cast("double"), 6))
+  }
 }

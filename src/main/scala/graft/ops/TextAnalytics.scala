@@ -621,4 +621,46 @@ object TextAnalytics {
         .otherwise(col("n_hits").cast("double") / col("n_tokens")), 6))
       .withColumn("flagged", col("hit_ratio") > lit(maxRatio))
   }
+
+  /** Top-`k` adjacent-word collocations by pointwise mutual information
+    * — PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with p(a,b) over adjacent
+    * bigram occurrences and p(a) over unigram occurrences; the classic
+    * collocation-extraction pass (Church & Hanks 1990) a corpus-analysis
+    * pipeline runs to find multi-word terms. `minCount` suppresses the
+    * low-count pairs whose PMI is all noise.
+    *
+    * Scale shape: one token explode + one bigram explode, each a
+    * partial-aggregating count; the unigram table is vocabulary-sized
+    * (sublinear, Heaps' law) so its two joins back onto the bigram
+    * counts broadcast; totals are single-row cross-joins. Final ranking
+    * is TakeOrdered top-k. PMI is computed in ONE fixed-association
+    * double expression and rounded to 6 dp before ranking so an engine
+    * replay ranks identically; ties break on the word pair. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val ws = df.select(
+      filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit("")).as("__ws"))
+    val uni = ws.select(explode(col("__ws")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+    val totalWords = uni.agg(sum(col("__cw")).as("__tw"))
+    val bi = ws.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS a, __ws[i] AS b))"))
+        .as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pairs"))
+    val totalBigrams = bi.agg(sum(col("n_pairs")).as("__tb"))
+    bi.filter(col("n_pairs") >= minCount)
+      .join(broadcast(uni.select(col("__w").as("a"), col("__cw").as("__ca"))), "a")
+      .join(broadcast(uni.select(col("__w").as("b"), col("__cw").as("__cb"))), "b")
+      .crossJoin(broadcast(totalWords))
+      .crossJoin(broadcast(totalBigrams))
+      .withColumn("pmi", round(log(
+        (col("n_pairs").cast("double") * col("__tw").cast("double") * col("__tw").cast("double")) /
+          (col("__tb").cast("double") * col("__ca").cast("double") * col("__cb").cast("double"))), 6))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .select(col("a"), col("b"), col("n_pairs"), col("pmi"))
+  }
 }

@@ -201,7 +201,7 @@ object VectorSearch {
           col("id").as("i"), // tie-break by id, matching searchBatch + the oracle
           col("text").as("txt")))),
         x => x.getField("txt")), "\n\n---\n\n").as("ctx"))
-      .head.getString(0)
+      .head().getString(0)
     s"$ragString\n\n$ctx\n\n$question"
   }
 }

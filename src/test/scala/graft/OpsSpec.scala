@@ -850,9 +850,9 @@ class OpsSpec extends SparkSpec {
     assert(TextFunctions.formatPageRanges(Seq(1, 2, 3, 7, 9, 10)) == "1-3, 7, 9-10")
     assert(TextFunctions.formatPageRanges(Nil) == "")
     val n = Seq("  a b   c  ").toDF("t")
-      .select(TextFunctions.tokenCount($"t")).head.getInt(0)
+      .select(TextFunctions.tokenCount($"t")).head().getInt(0)
     assert(n == 3)
-    assert(Seq("").toDF("t").select(TextFunctions.tokenCount($"t")).head.getInt(0) == 0)
+    assert(Seq("").toDF("t").select(TextFunctions.tokenCount($"t")).head().getInt(0) == 0)
   }
 
   test("multimodal: resize + batched feature extraction shapes") {
@@ -995,5 +995,75 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0.5, true)))
     assert(out(2L) == ((0L, 0.0, false)))
     assert(out(3L) == ((0L, 0.0, false)))
+  }
+
+  test("pmi collocations: bound pair scores above independent pair; minCount prunes") {
+    // "new york" always adjacent (bound); "data"/"lake" occur equally
+    // often but never adjacent to each other except once (independent)
+    val docs = Seq(
+      (1L, "new york data x lake y new york data z lake w"),
+      (2L, "new york lake a data b new york lake c data d"),
+      (3L, "new york data lake new york q data r lake s")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.pmiCollocations(docs, "text", minCount = 2, k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val (nNy, pmiNy) = out(("new", "york"))
+    assert(nNy == 6L)
+    // every "new" is followed by "york": PMI near the maximum for the pair
+    assert(pmiNy > 1.5)
+    // "data lake" adjacent only once -> below minCount=2, pruned
+    assert(!out.contains(("data", "lake")))
+    // no pair with count 1 survives
+    assert(out.values.forall(_._1 >= 2L))
+  }
+
+  test("decontaminate overlap: exact fraction, zero-overlap docs included") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 6 grams (n=3), of which [alpha beta gamma, beta gamma delta]
+      // are in the benchmark -> 2/6 contaminated
+      (1L, "alpha beta gamma delta x y z w"),
+      (2L, "completely unrelated words only here"), // 0 overlap, still a row
+      (3L, "too short")                             // < n words: no grams, absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateOverlap(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((6L, 2L, 0.333333))) // ratio rounded to 6 dp
+    assert(out(2L) == ((3L, 0L, 0.0)))
+  }
+
+  test("centroid outliers: farthest-from-group-mean ranked first, ties to lower id") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f), "a"), (2L, Array(0.1f, 0.0f), "a"),
+      (3L, Array(5.0f, 5.0f), "a"), // far from group-a mean
+      (4L, Array(1.0f, 1.0f), "b"), (5L, Array(1.0f, 1.2f), "b"),
+      (6L, Array(9.0f, 9.0f), "b")  // far from group-b mean
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Clustering.centroidOutliers(vecs, "vec_id", "embedding",
+        "label", dim = 2, k = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out("a") == ((3L, 1)))
+    assert(out("b") == ((6L, 1)))
+  }
+
+  test("first-touch attribution: entry type credited, exact conversion rate") {
+    val events = Seq(
+      // user 10: first touch 'ad' (ts tie broken by event_id), 2 purchases
+      (1L, 10L, "ad", 100L), (2L, 10L, "view", 100L),
+      (3L, 10L, "purchase", 200L), (4L, 10L, "purchase", 300L),
+      // user 20: first touch 'ad', no purchase
+      (5L, 20L, "ad", 50L), (6L, 20L, "view", 60L),
+      // user 30: first touch 'email', 1 purchase
+      (7L, 30L, "email", 10L), (8L, 30L, "purchase", 20L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.EventAnalytics.firstTouchAttribution(
+        events, "user_id", "event_type", "ts", "event_id", convType = "purchase")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("ad") == ((2L, 1L, 2L, 0.5)))
+    assert(out("email") == ((1L, 1L, 1L, 1.0)))
+    assert(out.size == 2)
   }
 }
