@@ -77,12 +77,18 @@ object Clustering {
     *
     * Scale shape: one partial-aggregating `groupBy(group)` for the
     * centroids (group-count rows — broadcast back), one map stage for
-    * distances, then a per-group top-k window over groups that are each
-    * a partition-sized slice; no all-pairs, no driver data beyond the
-    * centroid matrix. */
+    * distances, then a TWO-STAGE top-k: groups are few (labels,
+    * sources) while rows are billions, so a single per-group window
+    * would sort whole groups on single reducers — instead a local
+    * top-k per (group, id-hash shard) prunes to ≤ shards·k rows per
+    * group (a row's shard rank lower-bounds its group rank, so every
+    * global top-k row survives — the [[graft.ops.TextAnalytics
+    * .stratifiedQuota]] argument), then the exact global rank runs on
+    * that sliver. No all-pairs, no driver data beyond the centroid
+    * matrix. */
   def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
-      groupCol: String, dim: Int, k: Int): DataFrame = {
-    require(k > 0 && dim > 0, "k and dim must be positive")
+      groupCol: String, dim: Int, k: Int, shards: Int = 64): DataFrame = {
+    require(k > 0 && dim > 0 && shards > 0, "k, dim, shards must be positive")
     val v = vecs.select(col(groupCol).as("__g"), col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
     val meanCols = (0 until dim).map(i =>
@@ -91,11 +97,17 @@ object Clustering {
       .agg(meanCols.head, meanCols.tail: _*)
       .select(col("__g"), array((0 until dim).map(i => col(s"__c$i")): _*).as("__c"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__g")).orderBy(col("dist").desc, col("__id").asc)
+    val wLocal = w.partitionBy(col("__g"), col("__shard"))
+      .orderBy(col("dist").desc, col("__id").asc)
+    val wGlobal = w.partitionBy(col("__g"))
+      .orderBy(col("dist").desc, col("__id").asc)
     v.join(broadcast(centroids), "__g")
       .withColumn("dist",
         round(VectorFunctions.euclideanDistance(col("__v"), col("__c")), 6))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("__shard", pmod(TextAnalytics.portableIdHash(col("__id")), lit(shards)))
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k)
+      .withColumn("rk", row_number().over(wGlobal))
       .filter(col("rk") <= k)
       .select(col("__g").as(groupCol), col("__id").as(idCol), col("rk"), col("dist"))
   }
