@@ -1082,7 +1082,37 @@ object OracleSql {
         | CAST(sum(CASE WHEN nconv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_users,
         | CAST(sum(nconv) AS BIGINT) AS n_conversions,
         | round(CAST(sum(CASE WHEN nconv > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conversion_rate
-        |FROM ft JOIN cv USING (user_id) GROUP BY first_touch""".stripMargin)
+        |FROM ft JOIN cv USING (user_id) GROUP BY first_touch""".stripMargin,
+
+    // cents · 2^-k terms are exact multiples of 2^-10 — sum order can
+    // never move a ulp, so NO rounding on either side (halflife 7 days,
+    // horizon 10 halvings, µs timestamps).
+    "decayed_value" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | mx AS (SELECT max(tus) AS tmax FROM ev)
+        |SELECT user_id, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents,
+        | sum(CAST(cents AS DOUBLE) / pow(2.0, CAST(least((tmax - tus) // 604800000000, 10) AS DOUBLE))) AS decayed_cents
+        |FROM ev, mx GROUP BY user_id""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w FROM documents),
+        | p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair
+        |       FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM w WHERE length(w) >= 2))
+        |SELECT pair, count(*) AS n_occurrences FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
+
+    // approx_ok is the literal-TRUE gate (corpus_distinct_approx
+    // pattern): the row hash-matches only if the engine's
+    // approx_percentile rank error actually held.
+    "length_prune_approx" ->
+      """WITH d AS (SELECT lang,
+        |        CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |             ELSE CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) END AS nt
+        |       FROM documents)
+        |SELECT lang, count(*) AS n_docs, round(quantile_cont(nt, 0.9), 6) AS p90_exact,
+        | TRUE AS approx_ok
+        |FROM d GROUP BY lang""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

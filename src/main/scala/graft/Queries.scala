@@ -1023,6 +1023,43 @@ object Queries {
       events(s, dir).withColumn("ts_us", expr("ts div 1000")),
       "user_id", "event_type", "ts_us", "event_id", convType = "purchase")
 
+  /** Exact dyadic time-decay score per user (halflife 7 days, horizon
+    * 10 halvings): every term cents·2^-k is an exact multiple of
+    * 2^-10, so the sum is order-independent on BOTH engines — no
+    * rounding anywhere. µs timestamps as elsewhere. */
+  def decayedValue(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.timeDecayedValue(
+      events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "value", halfLifeUnits = 7L * 86400000000L)
+
+  /** BPE merge-candidate table: top-30 adjacent character pairs
+    * within words, count-desc, pair tie-break. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.bpePairStats(t(s, dir, "documents"), "text", k = 30)
+
+  /** Approx-quantile length pruning with an oracle-gated rank bound
+    * (the corpus_distinct_approx pattern): the p90 token threshold per
+    * language comes from approx_percentile — the sketch a 100 TB pass
+    * would use — and the output carries the EXACT p90 (replayable)
+    * plus approx_ok asserting the sketch's rank error actually held
+    * (hash-green only if |rank(approx_t) - 0.9| ≤ 5%). */
+  def lengthPruneApprox(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+    val th = docs.groupBy(col("lang")).agg(
+      expr("approx_percentile(__nt, 0.9, 10000)").as("__t"),
+      expr("percentile(__nt, 0.9)").as("__p90"),
+      count(lit(1)).as("n_docs"))
+    docs.join(broadcast(th), "lang")
+      .groupBy(col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        r6(first(col("__p90"))).as("p90_exact"),
+        sum((col("__nt") <= col("__t")).cast("long")).as("__nbelow"))
+      .select(col("lang"), col("n_docs"), col("p90_exact"),
+        (abs(col("__nbelow").cast("double") / col("n_docs").cast("double") - 0.9)
+          <= 0.05).as("approx_ok"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1113,5 +1150,8 @@ object Queries {
     "decontaminate_overlap" -> decontaminateOverlap _,
     "dedup_cross_source" -> dedupCrossSource _,
     "embedding_outliers" -> embeddingOutliers _,
-    "first_touch" -> firstTouch _)
+    "first_touch" -> firstTouch _,
+    "decayed_value" -> decayedValue _,
+    "bpe_pairs" -> bpePairs _,
+    "length_prune_approx" -> lengthPruneApprox _)
 }

@@ -175,4 +175,37 @@ object EventAnalytics {
       .withColumn("conversion_rate",
         round(col("n_converted_users").cast("double") / col("n_users").cast("double"), 6))
   }
+
+  /** Per-user time-decayed monetary score — the recency-weighted
+    * engagement/LTV aggregate of a scoring pipeline: each event
+    * contributes `cents · 2^-k`, k = halvings of age since the
+    * corpus's latest event (integer floor division by `halfLifeUnits`,
+    * capped at `maxHalvings`).
+    *
+    * EXACT by construction, not rounded: cents are integers, 2^-k is a
+    * dyadic rational, so every term is an exact multiple of
+    * 2^-maxHalvings and the sum is order-independent — distributed
+    * summation order, engine, and partitioning can never move a ulp
+    * (the same trick as integer-cents sums, extended to decay weights).
+    * Holds while per-user cent sums stay below 2^(53-maxHalvings)
+    * (≈ 8.8e12 cents at the default 10) — document scale, not row
+    * scale, bounds it.
+    *
+    * Scale shape: one global max(ts) (single row, broadcast back) +
+    * one partial-aggregating groupBy(user); map-only otherwise. */
+  def timeDecayedValue(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, halfLifeUnits: Long, maxHalvings: Int = 10): DataFrame = {
+    require(halfLifeUnits > 0 && maxHalvings >= 0 && maxHalvings <= 52,
+      "halfLifeUnits must be positive and maxHalvings in [0, 52]")
+    val tmax = events.agg(max(col(tsCol)).as("__tmax"))
+    events.crossJoin(broadcast(tmax))
+      .withColumn("__cents", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__k",
+        least(expr(s"(__tmax - $tsCol) div ${halfLifeUnits}L"), lit(maxHalvings.toLong)))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__cents")).as("total_cents"),
+        sum(col("__cents").cast("double") / pow(lit(2.0), col("__k").cast("double")))
+          .as("decayed_cents"))
+  }
 }

@@ -663,4 +663,29 @@ object TextAnalytics {
       .limit(k)
       .select(col("a"), col("b"), col("n_pairs"), col("pmi"))
   }
+
+  /** Corpus adjacent-character-pair counts within words — the
+    * frequency table of BPE training's first merge step (Sennrich et
+    * al. 2016: repeatedly merge the most frequent symbol pair; this is
+    * iteration 1's candidate ranking, the part that is a corpus-scale
+    * aggregation rather than a small driver loop). Top-`k` by count,
+    * ties lexicographic.
+    *
+    * Scale shape: two nested explodes (word, then in-word pair) feeding
+    * ONE partial-aggregating count — pair vocabulary is tiny (≤
+    * alphabet²), so map-side combine collapses almost everything;
+    * per-word substring extraction is O(len²) only in the word length
+    * (words are short by definition — this is not the document-level
+    * substring anti-pattern). */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 30): DataFrame = {
+    require(k >= 1, "k must be positive")
+    df.select(explode(
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit(""))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(k)
+  }
 }

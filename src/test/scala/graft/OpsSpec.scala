@@ -1066,4 +1066,28 @@ class OpsSpec extends SparkSpec {
     assert(out("email") == ((1L, 1L, 1L, 1.0)))
     assert(out.size == 2)
   }
+
+  test("time-decayed value: exact dyadic terms, halving cap") {
+    // halfLife=10 units; tmax=100. ages 0, 10, 25, 1000 -> k = 0, 1, 2, cap(3)
+    val events = Seq(
+      (1L, 100L, 1.00), (1L, 90L, 1.00), (1L, 75L, 1.00), (1L, -900L, 8.00),
+      (2L, 100L, 2.50) // k=0 only
+    ).toDF("user_id", "ts", "value")
+    val out = graft.ops.EventAnalytics.timeDecayedValue(events,
+        "user_id", "ts", "value", halfLifeUnits = 10L, maxHalvings = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 100 + 100/2 + 100/4 + 800/8 = 275.0 exactly (all dyadic)
+    assert(out(1L) == ((4L, 1100L, 275.0)))
+    assert(out(2L) == ((1L, 250L, 250.0)))
+  }
+
+  test("bpe pair stats: in-word adjacent char pairs, count-desc ties lexicographic") {
+    val docs = Seq((1L, "aaab aaab xy"), (2L, "ab x")).toDF("doc_id", "text")
+    val out = TextAnalytics.bpePairStats(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "aaab" twice -> aa:2 each (4 total), ab:1 each (2) + standalone "ab" (1) = 3
+    assert(out.head == (("aa", 4L)))
+    assert(out.toMap == Map("aa" -> 4L, "ab" -> 3L, "xy" -> 1L))
+    // single-char words ("x") contribute nothing
+  }
 }
