@@ -1112,7 +1112,16 @@ object OracleSql {
         |       FROM documents)
         |SELECT lang, count(*) AS n_docs, round(quantile_cont(nt, 0.9), 6) AS p90_exact,
         | TRUE AS approx_ok
-        |FROM d GROUP BY lang""".stripMargin)
+        |FROM d GROUP BY lang""".stripMargin,
+
+    "event_paths" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        | s AS (SELECT event_type,
+        |        lead(event_type, 1) OVER w AS e1, lead(event_type, 2) OVER w AS e2
+        |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        | p AS (SELECT event_type || '>' || e1 || '>' || e2 AS path FROM s WHERE e2 IS NOT NULL)
+        |SELECT path, count(*) AS n_paths FROM p GROUP BY path
+        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1037,6 +1037,12 @@ object Queries {
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.bpePairStats(t(s, dir, "documents"), "text", k = 30)
 
+  /** Top-20 user-journey trigrams (µs timestamps, event_id tiebreak). */
+  def eventPaths(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.eventPaths(
+      events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "event_type", "ts_us", "event_id", n = 3, k = 20)
+
   /** Approx-quantile length pruning with an oracle-gated rank bound
     * (the corpus_distinct_approx pattern): the p90 token threshold per
     * language comes from approx_percentile — the sketch a 100 TB pass
@@ -1153,5 +1159,6 @@ object Queries {
     "first_touch" -> firstTouch _,
     "decayed_value" -> decayedValue _,
     "bpe_pairs" -> bpePairs _,
-    "length_prune_approx" -> lengthPruneApprox _)
+    "length_prune_approx" -> lengthPruneApprox _,
+    "event_paths" -> eventPaths _)
 }

@@ -208,4 +208,38 @@ object EventAnalytics {
         sum(col("__cents").cast("double") / pow(lit(2.0), col("__k").cast("double")))
           .as("decayed_cents"))
   }
+
+  /** User-journey path mining: the top-`k` most frequent length-`n`
+    * consecutive event-type sequences ("view>click>purchase") across
+    * all users — the path-analysis report behind funnel DISCOVERY
+    * (funnels check a hypothesized order; this surfaces the orders
+    * that actually happen).
+    *
+    * Determinism: per-user order is (tsCol, eventIdCol) — pass
+    * timestamps at the replay engine's precision. Ties in path counts
+    * break lexicographically.
+    *
+    * Scale shape: ONE shuffle partitioning by user + per-user sort
+    * (users are numerous, so partitions are balanced — same shape as
+    * sessionization), n-1 lead() columns over that single window, then
+    * a partial-aggregating count whose key space is |event types|^n —
+    * tiny, map-side combined. Final ranking is TakeOrdered top-k. */
+  def eventPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, eventIdCol: String, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2 && k >= 1, "need n >= 2 and k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(eventIdCol).asc)
+    val steps = col(typeCol) +:
+      (1 until n).map(i => lead(col(typeCol), i).over(w))
+    // concat_ws skips nulls, so guard on the LAST lead: inner leads of
+    // the same window cannot be null when the last one isn't
+    events
+      .withColumn("__path",
+        when(steps.last.isNotNull, concat_ws(">", steps: _*)))
+      .filter(col("__path").isNotNull)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(k)
+  }
 }

@@ -1090,4 +1090,18 @@ class OpsSpec extends SparkSpec {
     assert(out.toMap == Map("aa" -> 4L, "ab" -> 3L, "xy" -> 1L))
     // single-char words ("x") contribute nothing
   }
+
+  test("event paths: per-user ordered trigrams, short histories dropped") {
+    val events = Seq(
+      (1L, 10L, "a", 1L), (2L, 10L, "b", 2L), (3L, 10L, "c", 3L), (4L, 10L, "d", 4L),
+      (5L, 20L, "x", 1L), (6L, 20L, "y", 2L), // only 2 events: no trigram
+      // user 30 repeats a>b>c; ts tie at 1 broken by event_id (7 < 8)
+      (7L, 30L, "a", 1L), (8L, 30L, "b", 1L), (9L, 30L, "c", 2L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.EventAnalytics.eventPaths(events,
+        "user_id", "event_type", "ts", "event_id", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == (("a>b>c", 2L)))
+    assert(out.toMap == Map("a>b>c" -> 2L, "b>c>d" -> 1L))
+  }
 }
