@@ -212,6 +212,52 @@ class ScaleOpsSpec extends SparkSpec {
       s"semanticDedup must stay an equi-join on cluster:\n$sdPlan")
   }
 
+  test("round-6 batch-2 plan shapes: broadcast stats, no global sorts, one agg shuffle") {
+    val docs = (1L to 400L).map(i =>
+      (i, s"alpha beta gamma delta word$i tail", if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+    val events = (1L to 2000L).map(i =>
+      (i, i % 97, s"t${i % 5}", i * 1000L, (i % 50) / 10.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+
+    // PMI: the vocabulary-sized unigram table and 1-row totals all
+    // broadcast onto the bigram counts — no sort-merge join anywhere
+    val pmi = graft.ops.TextAnalytics.pmiCollocations(docs, "text", minCount = 2, k = 10)
+    val pmiPlan = pmi.queryExecution.executedPlan.toString
+    assert(pmiPlan.contains("BroadcastHashJoin") && !pmiPlan.contains("SortMergeJoin"),
+      s"pmiCollocations must broadcast the unigram side:\n$pmiPlan")
+
+    // time-decay: the 1-row max(ts) broadcasts; the per-user rollup is
+    // the ONLY hash exchange; nothing ever range-partitions (sorts)
+    val dv = graft.ops.EventAnalytics.timeDecayedValue(
+      events, "user_id", "ts", "value", halfLifeUnits = 1000000L)
+    val dvPlan = dv.queryExecution.executedPlan.toString
+    assert(!dvPlan.contains("Exchange rangepartitioning") &&
+      !dvPlan.contains("SortMergeJoin"),
+      s"timeDecayedValue must broadcast max(ts), one agg shuffle:\n$dvPlan")
+
+    // first-touch: min(struct) partial-aggregates — a plain two-level
+    // hash aggregate chain, never a per-user window sort
+    val ft = graft.ops.EventAnalytics.firstTouchAttribution(
+      events, "user_id", "event_type", "ts", "event_id", "t0")
+    val ftPlan = ft.queryExecution.executedPlan.toString
+    assert(!ftPlan.contains("Window") && !ftPlan.contains("Exchange rangepartitioning"),
+      s"firstTouchAttribution must be windowless partial aggregation:\n$ftPlan")
+
+    // centroid outliers: centroid table broadcasts; the only sorts are
+    // the window-local ones on (group, shard) / (group) keys — never a
+    // global (range-partitioned, single-ordering) sort
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 7 + d).toFloat), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val co = graft.ops.Clustering.centroidOutliers(vecs, "vec_id", "embedding",
+      "label", dim = 4, k = 2, shards = 8)
+    val coPlan = co.queryExecution.executedPlan.toString
+    assert(coPlan.contains("BroadcastHashJoin") &&
+      !coPlan.contains("Exchange rangepartitioning"),
+      s"centroidOutliers must broadcast centroids and avoid global sorts:\n$coPlan")
+  }
+
   test("salted agg == plain agg for sum/count/min merges") {
     val df = ((1 to 5000).map(i => (1L, i.toLong)) ++
       (1 to 100).map(i => (2L, i.toLong))).toDF("k", "v")
