@@ -271,4 +271,39 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class FirstTouchState(firstTs: Long, firstType: String, nConv: Long)
+  case class UserFirstTouch(user_id: Long, first_ts: Long, first_touch: String,
+    n_conversions: Long)
+
+  /** Streaming first-touch attribution state (batch twin:
+    * [[graft.ops.EventAnalytics.firstTouchAttribution]]'s per-user
+    * reduction). Per user the state is (earliest (ts, type), conversion
+    * count) — a running min and a running sum, updated incrementally in
+    * Update mode; out-of-order arrivals are absorbed because min() is
+    * order-insensitive. Emitted components are each MONOTONE (first_ts
+    * never grows, n_conversions never shrinks), so a consumer — or the
+    * stream==batch spec — reconstructs the final row per user from any
+    * update log without trigger ordering. Tie-break inside one
+    * timestamp is the event-type string (streams have no stable event
+    * id across retries; the batch twin reproduces this by passing the
+    * type column as its tiebreak). One state row per user, no
+    * timeout — attribution state is the product's lifetime state. */
+  def firstTouchStream(events: Dataset[UserEvent],
+      convType: String): Dataset[UserFirstTouch] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[UserEvent],
+        state: GroupState[FirstTouchState]): UserFirstTouch = {
+      val fresh = evs.toSeq
+      val cands = state.getOption.map(p => (p.firstTs, p.firstType)).toSeq ++
+        fresh.map(e => (e.ts.getTime, e.event_type))
+      val (ft, fe) = cands.min
+      val nConv = state.getOption.map(_.nConv).getOrElse(0L) +
+        fresh.count(_.event_type == convType)
+      state.update(FirstTouchState(ft, fe, nConv))
+      UserFirstTouch(userId, ft, fe, nConv)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -303,6 +303,63 @@ object ScaleProbe {
     }
     ev8.unpersist()
     }
+
+    if (on("r6ops")) {
+    // Round-6 batch ops at probe scale: 2M labeled vectors, 10M
+    // events, 50k docs — confirms the documented shapes (two-stage
+    // outlier prune, windowless attribution, path window, broadcast
+    // PMI joins) hold where the small-SF bench can't stress them.
+    val labeled = vecs.withColumn("label", pmod(xxhash64(col("vec_id")), lit(10)).cast("int"))
+    time("centroid outliers 2M vecs, 10 labels, k=5") {
+      println("[probe]   rows=" + graft.ops.Clustering.centroidOutliers(
+        labeled, "vec_id", "embedding", "label", dim = dim, k = 5).count())
+    }
+    val nEv2 = 10000000L
+    val ev2 = spark.range(nEv2).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id")), lit(500000L)).as("user_id"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(86400L * 30)) * 1000000L).as("ts"),
+        element_at(array(lit("signup"), lit("view"), lit("purchase"), lit("click")),
+          (pmod(xxhash64(col("id"), lit(2)), lit(4)) + 1).cast("int")).as("event_type"),
+        (pmod(xxhash64(col("id"), lit(4)), lit(50000L)).cast("double") / 100.0).as("value"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] events=${ev2.count()} (µs ts)")
+    time("first-touch attribution (10M ev, 500k users)") {
+      println("[probe]   " + graft.ops.EventAnalytics.firstTouchAttribution(
+          ev2, "user_id", "event_type", "ts", "event_id", "purchase")
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
+    }
+    time("time-decayed value (10M ev, 500k users)") {
+      println("[probe]   users=" + graft.ops.EventAnalytics.timeDecayedValue(
+        ev2, "user_id", "ts", "value", halfLifeUnits = 7L * 86400000000L).count())
+    }
+    time("event paths n=3 top-20 (10M ev)") {
+      println("[probe]   paths=" + graft.ops.EventAnalytics.eventPaths(
+        ev2, "user_id", "event_type", "ts", "event_id", n = 3, k = 20).count())
+    }
+    ev2.unpersist()
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base2 = spark.read.parquet(s"$sfDir2/documents.parquet").select("doc_id", "text")
+    val docs10b = (0 until 10).map(r =>
+        base2.select((col("doc_id") + lit(r * 1000000)).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] doc corpus=${docs10b.count()}")
+    time("pmi collocations (50k docs)") {
+      println("[probe]   rows=" + graft.ops.TextAnalytics.pmiCollocations(
+        docs10b, "text", minCount = 5, k = 50).count())
+    }
+    time("bpe pair stats (50k docs)") {
+      println("[probe]   rows=" + graft.ops.TextAnalytics.bpePairStats(
+        docs10b, "text", k = 30).count())
+    }
+    time("decontaminate overlap (50k docs vs 500-doc bench)") {
+      println("[probe]   rows=" + graft.ops.Dedup.decontaminateOverlap(
+        docs10b.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        docs10b.filter(col("doc_id") % 100 === 0), "doc_id", "text", n = 5).count())
+    }
+    docs10b.unpersist()
+    }
     spark.stop()
   }
 }

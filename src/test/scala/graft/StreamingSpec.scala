@@ -115,6 +115,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming first-touch: monotone update log reconstructs the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    // u1's true first touch ("ad" at minute 1) arrives in a LATER
+    // trigger than its purchase — the running min must absorb it
+    val batch1 = Seq(
+      UserEvent(1, ts(5), "view", 0), UserEvent(1, ts(30), "purchase", 0),
+      UserEvent(2, ts(2), "email", 0), UserEvent(2, ts(3), "purchase", 0))
+    val batch2 = Seq(
+      UserEvent(1, ts(1), "ad", 0), UserEvent(1, ts(40), "purchase", 0),
+      UserEvent(3, ts(7), "view", 0))
+    val q = Streams.firstTouchStream(input.toDS(), convType = "purchase")
+      .writeStream.format("memory").queryName("ft_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // components are monotone: min(first_ts,type) + max(nConv) over a
+      // user's update rows IS the final state, whatever the triggers were
+      val got = spark.table("ft_out").as[Streams.UserFirstTouch]
+        .collect().groupBy(_.user_id)
+        .map { case (u, rs) =>
+          u -> (rs.map(r => (r.first_ts, r.first_touch)).min._2,
+            rs.map(_.n_conversions).max)
+        }
+      val batch = graft.ops.EventAnalytics.firstTouchAttribution(
+          (batch1 ++ batch2).toDF()
+            .withColumn("ts", org.apache.spark.sql.functions.expr("unix_millis(ts)")),
+          // the stream has no event id; type doubles as the tiebreak
+          "user_id", "event_type", "ts", "event_type", convType = "purchase")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+      val rollup = got.groupBy(_._2._1).map { case (t, us) =>
+        t -> (us.size.toLong, us.map(_._2._2).sum)
+      }
+      assert(rollup == batch.map { case (t, (nu, nc)) => t -> (nu, nc) })
+      assert(got(1L) == (("ad", 2L)) && got(2L) == (("email", 1L)) &&
+        got(3L) == (("view", 0L)))
+    } finally q.stop()
+  }
+
   test("incremental ingest: new files become searchable chunks") {
     val src = Files.createTempDirectory("graft_stream_src")
     val db = Files.createTempDirectory("graft_stream_db")
