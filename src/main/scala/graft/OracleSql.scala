@@ -1121,7 +1121,26 @@ object OracleSql {
         |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
         | p AS (SELECT event_type || '>' || e1 || '>' || e2 AS path FROM s WHERE e2 IS NOT NULL)
         |SELECT path, count(*) AS n_paths FROM p GROUP BY path
-        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin)
+        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
+
+    // dedup_jaccard's full-corpus pair pipeline, restricted to pairs
+    // touching the "new batch" slice (doc_id % 10 = 3) — the exact
+    // contract of the incremental index path.
+    "dedup_incremental" ->
+      """WITH sh AS (SELECT DISTINCT doc_id AS sid,
+        |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | v AS (SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |       FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
+        |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (s_a + s_b - i), 6) AS jaccard
+        |FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2
+        | AND (id_a % 10 = 3 OR id_b % 10 = 3)""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1037,6 +1037,20 @@ object Queries {
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.bpePairStats(t(s, dir, "documents"), "text", k = 30)
 
+  /** Incremental dedup: docs with doc_id % 10 == 3 play the new batch
+    * against a stored shingle index of the rest; pairs are bit-equal to
+    * the full-corpus [[dedupJaccard]] run restricted to pairs touching
+    * the batch (the oracle replays exactly that). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_shingle_idx").toString
+    Dedup.writeShingleIndex(docs.filter(col("doc_id") % 10 =!= 3),
+      "doc_id", "text", n = 8, idx)
+    Dedup.incrementalJaccardPairs(s, idx, docs.filter(col("doc_id") % 10 === 3),
+        "doc_id", "text", n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+  }
+
   /** Top-20 user-journey trigrams (µs timestamps, event_id tiebreak). */
   def eventPaths(s: SparkSession, dir: String): DataFrame =
     ops.EventAnalytics.eventPaths(
@@ -1160,5 +1174,6 @@ object Queries {
     "decayed_value" -> decayedValue _,
     "bpe_pairs" -> bpePairs _,
     "length_prune_approx" -> lengthPruneApprox _,
-    "event_paths" -> eventPaths _)
+    "event_paths" -> eventPaths _,
+    "dedup_incremental" -> dedupIncremental _)
 }

@@ -264,6 +264,94 @@ object Dedup {
     verified // caller owns the persisted pair frame: unpersist() when done
   }
 
+  /** Persist the per-doc shingle-hash sets as a parquet index under
+    * `dir/sets` — the stored half of INCREMENTAL dedup. Mode "append"
+    * is the ingest-time upsert: after a batch is admitted, its sets
+    * join the index so the next batch dedups against it. */
+  def writeShingleIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, dir: String, mode: String = "overwrite"): Unit =
+    shingleHashSets(df, idCol, textCol, n)
+      .write.mode(mode).parquet(s"$dir/sets")
+
+  /** Incremental near-dup: exact-Jaccard pairs (a < b, ≥ `threshold`)
+    * between a NEW batch and the stored corpus index (plus within the
+    * batch) — the operational shape of dedup at 100 TB: a daily crawl
+    * increment must not re-dedup the whole corpus, only itself and its
+    * overlap with what exists. Bit-identical to re-running
+    * [[jaccardPairs]] over stored ∪ new and keeping the pairs touching
+    * a new id (asserted in OpsSpec; the `dedup_incremental` oracle
+    * replays exactly that SQL):
+    *
+    *  - candidate rarity (the df cap) is measured over stored ∪ new —
+    *    but only for grams PRESENT in the new batch, because a pair
+    *    touching a new doc can only share grams that doc has; the
+    *    stored posting explode is therefore semi-joined down to the
+    *    batch's gram set first (index work scales with batch overlap,
+    *    not corpus size);
+    *  - old-old pairs sharing batch grams are dropped — they were
+    *    found when their own batches were ingested;
+    *  - verification uses the full stored/new hash sets with the same
+    *    measured-broadcast discipline as [[jaccardPairs]].
+    *
+    * Eager; returns the persisted pair frame (caller unpersists). */
+  def incrementalJaccardPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int, minShared: Int = 1,
+      broadcastBytesCap: Long = 128L << 20): DataFrame = {
+    require(maxDocFreq > 0, "incrementalJaccardPairs needs a posting-list cap")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val newSets = shingleHashSets(newDocs, idCol, textCol, n).persist(lvl)
+    val newPost = newSets.select(col("sid"), explode(col("hs")).as("h"))
+    val storedSets = spark.read.parquet(s"$dir/sets")
+    val newGrams = newPost.select("h").distinct()
+    val nGrams = newGrams.count()
+    val gramsSide = if (nGrams * 24L < broadcastBytesCap) broadcast(newGrams) else newGrams
+    val storedPost = storedSets.select(col("sid"), explode(col("hs")).as("h"))
+      .join(gramsSide, Seq("h"), "left_semi")
+    val lists = storedPost.unionByName(newPost)
+      .groupBy("h").agg(collect_list(col("sid")).as("sids"))
+      .filter(size(col("sids")) <= maxDocFreq)
+    val newIds = newSets.select(col("sid")).distinct()
+      .withColumnRenamed("sid", "__nid").withColumn("__new", lit(true))
+    val nNew = newIds.count()
+    val idsSide = if (nNew * 32L < broadcastBytesCap) broadcast(newIds) else newIds
+    val cand = lists.select(explode(postingPairsUdf(col("sids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(idsSide, col("id_a") === col("__nid"), "left")
+      .withColumnRenamed("__new", "__new_a").drop("__nid")
+      .join(idsSide, col("id_b") === col("__nid"), "left")
+      .filter(col("__new_a").isNotNull || col("__new").isNotNull)
+      .select("id_a", "id_b")
+      .persist(lvl)
+    val nPairs = cand.count()
+    val allSets = storedSets.unionByName(newSets)
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
+    val idsFit = nPairs * 2L * 24L < broadcastBytesCap
+    val prunedSets = allSets.join(
+        if (idsFit) broadcast(candIds) else candIds, Seq("sid"), "left_semi")
+      .persist(lvl)
+    val st = prunedSets.agg(count(lit(1)), coalesce(sum(col("sz")), lit(0L))).head()
+    val setsBytes = st.getLong(0) * 64L + st.getLong(1) * 8L
+    val vsets = if (setsBytes < broadcastBytesCap) broadcast(prunedSets) else prunedSets
+    val joinedA = cand.join(vsets, cand("id_a") === vsets("sid"))
+      .select(col("id_a"), col("id_b"), col("hs").as("set_a"), col("sz").as("sz_a"))
+    val verified = joinedA.join(vsets, joinedA("id_b") === vsets("sid"))
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("set_a"), col("hs")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= lit(threshold))
+      .select("id_a", "id_b", "jaccard")
+      .persist(lvl)
+    verified.count()
+    cand.unpersist()
+    prunedSets.unpersist()
+    newSets.unpersist()
+    verified
+  }
+
   /** MinHash seed constants: per-hash affine coefficients (a_i, b_i),
     * < 2^31 so a_i · H (H < 2^28) never overflows a signed 64-bit int in
     * any engine (DuckDB errors on bigint overflow; Java wraps — both

@@ -1104,4 +1104,31 @@ class OpsSpec extends SparkSpec {
     assert(out.head == (("a>b>c", 2L)))
     assert(out.toMap == Map("a>b>c" -> 2L, "b>c>d" -> 1L))
   }
+
+  test("incremental dedup == full-corpus pairs restricted to the new batch") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val stored = Seq(
+      (1L, base), (2L, base), // exact dups of each other (old-old: must NOT re-emit)
+      (4L, "completely different content about spark dataframes and joins " * 5)
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (3L, base + " tiny tail change"),   // near-dup of stored 1 and 2
+      (5L, "another unrelated corpus document with its own words entirely " * 5)
+    ).toDF("doc_id", "text")
+    val full = stored.unionByName(fresh)
+    val idx = java.nio.file.Files.createTempDirectory("graft_inc_idx").toString
+    Dedup.writeShingleIndex(stored, "doc_id", "text", n = 8, idx)
+    val inc = Dedup.incrementalJaccardPairs(spark, idx, fresh,
+        "doc_id", "text", n = 8, threshold = 0.5, maxDocFreq = 64, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Dedup.jaccardPairs(full, "doc_id", "text",
+        n = 8, threshold = 0.5, maxDocFreq = 64, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => Set(3L, 5L)(p._1) || Set(3L, 5L)(p._2)) // ids 3,5 = the batch
+      .toSet
+    assert(inc == expected)
+    assert(inc.map(p => (p._1, p._2)) == Set((1L, 3L), (2L, 3L)))
+    // old-old pair (1,2) exists in the full run but is NOT re-emitted
+    assert(!inc.exists(p => p._1 == 1L && p._2 == 2L))
+  }
 }
