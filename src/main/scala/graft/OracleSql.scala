@@ -1140,7 +1140,35 @@ object OracleSql {
         |       FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (s_a + s_b - i), 6) AS jaccard
         |FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2
-        | AND (id_a % 10 = 3 OR id_b % 10 = 3)""".stripMargin)
+        | AND (id_a % 10 = 3 OR id_b % 10 = 3)""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        | n AS (SELECT doc_id,
+        |        sha256(CASE WHEN doc_id % 7 = 0 THEN 'edited: ' || text ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 13 <> 0
+        |       UNION ALL
+        |       SELECT doc_id + 100000, sha256(text) FROM documents WHERE doc_id % 17 = 0),
+        | d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN o.h IS NULL THEN 'added'
+        |             WHEN n.h IS NULL THEN 'removed'
+        |             WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status
+        |       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'""".stripMargin,
+
+    // Laplace bigram LM: p(b|a) = (c(ab)+1)/(c(a)+V); per-doc mean ln,
+    // rounded 6 dp (ln summation order, same convention as lm_score).
+    "bigram_lm" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws FROM documents),
+        | bi AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM ws WHERE len(ws) >= 2)),
+        | cu AS (SELECT w AS a, count(*) AS ca FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w),
+        | v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM cu),
+        | cb AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY a, b)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(sum(ln((CAST(cab AS DOUBLE) + 1.0) / (CAST(ca AS DOUBLE) + v))) / count(*), 6) AS mean_bigram_logprob
+        |FROM bi JOIN cb USING (a, b) JOIN cu USING (a), v
+        |GROUP BY doc_id""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

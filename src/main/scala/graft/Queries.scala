@@ -1037,6 +1037,26 @@ object Queries {
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.bpePairStats(t(s, dir, "documents"), "text", k = 30)
 
+  /** Snapshot diff: the "next version" drops doc_id % 13 == 0, prefix-
+    * edits % 7 == 0, and re-adds % 17 == 0 under shifted ids — the diff
+    * must classify every delta. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val newVer = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit("edited: "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    TextAnalytics.corpusDiff(docs, newVer, "doc_id", "text")
+  }
+
+  /** Per-doc mean bigram log-prob under the corpus's own Laplace-
+    * smoothed bigram LM (context-sensitive fluency; docs < 2 words
+    * emit nothing). */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+
   /** Incremental dedup: docs with doc_id % 10 == 3 play the new batch
     * against a stored shingle index of the rest; pairs are bit-equal to
     * the full-corpus [[dedupJaccard]] run restricted to pairs touching
@@ -1175,5 +1195,7 @@ object Queries {
     "bpe_pairs" -> bpePairs _,
     "length_prune_approx" -> lengthPruneApprox _,
     "event_paths" -> eventPaths _,
-    "dedup_incremental" -> dedupIncremental _)
+    "dedup_incremental" -> dedupIncremental _,
+    "corpus_diff" -> corpusDiff _,
+    "bigram_lm" -> bigramLm _)
 }

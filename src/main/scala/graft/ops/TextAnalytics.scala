@@ -438,6 +438,31 @@ object TextAnalytics {
           .as("reuse_pct"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: given
+    * two corpus versions keyed by `idCol`, classify every id as
+    * `added` (new only), `removed` (old only), `changed` (both, text
+    * hash differs), or `unchanged`. Content compares by sha256, never
+    * by full text equality on the join (hashes are 32 bytes; documents
+    * can be megabytes).
+    *
+    * Scale shape: each side reduces to (id, hash) in a map stage, then
+    * ONE full-outer hash join on the id key — co-partitioned, no data
+    * rows moved, no collect. Emits non-`unchanged` rows only by
+    * default (a 100 TB diff is read for its deltas; `keepUnchanged`
+    * for audits). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, keepUnchanged: Boolean = false): DataFrame = {
+    val o = oldDf.select(col(idCol), sha2(col(textCol), 256).as("__oh"))
+    val nw = newDf.select(col(idCol), sha2(col(textCol), 256).as("__nh"))
+    val status = when(col("__oh").isNull, "added")
+      .when(col("__nh").isNull, "removed")
+      .when(col("__oh") =!= col("__nh"), "changed")
+      .otherwise("unchanged")
+    val d = o.join(nw, Seq(idCol), "full_outer")
+      .select(col(idCol), status.as("status"))
+    if (keepUnchanged) d else d.filter(col("status") =!= "unchanged")
+  }
+
   /** Mean unigram log-probability under the corpus's own unigram LM —
     * the CCNet-style fluency/quality proxy (docs of common words score
     * high, gibberish and rare-token soup score low).
@@ -662,6 +687,42 @@ object TextAnalytics {
       .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
       .limit(k)
       .select(col("a"), col("b"), col("n_pairs"), col("pmi"))
+  }
+
+  /** Mean bigram log-probability under the corpus's own add-one
+    * (Laplace) smoothed bigram LM — [[unigramLogProb]]'s
+    * context-sensitive sibling (CCNet-style fluency, one order up:
+    * word-salad docs whose words are individually common score low
+    * here): p(b|a) = (c(ab) + 1) / (c(a) + V), V = unigram vocabulary
+    * size; score = mean ln p over the doc's adjacent bigrams. Docs
+    * with < 2 words emit nothing.
+    *
+    * Scale shape: one bigram explode + one unigram explode, each
+    * count-aggregated; the unigram and bigram frequency tables are
+    * vocabulary-sized (sublinear) so their joins back broadcast under
+    * AQE; V is a 1-row cross join. Mean rounded to 6 dp (ln summation
+    * order, as in [[unigramLogProb]]). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = df.select(col(idCol),
+      filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit("")).as("__ws"))
+    val bi = ws.filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS a, __ws[i] AS b))"))
+        .as("__p"))
+      .select(col(idCol), col("__p.a").as("__a"), col("__p.b").as("__b"))
+    val uni = ws.select(explode(col("__ws")).as("__a"))
+      .groupBy(col("__a")).agg(count(lit(1)).as("__ca"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val biCounts = bi.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__cab"))
+    bi.join(biCounts, Seq("__a", "__b"))
+      .join(uni, Seq("__a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("__cab").cast("double") + lit(1.0)) /
+          (col("__ca").cast("double") + col("__v").cast("double")))).as("__lp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lp") / col("n_bigrams").cast("double"), 6).as("mean_bigram_logprob"))
   }
 
   /** Corpus adjacent-character-pair counts within words — the

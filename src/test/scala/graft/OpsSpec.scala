@@ -1131,4 +1131,26 @@ class OpsSpec extends SparkSpec {
     // old-old pair (1,2) exists in the full run but is NOT re-emitted
     assert(!inc.exists(p => p._1 == 1L && p._2 == 2L))
   }
+
+  test("corpus diff: added/removed/changed classified, unchanged dropped by default") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "X"), (4L, "d")).toDF("doc_id", "text")
+    val d = TextAnalytics.corpusDiff(oldV, newV, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val full = TextAnalytics.corpusDiff(oldV, newV, "doc_id", "text", keepUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full(2L) == "unchanged" && full.size == 4)
+  }
+
+  test("bigram LM: Laplace-smoothed conditional, hand-checked") {
+    // unigrams: a=3, b=1, solo=1 -> V=3; c(a,a)=1, c(a,b)=1, c(a)=3
+    // -> both docs score one bigram with p = (1+1)/(3+3) = 1/3
+    val docs = Seq((1L, "a a"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalytics.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exp3 = BigDecimal(math.log(1.0 / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, exp3)) && out(2L) == ((1L, exp3)))
+    assert(!out.contains(3L)) // single-word doc: no bigrams
+  }
 }
