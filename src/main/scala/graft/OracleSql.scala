@@ -1168,7 +1168,14 @@ object OracleSql {
         |SELECT doc_id, count(*) AS n_bigrams,
         | round(sum(ln((CAST(cab AS DOUBLE) + 1.0) / (CAST(ca AS DOUBLE) + v))) / count(*), 6) AS mean_bigram_logprob
         |FROM bi JOIN cb USING (a, b) JOIN cu USING (a), v
-        |GROUP BY doc_id""".stripMargin)
+        |GROUP BY doc_id""".stripMargin,
+
+    "skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+        | t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS k FROM c)
+        |SELECT user_id, n_rows,
+        | round(CAST(n_rows AS DOUBLE) * k / n, 6) AS skew_factor
+        |FROM c, t ORDER BY n_rows DESC, user_id LIMIT 5""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

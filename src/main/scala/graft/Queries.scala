@@ -1037,6 +1037,11 @@ object Queries {
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.bpePairStats(t(s, dir, "documents"), "text", k = 30)
 
+  /** Hot-key skew report over the events join key: top-5 users by row
+    * count with their uniform-share skew factor. */
+  def skewReport(s: SparkSession, dir: String): DataFrame =
+    ops.SkewReport.topKeys(events(s, dir), "user_id", k = 5)
+
   /** Snapshot diff: the "next version" drops doc_id % 13 == 0, prefix-
     * edits % 7 == 0, and re-adds % 17 == 0 under shifted ids — the diff
     * must classify every delta. */
@@ -1197,5 +1202,6 @@ object Queries {
     "event_paths" -> eventPaths _,
     "dedup_incremental" -> dedupIncremental _,
     "corpus_diff" -> corpusDiff _,
-    "bigram_lm" -> bigramLm _)
+    "bigram_lm" -> bigramLm _,
+    "skew_report" -> skewReport _)
 }

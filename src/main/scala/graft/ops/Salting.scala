@@ -3,6 +3,33 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Join-key skew report — the diagnostic a pipeline runs BEFORE
+  * reaching for [[Salting]] or AQE skew hints: per key-column, the row
+  * count, distinct-key count, the hottest keys, and the skew factor
+  * (hottest key's share vs a uniform key). One partial-aggregating
+  * count + a TakeOrdered top-k; the per-key count table never leaves
+  * the executors except as the k report rows.
+  *
+  * skew_factor = max_key_count · n_keys / n_rows, exact integer inputs
+  * divided once and rounded 6 dp — 1.0 means perfectly uniform; a
+  * join whose build side has factor ≫ 10 straggles without salt. */
+object SkewReport {
+  import org.apache.spark.sql.functions._
+
+  def topKeys(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__n"),
+      count(lit(1)).as("__keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n_rows"),
+        round(col("n_rows").cast("double") * col("__keys").cast("double") /
+          col("__n").cast("double"), 6).as("skew_factor"))
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+      .limit(k)
+  }
+}
+
 /** Skew mitigation for shuffle joins and aggregations: salt the skewed
   * (large) side's key into `factor` sub-keys and replicate the small
   * side across all salt values, so one hot key's rows spread over

@@ -1153,4 +1153,13 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((1L, exp3)) && out(2L) == ((1L, exp3)))
     assert(!out.contains(3L)) // single-word doc: no bigrams
   }
+
+  test("skew report: hottest keys first, uniform-share factor") {
+    // key 1: 6 rows, keys 2,3: 1 row each -> n=8, k=3
+    val df = (Seq.fill(6)(1L) ++ Seq(2L, 3L)).map(Tuple1(_)).toDF("k")
+    val out = graft.ops.SkewReport.topKeys(df, "k", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.head == ((1L, 6L, 2.25))) // 6 * 3 / 8
+    assert(out(1) == ((2L, 1L, 0.375))) // tie with key 3 -> lower key wins
+  }
 }
