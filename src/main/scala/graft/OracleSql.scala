@@ -1175,7 +1175,22 @@ object OracleSql {
         | t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS k FROM c)
         |SELECT user_id, n_rows,
         | round(CAST(n_rows AS DOUBLE) * k / n, 6) AS skew_factor
-        |FROM c, t ORDER BY n_rows DESC, user_id LIMIT 5""".stripMargin)
+        |FROM c, t ORDER BY n_rows DESC, user_id LIMIT 5""".stripMargin,
+
+    "daily_percentiles" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // n_matches hash-checks the bloom path's no-false-negative
+    // contract; the prune-effectiveness boolean is the literal-TRUE
+    // gate (corpus_distinct_approx pattern).
+    "bloom_prefilter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_matches, TRUE AS bloom_prune_ok
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1042,6 +1042,38 @@ object Queries {
   def skewReport(s: SparkSession, dir: String): DataFrame =
     ops.SkewReport.topKeys(events(s, dir), "user_id", k = 5)
 
+  /** Daily per-type value percentile bands (exact interpolated
+    * percentiles, µs-epoch day bucketing). */
+  def dailyPercentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"),
+        count(lit(1)).as("n"))
+
+  /** Bloom-prefiltered semi join vs big-spender orders: n_matches
+    * hash-checks no-false-negatives (the bloom path must return
+    * EXACTLY the plain semi join's rows); the boolean gates that the
+    * map-side prune actually dropped the non-matching bulk (kept ≤
+    * matches + fpp-bound slack). */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    val cust = t(s, dir, "customer")
+    val pruned = ops.BloomFilterJoin.prefilter(cust, "c_custkey",
+      orders, "o_custkey", expectedKeys = 20000, fpp = 0.03)
+    val matched = pruned.join(orders.select(col("o_custkey").as("c_custkey")).distinct(),
+      Seq("c_custkey"), "left_semi")
+    matched.agg(count(lit(1)).as("n_matches"))
+      .crossJoin(broadcast(pruned.agg(count(lit(1)).as("__kept"))))
+      .crossJoin(broadcast(cust.agg(count(lit(1)).as("__tot"))))
+      .select(col("n_matches"),
+        (col("__kept") <= col("n_matches") +
+          (col("__tot").cast("double") * 0.1).cast("long") + lit(10L)).as("bloom_prune_ok"))
+  }
+
   /** Snapshot diff: the "next version" drops doc_id % 13 == 0, prefix-
     * edits % 7 == 0, and re-adds % 17 == 0 under shifted ids — the diff
     * must classify every delta. */
@@ -1203,5 +1235,7 @@ object Queries {
     "dedup_incremental" -> dedupIncremental _,
     "corpus_diff" -> corpusDiff _,
     "bigram_lm" -> bigramLm _,
-    "skew_report" -> skewReport _)
+    "skew_report" -> skewReport _,
+    "daily_percentiles" -> dailyPercentiles _,
+    "bloom_prefilter" -> bloomPrefilter _)
 }

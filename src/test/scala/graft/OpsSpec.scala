@@ -1162,4 +1162,19 @@ class OpsSpec extends SparkSpec {
     assert(out.head == ((1L, 6L, 2.25))) // 6 * 3 / 8
     assert(out(1) == ((2L, 1L, 0.375))) // tie with key 3 -> lower key wins
   }
+
+  test("bloom-prefiltered semi join: no false negatives, real pruning") {
+    val probe = (1L to 2000L).map(Tuple1(_)).toDF("k")
+    val build = Seq(5L, 500L, 1500L).map(Tuple1(_)).toDF("bk")
+    val exact = probe.join(build.select(col("bk").as("k")), Seq("k"), "left_semi")
+      .as[Long].collect().toSet
+    val viaBloom = graft.ops.BloomFilterJoin.semiJoin(probe, "k", build, "bk",
+        expectedKeys = 100, fpp = 0.03)
+      .as[Long].collect().toSet
+    assert(viaBloom == exact && exact == Set(5L, 500L, 1500L))
+    // the map-side prune must drop the overwhelming non-matching bulk
+    val kept = graft.ops.BloomFilterJoin.prefilter(probe, "k", build, "bk",
+      expectedKeys = 100, fpp = 0.03).count()
+    assert(kept >= 3 && kept <= 3 + 200, s"fpp blowout: kept=$kept of 2000")
+  }
 }
