@@ -446,10 +446,12 @@ object TextAnalytics {
     * can be megabytes).
     *
     * Scale shape: each side reduces to (id, hash) in a map stage, then
-    * ONE full-outer hash join on the id key — co-partitioned, no data
-    * rows moved, no collect. Emits non-`unchanged` rows only by
-    * default (a 100 TB diff is read for its deltas; `keepUnchanged`
-    * for audits). */
+    * ONE full-outer join on the id key — a key-partitioned sort-merge
+    * by necessity (both sides are corpus-sized and FULL OUTER keeps
+    * every row, so neither can broadcast); only 40-byte (id, hash)
+    * rows shuffle, never document text. Emits non-`unchanged` rows
+    * only by default (a 100 TB diff is read for its deltas;
+    * `keepUnchanged` for audits). */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String, keepUnchanged: Boolean = false): DataFrame = {
     val o = oldDf.select(col(idCol), sha2(col(textCol), 256).as("__oh"))
