@@ -1190,7 +1190,39 @@ object OracleSql {
     "bloom_prefilter" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_matches, TRUE AS bloom_prune_ok
         |FROM customer
-        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""".stripMargin)
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""".stripMargin,
+
+    // dedup_clusters' pair pipeline + reachability closure, then the
+    // hash_split bucket CASE keyed by the cluster representative
+    // (own id for singletons).
+    "leakage_split" ->
+      """WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS sid,
+        |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | p AS (SELECT id_a, id_b FROM (
+        |        SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |        FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
+        |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
+        | e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        | reach(id, root) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT e.b, reach.root FROM reach JOIN e ON e.a = reach.id
+        | ),
+        | cl AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+        | k AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS split_key
+        |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+        |SELECT doc_id, split_key,
+        | CASE WHEN CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10 THEN 'test'
+        |      WHEN CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 20 THEN 'val'
+        |      ELSE 'train' END AS split
+        |FROM k""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

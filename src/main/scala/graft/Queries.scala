@@ -1074,6 +1074,15 @@ object Queries {
           (col("__tot").cast("double") * 0.1).cast("long") + lit(10L)).as("bloom_prune_ok"))
   }
 
+  /** Leakage-safe split: near-dup clusters (same pair params as
+    * [[dedupJaccard]]) share one split; singletons reproduce
+    * [[hashSplit]]. */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.leakageSafeSplit(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+      .select(col("doc_id"), col("split_key"), col("split"))
+
   /** Snapshot diff: the "next version" drops doc_id % 13 == 0, prefix-
     * edits % 7 == 0, and re-adds % 17 == 0 under shifted ids — the diff
     * must classify every delta. */
@@ -1237,5 +1246,6 @@ object Queries {
     "bigram_lm" -> bigramLm _,
     "skew_report" -> skewReport _,
     "daily_percentiles" -> dailyPercentiles _,
-    "bloom_prefilter" -> bloomPrefilter _)
+    "bloom_prefilter" -> bloomPrefilter _,
+    "leakage_split" -> leakageSplit _)
 }

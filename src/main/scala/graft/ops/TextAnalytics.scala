@@ -270,6 +270,38 @@ object TextAnalytics {
         .otherwise("train"))
   }
 
+  /** Leakage-safe train/val/test split: [[hashSplit]]'s bucketing, but
+    * keyed by the document's NEAR-DUP CLUSTER representative instead of
+    * its own id — near-duplicate documents land in the SAME split by
+    * construction, so a test doc can never have a train-set near-copy
+    * (the eval-leakage failure mode of naive per-doc splits; cf.
+    * benchmark decontamination, which guards against a different leak).
+    * Docs with no near-dup keep their own id as key, reproducing
+    * [[hashSplit]] exactly for the unduplicated bulk.
+    *
+    * Scale shape: the pair graph + connected components come from the
+    * capped [[Dedup.jaccardPairs]]/[[Dedup.dedupClusters]] machinery
+    * (corpus-tiny output by construction); the split itself is a left
+    * join against that small cluster table plus the same map-only hash
+    * bucketing as [[hashSplit]]. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int, minShared: Int = 1,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val pairs = Dedup.jaccardPairs(df, idCol, textCol, n, threshold,
+      maxDocFreq, minShared)
+    val clusters = Dedup.dedupClusters(pairs)
+    pairs.unpersist()
+    val bucket = pmod(portableIdHash(col("split_key")), lit(100))
+    df.join(clusters.withColumnRenamed("sid", "__cid"),
+        col(idCol) === col("__cid"), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
+      .withColumn("split",
+        when(bucket < lit(testPct), "test")
+          .when(bucket < lit(testPct + valPct), "val")
+          .otherwise("train"))
+      .drop("__cid", "cluster")
+  }
+
   /** Deterministic weighted corpus mixing — the data-mixing step of a
     * training run: each source contributes a hash-selected fraction of
     * its rows (fraction 1.0 = all; 0.25 = the quarter of ids whose

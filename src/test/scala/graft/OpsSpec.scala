@@ -1177,4 +1177,25 @@ class OpsSpec extends SparkSpec {
       expectedKeys = 100, fpp = 0.03).count()
     assert(kept >= 3 && kept <= 3 + 200, s"fpp blowout: kept=$kept of 2000")
   }
+
+  test("leakage-safe split: near-dup clusters share a split; singletons == hashSplit") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " tiny tail change"), // one cluster
+      (4L, "completely different content about spark dataframes and joins " * 5),
+      (5L, "another unrelated corpus document with its own words entirely " * 5)
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.leakageSafeSplit(docs, "doc_id", "text",
+        n = 8, threshold = 0.5, maxDocFreq = 64, minShared = 2)
+      .select("doc_id", "split_key", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // cluster {1,2,3} keys on its min id and shares one split
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).toSet.size == 1)
+    // singletons key on themselves -> identical to plain hashSplit
+    val plain = TextAnalytics.hashSplit(docs.filter(col("doc_id") >= 4L), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(4L) == ((4L, plain(4L))) && out(5L) == ((5L, plain(5L))))
+  }
 }
