@@ -1222,7 +1222,43 @@ object OracleSql {
         | CASE WHEN CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10 THEN 'test'
         |      WHEN CAST('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 20 THEN 'val'
         |      ELSE 'train' END AS split
-        |FROM k""".stripMargin)
+        |FROM k""".stripMargin,
+
+    // kmeans_clusters' assignment replay (identical 2-iteration
+    // trajectory) + per-cluster TF-IDF labeling, 6 dp-rounded pre-rank.
+    "cluster_keywords" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
+        |        FROM v ORDER BY vec_id LIMIT 4),
+        | d1 AS (SELECT v.vec_id, c.cl,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+        |        FROM v CROSS JOIN c0 c),
+        | a1 AS (SELECT vec_id, cl FROM d1
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+        | m1 AS (SELECT cl, i, CAST(round(avg(e[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
+        |        FROM (SELECT a1.cl, v.e, unnest(generate_series(1, 64)) AS i
+        |              FROM a1 JOIN v USING (vec_id))
+        |        GROUP BY cl, i),
+        | c1 AS (SELECT cl, list(c ORDER BY i) AS e FROM m1 GROUP BY cl),
+        | d2 AS (SELECT v.vec_id, c.cl,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+        |        FROM v CROSS JOIN c1 c),
+        | a2 AS (SELECT vec_id, cl FROM d2
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+        | wds AS (SELECT a2.cl AS cluster, unnest(string_split_regex(trim(d.text), '\s+')) AS w
+        |         FROM a2 JOIN documents d ON a2.vec_id = d.doc_id),
+        | wnz AS (SELECT cluster, w FROM wds WHERE w <> ''),
+        | tf AS (SELECT cluster, w, count(*) AS tf FROM wnz GROUP BY cluster, w),
+        | dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        | ncl AS (SELECT CAST(count(DISTINCT cluster) AS DOUBLE) AS ncl FROM tf),
+        | sc AS (SELECT cluster, tf.w AS w,
+        |         round(CAST(tf AS DOUBLE) * ln(ncl / CAST(df AS DOUBLE)), 6) AS tfidf
+        |        FROM tf JOIN dfq ON tf.w = dfq.w, ncl),
+        | rk AS (SELECT cluster, w, tfidf,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY tfidf DESC, w) AS rk FROM sc)
+        |SELECT cluster, w AS keyword, rk, tfidf FROM rk WHERE rk <= 3""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

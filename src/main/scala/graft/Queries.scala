@@ -1074,6 +1074,18 @@ object Queries {
           (col("__tot").cast("double") * 0.1).cast("long") + lit(10L)).as("bloom_prune_ok"))
   }
 
+  /** Cluster labeling: kmeans cells (same k=4 x 2-iteration trajectory
+    * as [[kmeansClusters]]) paired to documents by id, top-3 cluster
+    * TF-IDF terms each. */
+  def clusterKeywords(s: SparkSession, dir: String): DataFrame = {
+    val assign = ops.Clustering.kmeans(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, k = 4, iters = 2)
+      .withColumn("cluster", col("cluster").cast("long"))
+    ops.Clustering.clusterKeywords(t(s, dir, "documents"), "doc_id", "text",
+        assign, "vec_id", "cluster", topK = 3)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+
   /** Leakage-safe split: near-dup clusters (same pair params as
     * [[dedupJaccard]]) share one split; singletons reproduce
     * [[hashSplit]]. */
@@ -1247,5 +1259,6 @@ object Queries {
     "skew_report" -> skewReport _,
     "daily_percentiles" -> dailyPercentiles _,
     "bloom_prefilter" -> bloomPrefilter _,
-    "leakage_split" -> leakageSplit _)
+    "leakage_split" -> leakageSplit _,
+    "cluster_keywords" -> clusterKeywords _)
 }

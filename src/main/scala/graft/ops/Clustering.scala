@@ -111,4 +111,39 @@ object Clustering {
       .filter(col("rk") <= k)
       .select(col("__g").as(groupCol), col("__id").as(idCol), col("rk"), col("dist"))
   }
+
+  /** Cluster labeling: the top-`topK` terms per cluster by cluster-level
+    * TF-IDF (tf = term occurrences in the cluster's documents, df =
+    * number of clusters containing the term, N = cluster count) — the
+    * "what is each cluster about" report a curation pass reads after
+    * [[kmeans]]. Scores are 6 dp-rounded BEFORE ranking, ties on the
+    * word.
+    *
+    * Scale shape: one broadcast-able join of the (corpus-tiny) cluster
+    * assignment onto documents, one token explode into a
+    * (clusters × vocab)-sized count — partial-agg'd map-side — and a
+    * window over that small table; nCluster rows is never more than k. */
+  def clusterKeywords(docs: DataFrame, idCol: String, textCol: String,
+      assignments: DataFrame, assignIdCol: String, clusterCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val words = docs.join(assignments.select(col(assignIdCol).as(idCol),
+        col(clusterCol)), idCol)
+      .select(col(clusterCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+    val tf = words.groupBy(col(clusterCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfq = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val nCl = tf.select(col(clusterCol)).distinct()
+      .agg(count(lit(1)).as("__ncl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol)).orderBy(col("tfidf").desc, col("__w").asc)
+    tf.join(broadcast(dfq), "__w").crossJoin(broadcast(nCl))
+      .withColumn("tfidf", round(col("__tf").cast("double") *
+        log(col("__ncl").cast("double") / col("__df").cast("double")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col(clusterCol), col("__w").as("keyword"), col("rk"), col("tfidf"))
+  }
 }

@@ -1198,4 +1198,18 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(4L) == ((4L, plain(4L))) && out(5L) == ((5L, plain(5L))))
   }
+
+  test("cluster keywords: cluster-exclusive terms outrank shared vocabulary") {
+    val docs = Seq(
+      (1L, "common alpha alpha alpha"), (2L, "common alpha alpha"),
+      (3L, "common beta beta beta"), (4L, "common beta beta")
+    ).toDF("doc_id", "text")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("vid", "cluster")
+    val out = graft.ops.Clustering.clusterKeywords(docs, "doc_id", "text",
+        assign, "vid", "cluster", topK = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    // "common" is in both clusters -> ln(2/2) = 0; exclusives win
+    assert(out(0L)._1 == "alpha" && out(1L)._1 == "beta")
+    assert(out(0L)._2 > 0.0)
+  }
 }
