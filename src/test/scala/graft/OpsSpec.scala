@@ -1212,4 +1212,33 @@ class OpsSpec extends SparkSpec {
     assert(out(0L)._1 == "alpha" && out(1L)._1 == "beta")
     assert(out(0L)._2 > 0.0)
   }
+
+  test("time-decayed value: exactness property — bit-identical across partitionings " +
+      "and equal to rational arithmetic") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(100000) / 100.0)
+    }
+    val hl = 50L // ts units per halving
+    // driver-side EXACT expectation: cents / 2^k in BigDecimal (dyadic
+    // rationals have finite decimal expansions, so this is exact)
+    val tmax = rows.map(_._2).max
+    val expected = rows.groupBy(_._1).map { case (u, evs) =>
+      u -> evs.map { case (_, ts, v) =>
+        val cents = BigDecimal(math.round(v * 100))
+        val k = math.min((tmax - ts) / hl, 10L).toInt
+        cents / BigDecimal(BigInt(1) << k)
+      }.sum.toDouble
+    }
+    // Spark result must equal the exact value BIT FOR BIT, under any
+    // partitioning (i.e. any distributed summation order)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("user_id", "ts", "value").repartition(parts)
+      val got = graft.ops.EventAnalytics.timeDecayedValue(df,
+          "user_id", "ts", "value", halfLifeUnits = hl, maxHalvings = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
