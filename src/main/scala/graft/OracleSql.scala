@@ -1258,7 +1258,9 @@ object OracleSql {
         |        FROM tf JOIN dfq ON tf.w = dfq.w, ncl),
         | rk AS (SELECT cluster, w, tfidf,
         |         row_number() OVER (PARTITION BY cluster ORDER BY tfidf DESC, w) AS rk FROM sc)
-        |SELECT cluster, w AS keyword, rk, tfidf FROM rk WHERE rk <= 3""".stripMargin)
+        |SELECT cluster, w AS keyword, rk, tfidf FROM rk WHERE rk <= 3""".stripMargin,
+
+    "random_projection" -> randomProjectSql(dimIn = 64, dimOut = 16))
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the
@@ -1398,6 +1400,23 @@ object OracleSql {
        | FROM rare GROUP BY sid)
        |SELECT a.sid AS id_a, b.sid AS id_b FROM sig a JOIN sig b
        | ON a.sid < b.sid AND ($bandEq)""".stripMargin
+  }
+
+  /** JL random-projection oracle: regenerates the identical plane
+    * matrix from [[graft.ops.SimilaritySearch.planeComponent]] as
+    * double literals (Double.toString round-trips exactly) and folds
+    * each component with `list_inner_product` in index order —
+    * micro-unit rounding absorbs the last-ulp fold difference, the
+    * same discipline as doc_centroids. */
+  private def randomProjectSql(dimIn: Int, dimOut: Int): String = {
+    val comps = (0 until dimOut).map { j =>
+      val lits = (0 until dimIn)
+        .map(d => graft.ops.SimilaritySearch.planeComponent(j, d).toString)
+        .mkString("[", ", ", "]")
+      s"CAST(CAST(round(list_inner_product(v, $lits) * 1000000.0) AS BIGINT) AS VARCHAR)"
+    }.mkString(" || ',' || ")
+    s"""SELECT vec_id, $comps AS proj_u
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
   }
 
   /** Shared language-ID scoring CTE: occurrence counts of per-language

@@ -1074,6 +1074,17 @@ object Queries {
           (col("__tot").cast("double") * 0.1).cast("long") + lit(10L)).as("bloom_prune_ok"))
   }
 
+  /** JL random projection 64 → 16 dims against the recomputable plane
+    * family; components rendered as exact micro-unit integers (the
+    * doc_centroids convention) for the hash compare. */
+  def randomProjection(s: SparkSession, dir: String): DataFrame =
+    ops.SimilaritySearch.randomProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dimIn = 64, dimOut = 16)
+      .select(col("vec_id"),
+        concat_ws(",", expr(
+          "transform(proj, x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS STRING))"))
+          .as("proj_u"))
+
   /** Cluster labeling: kmeans cells (same k=4 x 2-iteration trajectory
     * as [[kmeansClusters]]) paired to documents by id, top-3 cluster
     * TF-IDF terms each. */
@@ -1260,5 +1271,6 @@ object Queries {
     "daily_percentiles" -> dailyPercentiles _,
     "bloom_prefilter" -> bloomPrefilter _,
     "leakage_split" -> leakageSplit _,
-    "cluster_keywords" -> clusterKeywords _)
+    "cluster_keywords" -> clusterKeywords _,
+    "random_projection" -> randomProjection _)
 }

@@ -57,6 +57,28 @@ object SimilaritySearch {
   private[graft] def planeComponent(plane: Int, d: Int): Double =
     graft.functions.LshBucket.planeComponent(plane, d)
 
+  /** Deterministic random projection (Johnson-Lindenstrauss style):
+    * dense dimensionality reduction `dimIn → dimOut` against the SAME
+    * recomputable plane family as the sign-LSH ops — out_j = ⟨v, p_j⟩.
+    * The cheap pre-step before clustering / near-dup at very high
+    * input dims (distances are preserved to 1±ε for dimOut =
+    * O(ln n / ε²)); unlike PCA there is nothing to train, store, or
+    * ship — any executor (or SQL replay) regenerates the matrix from
+    * (plane, dim) alone.
+    *
+    * Scale shape: map-only — dimOut in-order [[graft.functions
+    * .DotProduct]] folds per row, no shuffle, no driver state. */
+  def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+      dimIn: Int, dimOut: Int): DataFrame = {
+    require(dimIn > 0 && dimOut > 0, "dims must be positive")
+    val v = col(vecCol).cast("array<double>")
+    val comps = (0 until dimOut).map { j =>
+      VectorFunctions.dotProduct(v,
+        array((0 until dimIn).map(d => lit(planeComponent(j, d))): _*))
+    }
+    vecs.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Sign-bucket id of a vector under `numPlanes` hyperplanes — one
     * native codegen node ([[graft.functions.LshBucket]]); the `dim`
     * param is kept for API stability but the expression reads the

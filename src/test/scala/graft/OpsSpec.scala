@@ -1213,6 +1213,24 @@ class OpsSpec extends SparkSpec {
     assert(out(0L)._2 > 0.0)
   }
 
+  test("random projection: exact plane dot products; near pairs stay near") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // near-clone of 1
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.randomProject(vecs, "vec_id", "embedding",
+        dimIn = 4, dimOut = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // component check: out_j(e_1) = planeComponent(j, 0) exactly
+    (0 until 3).foreach { j =>
+      assert(out(1L)(j) == graft.functions.LshBucket.planeComponent(j, 0))
+    }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(out(1L), out(2L)) < d2(out(1L), out(3L)))
+  }
+
   test("time-decayed value: exactness property — bit-identical across partitionings " +
       "and equal to rational arithmetic") {
     val rnd = new scala.util.Random(42)
