@@ -1260,7 +1260,44 @@ object OracleSql {
         |         row_number() OVER (PARTITION BY cluster ORDER BY tfidf DESC, w) AS rk FROM sc)
         |SELECT cluster, w AS keyword, rk, tfidf FROM rk WHERE rk <= 3""".stripMargin,
 
-    "random_projection" -> randomProjectSql(dimIn = 64, dimOut = 16))
+    "random_projection" -> randomProjectSql(dimIn = 64, dimOut = 16),
+
+    "markov_transitions" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        | s AS (SELECT event_type AS from_type,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS to_type
+        |       FROM ev),
+        | t AS (SELECT from_type, to_type, count(*) AS n_transitions
+        |       FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT from_type, CAST(sum(n_transitions) AS DOUBLE) AS tt FROM t GROUP BY from_type)
+        |SELECT from_type, to_type, n_transitions,
+        | round(CAST(n_transitions AS DOUBLE) / tt, 6) AS prob
+        |FROM t JOIN tot USING (from_type)""".stripMargin,
+
+    "retention_rate" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        | f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+        | a AS (SELECT DISTINCT d.user_id, f.cohort_day, d.day - f.cohort_day AS day_offset
+        |       FROM d JOIN f USING (user_id)),
+        | r AS (SELECT cohort_day, day_offset, count(*) AS n_active_users FROM a GROUP BY 1, 2),
+        | sz AS (SELECT cohort_day, n_active_users AS sz FROM r WHERE day_offset = 0)
+        |SELECT cohort_day, day_offset, n_active_users,
+        | round(CAST(n_active_users AS DOUBLE) / CAST(sz AS DOUBLE), 6) AS retention_rate
+        |FROM r JOIN sz USING (cohort_day)""".stripMargin,
+
+    // thresholds rounded 6 dp on BOTH sides before clipping, then
+    // exact integer-cents sums — no order-dependent float aggregation.
+    "winsorized_stats" ->
+      """WITH th AS (SELECT event_type,
+        |        round(quantile_cont(value, 0.05), 6) AS lo,
+        |        round(quantile_cont(value, 0.95), 6) AS hi
+        |       FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS raw_cents,
+        | CAST(sum(CAST(round(least(greatest(value, lo), hi) * 100) AS BIGINT)) AS BIGINT) AS winsorized_cents,
+        | round(min(lo), 6) AS p05, round(min(hi), 6) AS p95
+        |FROM events e JOIN th USING (event_type)
+        |GROUP BY e.event_type""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

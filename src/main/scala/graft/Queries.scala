@@ -1074,6 +1074,45 @@ object Queries {
           (col("__tot").cast("double") * 0.1).cast("long") + lit(10L)).as("bloom_prune_ok"))
   }
 
+  /** First-order Markov transition matrix over event types (µs
+    * timestamps, event_id ordering tiebreak; exact ratios). */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.markovTransitions(
+      events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "event_type", "ts_us", "event_id")
+
+  /** Cohort retention RATES: [[cohortRetention]] normalized by each
+    * cohort's size (its day-0 active count — every cohort member is
+    * active on its first day by construction). */
+  def retentionRate(s: SparkSession, dir: String): DataFrame = {
+    val r = ops.EventAnalytics.cohortRetention(events(s, dir), "user_id", "ts")
+    val sizes = r.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active_users").as("__size"))
+    r.join(broadcast(sizes), "cohort_day")
+      .withColumn("retention_rate", round(
+        col("n_active_users").cast("double") / col("__size").cast("double"), 6))
+      .select(col("cohort_day"), col("day_offset"),
+        col("n_active_users"), col("retention_rate"))
+  }
+
+  /** Winsorized value stats per event type: values clipped to the
+    * exact [p05, p95] band (thresholds 6 dp-rounded on BOTH sides so a
+    * last-ulp percentile difference cannot flip a clip), then exact
+    * integer-cents sums. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"))
+    val th = ev.groupBy(col("event_type")).agg(
+      r6(expr("percentile(value, 0.05)")).as("__lo"),
+      r6(expr("percentile(value, 0.95)")).as("__hi"))
+    ev.join(broadcast(th), "event_type")
+      .withColumn("__c", least(greatest(col("value"), col("__lo")), col("__hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        centsSum(col("value")).as("raw_cents"),
+        centsSum(col("__c")).as("winsorized_cents"),
+        r6(min(col("__lo"))).as("p05"), r6(min(col("__hi"))).as("p95"))
+  }
+
   /** JL random projection 64 → 16 dims against the recomputable plane
     * family; components rendered as exact micro-unit integers (the
     * doc_centroids convention) for the hash compare. */
@@ -1272,5 +1311,8 @@ object Queries {
     "bloom_prefilter" -> bloomPrefilter _,
     "leakage_split" -> leakageSplit _,
     "cluster_keywords" -> clusterKeywords _,
-    "random_projection" -> randomProjection _)
+    "random_projection" -> randomProjection _,
+    "markov_transitions" -> markovTransitions _,
+    "retention_rate" -> retentionRate _,
+    "winsorized_stats" -> winsorizedStats _)
 }

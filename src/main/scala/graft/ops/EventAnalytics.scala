@@ -209,6 +209,33 @@ object EventAnalytics {
           .as("decayed_cents"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = b | current = a) with exact transition counts
+    * — the model behind next-action prediction and journey simulation
+    * ([[eventPaths]] reports raw frequent paths; this normalizes one
+    * step). Probabilities are exact integer ratios rounded 6 dp.
+    *
+    * Scale shape: the same single user-partitioned window as
+    * [[eventPaths]], one lead() column, then a partial-aggregating
+    * count over the ≤ |types|² key space; per-source totals join back
+    * from a broadcast-sized frame. */
+  def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, eventIdCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(eventIdCol).asc)
+    val trans = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("__tot"))
+    trans.join(broadcast(totals), "from_type")
+      .withColumn("prob", round(
+        col("n_transitions").cast("double") / col("__tot").cast("double"), 6))
+      .select(col("from_type"), col("to_type"), col("n_transitions"), col("prob"))
+  }
+
   /** User-journey path mining: the top-`k` most frequent length-`n`
     * consecutive event-type sequences ("view>click>purchase") across
     * all users — the path-analysis report behind funnel DISCOVERY

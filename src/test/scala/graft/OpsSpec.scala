@@ -1213,6 +1213,21 @@ class OpsSpec extends SparkSpec {
     assert(out(0L)._2 > 0.0)
   }
 
+  test("markov transitions: per-source exact probabilities, cross-user isolation") {
+    val events = Seq(
+      (1L, 10L, "a", 1L), (2L, 10L, "b", 2L), (3L, 10L, "a", 3L), (4L, 10L, "b", 4L),
+      (5L, 20L, "a", 1L), (6L, 20L, "c", 2L) // user boundary: no b->a here
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.EventAnalytics.markovTransitions(events,
+        "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) == ((2L, 0.666667)))
+    assert(out(("a", "c")) == ((1L, 0.333333)))
+    assert(out(("b", "a")) == ((1L, 1.0)))
+    assert(out.size == 3) // user 10's trailing b and user 20's c emit nothing
+  }
+
   test("random projection: exact plane dot products; near pairs stay near") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
