@@ -940,7 +940,7 @@ object OracleSql {
         |        FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
         |        JOIN v va ON va.vec_id = a.vec_id
         |        JOIN v vb ON vb.vec_id = b.vec_id
-        |        WHERE list_cosine_similarity(va.e, vb.e) >= 0.4)
+        |        WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.4)
         |SELECT a2.vec_id, a2.cl AS cluster,
         | a2.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
         |FROM a2""".stripMargin,

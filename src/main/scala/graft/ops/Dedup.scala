@@ -652,7 +652,11 @@ object Dedup {
     val b = withVec.select(col("cluster"), col("sid").as("id_b"), col("v").as("v_b"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .filter(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")) >= lit(threshold))
+      // Round to 6 dp BEFORE thresholding (repo convention — Scoring/BM25/
+      // kmeans do the same) so a pair sitting exactly at the threshold
+      // cannot flip kept/dropped on a last-ulp accumulation difference
+      // vs the DuckDB oracle's list_cosine_similarity.
+      .filter(round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6) >= lit(threshold))
       .select(col("id_b").as("sid")).distinct()
     withVec.join(dropped.withColumn("__drop", lit(true)), Seq("sid"), "left")
       .select(col("sid").as(idCol), col("cluster"),

@@ -41,17 +41,20 @@ object EventAnalytics {
   }
 
   /** Funnel conversion counts: (step_idx, step, n_users) per step —
-    * a single job over [[funnel]]'s output (`count(col)` skips nulls,
-    * `stack` unpivots the one aggregate row). */
+    * a single job over [[funnel]]'s output (`count(col)` skips nulls;
+    * the unpivot is explode-of-struct-array built from typed `lit()`
+    * columns — NOT a `stack(...)` string, whose `''` escaping Spark's
+    * lexer mis-parses as adjacent-literal concatenation for step names
+    * containing a quote). */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame = {
     val f = funnel(events, userCol, typeCol, tsCol, steps)
     val aggs = steps.indices.map(i => count(col(s"step${i}_ts")).as(s"n$i"))
-    val stackArgs = steps.zipWithIndex
-      .map { case (s, i) => s"$i, '${s.replace("'", "''")}', n$i" }
-      .mkString(", ")
     f.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${steps.length}, $stackArgs) AS (step_idx, step, n_users)")
+      .select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i).as("step_idx"), lit(s).as("step"), col(s"n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
   }
 
   /** [[funnel]] semantics in ONE aggregation — the LONG-funnel scale
@@ -92,11 +95,11 @@ object EventAnalytics {
       tsCol: String, steps: Seq[String]): DataFrame = {
     val f = funnelAgg(events, userCol, typeCol, tsCol, steps)
     val aggs = steps.indices.map(i => count(col(s"step${i}_ts")).as(s"n$i"))
-    val stackArgs = steps.zipWithIndex
-      .map { case (s, i) => s"$i, '${s.replace("'", "''")}', n$i" }
-      .mkString(", ")
     f.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${steps.length}, $stackArgs) AS (step_idx, step, n_users)")
+      .select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i).as("step_idx"), lit(s).as("step"), col(s"n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
   }
 
   /** Per-transition funnel timing: for each step i ≥ 1, how many users
@@ -114,12 +117,14 @@ object EventAnalytics {
       Seq(count(col(s"step${i}_ts")).as(s"n$i"),
         sum(delta).as(s"s$i"), min(delta).as(s"mn$i"), max(delta).as(s"mx$i"))
     }
-    val stackArgs = (1 until steps.length)
-      .map(i => s"$i, '${steps(i).replace("'", "''")}', n$i, s$i, mn$i, mx$i")
-      .mkString(", ")
     f.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${steps.length - 1}, $stackArgs) AS " +
-        "(step_idx, step, n_converted, sum_delta, min_delta, max_delta)")
+      .select(explode(array((1 until steps.length).map { i =>
+        struct(lit(i).as("step_idx"), lit(steps(i)).as("step"),
+          col(s"n$i").as("n_converted"), col(s"s$i").as("sum_delta"),
+          col(s"mn$i").as("min_delta"), col(s"mx$i").as("max_delta"))
+      }: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_converted"),
+        col("r.sum_delta"), col("r.min_delta"), col("r.max_delta"))
   }
 
   /** Cohort retention: users cohorted by first-activity day (exact

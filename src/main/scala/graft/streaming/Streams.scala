@@ -260,7 +260,13 @@ object Streams {
           prev.ts ++ fresh.map(_.ts.getTime),
           prev.step ++ fresh.map(_.step.toByte))
         state.update(next)
-        state.setTimeoutTimestamp(next.ts.min + horizonMs)
+        // Clamp above the current watermark: min(ts)+horizon is fixed once
+        // the first event lands, and Spark rejects a timeout <= watermark
+        // with IllegalArgumentException — a key active longer than the
+        // horizon would otherwise kill the query. For keys admitted near
+        // the watermark the effective horizon extends to watermark+1.
+        state.setTimeoutTimestamp(
+          math.max(next.ts.min + horizonMs, state.getCurrentWatermarkMs() + 1))
         Iterator.empty
       }
     }

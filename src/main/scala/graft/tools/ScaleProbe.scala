@@ -14,9 +14,10 @@ import org.apache.spark.storage.StorageLevel
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
-    // optional 2nd arg gates one section ("ann" | "dedup" | "events");
-    // default runs all — single sections keep re-runs cheap and avoid
-    // cross-section memory pressure when iterating on one probe
+    // optional 2nd arg gates one section
+    // ("ann" | "dedup" | "events" | "r6ops"); default runs all —
+    // single sections keep re-runs cheap and avoid cross-section
+    // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
     def on(s: String): Boolean = sec == "all" || sec == s
     val dim = 64
@@ -34,7 +35,7 @@ object ScaleProbe {
         VectorFunctions.l2Normalize(array(comps: _*)).as("embedding"))
       .repartition(32)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (on("ann") || on("dedup")) {
+    if (on("ann") || on("dedup") || on("r6ops")) {
       val t0 = System.nanoTime()
       vecs.count()
       println(f"[probe] materialize $n%d x $dim vectors: ${(System.nanoTime() - t0) / 1e9}%.1f s")

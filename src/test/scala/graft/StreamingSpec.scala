@@ -115,6 +115,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: key active past the horizon survives the watermark") {
+    // Regression: the event-time timeout is min(buffered ts) + horizon,
+    // which never advances; once the watermark passes it, the next event
+    // for the key used to call setTimeoutTimestamp(<= watermark), which
+    // Spark rejects — killing the query. The clamp (watermark + 1) must
+    // keep the key alive and flush one completion over ALL its events.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val steps = Seq("signup", "view")
+    val q = Streams.funnelStream(input.toDS(), steps,
+        horizonSeconds = 600, watermark = "1 minute")
+      .writeStream.format("memory").queryName("funnel_long")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(UserEvent(1, ts(1), "signup", 0))
+      q.processAllAvailable() // timeout pinned at minute 11
+      input.addData(UserEvent(1, ts(30), "view", 0))
+      q.processAllAvailable() // watermark -> minute 29 after this trigger
+      // next event for u1 arrives with watermark (29) PAST min+horizon (11)
+      input.addData(UserEvent(1, ts(31), "view", 0))
+      q.processAllAvailable()
+      // sentinels advance the watermark far enough to fire the timeout
+      input.addData(UserEvent(99, ts(10000), "signup", 0))
+      q.processAllAvailable()
+      input.addData(UserEvent(98, ts(20000), "signup", 0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_long")
+        .as[Streams.FunnelCompletion].collect()
+        .filter(_.user_id == 1L)
+      assert(got.length == 1)
+      assert(got.head.completions ==
+        Seq(Some(ts(1).getTime), Some(ts(30).getTime)))
+    } finally q.stop()
+  }
+
   test("streaming first-touch: monotone update log reconstructs the batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UserEvent]
