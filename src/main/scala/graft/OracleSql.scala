@@ -200,6 +200,49 @@ object OracleSql {
         |FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(ceil(length(text)/200.0) AS BIGINT))) AS i FROM documents)
         |WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200), E' \t\n\r\x0B\x0C')) > 0""".stripMargin,
 
+    // Independent WordPiece replay: greedy longest-match-first as a
+    // recursive CTE — per DISTINCT word, one active row whose (rest,
+    // ids) state advances by the longest matching vocab piece (arg_max
+    // over prefix matches; first position excludes ##-continuations,
+    // later positions require them); a step with NO match marks the
+    // word dead = whole-word [UNK]. The VALUES vocab is generated from
+    // the same Seq the Spark kernel uses, so the two cannot drift.
+    "wordpiece_ids" -> {
+      val values = graft.Queries.wpVocabLines.zipWithIndex
+        .map { case (t, i) => s"('$t',$i)" }.mkString(",")
+      val bodyLen = graft.Queries.wpMaxLen - 2
+      s"""WITH RECURSIVE vocab(tok, id) AS (SELECT * FROM (VALUES $values) v(tok, id)),
+         | docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+         |          FROM documents),
+         | words AS (SELECT DISTINCT unnest(ws) AS w FROM docs),
+         | wp(w, rest, ids, dead) AS (
+         |   SELECT w, w, CAST([] AS BIGINT[]), FALSE FROM words
+         |   UNION ALL
+         |   SELECT s.w,
+         |     CASE WHEN count(v.id) = 0 THEN '' ELSE substr(s.rest, 1 + max(CASE WHEN len(s.ids)=0 THEN len(v.tok) ELSE len(v.tok)-2 END)) END,
+         |     CASE WHEN count(v.id) = 0 THEN s.ids
+         |          ELSE list_append(s.ids, arg_max(CAST(v.id AS BIGINT), CASE WHEN len(s.ids)=0 THEN len(v.tok) ELSE len(v.tok)-2 END)) END,
+         |     count(v.id) = 0
+         |   FROM wp s LEFT JOIN vocab v
+         |     ON (CASE WHEN len(s.ids) = 0
+         |         THEN v.tok NOT LIKE '##%' AND v.tok NOT LIKE '[%' AND starts_with(s.rest, v.tok)
+         |         ELSE v.tok LIKE '##%' AND starts_with(s.rest, substr(v.tok, 3)) END)
+         |   WHERE s.rest <> '' AND NOT s.dead
+         |   GROUP BY s.w, s.rest, s.ids, s.dead),
+         | tok AS (SELECT w, CASE WHEN dead THEN [CAST(1 AS BIGINT)] ELSE ids END AS ids
+         |         FROM wp WHERE rest = ''),
+         | expl AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM docs),
+         | perword AS (SELECT e.doc_id, e.i, t.ids FROM expl e JOIN tok t ON t.w = e.ws[e.i]),
+         | flat AS (SELECT doc_id, flatten(list(ids ORDER BY i)) AS body FROM perword GROUP BY doc_id),
+         | final AS (SELECT d.doc_id,
+         |     list_concat(list_concat([CAST(2 AS BIGINT)], coalesce(f.body, [])[1:$bodyLen]), [CAST(3 AS BIGINT)]) AS ids
+         |   FROM docs d LEFT JOIN flat f USING (doc_id))
+         |SELECT doc_id, len(ids) AS n_tokens,
+         | len(list_filter(ids, x -> x = 1)) AS n_unk,
+         | array_to_string(ids, ' ') AS ids_str
+         |FROM final""".stripMargin
+    },
+
     "dedup_simhash" -> simhashSql(n = 8, maxHamming = 3),
 
     "token_bpe" ->

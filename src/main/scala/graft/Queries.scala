@@ -230,6 +230,40 @@ object Queries {
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("vec_norm"))
   }
 
+  /** Demo WordPiece vocab over the corpus vocabulary (ids = line
+    * numbers, the vocab.txt contract): whole words for most of the
+    * corpus, "spark" decomposes to sp + ##ark, and "big"/"dup" are
+    * deliberately ABSENT so the whole-word-[UNK] rule is exercised.
+    * Mirrored literally in the oracle SQL's VALUES list. */
+  private[graft] val wpVocabLines: Seq[String] = Seq(
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]",
+    "the", "a", "scan", "query", "table", "join", "data", "sort",
+    "order", "row", "window", "group", "batch", "filter", "hash", "key",
+    "line", "merge", "part", "slow", "small", "fast", "stream", "value",
+    "vector", "column", "customer", "agg", "sp", "##ark")
+  private[graft] val wpMaxLen = 16
+
+  /** §2.10 — the real WordPiece encode (greedy longest-match-first,
+    * `##` continuations, [CLS]/[SEP], truncation to 16) over every
+    * document, reduced to oracle-able columns. The kernel is the same
+    * [[graft.embed.WordPieceTokenizer]] the ONNX embed path runs; the
+    * DuckDB oracle RE-IMPLEMENTS greedy matching as a recursive CTE
+    * over the same vocab — no Spark intermediate is replayed. The
+    * per-row work is a pure JVM function on one text (inherently
+    * procedural — a UDF, like the reference's tokenizer call at
+    * embedding_models.py:54-131; map-only plan, no shuffle). */
+  def wordpieceIds(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.embed.WordPieceTokenizer.fromLines(wpVocabLines)
+    val maxLen = wpMaxLen
+    val enc = udf((text: String) => tok.encode(if (text == null) "" else text, maxLen))
+    t(s, dir, "documents")
+      .select(col("doc_id"), enc(col("text")).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        expr("size(filter(ids, x -> x = 1))").cast("long").as("n_unk"),
+        expr("array_join(transform(ids, x -> cast(x as string)), ' ')").as("ids_str"))
+  }
+
   /** P2 — printable-ASCII clean. */
   def asciiClean(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1260,6 +1294,7 @@ object Queries {
     "rag_prompt" -> ragPrompt _,
     "chunk_counts" -> chunkCounts _,
     "embed_chunks" -> embedChunks _,
+    "wordpiece_ids" -> wordpieceIds _,
     "citation_agg" -> citationAgg _,
     "page_ranges" -> pageRanges _,
     "dedup_exact" -> dedupExact _,

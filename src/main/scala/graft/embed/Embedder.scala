@@ -165,36 +165,37 @@ trait SessionProvider extends Serializable {
   def open(modelPath: String): InferenceSession
 }
 
+/** Serializable factory for the model's tokenizer; `open` runs on the
+  * executor, once per (JVM, modelPath) — same caching discipline as
+  * [[SessionProvider]]. The default reads the model directory's
+  * `vocab.txt` (the HF file contract every BERT-family
+  * sentence-transformer ships). */
+trait TokenizerProvider extends Serializable {
+  def open(modelPath: String): WordPieceTokenizer
+}
+
 /** Real-model embedding via the [[BatchedEmbedder]] machinery with the
-  * full inference pipeline in-JVM: hash-vocab tokenize → pad/truncate →
-  * session run → attention-masked mean pooling → fp32 L2 normalize
-  * (the reference's encode path: embedding_models.py:54-131, pooling +
-  * `normalize_embeddings=True`; batch sizing utilities_core.py:162-180).
-  * Only the native runtime behind [[SessionProvider.open]] is absent in
-  * this environment — [[SessionProvider]] implementations wrapping a
-  * real OrtSession drop in without touching this class. */
+  * full inference pipeline in-JVM: WordPiece tokenize ([CLS]/[SEP],
+  * vocab-file ids) → pad/truncate → session run → attention-masked
+  * mean pooling → fp32 L2 normalize (the reference's encode path:
+  * embedding_models.py:54-131, pooling + `normalize_embeddings=True`;
+  * batch sizing utilities_core.py:162-180). Only the native runtime
+  * behind [[SessionProvider.open]] is absent in this environment —
+  * [[SessionProvider]] implementations wrapping a real OrtSession drop
+  * in without touching this class. */
 final case class OnnxEmbedder(modelPath: String, dim: Int,
     batchSize: Int = 8, maxSeqLen: Int = 512,
-    provider: SessionProvider = OnnxEmbedder.NativeRuntimeProvider)
+    provider: SessionProvider = OnnxEmbedder.NativeRuntimeProvider,
+    tokenizerProvider: TokenizerProvider = OnnxEmbedder.VocabFileProvider)
     extends BatchedEmbedder {
 
   override def queryPrompt: String = Embedder.queryPromptFor(modelPath)
 
-  /** Whitespace hash-vocab tokenizer: lowercase word → stable 32-bit
-    * id in [reservedIds, vocabSize). A stand-in for the model's
-    * WordPiece vocab file (same shape: ids + padding id 0), NOT a
-    * linguistic tokenizer — the session is what interprets ids. */
-  private[embed] def tokenize(text: String): Array[Long] = {
-    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val ids = new Array[Long](math.min(words.length, maxSeqLen))
-    var i = 0
-    while (i < ids.length) {
-      val h = scala.util.hashing.MurmurHash3.stringHash(words(i))
-      ids(i) = (((h.toLong & 0xffffffffL) % (OnnxEmbedder.VocabSize - 1)) + 1) // 0 is [PAD]
-      i += 1
-    }
-    ids
-  }
+  /** Model input ids for one text: the real WordPiece encode —
+    * `[CLS] pieces [SEP]` truncated to `maxSeqLen` — against the
+    * executor-cached vocab tokenizer. */
+  private[embed] def tokenize(text: String): Array[Long] =
+    OnnxEmbedder.tokenizerCache(modelPath, tokenizerProvider).encode(text, maxSeqLen)
 
   override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = {
     val session = OnnxEmbedder.sessionCache(modelPath, provider)
@@ -239,9 +240,6 @@ final case class OnnxEmbedder(modelPath: String, dim: Int,
 }
 
 object OnnxEmbedder {
-  /** Hash-vocab size (BERT-family magnitude). */
-  val VocabSize: Long = 30522L
-
   /** One session per (executor JVM, modelPath), loaded on first use and
     * reused across tasks — never serialized. */
   private val sessions = new java.util.concurrent.ConcurrentHashMap[String, InferenceSession]()
@@ -249,6 +247,26 @@ object OnnxEmbedder {
     sessions.computeIfAbsent(modelPath, p => provider.open(p))
   /** Test hook: drop cached sessions (e.g. between fake providers). */
   private[graft] def evictSession(modelPath: String): Unit = sessions.remove(modelPath)
+
+  /** One tokenizer per (executor JVM, modelPath) — the vocab map is
+    * loaded from the executor-local model directory, not shipped. */
+  private val toks = new java.util.concurrent.ConcurrentHashMap[String, WordPieceTokenizer]()
+  private[graft] def tokenizerCache(modelPath: String,
+      provider: TokenizerProvider): WordPieceTokenizer =
+    toks.computeIfAbsent(modelPath, p => provider.open(p))
+  private[graft] def evictTokenizer(modelPath: String): Unit = toks.remove(modelPath)
+
+  /** Default tokenizer source: the model directory's `vocab.txt`. */
+  object VocabFileProvider extends TokenizerProvider {
+    override def open(modelPath: String): WordPieceTokenizer =
+      WordPieceTokenizer.fromFile(
+        java.nio.file.Paths.get(modelPath, "vocab.txt").toString)
+  }
+
+  /** A fixed in-memory tokenizer (tests, or a broadcast vocab). */
+  final case class FixedTokenizer(t: WordPieceTokenizer) extends TokenizerProvider {
+    override def open(modelPath: String): WordPieceTokenizer = t
+  }
 
   /** The production provider slot: wraps ONNX Runtime, which is not
     * installed in this environment (no native .so, no ai.onnxruntime
