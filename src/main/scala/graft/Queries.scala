@@ -289,7 +289,10 @@ object Queries {
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10)
       .select(col("vec_id"), r6(col("cosine")).as("cosine"))
 
-  /** O2 batched — per-query top-5 for 5 broadcast queries. */
+  /** O2 batched — per-query top-5 for 5 broadcast queries. Runs the
+    * DEFAULT batch path, which since round 7 is the TopKHits heap
+    * aggregate (bounded exchange); the window twin is only reachable
+    * explicitly via [[SimilaritySearch.bruteForceTopKBatchWindow]]. */
   def knnBatch(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 5)

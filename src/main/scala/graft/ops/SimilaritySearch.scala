@@ -119,10 +119,22 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** Batched exact top-k: every query row against every data row,
-    * queries broadcast, per-query rank window — the N×M scoring matrix
-    * streams through codegen without materializing. */
+  /** Batched exact top-k — the DEFAULT physical shape is the
+    * bounded-heap aggregate ([[bruteForceTopKBatchAgg]]): map-side
+    * partials prune every partition to k rows per query BEFORE the
+    * exchange, so shuffle volume is k·partitions·M regardless of corpus
+    * size (the 2M-vector probe measured 3.0 s vs 23.8 s for the window
+    * plan, BASELINE.md). The window-rank twin survives as
+    * [[bruteForceTopKBatchWindow]] for plan A/B and the equality spec. */
   def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int): DataFrame =
+    bruteForceTopKBatchAgg(df, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+
+  /** Reference-twin window plan: every scored (query, vector) row is
+    * shuffled into its query's partition and rank-windowed (N·M
+    * exchange volume — the scale-killer shape; asserted equal to the
+    * aggregate plan in ScaleOpsSpec, NOT the default). */
+  def bruteForceTopKBatchWindow(df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
     val joined = df.crossJoin(broadcast(queries.select(
         col(queryIdCol).as("query_id"), col(queryVecCol).as("query_vec"))))
@@ -148,12 +160,13 @@ object SimilaritySearch {
 
   /** Batched exact top-k via the bounded-heap aggregate
     * ([[graft.functions.TopKHits]]): identical results to
-    * [[bruteForceTopKBatch]], different physical shape — the window
-    * plan shuffles every scored (query, vector) row (N·M for M
+    * [[bruteForceTopKBatchWindow]], different physical shape — the
+    * window plan shuffles every scored (query, vector) row (N·M for M
     * queries) and sorts each group; this plan's map-side partial
     * aggregation prunes every partition to k rows per query BEFORE the
     * exchange, so the shuffle moves k·partitions·M rows regardless of
-    * corpus size. The scale path for batch KNN. */
+    * corpus size. The scale path for batch KNN, and what
+    * [[bruteForceTopKBatch]] runs. */
   def bruteForceTopKBatchAgg(df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(queries.select(

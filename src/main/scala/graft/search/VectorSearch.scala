@@ -137,11 +137,21 @@ object VectorSearch {
     searchChunks(VectorStore.chunks(spark, dbDir), qv, metric, opts)
   }
 
-  /** Batched multi-query search (the scale path: N queries × M chunks).
-    * Queries are broadcast (tiny side) against the chunk scan; per-query
-    * top-k via window ranking. One shuffle total (the rank), no
-    * cartesian materialization beyond the joined stream. */
+  /** Batched multi-query search (the scale path: N queries × M
+    * chunks) — DEFAULT physical shape is the bounded-heap aggregate
+    * ([[searchBatchAgg]]): map-side partials prune each partition to k
+    * rows per query before the exchange, so shuffle volume is
+    * k·partitions·M regardless of corpus size (8× the window plan at
+    * the 2M-vector probe, BASELINE.md). The window twin survives as
+    * [[searchBatchWindow]], asserted equal in ScaleOpsSpec. */
   def searchBatch(chunks: DataFrame, queries: DataFrame, metric: String,
+      opts: SearchOptions): DataFrame =
+    searchBatchAgg(chunks, queries, metric, opts)
+
+  /** Reference-twin window plan: broadcast queries against the chunk
+    * scan, per-query top-k via window ranking — shuffles every scored
+    * row (N·M exchange volume). Kept for plan A/B; NOT the default. */
+  def searchBatchWindow(chunks: DataFrame, queries: DataFrame, metric: String,
       opts: SearchOptions): DataFrame = {
     val joined = chunks.crossJoin(broadcast(queries))
       .withColumn("distance", distanceColumn(metric, col("vector"), col("query_vector")))
@@ -157,14 +167,14 @@ object VectorSearch {
       .filter(TextFunctions.docTypePredicate(col("document_type"), opts.documentTypes))
   }
 
-  /** [[searchBatch]] with the bounded-shuffle physical shape: per-query
-    * top-k via the [[graft.functions.TopKHits]] heap aggregate
-    * (map-side partial prunes every partition to k rows per query —
-    * 8× the window plan at 2M vectors, see BASELINE.md), then the
-    * reference's own J1 fetch-back join (vector_db_query.py:215-219)
+  /** The bounded-shuffle physical shape behind [[searchBatch]]:
+    * per-query top-k via the [[graft.functions.TopKHits]] heap
+    * aggregate (map-side partial prunes every partition to k rows per
+    * query — 8× the window plan at 2M vectors, see BASELINE.md), then
+    * the reference's own J1 fetch-back join (vector_db_query.py:215-219)
     * re-attaches text/metadata to the k·M surviving ids, and the
     * similarity conversion + post-filter chain runs unchanged.
-    * Identical results to [[searchBatch]]. */
+    * Identical results to [[searchBatchWindow]]. */
   def searchBatchAgg(chunks: DataFrame, queries: DataFrame, metric: String,
       opts: SearchOptions): DataFrame = {
     val scored = chunks.select(col("id"), col("vector")).crossJoin(broadcast(queries))

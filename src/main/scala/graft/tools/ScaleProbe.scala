@@ -136,7 +136,7 @@ object ScaleProbe {
     val queries = vecs.filter(col("vec_id") < 32)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     time("batch 32-query top-10, window") {
-      SimilaritySearch.bruteForceTopKBatch(vecs, "vec_id", "embedding",
+      SimilaritySearch.bruteForceTopKBatchWindow(vecs, "vec_id", "embedding",
         queries, "query_id", "qv", 10).count()
     }
     time("batch 32-query top-10, heap agg") {

@@ -80,7 +80,7 @@ class ScaleOpsSpec extends SparkSpec {
       val a = SimilaritySearch.bruteForceTopKBatchAgg(df, "vec_id", "embedding",
           queries, "query_id", "qv", 7)
         .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Long)].collect().sorted.toSeq
-      val w = SimilaritySearch.bruteForceTopKBatch(df, "vec_id", "embedding",
+      val w = SimilaritySearch.bruteForceTopKBatchWindow(df, "vec_id", "embedding",
           queries, "query_id", "qv", 7)
         .select($"query_id", $"vec_id", $"rank".cast("long")).as[(Long, Long, Long)]
         .collect().sorted.toSeq
@@ -89,6 +89,16 @@ class ScaleOpsSpec extends SparkSpec {
     run(vecs)                   // default partitioning
     run(vecs.repartition(17))   // many partitions: partial buffers merge
     run(vecs.coalesce(1))       // single partition: no merge path
+    // the DEFAULT batch entry point runs the aggregate shape: no Window
+    // node, no full-scored-row exchange — the only hashpartitioning
+    // exchange sits ABOVE the partial TopKHits aggregation
+    val dPlan = SimilaritySearch.bruteForceTopKBatch(vecs.repartition(17),
+      "vec_id", "embedding", queries, "query_id", "qv", 7)
+      .queryExecution.executedPlan.toString
+    assert(!dPlan.contains("Window"),
+      s"default batch top-k must not window-rank scored rows:\n$dPlan")
+    assert(dPlan.contains("partial_top_k_hits"),
+      s"default batch top-k must map-side-prune via partial TopKHits:\n$dPlan")
   }
 
   test("searchBatchAgg == searchBatch through the full post-filter chain") {
@@ -106,8 +116,8 @@ class ScaleOpsSpec extends SparkSpec {
     def proj(df: org.apache.spark.sql.DataFrame) =
       df.select($"query_id", $"id", round($"distance", 9), round($"similarity_score", 9))
         .as[(Long, Long, Double, Double)].collect().sorted.toSeq
-    val window = proj(VectorSearch.searchBatch(chunks, queries, "cosine", opts))
-    val agg = proj(VectorSearch.searchBatchAgg(chunks, queries, "cosine", opts))
+    val window = proj(VectorSearch.searchBatchWindow(chunks, queries, "cosine", opts))
+    val agg = proj(VectorSearch.searchBatch(chunks, queries, "cosine", opts))
     assert(agg == window && agg.nonEmpty)
   }
 
