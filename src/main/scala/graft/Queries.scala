@@ -970,11 +970,14 @@ object Queries {
           greatest(lit(1.0), col("n_exact") * lit(0.05))).as("approx_ok"))
 
   // ---------------------------------------------------------------------
-  // Multimodal plumbing (binary columns; decode is a deterministic stub)
+  // Multimodal plumbing (binary columns; image decode/resize are real
+  // javax.imageio paths; video frame-sampling is a slicing stand-in)
   // ---------------------------------------------------------------------
 
   /** Binary payload metadata: byte size + content digest (the oracle
-    * checks the real part; stub decode fields are covered by unit tests). */
+    * checks size+digest; the javax.imageio decode fields are covered by
+    * OpsSpec over real PNG/JPEG fixture bytes — documents.text payloads
+    * are not images, so width/height would be uniformly (0,0)). */
   def mmMediaMeta(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("payload", col("text").cast("binary"))

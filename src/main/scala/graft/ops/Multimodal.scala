@@ -1,37 +1,60 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md extension surface): treat
   * image/audio/video payloads as opaque `binary` columns with typed
-  * metadata structs. The decode/feature-extract leaves are STUBBED with
-  * a deterministic fake (image/audio codec libraries are not present in
-  * this environment — see the builder brief); everything Spark-side —
-  * schema, batching, partitioning, UDF signature — is real and tested,
-  * and swapping the fake for a real decoder changes only `fakeDecode`.
+  * metadata structs. Image decode and resize are REAL (JDK
+  * `javax.imageio` — PNG/JPEG/GIF/BMP, no external deps); video frame
+  * sampling remains a byte-slicing stand-in (no video codec exists in
+  * the JDK) behind the same plan shape.
   *
   * At scale: binaries ride in their own column so Parquet column
   * pruning skips the payload unless a decode stage actually needs it;
   * decode stages are map-only (no shuffle) and size-bounded by
-  * `spark.sql.files.maxPartitionBytes`. */
+  * `spark.sql.files.maxPartitionBytes`. The metadata path reads ONLY
+  * the image header (`ImageReader.getWidth(0)` — no pixel decode), so
+  * it is O(header) per file, not O(pixels): cheap enough to run over
+  * the full 100 TB corpus as a scan-side enrichment. */
 object Multimodal {
 
-  /** STUB decoder: stands in for a real image decode. Derives
-    * deterministic pseudo-metadata (width/height/format) from the
-    * payload bytes so the pipeline shape is testable end-to-end. */
-  private[ops] def fakeDecode(bytes: Array[Byte]): (Int, Int, String) = {
-    if (bytes == null || bytes.isEmpty) return (0, 0, "empty")
-    var h = 1125899906842597L
-    var i = 0
-    while (i < math.min(bytes.length, 64)) { h = 31 * h + bytes(i); i += 1 }
-    val w = 16 + math.floorMod(h, 1024).toInt
-    val ht = 16 + math.floorMod(h >>> 10, 1024).toInt
-    (w, ht, if (math.floorMod(h, 2) == 0L) "png" else "jpeg")
+  // Executor-side decode must not spill ImageIO's stream cache to the
+  // local disk of every task; header sniffs are in-memory-sized anyway.
+  ImageIO.setUseCache(false)
+
+  /** Real image header decode: format sniff + dimensions WITHOUT pixel
+    * decode. Returns (width, height, format); non-image payloads map to
+    * (0, 0, "unknown"), truncated/corrupt headers to (0, 0, "corrupt"),
+    * empty payloads to (0, 0, "empty") — deterministic on all inputs,
+    * so the column stays oracle-able. */
+  private[ops] def decodeMeta(bytes: Array[Byte]): (Int, Int, String) = {
+    if (bytes == null || bytes.isEmpty) (0, 0, "empty")
+    else {
+      val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (!readers.hasNext) (0, 0, "unknown")
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in, true, true)
+            (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
+          } catch { case _: Exception => (0, 0, "corrupt") }
+          finally r.dispose()
+        }
+      } finally in.close()
+    }
   }
 
-  private val decodeUdf: UserDefinedFunction = udf((bytes: Array[Byte]) => fakeDecode(bytes))
+  private val decodeUdf: UserDefinedFunction = udf((bytes: Array[Byte]) => decodeMeta(bytes))
 
   /** Attach typed media metadata to a binary payload column:
     * byte_size, sha256, decoded width/height/format struct. */
@@ -45,8 +68,9 @@ object Multimodal {
       .drop("decoded")
 
   /** STUB frame sampler: every `stride`-th 4KiB slice of the payload
-    * stands in for video frame sampling; real decode would replace the
-    * slicing, not the plan. Output: one row per sampled "frame". */
+    * stands in for video frame sampling (the JDK has no video codec);
+    * real decode would replace the slicing, not the plan. Output: one
+    * row per sampled "frame". */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String, stride: Int): DataFrame = {
     df.select(col(idCol), col(binCol),
         explode(expr(s"sequence(0, greatest(cast(ceil(length($binCol) / 4096.0) as int) - 1, 0), $stride)"))
@@ -56,19 +80,35 @@ object Multimodal {
       .drop(binCol)
   }
 
-  /** STUB resize: deterministic fake "resize" — the output payload is a
-    * size-bounded transform of the input (truncate-or-cycle to
-    * w·h/64 bytes) with the target dims recorded. A real image lib
-    * replaces `fakeResize` only; the map-only plan, binary-in/
-    * binary-out signature and metadata column stay. */
-  private[ops] def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
-    val n = math.max(w * h / 64, 1)
-    Array.tabulate(n)(i => bytes(i % bytes.length))
+  /** Real image resize: full decode → bilinear Graphics2D scale to
+    * (w, h) → PNG re-encode. Java2D's bilinear filter and the JDK PNG
+    * writer are deterministic, so resized bytes are stable across runs
+    * and executors. Non-image / corrupt payloads resize to empty bytes
+    * (the map-only plan and binary-in/binary-out signature hold for
+    * every input). */
+  private[ops] def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img =
+      if (bytes == null || bytes.isEmpty) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+    if (img == null) Array.emptyByteArray
+    else {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
   }
 
   def resize(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame = {
-    val f = udf((b: Array[Byte]) => fakeResize(b, width, height))
+    val f = udf((b: Array[Byte]) => resizeImage(b, width, height))
     df.withColumn("resized", f(col(binCol)))
       .withColumn("resize_dims", struct(lit(width).as("width"), lit(height).as("height")))
   }

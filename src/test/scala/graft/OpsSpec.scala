@@ -855,14 +855,23 @@ class OpsSpec extends SparkSpec {
     assert(Seq("").toDF("t").select(TextFunctions.tokenCount($"t")).head().getInt(0) == 0)
   }
 
-  test("multimodal: resize + batched feature extraction shapes") {
-    val df = Seq((1L, "image bytes one".getBytes), (2L, "image bytes two".getBytes),
+  test("multimodal: real image resize + batched feature extraction shapes") {
+    val df = Seq((1L, MediaFixture.png(40, 25)), (2L, MediaFixture.jpeg(17, 9)),
       (3L, Array.emptyByteArray)).toDF("id", "payload")
     val resized = Multimodal.resize(df, "payload", 64, 32)
     assert(resized.columns.contains("resized"))
     assert(resized.select($"resize_dims.width").as[Int].head() == 64)
-    resized.select(length($"resized")).as[Int].collect().take(2)
-      .foreach(n => assert(n == 64 * 32 / 64))
+    // real images re-encode as PNG at exactly the target dims;
+    // undecodable payloads resize to empty bytes
+    val rz = resized.select($"id", $"resized").as[(Long, Array[Byte])].collect().toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(MediaFixture.dims(rz(id)) == (64, 32), s"id=$id")
+    }
+    assert(rz(3L).isEmpty)
+    // deterministic: resize encodes to identical bytes on a second run
+    val rz2 = Multimodal.resize(df, "payload", 64, 32)
+      .select($"id", $"resized").as[(Long, Array[Byte])].collect().toMap
+    assert(rz(1L).sameElements(rz2(1L)))
     val feats = Multimodal.extractFeatures(df, "payload", dim = 16, batchSize = 2)
     assert(feats.columns.toSeq == Seq("id", "payload", "features"))
     val vecs = feats.select($"id", $"features").as[(Long, Array[Float])].collect().toMap
@@ -877,20 +886,30 @@ class OpsSpec extends SparkSpec {
     vecs.foreach { case (k, v) => assert(v.sameElements(again(k))) }
   }
 
-  test("multimodal: deterministic fake decode + frame sampling shapes") {
-    val df = Seq((1L, "x" * 10000), (2L, "y")).toDF("doc_id", "payload_s")
-      .withColumn("payload", $"payload_s".cast("binary"))
+  test("multimodal: real image header decode + frame sampling shapes") {
+    val pngBytes = MediaFixture.png(123, 45)
+    val df = Seq(
+      (1L, pngBytes),
+      (2L, MediaFixture.jpeg(31, 62)),
+      (3L, "not an image at all, just text".getBytes("UTF-8")),
+      (4L, pngBytes.take(12)), // PNG magic present, header truncated
+      (5L, Array.emptyByteArray)).toDF("doc_id", "payload")
     val meta = Multimodal.withMediaMetadata(df, "payload")
     val m = meta.select("doc_id", "byte_size", "width", "height", "format")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
-    assert(m(1L)._1 == 10000L && m(2L)._1 == 1L)
-    assert(m(1L)._2 >= 16 && m(1L)._3 >= 16)
+    assert(m(1L) == ((pngBytes.length.toLong, 123, 45, "png")))
+    assert(m(2L)._2 == 31 && m(2L)._3 == 62 && m(2L)._4 == "jpeg")
+    assert(m(3L)._2 == 0 && m(3L)._4 == "unknown")
+    assert(m(4L)._4 == "corrupt")
+    assert(m(5L) == ((0L, 0, 0, "empty")))
     // deterministic: same input -> same decode
     val again = Multimodal.withMediaMetadata(df, "payload")
       .select("doc_id", "width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(again(1L) == m(1L)._2)
+    assert(again(1L) == 123)
     // frames: 10000 bytes -> 3 slices (0,1,2), stride 2 -> indices 0,2
-    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", stride = 2)
+    val fdf = Seq((1L, "x" * 10000), (2L, "y")).toDF("doc_id", "payload_s")
+      .withColumn("payload", $"payload_s".cast("binary"))
+    val frames = Multimodal.sampleFrames(fdf, "doc_id", "payload", stride = 2)
       .filter($"doc_id" === 1L).select("frame_index").as[Int].collect().toSeq.sorted
     assert(frames == Seq(0, 2))
   }
