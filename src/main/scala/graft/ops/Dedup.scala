@@ -137,6 +137,11 @@ object Dedup {
       out
     }
 
+  /** [[packedPostingPairsUdf]] exposed for the stage-timing diagnostic
+    * in [[graft.tools.JaccardProbe]] only. */
+  def packedPairsForProbe(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    packedPostingPairsUdf(c)
+
   /** Near-dup pairs (a < b) with **exact** n-gram Jaccard ≥ threshold,
     * computed with the standard scalable two-phase shape:
     *
@@ -191,12 +196,14 @@ object Dedup {
     val cand = if (maxDocFreq > 0) {
       val lists = sh.groupBy("h").agg(collect_list(col("sid")).as("sids"))
         .filter(size(col("sids")) <= maxDocFreq)
-      // Pack each pair into one long when ids fit in 31 bits (checked
-      // with a one-column bounds scan — the UDF projection prunes away):
-      // the Σ C(df,2) pair stream becomes primitive 8-byte keys instead
+      // Pack each pair into one long when ids fit in 31 bits: the
+      // Σ C(df,2) pair stream becomes primitive 8-byte keys instead
       // of struct rows through the generic UDF encoder, and the
-      // shared-count groupBy hashes a single long.
-      val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+      // shared-count groupBy hashes a single long. The bounds check
+      // runs on `sets` — this is the job that materializes the
+      // persisted shingle build, so the raw table isn't rescanned and
+      // every later stage reads the cache.
+      val bounds = sets.agg(min(col("sid")).cast("long"), max(col("sid")).cast("long")).head()
       val packable = !bounds.isNullAt(0) &&
         bounds.getLong(0) >= 0 && bounds.getLong(1) < Int.MaxValue.toLong
       if (packable) {
