@@ -268,6 +268,62 @@ class ScaleOpsSpec extends SparkSpec {
       s"centroidOutliers must broadcast centroids and avoid global sorts:\n$coPlan")
   }
 
+  test("ANN recall@10 gate: defaults >= 0.9 on the clustered regime at probe scale") {
+    // The promoted-from-probe recall GATE (BASELINE.md "ANN recall@10
+    // vs exact"): the default ANN parameters (LSH 8 planes probe<=2,
+    // IVF 64 buckets nProbe=16) must keep mean recall@10 >= 0.9 in the
+    // clustered regime — the one real embedding corpora live in (the
+    // uniform-random regime is the documented adversarial floor where
+    // NO bucketed method can hold 0.9; it stays probe-only).
+    // Scale is env-tunable: default 300k vectors keeps sbt test under
+    // ~a minute; SPARK_GRAFT_RECALL_N=2000000 reproduces the full
+    // probe scale (recall is structural — bucket pruning quality, not
+    // corpus size — so the gate is meaningful at either N).
+    val n = sys.env.getOrElse("SPARK_GRAFT_RECALL_N", "300000").toLong
+    val dim = 64
+    import graft.functions.VectorFunctions
+    // 64-center clustered corpus, same construction as ScaleProbe:
+    // id-hashed deterministic unit center + ~15% noise, renormalized
+    val centerComps = (0 until dim).map(d =>
+      (xxhash64(lit(d + 7919), pmod(xxhash64(col("id")), lit(64)))
+        .cast("double") / lit(Long.MaxValue.toDouble)).cast("float"))
+    val noiseComps = (0 until dim).map(d =>
+      (xxhash64(lit(d), col("id")).cast("double") / lit(Long.MaxValue.toDouble))
+        .cast("float") * lit(0.15f))
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+        VectorFunctions.l2Normalize(array(
+          centerComps.zip(noiseComps).map { case (c, nz) => c + nz }: _*)).as("embedding"))
+      .repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    try {
+      val queries = vecs.filter($"vec_id".between(100, 109))
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val exactTop = SimilaritySearch.bruteForceTopKBatchAgg(
+          vecs, "vec_id", "embedding", queries, "query_id", "qv", 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val qvecs = queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      def meanRecall(approx: Array[Double] => org.apache.spark.sql.DataFrame): Double = {
+        val rs = qvecs.map { case (qid, qv) =>
+          val got = approx(qv).select("vec_id").as[Long].collect().toSet
+          (got & exactTop(qid)).size / 10.0
+        }
+        rs.sum / rs.length
+      }
+      val lsh = meanRecall(qv => SimilaritySearch.lshTopK(
+        vecs, "vec_id", "embedding", dim, qv, 10, numPlanes = 8, probeHamming = 2))
+      assert(lsh >= 0.9, f"LSH default (8 planes, probe<=2) recall@10 $lsh%.3f < 0.9")
+      val ivfDir = java.nio.file.Files.createTempDirectory("graft_recall_ivf").toString
+      SimilaritySearch.ivfWrite(vecs, ivfDir, "embedding", dim, numPlanes = 6)
+      val ivf = meanRecall(qv => SimilaritySearch.ivfTopKStored(
+        spark, ivfDir, "vec_id", "embedding", qv, 10, nProbe = 16))
+      assert(ivf >= 0.9, f"IVF default (64 buckets, nProbe=16) recall@10 $ivf%.3f < 0.9")
+      info(f"recall@10 at n=$n: lsh=$lsh%.3f ivf=$ivf%.3f")
+    } finally vecs.unpersist()
+  }
+
   test("salted agg == plain agg for sum/count/min merges") {
     val df = ((1 to 5000).map(i => (1L, i.toLong)) ++
       (1 to 100).map(i => (2L, i.toLong))).toDF("k", "v")
