@@ -175,17 +175,106 @@ object VectorStore {
   def listDocuments(spark: SparkSession, dbDir: String): DataFrame =
     documents(spark, dbDir).select("file_name", "file_path")
 
+  // -------------------------------------------------------------------
+  // Catalog registry — single-file parity with the reference's
+  // config.yaml `created_databases` map (config.py:55-58,166-177): one
+  // registry.json at the catalog root, name → manifest params, upserted
+  // by managed create and deleted from by managed drop. Driver-side
+  // metadata (a few KB), written atomically (temp file + move) so a
+  // crash mid-write can't truncate the catalog.
+  // -------------------------------------------------------------------
+
+  def registryPath(rootDir: String): java.nio.file.Path = Paths.get(rootDir, "registry.json")
+
+  def readRegistry(rootDir: String): Map[String, DbManifest] = {
+    val p = registryPath(rootDir)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val node = mapper.readTree(Files.readAllBytes(p))
+      val names = node.fieldNames()
+      val b = Map.newBuilder[String, DbManifest]
+      while (names.hasNext) {
+        val name = names.next()
+        val e = node.get(name)
+        b += name -> DbManifest(
+          e.get("distance_metric").asText("cosine"),
+          e.get("dimensions").asInt(),
+          e.get("vector_type").asText("float32"),
+          e.get("model").asText(""),
+          e.get("chunk_size").asInt(),
+          e.get("chunk_overlap").asInt())
+      }
+      b.result()
+    }
+  }
+
+  private def writeRegistry(rootDir: String, reg: Map[String, DbManifest]): Unit = {
+    Files.createDirectories(Paths.get(rootDir))
+    val node = mapper.createObjectNode()
+    reg.toSeq.sortBy(_._1).foreach { case (name, m) =>
+      val e = node.putObject(name)
+      e.put("distance_metric", m.distanceMetric)
+      e.put("dimensions", m.dimensions)
+      e.put("vector_type", m.vectorType)
+      e.put("model", m.model)
+      e.put("chunk_size", m.chunkSize)
+      e.put("chunk_overlap", m.chunkOverlap)
+    }
+    val tmp = Paths.get(rootDir, ".registry.json.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, registryPath(rootDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Upsert one database's entry (config.py:166-172 parity). */
+  def registerDatabase(rootDir: String, name: String, m: DbManifest): Unit =
+    writeRegistry(rootDir, readRegistry(rootDir) + (name -> m))
+
+  /** Remove one database's entry (config.py:173-177 parity). */
+  def deregisterDatabase(rootDir: String, name: String): Unit = {
+    val reg = readRegistry(rootDir)
+    if (reg.contains(name)) writeRegistry(rootDir, reg - name)
+  }
+
+  /** Managed create: validate the name, build the db at rootDir/name,
+    * record it in the catalog registry (the reference's create path
+    * updates config.yaml the same way, vector_db_creator.py:218-225). */
+  def createIn(spark: SparkSession, rootDir: String, name: String, sourceDir: String,
+      embedder: Embedder, chunkSize: Int = 1200, chunkOverlap: Int = 600): DbManifest = {
+    validateDbName(name).foreach(reason => throw new IllegalArgumentException(reason))
+    val m = create(spark, Paths.get(rootDir, name).toString, sourceDir,
+      embedder, chunkSize, chunkOverlap)
+    registerDatabase(rootDir, name, m)
+    m
+  }
+
+  /** Managed drop: delete the directory AND its registry entry. */
+  def dropIn(rootDir: String, name: String): Unit = {
+    drop(Paths.get(rootDir, name).toString)
+    deregisterDatabase(rootDir, name)
+  }
+
   /** Cross-database catalog (reference config registry,
     * config.py:55-58,166-172 + the Manage-Databases listing,
-    * gui_tabs_manage_databases.py:104-111): scan `rootDir` for child
-    * directories carrying a manifest.json and return one row per
-    * database with its model/metric/chunk params. Driver-side directory
-    * listing (catalog metadata, not data) → small local DataFrame. */
+    * gui_tabs_manage_databases.py:104-111): one row per database with
+    * its model/metric/chunk params. Reads the registry file when the
+    * root carries one (the managed-catalog path); otherwise falls back
+    * to scanning child directories for manifest.json — so databases
+    * created by unmanaged [[create]] (or copied in by hand) still list.
+    * Driver-side metadata (not data) → small local DataFrame. */
   def listDatabases(spark: SparkSession, rootDir: String): DataFrame = {
     import spark.implicits._
     val root = Paths.get(rootDir)
-    val rows =
-      if (!Files.isDirectory(root)) Seq.empty
+    val reg = readRegistry(rootDir)
+    val rows: Seq[(String, String, Int, String, String, Int, Int)] =
+      if (reg.nonEmpty)
+        reg.toSeq.sortBy(_._1).map { case (name, m) =>
+          (name, m.distanceMetric, m.dimensions, m.vectorType, m.model,
+            m.chunkSize, m.chunkOverlap)
+        }
+      else if (!Files.isDirectory(root)) Seq.empty
       else {
         val stream = Files.list(root) // must be closed: holds a directory fd
         try {

@@ -98,6 +98,32 @@ class EndToEndSpec extends SparkSpec {
     assert(VectorStore.listDatabases(spark, root.resolve("missing").toString).count() == 0)
   }
 
+  test("catalog registry: managed create -> list -> drop round-trip (S10/S12)") {
+    val root = Files.createTempDirectory("graft-catalog")
+    // managed create builds at root/name AND records it in registry.json
+    val m = VectorStore.createIn(spark, root.toString, "reg_db", corpusDir.toString,
+      embedder, chunkSize = 30, chunkOverlap = 10)
+    assert(Files.exists(VectorStore.registryPath(root.toString)))
+    assert(VectorStore.readRegistry(root.toString) == Map("reg_db" -> m))
+    // a second db: the registry upserts, listing comes FROM the registry
+    VectorStore.registerDatabase(root.toString, "other_db",
+      graft.model.DbManifest("l2", 32, "float32", "onnx", 400, 0))
+    val rows = VectorStore.listDatabases(spark, root.toString).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("other_db", "reg_db"))
+    assert(rows.find(_.getString(0) == "reg_db").get.getAs[Int]("chunk_size") == 30)
+    // invalid names are rejected before anything is written
+    intercept[IllegalArgumentException] {
+      VectorStore.createIn(spark, root.toString, "NO", corpusDir.toString, embedder)
+    }
+    // managed drop removes the directory and the registry entry
+    VectorStore.dropIn(root.toString, "reg_db")
+    assert(!Files.exists(root.resolve("reg_db")))
+    assert(VectorStore.readRegistry(root.toString) == Map(
+      "other_db" -> graft.model.DbManifest("l2", 32, "float32", "onnx", 400, 0)))
+    assert(VectorStore.listDatabases(spark, root.toString)
+      .collect().map(_.getString(0)).toSeq == Seq("other_db"))
+  }
+
   test("search: finds the right document, respects k and ordering") {
     val hits = VectorSearch.search(spark, dbDir.toString, "alpha bravo charlie delta echo",
       embedder, SearchOptions(k = 3, scoreThreshold = 0.0))
