@@ -178,6 +178,40 @@ object Extractors {
     val destRe = "(?s)\\{\\\\\\*?\\\\?(?:fonttbl|colortbl|stylesheet|info|pict|themedata|generator)[^{}]*(?:\\{[^{}]*\\}[^{}]*)*\\}".r
     var prev: String = null
     while (prev != s) { prev = s; s = destRe.replaceAllIn(s, "") }
+    // \uN unicode escapes (RTF 1.5+): emit codepoint N (negative N is
+    // N + 65536 — RTF control-word params are signed 16-bit), then skip
+    // the ANSI fallback run whose length the \ucN state sets (default
+    // 1; \uc0 writers emit no fallback). Stateful linear scan: \ucN is
+    // a mode switch, so a single regex can't honor it.
+    s = {
+      val sb = new StringBuilder(s.length)
+      var uc = 1
+      var i = 0
+      val UcRe = "\\G\\\\uc(\\d+) ?".r
+      val URe = "\\G\\\\u(-?\\d+) ?".r
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length && s.charAt(i + 1) == 'u') {
+          UcRe.findFirstMatchIn(s.substring(i)) match {
+            case Some(m) => uc = m.group(1).toInt; i += m.end
+            case None => URe.findFirstMatchIn(s.substring(i)) match {
+              case Some(m) =>
+                val n = m.group(1).toInt
+                sb.append((if (n < 0) n + 65536 else n).toChar)
+                i += m.end
+                // fallback chars: plain chars or \'xx hex escapes
+                var skip = uc
+                while (skip > 0 && i < s.length) {
+                  if (s.charAt(i) == '\\' && i + 3 < s.length && s.charAt(i + 1) == '\'') i += 4
+                  else i += 1
+                  skip -= 1
+                }
+              case None => sb.append(s.charAt(i)); i += 1
+            }
+          }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
     // a control word consumes one following space as its delimiter
     s = s.replaceAll("\\\\par[d]?\\b ?", "\n")
       .replaceAll("\\\\line\\b ?", "\n")
@@ -256,18 +290,39 @@ object Extractors {
     * container stores each MAPI property as a stream
     * `__substg1.0_<id><type>`: subject = 0x0037, body = 0x1000; type
     * 001F = UTF-16LE, 001E = 8-bit. Same output shape as [[eml]]
-    * (UnstructuredEmailLoader handles both, document_processor.py:143). */
+    * (UnstructuredEmailLoader handles both, document_processor.py:143).
+    *
+    * Properties are matched by storage PATH, not leaf name: a nested
+    * attachment (`__attach_version1.0_#N/` storage) carries its own
+    * subject/body streams that must NOT be mistaken for the message's.
+    * Attachments surface below the body — display name (0x3001, long
+    * filename 0x3707 / short 0x3704 fallbacks), and for attached
+    * messages (embedded `__substg1.0_3701000D` storage) the nested
+    * subject + body, one level deep. */
   def msg(bytes: Array[Byte]): String = {
-    val sts = Ole2.streams(bytes)
-    def prop(id: String): Option[String] =
+    val sts = Ole2.streamsWithPath(bytes)
+    def prop(scope: String, id: String): Option[String] =
       sts.collectFirst {
-        case (n, b) if n.contains(s"__substg1.0_${id}001F") =>
+        case (p, b) if p == s"${scope}__substg1.0_${id}001F" =>
           new String(b, StandardCharsets.UTF_16LE)
       }.orElse(sts.collectFirst {
-        case (n, b) if n.contains(s"__substg1.0_${id}001E") =>
+        case (p, b) if p == s"${scope}__substg1.0_${id}001E" =>
           new String(b, StandardCharsets.UTF_8)
       }).map(_.strip).filter(_.nonEmpty)
-    (prop("0037").map(_ + "\n\n").getOrElse("") + prop("1000").getOrElse("")).strip
+    def subjectBody(scope: String): String =
+      (prop(scope, "0037").map(_ + "\n\n").getOrElse("") +
+        prop(scope, "1000").getOrElse("")).strip
+    val attachScopes = sts.map(_._1).collect {
+      case p if p.startsWith("__attach_") && p.contains("/") =>
+        p.substring(0, p.indexOf('/') + 1)
+    }.distinct.sorted
+    val attachTexts = attachScopes.map { sc =>
+      val name = prop(sc, "3001").orElse(prop(sc, "3707")).orElse(prop(sc, "3704"))
+      val nested = subjectBody(sc + "__substg1.0_3701000D/")
+      (s"[attachment]${name.map(" " + _).getOrElse("")}" +
+        (if (nested.nonEmpty) "\n" + nested else "")).strip
+    }
+    (Seq(subjectBody("")) ++ attachTexts).filter(_.nonEmpty).mkString("\n\n").strip
   }
 
   /** XLS (BIFF8 workbook) → tab-separated cell rows per sheet, the same
@@ -378,10 +433,12 @@ object Extractors {
   // (document_processor.py:95-113); this parser produces the same
   // page-text sequence for the dominant real-world shape — Flate or
   // uncompressed content streams, simple-font ASCII/Latin-1 text shown
-  // with Tj / TJ / ' / ". Out of scope (extractor returns what it can):
-  // CMap/ToUnicode composite-font remapping, encrypted files,
-  // object/xref streams (PDF 1.5 compressed object containers),
-  // LZW/DCT-only streams.
+  // with Tj / TJ / ' / ". PDF 1.5 object streams (/Type /ObjStm — the
+  // container shape every xref-stream writer produces) are expanded
+  // into the object map; the xref/xref-stream tables themselves are
+  // never read (the object scan IS the index). Out of scope (extractor
+  // returns what it can): CMap/ToUnicode composite-font remapping,
+  // encrypted files, LZW/DCT-only streams.
   // -------------------------------------------------------------------
 
   /** One indirect object: its dictionary source and raw stream bytes. */
@@ -422,7 +479,41 @@ object Extractors {
         } else out += num -> PdfObj(s.substring(bodyStart, endobj), Array.emptyByteArray)
       }
     }
-    out.result()
+    val direct = out.result()
+    // PDF 1.5+ object streams: files written with xref STREAMS park
+    // their dict-only objects (catalog, page tree, fonts) inside
+    // /Type /ObjStm containers — invisible to the `N G obj` scan. The
+    // xref stream itself is never needed here (the scan IS the object
+    // index); expanding each ObjStm's payload is: header of /N
+    // whitespace-separated (objnum, offset) int pairs, object source at
+    // /First + offset. Contained objects are dict-only by spec (no
+    // nested streams), so empty stream bytes are correct.
+    val fromStreams = direct.values.toSeq.collect {
+      case o if "/Type\\s*/ObjStm\\b".r.findFirstIn(o.dict).isDefined =>
+        try {
+          val data = if (o.dict.contains("/FlateDecode")) inflate(o.stream) else o.stream
+          val s2 = new String(data, StandardCharsets.ISO_8859_1)
+          val nOpt = "/N\\s+(\\d+)".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+          val firstOpt = "/First\\s+(\\d+)".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+          (nOpt, firstOpt) match {
+            case (Some(n), Some(first)) if first <= s2.length =>
+              val header = s2.substring(0, first).trim.split("\\s+")
+                .filter(_.nonEmpty).map(_.toInt)
+              val pairs = header.grouped(2).collect { case Array(num, off) => (num, off) }
+                .take(n).toSeq
+              pairs.zipWithIndex.map { case ((num, off), i) =>
+                val start = math.min(first + off, s2.length)
+                val end = if (i + 1 < pairs.length)
+                  math.min(first + pairs(i + 1)._2, s2.length) else s2.length
+                num -> PdfObj(s2.substring(start, math.max(end, start)), Array.emptyByteArray)
+              }
+            case _ => Seq.empty
+          }
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }.flatten
+    // direct objects win on object-number collision (a directly-written
+    // replacement in an incremental update supersedes the ObjStm copy)
+    fromStreams.toMap ++ direct
   }
 
   /** Inflate a /FlateDecode stream (zlib-wrapped per spec; raw-deflate

@@ -10,8 +10,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * inside the root entry's stream).
   *
   * Scope: read-only, version 3 and 4 sector sizes, chained DIFAT
-  * supported. Returns a flat name → bytes map (storage nesting is not
-  * preserved — the extractors here address streams by leaf name). */
+  * supported. [[streamsWithPath]] preserves storage nesting as
+  * '/'-joined paths via the directory red-black tree (left/right
+  * sibling + child DIDs, cycle-guarded) — required to tell a `.msg`
+  * message's own property streams from those of a nested attachment;
+  * [[streams]] is the flat leaf-name view. */
 object Ole2 {
 
   private val EndOfChain = 0xFFFFFFFEL
@@ -23,8 +26,17 @@ object Ole2 {
   def isOle2(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && bytes.take(8).sameElements(Signature)
 
-  /** Every stream entry in the compound file as (name, bytes). */
-  def streams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+  /** Every stream entry in the compound file as (leaf name, bytes). */
+  def streams(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    streamsWithPath(bytes).map { case (p, d) =>
+      (p.substring(p.lastIndexOf('/') + 1), d)
+    }
+
+  /** Every stream entry as ("storage/…/stream" path, bytes), walking
+    * the directory tree from the root entry's child. Files whose
+    * sibling/child pointers are absent (some synthetic writers leave
+    * them Free) fall back to the flat entry scan with bare names. */
+  def streamsWithPath(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     require(isOle2(bytes), "not an OLE2 compound file")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sectorShift = buf.getShort(30).toInt
@@ -98,9 +110,13 @@ object Ole2 {
       out.toByteArray.take(math.min(size, Int.MaxValue.toLong).toInt)
     }
 
-    // Directory entries: 128 bytes each across the directory chain
+    // Directory entries: 128 bytes each across the directory chain.
+    // DIDs (did/left/right/child) index this table; left/right chain
+    // same-level siblings (a binary search tree), child descends into
+    // a storage.
     val dirBytes = readChain(dirStart, Long.MaxValue >> 1)
-    case class Entry(name: String, typ: Int, start: Long, size: Long)
+    case class Entry(did: Int, name: String, typ: Int, start: Long, size: Long,
+      left: Long, right: Long, child: Long)
     val entries = (0 until dirBytes.length / 128).flatMap { k =>
       val e = ByteBuffer.wrap(dirBytes, k * 128, 128).order(ByteOrder.LITTLE_ENDIAN)
       val nameLen = e.getShort(k * 128 + 64).toInt
@@ -110,7 +126,10 @@ object Ole2 {
         val typ = dirBytes(k * 128 + 66).toInt & 0xFF
         val start = e.getInt(k * 128 + 116).toLong & 0xFFFFFFFFL
         val size = e.getInt(k * 128 + 120).toLong & 0xFFFFFFFFL
-        Some(Entry(name, typ, start, size))
+        val left = e.getInt(k * 128 + 68).toLong & 0xFFFFFFFFL
+        val right = e.getInt(k * 128 + 72).toLong & 0xFFFFFFFFL
+        val child = e.getInt(k * 128 + 76).toLong & 0xFFFFFFFFL
+        Some(Entry(k, name, typ, start, size, left, right, child))
       }
     }
 
@@ -138,12 +157,30 @@ object Ole2 {
       out.toByteArray.take(math.min(size, Int.MaxValue.toLong).toInt)
     }
 
-    entries.collect {
-      case e if e.typ == 2 =>
-        val data =
-          if (e.size < miniCutoff && root.isDefined) readMiniChain(e.start, e.size)
-          else readChain(e.start, e.size)
-        (e.name, data)
-    }
+    def dataOf(e: Entry): Array[Byte] =
+      if (e.size < miniCutoff && root.isDefined) readMiniChain(e.start, e.size)
+      else readChain(e.start, e.size)
+
+    // Path-aware walk: in-order over each sibling tree, descend at
+    // storages. Shared visited set + depth cap guard malformed files
+    // (pointer cycles would otherwise loop; dids are table indices).
+    val emap = entries.map(e => e.did -> e).toMap
+    val visited = scala.collection.mutable.Set.empty[Int]
+    def subtree(did: Long, prefix: String, depth: Int): Seq[(String, Entry)] =
+      if (did == EndOfChain || did == FreeSect || did > Int.MaxValue ||
+          depth > 256 || !visited.add(did.toInt)) Seq.empty
+      else emap.get(did.toInt).toSeq.flatMap { e =>
+        val self =
+          if (e.typ == 2) Seq((prefix + e.name, e))
+          else if (e.typ == 1) subtree(e.child, prefix + e.name + "/", depth + 1)
+          else Seq.empty
+        subtree(e.left, prefix, depth + 1) ++ self ++ subtree(e.right, prefix, depth + 1)
+      }
+    val walked = root.toSeq.flatMap(r => subtree(r.child, "", 0))
+    val found =
+      if (walked.nonEmpty) walked
+      // fallback: writers that leave tree pointers Free — flat scan
+      else entries.collect { case e if e.typ == 2 => (e.name, e) }
+    found.map { case (path, e) => (path, dataOf(e)) }
   }
 }

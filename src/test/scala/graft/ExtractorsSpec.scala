@@ -114,6 +114,23 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(!out.contains("Calibri"))
   }
 
+  test("rtf: \\uN unicode escapes — fallback skipped, \\ucN honored, negatives wrap") {
+    // default \uc1: one fallback char after each \uN must be dropped
+    val U = "\\u" // built by concat: the Scala lexer would eat literal \-u-digits
+    val raw = s"{\\rtf1\\ansi G${U}252 ?nter owes ${U}8364 ?5 and ${U}-10179 ?${U}-8704 ?}"
+    val out = Extractors.rtf(raw.getBytes(UTF_8))
+    assert(out.contains("Günter"), out)
+    assert(out.contains("€"), out)
+    // negative params wrap mod 65536: U+D83D U+DE00 is a surrogate pair
+    assert(out.contains(new String(Character.toChars(0x1F600))), out)
+    // \uc0: no fallback to skip; \uc2 skips two (incl. \'xx escapes)
+    val raw2 = s"{\\rtf1\\uc0${U}945 x \\uc2${U}946\\'41\\'42y}"
+    val out2 = Extractors.rtf(raw2.getBytes(UTF_8))
+    assert(out2.contains("αx") || out2.contains("α x"), out2)
+    assert(out2.contains("βy"), out2)
+    assert(!out2.contains("AB"), out2)
+  }
+
   test("xlsx: shared + inline + numeric cells, tab rows, sheet order") {
     val sharedXml =
       """<sst><si><t>Name</t></si><si><r><t>Wid</t></r><r><t>get</t></r></si></sst>"""
@@ -150,6 +167,23 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(Extractors.supportedExtensions.contains(".pdf"))
   }
 
+  test("pdf: 1.5 object-stream file (xref stream, packed page tree) extracts all pages") {
+    val bytes = PdfFixture.mkPdfObjStm(
+      ("BT (Packed page one.) Tj ET", true),
+      ("BT (Packed page two.) Tj ET", false))
+    val pages = Extractors.pdfPages(bytes)
+    assert(pages == Seq("Packed page one.", "Packed page two."))
+    assert(Extractors.extract("m.pdf", bytes)
+      .contains("[[page1]]Packed page one.[[page2]]Packed page two."))
+    // a corrupt ObjStm payload must not take down the whole file: the
+    // content objects are still directly visible via the page fallback
+    val corrupted = bytes.clone()
+    val probe = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val streamAt = probe.indexOf("stream\n") + "stream\n".length
+    (streamAt until streamAt + 8).foreach(i => corrupted(i) = 0x7F)
+    assert(Extractors.pdfPages(corrupted).isEmpty) // no page dicts resolvable
+  }
+
   test("pdf: blank pages skipped by markers; empty pdf -> None") {
     val bytes = mkPdf(("BT (Visible.) Tj ET", false), ("BT ( ) Tj ET", false))
     // pagesToMarkedText skips blank page texts, 1-based numbering kept
@@ -168,6 +202,24 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(Extractors.msg(big) == "Big\n\n" + longBody.strip)
     // not an OLE2 container -> extract None
     assert(Extractors.extract("m.msg", Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("msg: nested attachment — storage-scoped props, no decoy leak, one-level recurse") {
+    val bytes = Ole2Fixture.msgFileNested(
+      "Outer subject", "Outer body.",
+      "fwd.msg", "Inner subject", "Inner body.")
+    val out = Extractors.msg(bytes)
+    // the message's own subject/body come first and are NOT the
+    // attachment's (path-scoped matching, not first-stream-wins)
+    assert(out.startsWith("Outer subject\n\nOuter body."), out)
+    assert(out.contains("[attachment] fwd.msg"), out)
+    assert(out.contains("Inner subject\n\nInner body."), out)
+    assert(out.indexOf("Inner subject") > out.indexOf("Outer body."), out)
+    // path-aware walk exposes the storage hierarchy
+    val paths = graft.ingest.Ole2.streamsWithPath(bytes).map(_._1)
+    assert(paths.contains("__substg1.0_0037001F"))
+    assert(paths.contains(
+      "__attach_version1.0_#00000000/__substg1.0_3701000D/__substg1.0_0037001F"))
   }
 
   test("xls: BIFF8 SST/LABELSST/NUMBER/RK/MULRK cells, sheet rows") {

@@ -12,6 +12,15 @@ object Ole2Fixture {
   private val EndChain = 0xFFFFFFFE
   private val FatSect = 0xFFFFFFFD
 
+  /** Directory tree node: stream names may be '/'-separated paths —
+    * intermediate segments become storage (typ 1) entries, and the
+    * writer emits real child/right-sibling DID pointers (left always
+    * Free: a degenerate right-leaning sibling chain, valid for any
+    * tree-walking reader). */
+  private class TNode(val name: String, val typ: Int, var streamIdx: Int = -1) {
+    val children = scala.collection.mutable.ListBuffer.empty[TNode]
+  }
+
   def cfbf(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
     val sectorSize = 512
     val miniSize = 64
@@ -35,7 +44,31 @@ object Ole2Fixture {
       if (data.length > 0) miniFatEntries(start + n - 1) = EndChain
     }
 
-    val nDirEntries = 1 + streams.size
+    // directory tree: '/'-separated stream paths imply storage entries
+    val rootNode = new TNode("Root Entry", 5)
+    streams.zipWithIndex.foreach { case ((path, _), idx) =>
+      val parts = path.split('/')
+      var cur = rootNode
+      parts.init.foreach { st =>
+        cur = cur.children.find(c => c.name == st && c.typ == 1).getOrElse {
+          val n = new TNode(st, 1); cur.children += n; n
+        }
+      }
+      cur.children += new TNode(parts.last, 2, idx)
+    }
+    val order = scala.collection.mutable.ArrayBuffer[TNode]()
+    def dfs(n: TNode): Unit = { order += n; n.children.foreach(dfs) }
+    dfs(rootNode)
+    val did: collection.Map[TNode, Int] =
+      scala.collection.mutable.LinkedHashMap(order.zipWithIndex.toSeq: _*)
+    val rightOf = scala.collection.mutable.Map.empty[TNode, Int]
+    order.foreach { n =>
+      n.children.toSeq.sliding(2).foreach {
+        case Seq(a, b) => rightOf(a) = did(b)
+        case _ =>
+      }
+    }
+    val nDirEntries = order.size
     val nDirSectors = math.max(1, (nDirEntries * 128 + sectorSize - 1) / sectorSize)
     val nMiniFatSectors = (nMiniSectors * 4 + sectorSize - 1) / sectorSize
     val nMiniStreamSectors = (miniData.size() + sectorSize - 1) / sectorSize
@@ -80,21 +113,33 @@ object Ole2Fixture {
     // FAT sector
     fat.zipWithIndex.foreach { case (v, i) => out.putInt(sectorOffset(0) + i * 4, v) }
     // directory
-    def dirEntry(idx: Int, name: String, typ: Int, start: Int, size: Int): Unit = {
+    def dirEntry(idx: Int, name: String, typ: Int, start: Int, size: Int,
+        left: Int, right: Int, child: Int): Unit = {
       val base = sectorOffset(dirStart) + idx * 128
       val nameBytes = name.getBytes(UTF_16LE)
       out.position(base); out.put(nameBytes, 0, math.min(nameBytes.length, 62))
       out.putShort(base + 64, (math.min(nameBytes.length, 62) + 2).toShort)
       out.put(base + 66, typ.toByte); out.put(base + 67, 1.toByte)
-      out.putInt(base + 68, Free); out.putInt(base + 72, Free); out.putInt(base + 76, Free)
+      out.putInt(base + 68, left); out.putInt(base + 72, right); out.putInt(base + 76, child)
       out.putInt(base + 116, start); out.putInt(base + 120, size)
     }
-    dirEntry(0, "Root Entry", 5,
-      if (nMiniStreamSectors > 0) miniStreamStart else EndChain, miniData.size())
-    var mi = 0; var bi = 0
-    streams.zipWithIndex.foreach { case ((name, data), k) =>
-      if (data.length < cutoff) { dirEntry(k + 1, name, 2, miniStarts(mi), data.length); mi += 1 }
-      else { dirEntry(k + 1, name, 2, bigStarts(bi), data.length); bi += 1 }
+    // leaf data placement follows INPUT order (mini/big partitions)
+    val miniIdxs = streams.zipWithIndex.collect { case ((_, d), i) if d.length < cutoff => i }
+    val bigIdxs = streams.zipWithIndex.collect { case ((_, d), i) if d.length >= cutoff => i }
+    val startByIdx: Map[Int, Int] =
+      (miniIdxs.zip(miniStarts) ++ bigIdxs.zip(bigStarts)).toMap
+    order.zipWithIndex.foreach { case (n, idx) =>
+      val childDid = n.children.headOption.map(did).getOrElse(Free)
+      val right = rightOf.getOrElse(n, Free)
+      n.typ match {
+        case 5 => dirEntry(idx, n.name, 5,
+          if (nMiniStreamSectors > 0) miniStreamStart else EndChain, miniData.size(),
+          Free, Free, childDid)
+        case 1 => dirEntry(idx, n.name, 1, 0, 0, Free, right, childDid)
+        case _ =>
+          val data = streams(n.streamIdx)._2
+          dirEntry(idx, n.name, 2, startByIdx(n.streamIdx), data.length, Free, right, Free)
+      }
     }
     // miniFAT
     miniFatEntries.zipWithIndex.foreach { case (v, i) =>
@@ -112,6 +157,20 @@ object Ole2Fixture {
     cfbf(Seq(
       "__substg1.0_0037001F" -> subject.getBytes(UTF_16LE),
       "__substg1.0_1000001F" -> body.getBytes(UTF_16LE)))
+
+  /** A `.msg` with one attachment storage holding a display name and a
+    * nested embedded message (its own subject + body streams) — the
+    * MS-OXMSG attached-message shape. */
+  def msgFileNested(subject: String, body: String, attachName: String,
+      nestedSubject: String, nestedBody: String): Array[Byte] = {
+    val at = "__attach_version1.0_#00000000"
+    cfbf(Seq(
+      "__substg1.0_0037001F" -> subject.getBytes(UTF_16LE),
+      "__substg1.0_1000001F" -> body.getBytes(UTF_16LE),
+      s"$at/__substg1.0_3001001F" -> attachName.getBytes(UTF_16LE),
+      s"$at/__substg1.0_3701000D/__substg1.0_0037001F" -> nestedSubject.getBytes(UTF_16LE),
+      s"$at/__substg1.0_3701000D/__substg1.0_1000001F" -> nestedBody.getBytes(UTF_16LE)))
+  }
 
   // ---- BIFF8 records for the .xls fixture ----
 

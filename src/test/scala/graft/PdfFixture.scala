@@ -50,6 +50,49 @@ object PdfFixture {
     out.toByteArray
   }
 
+  /** PDF 1.5 shape: catalog + page tree + page dicts packed into ONE
+    * Flate /Type /ObjStm container, content streams as regular
+    * objects, cross-reference via an xref STREAM (not a table) — the
+    * layout modern writers emit. The xref-stream object is a real
+    * /Type /XRef dict with a syntactically valid (if minimal) payload;
+    * the extractor never reads it, but its presence keeps the fixture
+    * honest about the file shape. */
+  def mkPdfObjStm(pages: (String, Boolean)*): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(iso))
+    w("%PDF-1.5\n")
+    // packed objects: 1=catalog, 2=pages, 3..=page dicts
+    val kidRefs = pages.indices.map(i => s"${3 + i} 0 R").mkString(" ")
+    val packed: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kidRefs] /Count ${pages.size} >>") ++
+      pages.indices.map(i => (3 + i) ->
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${100 + i} 0 R >>")
+    val bodies = packed.map(_._2 + "\n")
+    val offs = bodies.scanLeft(0)(_ + _.length).init
+    val header = packed.zip(offs).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = deflate((header + bodies.mkString).getBytes(iso))
+    w(s"50 0 obj\n<< /Type /ObjStm /N ${packed.size} /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${payload.length} >>\nstream\n")
+    out.write(payload)
+    w("\nendstream\nendobj\n")
+    pages.zipWithIndex.foreach { case ((src, compress), i) =>
+      val data = if (compress) deflate(src.getBytes(iso)) else src.getBytes(iso)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"${100 + i} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    val xrefAt = out.size()
+    val xrefPayload = deflate(Array[Byte](0, 0, 0)) // minimal single-row payload
+    w(s"60 0 obj\n<< /Type /XRef /Size 61 /W [1 1 1] /Root 1 0 R " +
+      s"/Filter /FlateDecode /Length ${xrefPayload.length} >>\nstream\n")
+    out.write(xrefPayload)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
+
   /** A simple text-showing content stream for `lines` on one page. */
   def pageSource(lines: String*): String =
     "BT /F1 12 Tf 72 720 Td " +
