@@ -214,4 +214,36 @@ object VectorSearch {
       .head().getString(0)
     s"$ragString\n\n$ctx\n\n$question"
   }
+
+  /** Side-effect parity with the reference's pre-LLM dump files
+    * (chat_llm.py:34-40): `contexts.txt` gets each hit's text followed
+    * by a `\n\n---\n\n` rule, `metadata.txt` one JSON metadata line per
+    * hit, both in rank order (distance rank, ties to the lower id —
+    * the same order [[ragPrompt]] assembles). Driver-side file writes:
+    * the input is a k-row search result, not a distributed table. */
+  def dumpContexts(hits: DataFrame, outDir: String, metric: String = "cosine"): Unit = {
+    val metaCols = hits.columns.filter(c =>
+      c != "text" && c != "vector" && c != "distance" && c != "similarity_score")
+    val rows = hits
+      .orderBy(rankOrder(metric, col("distance")).asc, col("id").asc)
+      .select((col("text") +: metaCols.map(col)): _*)
+      .collect()
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    val contexts = new StringBuilder
+    val metadata = new StringBuilder
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    rows.foreach { r =>
+      contexts.append(r.getString(0)).append("\n\n---\n\n")
+      val node = mapper.createObjectNode()
+      metaCols.zipWithIndex.foreach { case (c, i) =>
+        node.put(c, if (r.isNullAt(i + 1)) null else String.valueOf(r.get(i + 1)))
+      }
+      metadata.append(mapper.writeValueAsString(node)).append('\n')
+    }
+    java.nio.file.Files.write(dir.resolve("contexts.txt"),
+      contexts.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(dir.resolve("metadata.txt"),
+      metadata.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }

@@ -133,6 +133,25 @@ class EndToEndSpec extends SparkSpec {
     assert(ds == ds.sorted) // ascending distance order (O5)
   }
 
+  test("contexts.txt + metadata.txt dumps in rank order (chat_llm parity)") {
+    manifest // force build
+    val hits = VectorSearch.search(spark, dbDir.toString, "alpha bravo charlie delta echo",
+      embedder, SearchOptions(k = 3, scoreThreshold = 0.0))
+    val outDir = Files.createTempDirectory("graft-ctx")
+    VectorSearch.dumpContexts(hits, outDir.toString)
+    val ctx = new String(Files.readAllBytes(outDir.resolve("contexts.txt")), StandardCharsets.UTF_8)
+    val meta = new String(Files.readAllBytes(outDir.resolve("metadata.txt")), StandardCharsets.UTF_8)
+    val n = hits.count().toInt
+    // every context followed by the rule; one metadata JSON line per hit
+    assert(ctx.split(java.util.regex.Pattern.quote("\n\n---\n\n"), -1).length == n + 1)
+    assert(meta.linesIterator.size == n)
+    assert(meta.linesIterator.forall(_.contains("\"file_name\"")))
+    // order matches the search result's rank order
+    val firstText = hits.orderBy($"distance".asc, $"id".asc)
+      .select($"text").as[String].head()
+    assert(ctx.startsWith(firstText))
+  }
+
   test("quantized sidecar: tinyint codes + two-stage search equals exact") {
     manifest // force build
     VectorStore.writeQuantized(spark, dbDir.toString)
