@@ -750,6 +750,52 @@ object OracleSql {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk FROM sc)
         |SELECT doc_id, w AS keyword, rk, tfidf FROM rk WHERE rk <= 3""".stripMargin,
 
+    // Duplicated-substring spans: positions whose 5-word gram occurs in
+    // >= 2 distinct docs, island-merged (pos - row_number() constant on
+    // a consecutive run) into maximal spans. Self-contained raw-input
+    // recompute of the engine's relational exact-substring pass.
+    "dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | g AS (SELECT doc_id, i AS pos,
+        |        CAST('0x' || substring(md5(array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+        |             FROM w WHERE len(ws) >= 5)),
+        | d AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |       GROUP BY gh HAVING count(*) >= 2),
+        | p AS (SELECT DISTINCT doc_id, pos FROM g JOIN d USING (gh)),
+        | i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM p)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+        | max(pos) + 4 - min(pos) + 1 AS span_words
+        |FROM i GROUP BY doc_id, grp""".stripMargin,
+
+    // Duplicated-substring removal: each duplicated gram's keeper is
+    // its min doc id; a word is dropped iff covered by a duplicated
+    // gram kept by another doc. Rebuild joins kept words with single
+    // spaces (both sides' convention); every doc row survives.
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | g AS (SELECT doc_id, i AS pos,
+        |        CAST('0x' || substring(md5(array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+        |             FROM w WHERE len(ws) >= 5)),
+        | k AS (SELECT gh, min(doc_id) AS keeper FROM (SELECT DISTINCT doc_id, gh FROM g)
+        |       GROUP BY gh HAVING count(*) >= 2),
+        | drops AS (SELECT DISTINCT doc_id, wpos FROM (
+        |           SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS wpos
+        |           FROM g JOIN k USING (gh) WHERE doc_id <> keeper)),
+        | words AS (SELECT doc_id, i AS wpos, ws[i] AS word
+        |           FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+        | kept AS (SELECT words.doc_id, wpos, word FROM words
+        |          ANTI JOIN drops USING (doc_id, wpos)),
+        | agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          array_to_string(list(word ORDER BY wpos), ' ') AS cleaned_text
+        |         FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(agg.cleaned_text, '') AS cleaned_text,
+        | coalesce(agg.n_kept, 0) AS n_kept,
+        | len(w.ws) - coalesce(agg.n_kept, 0) AS n_dropped
+        |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id""".stripMargin,
+
     // Word 5-gram overlap vs the doc_id%10==0 benchmark slice; grams
     // hashed with the portable md5-prefix family on both sides.
     "decontaminate" ->

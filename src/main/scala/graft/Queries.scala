@@ -567,6 +567,23 @@ object Queries {
         n = 8, maxHammingDistance = 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
 
+  /** Duplicated-substring spans: maximal word runs whose every 5-word
+    * gram appears in ≥ 2 distinct docs (the Lee-et-al exact-substring
+    * report, relational form). Oracle recomputes grams + the island
+    * merge from raw text in SQL. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .select(col("sid").as("doc_id"), col("span_start"),
+        col("span_end"), col("span_words"))
+
+  /** Duplicated-substring removal: words covered by a cross-doc 5-gram
+    * whose keeper (min doc id) is another doc are dropped; one
+    * canonical occurrence survives corpus-wide. */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .select(col("sid").as("doc_id"), col("cleaned_text"),
+        col("n_kept"), col("n_dropped"))
+
   /** Benchmark decontamination: every 10th doc plays the held-out
     * benchmark set; flag remaining corpus docs sharing any exact 5-word
     * gram with it (the GPT-3 train-set hygiene pass, smaller n =
@@ -1312,6 +1329,8 @@ object Queries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_corpus_transitive" -> dedupCorpusTransitive _,
+    "dup_spans" -> dupSpans _,
+    "dedup_spans" -> dedupSpans _,
     "decontaminate" -> decontaminate _,
     "repetition_stats" -> repetitionStats _,
     "pii_redact" -> piiRedact _,

@@ -756,6 +756,96 @@ object Dedup {
         round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /** Positional word n-gram hashes: (sid, pos, gh) with 1-based word
+    * positions — [[wordGramHashes]] keeping position and every
+    * occurrence (span detection needs both; dedup-by-membership
+    * doesn't). Same md5-60-bit gram key convention. */
+  def positionalWordGramHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        split(trim(col(textCol)), "\\s+").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("sid"), posexplode(expr(
+        s"transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n)))")))
+      .select(col("sid"), (col("pos") + 1).as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gh"))
+
+  /** Duplicated-substring REPORT (the exact-substring pass of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1 — re-expressed as bounded relational ops
+    * instead of a suffix array): every maximal word span whose every
+    * length-`n` word gram occurs in ≥ 2 distinct docs. Consecutive
+    * duplicated gram positions merge into one span (the island trick:
+    * pos − row_number() is constant on a run), so the output is
+    * (sid, span_start, span_end, span_words) with 1-based inclusive
+    * word indices.
+    *
+    * Scale shape: one (sid,gh)-distinct + per-gram doc-count aggregate
+    * (never posting LISTS — no df cap needed, a gram only carries a
+    * count), one semi join back to positions, one per-doc window.
+    * Shuffle volume is O(total words); the window partitions by doc so
+    * its sort is bounded by document length, never corpus size. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = positionalWordGramHashes(df, idCol, textCol, n)
+    val dupGrams = grams.select("sid", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select("gh")
+    val dupPos = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .select("sid", "pos").distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sid").orderBy("pos")
+    dupPos.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("sid"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .select(col("sid"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+  }
+
+  /** Duplicated-substring REMOVAL — [[duplicatedSpans]]' rewrite
+    * counterpart, keeping ONE canonical occurrence corpus-wide: each
+    * duplicated gram's keeper is its minimum doc id; a word is dropped
+    * iff covered by a duplicated gram whose keeper is another doc.
+    * Keeper docs keep their text verbatim (modulo whitespace
+    * normalization — the rebuild joins words with single spaces, same
+    * convention both sides of the oracle); every doc row survives, a
+    * fully-duplicated non-keeper comes back with empty text. Returns
+    * (sid, cleaned_text, n_kept, n_dropped).
+    *
+    * Scale shape: per-gram (min, distinct-count) aggregate — counts and
+    * mins, never lists — then one explode of DROPPED positions only
+    * (bounded by actual duplication, not corpus size), an anti join on
+    * (doc, position), and a per-doc sorted-struct rebuild identical to
+    * the one [[graft.search.VectorSearch.ragPrompt]] uses. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = positionalWordGramHashes(df, idCol, textCol, n)
+    val keepers = grams.groupBy("gh")
+      .agg(min("sid").as("__keeper"), countDistinct("sid").as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("gh", "__keeper")
+    val drops = grams.join(keepers, Seq("gh"))
+      .filter(col("sid") =!= col("__keeper"))
+      .select(col("sid"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("wpos"))
+      .distinct()
+    val words = df.select(col(idCol).as("sid"),
+        split(trim(col(textCol)), "\\s+").as("words"))
+      .select(col("sid"), posexplode(col("words")))
+      .select(col("sid"), (col("pos") + 1).as("wpos"), col("col").as("word"))
+    val kept = words.join(drops, Seq("sid", "wpos"), "left_anti")
+      .groupBy("sid")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("wpos"), col("word")))),
+          x => x.getField("word")), " ").as("cleaned_text"))
+    df.select(col(idCol).as("sid"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__total"))
+      .join(kept, Seq("sid"), "left")
+      .select(col("sid"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Transitive near-dup clustering: connected components over an
     * undirected pair graph ((id_a, id_b) rows — e.g. [[jaccardPairs]] /
     * [[minhashLshCandidates]] / [[simhashNearDups]] output), so a chain

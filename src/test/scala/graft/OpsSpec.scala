@@ -21,6 +21,33 @@ class OpsSpec extends SparkSpec {
     assert(survivors == Set(1L, 3L, 4L))
   }
 
+  test("duplicated spans: island merge; removal keeps the keeper's copy verbatim") {
+    val docs = Seq(
+      (1L, "a b c d e f g h unique1 tail1"),
+      (2L, "a b c d e f g h unique2 tail2"),
+      (3L, "totally different words over here now ok")).toDF("doc_id", "text")
+    // 5-grams at word positions 1..4 are shared between docs 1 and 2:
+    // one island -> one span covering words [1, 8]
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .select($"sid", $"span_start", $"span_end", $"span_words")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(spans == Seq((1L, 1L, 8L, 8L), (2L, 1L, 8L, 8L)))
+    val rm = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .select($"sid", $"cleaned_text", $"n_kept", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // keeper (min doc id) keeps every word; the non-keeper loses the
+    // covered span; the unrelated doc is untouched
+    assert(rm(0) == ((1L, "a b c d e f g h unique1 tail1", 10L, 0L)))
+    assert(rm(1) == ((2L, "unique2 tail2", 2L, 8L)))
+    assert(rm(2) == ((3L, "totally different words over here now ok", 7L, 0L)))
+    // a fully-duplicated non-keeper survives as an empty row
+    val full = Seq((1L, "x y z w v"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val rmf = Dedup.removeDuplicatedSpans(full, "doc_id", "text", n = 5)
+      .select($"sid", $"cleaned_text", $"n_kept").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rmf == Seq((1L, "x y z w v", 5L), (2L, "", 0L)))
+  }
+
   test("jaccard: exact dups -> 1.0; near dups high; unrelated absent") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
