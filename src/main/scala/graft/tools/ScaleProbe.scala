@@ -191,6 +191,18 @@ object ScaleProbe {
     time("exact dedup survivors") {
       println("[probe]   rows=" + graft.ops.Dedup.exact(docs10, "doc_id", "text").count())
     }
+    // Exact-substring span family at 10x: replicas make EVERY gram of a
+    // replicated doc duplicated, so this is the worst-case span volume
+    // (each non-keeper doc is one full-width span; drop-position
+    // explode is maximal).
+    time("duplicated spans (n=5)") {
+      println("[probe]   spans=" + graft.ops.Dedup.duplicatedSpans(
+        docs10, "doc_id", "text", n = 5).count())
+    }
+    time("span removal (n=5)") {
+      val r = graft.ops.Dedup.removeDuplicatedSpans(docs10, "doc_id", "text", n = 5)
+      println("[probe]   dropped_words=" + r.agg(sum(col("n_dropped"))).head().getLong(0))
+    }
     // Transitive clustering over the replica-corpus pair graph: with 10
     // exact replicas per doc plus jaccard near-dups the components are
     // dense — both execution paths must agree and the distributed
