@@ -355,6 +355,47 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine, round(ac, 6) AS approx_cosine
         |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    // Product quantization replayed from raw inputs: codebooks seed
+    // from the 16 lowest-id rows per 8-dim subspace, one micro-snapped
+    // Lloyd mean update (codes argmin'd on 6dp-rounded distances, ties
+    // to the lower code; empty codes keep their seed), reconstruction
+    // cosine → top-50, exact float rerank → top-10.
+    "pq_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        | js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        | seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+        |           FROM v ORDER BY vec_id LIMIT 16),
+        | cb0 AS (SELECT j, code, list_slice(e, j*8 + 1, j*8 + 8) AS w FROM seeds, js),
+        | sub AS (SELECT vec_id, j, list_slice(e, j*8 + 1, j*8 + 8) AS sv FROM v, js),
+        | a0 AS (SELECT vec_id, j, code,
+        |         row_number() OVER (PARTITION BY vec_id, j
+        |           ORDER BY round(list_distance(sv, w), 6), code) AS rk
+        |        FROM sub JOIN cb0 USING (j)),
+        | as0 AS (SELECT vec_id, j, code FROM a0 WHERE rk = 1),
+        | mean1 AS (SELECT j, code, i,
+        |            CAST(round(avg(sv[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
+        |           FROM as0 JOIN sub USING (vec_id, j),
+        |                (SELECT unnest(generate_series(1, 8)) AS i) ii
+        |           GROUP BY j, code, i),
+        | newcb AS (SELECT j, code, list(c ORDER BY i) AS w FROM mean1 GROUP BY j, code),
+        | cb1 AS (SELECT cb0.j, cb0.code, coalesce(newcb.w, cb0.w) AS w
+        |         FROM cb0 LEFT JOIN newcb ON cb0.j = newcb.j AND cb0.code = newcb.code),
+        | a1 AS (SELECT vec_id, j, code,
+        |         row_number() OVER (PARTITION BY vec_id, j
+        |           ORDER BY round(list_distance(sv, w), 6), code) AS rk
+        |        FROM sub JOIN cb1 USING (j)),
+        | as1 AS (SELECT vec_id, j, code FROM a1 WHERE rk = 1),
+        | xh AS (SELECT vec_id, flatten(list(w ORDER BY as1.j)) AS xhat
+        |        FROM as1 JOIN cb1 ON as1.j = cb1.j AND as1.code = cb1.code
+        |        GROUP BY vec_id),
+        | ap AS (SELECT xh.vec_id, round(list_cosine_similarity(xhat, qv), 6) AS ac
+        |        FROM xh, q ORDER BY ac DESC, vec_id LIMIT 50),
+        | re AS (SELECT ap.vec_id, list_cosine_similarity(v.e, q.qv) AS c, ap.ac
+        |        FROM ap JOIN v ON ap.vec_id = v.vec_id, q)
+        |SELECT vec_id, round(c, 6) AS cosine, ac AS approx_cosine
+        |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
     // DuckDB's native ASOF JOIN — an independent implementation of the
     // operator (not a replay of the engine's union+window plan).
     "q11_asof_join" ->
@@ -1191,6 +1232,10 @@ object OracleSql {
         |SELECT pair, count(*) AS n_occurrences FROM p GROUP BY pair
         |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
 
+    "bpe_train" -> bpeTrainSql(Queries.BpeTrainMerges),
+
+    "bpe_vocab" -> bpeVocabSql(Queries.BpeTrainMerges, 30),
+
     // approx_ok is the literal-TRUE gate (corpus_distinct_approx
     // pattern): the row hash-matches only if the engine's
     // approx_percentile rank error actually held.
@@ -1567,5 +1612,50 @@ object OracleSql {
        |  $scoreExprs
        | FROM t)
        |${outer.replace("{CASE}", caseExpr)}""".stripMargin
+  }
+
+  /** bpe_train: the merge loop of TextAnalytics.bpeTrain unrolled into
+    * `merges` SQL stages — same U+0001 sentinel packing, same
+    * leftmost-non-overlapping `replace` merge application, same
+    * (count desc, lhs asc, rhs asc) top-pair rule. Each w{r} CTE is the
+    * vocab after merge r; m{r} is the merge it learned. */
+  private def bpeStages(merges: Int): String = {
+    val s = graft.ops.TextAnalytics.BpeSentinel
+    val head =
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(w, '(.)', '$s\\1', 'g') AS tok, cnt FROM (
+         |    SELECT w, count(*) AS cnt FROM (
+         |      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) u
+         |    WHERE w <> '' AND NOT contains(w, '$s') GROUP BY w) g)""".stripMargin
+    val stages = (1 to merges).map { r =>
+      val p = r - 1
+      s""" pr$r AS (
+         |  SELECT z[1] AS lhs, z[2] AS rhs, sum(cnt) AS cnt FROM (
+         |    SELECT unnest(list_zip(tl, tl[2:])) AS z, cnt FROM (
+         |      SELECT list_filter(string_split(tok, '$s'), x -> x <> '') AS tl, cnt FROM w$p) i1) i2
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         | m$r AS (SELECT lhs, rhs, cnt FROM pr$r ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         | w$r AS (SELECT replace(w$p.tok, '$s' || m$r.lhs || '$s' || m$r.rhs,
+         |                        '$s' || m$r.lhs || m$r.rhs) AS tok, w$p.cnt AS cnt
+         |         FROM w$p, m$r)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  private def bpeTrainSql(merges: Int): String = {
+    val union = (1 to merges).map(r =>
+      s"SELECT $r AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
+      .mkString("\nUNION ALL ")
+    bpeStages(merges) + s"\nSELECT * FROM (\n$union) ORDER BY merge_rank"
+  }
+
+  private def bpeVocabSql(merges: Int, k: Int): String = {
+    val s = graft.ops.TextAnalytics.BpeSentinel
+    bpeStages(merges) +
+      s"""
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences FROM (
+         |  SELECT unnest(list_filter(string_split(tok, '$s'), x -> x <> '')) AS token, cnt
+         |  FROM w$merges) v
+         |GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT $k""".stripMargin
   }
 }

@@ -529,6 +529,22 @@ object Queries {
         r6(col("approx_cosine")).as("approx_cosine"))
   }
 
+  /** Product-quantized two-stage search: 8 subspaces × 16-word
+    * codebooks (one Lloyd update from lowest-id seeds), candidates by
+    * cosine against the codeword reconstruction — the 32×-compressed
+    * scan a PQ index serves — then exact float rerank → top-10. The
+    * oracle replays seeding, the micro-snapped mean update, both
+    * 6dp-rounded assignments, and both rankings from raw inputs. */
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    ops.ProductQuantization.topK(emb, "vec_id", "embedding", q,
+        k = 10, m = 8, ksub = 16, iters = 1, candidates = 50)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"),
+        col("approx_cosine"))
+  }
+
   /** The full ladder in measured-correct order: exact-collapse, then
     * jaccard near-dup (corpus-fraction cap) on survivors, lower id
     * wins each pair. */
@@ -1107,6 +1123,26 @@ object Queries {
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.bpePairStats(t(s, dir, "documents"), "text", k = 30)
 
+  /** How many merge rounds [[bpeTrain]] runs in the declared query —
+    * the oracle unrolls exactly this many SQL stages. */
+  val BpeTrainMerges = 8
+
+  /** Distributed BPE vocabulary training: 8 global merge rounds over
+    * the frequency-weighted distinct-word table; returns the learned
+    * merge table. The oracle replays the identical loop as 8 unrolled
+    * SQL stages (same sentinel packing, same leftmost-non-overlapping
+    * `replace` merge semantics, same (count desc, lhs, rhs) tie
+    * rule). */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.bpeTrain(t(s, dir, "documents"), "text", merges = BpeTrainMerges)
+
+  /** The subword vocabulary the 8-round merge table induces: top-30
+    * tokens by frequency-weighted occurrence. Oracle = the same
+    * unrolled stages, final vocab read off the last w{r} CTE. */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.bpeVocab(t(s, dir, "documents"), "text",
+      merges = BpeTrainMerges, k = 30)
+
   /** Hot-key skew report over the events join key: top-5 users by row
     * count with their uniform-share skew factor. */
   def skewReport(s: SparkSession, dir: String): DataFrame =
@@ -1335,6 +1371,7 @@ object Queries {
     "repetition_stats" -> repetitionStats _,
     "pii_redact" -> piiRedact _,
     "quant_topk" -> quantTopk _,
+    "pq_topk" -> pqTopk _,
     "top_ngrams" -> topNgrams _,
     "tfidf_keywords" -> tfidfKeywords _,
     "doc_centroids" -> docCentroids _,
@@ -1381,6 +1418,8 @@ object Queries {
     "first_touch" -> firstTouch _,
     "decayed_value" -> decayedValue _,
     "bpe_pairs" -> bpePairs _,
+    "bpe_train" -> bpeTrain _,
+    "bpe_vocab" -> bpeVocab _,
     "length_prune_approx" -> lengthPruneApprox _,
     "event_paths" -> eventPaths _,
     "dedup_incremental" -> dedupIncremental _,

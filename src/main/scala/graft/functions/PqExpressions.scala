@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels as native Catalyst expressions.
+  *
+  * The codebook (m × ksub × dim/m doubles) rides along as a JVM
+  * reference object (`ctx.addReferenceObj`), NOT as literal plan
+  * nodes: a `least()`-over-literal-structs argmin at m=8/ksub=16
+  * generates >64 KB into one codegen method and knocks the whole
+  * stage back to interpreted mode. Here the generated code is a
+  * single kernel call, so the surrounding scan stays inside
+  * WholeStageCodegen and the per-row cost is the tight argmin loop.
+  *
+  * Assignment semantics match [[graft.ops.ProductQuantization]]'s
+  * replayable convention: per-subspace euclidean distances are rounded
+  * to 6 dp (Spark `round` = decimal HALF_UP — reproduced here via
+  * BigDecimal) BEFORE the argmin, ties to the lower code index. */
+final class PqKernel(val dim: Int, val m: Int, val ksub: Int,
+    val words: Array[Array[Array[Double]]]) extends Serializable {
+  val ds: Int = dim / m
+
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def get(x: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+
+  /** argmin code per subspace on 6dp-rounded distance, ties low. */
+  def codes(x: ArrayData, isFloat: Boolean): Array[Int] = {
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * ds
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < ksub) {
+        val w = words(j)(i)
+        var s = 0.0; var d = 0
+        while (d < ds) {
+          val diff = get(x, isFloat, base + d) - w(d); s += diff * diff; d += 1
+        }
+        val dist = round6(math.sqrt(s))
+        if (dist < bestD) { bestD = dist; best = i }
+        i += 1
+      }
+      out(j) = best; j += 1
+    }
+    out
+  }
+
+  def codesAD(x: ArrayData, isFloat: Boolean): ArrayData =
+    new GenericArrayData(codes(x, isFloat).map(_.asInstanceOf[Any]))
+
+  /** x̂ = concatenation of each subspace's assigned codeword. */
+  def reconstructAD(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val cs = codes(x, isFloat)
+    val out = new Array[Any](dim)
+    var j = 0
+    while (j < m) {
+      val w = words(j)(cs(j))
+      var d = 0
+      while (d < ds) { out(j * ds + d) = w(d); d += 1 }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case k: PqKernel => k.dim == dim && k.m == m && k.ksub == ksub &&
+      java.util.Arrays.deepEquals(
+        k.words.asInstanceOf[Array[AnyRef]], words.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Arrays.deepHashCode(words.asInstanceOf[Array[AnyRef]]) * 31 +
+      dim * 7 + m * 3 + ksub
+}
+
+private[graft] trait PqExpr extends UnaryExpression {
+  import VectorExprUtils._
+  def kernel: PqKernel
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(prettyName, child)
+  protected lazy val isFloat: Boolean = elementType(child) == FloatType
+  protected def kernelMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqKernel", kernel, classOf[PqKernel].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = $ref.$kernelMethod($x, $isFloat);")
+  }
+}
+
+/** pq_codes(vec) → array<int> of the m assigned code indices. */
+case class PqEncodeCodes(child: Expression, kernel: PqKernel) extends PqExpr {
+  override def prettyName: String = "pq_codes"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def kernelMethod: String = "codesAD"
+  override def nullSafeEval(a: Any): Any =
+    kernel.codesAD(a.asInstanceOf[ArrayData], isFloat)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** pq_reconstruct(vec) → array<double> codeword reconstruction x̂. */
+case class PqReconstruct(child: Expression, kernel: PqKernel) extends PqExpr {
+  override def prettyName: String = "pq_reconstruct"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def kernelMethod: String = "reconstructAD"
+  override def nullSafeEval(a: Any): Any =
+    kernel.reconstructAD(a.asInstanceOf[ArrayData], isFloat)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqFunctions {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+  def pqCodes(x: Column, kernel: PqKernel): Column = col(PqEncodeCodes(ex(x), kernel))
+  def pqReconstruct(x: Column, kernel: PqKernel): Column = col(PqReconstruct(ex(x), kernel))
+}

@@ -783,4 +783,107 @@ object TextAnalytics {
       .orderBy(col("n_occurrences").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** Sentinel separating tokens in [[bpeTrain]]'s packed string form. */
+  val BpeSentinel = "\u0001"
+
+  /** Distributed BPE vocabulary TRAINING (Sennrich et al. 2015, the
+    * corpus-scale merge loop [[bpePairStats]] only previews): `merges`
+    * rounds of (count adjacent token pairs weighted by word frequency →
+    * take the global top pair, ties broken (count desc, lhs asc, rhs
+    * asc) → apply the merge everywhere). Returns the learned merge
+    * table (merge_rank, lhs, rhs, pair_count) — the artifact a
+    * tokenizer ships.
+    *
+    * The token sequence of each word is packed as a sentinel-prefixed
+    * string (`<s>l<s>o<s>w`), so applying a merge is ONE
+    * `replace(tok, "␁l␁o", "␁lo")` — and because SQL `replace` scans
+    * leftmost non-overlapping, it IS BPE's greedy left-to-right merge
+    * order (`␁a␁a␁a` merges its first pair only). No per-row loop
+    * UDF, and an engine replay is the same `replace`.
+    *
+    * Scale shape: training runs on the DISTINCT-WORD table (corpus →
+    * one `groupBy(word)` — vocab is orders of magnitude smaller than
+    * the corpus and the only thing the loop touches). Each round is
+    * one explode of words into adjacent pairs feeding a
+    * partial-aggregating count, a driver take of ONE row, and a
+    * map-only merge apply materialized via persist (the previous
+    * round's cache is dropped each time — no cache leak, no lineage
+    * blowup). Driver state is the merge table itself: `merges` rows. */
+  /** Frequency-weighted distinct-word table — the thing BPE training
+    * iterates on (vocab-sized, not corpus-sized). */
+  private def bpeWordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit(""))).as("__w"))
+      .filter(!col("__w").contains(lit(BpeSentinel)))
+      .groupBy(col("__w")).agg(count(lit(1)).as("cnt"))
+
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, "merges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sent = BpeSentinel
+    val base = bpeWordCounts(df, textCol)
+      .select(regexp_replace(col("__w"), "(.)", sent + "$1").as("tok"), col("cnt"))
+    var cur = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val top = cur
+        .withColumn("__tl", filter(split(col("tok"), sent), x => x =!= lit("")))
+        .filter(size(col("__tl")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(__tl) - 1),
+            |  i -> struct(element_at(__tl, i) AS lhs, element_at(__tl, i + 1) AS rhs))"""
+            .stripMargin)).as("z"), col("cnt"))
+        .groupBy(col("z.lhs"), col("z.rhs")).agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r, l, rr, c))
+        val next = cur
+          .withColumn("tok",
+            replace(col("tok"), lit(sent + l + sent + rr), lit(sent + l + rr)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+      r += 1
+    }
+    cur.unpersist()
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Greedy BPE SEGMENTATION with a learned merge table — the apply
+    * side of [[bpeTrain]], as a map-only column: the word's char
+    * sequence replays each merge in rank order. Returns the packed
+    * token string split back into an array. */
+  def bpeSegment(wordCol: Column, mergeTable: Seq[(String, String)]): Column = {
+    val sent = BpeSentinel
+    val packed = mergeTable.foldLeft(
+      regexp_replace(wordCol, "(.)", sent + "$1")) { case (acc, (l, rr)) =>
+      replace(acc, lit(sent + l + sent + rr), lit(sent + l + rr))
+    }
+    filter(split(packed, sent), x => x =!= lit(""))
+  }
+
+  /** The learned subword VOCABULARY after `merges` BPE rounds — the
+    * artifact a tokenizer ships next to the merge table: top-`k`
+    * subword tokens by corpus occurrence (frequency-weighted over the
+    * distinct-word table), ties lexicographic. One [[bpeTrain]] run +
+    * one map-only [[bpeSegment]] re-apply + one partial-agg count. */
+  def bpeVocab(df: DataFrame, textCol: String, merges: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val table = bpeTrain(df, textCol, merges).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeWordCounts(df, textCol)
+      .select(explode(bpeSegment(col("__w"), table)).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+  }
 }

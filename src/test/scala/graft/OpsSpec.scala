@@ -271,6 +271,64 @@ class OpsSpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("product quantization: codebook shape/determinism, code bounds, rerank = exact top-k") {
+    import spark.implicits._
+    val dim = 8; val m = 2; val ksub = 4
+    val vecs = (1L to 200L).map { i =>
+      (i, Array.tabulate(dim)(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = ops.ProductQuantization.train(vecs, "vec_id", "embedding", dim, m, ksub, iters = 2)
+    assert(cb.words.length == m && cb.words.forall(_.length == ksub)
+      && cb.words.forall(_.forall(_.length == dim / m)))
+    // training is partitioning-invariant: micro-snapped means + rounded
+    // argmin means the trajectory cannot depend on summation order
+    val cb2 = ops.ProductQuantization.train(vecs.repartition(7), "vec_id", "embedding",
+      dim, m, ksub, iters = 2)
+    assert(cb == cb2)
+    // persistable codes: m bytes, each in [-128, -128 + ksub)
+    val codes = ops.ProductQuantization.encode(vecs, "embedding", cb)
+      .select("pq_code").as[Seq[Byte]].collect()
+    assert(codes.forall(_.length == m))
+    assert(codes.forall(_.forall(c => c >= -128 && c < -128 + ksub)))
+    // with a generous candidate pool the reranked result IS the exact top-k
+    val q = Array.tabulate(dim)(d => math.cos(d * 0.5))
+    val exact = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val pq = ops.ProductQuantization.topK(vecs, "vec_id", "embedding", q,
+        k = 5, m = m, ksub = ksub, iters = 1, candidates = 200)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pq == exact)
+    // a 0-iteration codebook is exactly the lowest-id seed subvectors
+    val cb0 = ops.ProductQuantization.train(vecs, "vec_id", "embedding", dim, m, ksub, iters = 0)
+    val seed1 = vecs.filter($"vec_id" === 1L).select("embedding")
+      .as[Seq[Float]].head().map(_.toDouble)
+    assert(cb0.words(0)(0) == seed1.take(dim / m).toVector)
+    intercept[IllegalArgumentException] {
+      ops.ProductQuantization.train(vecs, "vec_id", "embedding", dim, m = 3, ksub, iters = 1)
+    }
+  }
+
+  test("product quantization: clustered corpus — approx scan finds the right cluster") {
+    import spark.implicits._
+    val dim = 8
+    // 4 well-separated axis clusters, 50 members each, small jitter
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(dim)(d =>
+        (if (d == c * 2) 1.0f else 0.0f) + (math.sin(i * 1.7 + d) * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Array.tabulate(dim)(d => if (d == 2) 1.0 else 0.0) // cluster 1's axis
+    // tight candidate pool (= k): the approximate ranking alone must
+    // already be cluster-correct for the rerank to equal exact top-k
+    val exact = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = ops.ProductQuantization.topK(vecs, "vec_id", "embedding", q,
+        k = 10, m = 4, ksub = 8, iters = 2, candidates = 30)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect pq).size >= 9, s"recall too low: $pq vs $exact")
+    pq.foreach(id => assert(id % 4 == 1, s"vector $id is not from the query's cluster"))
+  }
+
   test("as-of join: latest at-or-before match per key, nulls when none") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L), (4L, 30L, 10L))
@@ -1135,6 +1193,41 @@ class OpsSpec extends SparkSpec {
     assert(out.head == (("aa", 4L)))
     assert(out.toMap == Map("aa" -> 4L, "ab" -> 3L, "xy" -> 1L))
     // single-char words ("x") contribute nothing
+  }
+
+  test("bpe train: frequency-weighted global merges, greedy leftmost apply, segmentation") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest low low"), (2L, "newer newest new low"),
+      (3L, "wider wide wide")).toDF("doc_id", "text")
+    val out = TextAnalytics.bpeTrain(docs, "text", merges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // hand-derived trajectory ("low"×5, "lo"-prefix words 7): l+o wins,
+    // then lo+w; rank 3-5 are the 3-count ties broken lexicographically
+    assert(out.toSeq == Seq(
+      (1, "l", "o", 6L), (2, "lo", "w", 6L), (3, "d", "e", 3L),
+      (4, "e", "w", 3L), (5, "i", "de", 3L)))
+    // segmentation replays the merge table in rank order
+    val table = out.toSeq.map(t => (t._2, t._3))
+    val seg = Seq("lowest", "aaa").toDF("w")
+      .select(TextAnalytics.bpeSegment(col("w"), table.take(2)).as("t"))
+      .as[Seq[String]].collect()
+    assert(seg(0) == Seq("low", "e", "s", "t"))
+    // greedy leftmost non-overlap: a merge (a,a) on "aaa" takes the FIRST pair
+    val segAA = Seq("aaa").toDF("w")
+      .select(TextAnalytics.bpeSegment(col("w"), Seq(("a", "a"))).as("t"))
+      .as[Seq[String]].collect()
+    assert(segAA(0) == Seq("aa", "a"))
+    // exhaustion: more merges requested than pairs exist -> stops early
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val ex = TextAnalytics.bpeTrain(tiny, "text", merges = 10).collect()
+    assert(ex.length == 1 && ex(0).getString(1) == "a" && ex(0).getString(2) == "b")
+    // the induced vocabulary after (l,o) and (lo,w): "low" covers the
+    // word low×4 plus the prefix of lower/lowest = 6; "e" stays a char
+    // token (no merge touches it) with 10 occurrences
+    val vocab = TextAnalytics.bpeVocab(docs, "text", merges = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(vocab.head == (("e", 10L)))
+    assert(vocab.toMap("low") == 6L)
   }
 
   test("event paths: per-user ordered trigrams, short histories dropped") {
