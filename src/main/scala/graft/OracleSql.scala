@@ -396,6 +396,54 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine, ac AS approx_cosine
         |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    // IVF-PQ replayed from raw inputs: coarse codebook = the 8
+    // lowest-id embeddings (cells 0..7, seed-only), assignment =
+    // argmin 6dp-rounded euclidean ties-low; residual = x − cell
+    // centroid; fine codebook = the 16 lowest-id rows' residual
+    // subvectors per 8-dim subspace (seed-only); probe = top-2 cells
+    // by 6dp-rounded centroid cosine ties-low; approx scan scores
+    // centroid + decoded residual over probed cells only → top-50;
+    // exact rerank → top-10.
+    "ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        | cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS cw
+        |        FROM v ORDER BY vec_id LIMIT 8),
+        | ca AS (SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(list_distance(e, cw), 6), cell) AS rk
+        |        FROM v, cc),
+        | ab AS (SELECT vec_id, cell FROM ca WHERE rk = 1),
+        | res AS (SELECT v.vec_id, ab.cell,
+        |          list_transform(generate_series(1, 64), i -> e[i] - cw[i]) AS r
+        |         FROM v JOIN ab USING (vec_id) JOIN cc USING (cell)),
+        | js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        | fs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
+        |        FROM res ORDER BY vec_id LIMIT 16),
+        | fcb AS (SELECT j, code, list_slice(r, j*8 + 1, j*8 + 8) AS w FROM fs, js),
+        | sub AS (SELECT vec_id, j, list_slice(r, j*8 + 1, j*8 + 8) AS sv FROM res, js),
+        | asg AS (SELECT vec_id, j, code,
+        |          row_number() OVER (PARTITION BY vec_id, j
+        |            ORDER BY round(list_distance(sv, w), 6), code) AS rk
+        |         FROM sub JOIN fcb USING (j)),
+        | a1 AS (SELECT vec_id, j, code FROM asg WHERE rk = 1),
+        | xhr AS (SELECT vec_id, flatten(list(w ORDER BY a1.j)) AS rhat
+        |         FROM a1 JOIN fcb ON a1.j = fcb.j AND a1.code = fcb.code
+        |         GROUP BY vec_id),
+        | pr AS (SELECT cell FROM (
+        |          SELECT cell, round(list_cosine_similarity(cw, qv), 6) AS cs FROM cc, q)
+        |        ORDER BY cs DESC, cell LIMIT 2),
+        | ap AS (SELECT res.vec_id,
+        |         round(list_cosine_similarity(
+        |           list_transform(generate_series(1, 64), i -> cw[i] + rhat[i]), qv), 6) AS ac
+        |        FROM res JOIN xhr USING (vec_id)
+        |             JOIN cc USING (cell) JOIN pr USING (cell), q
+        |        ORDER BY ac DESC, vec_id LIMIT 50),
+        | re AS (SELECT ap.vec_id, list_cosine_similarity(v.e, q.qv) AS c, ap.ac
+        |        FROM ap JOIN v USING (vec_id), q)
+        |SELECT vec_id, round(c, 6) AS cosine, ac AS approx_cosine
+        |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
     // DuckDB's native ASOF JOIN — an independent implementation of the
     // operator (not a replay of the engine's union+window plan).
     "q11_asof_join" ->

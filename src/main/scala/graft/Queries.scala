@@ -545,6 +545,25 @@ object Queries {
         col("approx_cosine"))
   }
 
+  /** IVF-PQ two-stage search over a pre-encoded index: k-means coarse
+    * cells (8 cells, seed-only here so the oracle replays without
+    * iteration CTEs), residual PQ codes (8 subspaces × 16 words,
+    * seed codebook), driver-side cell probe (top-2 by centroid
+    * cosine), decode+score over the probed cells only, exact rerank →
+    * top-10. The oracle replays seeds, both 6dp-rounded argmin
+    * assignments, the probe, and both rankings from raw inputs. */
+  def ivfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val model = ops.ProductQuantization.ivfPqTrain(emb, "vec_id", "embedding",
+      dim = 64, kCoarse = 8, m = 8, ksub = 16, coarseIters = 0, pqIters = 0)
+    val encoded = ops.ProductQuantization.ivfPqEncode(emb, "vec_id", "embedding", model)
+    ops.ProductQuantization.ivfPqTopK(encoded, emb, "vec_id", "embedding",
+        model, q, k = 10, nProbe = 2, candidates = 50)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"), col("approx_cosine"))
+  }
+
   /** The full ladder in measured-correct order: exact-collapse, then
     * jaccard near-dup (corpus-fraction cap) on survivors, lower id
     * wins each pair. */
@@ -1372,6 +1391,7 @@ object Queries {
     "pii_redact" -> piiRedact _,
     "quant_topk" -> quantTopk _,
     "pq_topk" -> pqTopk _,
+    "ivfpq_topk" -> ivfpqTopk _,
     "top_ngrams" -> topNgrams _,
     "tfidf_keywords" -> tfidfKeywords _,
     "doc_centroids" -> docCentroids _,

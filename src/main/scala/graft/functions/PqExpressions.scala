@@ -73,6 +73,23 @@ final class PqKernel(val dim: Int, val m: Int, val ksub: Int,
     new GenericArrayData(out)
   }
 
+  /** x̂ from STORED codes (no raw vector): the decode half of an
+    * encoded index scan. `isByte` = the persisted `array<tinyint>`
+    * form (code − 128, [[graft.ops.ProductQuantization.encode]]);
+    * otherwise raw int codes. */
+  def decodeAD(cs: ArrayData, isByte: Boolean): ArrayData = {
+    val out = new Array[Any](dim)
+    var j = 0
+    while (j < m) {
+      val code = if (isByte) cs.getByte(j) + 128 else cs.getInt(j)
+      val w = words(j)(code)
+      var d = 0
+      while (d < ds) { out(j * ds + d) = w(d); d += 1 }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   override def equals(o: Any): Boolean = o match {
     case k: PqKernel => k.dim == dim && k.m == m && k.ksub == ksub &&
       java.util.Arrays.deepEquals(
@@ -119,9 +136,36 @@ case class PqReconstruct(child: Expression, kernel: PqKernel) extends PqExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** pq_decode(codes) → array<double> x̂ from stored codes — the scan
+  * side of an encoded index: no raw vector, no argmin, just the m
+  * codeword copies. Accepts the persisted `array<tinyint>` (code−128)
+  * or raw `array<int>` codes. */
+case class PqDecodeCodes(child: Expression, kernel: PqKernel) extends UnaryExpression {
+  override def prettyName: String = "pq_decode"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType | IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<tinyint> or array<int> codes, got ${t.sql}")
+  }
+  private lazy val isByte: Boolean = child.dataType match {
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(a: Any): Any =
+    kernel.decodeAD(a.asInstanceOf[ArrayData], isByte)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqKernel", kernel, classOf[PqKernel].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = $ref.decodeAD($x, $isByte);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object PqFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
   def pqCodes(x: Column, kernel: PqKernel): Column = col(PqEncodeCodes(ex(x), kernel))
   def pqReconstruct(x: Column, kernel: PqKernel): Column = col(PqReconstruct(ex(x), kernel))
+  def pqDecode(codes: Column, kernel: PqKernel): Column = col(PqDecodeCodes(ex(codes), kernel))
 }

@@ -106,7 +106,15 @@ object ProductQuantization {
     * reconstruction against the raw query (asymmetric distance — the
     * query is never quantized), take top-`candidates`, exact-rerank
     * with full vectors → top-k. Mirrors
-    * [[Quantization.quantizedTopK]]'s output shape. */
+    * [[Quantization.quantizedTopK]]'s output shape.
+    *
+    * COUPLING RULE (measured in ScaleOpsSpec's recall gate): plain PQ
+    * is a COMPRESSOR, not a pruner — every vector whose codes match
+    * the true neighbors' codes ties in the approximate ranking, so
+    * `candidates` must cover the quantization tie-set (on clustered
+    * corpora: the cluster size). For a small candidate pool at scale
+    * use [[ivfPqTopK]], which quantizes RESIDUALS so within-cluster
+    * structure survives compression. */
   def topK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, m: Int, ksub: Int, iters: Int,
       candidates: Int = 50, trained: Option[PqCodebook] = None): DataFrame = {
@@ -124,5 +132,194 @@ object ProductQuantization {
       .select(col(idCol), col("cosine"), col("approx_cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF-PQ model (Jégou et al. 2011 §V, "IVFADC"): a k-means coarse
+    * quantizer (one full-dim centroid per inverted list) plus a PQ
+    * codebook trained on RESIDUALS x − centroid(x). The coarse
+    * quantizer must be k-means, not sign-LSH buckets: a sign bucket
+    * can straddle several natural clusters, so its mean sits between
+    * them and the residuals carry the LARGE cluster-offset component —
+    * which then soaks up all the codebook's bits and drowns the small
+    * within-cluster signal the rerank needs (measured: recall@10 0.36
+    * with LSH-bucket residuals vs ≥0.9 with k-means residuals at the
+    * same code budget). Driver state is kCoarse·dim doubles + the
+    * dim·ksub codebook — broadcast-sized at any corpus scale.
+    *
+    * The coarse kernel is [[graft.functions.PqKernel]] with m=1:
+    * argmin over kCoarse full-dim words, 6dp-rounded distance, ties
+    * low — the same replayable assignment convention as the fine
+    * codebook, and the per-row cost is one fused codegen'd call. */
+  final case class IvfPqModel(dim: Int, kCoarse: Int,
+      coarse: Vector[Vector[Double]], cb: PqCodebook) {
+    def coarseKernel: PqKernel =
+      new PqKernel(dim, 1, kCoarse, Array(coarse.map(_.toArray).toArray))
+    /** (bucket: int, centroid: array<double>) — kCoarse rows, for
+      * broadcast joins against an encoded scan. */
+    def centroidFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      coarse.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("bucket", "centroid")
+    }
+  }
+
+  /** Train an IVF-PQ model: `coarseIters` Lloyd iterations for the
+    * kCoarse coarse centroids (seeded from the kCoarse lowest-id
+    * rows, micro-snapped means — [[graft.ops.Clustering.kmeans]]'s
+    * replayable construction), then the fine codebook on residuals.
+    * Train on a bounded sample: training cost must not scale with the
+    * corpus (the model is kCoarse·dim + dim·ksub doubles regardless). */
+  def ivfPqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      kCoarse: Int, m: Int, ksub: Int, coarseIters: Int, pqIters: Int): IvfPqModel = {
+    require(kCoarse > 0 && coarseIters >= 0, "kCoarse positive, coarseIters non-negative")
+    val v = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var coarse: Vector[Vector[Double]] = v.orderBy(col("__id").asc)
+        .limit(kCoarse).collect().map(_.getSeq[Double](1).toVector).toVector
+      require(coarse.length == kCoarse, s"need at least kCoarse=$kCoarse rows to seed")
+      for (_ <- 1 to coarseIters) {
+        val kern = new PqKernel(dim, 1, kCoarse, Array(coarse.map(_.toArray).toArray))
+        val meanCols = (0 until dim).map(i =>
+          (round(avg(col("__v")(i)) * 1000000.0).cast("long") / 1000000.0).as(s"c$i"))
+        val updated = v
+          .withColumn("__b", element_at(PqFunctions.pqCodes(col("__v"), kern), 1))
+          .groupBy(col("__b")).agg(meanCols.head, meanCols.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), (1 to dim).map(r.getDouble).toVector))
+          .toMap
+        coarse = (0 until kCoarse).map(i => updated.getOrElse(i, coarse(i))).toVector
+      }
+      val model0 = IvfPqModel(dim, kCoarse, coarse, null)
+      val resid = v.withColumn("__resid",
+        zip_with(col("__v"),
+          PqFunctions.pqReconstruct(col("__v"), model0.coarseKernel),
+          (x, c) => x - c))
+      val cb = train(resid, "__id", "__resid", dim, m, ksub, pqIters)
+      model0.copy(cb = cb)
+    } finally v.unpersist()
+  }
+
+  /** Encode the corpus against a trained model: (id, bucket: int,
+    * pq_code: array<tinyint>) — m+5 bytes of index per vector. This
+    * is the one full-corpus pass; queries scan only probed buckets of
+    * the encoded frame (write it partitioned by `bucket` and the scan
+    * partition-prunes). */
+  def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val resid = zip_with(v,
+      PqFunctions.pqReconstruct(v, model.coarseKernel), (x, c) => x - c)
+    df.select(col(idCol),
+      element_at(PqFunctions.pqCodes(v, model.coarseKernel), 1).as("bucket"),
+      transform(PqFunctions.pqCodes(resid, model.cb.kernel),
+        c => (c - lit(128)).cast("tinyint")).as("pq_code"))
+  }
+
+  /** IVF-PQ query over a pre-encoded index: probe the `nProbe`
+    * coarse cells nearest the query (pure driver arithmetic on the
+    * kCoarse×dim model — no Spark job), scan ONLY those cells'
+    * encoded rows, score the decode centroid(bucket)+x̂(codes) against
+    * the raw query (asymmetric — the query is never quantized), take
+    * `candidates`, exact-rerank against `raw` by broadcast join →
+    * top-k. Both ranked stages are TakeOrderedAndProject (bounded
+    * heaps), never a full sort; the cell filter is an `isin` on ≤
+    * nProbe int literals, so a bucket-partitioned store prunes to
+    * nProbe/kCoarse of the index files. */
+  def ivfPqTopK(encoded: DataFrame, raw: DataFrame, idCol: String,
+      vecCol: String, model: IvfPqModel, query: Array[Double], k: Int,
+      nProbe: Int = 16, candidates: Int = 200): DataFrame = {
+    val spark = encoded.sparkSession
+    val q = lit(query)
+    val probed: Seq[Int] = model.coarse.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var nc = 0.0; var nq = 0.0
+      var d = 0
+      while (d < model.dim) {
+        dot += c(d) * query(d); nc += c(d) * c(d); nq += query(d) * query(d); d += 1
+      }
+      val sim = if (nc == 0 || nq == 0) 0.0 else dot / math.sqrt(nc * nq)
+      (BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i)
+    }.sortBy { case (sim, i) => (-sim, i) }.take(nProbe).map(_._2)
+    val cents = model.centroidFrame(spark)
+      .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
+    val approx = encoded
+      .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(cents), "bucket")
+      .withColumn("approx_cosine", round(VectorFunctions.cosineSimilarity(
+        zip_with(col("centroid"),
+          PqFunctions.pqDecode(col("pq_code"), model.cb.kernel),
+          (c, r) => c + r), q), 6))
+      .select(col(idCol), col("approx_cosine"))
+      .orderBy(col("approx_cosine").desc, col(idCol).asc)
+      .limit(candidates)
+    broadcast(approx).join(raw.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), q))
+      .select(col(idCol), col("cosine"), col("approx_cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Persist an IVF-PQ index: `dir/codes` = the encoded frame
+    * partitioned by coarse cell (so a stored query's `bucket isin`
+    * filter is STATIC partition pruning — unprobed cells' files are
+    * never opened), `dir/model.json` = the model (kCoarse·dim +
+    * dim·ksub doubles — index metadata, not data). At m=16 the index
+    * is ~21 bytes/vector vs 256 for float32 — the parquet-IO win an
+    * encoded scan exists for. */
+  def ivfPqWrite(df: DataFrame, dir: String, idCol: String, vecCol: String,
+      model: IvfPqModel): Unit = {
+    ivfPqEncode(df, idCol, vecCol, model)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/codes")
+    writeModel(dir, model)
+  }
+
+  /** Query a stored [[ivfPqWrite]] index: model from `dir/model.json`
+    * (driver-side probe arithmetic), codes scan pruned to the probed
+    * cell partitions, exact rerank against `raw`. */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+      raw: DataFrame, idCol: String, vecCol: String, query: Array[Double],
+      k: Int, nProbe: Int = 16, candidates: Int = 200): DataFrame = {
+    val model = readModel(dir)
+    val encoded = spark.read.parquet(s"$dir/codes")
+      .withColumn("bucket", col("bucket").cast("int"))
+    ivfPqTopK(encoded, raw, idCol, vecCol, model, query, k, nProbe, candidates)
+  }
+
+  private def modelPath(dir: String) = java.nio.file.Paths.get(dir, "model.json")
+
+  /** Model JSON round-trip: Jackson emits shortest-round-trip double
+    * literals, so read(write(m)) == m exactly — asserted in spec. */
+  def writeModel(dir: String, model: IvfPqModel): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("dim", model.dim); node.put("k_coarse", model.kCoarse)
+    node.put("m", model.cb.m); node.put("ksub", model.cb.ksub)
+    val ca = node.putArray("coarse")
+    model.coarse.foreach { c => val a = ca.addArray(); c.foreach(a.add) }
+    val wa = node.putArray("words")
+    model.cb.words.foreach { sub =>
+      val sa = wa.addArray()
+      sub.foreach { w => val a = sa.addArray(); w.foreach(a.add) }
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(modelPath(dir),
+      mapper.writeValueAsString(node).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readModel(dir: String): IvfPqModel = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(modelPath(dir)))
+    def arr2(n: com.fasterxml.jackson.databind.JsonNode): Vector[Vector[Double]] = {
+      import scala.jdk.CollectionConverters._
+      n.elements().asScala.map(row =>
+        row.elements().asScala.map(_.asDouble()).toVector).toVector
+    }
+    import scala.jdk.CollectionConverters._
+    val dim = node.get("dim").asInt()
+    IvfPqModel(dim, node.get("k_coarse").asInt(),
+      arr2(node.get("coarse")),
+      PqCodebook(dim, node.get("m").asInt(), node.get("ksub").asInt(),
+        node.get("words").elements().asScala.map(arr2).toVector))
   }
 }

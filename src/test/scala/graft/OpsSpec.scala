@@ -329,6 +329,65 @@ class OpsSpec extends SparkSpec {
     pq.foreach(id => assert(id % 4 == 1, s"vector $id is not from the query's cluster"))
   }
 
+  test("IVF-PQ: train/encode/query — residual codes, pruned scan, rerank = exact") {
+    import spark.implicits._
+    val dim = 8
+    // 4 well-separated axis clusters, 50 members each, small jitter
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(dim)(d =>
+        (if (d == c * 2) 1.0f else 0.0f) + (math.sin(i * 1.7 + d) * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = ops.ProductQuantization.ivfPqTrain(vecs, "vec_id", "embedding",
+      dim, kCoarse = 4, m = 4, ksub = 8, coarseIters = 3, pqIters = 2)
+    assert(model.coarse.length == 4 && model.coarse.forall(_.length == dim))
+    // training is partitioning-invariant (micro-snapped means, rounded
+    // argmins) — the same model from any physical layout
+    val model2 = ops.ProductQuantization.ivfPqTrain(vecs.repartition(7),
+      "vec_id", "embedding", dim, kCoarse = 4, m = 4, ksub = 8, coarseIters = 3, pqIters = 2)
+    assert(model == model2)
+    val encoded = ops.ProductQuantization.ivfPqEncode(vecs, "vec_id", "embedding", model)
+    // index row = (id, coarse cell, m residual code bytes)
+    val rows = encoded.collect()
+    assert(rows.forall(_.getSeq[Byte](2).length == 4))
+    assert(rows.map(_.getInt(1)).distinct.sorted.forall(b => b >= 0 && b < 4))
+    // a coarse cell must isolate each axis cluster after 3 Lloyd
+    // iterations: all 50 members of a cluster share one bucket
+    val bucketsPerCluster = rows.groupBy(_.getLong(0) % 4)
+      .map { case (_, rs) => rs.map(_.getInt(1)).distinct.length }
+    assert(bucketsPerCluster.forall(_ == 1))
+    val q = Array.tabulate(dim)(d => if (d == 2) 1.0 else 0.0) // cluster 1's axis
+    val exact = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // nProbe=1: the scan reads ONE cell (50 of 200 rows) and the
+    // reranked result still equals the exact top-k
+    val got = ops.ProductQuantization.ivfPqTopK(encoded, vecs, "vec_id",
+        "embedding", model, q, 10, nProbe = 1, candidates = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+    // decode is the pure codeword copy: centroid + decode(codes) over
+    // the encoded frame == reconstruct(residual) over the raw frame
+    val cents = model.centroidFrame(spark)
+    val viaCodes = encoded.join(cents, "bucket")
+      .select($"vec_id", zip_with($"centroid",
+        graft.functions.PqFunctions.pqDecode($"pq_code", model.cb.kernel),
+        (c, r) => c + r).as("xhat"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val viaRaw = vecs
+      .withColumn("xhat", zip_with(
+        graft.functions.PqFunctions.pqReconstruct(
+          zip_with($"embedding".cast("array<double>"),
+            graft.functions.PqFunctions.pqReconstruct(
+              $"embedding".cast("array<double>"), model.coarseKernel),
+            (x, c) => x - c), model.cb.kernel),
+        graft.functions.PqFunctions.pqReconstruct(
+          $"embedding".cast("array<double>"), model.coarseKernel),
+        (r, c) => r + c))
+      .select($"vec_id", $"xhat")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(viaCodes.toSeq == viaRaw.toSeq)
+  }
+
   test("as-of join: latest at-or-before match per key, nulls when none") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L), (4L, 30L, 10L))
@@ -1227,7 +1286,7 @@ class OpsSpec extends SparkSpec {
     val vocab = TextAnalytics.bpeVocab(docs, "text", merges = 2, k = 5)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(vocab.head == (("e", 10L)))
-    assert(vocab.toMap("low") == 6L)
+    assert(vocab.toMap.apply("low") == 6L)
   }
 
   test("event paths: per-user ordered trigrams, short histories dropped") {

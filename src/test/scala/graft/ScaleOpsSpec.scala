@@ -36,6 +36,34 @@ class ScaleOpsSpec extends SparkSpec {
       brute.select("vec_id").as[Long].collect().toSeq)
   }
 
+  test("stored IVF-PQ: model JSON round-trips exactly; scan prunes to probed cells; == in-memory") {
+    // 4 axis clusters (the OpsSpec IVF-PQ corpus) so coarse cells are
+    // meaningful and the pruning assertion reads a strict subset
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(8)(d =>
+        (if (d == c * 2) 1.0f else 0.0f) + (math.sin(i * 1.7 + d) * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = ops.ProductQuantization.ivfPqTrain(vecs, "vec_id", "embedding",
+      dim = 8, kCoarse = 4, m = 4, ksub = 8, coarseIters = 3, pqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    ops.ProductQuantization.ivfPqWrite(vecs, dir, "vec_id", "embedding", model)
+    // shortest-round-trip doubles: the reread model is BIT-identical,
+    // so stored and in-memory queries replay the same arithmetic
+    assert(ops.ProductQuantization.readModel(dir) == model)
+
+    val q = Array.tabulate(8)(d => if (d == 2) 1.0 else 0.0)
+    val stored = ops.ProductQuantization.ivfPqTopKStored(spark, dir, vecs,
+      "vec_id", "embedding", q, k = 5, nProbe = 1, candidates = 50)
+    val inMem = ops.ProductQuantization.ivfPqTopK(
+      ops.ProductQuantization.ivfPqEncode(vecs, "vec_id", "embedding", model),
+      vecs, "vec_id", "embedding", model, q, 5, nProbe = 1, candidates = 50)
+    assert(stored.collect().toSeq == inMem.collect().toSeq)
+    val scanText = stored.queryExecution.executedPlan.toString
+    assert(scanText.contains("PartitionFilters") && scanText.contains("bucket"),
+      s"expected partition filters on bucket in:\n$scanText")
+  }
+
   test("quantized sidecar stage 1 scans only (id, qvec) — column-pruned") {
     val rnd = new scala.util.Random(7)
     val dir = java.nio.file.Files.createTempDirectory("graft_quant_db").toString
@@ -320,7 +348,41 @@ class ScaleOpsSpec extends SparkSpec {
       val ivf = meanRecall(qv => SimilaritySearch.ivfTopKStored(
         spark, ivfDir, "vec_id", "embedding", qv, 10, nProbe = 16))
       assert(ivf >= 0.9, f"IVF default (64 buckets, nProbe=16) recall@10 $ivf%.3f < 0.9")
-      info(f"recall@10 at n=$n: lsh=$lsh%.3f ivf=$ivf%.3f")
+      // Plain PQ is a compressor, not a pruner: every member of a
+      // cluster shares codes, so the approximate ranking TIES across
+      // the cluster and the candidate pool must cover that tie-set
+      // (here: cluster size = n/64). The gate asserts the documented
+      // coupling holds — and that the small-pool configuration is the
+      // job of IVF-PQ below, not plain PQ.
+      val pqCb = ops.ProductQuantization.train(
+        vecs.filter($"vec_id" < 50000), "vec_id", "embedding", dim,
+        m = 8, ksub = 16, iters = 2)
+      val tieSet = (2 * n / 64).toInt
+      val pq = meanRecall(qv => ops.ProductQuantization.topK(
+        vecs, "vec_id", "embedding", qv, 10, m = 8, ksub = 16, iters = 0,
+        candidates = tieSet, trained = Some(pqCb)))
+      assert(pq >= 0.9, f"PQ (m=8, ksub=16, cand=$tieSet) recall@10 $pq%.3f < 0.9")
+      // IVF-PQ quantizes residuals against a K-MEANS coarse quantizer,
+      // so within-cell structure survives compression and a SMALL
+      // candidate pool (500 ≈ 0.17% of n) holds recall — the
+      // production ANN shape: train once on a bounded sample, encode
+      // the corpus once (m+5 bytes/vector), scan only probed cells.
+      // Config measured by tools/PqProbe: kCoarse=256 cells beats
+      // bigger fine codebooks at equal recall and 4× cheaper training
+      // (256 cells/m=16/ksub=64 → 1.000 vs 64 cells/ksub=256 → 0.94).
+      val ivfPqModel = ops.ProductQuantization.ivfPqTrain(
+        vecs.filter($"vec_id" < 50000), "vec_id", "embedding", dim,
+        kCoarse = 256, m = 16, ksub = 64, coarseIters = 3, pqIters = 2)
+      val encoded = ops.ProductQuantization.ivfPqEncode(
+          vecs, "vec_id", "embedding", ivfPqModel)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      encoded.count()
+      val ivfPq = try meanRecall(qv => ops.ProductQuantization.ivfPqTopK(
+        encoded, vecs, "vec_id", "embedding", ivfPqModel, qv, 10,
+        nProbe = 32, candidates = 500))
+      finally encoded.unpersist()
+      assert(ivfPq >= 0.9, f"IVF-PQ (kC=256, nProbe=32, cand=500) recall@10 $ivfPq%.3f < 0.9")
+      info(f"recall@10 at n=$n: lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f ivfpq=$ivfPq%.3f")
     } finally vecs.unpersist()
   }
 
