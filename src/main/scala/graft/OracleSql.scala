@@ -182,9 +182,9 @@ object OracleSql {
         | h AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS c
         |       FROM embeddings, q
         |       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id LIMIT 6)
-        |SELECT 'Answer based on the contexts below.' || chr(10) || chr(10) ||
+        |SELECT 'Answer based on the contexts below.' || chr(10) || chr(10) || '---' || chr(10) || chr(10) ||
         | string_agg(d.text, chr(10)||chr(10)||'---'||chr(10)||chr(10) ORDER BY h.c DESC, h.vec_id) ||
-        | chr(10)||chr(10)||'What is spark?' AS prompt
+        | chr(10)||chr(10)||'-----'||chr(10)||chr(10)||'What is spark?' AS prompt
         |FROM h JOIN documents d ON h.vec_id = d.doc_id""".stripMargin,
 
     "chunk_counts" ->

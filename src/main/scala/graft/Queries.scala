@@ -432,12 +432,12 @@ object Queries {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     hits.join(docs, hits("vec_id") === docs("doc_id"))
       .agg(concat(
-        lit("Answer based on the contexts below.\n\n"),
+        lit("Answer based on the contexts below.\n\n---\n\n"),
         array_join(transform(
           array_sort(collect_list(struct((-col("c6")).as("negc"),
             col("vec_id").as("vid"), col("text").as("txt")))),
           x => x.getField("txt")), "\n\n---\n\n"),
-        lit("\n\nWhat is spark?")).as("prompt"))
+        lit("\n\n-----\n\nWhat is spark?")).as("prompt"))
   }
 
   /** A2+A4 — citation grouping of a hit set against document provenance

@@ -195,9 +195,11 @@ object VectorSearch {
       .filter(TextFunctions.docTypePredicate(col("document_type"), opts.documentTypes))
   }
 
-  /** RAG prompt assembly (chat_llm.py:45-50): contexts joined with
-    * `\n\n---\n\n` in hit order (nearest first), then the user
-    * question. Ordering is done IN-aggregate —
+  /** RAG prompt assembly, byte-exact to the reference
+    * (chat_llm.py:45-50): `ragString`, a `\n\n---\n\n` rule, the
+    * contexts joined with the same rule in hit order (nearest first),
+    * then a five-dash `\n\n-----\n\n` rule before the user question.
+    * Ordering is done IN-aggregate —
     * `array_sort(collect_list(struct(...)))` — because a pre-aggregate
     * `orderBy` is not guaranteed to survive into `collect_list` once an
     * exchange sits between them; the sorted-struct form is reproducible
@@ -212,7 +214,7 @@ object VectorSearch {
           col("text").as("txt")))),
         x => x.getField("txt")), "\n\n---\n\n").as("ctx"))
       .head().getString(0)
-    s"$ragString\n\n$ctx\n\n$question"
+    s"$ragString\n\n---\n\n$ctx\n\n-----\n\n$question"
   }
 
   /** Side-effect parity with the reference's pre-LLM dump files
