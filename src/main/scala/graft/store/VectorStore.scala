@@ -166,6 +166,73 @@ object VectorStore {
       .join(org.apache.spark.sql.functions.broadcast(cand), Seq("id"))
     VectorSearch.searchChunks(subset, queryVec, metric, opts)
   }
+  // -------------------------------------------------------------------
+  // IVF-PQ index sidecar: chunks_ivfpq/ holds the encoded index of
+  // [[graft.ops.ProductQuantization.ivfPqWrite]] — codes parquet
+  // partitioned by coarse cell + model.json. Unlike the flat int8
+  // sidecar (whole-corpus stage-1 scan at 1/4 IO), this one prunes the
+  // stage-1 scan to nProbe/kCoarse of the index FILES (static
+  // partition pruning on the cell filter) at ~m+5 bytes/vector — the
+  // 100 TB path. Derived data, rebuildable from chunks/ at any time.
+  // -------------------------------------------------------------------
+
+  /** Build/refresh the IVF-PQ sidecar from the stored chunks. Training
+    * runs on `trainFraction` of the chunks (model size is independent
+    * of the corpus; training cost must be too). `m` must divide the
+    * manifest dimension; `kCoarse`/`ksub` must not exceed the sampled
+    * row count (seed construction). */
+  def writeIvfPq(spark: SparkSession, dbDir: String, kCoarse: Int = 64,
+      m: Int = 8, ksub: Int = 64, coarseIters: Int = 3, pqIters: Int = 2,
+      trainFraction: Double = 1.0): Unit = {
+    val mf = readManifest(dbDir)
+    val ch = chunks(spark, dbDir)
+    val sample = if (trainFraction >= 1.0) ch
+      else ch.filter(pmod(xxhash64(col("id")), lit(1000000)) <
+        (trainFraction * 1000000).toLong)
+    val model = graft.ops.ProductQuantization.ivfPqTrain(
+      sample, "id", "vector", mf.dimensions, kCoarse, m, ksub, coarseIters, pqIters)
+    graft.ops.ProductQuantization.ivfPqWrite(
+      ch, s"$dbDir/chunks_ivfpq", "id", "vector", model)
+  }
+
+  /** Two-stage search against the IVF-PQ sidecar: rank the coarse
+    * cells under the database's metric (kCoarse-row frame — one tiny
+    * job), scan ONLY the probed cells' code partitions, rank the
+    * decode centroid+x̂ under the same metric, keep `candidates` ids,
+    * then broadcast-join back to chunks and run the standard exact
+    * search chain — identical post-filter semantics to
+    * [[searchQuantized]], different stage-1 index. With enough probes
+    * and candidates this equals exact search. */
+  def searchIvfPq(spark: SparkSession, dbDir: String, queryVec: Array[Float],
+      opts: graft.search.SearchOptions, nProbe: Int = 8,
+      candidates: Int = 64): DataFrame = {
+    import graft.search.VectorSearch
+    val metric = readManifest(dbDir).distanceMetric
+    val dir = s"$dbDir/chunks_ivfpq"
+    val model = graft.ops.ProductQuantization.readModel(dir)
+    val qd = lit(queryVec.map(_.toDouble))
+    val probed = model.centroidFrame(spark)
+      .withColumn("__d", VectorSearch.distanceColumn(metric, col("centroid"), qd))
+      .orderBy(VectorSearch.rankOrder(metric, col("__d")).asc, col("bucket").asc)
+      .limit(nProbe).select("bucket").collect().map(_.getInt(0)).toSeq
+    val cents = model.centroidFrame(spark)
+      .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
+    val cand = spark.read.parquet(s"$dir/codes")
+      .withColumn("bucket", col("bucket").cast("int"))
+      .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
+      .join(org.apache.spark.sql.functions.broadcast(cents), "bucket")
+      .withColumn("__xhat", zip_with(col("centroid"),
+        graft.functions.PqFunctions.pqDecode(col("pq_code"), model.cb.kernel),
+        (c, r) => c + r))
+      .withColumn("__approx_d", VectorSearch.distanceColumn(metric, col("__xhat"), qd))
+      .orderBy(VectorSearch.rankOrder(metric, col("__approx_d")).asc, col("id").asc)
+      .limit(candidates)
+      .select("id")
+    val subset = chunks(spark, dbDir)
+      .join(org.apache.spark.sql.functions.broadcast(cand), Seq("id"))
+    VectorSearch.searchChunks(subset, queryVec, metric, opts)
+  }
+
   def documents(spark: SparkSession, dbDir: String): DataFrame =
     spark.read.parquet(s"$dbDir/documents")
   def chunkDocMap(spark: SparkSession, dbDir: String): DataFrame =

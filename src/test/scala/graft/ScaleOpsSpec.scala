@@ -64,6 +64,39 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition filters on bucket in:\n$scanText")
   }
 
+  test("IVF-PQ sidecar: stage-1 scan partition-pruned; full pool == exact search chain") {
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_db").toString
+    val chunks = (1L to 100L).map { i =>
+      (i, s"text $i", Array.fill(8)(rnd.nextFloat() * 2 - 1),
+        s"/f$i.txt", ".txt", s"f$i.txt", "2026-01-01", "2026-01-01", s"h$i", "document",
+        Option.empty[Int])
+    }.toDF("id", "text", "vector", "file_path", "file_type", "file_name",
+      "creation_date", "modification_date", "hash", "document_type", "page_number")
+    chunks.write.parquet(s"$dir/chunks")
+    graft.store.VectorStore.writeManifest(dir,
+      graft.model.DbManifest("cosine", 8, "float32", "det", 100, 0))
+    graft.store.VectorStore.writeIvfPq(spark, dir,
+      kCoarse = 8, m = 4, ksub = 16, coarseIters = 2, pqIters = 1)
+    val qv = Array.fill(8)(0.25f)
+    val result = graft.store.VectorStore.searchIvfPq(spark, dir, qv,
+      graft.search.SearchOptions(k = 5, scoreThreshold = 0.0), nProbe = 2, candidates = 20)
+    // the codes scan must carry a static partition filter on the cell
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected partition filters on bucket in:\n$plan")
+    // full probe + full candidate pool == the exact search chain
+    val exact = graft.search.VectorSearch.searchChunks(
+      spark.read.parquet(s"$dir/chunks"), qv, "cosine",
+      graft.search.SearchOptions(k = 5, scoreThreshold = 0.0))
+      .select("id").as[Long].collect().toSeq
+    val full = graft.store.VectorStore.searchIvfPq(spark, dir, qv,
+      graft.search.SearchOptions(k = 5, scoreThreshold = 0.0),
+      nProbe = 8, candidates = 100)
+      .select("id").as[Long].collect().toSeq
+    assert(full == exact)
+  }
+
   test("quantized sidecar stage 1 scans only (id, qvec) — column-pruned") {
     val rnd = new scala.util.Random(7)
     val dir = java.nio.file.Files.createTempDirectory("graft_quant_db").toString
