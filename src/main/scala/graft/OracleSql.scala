@@ -1057,6 +1057,22 @@ object OracleSql {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS bin
         |FROM base""".stripMargin,
 
+    // token-budget prefix cut replayed from raw inputs: portable-hash
+    // priority order per language, inclusive running token total,
+    // keep while <= 3000 (first crosser blocks the rest — the window
+    // cumsum makes that automatic)
+    "token_budget_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |       ELSE CAST(length(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) END AS n_tokens
+        | FROM documents),
+        | c AS (SELECT lang, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |       FROM d)
+        |SELECT lang, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 3000""".stripMargin,
+
     "corpus_stats" -> langIdSql(
       """SELECT {CASE} AS lang_pred, count(*) AS n_docs,
         | CAST(sum(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0

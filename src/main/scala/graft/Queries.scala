@@ -961,6 +961,13 @@ object Queries {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("cum_before"), col("bin"))
 
+  /** Token-budget sample: ≤3000 tokens per language in portable-hash
+    * priority order, prefix cut (two-stage sharded cumsum). */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.tokenBudgetSample(t(s, dir, "documents"), "doc_id", "text",
+        "lang", budget = 3000, shards = 8)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+
   /** Weighted corpus mixing: all English + a deterministic 25% hash
     * sample of every other language, per-language counts. */
   def mixCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -1419,6 +1426,7 @@ object Queries {
     "hash_split" -> hashSplit _,
     "mix_corpus" -> mixCorpus _,
     "token_packing" -> tokenPacking _,
+    "token_budget_sample" -> tokenBudgetSample _,
     "corpus_stats" -> corpusStats _,
     "corpus_distinct_approx" -> corpusDistinctApprox _,
     "quality_classifier" -> qualityClassifier _,

@@ -570,6 +570,54 @@ object TextAnalytics {
       .drop("__h", "__shard", "__lr")
   }
 
+  /** Token-budget sampling per stratum — the "N tokens per source"
+    * curation step of a training-data mix: within each stratum, keep
+    * documents in portable-hash priority order while the INCLUSIVE
+    * running token total stays ≤ `budget`, stopping at the first
+    * crossing (prefix semantics: a doc that crosses the budget blocks
+    * everything after it — the deterministic, engine-replayable cut;
+    * greedy skip-and-continue would fill tighter but couples every
+    * keep decision to every earlier doc's size).
+    *
+    * Scale shape (the [[stratifiedQuota]] argument, on sums instead
+    * of ranks): a per-stratum ordered cumsum window would sort whole
+    * strata on single reducers, so stage 1 runs the cumsum per
+    * (stratum, id-hash shard) and keeps rows whose EXCLUSIVE
+    * shard-local prefix is ≤ budget — i.e. the shard's own kept
+    * prefix PLUS its first crossing row. Keeping each shard's first
+    * crosser is load-bearing: the stratum's first GLOBAL crosser is
+    * some shard's first local crosser (prefix sums are monotone and
+    * the shard order is the global order restricted), and stage 2
+    * needs that row's mass in the sliver — its sliver cumsum then
+    * crosses the budget at or before the true crossing point, so the
+    * exact global pass over the sliver reproduces the full-data cut
+    * (every globally-kept row's predecessors are all kept, hence all
+    * in the sliver, hence its sliver cumsum is exact; every
+    * globally-dropped sliver row sits at or after the first crosser,
+    * whose sliver cumsum already exceeds the budget). Survivors are
+    * bounded by ~budget tokens + one row per (stratum, shard), never
+    * the corpus. Returns kept rows with `n_tokens` and the inclusive
+    * `cum_tokens`. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, budget: Long, shards: Int = 64): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val wLocalExcl = w.partitionBy(col(stratumCol), col("__shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wGlobal = w.partitionBy(col(stratumCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__h", portableIdHash(col(idCol)))
+      .withColumn("__shard", pmod(col("__h"), lit(shards)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__lbefore", coalesce(sum(col("n_tokens")).over(wLocalExcl), lit(0L)))
+      .filter(col("__lbefore") <= budget)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wGlobal))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__h", "__shard", "__lbefore")
+  }
+
   /** Greedy sequence packing: assign docs (in id order within a hash
     * shard) to fixed token-budget bins — the batch-construction step of
     * a training pipeline. A doc starts in the bin its cumulative token

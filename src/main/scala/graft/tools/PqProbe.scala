@@ -49,12 +49,20 @@ object PqProbe {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    for ((kCoarse, m, ksub, ci, pi, nProbe, cand) <- Seq(
+    // at probe scale (≥1M) the question is the cell-count scaling rule
+    // (cells ∝ n at fixed probe fraction); at dev scale it is codebook
+    // capacity vs training cost
+    val configs = if (n >= 1000000L) Seq(
+        (64, 16, 64, 3, 2, 16, 500),
+        (256, 16, 64, 3, 2, 32, 500),
+        (1024, 16, 64, 3, 2, 64, 500))
+      else Seq(
         (64, 16, 64, 3, 2, 16, 500),
         (64, 16, 256, 3, 2, 16, 500),
         (64, 32, 64, 3, 2, 16, 500),
         (256, 16, 64, 3, 2, 32, 500),
-        (64, 16, 64, 3, 2, 16, 2000))) {
+        (64, 16, 64, 3, 2, 16, 2000))
+    for ((kCoarse, m, ksub, ci, pi, nProbe, cand) <- configs) {
       val sample = vecs.filter($"vec_id" < 50000)
       val (model, tTrain) = t(ProductQuantization.ivfPqTrain(
         sample, "vec_id", "embedding", dim, kCoarse, m, ksub, ci, pi))

@@ -483,6 +483,47 @@ class OpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._3)).toSet == direct)
   }
 
+  test("token budget sample: prefix cut, oversize blocker, shard prune == single window") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, ("w " * ((i % 7) + 1).toInt).trim, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "lang")
+    // shards=1 IS the definition (one global cumsum window); the
+    // sharded two-stage plan must reproduce it exactly, under any
+    // physical partitioning
+    val one = TextAnalytics.tokenBudgetSample(docs, "doc_id", "text", "lang",
+        budget = 40, shards = 1)
+      .select($"lang", $"doc_id", $"n_tokens", $"cum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val many = TextAnalytics.tokenBudgetSample(docs.repartition(7), "doc_id",
+        "text", "lang", budget = 40, shards = 8)
+      .select($"lang", $"doc_id", $"n_tokens", $"cum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(one == many)
+    assert(one.nonEmpty && one.forall(_._4 <= 40))
+    // maximality: per stratum the NEXT doc in hash order would cross
+    val keptIds = one.map(_._2)
+    val inOrder = docs.withColumn("__h", TextAnalytics.portableIdHash(col("doc_id")))
+      .withColumn("nt", graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .select($"lang", $"doc_id", $"nt", $"__h").as[(String, Long, Long, Long)]
+      .collect().groupBy(_._1)
+    inOrder.foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      val keptTok = one.filter(_._1 == lang).map(_._4).maxOption.getOrElse(0L)
+      val firstDropped = ordered.find(r => !keptIds.contains(r._2))
+      firstDropped.foreach(r => assert(keptTok + r._3 > 40,
+        s"$lang: first dropped doc ${r._2} would still have fit"))
+    }
+    // prefix (not skip-and-continue) semantics: an oversize doc at the
+    // head of the priority order blocks the whole stratum, even though
+    // the next doc alone would fit. md5("1") < md5("2") so doc 1 is
+    // first in hash order.
+    val blocked = TextAnalytics.tokenBudgetSample(
+      Seq((1L, ("x " * 100).trim, "z"), (2L, "a b", "z")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", budget = 10, shards = 4)
+    assert(blocked.count() == 0)
+  }
+
   test("quality filter: each rule trips on its planted document") {
     import spark.implicits._
     val docs = Seq(
