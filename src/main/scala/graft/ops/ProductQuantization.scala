@@ -286,6 +286,62 @@ object ProductQuantization {
     ivfPqTopK(encoded, raw, idCol, vecCol, model, query, k, nProbe, candidates)
   }
 
+  /** Incremental upsert into an [[ivfPqWrite]] layout — index
+    * maintenance without a full rebuild. Rows whose id exists are
+    * REPLACED (including vectors whose new embedding lands in a
+    * different cell — the old copy leaves its old cell); new ids are
+    * inserted. The MODEL IS FIXED: codebooks are static index
+    * metadata (re-training is an offline rebuild, exactly as in an
+    * IVFADC deployment), so an upsert is pure encode + targeted
+    * rewrite. Work is proportional to TOUCHED cells, never the index:
+    * old copies found via a column-pruned (id, cell) scan + broadcast
+    * semi-join, survivors + new rows rewritten via dynamic partition
+    * overwrite, cells emptied by a move have their partition dir
+    * dropped. Single-writer contract, like the build. */
+  def ivfPqUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val codesPath = s"$dir/codes"
+    val model = readModel(dir)
+    val newE = ivfPqEncode(newVecs, idCol, vecCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newIds = newE.select(col(idCol)).distinct()
+    require(newE.count() == newIds.count(),
+      s"ivfPqUpsert batch has duplicate $idCol values — an upsert needs one row per id")
+    val oldLoc = spark.read.parquet(codesPath)
+      .select(col(idCol), col("bucket").cast("int").as("bucket"))
+      .join(broadcast(newIds), Seq(idCol))
+    val touched = newE.select(col("bucket")).distinct()
+      .unionByName(oldLoc.select(col("bucket")).distinct())
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val survivors = spark.read.parquet(codesPath)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .withColumn("bucket", col("bucket").cast("int"))
+      .join(broadcast(newIds), Seq(idCol), "left_anti")
+    // localCheckpoint (eager): the write overwrites the path the
+    // survivors were read from, which Spark refuses in one lazy plan
+    val rewritten = survivors.select(col(idCol), col("pq_code"), col("bucket"))
+      .unionByName(newE.select(col(idCol), col("pq_code"), col("bucket")))
+      .localCheckpoint(true)
+    newE.unpersist()
+    val kept = rewritten.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(codesPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(codesPath), spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(kept).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/bucket=$b"), true)
+    }
+  }
+
+  /** Compact an [[ivfPqWrite]] layout after repeated upserts (each
+    * upsert appends ≥1 file per touched cell; footers-per-query is
+    * what a partitioned store dies of). */
+  def ivfPqCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerBucket: Int = 1): Unit =
+    SimilaritySearch.compactBucketed(spark, s"$dir/codes", maxFilesPerBucket)
+
   private def modelPath(dir: String) = java.nio.file.Paths.get(dir, "model.json")
 
   /** Model JSON round-trip: Jackson emits shortest-round-trip double

@@ -291,27 +291,33 @@ object SimilaritySearch {
     * partition overwrite. Vectors and centroids are unchanged —
     * asserted in the spec. Single-writer, like the build. */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
-      maxFilesPerBucket: Int = 1): Unit = {
+      maxFilesPerBucket: Int = 1): Unit =
+    compactBucketed(spark, s"$dir/vectors", maxFilesPerBucket)
+
+  /** The generic bucket-partition compaction behind [[ivfCompact]] —
+    * also maintains any other `bucket=`-partitioned index layout (the
+    * IVF-PQ codes store). Selection is a driver-side dir listing
+    * (metadata only); only oversized buckets are read or written. */
+  private[graft] def compactBucketed(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerBucket: Int = 1): Unit = {
     require(maxFilesPerBucket > 0, "maxFilesPerBucket must be positive")
-    val vecsPath = s"$dir/vectors"
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(vecsPath), spark.sparkContext.hadoopConfiguration)
-    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(vecsPath))
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
     val oversized = buckets.filter { b =>
       fs.listStatus(b.getPath).count(f => f.getPath.getName.endsWith(".parquet")) >
         maxFilesPerBucket
     }.map(_.getPath.getName.stripPrefix("bucket=").toLong).sorted.toSeq
     if (oversized.nonEmpty) {
-      val compacted = spark.read.parquet(vecsPath)
+      val compacted = spark.read.parquet(path)
         .filter(col("bucket").isin(oversized: _*))
-        .withColumn("bucket", col("bucket").cast("long"))
         .repartition(col("bucket"))
         .localCheckpoint(true)
       compacted.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", 0)
-        .partitionBy("bucket").parquet(vecsPath)
+        .partitionBy("bucket").parquet(path)
     }
   }
 

@@ -97,6 +97,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("stored IVF-PQ upsert: == full re-encode rebuild; moved ids leave their old cell; compaction") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d == c * 2) 1.0f else 0.0f) + (math.sin(i * 1.7 + d) * 0.05).toFloat)
+    val vecs = (0L until 200L).map(i => (i, mk(i, (i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val model = ops.ProductQuantization.ivfPqTrain(vecs, "vec_id", "embedding",
+      dim = 8, kCoarse = 4, m = 4, ksub = 8, coarseIters = 3, pqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_upsert").toString
+    ops.ProductQuantization.ivfPqWrite(vecs, dir, "vec_id", "embedding", model)
+    // batch: id 0 MOVES cluster (0 -> 1), id 7 re-embeds in place,
+    // ids 500/501 are new inserts into two different clusters
+    val batch = Seq((0L, mk(0, 1)), (7L, mk(7, 3)), (500L, mk(500, 0)),
+        (501L, mk(501, 2)))
+      .toDF("vec_id", "embedding")
+    ops.ProductQuantization.ivfPqUpsert(spark, dir, batch, "vec_id", "embedding")
+    val updatedCorpus = vecs.join(batch.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(batch)
+    val rebuildDir = java.nio.file.Files.createTempDirectory("ivfpq_rebuild").toString
+    ops.ProductQuantization.ivfPqWrite(updatedCorpus, rebuildDir, "vec_id", "embedding", model)
+    def dump(d: String) = spark.read.parquet(s"$d/codes")
+      .select($"vec_id", $"pq_code", $"bucket".cast("int"))
+      .as[(Long, Seq[Byte], Int)].collect().toSet
+    assert(dump(dir) == dump(rebuildDir))
+    // the moved id appears ONCE, in its new cell
+    assert(dump(dir).count(_._1 == 0L) == 1)
+    // upsert appended files; compaction brings every cell to one file
+    ops.ProductQuantization.ivfPqCompact(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      val n = fs.listStatus(c.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      assert(n == 1, s"${c.getPath.getName} has $n files after compaction")
+    }
+    assert(dump(dir) == dump(rebuildDir)) // compaction changes nothing
+  }
+
   test("quantized sidecar stage 1 scans only (id, qvec) — column-pruned") {
     val rnd = new scala.util.Random(7)
     val dir = java.nio.file.Files.createTempDirectory("graft_quant_db").toString
