@@ -396,6 +396,20 @@ object OracleSql {
         |SELECT vec_id, round(c, 6) AS cosine, ac AS approx_cosine
         |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
 
+    // Matryoshka truncated-dim search replayed from raw inputs:
+    // prefix-16 cosine (self-normalizing) -> top-50 -> exact full-dim
+    // rerank -> top-10.
+    "mrl_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        | ap AS (SELECT vec_id,
+        |         round(list_cosine_similarity(list_slice(e, 1, 16), list_slice(qv, 1, 16)), 6) AS ac
+        |        FROM v, q ORDER BY ac DESC, vec_id LIMIT 50),
+        | re AS (SELECT ap.vec_id, list_cosine_similarity(v.e, q.qv) AS c, ap.ac
+        |        FROM ap JOIN v USING (vec_id), q)
+        |SELECT vec_id, round(c, 6) AS cosine, ac AS approx_cosine
+        |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
     // IVF-PQ replayed from raw inputs: coarse codebook = the 8
     // lowest-id embeddings (cells 0..7, seed-only), assignment =
     // argmin 6dp-rounded euclidean ties-low; residual = x − cell

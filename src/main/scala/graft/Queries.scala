@@ -564,6 +564,20 @@ object Queries {
       .select(col("vec_id"), r6(col("cosine")).as("cosine"), col("approx_cosine"))
   }
 
+  /** Matryoshka truncated-dim two-stage search: rank on the first 16
+    * of 64 components (cosine self-normalizes the prefix), top-50
+    * candidates, exact full-dim rerank → top-10. The oracle replays
+    * the slice, both rounded rankings, and the rerank from raw
+    * inputs. */
+  def mrlTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    SimilaritySearch.matryoshkaTopK(emb, "vec_id", "embedding", q,
+        k = 10, dPrefix = 16, candidates = 50)
+      .select(col("vec_id"), r6(col("cosine")).as("cosine"), col("approx_cosine"))
+  }
+
   /** The full ladder in measured-correct order: exact-collapse, then
     * jaccard near-dup (corpus-fraction cap) on survivors, lower id
     * wins each pair. */
@@ -1399,6 +1413,7 @@ object Queries {
     "quant_topk" -> quantTopk _,
     "pq_topk" -> pqTopk _,
     "ivfpq_topk" -> ivfpqTopk _,
+    "mrl_topk" -> mrlTopk _,
     "top_ngrams" -> topNgrams _,
     "tfidf_keywords" -> tfidfKeywords _,
     "doc_centroids" -> docCentroids _,

@@ -26,6 +26,35 @@ object SimilaritySearch {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Matryoshka (MRL, Kusupati et al. 2022) truncated-dimension
+    * two-stage search: rank by cosine over the FIRST `dPrefix`
+    * components only (cosine self-normalizes, so no explicit
+    * renormalize is needed for the ranking), keep `candidates`, exact
+    * full-dim rerank → top-k. With MRL-trained embeddings the prefix
+    * carries most of the signal at dPrefix/dim of the arithmetic; at
+    * scale the prefix lives as its OWN materialized sidecar column
+    * (parquet cannot prune array elements, so the IO win needs the
+    * slice stored — same pattern as the int8 sidecar), which
+    * `mrlWrite`-style storage can add on top of this plan shape. Both
+    * stages are TakeOrderedAndProject. */
+  def matryoshkaTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, dPrefix: Int,
+      candidates: Int): DataFrame = {
+    require(dPrefix > 0 && dPrefix <= queryVec.length, "dPrefix must be in [1, dim]")
+    val qTrunc = lit(queryVec.take(dPrefix))
+    val approx = df
+      .withColumn("approx_cosine", round(VectorFunctions.cosineSimilarity(
+        slice(col(vecCol).cast("array<double>"), 1, dPrefix), qTrunc), 6))
+      .select(col(idCol), col("approx_cosine"))
+      .orderBy(col("approx_cosine").desc, col(idCol).asc)
+      .limit(candidates)
+    broadcast(approx).join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
+      .select(col(idCol), col("cosine"), col("approx_cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-group centroid embeddings: the L2-normalized per-dimension
     * mean of the group's vectors — the standard document-level
     * representation when chunks (or passages) carry the embeddings and

@@ -329,6 +329,38 @@ class OpsSpec extends SparkSpec {
     pq.foreach(id => assert(id % 4 == 1, s"vector $id is not from the query's cluster"))
   }
 
+  test("matryoshka truncated-dim search: full pool == exact; prefix carries the cluster signal") {
+    import spark.implicits._
+    val dim = 8
+    // clusters live in the FIRST 4 dims; the tail is per-item noise —
+    // the MRL regime where the prefix is the coarse representation
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(dim)(d =>
+        (if (d == c) 1.0f else 0.0f) +
+          (if (d >= 4) (math.sin(i * 1.7 + d) * 0.3).toFloat
+           else (math.sin(i * 1.7 + d) * 0.05).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val q = Array.tabulate(dim)(d => if (d == 1) 1.0 else 0.0) // cluster 1's axis
+    val exact = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // generous pool: reranked result IS the exact top-k
+    val full = SimilaritySearch.matryoshkaTopK(vecs, "vec_id", "embedding", q,
+        k = 10, dPrefix = 4, candidates = 200)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+    // tight pool (a quarter of the corpus): the 4-dim prefix ranking
+    // alone must keep the true neighbors — the MRL bet
+    val tight = SimilaritySearch.matryoshkaTopK(vecs, "vec_id", "embedding", q,
+        k = 10, dPrefix = 4, candidates = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    assert((exact.toSet intersect tight.toSet).size >= 9,
+      s"prefix ranking lost the neighbors: $tight vs $exact")
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.matryoshkaTopK(vecs, "vec_id", "embedding", q, 10, 0, 50)
+    }
+  }
+
   test("IVF-PQ: train/encode/query — residual codes, pruned scan, rerank = exact") {
     import spark.implicits._
     val dim = 8
