@@ -36,15 +36,23 @@ object SimilaritySearch {
     * (parquet cannot prune array elements, so the IO win needs the
     * slice stored — same pattern as the int8 sidecar), which
     * `mrlWrite`-style storage can add on top of this plan shape. Both
-    * stages are TakeOrderedAndProject. */
+    * stages are TakeOrderedAndProject.
+    *
+    * The prefix ranking passes the TRUNCATED QUERY straight to the
+    * fused cosine kernel — [[graft.functions.CosineSimilarity]] loops
+    * over min(|x|, |q|) elements, which IS the prefix cosine, with no
+    * per-row slice()/cast allocation. Measured at 2M×64: the
+    * slice-based form ran 2.6× SLOWER than the full-dim scan (the
+    * allocation dwarfs the saved arithmetic); this form is ~2× faster
+    * at dPrefix=8 (BASELINE.md r7 probe). */
   def matryoshkaTopK(df: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int, dPrefix: Int,
       candidates: Int): DataFrame = {
     require(dPrefix > 0 && dPrefix <= queryVec.length, "dPrefix must be in [1, dim]")
     val qTrunc = lit(queryVec.take(dPrefix))
     val approx = df
-      .withColumn("approx_cosine", round(VectorFunctions.cosineSimilarity(
-        slice(col(vecCol).cast("array<double>"), 1, dPrefix), qTrunc), 6))
+      .withColumn("approx_cosine",
+        round(VectorFunctions.cosineSimilarity(col(vecCol), qTrunc), 6))
       .select(col(idCol), col("approx_cosine"))
       .orderBy(col("approx_cosine").desc, col(idCol).asc)
       .limit(candidates)

@@ -77,6 +77,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming ANN index maintenance — the streaming twin of
+    * [[graft.ops.ProductQuantization.ivfPqUpsert]]: each micro-batch
+    * of (id, vector) rows is encoded against the STORED model and
+    * upserted into the cell-partitioned codes layout, so the index
+    * trails the stream by one trigger with work proportional to the
+    * batch's touched cells (the upsert contract), never the index.
+    * The model stays fixed across the stream — codebook re-training
+    * is an offline rebuild, exactly as in a deployed IVFADC system.
+    * Duplicate ids inside one batch collapse deterministically
+    * (max-struct, order-independent) BEFORE the upsert, which
+    * requires one row per id; across batches the upsert's
+    * replace-by-id semantics make the last trigger win. foreachBatch
+    * is the right sink shape: the upsert is a multi-job transactional
+    * rewrite, not a row-append. */
+  def ivfPqMaintainStream(vecs: DataFrame, indexDir: String, idCol: String,
+      vecCol: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = batch.groupBy(col(idCol))
+          .agg(max(struct(col(vecCol))).as("__s"))
+          .select(col(idCol), col("__s")(vecCol).as(vecCol))
+        if (!deduped.isEmpty) {
+          graft.ops.ProductQuantization.ivfPqUpsert(
+            batch.sparkSession, indexDir, deduped, idCol, vecCol)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming exact dedup by content hash — the streaming twin of
     * [[graft.ops.Dedup.exact]] for incremental corpus ingest: a
     * document whose sha256 was already seen within the watermark

@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -35,7 +35,7 @@ object ScaleProbe {
         VectorFunctions.l2Normalize(array(comps: _*)).as("embedding"))
       .repartition(32)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (on("ann") || on("dedup") || on("r6ops")) {
+    if (on("ann") || on("dedup") || on("r6ops") || on("r7ops")) {
       val t0 = System.nanoTime()
       vecs.count()
       println(f"[probe] materialize $n%d x $dim vectors: ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -392,6 +392,54 @@ object ScaleProbe {
         n = 8, threshold = 0.5, maxDocFreq = 640, minShared = 2).count())
     }
     docs10b.unpersist()
+    }
+
+    if (on("r7ops")) {
+    // Round-7 ops at probe scale: truncated-dim ranking arithmetic on
+    // 2M vectors, and the two-stage token-budget cumsum on 50k docs.
+    vecs.count() // materialize outside the timed probes
+    val q7 = vecs.filter(col("vec_id") === 100L)
+      .head().getSeq[Float](1).toArray.map(_.toDouble)
+    time("brute-force exact top-10 (2M, full 64 dims)") {
+      println("[probe]   rows=" + SimilaritySearch.bruteForceTopK(
+        vecs, "vec_id", "embedding", q7, 10).count())
+    }
+    for (dp <- Seq(16, 8)) time(s"matryoshka prefix-$dp top-10 (2M, cand=2000)") {
+      println("[probe]   rows=" + SimilaritySearch.matryoshkaTopK(
+        vecs, "vec_id", "embedding", q7, 10, dPrefix = dp, candidates = 2000).count())
+    }
+    val sfDir7 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base7 = spark.read.parquet(s"$sfDir7/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val docs7 = (0 until 10).map(r =>
+        base7.select((col("doc_id") + lit(r * 1000000)).as("doc_id"),
+          col("text"), col("lang")))
+      .reduce(_.unionByName(_))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] doc corpus=${docs7.count()}")
+    time("token budget sample (50k docs, 1M tokens/lang, 64 shards)") {
+      println("[probe]   kept=" + graft.ops.TextAnalytics.tokenBudgetSample(
+        docs7, "doc_id", "text", "lang", budget = 1000000L, shards = 64).count())
+    }
+    time("token budget sample, single window (the reducer-bound twin)") {
+      println("[probe]   kept=" + graft.ops.TextAnalytics.tokenBudgetSample(
+        docs7, "doc_id", "text", "lang", budget = 1000000L, shards = 1).count())
+    }
+    docs7.unpersist()
+    // the regime the two-stage shape exists for: ONE 5M-row stratum —
+    // a single cumsum window funnels the whole corpus through one
+    // reducer's sort; the sharded plan's stage 1 splits it 64 ways and
+    // stage 2 sees only ~budget tokens per shard
+    val one7 = spark.range(5000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(_ => lit("w")): _*).as("text"),
+        lit("en").as("lang"))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] single-stratum corpus=${one7.count()}")
+    for (sh <- Seq(64, 1)) time(s"token budget, 1 stratum x 5M docs, shards=$sh") {
+      println("[probe]   kept=" + graft.ops.TextAnalytics.tokenBudgetSample(
+        one7, "doc_id", "text", "lang", budget = 1000000L, shards = sh).count())
+    }
+    one7.unpersist()
     }
     spark.stop()
   }

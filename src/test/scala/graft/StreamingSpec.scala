@@ -221,6 +221,44 @@ class StreamingSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("streaming IVF-PQ maintenance: per-trigger upserts == batch rebuild; in-batch dup ids collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d == c * 2) 1.0f else 0.0f) + (math.sin(i * 1.7 + d) * 0.05).toFloat)
+    val vecs = (0L until 200L).map(i => (i, mk(i, (i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val model = graft.ops.ProductQuantization.ivfPqTrain(vecs, "vec_id",
+      "embedding", dim = 8, kCoarse = 4, m = 4, ksub = 8, coarseIters = 3, pqIters = 2)
+    val dir = Files.createTempDirectory("ivfpq_stream").toString
+    graft.ops.ProductQuantization.ivfPqWrite(vecs, dir, "vec_id", "embedding", model)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val ckpt = Files.createTempDirectory("ivfpq_stream_ckpt").toString
+    // trigger 1: a move (0 -> cluster 1) + an insert; the moved id
+    // appears TWICE in-batch — the max-struct collapse must pick one
+    // row deterministically before the upsert
+    input.addData((0L, mk(0, 1)), (0L, mk(0, 1)), (500L, mk(500, 2)))
+    val q1 = Streams.ivfPqMaintainStream(input.toDF().toDF("vec_id", "embedding"),
+      dir, "vec_id", "embedding", ckpt)
+    q1.awaitTermination()
+    // trigger 2 (same checkpoint): replace the insert, add another
+    input.addData((500L, mk(500, 3)), (501L, mk(501, 0)))
+    val q2 = Streams.ivfPqMaintainStream(input.toDF().toDF("vec_id", "embedding"),
+      dir, "vec_id", "embedding", ckpt)
+    q2.awaitTermination()
+
+    val finalCorpus = vecs.filter($"vec_id" =!= 0L)
+      .unionByName(Seq((0L, mk(0, 1)), (500L, mk(500, 3)), (501L, mk(501, 0)))
+        .toDF("vec_id", "embedding"))
+    val rebuildDir = Files.createTempDirectory("ivfpq_stream_rebuild").toString
+    graft.ops.ProductQuantization.ivfPqWrite(finalCorpus, rebuildDir,
+      "vec_id", "embedding", model)
+    def dump(d: String) = spark.read.parquet(s"$d/codes")
+      .select($"vec_id", $"pq_code", $"bucket".cast("int"))
+      .as[(Long, Seq[Byte], Int)].collect().toSet
+    assert(dump(dir) == dump(rebuildDir))
+  }
+
   test("streaming decontamination: flags match the batch op, stateless plan") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over a fence"))
