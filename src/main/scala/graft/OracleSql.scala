@@ -1509,7 +1509,89 @@ object OracleSql {
         | CAST(sum(CAST(round(least(greatest(value, lo), hi) * 100) AS BIGINT)) AS BIGINT) AS winsorized_cents,
         | round(min(lo), 6) AS p05, round(min(hi), 6) AS p95
         |FROM events e JOIN th USING (event_type)
-        |GROUP BY e.event_type""".stripMargin)
+        |GROUP BY e.event_type""".stripMargin,
+
+    // DSIR (Xie et al. 2302.03169) replay: same md5-bucket word
+    // features, Laplace-smoothed target/raw bucket models, per-bucket
+    // log-ratio rounded to integer micro-units BEFORE the per-doc sum
+    // (exact 64-bit arithmetic on both engines — no double-accumulation
+    // drift), logw = micro/1e6 exactly.
+    "dsir_score" ->
+      """WITH wb AS (SELECT doc_id, lang,
+        |        CAST('0x' || substring(md5(wd), 1, 15) AS BIGINT) % 1024 AS b
+        |       FROM (SELECT doc_id, lang,
+        |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+        |             FROM documents)
+        |       WHERE wd <> ''),
+        | tc AS (SELECT b, count(*) AS ct FROM wb WHERE lang = 'en' GROUP BY b),
+        | rc AS (SELECT b, count(*) AS cr FROM wb GROUP BY b),
+        | tt AS (SELECT count(*) AS t FROM wb WHERE lang = 'en'),
+        | tr AS (SELECT count(*) AS t FROM wb),
+        | ratio AS (SELECT rc.b,
+        |    CAST(round((ln((COALESCE(tc.ct, 0) + 1.0) / (tt.t + 1024)) -
+        |                ln((rc.cr + 1.0) / (tr.t + 1024))) * 1000000.0) AS BIGINT) AS lw
+        |   FROM rc LEFT JOIN tc ON rc.b = tc.b, tt, tr)
+        |SELECT doc_id, CAST(sum(lw) AS BIGINT) AS logw_micro,
+        |       CAST(sum(lw) AS DOUBLE) / 1000000.0 AS logw
+        |FROM wb JOIN ratio USING (b) GROUP BY doc_id""".stripMargin,
+
+    // DSIR Gumbel-top-k resample replay: scores as above, Gumbel draw
+    // from the portable id hash (u = (h mod 1e6 + 0.5)/1e6), key summed
+    // in micro-units, deterministic (key, doc_id) top-200.
+    "dsir_sample" ->
+      """WITH wb AS (SELECT doc_id, lang,
+        |        CAST('0x' || substring(md5(wd), 1, 15) AS BIGINT) % 1024 AS b
+        |       FROM (SELECT doc_id, lang,
+        |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+        |             FROM documents)
+        |       WHERE wd <> ''),
+        | tc AS (SELECT b, count(*) AS ct FROM wb WHERE lang = 'en' GROUP BY b),
+        | rc AS (SELECT b, count(*) AS cr FROM wb GROUP BY b),
+        | tt AS (SELECT count(*) AS t FROM wb WHERE lang = 'en'),
+        | tr AS (SELECT count(*) AS t FROM wb),
+        | ratio AS (SELECT rc.b,
+        |    CAST(round((ln((COALESCE(tc.ct, 0) + 1.0) / (tt.t + 1024)) -
+        |                ln((rc.cr + 1.0) / (tr.t + 1024))) * 1000000.0) AS BIGINT) AS lw
+        |   FROM rc LEFT JOIN tc ON rc.b = tc.b, tt, tr),
+        | sc AS (SELECT doc_id, sum(lw) AS lm
+        |        FROM wb JOIN ratio USING (b) GROUP BY doc_id),
+        | keyed AS (SELECT doc_id, lm, lm + CAST(round(-ln(-ln(
+        |      (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 0.5)
+        |        / 1000000.0)) * 1000000.0) AS BIGINT) AS km
+        |   FROM sc)
+        |SELECT doc_id, CAST(lm AS DOUBLE) / 1000000.0 AS logw,
+        |       CAST(km AS DOUBLE) / 1000000.0 AS gumbel_key
+        |FROM keyed ORDER BY km DESC, doc_id LIMIT 200""".stripMargin,
+
+    // Misra-Gries gate: the oracle recomputes the EXACT heavy-hitter
+    // set (count·30 > N for capacity 29) and asserts the sketch-side
+    // booleans — a guaranteed item the sketch lost drops a row, a
+    // violated deficit bound flips mg_ok (length_prune_approx pattern).
+    "heavy_hitters" ->
+      """WITH ww AS (SELECT wd FROM (SELECT
+        |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+        |       FROM documents) WHERE wd <> ''),
+        | tot AS (SELECT count(*) AS n FROM ww),
+        | ex AS (SELECT wd, count(*) AS n_exact FROM ww GROUP BY wd)
+        |SELECT wd AS word, n_exact, true AS mg_ok
+        |FROM ex, tot WHERE n_exact * 30 > tot.n
+        |ORDER BY n_exact DESC, word""".stripMargin,
+
+    "decontaminate_fuzzy" -> minhashDecontaminateSql(numHashes = 16,
+      rowsPerBand = 4, minMatches = 4),
+
+    "hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |        label AS alabel
+        |       FROM embeddings WHERE vec_id % 100 = 0),
+        | s AS (SELECT a.anchor_id, e.vec_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.qv) AS c
+        |       FROM embeddings e, a WHERE e.label <> a.alabel),
+        | r AS (SELECT anchor_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, vec_id) AS rank
+        |       FROM s)
+        |SELECT anchor_id, vec_id, rank, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the
@@ -1619,6 +1701,44 @@ object OracleSql {
     * [[graft.ops.Dedup.minhashSeeds]] — then compares band-key equality
     * pairwise (equivalent to the engine's (band, band_key) equi-join
     * buckets; the oracle runs at sf0.01 where all-pairs is cheap). */
+  /** Fuzzy-decontamination oracle: replays
+    * [[graft.ops.Dedup.minhashDecontaminate]] — identical MinHash seed
+    * family over char-8-gram shingles on both the corpus (doc_id % 10
+    * != 0) and benchmark (doc_id % 10 == 0) sides, LSH-band candidate
+    * pairs across the two, signature-match-fraction estimate
+    * (minMatches/numHashes threshold; x/16 is dyadic → exact). */
+  private def minhashDecontaminateSql(numHashes: Int, rowsPerBand: Int,
+      minMatches: Int): String = {
+    val seeds = graft.ops.Dedup.minhashSeeds(numHashes)
+    val p = graft.ops.Dedup.MinhashP
+    val minExprs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min((CAST('0x' || substring(md5(shingle), 1, 7) AS BIGINT) * $a + $b) % $p) AS mh$i"
+    }.mkString(",\n |  ")
+    val bandEq = (0 until numHashes / rowsPerBand).map { bn =>
+      (bn * rowsPerBand until (bn + 1) * rowsPerBand)
+        .map(i => s"c.mh$i = b.mh$i").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val matchSum = (0 until numHashes)
+      .map(i => s"(CASE WHEN c.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH shc AS (SELECT DISTINCT doc_id AS sid, substring(text, CAST(i AS INT), 8) AS shingle
+       |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+       |                   FROM documents WHERE doc_id % 10 <> 0)),
+       | shb AS (SELECT DISTINCT doc_id AS sid, substring(text, CAST(i AS INT), 8) AS shingle
+       |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+       |                   FROM documents WHERE doc_id % 10 = 0)),
+       | sigc AS (SELECT sid,
+       |  $minExprs
+       | FROM shc GROUP BY sid),
+       | sigb AS (SELECT sid,
+       |  $minExprs
+       | FROM shb GROUP BY sid)
+       |SELECT c.sid AS doc_id, b.sid AS bench_id,
+       |       ($matchSum) / ${numHashes}.0 AS minhash_est
+       |FROM sigc c JOIN sigb b ON ($bandEq)
+       |WHERE ($matchSum) >= $minMatches""".stripMargin
+  }
+
   private def minhashLshSql(numHashes: Int, rowsPerBand: Int,
       dfFraction: Double, dfFloor: Int): String = {
     val seeds = graft.ops.Dedup.minhashSeeds(numHashes)

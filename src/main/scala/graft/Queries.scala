@@ -38,13 +38,24 @@ object Queries {
       d
     })
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read `ts` as raw nanos-since-epoch (LongType) and
-    * do integer epoch arithmetic — which is also exactly reproducible
-    * in the oracle (epoch_ns), with no datetime-unit ambiguity. */
+  /** The events table's `ts` has shipped as both TIMESTAMP(NANOS)
+    * (older test-data drops — Spark only reads it with nanosAsLong,
+    * yielding epoch-ns LongType) and plain timestamp[us] (current
+    * drops). Normalize BOTH to epoch-NANOS LongType so every
+    * downstream query keeps exact integer epoch arithmetic that the
+    * oracle replays with `epoch_ns`/`epoch_us` — no datetime-unit or
+    * timezone ambiguity. inferTimestampNTZ is disabled for the read so
+    * the µs form arrives as TimestampType and `unix_micros` returns
+    * the RAW stored micros (an NTZ read would route the value through
+    * a session-timezone cast instead). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   /** Integer-cents sum: order-independent exact aggregation of a
@@ -1361,6 +1372,80 @@ object Queries {
           <= 0.05).as("approx_ok"))
   }
 
+  /** DSIR importance scores for every document against an
+    * English-target bucket model (target = the `lang = 'en'` slice,
+    * raw = the whole pool — the "select web data that looks like the
+    * curated set" setup of Xie et al. 2302.03169). */
+  def dsirScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalytics.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024)
+      .select(col("sid").as("doc_id"), col("logw_micro"), col("logw"))
+  }
+
+  /** DSIR Gumbel-top-k resample: the 200 documents a DSIR pass would
+    * keep, exactly reproducible (portable-hash Gumbel draws). */
+  def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalytics.dsirResample(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", k = 200, buckets = 1024)
+      .select(col("sid").as("doc_id"), col("logw"), col("gumbel_key"))
+  }
+
+  /** Bounded-memory heavy hitters with a verified deterministic bound
+    * (Misra-Gries, capacity 29 — sized just under the synthetic
+    * corpus's 31-word vocabulary so the decrement path actually runs;
+    * a production pass over an unbounded key space would use
+    * thousands). Output = the words the EXACT counts prove heavy
+    * (count·(k+1) > N); `mg_ok` asserts the summary honored the MG
+    * guarantee for each: present in the sketch, est ≤ exact, and
+    * deficit ≤ N/(k+1). The oracle recomputes the exact side and
+    * emits `true` — a lost guaranteed item drops a row (count
+    * mismatch), a violated bound flips the boolean (hash mismatch):
+    * the length_prune_approx gate pattern. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val cap = 29
+    val words = t(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val mg = words.agg(graft.functions.MgFunctions.misraGries(col("w"), cap).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item").as("w"), col("e.est").as("est"))
+    val exact = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("n_exact") * (cap + 1) > col("n_total"))
+      .join(broadcast(mg), Seq("w"))
+      .select(col("w").as("word"), col("n_exact"),
+        (col("est") <= col("n_exact") &&
+          (col("n_exact") - col("est")) * (cap + 1) <= col("n_total")).as("mg_ok"))
+      .orderBy(col("n_exact").desc, col("word").asc)
+  }
+
+  /** Fuzzy MinHash decontamination: same corpus/benchmark split as
+    * [[decontaminate]], but matching on signature overlap (threshold
+    * 0.25 of 16 hashes) instead of exact 5-gram hits — catches
+    * paraphrased benchmark leakage. */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.minhashDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 8, numHashes = 16, rowsPerBand = 4, threshold = 0.25)
+      .select(col("sid").as("doc_id"), col("bench_id"), col("minhash_est"))
+  }
+
+  /** Hard-negative mining over the embeddings table: for each of the
+    * vec_id % 100 == 0 anchors, the 5 most-cosine-similar vectors
+    * carrying a DIFFERENT label. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.hardNegatives(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", "label", k = 5)
+      .select(col("anchor_id"), col("vec_id"), col("rank"),
+        r6(col("cosine")).as("cosine"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1476,5 +1561,10 @@ object Queries {
     "random_projection" -> randomProjection _,
     "markov_transitions" -> markovTransitions _,
     "retention_rate" -> retentionRate _,
-    "winsorized_stats" -> winsorizedStats _)
+    "winsorized_stats" -> winsorizedStats _,
+    "dsir_score" -> dsirScore _,
+    "dsir_sample" -> dsirSample _,
+    "heavy_hitters" -> heavyHitters _,
+    "decontaminate_fuzzy" -> decontaminateFuzzy _,
+    "hard_negatives" -> hardNegatives _)
 }

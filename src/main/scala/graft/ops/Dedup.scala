@@ -495,6 +495,43 @@ object Dedup {
     }
   }
 
+  /** FUZZY benchmark decontamination: corpus documents whose MinHash
+    * signature overlaps a benchmark document's above `threshold` — the
+    * near-duplicate complement of the exact n-gram [[decontaminate]]
+    * pass (a lightly paraphrased test item shares few exact 8-grams
+    * but most of its shingle sets; GPT-3 appendix-C-style fuzzy
+    * decontamination catches it). Candidates come from LSH banding
+    * ACROSS the two sides (never all-pairs), then the signature-match
+    * fraction `|{i : mh_i^c = mh_i^b}| / numHashes` — an unbiased
+    * Jaccard estimate, exactly replayable (x/numHashes is dyadic) —
+    * gates the output.
+    *
+    * Scale shape: benchmark sets are corpus-tiny (thousands of eval
+    * items vs billions of docs), so the bench signatures and band keys
+    * BROADCAST; the corpus side pays one shingle scan + one
+    * signature groupBy, and both joins (band-bucket candidates,
+    * signature fetch-back) are map-side against broadcast tables — no
+    * corpus-sized shuffle beyond the signature aggregation. */
+  def minhashDecontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sigC = minhashSignatures(hashedShingles(corpus, corpusId, corpusText, n), numHashes)
+    val sigB = minhashSignatures(hashedShingles(benchmark, benchId, benchText, n), numHashes)
+    val bandsB = lshBandKeys(sigB, numHashes, rowsPerBand)
+      .withColumnRenamed("sid", "bench_sid")
+    val cand = lshBandKeys(sigC, numHashes, rowsPerBand)
+      .join(broadcast(bandsB), Seq("band", "band_key"))
+      .select(col("sid").as("cand_sid"), col("bench_sid")).distinct()
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"c.mh$i") === col(s"b.mh$i"), 1).otherwise(0)).reduce(_ + _)
+    sigC.as("c").join(broadcast(cand), col("c.sid") === col("cand_sid"))
+      .join(broadcast(sigB.as("b")), col("bench_sid") === col("b.sid"))
+      .select(col("c.sid").as("sid"), col("bench_sid").as("bench_id"),
+        (matches.cast("double") / numHashes).as("minhash_est"))
+      .filter(col("minhash_est") >= threshold)
+  }
+
   /** SimHash: 60-bit fingerprint from per-shingle bit votes over the
     * portable 60-bit md5-prefix hash ([[shingleHashSets]]), so the SQL
     * oracle can replay it bit for bit. One wide groupBy (60 small sum

@@ -216,6 +216,33 @@ object SimilaritySearch {
         (col("pos") + 1).cast("long").as("rank"), col("h.score").as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the `k` most-similar vectors with a DIFFERENT label — the
+    * near-miss negatives that make an embedding model actually learn a
+    * boundary (random negatives are trivially far; the informative
+    * ones are the similar-but-wrong items this query surfaces).
+    *
+    * Scale shape: identical to the batch-KNN heap-aggregate plan
+    * ([[bruteForceTopKBatchAgg]]) — anchors broadcast, the label
+    * inequality filters BEFORE scoring feeds the bounded TopKHits
+    * aggregate, so the exchange moves k rows per (partition, anchor),
+    * never the scored corpus. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, anchorIdCol: String,
+      anchorVecCol: String, anchorLabelCol: String, k: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(anchors.select(
+        col(anchorIdCol).as("anchor_id"), col(anchorVecCol).as("anchor_vec"),
+        col(anchorLabelCol).as("anchor_label"))))
+      .filter(col(labelCol) =!= col("anchor_label"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineSimilarity(col(vecCol), col("anchor_vec")))
+    scored.groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col(idCol), k).as("hits"))
+      .select(col("anchor_id"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("anchor_id"), col("h.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"), col("h.score").as("cosine"))
+  }
+
   /** Materialized IVF layout: vectors Parquet-partitioned by LSH
     * bucket + a tiny `centroids` side table (≤ 2^numPlanes rows). The
     * build cost is one shuffle-free scan for bucketing plus one

@@ -934,4 +934,100 @@ object TextAnalytics {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
   }
+
+  // -------------------------------------------------------------------
+  // DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
+  // -------------------------------------------------------------------
+
+  /** Lowercased whitespace words of `textCol` hashed into `buckets`
+    * feature buckets with the portable md5-prefix family — DSIR's
+    * hashed bag-of-words feature space (§3.2 of the paper uses hashed
+    * n-grams; unigrams keep the oracle SQL tractable and the bucket
+    * table tiny). One map stage, no shuffle. */
+  private def wordBuckets(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("sid"),
+        pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+
+  /** DSIR importance weights: per raw document, the log-likelihood
+    * ratio of its hashed-word features under a Laplace-smoothed
+    * bag-of-buckets model of the TARGET distribution vs the RAW
+    * distribution —
+    * `logw(d) = Σ_w ln p̂_target(bucket(w)) − ln p̂_raw(bucket(w))`
+    * with `p̂(b) = (count(b)+1)/(total+B)`. Positive means "looks more
+    * like the target corpus than the raw pool".
+    *
+    * Cross-engine determinism: each bucket's log-ratio is rounded to
+    * integer MICRO-units first and the per-doc sum runs in exact
+    * 64-bit integer arithmetic (`Σ n_d[b]·lw_micro[b]`), so the score
+    * is a pure function of the counts — no order-dependent double
+    * accumulation for the SQL oracle to drift against. `logw` is the
+    * exact value micro/1e6.
+    *
+    * Scale shape: two word scans aggregate into ≤`buckets` rows each
+    * (map-side partial, B=O(1k) — the shuffle carries bucket ids, not
+    * words); the 1-row totals are cross-joined in-plan; the ≤B-row
+    * log-ratio table broadcasts onto the raw word scan; the only
+    * per-corpus-sized shuffle is the final per-doc sum (one long per
+    * doc after partial aggregation). A 100 TB raw pool is three
+    * word-level map passes + one per-doc aggregate. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val tgt = wordBuckets(target, idCol, textCol, buckets)
+    val rw = wordBuckets(raw, idCol, textCol, buckets)
+    val tgtCounts = tgt.groupBy("b").agg(count(lit(1)).as("ct"))
+    val rawCounts = rw.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtTotal = tgt.agg(count(lit(1)).as("tt"))
+    val rawTotal = rw.agg(count(lit(1)).as("tr"))
+    // full-outer on the two ≤B-row bucket tables: a bucket seen only in
+    // the target still shifts raw docs that hit it (ct>0, cr=0 never
+    // scores — raw docs only hit buckets with cr>0 — but the symmetric
+    // form keeps the table meaning honest)
+    val ratio = tgtCounts.join(rawCounts, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tgtTotal)).crossJoin(broadcast(rawTotal))
+      .select(col("b"),
+        round((log((col("ct") + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("tr") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("lw_micro"))
+    rw.join(broadcast(ratio), Seq("b"))
+      .groupBy("sid")
+      .agg(sum(col("lw_micro")).as("logw_micro"))
+      .select(col("sid"), col("logw_micro"),
+        (col("logw_micro").cast("double") / 1e6).as("logw"))
+  }
+
+  /** DSIR resampling: top-`k` raw documents by importance weight plus
+    * deterministic Gumbel noise — the Gumbel-max trick makes top-k of
+    * `logw + g_d` an EXACT sample without replacement from the
+    * softmax(logw) distribution (Xie et al. §3.3 resample step), and
+    * drawing `g_d = −ln(−ln(u_d))` from the portable hash of the doc
+    * id (`u_d = (h mod 1e6 + 0.5)/1e6`) makes the draw reproducible
+    * across runs, partitionings, and engines — a re-run or an audit
+    * replay selects the identical subset. Gumbel noise in micro-units,
+    * summed in exact integer arithmetic like [[dsirWeights]].
+    *
+    * Scale shape: [[dsirWeights]]'s passes + a map-only key column +
+    * TakeOrdered top-k (bounded driver result, no global sort). */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (pmod(portableIdHash(col("sid")), lit(1000000L)).cast("double") +
+      lit(0.5)) / lit(1e6)
+    dsirWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("gumbel_micro",
+        round(-log(-log(u)) * 1e6).cast("long"))
+      .withColumn("key_micro", col("logw_micro") + col("gumbel_micro"))
+      .orderBy(col("key_micro").desc, col("sid").asc)
+      .limit(k)
+      .select(col("sid"), col("logw"),
+        (col("key_micro").cast("double") / 1e6).as("gumbel_key"))
+  }
 }

@@ -1545,4 +1545,113 @@ class OpsSpec extends SparkSpec {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("dsir: target-like docs outscore off-target docs; micro sum partition-invariant") {
+    val target = Seq((101L, "alpha beta gamma delta"),
+      (102L, "alpha beta epsilon zeta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"), // all words in-target
+      (2L, "omega psi chi"), // none in-target
+      (3L, "alpha beta omega"), // mixed
+      (4L, "   ") // no words -> absent from output
+    ).toDF("doc_id", "text")
+    val w = TextAnalytics.dsirWeights(raw, target, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L))
+    assert(w(1L)._1 > w(3L)._1 && w(3L)._1 > w(2L)._1)
+    // logw is EXACTLY micro/1e6 and the in-target doc scores positive,
+    // the out-of-target doc negative
+    assert(w(1L)._2 == w(1L)._1.toDouble / 1e6)
+    assert(w(1L)._2 > 0 && w(2L)._2 < 0)
+    // integer micro arithmetic: bit-identical under any partitioning
+    val wr = TextAnalytics.dsirWeights(raw.repartition(7),
+        target.repartition(3), "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wr == w.map { case (k, v) => k -> v._1 })
+  }
+
+  test("dsir resample: deterministic Gumbel top-k favors target-like docs") {
+    val target = Seq((101L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val raw = (1L to 30L).map { i =>
+      (i, if (i % 3 == 0) "alpha beta gamma alpha beta" else "omega psi chi omega psi")
+    }.toDF("doc_id", "text")
+    val sel = TextAnalytics.dsirResample(raw, target, "doc_id", "text",
+      k = 10, buckets = 256)
+    val ids = sel.select($"sid").as[Long].collect().toSeq
+    assert(ids.size == 10 && ids.distinct.size == 10)
+    // replay under a different partitioning selects the identical subset
+    // in the identical order (portable-hash Gumbel draws)
+    val ids2 = TextAnalytics.dsirResample(raw.repartition(5), target,
+        "doc_id", "text", k = 10, buckets = 256)
+      .select($"sid").as[Long].collect().toSeq
+    assert(ids2 == ids)
+    // softmax(logw) mass sits on the target-like third of the pool —
+    // the sample should be dominated by it (deterministic, pinned)
+    assert(ids.count(_ % 3 == 0) >= 7, s"selected: $ids")
+  }
+
+  test("fuzzy decontamination: verbatim copy est=1.0, paraphrase caught, unrelated absent") {
+    val base = "the quick brown fox jumps over the lazy dog again and again forever " * 4
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base), // verbatim benchmark copy
+      (2L, base.replace("lazy", "idle")), // light paraphrase
+      (3L, "completely different material about distributed query engines " * 5)
+    ).toDF("doc_id", "text")
+    // rowsPerBand = 2 -> 8 sensitive bands: the paraphrase (J ~ 0.7)
+    // must surface as a candidate, not ride on band luck
+    val got = graft.ops.Dedup.minhashDecontaminate(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 8, numHashes = 16, rowsPerBand = 2,
+        threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 100L)) == 1.0)
+    assert(got.contains((2L, 100L)) && got((2L, 100L)) >= 0.25)
+    assert(!got.keySet.exists(_._1 == 3L))
+  }
+
+  test("hard negatives: same-label vectors excluded, ranked by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), // anchor, label 0
+      (1L, Array(0.99f, 0.1f), 0), // same label: must NOT appear
+      (2L, Array(0.9f, 0.4f), 1), // closest other-label
+      (3L, Array(0.5f, 0.8f), 1),
+      (4L, Array(-1.0f, 0.0f), 2) // far other-label
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch.hardNegatives(vecs, "vec_id", "embedding", "label",
+        vecs.filter($"vec_id" === 0L), "vec_id", "embedding", "label", k = 3)
+      .select($"anchor_id", $"vec_id", $"rank").as[(Long, Long, Long)]
+      .collect().sortBy(_._3).toSeq
+    assert(got.map(_._2) == Seq(2L, 3L, 4L)) // cosine order, no label-0 row
+    assert(got.forall(_._1 == 0L))
+  }
+
+  test("misra-gries: exact when vocab fits; guarantee holds under adversarial vocab + merges") {
+    import graft.functions.MgFunctions.misraGries
+    // vocab (3) <= k (8): the sketch IS the exact count
+    val small = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val smallGot = small.toDF("w").agg(misraGries($"w", 8).as("mg"))
+      .select(explode($"mg").as("e")).select($"e.item", $"e.est")
+      .as[(String, Long)].collect().toMap
+    assert(smallGot == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // 600 distinct cold words + two genuinely heavy ones, k = 10:
+    // est <= true and deficit <= N/(k+1) for every surviving counter,
+    // and both heavy items always survive — under any partitioning
+    // (different merge trees)
+    val stream = Seq.fill(300)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 600).map(i => s"cold$i")
+    val n = stream.size
+    val exact = stream.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    for (parts <- Seq(1, 4, 13)) {
+      val got = stream.toDF("w").repartition(parts)
+        .agg(misraGries($"w", 10).as("mg"))
+        .select(explode($"mg").as("e")).select($"e.item", $"e.est")
+        .as[(String, Long)].collect().toMap
+      assert(got.contains("hot") && got.contains("warm"), s"parts=$parts: $got")
+      got.foreach { case (w, est) =>
+        val tru = exact(w)
+        assert(est <= tru, s"parts=$parts $w overestimates: $est > $tru")
+        assert(tru - est <= n / 11, s"parts=$parts $w deficit: $tru - $est")
+      }
+    }
+  }
 }
