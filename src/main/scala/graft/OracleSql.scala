@@ -621,6 +621,43 @@ object OracleSql {
         | round(avg(d), 6) AS mean_dist, min(vec_id) AS min_member
         |FROM a2 GROUP BY cl""".stripMargin,
 
+    // Same two-iteration k-means replay as kmeans_clusters, extended
+    // with the centroid-silhouette: a = assignment (min) distance,
+    // b = runner-up (rank by (d2, cl) — sqrt is monotonic so the
+    // ordering matches the engine's (d, cl) struct sort), s rounded
+    // per row BEFORE the cluster mean.
+    "cluster_silhouette" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
+        |        FROM v ORDER BY vec_id LIMIT 4),
+        | d1 AS (SELECT v.vec_id, c.cl,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+        |        FROM v CROSS JOIN c0 c),
+        | a1 AS (SELECT vec_id, cl FROM d1
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+        | m1 AS (SELECT cl, i, CAST(round(avg(e[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
+        |        FROM (SELECT a1.cl, v.e, unnest(generate_series(1, 64)) AS i
+        |              FROM a1 JOIN v USING (vec_id))
+        |        GROUP BY cl, i),
+        | c1 AS (SELECT cl, list(c ORDER BY i) AS e FROM m1 GROUP BY cl),
+        | dd AS (SELECT v.vec_id, c.cl,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+        |        FROM v CROSS JOIN c1 c),
+        | rk AS (SELECT vec_id, cl, sqrt(d2) AS d,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        |        FROM dd),
+        | ab AS (SELECT a.vec_id, a.cl AS cluster, a.d AS a_d, b.d AS b_d
+        |        FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+        | s AS (SELECT cluster, vec_id,
+        |        round(CASE WHEN greatest(a_d, b_d) = 0 THEN 0
+        |              ELSE (b_d - a_d) / greatest(a_d, b_d) END, 6) AS sv
+        |       FROM ab)
+        |SELECT cluster, count(*) AS n_members,
+        | round(avg(sv), 6) AS mean_silhouette, round(min(sv), 6) AS min_silhouette
+        |FROM s GROUP BY cluster""".stripMargin,
+
     // Same operation order as the engine: Lucene idf, exact integer
     // avgdl, scores rounded to 6 dp BEFORE ranking, ties by id.
     "bm25_search" ->
@@ -1591,7 +1628,34 @@ object OracleSql {
         |        row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, vec_id) AS rank
         |       FROM s)
         |SELECT anchor_id, vec_id, rank, round(c, 6) AS cosine
-        |FROM r WHERE rank <= 5""".stripMargin)
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // CCNet tercile buckets: lm_score's unigram model, per-lang exact
+    // interpolated terciles over the 6dp-rounded doc scores, strict
+    // inequalities both sides (boundary ties -> middle).
+    "ppl_buckets" ->
+      """WITH ww AS (SELECT doc_id, w
+        |   FROM (SELECT doc_id,
+        |          unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+        |         FROM documents)
+        |   WHERE length(w) > 0),
+        | f AS (SELECT w, count(*) AS wc FROM ww GROUP BY w),
+        | t AS (SELECT count(*) AS tc FROM ww),
+        | sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |         round(sum(ln(CAST(wc AS DOUBLE) / CAST(tc AS DOUBLE))) / count(*), 6) AS mean_logprob
+        |        FROM ww JOIN f USING (w), t GROUP BY doc_id),
+        | scl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+        | th AS (SELECT lang,
+        |         round(quantile_cont(mean_logprob, 0.333333), 6) AS lo,
+        |         round(quantile_cont(mean_logprob, 0.666667), 6) AS hi
+        |        FROM scl GROUP BY lang)
+        |SELECT doc_id, lang, n_tokens, mean_logprob,
+        |       CASE WHEN mean_logprob > hi THEN 'head'
+        |            WHEN mean_logprob < lo THEN 'tail'
+        |            ELSE 'middle' END AS ppl_bucket
+        |FROM scl JOIN th USING (lang)""".stripMargin,
+
+    "mmr_rerank" -> mmrSql(poolSize = 50, k = 10, lambdaNum = 7))
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the
@@ -1701,6 +1765,44 @@ object OracleSql {
     * [[graft.ops.Dedup.minhashSeeds]] — then compares band-key equality
     * pairwise (equivalent to the engine's (band, band_key) equi-join
     * buckets; the oracle runs at sf0.01 where all-pairs is cheap). */
+  /** MMR rerank oracle: replays [[graft.ops.SimilaritySearch.mmrRerank]]
+    * as an UNROLLED greedy — one CTE per selection step. Pool = exact
+    * cosine top-`poolSize` (raw-double ordering, id ties), relevance
+    * and pairwise sims in integer micro-units (round parity), each
+    * step's objective `lambdaNum·rel_µ − (10−lambdaNum)·maxSim_µ`
+    * exact integer arithmetic with id tie-breaks — so the SQL picks
+    * the identical sequence the driver loop picks. */
+  private def mmrSql(poolSize: Int, k: Int, lambdaNum: Int): String = {
+    val lamC = 10 - lambdaNum
+    def picked(s: Int): String =
+      (1 until s).map(i => s"SELECT id FROM sel$i").mkString(" UNION ALL ")
+    val sel1 =
+      s"""sel1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rank, id, rel_m, CAST($lambdaNum * rel_m AS BIGINT) AS s_m
+         | FROM pool ORDER BY rel_m DESC, id LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { s =>
+      s"""sel$s AS MATERIALIZED (SELECT CAST($s AS BIGINT) AS rank, p.id, p.rel_m,
+         |   $lambdaNum * p.rel_m - $lamC * (SELECT max(pp.sim_m) FROM pairs pp
+         |      WHERE pp.a = p.id AND pp.b IN (${picked(s)})) AS s_m
+         | FROM pool p WHERE p.id NOT IN (${picked(s)})
+         | ORDER BY s_m DESC, p.id LIMIT 1)""".stripMargin
+    }
+    val unionAll = (1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       | scored AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS c
+       |   FROM embeddings, q),
+       | pool AS MATERIALIZED (SELECT id, v, CAST(round(c * 1000000.0) AS BIGINT) AS rel_m
+       |          FROM scored ORDER BY c DESC, id LIMIT $poolSize),
+       | pairs AS MATERIALIZED (SELECT a.id AS a, b.id AS b,
+       |    CAST(round(list_cosine_similarity(a.v, b.v) * 1000000.0) AS BIGINT) AS sim_m
+       |   FROM pool a, pool b),
+       | $sel1,
+       | ${steps.mkString(",\n ")}
+       |SELECT rank, id AS vec_id, CAST(rel_m AS DOUBLE) / 1000000.0 AS relevance,
+       |       CAST(s_m AS DOUBLE) / 10000000.0 AS mmr_score
+       |FROM ($unionAll)""".stripMargin
+  }
+
   /** Fuzzy-decontamination oracle: replays
     * [[graft.ops.Dedup.minhashDecontaminate]] — identical MinHash seed
     * family over char-8-gram shingles on both the corpus (doc_id % 10

@@ -1446,6 +1446,23 @@ object Queries {
         r6(col("cosine")).as("cosine"))
   }
 
+  /** MMR-diversified top-10 from the exact cosine top-50 pool
+    * (λ = 0.7), query = embedding 0. */
+  def mmrRerankQ(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.mmrRerank(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryVec(s, dir), poolSize = 50, k = 10, lambdaNum = 7)
+
+  /** Centroid-silhouette quality of the k=4 k-means clustering. */
+  def clusterSilhouette(s: SparkSession, dir: String): DataFrame =
+    ops.Clustering.silhouette(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 4, iters = 2)
+      .withColumn("cluster", col("cluster").cast("long"))
+
+  /** CCNet head/middle/tail perplexity buckets per language. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.perplexityBuckets(t(s, dir, "documents"),
+      "doc_id", "text", "lang")
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1566,5 +1583,8 @@ object Queries {
     "dsir_sample" -> dsirSample _,
     "heavy_hitters" -> heavyHitters _,
     "decontaminate_fuzzy" -> decontaminateFuzzy _,
-    "hard_negatives" -> hardNegatives _)
+    "hard_negatives" -> hardNegatives _,
+    "ppl_buckets" -> pplBuckets _,
+    "mmr_rerank" -> mmrRerankQ _,
+    "cluster_silhouette" -> clusterSilhouette _)
 }

@@ -27,7 +27,15 @@ object Clustering {
     * for the LAST assignment (the one the final means were computed
     * from — dist is the distance to that assignment's centroid). */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    kmeansCore(vecs, idCol, vecCol, dim, k, iters)._1
+      .select(col("__id").as(idCol), col("cluster"), col("dist"))
+
+  /** The Lloyd loop shared by [[kmeans]] and [[silhouette]]: returns
+    * the final assignment frame (with __id/__v/cluster/dist) and the
+    * final centroid matrix. */
+  private def kmeansCore(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
     require(k > 0 && iters > 0 && dim > 0, "k, iters, dim must be positive")
     val v = vecs.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
@@ -61,7 +69,44 @@ object Clustering {
         .sortBy(_._1).toSeq
       assigned = assign()
     }
-    assigned.select(col("__id").as(idCol), col("cluster"), col("dist"))
+    (assigned, centroids)
+  }
+
+  /** Centroid-based silhouette per cluster — the standard "are these
+    * clusters real" diagnostic, in its scalable simplified form
+    * (Kaufman & Rousseeuw's a/b over CENTROID distances instead of
+    * all-pairs member distances — the only form that doesn't need an
+    * O(n²) pass): per vector, `a` = distance to its own (assigned)
+    * centroid, `b` = min distance to any OTHER centroid,
+    * `s = (b − a) / max(a, b)`; per-row s is rounded to 6 dp before
+    * the cluster mean so accumulation drift cannot cross engines.
+    *
+    * Scale shape: [[kmeans]]'s iterations plus ONE extra map stage
+    * (k distances per row against broadcast centroid literals) and one
+    * partial-agg groupBy — nothing all-pairs, no extra shuffle. */
+  def silhouette(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, "silhouette needs k >= 2")
+    val (assigned, centroids) = kmeansCore(vecs, idCol, vecCol, dim, k, iters)
+    val dists = centroids.map { case (ci, c) =>
+      struct(
+        VectorFunctions.euclideanDistance(col("__v"),
+          array(c.map(lit): _*)).as("d"),
+        lit(ci).as("cl"))
+    }
+    // a = the assignment distance (min, ties low — already in `dist`);
+    // b = the runner-up distance = 2nd element of the sorted (d, cl)
+    // structs (if the top-2 distances tie, a == b and s == 0 either way)
+    val sorted = sort_array(array(dists: _*))
+    assigned
+      .withColumn("__b", sorted(1)("d"))
+      .withColumn("__s", round(
+        when(greatest(col("dist"), col("__b")) === 0.0, 0.0)
+          .otherwise((col("__b") - col("dist")) / greatest(col("dist"), col("__b"))), 6))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("__s")), 6).as("mean_silhouette"),
+        round(min(col("__s")), 6).as("min_silhouette"))
   }
 
   /** Per-group centroid outliers: the `k` vectors farthest (euclidean)

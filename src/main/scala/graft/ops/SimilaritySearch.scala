@@ -243,6 +243,89 @@ object SimilaritySearch {
         (col("pos") + 1).cast("long").as("rank"), col("h.score").as("cosine"))
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified rerank: greedily select `k` results from the exact
+    * relevance top-`poolSize`, each step maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the classic redundancy
+    * penalty that keeps a search page (or a RAG context window) from
+    * filling with near-copies of the first hit.
+    *
+    * Determinism/replayability: relevance and pairwise cosines are
+    * rounded to integer MICRO-units (half-away-from-zero, the SQL
+    * `round` convention) and λ = lambdaNum/10, so each greedy step's
+    * objective `lambdaNum·rel_µ − (10−lambdaNum)·maxSim_µ` is exact
+    * 64-bit integer arithmetic with id tie-breaks — an unrolled SQL
+    * replay selects the identical sequence. The first pick's penalty
+    * term is 0 (empty selected set).
+    *
+    * Scale shape: stage 1 is the distributed exact top-poolSize
+    * (TakeOrdered — bounded result, no global sort); the greedy loop
+    * is O(poolSize·k) dim-length dot products on the DRIVER over the
+    * collected pool. MMR is sequential by definition — the pool bound
+    * IS the distributed contract, the same two-stage shape as every
+    * rerank stage in the repo (candidates distributed, rerank small). */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], poolSize: Int, k: Int,
+      lambdaNum: Int = 7): DataFrame = {
+    require(lambdaNum >= 0 && lambdaNum <= 10, "lambdaNum is tenths in [0,10]")
+    require(k >= 1 && poolSize >= k, "need poolSize >= k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pool = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineSimilarity(col("v"), lit(queryVec)))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(poolSize)
+      .collect()
+    // micro-unit rounding, half away from zero — matches SQL round()
+    def micro(x: Double): Long = {
+      val m = x * 1e6
+      if (m >= 0) math.floor(m + 0.5).toLong else math.ceil(m - 0.5).toLong
+    }
+    // identical accumulation order to the CosineSimilarity kernel
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val ids = pool.map(_.getLong(0))
+    val vecs = pool.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val relM = pool.map(r => micro(r.getDouble(2)))
+    val n = ids.length
+    val maxSimM = Array.fill(n)(0L)
+    val taken = Array.fill(n)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    var step = 1
+    while (step <= math.min(k, n)) {
+      var best = -1
+      var bestScore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lambdaNum * relM(i) - (10 - lambdaNum) * maxSimM(i)
+          if (s > bestScore || (s == bestScore && (best < 0 || ids(i) < ids(best)))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out += ((step.toLong, ids(best), relM(best).toDouble / 1e6,
+        bestScore.toDouble / 1e7))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val s = micro(cos(vecs(j), vecs(best)))
+          if (s > maxSimM(j)) maxSimM(j) = s
+        }
+        j += 1
+      }
+      step += 1
+    }
+    out.toSeq.toDF("rank", idCol, "relevance", "mmr_score")
+  }
+
   /** Materialized IVF layout: vectors Parquet-partitioned by LSH
     * bucket + a tiny `centroids` side table (≤ 2^numPlanes rows). The
     * build cost is one shuffle-free scan for bucketing plus one

@@ -935,6 +935,41 @@ object TextAnalytics {
       .limit(k)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019, CCNet §4.3):
+    * per language, documents split head / middle / tail at the
+    * corpus-own LM-score terciles — the standard "keep the head, weigh
+    * the middle, drop the tail" quality gate before training. The LM
+    * here is the corpus's own unigram model ([[unigramLogProb]], the
+    * repo's lm_score convention; CCNet proper scores with a
+    * wiki-trained KenLM, which slots in as the same per-doc score
+    * column). Higher mean log-prob = lower perplexity = "head".
+    *
+    * Engine-portable bucketing: assignment compares the 6 dp-ROUNDED
+    * per-doc score against 6 dp-rounded exact interpolated per-lang
+    * terciles — identical inputs on both engines give identical
+    * percentiles, and boundary ties land in "middle" on both (strict
+    * inequalities both sides).
+    *
+    * Scale shape: the LM pass (two word-level aggregates + one per-doc
+    * sum), an id-keyed join to re-attach the language, one
+    * ≤|langs|-row percentile aggregate broadcast back, then a map-only
+    * label. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = unigramLogProb(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val th = scored.groupBy(col(langCol)).agg(
+      round(expr("percentile(mean_logprob, 0.333333)"), 6).as("__lo"),
+      round(expr("percentile(mean_logprob, 0.666667)"), 6).as("__hi"))
+    scored.join(broadcast(th), Seq(langCol))
+      .withColumn("ppl_bucket",
+        when(col("mean_logprob") > col("__hi"), "head")
+          .when(col("mean_logprob") < col("__lo"), "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        col("mean_logprob"), col("ppl_bucket"))
+  }
+
   // -------------------------------------------------------------------
   // DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
   // -------------------------------------------------------------------
@@ -984,12 +1019,13 @@ object TextAnalytics {
     val rawCounts = rw.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgtTotal = tgt.agg(count(lit(1)).as("tt"))
     val rawTotal = rw.agg(count(lit(1)).as("tr"))
-    // full-outer on the two ≤B-row bucket tables: a bucket seen only in
-    // the target still shifts raw docs that hit it (ct>0, cr=0 never
-    // scores — raw docs only hit buckets with cr>0 — but the symmetric
-    // form keeps the table meaning honest)
-    val ratio = tgtCounts.join(rawCounts, Seq("b"), "full_outer")
-      .na.fill(0L, Seq("ct", "cr"))
+    // raw-side buckets are a SUPERSET of any scoring doc's buckets
+    // (every bucket a raw doc touches has cr ≥ 1), so target-only
+    // buckets can never score — a raw-anchored LEFT join covers the
+    // whole domain and keeps both ≤B-row tables broadcastable (a
+    // full-outer would force a sort-merge: no single build side)
+    val ratio = rawCounts.join(broadcast(tgtCounts), Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(tgtTotal)).crossJoin(broadcast(rawTotal))
       .select(col("b"),
         round((log((col("ct") + 1).cast("double") /

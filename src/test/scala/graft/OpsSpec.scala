@@ -1625,6 +1625,74 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_._1 == 0L))
   }
 
+  test("perplexity buckets: per-lang terciles, fluent docs head, rare-word docs tail") {
+    // one language; fluency = how common the doc's words are in the
+    // corpus-own unigram model: "common"x9 docs score high, singleton
+    // rare words score low
+    val docs = ((1L to 6L).map(i => (i, "common words shared across docs", "en")) ++
+      Seq((7L, "zxqj vbnk wpro", "en"), (8L, "mlty qsdf ghjk", "en"),
+        (9L, "common words rarely zzyx", "en"))).toDF("doc_id", "text", "lang")
+    val got = TextAnalytics.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select($"doc_id", $"mean_logprob", $"ppl_bucket")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 9)
+    // identical docs share a bucket; rare-word docs land strictly below
+    assert(got(7L)._1 < got(1L)._1 && got(8L)._1 < got(1L)._1)
+    assert(got(7L)._2 == "tail" && got(8L)._2 == "tail")
+    assert(got(1L)._2 == got(2L)._2)
+    // head/middle/tail are all non-empty and ordered by score
+    val byBucket = got.values.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail") ||
+      byBucket.keySet == Set("middle", "tail")) // 6 identical docs may pin both terciles
+    if (byBucket.contains("head"))
+      assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+  }
+
+  test("mmr rerank: pure-relevance at lambda=1, near-dup demoted under diversity pressure") {
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)), // most relevant
+      (2L, Array(0.9f, 0.12f, 0.0f)), // near-duplicate of 1
+      (3L, Array(0.6f, 0.75f, 0.0f)), // diverse, moderately relevant
+      (4L, Array(0.0f, 0.0f, 1.0f)) // orthogonal
+    ).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    // lambdaNum = 10: MMR degenerates to relevance order
+    val pure = SimilaritySearch.mmrRerank(vecs, "vec_id", "embedding", q,
+        poolSize = 4, k = 4, lambdaNum = 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(pure == Seq(1L, 2L, 3L, 4L))
+    // lambdaNum = 3: the near-duplicate is pushed below the diverse hit
+    val div = SimilaritySearch.mmrRerank(vecs, "vec_id", "embedding", q,
+        poolSize = 4, k = 3, lambdaNum = 3)
+      .select($"vec_id").as[Long].collect().toSeq
+    // greedy: 1 (top rel), then the orthogonal 4 (zero penalty), then
+    // diverse 3 — the near-duplicate 2 is squeezed out entirely
+    assert(div == Seq(1L, 4L, 3L), s"got $div")
+    // stable under a different partitioning
+    val div2 = SimilaritySearch.mmrRerank(vecs.repartition(3), "vec_id",
+        "embedding", q, poolSize = 4, k = 3, lambdaNum = 3)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(div2 == div)
+  }
+
+  test("silhouette: separated clusters score near 1, one blob split in two scores low") {
+    import graft.ops.Clustering
+    val sep = (0 until 20).map { i =>
+      val cx = if (i % 2 == 0) 10.0f else -10.0f
+      (i.toLong, Array(cx + (i % 5) * 0.01f, (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val s1 = Clustering.silhouette(sep, "vec_id", "embedding", dim = 2, k = 2, iters = 2)
+      .select($"mean_silhouette").as[Double].collect()
+    assert(s1.length == 2 && s1.forall(_ > 0.9), s1.toSeq.toString)
+    val blob = (0 until 20).map { i =>
+      (i.toLong, Array((i % 5) * 0.1f, (i % 4) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val s2 = Clustering.silhouette(blob, "vec_id", "embedding", dim = 2, k = 2, iters = 2)
+      .select($"mean_silhouette").as[Double].collect()
+    assert(s2.forall(_ < 0.6), s2.toSeq.toString)
+  }
+
   test("misra-gries: exact when vocab fits; guarantee holds under adversarial vocab + merges") {
     import graft.functions.MgFunctions.misraGries
     // vocab (3) <= k (8): the sketch IS the exact count

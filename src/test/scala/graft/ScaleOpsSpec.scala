@@ -368,6 +368,53 @@ class ScaleOpsSpec extends SparkSpec {
       s"centroidOutliers must broadcast centroids and avoid global sorts:\n$coPlan")
   }
 
+  test("round-7 op plan shapes: DSIR broadcast ratio, MG partial agg, hard-negative bounded exchange") {
+    val docs = (1L to 400L).map(i =>
+      (i, s"alpha beta gamma delta word$i tail", if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+
+    // DSIR: the ≤B-row log-ratio table must BROADCAST onto the word
+    // scan — never a sort-merge join against per-word rows — and the
+    // only hash exchanges are the two bucket rollups + per-doc sum
+    val dw = graft.ops.TextAnalytics.dsirWeights(docs,
+      docs.filter($"lang" === "en"), "doc_id", "text", buckets = 256)
+    val dwPlan = dw.queryExecution.executedPlan.toString
+    assert(dwPlan.contains("BroadcastHashJoin") && !dwPlan.contains("SortMergeJoin"),
+      s"dsirWeights must broadcast the bucket ratio table:\n$dwPlan")
+
+    // Misra-Gries: partial_misra_gries before the exchange — each task
+    // ships ONE bounded buffer, not its word rows
+    val words = docs.select(explode(split($"text", " ")).as("w"))
+    val mg = words.agg(graft.functions.MgFunctions.misraGries($"w", 16).as("mg"))
+    val mgPlan = mg.queryExecution.executedPlan.toString
+    assert(mgPlan.contains("partial_misra_gries"),
+      s"MG must partial-aggregate map-side:\n$mgPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(mgPlan).isEmpty,
+      s"MG global agg exchanges a single partition, not hash buckets:\n$mgPlan")
+
+    // hard negatives: anchors broadcast + TopKHits partial aggregate —
+    // no window over the scored corpus, no rangepartition sort
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val hn = graft.ops.SimilaritySearch.hardNegatives(vecs, "vec_id", "embedding",
+      "label", vecs.filter($"vec_id" <= 3), "vec_id", "embedding", "label", k = 5)
+    val hnPlan = hn.queryExecution.executedPlan.toString
+    assert(hnPlan.contains("partial_top_k_hits") && !hnPlan.contains("Window") &&
+      !hnPlan.contains("Exchange rangepartitioning"),
+      s"hardNegatives must run the bounded heap-agg plan:\n$hnPlan")
+
+    // fuzzy decontamination: bench side broadcast — corpus rows joined
+    // map-side, never sort-merge shuffled against the bench set
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val fd = graft.ops.Dedup.minhashDecontaminate(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 4, numHashes = 8, rowsPerBand = 2, threshold = 0.25)
+    val fdPlan = fd.queryExecution.executedPlan.toString
+    assert(fdPlan.contains("BroadcastHashJoin") && !fdPlan.contains("SortMergeJoin"),
+      s"minhashDecontaminate must broadcast the bench side:\n$fdPlan")
+  }
+
   test("ANN recall@10 gate: defaults >= 0.9 on the clustered regime at probe scale") {
     // The promoted-from-probe recall GATE (BASELINE.md "ANN recall@10
     // vs exact"): the default ANN parameters (LSH 8 planes probe<=2,
