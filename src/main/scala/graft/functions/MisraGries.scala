@@ -169,3 +169,37 @@ object MgFunctions {
       ColumnBridge.expression(item.cast("string")), k)
       .toAggregateExpression())
 }
+
+/** Driver-side persistence for a running MG summary (the streaming
+  * twin's state between triggers): ≤ k (item, est) entries, written
+  * atomically (tmp + move). Same byte layout as the aggregate's
+  * shuffle serialization. */
+object MgSummary {
+  def write(path: java.nio.file.Path, buf: MgBuffer): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.counts.size)
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush()
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, bos.toByteArray)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def read(path: java.nio.file.Path, k: Int): MgBuffer = {
+    if (!java.nio.file.Files.exists(path)) return new MgBuffer(k)
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(path)))
+    val buf = new MgBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+}

@@ -166,6 +166,41 @@ object Streams {
     graft.ops.TextAnalytics.qualityFilter(docs, textCol)
       .filter(col("passes_quality"))
 
+  /** Streaming heavy-hitters maintenance — the streaming twin of the
+    * heavy_hitters batch op. Each trigger aggregates its micro-batch
+    * into ONE bounded Misra-Gries buffer (the identical distributed
+    * partial-agg plan the batch op runs — each task ships ≤ k
+    * counters) and MERGES it into the persisted summary at
+    * `summaryPath`. MG summaries are mergeable with the guarantee
+    * telescoping across any merge tree (Agarwal et al. 2012), so after
+    * N total stream items every item with true count > N/(k+1) is in
+    * the file and no estimate exceeds its true count — same contract
+    * as one batch pass over the whole history, with O(k) state.
+    *
+    * foreachBatch because the summary is a transactional read-merge-
+    * write of a driver-side O(k) artifact, not a row-append sink. */
+  def heavyHittersStream(items: DataFrame, itemCol: String, k: Int,
+      summaryPath: java.nio.file.Path, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    items.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .agg(graft.functions.MgFunctions.misraGries(col(itemCol), k).as("mg"))
+          .select(explode(col("mg")).as("e"))
+          .select(col("e.item"), col("e.est"))
+          .collect() // ≤ k rows by construction
+        if (rows.nonEmpty) {
+          val delta = new graft.functions.MgBuffer(k)
+          rows.foreach(r => delta.counts.put(r.getString(0), r.getLong(1)))
+          val total = graft.functions.MgSummary.read(summaryPath, k)
+          total.mergeFrom(delta)
+          graft.functions.MgSummary.write(summaryPath, total)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming stratified rate sampling — the streaming twin of
     * [[graft.ops.TextAnalytics.stratifiedSample]]: membership is a pure
     * function of the id hash, so the plan is a stateless map and a

@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -35,7 +35,7 @@ object ScaleProbe {
         VectorFunctions.l2Normalize(array(comps: _*)).as("embedding"))
       .repartition(32)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (on("ann") || on("dedup") || on("r6ops") || on("r7ops")) {
+    if (on("ann") || on("dedup") || on("r6ops") || on("r7ops") || on("r7b")) {
       val t0 = System.nanoTime()
       vecs.count()
       println(f"[probe] materialize $n%d x $dim vectors: ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -440,6 +440,59 @@ object ScaleProbe {
         one7, "doc_id", "text", "lang", budget = 1000000L, shards = sh).count())
     }
     one7.unpersist()
+    }
+    if (on("r7b")) {
+    // Round-7 batch-2 ops at probe scale.
+    //
+    // Misra-Gries vs exact, 20M tokens over a 3M-word cold vocabulary
+    // with a 10-word hot head (30% of the stream): the exact plan
+    // shuffles 3M distinct keys; MG ships one <=k-entry buffer per
+    // partition. The gap grows with the vocabulary, not the corpus.
+    val toks = spark.range(20000000L).select(
+        when(pmod(col("id"), lit(10)) < 3,
+          concat(lit("hot"), pmod(col("id"), lit(10))))
+          .otherwise(concat(lit("w"), pmod(col("id"), lit(3000000)))).as("w"))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] token stream=${toks.count()}")
+    time("misra-gries k=256 over 20M tokens") {
+      println("[probe]   counters=" + toks
+        .agg(graft.functions.MgFunctions.misraGries(col("w"), 256).as("mg"))
+        .select(explode(col("mg"))).count())
+    }
+    time("exact groupBy top-256 (the shuffle-everything twin)") {
+      toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(256).collect()
+    }
+    toks.unpersist()
+    // DSIR at 10x the bench corpus (50k docs): three word-level map
+    // passes + one per-doc sum; the bucket model stays 1024 rows no
+    // matter the corpus.
+    val sfDirB = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseB = spark.read.parquet(s"$sfDirB/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val docsB = (0 until 10).map(r =>
+        baseB.select((col("doc_id") + lit(r * 1000000)).as("doc_id"),
+          col("text"), col("lang")))
+      .reduce(_.unionByName(_))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] doc corpus=${docsB.count()}")
+    time("dsir weights (50k docs, B=1024)") {
+      println("[probe]   scored=" + graft.ops.TextAnalytics.dsirWeights(
+        docsB, docsB.filter(col("lang") === "en"), "doc_id", "text", 1024).count())
+    }
+    time("dsir gumbel resample top-1000") {
+      println("[probe]   kept=" + graft.ops.TextAnalytics.dsirResample(
+        docsB, docsB.filter(col("lang") === "en"), "doc_id", "text", 1000, 1024).count())
+    }
+    docsB.unpersist()
+    // hard negatives on the 2M-vector corpus, 50 anchors: the
+    // heap-agg plan's exchange carries 50*k rows per partition.
+    val labeled = vecs.withColumn("label", pmod(col("vec_id"), lit(16)))
+    time("hard negatives 2M x 50 anchors k=5") {
+      println("[probe]   rows=" + graft.ops.SimilaritySearch.hardNegatives(
+        labeled, "vec_id", "embedding", "label",
+        labeled.filter(col("vec_id") < 50), "vec_id", "embedding", "label", 5).count())
+    }
     }
     spark.stop()
   }

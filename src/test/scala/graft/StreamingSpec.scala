@@ -259,6 +259,39 @@ class StreamingSpec extends SparkSpec {
     assert(dump(dir) == dump(rebuildDir))
   }
 
+  test("streaming heavy hitters: summary merges across triggers, MG guarantee vs full history") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val summary = Files.createTempDirectory("mg_stream").resolve("summary.bin")
+    val ckpt = Files.createTempDirectory("mg_stream_ckpt").toString
+    val k = 8
+    // trigger 1: small vocab — summary must be the exact counts
+    val b1: Seq[String] = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++ Seq("c1", "c2")
+    input.addData(b1)
+    Streams.heavyHittersStream(input.toDF().toDF("w"), "w", k, summary, ckpt)
+      .awaitTermination()
+    val s1 = graft.functions.MgSummary.read(summary, k)
+    assert(s1.counts.get("hot") == 30L && s1.counts.get("warm") == 10L)
+    // trigger 2 (same checkpoint): adversarial vocab larger than k
+    val b2: Seq[String] = Seq.fill(25)("hot") ++ (1 to 40).map(i => s"cold$i")
+    input.addData(b2)
+    Streams.heavyHittersStream(input.toDF().toDF("w"), "w", k, summary, ckpt)
+      .awaitTermination()
+    val s2 = graft.functions.MgSummary.read(summary, k)
+    val history = b1 ++ b2
+    val n = history.size
+    val exact = history.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    assert(s2.counts.size <= k)
+    // every guaranteed-heavy item present; no overestimates; deficit bound
+    exact.foreach { case (w, tru) =>
+      if (tru > n / (k + 1)) assert(s2.counts.containsKey(w), s"lost $w ($tru > ${n / (k + 1)})")
+    }
+    s2.counts.forEach { (w, est) =>
+      assert(est <= exact(w), s"$w overestimated: $est > ${exact(w)}")
+      assert(exact(w) - est <= n / (k + 1), s"$w deficit too large")
+    }
+  }
+
   test("streaming decontamination: flags match the batch op, stateless plan") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over a fence"))
