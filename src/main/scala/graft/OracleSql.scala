@@ -1655,7 +1655,70 @@ object OracleSql {
         |            ELSE 'middle' END AS ppl_bucket
         |FROM scl JOIN th USING (lang)""".stripMargin,
 
-    "mmr_rerank" -> mmrSql(poolSize = 50, k = 10, lambdaNum = 7))
+    "mmr_rerank" -> mmrSql(poolSize = 50, k = 10, lambdaNum = 7),
+
+    // Micro-snapped per-dimension means on each id-parity half; drift
+    // is exact integer micro arithmetic.
+    "embedding_drift" ->
+      """WITH va AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 0),
+        | vb AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 1),
+        | ma AS (SELECT i - 1 AS d, CAST(round(avg(e[i]) * 1000000) AS BIGINT) AS mam,
+        |         count(*) AS n_a
+        |        FROM (SELECT e, unnest(generate_series(1, 64)) AS i FROM va) GROUP BY i),
+        | mb AS (SELECT i - 1 AS d, CAST(round(avg(e[i]) * 1000000) AS BIGINT) AS mbm,
+        |         count(*) AS n_b
+        |        FROM (SELECT e, unnest(generate_series(1, 64)) AS i FROM vb) GROUP BY i)
+        |SELECT d, n_a, n_b,
+        | CAST(mam AS DOUBLE) / 1000000.0 AS mean_a,
+        | CAST(mbm AS DOUBLE) / 1000000.0 AS mean_b,
+        | CAST(abs(mam - mbm) AS DOUBLE) / 1000000.0 AS abs_drift
+        |FROM ma JOIN mb USING (d)""".stripMargin,
+
+    // CMS gate: exact top-20 words recomputed; the sketch-side bounds
+    // are the booleans (length_prune_approx pattern).
+    "cms_check" ->
+      """WITH ww AS (SELECT wd FROM (SELECT
+        |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+        |       FROM documents) WHERE wd <> '')
+        |SELECT wd AS word, count(*) AS n_exact, true AS cms_ok
+        |FROM ww GROUP BY wd
+        |ORDER BY n_exact DESC, word LIMIT 20""".stripMargin,
+
+    // Same digit-run regex (RE2 \b, no lookarounds) and Luhn fold; the
+    // planting guarantees <= 1 valid card per doc, so redaction is a
+    // single replace.
+    "luhn_cards" ->
+      """WITH e AS (SELECT doc_id,
+        |    text || ' pay ' || CASE WHEN doc_id % 2 = 0
+        |      THEN '4111111111111111' ELSE '4111111111111112' END || ' end' AS card_text
+        |   FROM documents),
+        | c AS (SELECT doc_id, card_text,
+        |        regexp_extract_all(card_text, '\b[0-9]{13,19}\b') AS cards FROM e),
+        | v AS (SELECT doc_id, card_text, cards,
+        |        list_filter(cards, x -> (list_sum(list_transform(generate_series(1, length(x)), i ->
+        |          CASE WHEN i % 2 = 0
+        |            THEN CASE WHEN CAST(substring(reverse(x), i, 1) AS INT) * 2 > 9
+        |              THEN CAST(substring(reverse(x), i, 1) AS INT) * 2 - 9
+        |              ELSE CAST(substring(reverse(x), i, 1) AS INT) * 2 END
+        |            ELSE CAST(substring(reverse(x), i, 1) AS INT) END)) % 10 = 0)) AS valid
+        |       FROM c)
+        |SELECT doc_id, CAST(len(cards) AS BIGINT) AS n_card_candidates,
+        | CAST(len(valid) AS BIGINT) AS n_luhn_valid,
+        | CASE WHEN len(valid) >= 1 THEN replace(card_text, valid[1], '[CARD]')
+        |      ELSE card_text END AS redacted
+        |FROM v""".stripMargin,
+
+    // Per-language MG gate: exact per-lang heavy set recomputed, the
+    // booleans assert the sketch bound (heavy_hitters pattern).
+    "heavy_hitters_by_lang" ->
+      """WITH ww AS (SELECT lang, wd FROM (SELECT lang,
+        |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+        |       FROM documents) WHERE wd <> ''),
+        | tot AS (SELECT lang, count(*) AS n FROM ww GROUP BY lang),
+        | ex AS (SELECT lang, wd, count(*) AS n_exact FROM ww GROUP BY lang, wd)
+        |SELECT ex.lang, wd AS word, n_exact, true AS mg_ok
+        |FROM ex JOIN tot ON ex.lang = tot.lang WHERE n_exact * 30 > tot.n
+        |ORDER BY ex.lang, n_exact DESC, word""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1463,6 +1463,76 @@ object Queries {
     TextAnalytics.perplexityBuckets(t(s, dir, "documents"),
       "doc_id", "text", "lang")
 
+  /** Embedding drift between the even- and odd-id halves of the
+    * embeddings table — the deployment drift monitor over a stand-in
+    * "before/after" split. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.embeddingDrift(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "embedding", dim = 64)
+  }
+
+  /** Count-min-sketch point-estimate gate (the OVERestimating
+    * complement of [[heavyHitters]]'s Misra-Gries underestimates):
+    * ε=0.001/δ=0.01 sketch over all word occurrences, checked on the
+    * top-20 exact words — `cms_ok` asserts est ≥ exact (CMS never
+    * undercounts) and est ≤ exact + εN (the width bound, which holds
+    * deterministically for the fixed seed once it holds at all).
+    * Oracle recomputes the exact side and emits `true`. */
+  def cmsCheck(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val sketch = words.stat.countMinSketch(col("w"), 0.001, 0.99, 42)
+    val top = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w").asc).limit(20).collect()
+    val n = sketch.totalCount()
+    import s.implicits._
+    top.toSeq.map { r =>
+      val est = sketch.estimateCount(r.getString(0))
+      (r.getString(0), r.getLong(1),
+        est >= r.getLong(1) && est <= r.getLong(1) + (0.001 * n).ceil.toLong)
+    }.toDF("word", "n_exact", "cms_ok")
+  }
+
+  /** Luhn-validated card detection over deterministically enriched
+    * text (even docs get a valid test PAN, odd docs an off-by-one
+    * invalid one — same planting pattern as [[piiRedact]]). */
+  def luhnCardsQ(s: SparkSession, dir: String): DataFrame = {
+    val enriched = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" pay "),
+        when(col("doc_id") % 2 === 0, "4111111111111111")
+          .otherwise("4111111111111112"),
+        lit(" end")).as("card_text"))
+    TextAnalytics.luhnCards(enriched, "card_text")
+      .select(col("doc_id"), col("n_card_candidates"), col("n_luhn_valid"),
+        col("redacted"))
+  }
+
+  /** Per-language Misra-Gries heavy hitters — the grouped form of
+    * [[heavyHitters]] (one bounded buffer per (partition, lang)):
+    * guaranteed-heavy words within each language, same gate. */
+  def heavyHittersByLang(s: SparkSession, dir: String): DataFrame = {
+    val cap = 29
+    val words = t(s, dir, "documents")
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val mg = words.groupBy("lang")
+      .agg(graft.functions.MgFunctions.misraGries(col("w"), cap).as("mg"))
+      .select(col("lang"), explode(col("mg")).as("e"))
+      .select(col("lang"), col("e.item").as("w"), col("e.est").as("est"))
+    val exact = words.groupBy("lang", "w").agg(count(lit(1)).as("n_exact"))
+    val total = words.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    exact.join(broadcast(total), "lang")
+      .filter(col("n_exact") * (cap + 1) > col("n_total"))
+      .join(broadcast(mg), Seq("lang", "w"))
+      .select(col("lang"), col("w").as("word"), col("n_exact"),
+        (col("est") <= col("n_exact") &&
+          (col("n_exact") - col("est")) * (cap + 1) <= col("n_total")).as("mg_ok"))
+      .orderBy(col("lang").asc, col("n_exact").desc, col("word").asc)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1586,5 +1656,9 @@ object Queries {
     "hard_negatives" -> hardNegatives _,
     "ppl_buckets" -> pplBuckets _,
     "mmr_rerank" -> mmrRerankQ _,
-    "cluster_silhouette" -> clusterSilhouette _)
+    "cluster_silhouette" -> clusterSilhouette _,
+    "embedding_drift" -> embeddingDrift _,
+    "cms_check" -> cmsCheck _,
+    "luhn_cards" -> luhnCardsQ _,
+    "heavy_hitters_by_lang" -> heavyHittersByLang _)
 }

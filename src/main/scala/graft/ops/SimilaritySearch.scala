@@ -243,6 +243,37 @@ object SimilaritySearch {
         (col("pos") + 1).cast("long").as("rank"), col("h.score").as("cosine"))
   }
 
+  /** Embedding-distribution drift between two corpora (a deployment
+    * monitor: did the embedding model change, did the data shift?):
+    * per dimension, the micro-snapped mean of each side and the
+    * absolute difference, plus each side's row count. Means snap to
+    * exact micro-units (the [[graft.ops.Clustering.kmeans]]
+    * convention) so the comparison — and any alert threshold on it —
+    * is a pure function of the data, replayable in SQL.
+    *
+    * Scale shape: ONE partial-agg aggregate per side (dim running
+    * sums per task), a dim-row output — no shuffle of vector rows, no
+    * join of the two corpora. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    def sideMeans(df: DataFrame, tag: String): DataFrame = {
+      val v = df.select(col(vecCol).cast("array<double>").as("__v"))
+      val meanCols = (0 until dim).map(i =>
+        round(avg(col("__v")(i)) * 1000000.0).cast("long").as(s"m$i"))
+      v.agg(meanCols.head, (meanCols.tail :+ count(lit(1)).as(s"n_$tag")): _*)
+        .select(explode(map((0 until dim).flatMap(i =>
+            Seq(lit(i), col(s"m$i"))): _*)).as(Seq("d", s"mean_${tag}_micro")),
+          col(s"n_$tag"))
+    }
+    sideMeans(a, "a").join(sideMeans(b, "b"), Seq("d"))
+      .select(col("d").cast("long").as("d"),
+        col("n_a"), col("n_b"),
+        (col("mean_a_micro").cast("double") / 1e6).as("mean_a"),
+        (col("mean_b_micro").cast("double") / 1e6).as("mean_b"),
+        (abs(col("mean_a_micro") - col("mean_b_micro")).cast("double") / 1e6)
+          .as("abs_drift"))
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversified rerank: greedily select `k` results from the exact
     * relevance top-`poolSize`, each step maximizing

@@ -201,6 +201,42 @@ object TextAnalytics {
     acc.withColumn("redacted", cur)
   }
 
+  /** Payment-card detection with Luhn checksum validation — the PII
+    * pass's high-precision tier: a 13-19 digit run is only a REAL card
+    * number if its Luhn check digit holds, which cuts the
+    * order-id/timestamp false positives a bare digit-run regex drowns
+    * in. Detection, validation, and redaction (valid cards only) are
+    * pure column expressions — map-only at any corpus size — built
+    * from regexp + higher-order array functions that replay verbatim
+    * in SQL (no lookarounds: RE2 engines lack them, so the boundary is
+    * `\b`).
+    *
+    * Returns (… n_card_candidates, n_luhn_valid, redacted). */
+  def luhnCards(df: DataFrame, textCol: String): DataFrame = {
+    // \b doubled once more for Spark SQL's escaped string literals
+    // (the parser would otherwise read '\b' as a backspace char)
+    val pat = "\\\\b[0-9]{13,19}\\\\b"
+    // Luhn over one candidate string c: sum over reversed digits, odd
+    // positions as-is, even positions doubled with 9 subtracted past 9
+    val luhnSum = (c: String) =>
+      s"""aggregate(transform(sequence(1, length($c)), i ->
+         |  CASE WHEN i % 2 = 0
+         |    THEN CASE WHEN CAST(substring(reverse($c), i, 1) AS INT) * 2 > 9
+         |      THEN CAST(substring(reverse($c), i, 1) AS INT) * 2 - 9
+         |      ELSE CAST(substring(reverse($c), i, 1) AS INT) * 2 END
+         |    ELSE CAST(substring(reverse($c), i, 1) AS INT) END),
+         | 0, (a, x) -> a + x)""".stripMargin.replaceAll("\\s+", " ")
+    df.withColumn("__cards", expr(s"regexp_extract_all($textCol, '$pat', 0)"))
+      .withColumn("n_card_candidates", size(col("__cards")).cast("long"))
+      .withColumn("n_luhn_valid", expr(
+        s"size(filter(__cards, c -> ${luhnSum("c")} % 10 = 0))").cast("long"))
+      .withColumn("redacted", expr(
+        s"""aggregate(filter(__cards, c -> ${luhnSum("c")} % 10 = 0),
+           | $textCol, (acc, c) -> replace(acc, c, '[CARD]'))"""
+          .stripMargin.replaceAll("\\s+", " ")))
+      .drop("__cards")
+  }
+
   /** Corpus-wide most frequent word n-grams — the boilerplate report a
     * pipeline runs before writing repetition filters: total occurrences
     * and containing-doc counts per gram, top `k`. One (gram) shuffle

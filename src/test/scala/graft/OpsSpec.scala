@@ -1693,6 +1693,40 @@ class OpsSpec extends SparkSpec {
     assert(s2.forall(_ < 0.6), s2.toSeq.toString)
   }
 
+  test("embedding drift: identical halves zero, shifted dimension detected, partition-invariant") {
+    val mk = (i: Long, shift: Float) =>
+      Array(math.sin(i).toFloat + shift, math.cos(i).toFloat, 0.25f)
+    val a = (1L to 40L).map(i => Tuple1(mk(i, 0f))).toDF("embedding")
+    val same = SimilaritySearch.embeddingDrift(a, a, "embedding", dim = 3)
+      .select($"abs_drift").as[Double].collect()
+    assert(same.forall(_ == 0.0))
+    val b = (1L to 40L).map(i => Tuple1(mk(i, 0.5f))).toDF("embedding")
+    val drift = SimilaritySearch.embeddingDrift(a, b, "embedding", dim = 3)
+      .select($"d", $"abs_drift").as[(Long, Double)].collect().toMap
+    assert(math.abs(drift(0L) - 0.5) < 0.001 && drift(1L) == 0.0 && drift(2L) == 0.0)
+    // micro-snapped means: bit-identical under any partitioning
+    val drift2 = SimilaritySearch.embeddingDrift(a.repartition(7), b.repartition(3),
+        "embedding", dim = 3)
+      .select($"d", $"abs_drift").as[(Long, Double)].collect().toMap
+    assert(drift2 == drift)
+  }
+
+  test("luhn cards: valid PAN detected+redacted, invalid PAN counted but kept, short runs ignored") {
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"), // Luhn-valid Visa test PAN
+      (2L, "pay 4111111111111112 now"), // check digit off by one
+      (3L, "order 123456789012 done"), // 12 digits: below candidate length
+      (4L, "amex 378282246310005 ok") // 15-digit Luhn-valid
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.luhnCards(docs, "text")
+      .select($"doc_id", $"n_card_candidates", $"n_luhn_valid", $"redacted")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 1L, "pay [CARD] now")))
+    assert(got(1) == ((2L, 1L, 0L, "pay 4111111111111112 now")))
+    assert(got(2) == ((3L, 0L, 0L, "order 123456789012 done")))
+    assert(got(3) == ((4L, 1L, 1L, "amex [CARD] ok")))
+  }
+
   test("misra-gries: exact when vocab fits; guarantee holds under adversarial vocab + merges") {
     import graft.functions.MgFunctions.misraGries
     // vocab (3) <= k (8): the sketch IS the exact count
