@@ -1718,7 +1718,41 @@ object OracleSql {
         | ex AS (SELECT lang, wd, count(*) AS n_exact FROM ww GROUP BY lang, wd)
         |SELECT ex.lang, wd AS word, n_exact, true AS mg_ok
         |FROM ex JOIN tot ON ex.lang = tot.lang WHERE n_exact * 30 > tot.n
-        |ORDER BY ex.lang, n_exact DESC, word""".stripMargin)
+        |ORDER BY ex.lang, n_exact DESC, word""".stripMargin,
+
+    // dedup_jaccard's pair pipeline (positives) + per-anchor hard
+    // negative: top-1 cosine over embeddings excluding the anchor and
+    // its partners both ways. MATERIALIZED: sh/sets/p are referenced
+    // multiple times.
+    "contrastive_pairs" ->
+      """WITH sh AS MATERIALIZED (SELECT DISTINCT doc_id AS sid,
+        |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS MATERIALIZED (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | v AS (SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |       FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b),
+        | p AS MATERIALIZED (SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (s_a + s_b - i), 6) AS jaccard
+        |      FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
+        | anch AS (SELECT DISTINCT id_a FROM p),
+        | excl AS MATERIALIZED (SELECT id_a AS a, id_b AS x FROM p
+        |         UNION SELECT id_b, id_a FROM p UNION SELECT id_a, id_a FROM p),
+        | av AS (SELECT anch.id_a, CAST(e.embedding AS DOUBLE[]) AS qv
+        |        FROM anch JOIN embeddings e ON e.vec_id = anch.id_a),
+        | sc AS (SELECT av.id_a, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), av.qv) AS c
+        |        FROM embeddings e, av
+        |        WHERE NOT EXISTS (SELECT 1 FROM excl
+        |                          WHERE excl.a = av.id_a AND excl.x = e.vec_id)),
+        | neg AS (SELECT id_a, vec_id AS negative_id, c FROM sc
+        |         QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY c DESC, vec_id) = 1)
+        |SELECT p.id_a AS anchor_id, p.id_b AS positive_id, p.jaccard,
+        |       neg.negative_id, round(neg.c, 6) AS neg_cosine
+        |FROM p JOIN neg ON neg.id_a = p.id_a""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1533,6 +1533,23 @@ object Queries {
       .orderBy(col("lang").asc, col("n_exact").desc, col("word").asc)
   }
 
+  /** Contrastive (anchor, positive, hard-negative) triples: positives
+    * from the [[dedupJaccard]] pair pipeline, negatives mined over the
+    * embeddings table (doc i ↔ embedding i stand-in mapping, as in
+    * [[hybridSearch]]). */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+    val out = SimilaritySearch.contrastiveTriples(pairs,
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("anchor_id"), col("positive_id"), col("jaccard"),
+        col("negative_id"), r6(col("neg_cosine")).as("neg_cosine"))
+      .localCheckpoint(true)
+    pairs.unpersist() // jaccardPairs returns an eager persisted frame
+    out
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1660,5 +1677,6 @@ object Queries {
     "embedding_drift" -> embeddingDrift _,
     "cms_check" -> cmsCheck _,
     "luhn_cards" -> luhnCardsQ _,
-    "heavy_hitters_by_lang" -> heavyHittersByLang _)
+    "heavy_hitters_by_lang" -> heavyHittersByLang _,
+    "contrastive_pairs" -> contrastivePairs _)
 }

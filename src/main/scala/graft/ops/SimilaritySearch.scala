@@ -243,6 +243,48 @@ object SimilaritySearch {
         (col("pos") + 1).cast("long").as("rank"), col("h.score").as("cosine"))
   }
 
+  /** Contrastive training-pair mining — the dataset-construction step
+    * for embedding-model training: each near-duplicate pair (the
+    * POSITIVE signal, e.g. from [[graft.ops.Dedup.jaccardPairs]])
+    * gets the anchor's HARD NEGATIVE attached — the most-similar
+    * vector that is NOT the anchor itself and NOT one of the anchor's
+    * near-dup partners in either pair direction (a same-cluster item
+    * mislabeled as negative would poison the loss).
+    *
+    * Returns one row per input pair:
+    * (anchor_id, positive_id, jaccard, negative_id, neg_cosine).
+    *
+    * Scale shape: the pair graph and its exclusion edges broadcast
+    * (near-dup output is corpus-tiny by the capped-pair construction);
+    * negative mining is the bounded TopKHits heap-aggregate batch plan
+    * over anchors — k=1 rows per (partition, anchor) cross the
+    * exchange. Mining batches of anchors (the caller slices the pair
+    * frame) keep the broadcast bounded on adversarially dirty
+    * corpora. */
+  def contrastiveTriples(pairs: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val anchors = pairs.select(col("id_a")).distinct()
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__av")), "id_a")
+    // same-cluster exclusions: the anchor itself + partners both ways
+    val excl = pairs.select(col("id_a").as("__xa"), col("id_b").as("__xv"))
+      .unionByName(pairs.select(col("id_b").as("__xa"), col("id_a").as("__xv")))
+      .unionByName(pairs.select(col("id_a").as("__xa"), col("id_a").as("__xv")))
+      .distinct()
+    val scored = vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(anchors))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineSimilarity(col(vecCol), col("__av")))
+      .join(broadcast(excl),
+        col("id_a") === col("__xa") && col(idCol) === col("__xv"), "left_anti")
+    val negs = scored.groupBy(col("id_a"))
+      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col(idCol), 1).as("hits"))
+      .select(col("id_a"), col("hits")(0)("id").as("negative_id"),
+        col("hits")(0)("score").as("neg_cosine"))
+    pairs.join(broadcast(negs), Seq("id_a"))
+      .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
+        col("jaccard"), col("negative_id"), col("neg_cosine"))
+  }
+
   /** Embedding-distribution drift between two corpora (a deployment
     * monitor: did the embedding model change, did the data shift?):
     * per dimension, the micro-snapped mean of each side and the

@@ -1711,6 +1711,24 @@ class OpsSpec extends SparkSpec {
     assert(drift2 == drift)
   }
 
+  test("contrastive triples: negative skips anchor + partners both ways, top cosine wins") {
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.85), (2L, 5L, 0.5))
+      .toDF("id_a", "id_b", "jaccard")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.995f, 0.1f)), // partner of 1 (fwd), of 5 (anchor itself)
+      (3L, Array(0.99f, 0.14f)), // partner of 1 (fwd)
+      (4L, Array(0.9f, 0.436f)), // the hard negative for anchor 1
+      (5L, Array(0.5f, 0.87f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.contrastiveTriples(pairs, vecs, "vec_id", "embedding")
+      .select($"anchor_id", $"positive_id", $"negative_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // anchor 1 excludes {1,2,3} -> best remaining is 4 (cos .9 beats 5's .5);
+    // anchor 2 excludes {2,5} plus 1 via the REVERSED (1,2) pair -> 3 wins
+    assert(got == Seq((1L, 2L, 4L), (1L, 3L, 4L), (2L, 5L, 3L)), got.toString)
+  }
+
   test("luhn cards: valid PAN detected+redacted, invalid PAN counted but kept, short runs ignored") {
     val docs = Seq(
       (1L, "pay 4111111111111111 now"), // Luhn-valid Visa test PAN
