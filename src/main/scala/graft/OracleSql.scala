@@ -1752,7 +1752,9 @@ object OracleSql {
         |         QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY c DESC, vec_id) = 1)
         |SELECT p.id_a AS anchor_id, p.id_b AS positive_id, p.jaccard,
         |       neg.negative_id, round(neg.c, 6) AS neg_cosine
-        |FROM p JOIN neg ON neg.id_a = p.id_a""".stripMargin)
+        |FROM p JOIN neg ON neg.id_a = p.id_a""".stripMargin,
+
+    "value_drift" -> valueDriftSql())
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the
@@ -1862,6 +1864,25 @@ object OracleSql {
     * [[graft.ops.Dedup.minhashSeeds]] — then compares band-key equality
     * pairwise (equivalent to the engine's (band, band_key) equi-join
     * buckets; the oracle runs at sf0.01 where all-pairs is cheap). */
+  /** Decile-drift oracle: quantile_cont deciles per (event_type, half),
+    * 6 dp-rounded, gap over the rounded values — the
+    * daily_percentiles convention extended to a decile vector. */
+  private def valueDriftSql(): String = {
+    def side(tag: String, parity: Int): String = {
+      val cols = (1 to 9).map(i =>
+        s"round(quantile_cont(value, 0.$i), 6) AS p${i}0_$tag").mkString(", ")
+      s"""d$tag AS (SELECT event_type, $cols, count(*) AS n_$tag
+         |       FROM events WHERE event_id % 2 = $parity GROUP BY event_type)""".stripMargin
+    }
+    val gap = (1 to 9).map(i => s"abs(p${i}0_a - p${i}0_b)")
+      .reduce((x, y) => s"greatest($x, $y)")
+    val outCols = (1 to 9).flatMap(i => Seq(s"p${i}0_a", s"p${i}0_b")).mkString(", ")
+    s"""WITH ${side("a", 0)},
+       | ${side("b", 1)}
+       |SELECT da.event_type, n_a, n_b, $outCols, round($gap, 6) AS max_decile_gap
+       |FROM da JOIN db USING (event_type)""".stripMargin
+  }
+
   /** MMR rerank oracle: replays [[graft.ops.SimilaritySearch.mmrRerank]]
     * as an UNROLLED greedy — one CTE per selection step. Pool = exact
     * cosine top-`poolSize` (raw-double ordering, id ties), relevance

@@ -1550,6 +1550,15 @@ object Queries {
     out
   }
 
+  /** Decile-vector drift of event values between the even/odd
+    * event-id halves, per event type. */
+  def valueDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    ops.EventAnalytics.valueDrift(
+      ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1),
+      "event_type", "value")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1678,5 +1687,6 @@ object Queries {
     "cms_check" -> cmsCheck _,
     "luhn_cards" -> luhnCardsQ _,
     "heavy_hitters_by_lang" -> heavyHittersByLang _,
-    "contrastive_pairs" -> contrastivePairs _)
+    "contrastive_pairs" -> contrastivePairs _,
+    "value_drift" -> valueDriftQ _)
 }

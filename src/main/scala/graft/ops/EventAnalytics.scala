@@ -274,4 +274,35 @@ object EventAnalytics {
       .orderBy(col("n_paths").desc, col("path").asc)
       .limit(k)
   }
+
+  /** Numeric distribution drift between two populations of the same
+    * metric (this week vs last week, variant A vs B, before vs after
+    * a pipeline change): per group, the exact interpolated decile
+    * vector of each side and the largest absolute per-decile gap — a
+    * discretized two-sample distribution distance that, unlike a mean
+    * comparison, catches shape changes (a variance blowup or a new
+    * mode moves deciles long before it moves the mean).
+    *
+    * Deciles are 6 dp-rounded on both engines (the daily_percentiles
+    * convention), gaps computed on the rounded values — exact replay.
+    *
+    * Scale shape: one percentile aggregate per (group, side) — the
+    * groups are few, rows stream through partial aggregation; the
+    * decile join is a broadcast of group-count rows. */
+  def valueDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    def deciles(df: DataFrame, tag: String): DataFrame = {
+      val aggs = (1 to 9).map(i =>
+        round(expr(s"percentile($valueCol, 0.$i)"), 6).as(s"p${i}0_$tag"))
+      df.groupBy(col(groupCol))
+        .agg(aggs.head, (aggs.tail :+ count(lit(1)).as(s"n_$tag")): _*)
+    }
+    val gap = (1 to 9).map(i =>
+      abs(col(s"p${i}0_a") - col(s"p${i}0_b"))).reduce(greatest(_, _))
+    deciles(a, "a").join(broadcast(deciles(b, "b")), Seq(groupCol))
+      .withColumn("max_decile_gap", round(gap, 6))
+      .select((col(groupCol) +: col("n_a") +: col("n_b") +:
+        (1 to 9).flatMap(i => Seq(col(s"p${i}0_a"), col(s"p${i}0_b"))) :+
+        col("max_decile_gap")): _*)
+  }
 }

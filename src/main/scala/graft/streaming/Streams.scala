@@ -201,6 +201,67 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming embedding-mean maintenance — the streaming side of the
+    * [[graft.ops.SimilaritySearch.embeddingDrift]] monitor: each
+    * trigger reduces its micro-batch to (count, per-dim double sums)
+    * with ONE partial-agg pass and merges them into the persisted
+    * running state (counts and sums are exactly mergeable), so the
+    * monitor can report the stream's mean vector against a frozen
+    * baseline at any moment without rescanning history. State is
+    * dim+1 numbers — O(dim) regardless of stream length. Doubles are
+    * persisted via toString (shortest round-trip: read(write(x)) is
+    * bit-identical, the IVF-PQ model.json discipline). */
+  def embeddingMeanStream(vecs: DataFrame, vecCol: String, dim: Int,
+      statePath: java.nio.file.Path, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val v = batch.select(col(vecCol).cast("array<double>").as("__v"))
+        val aggs = (0 until dim).map(i => sum(col("__v")(i)).as(s"s$i"))
+        val row = v.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n")): _*).head()
+        val n = row.getLong(dim)
+        if (n > 0) {
+          val (n0, s0) = MeanState.read(statePath, dim)
+          MeanState.write(statePath, n0 + n,
+            Array.tabulate(dim)(i => s0(i) + row.getDouble(i)))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Persisted (count, per-dim sum) state for [[embeddingMeanStream]];
+    * atomic tmp+move writes, text format with round-trip-exact double
+    * rendering. */
+  object MeanState {
+    def write(path: java.nio.file.Path, n: Long, sums: Array[Double]): Unit = {
+      val body = (n.toString +: sums.map(_.toString)).mkString("\n")
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, body)
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def read(path: java.nio.file.Path, dim: Int): (Long, Array[Double]) = {
+      if (!java.nio.file.Files.exists(path)) return (0L, new Array[Double](dim))
+      val lines = java.nio.file.Files.readString(path).split("\n")
+      (lines.head.toLong, lines.tail.map(_.toDouble))
+    }
+    /** The running mean in exact micro-units (the
+      * [[graft.ops.Clustering.kmeans]] snap), for comparison against a
+      * baseline vector. */
+    def meanMicro(path: java.nio.file.Path, dim: Int): Array[Long] = {
+      val (n, s) = read(path, dim)
+      require(n > 0, "no vectors accumulated yet")
+      // half away from zero — the SQL round() convention the batch
+      // drift op snaps with (math.round would round -2.5 up to -2)
+      Array.tabulate(dim) { i =>
+        val m = s(i) / n * 1e6
+        if (m >= 0) math.floor(m + 0.5).toLong else math.ceil(m - 0.5).toLong
+      }
+    }
+  }
+
   /** Streaming stratified rate sampling — the streaming twin of
     * [[graft.ops.TextAnalytics.stratifiedSample]]: membership is a pure
     * function of the id hash, so the plan is a stateless map and a

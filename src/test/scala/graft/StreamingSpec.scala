@@ -292,6 +292,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming embedding mean: two-trigger state == batch sums exactly (dyadic values)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val state = Files.createTempDirectory("mean_stream").resolve("state.txt")
+    val ckpt = Files.createTempDirectory("mean_stream_ckpt").toString
+    // multiples of 1/8: double sums are exact in ANY accumulation
+    // order, so stream-merged sums must equal batch sums bit for bit
+    val mk = (i: Long) => Array((i % 8) / 8.0f, ((i * 3) % 8) / 8.0f - 0.5f)
+    val b1 = (1L to 40L).map(i => (i, mk(i)))
+    val b2 = (41L to 100L).map(i => (i, mk(i)))
+    input.addData(b1)
+    Streams.embeddingMeanStream(input.toDF().toDF("vec_id", "embedding"),
+      "embedding", dim = 2, state, ckpt).awaitTermination()
+    input.addData(b2)
+    Streams.embeddingMeanStream(input.toDF().toDF("vec_id", "embedding"),
+      "embedding", dim = 2, state, ckpt).awaitTermination()
+    val (n, sums) = Streams.MeanState.read(state, 2)
+    assert(n == 100L)
+    val all = b1 ++ b2
+    val expect = Array(all.map(_._2(0).toDouble).sum, all.map(_._2(1).toDouble).sum)
+    assert(sums.toSeq == expect.toSeq)
+    // micro-snapped mean matches the batch drift op's snap convention
+    val micro = Streams.MeanState.meanMicro(state, 2)
+    assert(micro.toSeq == expect.map(s => math.round(s / 100 * 1e6)).toSeq)
+  }
+
   test("streaming decontamination: flags match the batch op, stateless plan") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over a fence"))
