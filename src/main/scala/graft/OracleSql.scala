@@ -1754,7 +1754,42 @@ object OracleSql {
         |       neg.negative_id, round(neg.c, 6) AS neg_cosine
         |FROM p JOIN neg ON neg.id_a = p.id_a""".stripMargin,
 
-    "value_drift" -> valueDriftSql())
+    "value_drift" -> valueDriftSql(),
+
+    // Distinct (user, item) pairs, per-user self-join, exact integer
+    // lift ratio rounded 6 dp.
+    "item_pairs" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |        TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS i
+        |       FROM events),
+        | ic AS (SELECT i, count(*) AS ni FROM ui GROUP BY i),
+        | nu AS (SELECT count(DISTINCT u) AS n FROM ui),
+        | p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |       FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab, ia.ni AS n_a, ib.ni AS n_b,
+        | round(CAST(n_ab * nu.n AS DOUBLE) / CAST(ia.ni * ib.ni AS DOUBLE), 6) AS lift
+        |FROM p JOIN ic ia ON ia.i = item_a JOIN ic ib ON ib.i = item_b, nu
+        |ORDER BY n_ab DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // Same micro-credit convention: 1e6 div n per touch, remainder to
+    // the earliest (ties by channel name), summed exactly.
+    "linear_attribution" ->
+      """WITH t AS (SELECT user_id, event_type, min(ts) AS ft
+        |       FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        | c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'purchase'),
+        | j AS (SELECT c.user_id, c.cts, t.event_type, t.ft
+        |       FROM c JOIN t USING (user_id) WHERE t.ft <= c.cts),
+        | r AS (SELECT *, count(*) OVER (PARTITION BY user_id, cts) AS n,
+        |        row_number() OVER (PARTITION BY user_id, cts ORDER BY ft, event_type) AS rk
+        |       FROM j),
+        | cr AS (SELECT event_type,
+        |        (1000000 // n) + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END AS credit
+        |       FROM r)
+        |SELECT event_type AS channel, count(*) AS n_touchpoints,
+        | CAST(sum(credit) AS BIGINT) AS credit_micro,
+        | CAST(sum(credit) AS DOUBLE) / 1000000.0 AS credit
+        |FROM cr GROUP BY 1""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1559,6 +1559,18 @@ object Queries {
       "event_type", "value")
   }
 
+  /** Top-20 co-occurring item pairs (props.k as the item) with lift. */
+  def itemPairs(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.itemCooccurrence(
+      events(s, dir).withColumn("item",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")),
+      "user_id", "item", k = 20, minSupport = 2)
+
+  /** Linear multi-touch attribution toward 'purchase' conversions. */
+  def linearAttributionQ(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.linearAttribution(events(s, dir),
+      "user_id", "event_type", "ts", convType = "purchase")
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1688,5 +1700,7 @@ object Queries {
     "luhn_cards" -> luhnCardsQ _,
     "heavy_hitters_by_lang" -> heavyHittersByLang _,
     "contrastive_pairs" -> contrastivePairs _,
-    "value_drift" -> valueDriftQ _)
+    "value_drift" -> valueDriftQ _,
+    "item_pairs" -> itemPairs _,
+    "linear_attribution" -> linearAttributionQ _)
 }

@@ -275,6 +275,82 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Item co-occurrence mining (the market-basket / "related items"
+    * report): items sharing a user count as co-occurring once per
+    * user; output the top-`k` pairs by co-occurrence with their lift
+    * `P(a,b) / (P(a)·P(b)) = n_ab·n_users / (n_a·n_b)` — exact
+    * integer ratio, 6 dp-rounded identically on any engine.
+    *
+    * Scale shape: distinct (user, item) pairs (one partial-agg
+    * shuffle), then a per-user self-join whose fan-out is
+    * C(items-per-user, 2) — bounded by the CATALOG, not the event
+    * count, since per-user items are distinct. For unbounded catalogs
+    * with heavy users, cap the per-user item set first (the
+    * df-cap discipline of the jaccard pipeline — same quadratic
+    * posting-list argument). Pair counts partial-aggregate into at
+    * most C(catalog, 2) keys; item/user totals broadcast; final
+    * ranking is TakeOrdered. */
+  def itemCooccurrence(events: DataFrame, userCol: String, itemCol: String,
+      k: Int, minSupport: Long = 2): DataFrame = {
+    require(k >= 1 && minSupport >= 1, "need k >= 1 and minSupport >= 1")
+    val ui = events.select(col(userCol).as("__u"), col(itemCol).as("__i")).distinct()
+    val itemCounts = ui.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val nUsers = ui.select(col("__u")).distinct().agg(count(lit(1)).as("__nu"))
+    ui.as("a").join(ui.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+      .join(broadcast(itemCounts.select(col("__i").as("item_a"), col("__ni").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("__i").as("item_b"), col("__ni").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("lift", round(
+        (col("n_ab") * col("__nu")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("lift"))
+      .orderBy(col("n_ab").desc, col("item_a").asc, col("item_b").asc)
+      .limit(k)
+  }
+
+  /** Linear multi-touch attribution: each conversion (an event of
+    * `convType`) splits ONE unit of credit equally across the user's
+    * distinct touch event types seen at-or-before the conversion
+    * time; per-channel totals in exact integer MICRO-credits —
+    * `1e6 div n` per touch with the remainder (`1e6 mod n`) going to
+    * the EARLIEST touch, so the split is conserved and replays
+    * exactly in SQL (no 1/3-style repeating-decimal drift). The
+    * first-touch op answers "which channel opened"; this answers
+    * "which channels contributed", the standard next step.
+    *
+    * Scale shape: conversions join the per-(user, channel) first-touch
+    * rollup on the user key (co-partitioned after one exchange); per
+    * conversion the touch set is |channels|-bounded; one final
+    * partial-agg sum per channel. No windows over raw events. */
+  def linearAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, convType: String): DataFrame = {
+    val touches = events.filter(col(typeCol) =!= convType)
+      .groupBy(col(userCol), col(typeCol))
+      .agg(min(col(tsCol)).as("__first_touch"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol).as("__conv_ts"))
+    val joined = convs.join(touches, Seq(userCol))
+      .filter(col("__first_touch") <= col("__conv_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("__conv_ts"))
+    val wRank = w.orderBy(col("__first_touch").asc, col(typeCol).asc)
+    joined
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__credit",
+        (lit(1000000L) / col("__n")).cast("long") +
+          when(col("__rk") === 1, pmod(lit(1000000L), col("__n"))).otherwise(0L))
+      .groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_touchpoints"),
+        sum(col("__credit")).as("credit_micro"))
+      .withColumn("credit", col("credit_micro").cast("double") / 1e6)
+  }
+
   /** Numeric distribution drift between two populations of the same
     * metric (this week vs last week, variant A vs B, before vs after
     * a pipeline change): per group, the exact interpolated decile

@@ -1729,6 +1729,38 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 4L), (1L, 3L, 4L), (2L, 5L, 3L)), got.toString)
   }
 
+  test("item co-occurrence: per-user distinct pairs, min support, exact lift") {
+    val ev = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"), // dup (1,a) counts once
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b")
+    ).toDF("user_id", "item")
+    val got = graft.ops.EventAnalytics.itemCooccurrence(ev, "user_id", "item",
+        k = 10, minSupport = 2)
+      .select($"item_a", $"item_b", $"n_ab", $"lift")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // only (a,b) clears support 2: all 3 users have both; lift = 3*3/(3*3)
+    assert(got == Seq(("a", "b", 3L, 1.0)), got.toString)
+  }
+
+  test("linear attribution: equal split, remainder to earliest, credit conserved") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // 2 touches: 500k each
+      (2L, "click", 1L), (2L, "view", 5L), (2L, "purchase", 4L), // view too late: click gets all
+      (3L, "view", 1L), (3L, "click", 2L), (3L, "error", 3L), (3L, "purchase", 10L)
+      // 3 touches: 333333 each, +1 remainder to the earliest (view)
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.EventAnalytics.linearAttribution(ev, "user_id",
+        "event_type", "ts", "purchase")
+      .select($"channel", $"n_touchpoints", $"credit_micro")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("view") == ((2L, 500000L + 333334L)))
+    assert(got("click") == ((3L, 500000L + 1000000L + 333333L)))
+    assert(got("error") == ((1L, 333333L)))
+    // one full unit of credit per conversion, conserved exactly
+    assert(got.values.map(_._2).sum == 3000000L)
+  }
+
   test("luhn cards: valid PAN detected+redacted, invalid PAN counted but kept, short runs ignored") {
     val docs = Seq(
       (1L, "pay 4111111111111111 now"), // Luhn-valid Visa test PAN
