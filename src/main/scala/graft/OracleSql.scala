@@ -1789,7 +1789,21 @@ object OracleSql {
         |SELECT event_type AS channel, count(*) AS n_touchpoints,
         | CAST(sum(credit) AS BIGINT) AS credit_micro,
         | CAST(sum(credit) AS DOUBLE) / 1000000.0 AS credit
-        |FROM cr GROUP BY 1""".stripMargin)
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // The parser is verified WITHOUT the oracle touching bytes: every
+    // field of the planted square-wave WAV is an arithmetic function
+    // of doc_id (RMS of a +/-A square wave is exactly A).
+    "audio_meta" ->
+      """SELECT doc_id,
+        | CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(16 AS BIGINT) AS bits,
+        | CAST(200 + doc_id % 100 AS BIGINT) AS n_samples,
+        | CAST((200 + doc_id % 100) * 1000000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_us,
+        | round(CAST(100 + doc_id % 900 AS DOUBLE), 6) AS rms,
+        | 'pcm_s16le' AS audio_format
+        |FROM documents""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1571,6 +1571,22 @@ object Queries {
     ops.EventAnalytics.linearAttribution(events(s, dir),
       "user_id", "event_type", "ts", convType = "purchase")
 
+  /** Real WAV parse over per-doc synthesized square-wave payloads —
+    * the parser must recover every planted parameter exactly (the
+    * oracle recomputes them arithmetically, never touching bytes):
+    * rate 8/16/24 kHz, amplitude = RMS (square wave), sample count,
+    * exact integer µs duration. */
+  def audioMeta(s: SparkSession, dir: String): DataFrame = {
+    val wav = udf((id: Long) => ops.Multimodal.synthWav(
+      (8000 * (1 + id % 3)).toInt, (100 + id % 900).toInt, (200 + id % 100).toInt))
+    ops.Multimodal.withAudioMetadata(
+        t(s, dir, "documents").select(col("doc_id"), wav(col("doc_id")).as("payload")),
+        "payload")
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_samples"), col("duration_us"), r6(col("rms")).as("rms"),
+        col("audio_format"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1702,5 +1718,6 @@ object Queries {
     "contrastive_pairs" -> contrastivePairs _,
     "value_drift" -> valueDriftQ _,
     "item_pairs" -> itemPairs _,
-    "linear_attribution" -> linearAttributionQ _)
+    "linear_attribution" -> linearAttributionQ _,
+    "audio_meta" -> audioMeta _)
 }

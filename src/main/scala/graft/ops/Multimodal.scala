@@ -113,6 +113,102 @@ object Multimodal {
       .withColumn("resize_dims", struct(lit(width).as("width"), lit(height).as("height")))
   }
 
+  /** Real WAV/RIFF audio header + PCM16 payload parse (pure JVM — no
+    * codec deps; WAV is the uncompressed interchange format a training
+    * pipeline's audio pre-pass actually standardizes to). Walks the
+    * RIFF chunk list (fmt / data in any order, unknown chunks skipped,
+    * word-aligned), then computes sample count, exact integer duration
+    * `n·1e6 div rate` in µs, and the RMS amplitude of the PCM16
+    * stream. Malformed/non-WAV payloads return the all-zero row with
+    * format "unknown"/"corrupt" — deterministic on every input, so
+    * the columns stay oracle-able.
+    *
+    * Returns (sampleRate, channels, bits, nSamples, durationUs,
+    * rms, format). */
+  private[graft] def wavMeta(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Double, String) = {
+    val zero = (0L, 0L, 0L, 0L, 0L, 0.0, "unknown")
+    if (bytes == null || bytes.length < 44) return zero
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return zero
+    var off = 12
+    var rate = 0L; var ch = 0L; var bits = 0L; var fmtCode = -1
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= bytes.length) {
+      val id = tag(off); val len = u32(off + 4)
+      if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+        fmtCode = u16(off + 8)
+        ch = u16(off + 10).toLong
+        rate = u32(off + 12)
+        bits = u16(off + 22).toLong
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(len, (bytes.length - dataOff).toLong)
+      }
+      // word-aligned advance; a huge/truncated declared length (len is
+      // u32 — can exceed the buffer) ends the scan instead of looping
+      val step = 8L + len + (len & 1L)
+      if (step <= 8L || off + step > bytes.length.toLong) off = bytes.length
+      else off += step.toInt
+    }
+    if (fmtCode != 1 || rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0)
+      return (0L, 0L, 0L, 0L, 0L, 0.0, "corrupt")
+    val blockAlign = ch * 2
+    val n = dataLen / blockAlign
+    val durationUs = n * 1000000L / rate
+    var sumSq = 0.0
+    var i = dataOff
+    val end = dataOff + (n * blockAlign).toInt
+    while (i + 1 < end) {
+      val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toDouble
+      sumSq += s * s
+      i += 2
+    }
+    val totalSamples = n * ch
+    val rms = if (totalSamples == 0) 0.0 else math.sqrt(sumSq / totalSamples)
+    (rate, ch, bits, n, durationUs, rms, "pcm_s16le")
+  }
+
+  private val wavUdf: UserDefinedFunction = udf((b: Array[Byte]) => wavMeta(b))
+
+  /** Attach typed audio metadata to a binary WAV payload column —
+    * the audio counterpart of [[withMediaMetadata]]; map-only. */
+  def withAudioMetadata(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__a", wavUdf(col(binCol)))
+      .withColumn("sample_rate", col("__a._1"))
+      .withColumn("channels", col("__a._2"))
+      .withColumn("bits", col("__a._3"))
+      .withColumn("n_samples", col("__a._4"))
+      .withColumn("duration_us", col("__a._5"))
+      .withColumn("rms", col("__a._6"))
+      .withColumn("audio_format", col("__a._7"))
+      .drop("__a")
+
+  /** Deterministic PCM16 mono square-wave WAV bytes — the test/oracle
+    * fixture generator: RMS of a ±amplitude square wave is EXACTLY the
+    * amplitude, and every header field is an arithmetic function of
+    * the inputs, so a replay engine can verify the parser without
+    * parsing bytes itself. */
+  def synthWav(sampleRate: Int, amplitude: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && nSamples >= 0 && amplitude >= 0 && amplitude <= 32767)
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((if (i % 2 == 0) amplitude else -amplitude).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** STUB feature extractor, batched like a real model would be: rides
     * the [[graft.embed.BatchedEmbedder]] machinery (partition-local
     * fixed-size batches, executor-local model slot, per-element

@@ -1761,6 +1761,22 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3000000L)
   }
 
+  test("wav parse: synth round-trip exact; truncated and non-wav payloads deterministic") {
+    val full = Multimodal.synthWav(8000, 500, 100)
+    assert(Multimodal.wavMeta(full) == ((8000L, 1L, 16L, 100L, 12500L, 500.0, "pcm_s16le")))
+    // non-WAV payloads
+    assert(Multimodal.wavMeta("not audio at all, just text bytes ......".getBytes)._7 == "unknown")
+    assert(Multimodal.wavMeta(Array.emptyByteArray)._7 == "unknown")
+    // RIFF/WAVE wrapper without fmt/data chunks
+    val hollow = java.util.Arrays.copyOf(full, 44)
+    System.arraycopy("JUNK".getBytes("US-ASCII"), 0, hollow, 12, 4)
+    assert(Multimodal.wavMeta(hollow)._7 == "corrupt")
+    // truncated data chunk: parses the samples actually present
+    val cut = java.util.Arrays.copyOf(full, 60) // 8 samples survive
+    val m = Multimodal.wavMeta(cut)
+    assert(m._4 == 8L && m._6 == 500.0 && m._7 == "pcm_s16le")
+  }
+
   test("luhn cards: valid PAN detected+redacted, invalid PAN counted but kept, short runs ignored") {
     val docs = Seq(
       (1L, "pay 4111111111111111 now"), // Luhn-valid Visa test PAN
