@@ -1803,7 +1803,36 @@ object OracleSql {
         | CAST((200 + doc_id % 100) * 1000000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_us,
         | round(CAST(100 + doc_id % 900 AS DOUBLE), 6) AS rms,
         | 'pcm_s16le' AS audio_format
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // q8's session window logic, rolled up per (user, session).
+    "session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events),
+        | x AS (SELECT *, lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS pv FROM e),
+        | y AS (SELECT user_id, event_id, tn,
+        |        CASE WHEN pv IS NULL OR tn - pv > 1800000000000 THEN 1 ELSE 0 END AS ns FROM x),
+        | z AS (SELECT user_id, tn,
+        |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx FROM y)
+        |SELECT user_id, sidx AS session_idx, count(*) AS n_events,
+        | CAST(max(tn) - min(tn) AS BIGINT) AS duration,
+        | CAST(min(tn) AS BIGINT) AS session_start
+        |FROM z GROUP BY 1, 2""".stripMargin,
+
+    // Exact integer moments -> identical double sqrt/z expression on
+    // both engines; threshold on the 6dp-rounded z.
+    "anomaly_days" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |       FROM events GROUP BY 1, 2),
+        | m AS (SELECT event_type, count(*) AS dd, CAST(sum(n) AS BIGINT) AS sx,
+        |        CAST(sum(n * n) AS BIGINT) AS sxx
+        |       FROM d GROUP BY event_type)
+        |SELECT d.event_type, day, n,
+        | round((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(dd AS DOUBLE)) /
+        |   sqrt(CAST(dd * sxx - sx * sx AS DOUBLE) / (CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE))), 6) AS z
+        |FROM d JOIN m ON d.event_type = m.event_type
+        |WHERE abs(round((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(dd AS DOUBLE)) /
+        |   sqrt(CAST(dd * sxx - sx * sx AS DOUBLE) / (CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE))), 6)) >= 2.0""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1587,6 +1587,18 @@ object Queries {
         col("audio_format"))
   }
 
+  /** Per-session rollups under the q8 30-minute gap (ns units). */
+  def sessionStatsQ(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.sessionStats(events(s, dir), "user_id", "ts",
+      "event_id", gapUnits = 1800L * 1000000000L)
+
+  /** Daily volume anomalies (|z| >= 2) per event type, exact-moment
+    * variance. */
+  def anomalyDays(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.dailyAnomalies(
+      events(s, dir).withColumn("day", expr("(ts div 1000) div 86400000000")),
+      "event_type", "day", zThreshold = 2.0)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1719,5 +1731,7 @@ object Queries {
     "value_drift" -> valueDriftQ _,
     "item_pairs" -> itemPairs _,
     "linear_attribution" -> linearAttributionQ _,
-    "audio_meta" -> audioMeta _)
+    "audio_meta" -> audioMeta _,
+    "session_stats" -> sessionStatsQ _,
+    "anomaly_days" -> anomalyDays _)
 }

@@ -275,6 +275,59 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Per-session rollup: gap-based sessionization (the q8 convention —
+    * a new session opens after `gapUnits` of inactivity) followed by
+    * one partial-agg rollup per (user, session): event count, exact
+    * integer duration, and the session's start stamp. One user-keyed
+    * window pass + one aggregation — the sessionize scale shape with
+    * no extra exchange (the groupBy reuses the window's
+    * partitioning). */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      eventIdCol: String, gapUnits: Long): DataFrame = {
+    require(gapUnits > 0, "gapUnits must be positive")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(eventIdCol).asc)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapUnits, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col(tsCol)) - min(col(tsCol))).cast("long").as("duration"),
+        min(col(tsCol)).cast("long").as("session_start"))
+  }
+
+  /** Daily volume anomalies per event type: days whose event count
+    * sits ≥ `zThreshold` population standard deviations from that
+    * type's own daily mean. The variance comes from EXACT integer
+    * sums (n, Σx, Σx²) — both engines then evaluate the identical
+    * double expression `sqrt((n·Σx² − Σx²)/n²)`, so the z-score (6 dp)
+    * and the threshold cut replay bit-for-bit, where a builtin
+    * stddev's accumulation order could drift.
+    *
+    * Scale shape: one (type, day) partial-agg count, one per-type
+    * rollup of the three integer moments (|types| rows, broadcast
+    * back), map-only scoring. */
+  def dailyAnomalies(events: DataFrame, typeCol: String, dayCol: String,
+      zThreshold: Double): DataFrame = {
+    val daily = events.groupBy(col(typeCol), col(dayCol))
+      .agg(count(lit(1)).as("n"))
+    val moments = daily.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("__d"), sum(col("n")).as("__sx"),
+        sum(col("n") * col("n")).as("__sxx"))
+    val nD = col("__d").cast("double")
+    val std = sqrt((col("__d") * col("__sxx") - col("__sx") * col("__sx")).cast("double") /
+      (nD * nD))
+    daily.join(broadcast(moments), Seq(typeCol))
+      .withColumn("z", round(
+        (col("n").cast("double") - col("__sx").cast("double") / nD) / std, 6))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col(typeCol), col(dayCol), col("n"), col("z"))
+  }
+
   /** Item co-occurrence mining (the market-basket / "related items"
     * report): items sharing a user count as co-occurring once per
     * user; output the top-`k` pairs by co-occurrence with their lift

@@ -1761,6 +1761,24 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3000000L)
   }
 
+  test("session stats: gap split, exact durations; daily anomalies: exact-moment z") {
+    val ev = Seq((1L, 10L, 0L), (1L, 11L, 100L), (1L, 12L, 4000L), (2L, 13L, 7L))
+      .toDF("user_id", "event_id", "ts")
+    val ss = graft.ops.EventAnalytics.sessionStats(ev, "user_id", "ts", "event_id",
+        gapUnits = 1000L)
+      .select($"user_id", $"session_idx", $"n_events", $"duration", $"session_start")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(ss == Seq((1L, 1L, 2L, 100L, 0L), (1L, 2L, 1L, 0L, 4000L),
+      (2L, 1L, 1L, 0L, 7L)))
+    // daily counts 10,10,10,10,50: mean 18, exact std 16 -> z(50) = 2.0
+    val days = (Seq.fill(4)(Seq.tabulate(10)(identity)).zipWithIndex.flatMap {
+      case (xs, d) => xs.map(_ => ("click", d.toLong))
+    } ++ (0 until 50).map(_ => ("click", 4L))).toDF("event_type", "day")
+    val an = graft.ops.EventAnalytics.dailyAnomalies(days, "event_type", "day", 2.0)
+      .select($"day", $"n", $"z").as[(Long, Long, Double)].collect().toSeq
+    assert(an == Seq((4L, 50L, 2.0)), an.toString)
+  }
+
   test("wav parse: synth round-trip exact; truncated and non-wav payloads deterministic") {
     val full = Multimodal.synthWav(8000, 500, 100)
     assert(Multimodal.wavMeta(full) == ((8000L, 1L, 16L, 100L, 12500L, 500.0, "pcm_s16le")))
