@@ -1832,7 +1832,31 @@ object OracleSql {
         |   sqrt(CAST(dd * sxx - sx * sx AS DOUBLE) / (CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE))), 6) AS z
         |FROM d JOIN m ON d.event_type = m.event_type
         |WHERE abs(round((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(dd AS DOUBLE)) /
-        |   sqrt(CAST(dd * sxx - sx * sx AS DOUBLE) / (CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE))), 6)) >= 2.0""".stripMargin)
+        |   sqrt(CAST(dd * sxx - sx * sx AS DOUBLE) / (CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE))), 6)) >= 2.0""".stripMargin,
+
+    // The segmenter's output recomputed from the planted run lengths
+    // alone: voiced n1, silent gap g >= 16 (always a break), voiced n2.
+    "audio_segments" ->
+      """WITH p AS (SELECT doc_id,
+        |        8000 * (1 + doc_id % 3) AS rate,
+        |        100 + doc_id % 900 AS amp,
+        |        50 + doc_id % 20 AS n1,
+        |        30 + doc_id % 10 AS g,
+        |        40 + doc_id % 15 AS n2
+        |       FROM documents)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS segment_idx,
+        | CAST(0 AS BIGINT) AS start_sample, CAST(n1 AS BIGINT) AS end_sample,
+        | CAST(0 AS BIGINT) AS start_us,
+        | CAST(n1 * 1000000 // rate AS BIGINT) AS end_us,
+        | CAST(amp AS BIGINT) AS peak
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), CAST(n1 + g AS BIGINT),
+        | CAST(n1 + g + n2 AS BIGINT),
+        | CAST((n1 + g) * 1000000 // rate AS BIGINT),
+        | CAST((n1 + g + n2) * 1000000 // rate AS BIGINT),
+        | CAST(amp AS BIGINT)
+        |FROM p""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1599,6 +1599,19 @@ object Queries {
       events(s, dir).withColumn("day", expr("(ts div 1000) div 86400000000")),
       "event_type", "day", zThreshold = 2.0)
 
+  /** Silence segmentation over planted voiced-gap-voiced WAVs: the
+    * segmenter must recover the run arithmetic exactly (bounds and
+    * µs conversions recomputed by the oracle from doc_id alone). */
+  def audioSegments(s: SparkSession, dir: String): DataFrame = {
+    val wav = udf((id: Long) => ops.Multimodal.synthWavRuns(
+      (8000 * (1 + id % 3)).toInt, (100 + id % 900).toInt,
+      Seq((true, (50 + id % 20).toInt), (false, (30 + id % 10).toInt),
+        (true, (40 + id % 15).toInt))))
+    ops.Multimodal.segmentAudio(
+      t(s, dir, "documents").select(col("doc_id"), wav(col("doc_id")).as("payload")),
+      "doc_id", "payload", threshold = 0, minSilenceRun = 16)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1733,5 +1746,6 @@ object Queries {
     "linear_attribution" -> linearAttributionQ _,
     "audio_meta" -> audioMeta _,
     "session_stats" -> sessionStatsQ _,
-    "anomaly_days" -> anomalyDays _)
+    "anomaly_days" -> anomalyDays _,
+    "audio_segments" -> audioSegments _)
 }

@@ -185,6 +185,87 @@ object Multimodal {
       .withColumn("audio_format", col("__a._7"))
       .drop("__a")
 
+  /** Silence-based audio segmentation — the voice-activity pre-pass an
+    * audio training pipeline runs before transcription/embedding:
+    * voiced segments are maximal sample runs NOT inside a silence run,
+    * where a silence run is ≥ `minSilenceRun` consecutive samples with
+    * |amplitude| ≤ `threshold` (mono PCM16; for multi-channel, a
+    * sample is silent when EVERY channel is). Integer sample indices
+    * convert to exact µs bounds (`idx·1e6 div rate`), peak is the max
+    * |amplitude| in the segment — all integer arithmetic, so segments
+    * replay exactly. Shorter-than-min silence stays inside its
+    * segment. Returns (segStartSample, segEndSampleExcl, peak) per
+    * segment, in order. */
+  private[graft] def segmentWav(bytes: Array[Byte], threshold: Int,
+      minSilenceRun: Int): (Long, Seq[(Long, Long, Long)]) = {
+    val (rate, ch, bits, n, _, _, fmt) = wavMeta(bytes)
+    if (fmt != "pcm_s16le" || n == 0) return (rate, Nil)
+    // re-locate the data chunk (wavMeta validated the layout)
+    var off = 12; var dataOff = -1
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+    while (dataOff < 0 && off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII"); val len = u32(off + 4)
+      if (id == "data") dataOff = off + 8
+      else {
+        val step = 8L + len + (len & 1L)
+        if (step <= 8L || off + step > bytes.length.toLong) off = bytes.length
+        else off += step.toInt
+      }
+    }
+    val chI = ch.toInt
+    def silent(i: Long): Boolean = (0 until chI).forall { c =>
+      val o = dataOff + (i * chI + c).toInt * 2
+      math.abs(((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt) <= threshold
+    }
+    def peakAt(i: Long): Long = (0 until chI).map { c =>
+      val o = dataOff + (i * chI + c).toInt * 2
+      math.abs(((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt).toLong
+    }.max
+    // pass 1: silent runs of >= minSilenceRun samples are breaks
+    val breaks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0L
+    while (i < n) {
+      if (silent(i)) {
+        val runStart = i
+        while (i < n && silent(i)) i += 1
+        if (i - runStart >= minSilenceRun) breaks += ((runStart, i))
+      } else i += 1
+    }
+    // pass 2: segments are the complement of the breaks; peak scans
+    // the segment (interior short silences contribute <= threshold)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var cur = 0L
+    def emit(from: Long, until: Long): Unit = if (until > from) {
+      var p = 0L; var j = from
+      while (j < until) { val v = peakAt(j); if (v > p) p = v; j += 1 }
+      segs += ((from, until, p))
+    }
+    breaks.foreach { case (bs, be) => emit(cur, bs); cur = be }
+    emit(cur, n)
+    (rate, segs.toSeq)
+  }
+
+  /** Segment rows for a WAV payload column: one row per voiced
+    * segment with exact integer µs bounds and the segment peak.
+    * Map-only + explode — no shuffle at any corpus size. */
+  def segmentAudio(df: DataFrame, idCol: String, binCol: String,
+      threshold: Int, minSilenceRun: Int): DataFrame = {
+    val f = udf { (b: Array[Byte]) =>
+      val (rate, segs) = segmentWav(b, threshold, minSilenceRun)
+      segs.zipWithIndex.map { case ((s, e, p), ix) =>
+        (ix.toLong, s, e,
+          if (rate > 0) s * 1000000L / rate else 0L,
+          if (rate > 0) e * 1000000L / rate else 0L, p)
+      }
+    }
+    df.select(col(idCol), explode(f(col(binCol))).as("__s"))
+      .select(col(idCol), col("__s._1").as("segment_idx"),
+        col("__s._2").as("start_sample"), col("__s._3").as("end_sample"),
+        col("__s._4").as("start_us"), col("__s._5").as("end_us"),
+        col("__s._6").as("peak"))
+  }
+
   /** Deterministic PCM16 mono square-wave WAV bytes — the test/oracle
     * fixture generator: RMS of a ±amplitude square wave is EXACTLY the
     * amplitude, and every header field is an arithmetic function of
@@ -205,6 +286,33 @@ object Multimodal {
     while (i < nSamples) {
       bb.putShort((if (i % 2 == 0) amplitude else -amplitude).toShort)
       i += 1
+    }
+    bb.array()
+  }
+
+  /** [[synthWav]] generalized to voiced/silent runs: voiced runs are
+    * the ±amplitude square wave, silent runs are zeros — the fixture
+    * for segmentation tests/oracles (segment bounds are arithmetic
+    * functions of the run lengths). */
+  def synthWavRuns(sampleRate: Int, amplitude: Int,
+      runs: Seq[(Boolean, Int)]): Array[Byte] = {
+    require(sampleRate > 0 && amplitude >= 0 && amplitude <= 32767)
+    val n = runs.map(_._2).sum
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    runs.foreach { case (voiced, len) =>
+      var i = 0
+      while (i < len) {
+        bb.putShort(if (!voiced) 0
+          else (if (i % 2 == 0) amplitude else -amplitude).toShort)
+        i += 1
+      }
     }
     bb.array()
   }

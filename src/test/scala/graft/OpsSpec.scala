@@ -1779,6 +1779,23 @@ class OpsSpec extends SparkSpec {
     assert(an == Seq((4L, 50L, 2.0)), an.toString)
   }
 
+  test("audio segmentation: break runs split, short silences stay, edge silences handled") {
+    import graft.ops.Multimodal
+    def segs(runs: (Boolean, Int)*): Seq[(Long, Long, Long)] =
+      Multimodal.segmentWav(Multimodal.synthWavRuns(8000, 400, runs),
+        threshold = 0, minSilenceRun = 16)._2
+    // voiced / long gap / voiced -> two segments at exact bounds
+    assert(segs((true, 50), (false, 30), (true, 40)) ==
+      Seq((0L, 50L, 400L), (80L, 120L, 400L)))
+    // a 10-sample silence is shorter than minSilenceRun: one segment,
+    // peak unaffected by the interior zeros
+    assert(segs((true, 50), (false, 10), (true, 40)) == Seq((0L, 100L, 400L)))
+    // leading + trailing break silence is not part of any segment
+    assert(segs((false, 20), (true, 30), (false, 25)) == Seq((20L, 50L, 400L)))
+    // all-silent payload: no segments
+    assert(segs((false, 64)) == Seq())
+  }
+
   test("wav parse: synth round-trip exact; truncated and non-wav payloads deterministic") {
     val full = Multimodal.synthWav(8000, 500, 100)
     assert(Multimodal.wavMeta(full) == ((8000L, 1L, 16L, 100L, 12500L, 500.0, "pcm_s16le")))
