@@ -1856,7 +1856,63 @@ object OracleSql {
         | CAST((n1 + g) * 1000000 // rate AS BIGINT),
         | CAST((n1 + g + n2) * 1000000 // rate AS BIGINT),
         | CAST(amp AS BIGINT)
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+
+    // Full-chain replay: quality gate (quality_filter fragments over
+    // the pool) -> sha min-id dedup -> exact 5-gram decontamination
+    // vs the bench slice -> md5-bucket split. Any stage regression
+    // breaks this hash too.
+    "pipeline_corpus" ->
+      """WITH pool AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        | s AS (SELECT doc_id, text,
+        |   regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed,
+        |   ' ' || lower(text) || ' ' AS padded FROM pool),
+        | u AS (SELECT doc_id, text, padded,
+        |   CASE WHEN length(trimmed) = 0 THEN 0
+        |        ELSE CAST(len(string_split_regex(trimmed, '\s+')) AS BIGINT) END AS n_words
+        |   FROM s),
+        | m AS (SELECT doc_id, text, n_words,
+        |   CASE WHEN n_words = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / n_words END AS awl,
+        |   CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' a ', ''))) / 3 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' to ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' in ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' is ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(padded) - length(replace(padded, ' it ', ''))) / 4 AS BIGINT) AS n_stop,
+        |   (length(text) - length(replace(text, '#', '')))
+        |   + (length(text) - length(replace(text, '$', '')))
+        |   + (length(text) - length(replace(text, '%', '')))
+        |   + (length(text) - length(replace(text, '{', '')))
+        |   + (length(text) - length(replace(text, '}', '')))
+        |   + (length(text) - length(replace(text, '<', '')))
+        |   + (length(text) - length(replace(text, '>', ''))) AS n_sym
+        |   FROM u),
+        | q AS (SELECT doc_id, text FROM m
+        |   WHERE n_words >= 8 AND n_words <= 100000
+        |     AND awl >= 2.0 AND awl <= 12.0
+        |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / n_words END) <= 0.1
+        |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_words END) >= 0.02),
+        | ex AS (SELECT doc_id, text FROM (
+        |   SELECT doc_id, text, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |   FROM q) WHERE rn = 1),
+        | bg AS (SELECT DISTINCT CAST('0x' || substring(md5(array_to_string(words[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |        FROM (SELECT words, unnest(generate_series(1, len(words) - 4)) AS i
+        |              FROM (SELECT string_split_regex(trim(text), '\s+') AS words
+        |                    FROM documents WHERE doc_id % 10 = 0) WHERE len(words) >= 5)),
+        | cg AS (SELECT DISTINCT doc_id,
+        |         CAST('0x' || substring(md5(array_to_string(words[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |        FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM ex)
+        |              WHERE len(words) >= 5)),
+        | flagged AS (SELECT DISTINCT doc_id FROM cg WHERE gh IN (SELECT gh FROM bg)),
+        | clean AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+        |SELECT doc_id, CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+        |      FROM clean)""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

@@ -1612,6 +1612,29 @@ object Queries {
       "doc_id", "payload", threshold = 0, minSilenceRun = 16)
   }
 
+  /** The end-to-end training-data preparation pipeline in ONE DAG —
+    * the capstone composition of the corpus operators: quality gate →
+    * exact dedup (min-id survivor) → benchmark decontamination (exact
+    * 5-gram, bench = the doc_id % 10 == 0 slice) → deterministic
+    * hash split. Every stage is an already-oracled operator; the
+    * composite oracle replays the full chain, so a regression in ANY
+    * stage breaks this query too. Scale shape: map-only gates, one
+    * sha-window dedup exchange, broadcast decontamination semi-join,
+    * map-only split. */
+  def pipelineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pool = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val q = TextAnalytics.qualityFilter(pool, "text")
+      .filter(col("passes_quality")).select(col("doc_id"), col("text"))
+    val ex = Dedup.exact(q, "doc_id", "text")
+    val flagged = Dedup.decontaminate(ex, "doc_id", "text",
+        bench, "doc_id", "text", n = 5)
+      .select(col("sid").as("doc_id"))
+    val clean = ex.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    TextAnalytics.hashSplit(clean, "doc_id").select(col("doc_id"), col("split"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1747,5 +1770,6 @@ object Queries {
     "audio_meta" -> audioMeta _,
     "session_stats" -> sessionStatsQ _,
     "anomaly_days" -> anomalyDays _,
-    "audio_segments" -> audioSegments _)
+    "audio_segments" -> audioSegments _,
+    "pipeline_corpus" -> pipelineCorpus _)
 }
