@@ -415,6 +415,42 @@ class ScaleOpsSpec extends SparkSpec {
       s"minhashDecontaminate must broadcast the bench side:\n$fdPlan")
   }
 
+  test("round-7 batch-2 plan shapes: contrastive broadcast exclusions, pipeline no sort-merge") {
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.8)).toDF("id_a", "id_b", "jaccard")
+    val vecs = (1L to 100L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    // contrastive mining: exclusion anti-join and pair fetch-back both
+    // broadcast; negatives on the heap aggregate — no window, no
+    // sort-merge join anywhere
+    val ct = graft.ops.SimilaritySearch.contrastiveTriples(pairs, vecs,
+      "vec_id", "embedding")
+    val ctPlan = ct.queryExecution.executedPlan.toString
+    assert(ctPlan.contains("partial_top_k_hits") && !ctPlan.contains("SortMergeJoin") &&
+      !ctPlan.contains("Window"),
+      s"contrastiveTriples must broadcast exclusions + heap-agg negatives:\n$ctPlan")
+
+    // the composed pipeline: quality gates map-only, ONE sha-window
+    // exchange for exact dedup, decontamination semi-join broadcast —
+    // never a sort-merge join or cartesian over corpus rows
+    val docs = (1L to 300L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta word$i tail piece"))
+      .toDF("doc_id", "text")
+    val pool = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val q = graft.ops.TextAnalytics.qualityFilter(pool, "text")
+      .filter($"passes_quality").select($"doc_id", $"text")
+    val ex = graft.ops.Dedup.exact(q, "doc_id", "text")
+    val flagged = graft.ops.Dedup.decontaminate(ex, "doc_id", "text",
+      bench, "doc_id", "text", n = 5).select($"sid".as("doc_id"))
+    val clean = ex.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    val split = graft.ops.TextAnalytics.hashSplit(clean, "doc_id")
+      .select($"doc_id", $"split")
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"pipeline must stay broadcast + single-window shaped:\n$plan")
+  }
+
   test("ANN recall@10 gate: defaults >= 0.9 on the clustered regime at probe scale") {
     // The promoted-from-probe recall GATE (BASELINE.md "ANN recall@10
     // vs exact"): the default ANN parameters (LSH 8 planes probe<=2,
