@@ -155,6 +155,32 @@ object Streams {
     docs.withColumn("contaminated", hitUdf(gramsExpr))
   }
 
+  /** The full training-data pipeline as ONE STREAMING chain — the
+    * streaming twin of the batch `pipeline_corpus` capstone: quality
+    * gate (stateless) → content dedup within the watermark horizon
+    * (first writer wins — the arrival-order analogue of the batch
+    * min-id survivor) → benchmark decontamination (broadcast static
+    * gram set, stateless) → deterministic hash split (stateless).
+    * One state store total (the dedup hashes, watermark-bounded), so
+    * the chain runs indefinitely on an unbounded ingest stream. */
+  def pipelineStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, benchmark: DataFrame, benchId: String,
+      benchText: String, gramN: Int = 5,
+      watermark: String = "24 hours"): DataFrame = {
+    val q = graft.ops.TextAnalytics.qualityFilter(docs, textCol)
+      .filter(col("passes_quality"))
+      .select(col(idCol), col(textCol), col(tsCol))
+    val deduped = q
+      .withColumn("__sha", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sha")
+    val clean = decontaminateStream(deduped, textCol,
+        benchmark, benchId, benchText, gramN)
+      .filter(!col("contaminated"))
+    graft.ops.TextAnalytics.hashSplit(clean, idCol)
+      .select(col(idCol), col("split"))
+  }
+
   /** Streaming quality gating — the streaming twin of
     * [[graft.ops.TextAnalytics.qualityFilter]] for incremental ingest:
     * the gates are pure row-local column expressions (replace-length

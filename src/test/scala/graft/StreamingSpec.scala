@@ -344,6 +344,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pipeline: quality -> dedup -> decontaminate -> split matches the batch chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val bench = Seq((100L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today", ts(0)), // keeps
+      (2L, "the quick brown fox jumps over a lazy dog today", ts(1)), // exact dup of 1
+      (3L, "tiny doc", ts(2)), // fails quality
+      (4L, "the one two three four five is a good list here", ts(3)), // contaminated
+      (5L, "a different and entirely fine document the pipeline keeps", ts(4)))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    input.addData(docs.take(3): _*)
+    input.addData(docs.drop(3): _*)
+    val out = Streams.pipelineStream(
+      input.toDF().toDF("doc_id", "text", "ingest_ts"),
+      "doc_id", "text", "ingest_ts", bench, "doc_id", "text", gramN = 5)
+    val q = out.writeStream.format("memory").queryName("pipeline_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pipeline_out").select($"doc_id", $"split")
+        .as[(Long, String)].collect().toMap
+      // batch replay of the same chain on the same rows
+      val batchQ = graft.ops.TextAnalytics
+        .qualityFilter(docs.toDF("doc_id", "text", "ingest_ts"), "text")
+        .filter($"passes_quality").select($"doc_id", $"text")
+      val batchEx = graft.ops.Dedup.exact(batchQ, "doc_id", "text")
+      val flagged = graft.ops.Dedup.decontaminate(batchEx, "doc_id", "text",
+        bench, "doc_id", "text", n = 5).select($"sid".as("doc_id"))
+      val batch = graft.ops.TextAnalytics.hashSplit(
+          batchEx.join(flagged, Seq("doc_id"), "left_anti"), "doc_id")
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.keySet == Set(1L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming quality gate + stratified sample: stateless, match batch twins") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
