@@ -1912,7 +1912,23 @@ object OracleSql {
         |SELECT doc_id, CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split
         |FROM (SELECT doc_id,
         |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
-        |      FROM clean)""".stripMargin)
+        |      FROM clean)""".stripMargin,
+
+    // Distinct word 5-gram hashes (decontaminate's gram convention),
+    // df = 1 means the gram exists in exactly this document.
+    "ngram_novelty" ->
+      """WITH wdocs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        | dg AS (SELECT DISTINCT doc_id,
+        |         CAST('0x' || substring(md5(array_to_string(words[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |        FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+        |              FROM wdocs WHERE len(words) >= 5)),
+        | dfq AS (SELECT gh, count(*) AS df FROM dg GROUP BY gh)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+        |FROM dg JOIN dfq USING (gh) GROUP BY doc_id""".stripMargin,
+
+    "value_deciles" -> valueDecilesSql())
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the
@@ -2039,6 +2055,21 @@ object OracleSql {
        | ${side("b", 1)}
        |SELECT da.event_type, n_a, n_b, $outCols, round($gap, 6) AS max_decile_gap
        |FROM da JOIN db USING (event_type)""".stripMargin
+  }
+
+  /** Decile-bucketing oracle: per-type rounded decile thresholds,
+    * bucket = 1 + #(thresholds strictly below), exact integer cents. */
+  private def valueDecilesSql(): String = {
+    val ths = (1 to 9).map(i =>
+      s"round(quantile_cont(value, 0.$i), 6) AS t$i").mkString(", ")
+    val bucket = (1 to 9).map(i =>
+      s"(CASE WHEN value > t$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH th AS (SELECT event_type, $ths FROM events GROUP BY event_type)
+       |SELECT e.event_type, CAST(1 + $bucket AS BIGINT) AS decile,
+       | count(*) AS n,
+       | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM events e JOIN th USING (event_type)
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** MMR rerank oracle: replays [[graft.ops.SimilaritySearch.mmrRerank]]

@@ -1635,6 +1635,45 @@ object Queries {
     TextAnalytics.hashSplit(clean, "doc_id").select(col("doc_id"), col("split"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * word 5-grams appearing in NO other document — the memorization /
+    * boilerplate complement of [[dupSpans]] (novel ≈ worth training
+    * on; 0 means the doc is assembled entirely from shared text).
+    * Exact dyadic fraction novel/total. Scale shape: one distinct
+    * (doc, gram) rollup, one gram-df aggregate, one broadcast-free
+    * equi-join on the gram key, one per-doc partial agg. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Dedup.wordGramHashes(t(s, dir, "documents"), "doc_id", "text", n = 5)
+    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, "gh")
+      .groupBy(col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Quantile bucketing of event values WITHOUT a global sort: decile
+    * thresholds per event type from one percentile aggregate
+    * (broadcast back, |types| rows), bucket = 1 + #(thresholds below),
+    * then the per-(type, decile) rollup with exact integer cents. The
+    * scale contrast to `ntile(10)`: a window ntile funnels every row
+    * of a type through one reducer's sort; this plan is one bounded
+    * aggregate + a map-side bucket + one partial-agg rollup. */
+  def valueDeciles(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"))
+    val thresholds = (1 to 9).map(i =>
+      r6(expr(s"percentile(value, 0.$i)")).as(s"t$i"))
+    val th = ev.groupBy(col("event_type"))
+      .agg(thresholds.head, thresholds.tail: _*)
+    val bucket = (1 to 9).map(i =>
+      when(col("value") > col(s"t$i"), 1L).otherwise(0L)).reduce(_ + _) + 1L
+    ev.join(broadcast(th), "event_type")
+      .withColumn("decile", bucket)
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"), centsSum(col("value")).as("sum_cents"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1771,5 +1810,7 @@ object Queries {
     "session_stats" -> sessionStatsQ _,
     "anomaly_days" -> anomalyDays _,
     "audio_segments" -> audioSegments _,
-    "pipeline_corpus" -> pipelineCorpus _)
+    "pipeline_corpus" -> pipelineCorpus _,
+    "ngram_novelty" -> ngramNovelty _,
+    "value_deciles" -> valueDeciles _)
 }
