@@ -130,6 +130,10 @@ case class MisraGries(
     }.asInstanceOf[Array[Any]])
   }
 
+  // length-prefixed UTF-8, NOT writeUTF: DataOutput's modified-UTF has
+  // a 64 KB-per-string ceiling, and a heavy-hitter ITEM is arbitrary
+  // corpus content — one pathological long token must not crash the
+  // shuffle serializer
   override def serialize(buf: MgBuffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
@@ -138,7 +142,8 @@ case class MisraGries(
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -149,7 +154,13 @@ case class MisraGries(
     val buf = new MgBuffer(in.readInt())
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counts.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 
@@ -182,7 +193,11 @@ object MgSummary {
     out.writeInt(buf.counts.size)
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
-      val e = it.next(); out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      val e = it.next()
+      // length-prefixed UTF-8 (same no-64KB-ceiling rationale as the
+      // aggregate's shuffle serializer)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush()
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
@@ -199,7 +214,13 @@ object MgSummary {
     val buf = new MgBuffer(in.readInt())
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counts.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 }

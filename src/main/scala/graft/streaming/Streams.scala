@@ -271,6 +271,9 @@ object Streams {
     def read(path: java.nio.file.Path, dim: Int): (Long, Array[Double]) = {
       if (!java.nio.file.Files.exists(path)) return (0L, new Array[Double](dim))
       val lines = java.nio.file.Files.readString(path).split("\n")
+      require(lines.length == dim + 1,
+        s"state at $path has ${lines.length - 1} dims, expected $dim — " +
+          "a dim change needs a fresh state path")
       (lines.head.toLong, lines.tail.map(_.toDouble))
     }
     /** The running mean in exact micro-units (the

@@ -1840,6 +1840,14 @@ class OpsSpec extends SparkSpec {
     // est <= true and deficit <= N/(k+1) for every surviving counter,
     // and both heavy items always survive — under any partitioning
     // (different merge trees)
+    // a >64KB item must survive the shuffle serializer (DataOutput's
+    // writeUTF ceiling would throw here; the buffer is length-prefixed)
+    val giant = "g" * 100000
+    val giantGot = (Seq.fill(5)(giant) ++ Seq("x")).toDF("w").repartition(3)
+      .agg(misraGries($"w", 4).as("mg"))
+      .select(explode($"mg").as("e")).select($"e.item", $"e.est")
+      .as[(String, Long)].collect().toMap
+    assert(giantGot(giant) == 5L)
     val stream = Seq.fill(300)("hot") ++ Seq.fill(150)("warm") ++
       (1 to 600).map(i => s"cold$i")
     val n = stream.size
