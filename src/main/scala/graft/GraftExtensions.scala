@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
       es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+    inject(e, "misra_gries", es => graft.functions.MisraGries(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.StringType),
+      es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
   }
 }

@@ -281,6 +281,11 @@ class ScaleOpsSpec extends SparkSpec {
           | (0.9D, 1L), (0.1D, 2L), (0.5D, 3L) AS t(s, i)""".stripMargin)
         .selectExpr("transform(hits, h -> h.id) AS ids").head.getSeq[Long](0)
       assert(topk == Seq(1L, 3L))
+      val mg = s2.sql(
+        """SELECT misra_gries(w, 2) AS mg FROM VALUES
+          | ('a'), ('a'), ('a'), ('b'), ('c') AS t(w)""".stripMargin)
+        .selectExpr("transform(mg, e -> e.item) AS items").head.getSeq[String](0)
+      assert(mg.contains("a"))
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }
