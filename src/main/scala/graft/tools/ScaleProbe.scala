@@ -493,6 +493,28 @@ object ScaleProbe {
         labeled, "vec_id", "embedding", "label",
         labeled.filter(col("vec_id") < 50), "vec_id", "embedding", "label", 5).count())
     }
+    // the capstone pipeline at 10x bench (50k docs): quality -> exact dedup ->
+    // decontaminate -> split. The replicated corpus is the dedup
+    // worst case (each doc has 9 planted replicas) — the sha window
+    // carries it, the rest is map-only / broadcast.
+    val pipeDocs = (0 until 10).map(r =>
+        baseB.select((col("doc_id") + lit(r * 1000000)).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] pipeline corpus=${pipeDocs.count()}")
+    time("pipeline: quality->dedup->decontaminate->split (50k docs)") {
+      val bench = pipeDocs.filter(col("doc_id") % 10 === 0)
+      val pool = pipeDocs.filter(col("doc_id") % 10 =!= 0)
+      val q = graft.ops.TextAnalytics.qualityFilter(pool, "text")
+        .filter(col("passes_quality")).select(col("doc_id"), col("text"))
+      val ex = graft.ops.Dedup.exact(q, "doc_id", "text")
+      val flagged = graft.ops.Dedup.decontaminate(ex, "doc_id", "text",
+        bench, "doc_id", "text", n = 5).select(col("sid").as("doc_id"))
+      val clean = ex.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      println("[probe]   kept=" + graft.ops.TextAnalytics
+        .hashSplit(clean, "doc_id").count())
+    }
+    pipeDocs.unpersist()
     }
     spark.stop()
   }
