@@ -1928,7 +1928,24 @@ object OracleSql {
         | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
         |FROM dg JOIN dfq USING (gh) GROUP BY doc_id""".stripMargin,
 
-    "value_deciles" -> valueDecilesSql())
+    "value_deciles" -> valueDecilesSql(),
+
+    // dup_spans' positional-gram island merge, with the dup-gram
+    // filter swapped for benchmark membership.
+    "decontaminate_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | g AS (SELECT doc_id, i AS pos,
+        |        CAST('0x' || substring(md5(array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+        |             FROM w WHERE len(ws) >= 5)),
+        | bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0),
+        | p AS (SELECT DISTINCT doc_id, pos FROM g
+        |       WHERE doc_id % 10 <> 0 AND gh IN (SELECT gh FROM bg)),
+        | i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM p)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+        | max(pos) + 4 - min(pos) + 1 AS span_words
+        |FROM i GROUP BY doc_id, grp""".stripMargin)
 
   /** LSH top-k oracle: replays the deterministic random-hyperplane
     * bucket of [[graft.ops.SimilaritySearch.lshBucketColumn]] — the

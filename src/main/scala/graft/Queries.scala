@@ -1674,6 +1674,18 @@ object Queries {
       .agg(count(lit(1)).as("n"), centsSum(col("value")).as("sum_cents"))
   }
 
+  /** Surgical decontamination: the word spans of each corpus doc
+    * (doc_id % 10 != 0) covered by benchmark (doc_id % 10 == 0)
+    * 5-grams — the span-level complement of [[decontaminate]]. */
+  def decontaminateSpansQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminateSpans(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
+      .select(col("sid").as("doc_id"), col("span_start"), col("span_end"),
+        col("span_words"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1812,5 +1824,6 @@ object Queries {
     "audio_segments" -> audioSegments _,
     "pipeline_corpus" -> pipelineCorpus _,
     "ngram_novelty" -> ngramNovelty _,
-    "value_deciles" -> valueDeciles _)
+    "value_deciles" -> valueDeciles _,
+    "decontaminate_spans" -> decontaminateSpansQ _)
 }

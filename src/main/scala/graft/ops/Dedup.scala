@@ -839,6 +839,42 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_words"))
   }
 
+  /** SURGICAL span-level decontamination — the cross-set form of
+    * [[duplicatedSpans]]: for each corpus document, the maximal word
+    * spans covered by word n-grams that ALSO occur in the benchmark
+    * set. Where doc-level decontamination ([[decontaminate]]) drops a
+    * whole training document for one leaked sentence, this localizes
+    * WHICH words are benchmark text so the caller can excise the span
+    * and keep the rest — the surgical variant of the GPT-3 appendix-C
+    * pass. Island merge: CONSECUTIVE contaminated gram start
+    * positions fuse into one span covering [first, last + n − 1]; any
+    * start-position gap opens a new span (the [[duplicatedSpans]]
+    * island rule, replayed verbatim by the oracle).
+    *
+    * Scale shape: bench grams are corpus-tiny → broadcast semi-join
+    * onto the corpus's positional gram scan; one per-doc window over
+    * CONTAMINATED positions only (bounded by actual leakage, not doc
+    * length); no corpus-sized shuffle beyond the positional scan's
+    * distinct. */
+  def decontaminateSpans(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 5, broadcastBytesCap: Long = 128L << 20): DataFrame = {
+    val benchGrams = wordGramHashes(benchmark, benchId, benchText, n)
+      .select(col("gh")).distinct()
+    val nBench = benchGrams.count()
+    val benchSide = if (nBench * 24L < broadcastBytesCap) broadcast(benchGrams) else benchGrams
+    val hitPos = positionalWordGramHashes(corpus, corpusId, corpusText, n)
+      .join(benchSide, Seq("gh"), "left_semi")
+      .select("sid", "pos").distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sid").orderBy("pos")
+    hitPos.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("sid"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .select(col("sid"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+  }
+
   /** Duplicated-substring REMOVAL — [[duplicatedSpans]]' rewrite
     * counterpart, keeping ONE canonical occurrence corpus-wide: each
     * duplicated gram's keeper is its minimum doc id; a word is dropped

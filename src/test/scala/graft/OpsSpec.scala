@@ -1590,6 +1590,21 @@ class OpsSpec extends SparkSpec {
     assert(ids.count(_ % 3 == 0) >= 7, s"selected: $ids")
   }
 
+  test("decontaminate spans: leaked span located exactly, clean docs absent") {
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words here one two three four five six tail words end"),
+      (2L, "totally unrelated text with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.decontaminateSpans(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 5)
+      .select($"sid", $"span_start", $"span_end", $"span_words")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // bench 5-grams start at word positions 4 and 5 of doc 1 ->
+    // one island covering words [4, 9]
+    assert(got == Seq((1L, 4L, 9L, 6L)), got.toString)
+  }
+
   test("fuzzy decontamination: verbatim copy est=1.0, paraphrase caught, unrelated absent") {
     val base = "the quick brown fox jumps over the lazy dog again and again forever " * 4
     val bench = Seq((100L, base)).toDF("doc_id", "text")
