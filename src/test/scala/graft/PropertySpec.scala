@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{EventAnalytics, SimilaritySearch, TextAnalytics}
+import org.apache.spark.sql.functions._
+
+/** Seeded randomized property tests — many random instances per
+  * invariant, fixed seed (deterministic: a failure is reproducible,
+  * never flaky). These check the contracts the oracle CAN'T: the
+  * oracle pins one dataset; these sweep the input space. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("property: Misra-Gries bounds hold across random streams, skews, k, partitionings") {
+    for (trial <- 1 to 12) {
+      val vocab = 5 + rnd.nextInt(400)
+      val k = 2 + rnd.nextInt(24)
+      val skewed = rnd.nextBoolean()
+      val stream = (1 to (500 + rnd.nextInt(1500))).map { _ =>
+        val z = rnd.nextInt(vocab)
+        // skewed streams square the draw toward low ids (a hot head)
+        s"w${if (skewed) (z.toLong * z / vocab).toInt else z}"
+      }
+      val n = stream.size
+      val exact = stream.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+      val parts = 1 + rnd.nextInt(8)
+      val got = stream.toDF("w").repartition(parts)
+        .agg(graft.functions.MgFunctions.misraGries($"w", k).as("mg"))
+        .select(explode($"mg").as("e")).select($"e.item", $"e.est")
+        .as[(String, Long)].collect().toMap
+      assert(got.size <= k, s"trial $trial: ${got.size} counters > k=$k")
+      got.foreach { case (w, est) =>
+        assert(est <= exact(w), s"trial $trial: $w overestimated")
+        assert(exact(w) - est <= n / (k + 1), s"trial $trial: $w deficit bound")
+      }
+      exact.foreach { case (w, tru) =>
+        if (tru > n / (k + 1))
+          assert(got.contains(w), s"trial $trial: lost guaranteed $w ($tru > ${n / (k + 1)})")
+      }
+    }
+  }
+
+  test("property: DSIR micro sums bit-identical across partitionings on random corpora") {
+    for (trial <- 1 to 5) {
+      val vocab = (1 to 40).map(i => s"t$i")
+      def doc() = (1 to 3 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (1L to (30L + rnd.nextInt(60))).map(i => (i, doc())).toDF("doc_id", "text")
+      val target = docs.filter($"doc_id" % 3 === 0)
+      def weights(p: Int) = TextAnalytics
+        .dsirWeights(docs.repartition(p), target.repartition(p), "doc_id", "text", 128)
+        .select($"sid", $"logw_micro").as[(Long, Long)].collect().toMap
+      val a = weights(1)
+      val b = weights(7)
+      assert(a == b, s"trial $trial: micro sums diverged under repartition")
+    }
+  }
+
+  test("property: MMR with lambda=10 is exactly the relevance ranking") {
+    for (trial <- 1 to 5) {
+      val dim = 6
+      val vecs = (1L to (20L + rnd.nextInt(30))).map { i =>
+        (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val q = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val k = 5 + rnd.nextInt(5)
+      val mmr = SimilaritySearch.mmrRerank(vecs, "vec_id", "embedding", q,
+          poolSize = 15, k = k, lambdaNum = 10)
+        .select($"vec_id").as[Long].collect().toSeq
+      val rel = vecs
+        .withColumn("c", graft.functions.VectorFunctions
+          .cosineSimilarity($"embedding", lit(q)))
+        .orderBy($"c".desc, $"vec_id".asc).limit(k)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(mmr == rel, s"trial $trial: $mmr != $rel")
+    }
+  }
+
+  test("property: session stats conserve events; deciles partition each type exactly") {
+    for (trial <- 1 to 5) {
+      val ev = (1L to (200L + rnd.nextInt(300))).map { i =>
+        (i, rnd.nextInt(20).toLong, rnd.nextInt(100000).toLong)
+      }.toDF("event_id", "user_id", "ts")
+      val ss = EventAnalytics.sessionStats(ev, "user_id", "ts", "event_id",
+          gapUnits = 1000L)
+        .select($"n_events", $"duration").as[(Long, Long)].collect()
+      assert(ss.map(_._1).sum == ev.count(), s"trial $trial: events not conserved")
+      assert(ss.forall(_._2 >= 0), s"trial $trial: negative duration")
+    }
+    val ev2 = (1L to 500L).map { i =>
+      (s"t${rnd.nextInt(3)}", rnd.nextDouble() * 100)
+    }.toDF("event_type", "value")
+    val th = (1 to 9).map(i => round(expr(s"percentile(value, 0.$i)"), 6).as(s"t$i"))
+    val thDf = ev2.groupBy($"event_type").agg(th.head, th.tail: _*)
+    val bucket = (1 to 9).map(i =>
+      when($"value" > col(s"t$i"), 1L).otherwise(0L)).reduce(_ + _) + 1L
+    val got = ev2.join(broadcast(thDf), "event_type")
+      .withColumn("d", bucket)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"),
+        countDistinct($"d").as("nd"), min($"d").as("lo"), max($"d").as("hi"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    got.foreach { case (t, n, nd, lo, hi) =>
+      assert(lo >= 1L && hi <= 10L, s"$t: bucket out of range")
+      assert(nd >= 9L, s"$t: deciles collapsed ($nd distinct)") // ~167 values spread all 10
+    }
+  }
+}
