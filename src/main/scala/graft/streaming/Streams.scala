@@ -155,6 +155,63 @@ object Streams {
     docs.withColumn("contaminated", hitUdf(gramsExpr))
   }
 
+  /** Streaming FUZZY decontamination — the stateless streaming twin
+    * of [[graft.ops.Dedup.minhashDecontaminate]] for incremental
+    * ingest: benchmark signatures are computed once and broadcast;
+    * each incoming document builds its own MinHash signature
+    * row-locally (identical affine family over its shingle hashes)
+    * and takes the best match fraction across ALL bench signatures.
+    * The batch op uses LSH banding as a corpus-scale candidate
+    * shortcut; with the bench side broadcast there is nothing to
+    * shortcut, so the stream checks every bench signature exactly —
+    * it can only flag MORE than the banded batch pass (banding's
+    * false negatives disappear), never less. Stateless: no watermark,
+    * no state store. Adds (contaminated_fuzzy, best_est, best_bench_id
+    * — ties to the lowest bench id, -1 when the doc has no shingles
+    * or the bench is empty). */
+  def minhashDecontaminateStream(docs: DataFrame, textCol: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, numHashes: Int = 16, threshold: Double = 0.25): DataFrame = {
+    import graft.ops.Dedup
+    val spark = benchmark.sparkSession
+    val benchSigs: Array[(Long, Array[Long])] = Dedup
+      .minhashSignatures(Dedup.hashedShingles(benchmark, benchId, benchText, n), numHashes)
+      .collect()
+      .map(r => (r.getLong(0), Array.tabulate(numHashes)(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(benchSigs)
+    val seeds = Dedup.minhashSeeds(numHashes).toArray
+    val p = Dedup.MinhashP
+    val scoreUdf = udf { hs: Seq[Long] =>
+      if (hs == null || hs.isEmpty || bc.value.isEmpty) (-1L, 0.0)
+      else {
+        val sig = new Array[Long](numHashes)
+        var i = 0
+        while (i < numHashes) {
+          val (a, b) = seeds(i)
+          var m = Long.MaxValue
+          hs.foreach { h => val v = ((h >>> 32) * a + b) % p; if (v < m) m = v }
+          sig(i) = m
+          i += 1
+        }
+        var bestId = -1L; var best = -1
+        bc.value.foreach { case (bid, bsig) =>
+          var matches = 0; var j = 0
+          while (j < numHashes) { if (sig(j) == bsig(j)) matches += 1; j += 1 }
+          if (matches > best) { best = matches; bestId = bid }
+        }
+        (bestId, best.toDouble / numHashes)
+      }
+    }
+    docs
+      .withColumn("__hs", Dedup.shingleHashesUdf(col(textCol), lit(n)))
+      .withColumn("__sc", scoreUdf(col("__hs")))
+      .withColumn("best_bench_id", col("__sc._1"))
+      .withColumn("best_est", col("__sc._2"))
+      .withColumn("contaminated_fuzzy", col("best_est") >= threshold)
+      .drop("__hs", "__sc")
+  }
+
   /** The full training-data pipeline as ONE STREAMING chain — the
     * streaming twin of the batch `pipeline_corpus` capstone: quality
     * gate (stateless) → content dedup within the watermark horizon

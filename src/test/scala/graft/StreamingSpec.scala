@@ -318,6 +318,41 @@ class StreamingSpec extends SparkSpec {
     assert(micro.toSeq == expect.map(s => math.round(s / 100 * 1e6)).toSeq)
   }
 
+  test("streaming fuzzy decontamination: estimates match the batch signatures, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again forever " * 4
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, base), // verbatim: est 1.0
+      (2L, base.replace("lazy", "idle")), // near-dup: high est
+      (3L, "completely different material about distributed query engines " * 5))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val out = Streams.minhashDecontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "text", bench, "doc_id", "text",
+      n = 8, numHashes = 16, threshold = 0.25)
+    val q = out.writeStream.format("memory").queryName("fuzzy_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty) // stateless plan
+      val got = spark.table("fuzzy_out")
+        .select($"doc_id", $"contaminated_fuzzy", $"best_est", $"best_bench_id")
+        .as[(Long, Boolean, Double, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got(1L)._2 && got(1L)._3 == 1.0 && got(1L)._4 == 100L)
+      assert(got(2L)._2 && got(2L)._3 >= 0.25)
+      assert(!got(3L)._2)
+      // the flagged set equals the batch op's at the same threshold
+      // (bench of 1: banding has no false negatives to differ by)
+      val batch = graft.ops.Dedup.minhashDecontaminate(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          bench, "doc_id", "text", n = 8, numHashes = 16, rowsPerBand = 2,
+          threshold = 0.25)
+        .select($"sid").as[Long].collect().toSet
+      assert(got.filter(_._2._2).keySet == batch)
+    } finally q.stop()
+  }
+
   test("streaming decontamination: flags match the batch op, stateless plan") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over a fence"))
