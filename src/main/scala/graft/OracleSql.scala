@@ -335,6 +335,33 @@ object OracleSql {
         | )
         |SELECT id AS doc_id, min(root) AS cluster FROM reach GROUP BY id""".stripMargin,
 
+    // dedup_clusters' reachability closure rolled up to the size
+    // histogram.
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS sid,
+        |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+        |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+        | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+        |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+        |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+        | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+        | p AS (SELECT id_a, id_b FROM (
+        |        SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+        |        FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
+        |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
+        | e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        | reach(id, root) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT e.b, reach.root FROM reach JOIN e ON e.a = reach.id
+        | ),
+        | cl AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters
+        |FROM (SELECT cluster, count(*) AS sz FROM cl GROUP BY cluster)
+        |GROUP BY sz""".stripMargin,
+
     // Int8 quantize→dequantize in the same double-precision operation
     // order as the engine, approximate top-50, exact float rerank.
     "quant_topk" ->

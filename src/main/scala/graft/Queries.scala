@@ -1686,6 +1686,23 @@ object Queries {
         col("span_words"))
   }
 
+  /** Near-dup cluster size histogram — the duplication-profile report
+    * a curation run reads before choosing dedup aggressiveness: how
+    * many clusters exist at each size (singletons excluded — the pair
+    * graph only contains near-duplicated docs). One tiny rollup over
+    * [[dedupClusters]]' corpus-tiny output. */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+    val clusters = Dedup.dedupClusters(pairs)
+    pairs.unpersist()
+    clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size").asc)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1825,5 +1842,6 @@ object Queries {
     "pipeline_corpus" -> pipelineCorpus _,
     "ngram_novelty" -> ngramNovelty _,
     "value_deciles" -> valueDeciles _,
-    "decontaminate_spans" -> decontaminateSpansQ _)
+    "decontaminate_spans" -> decontaminateSpansQ _,
+    "dedup_cluster_sizes" -> dedupClusterSizes _)
 }
