@@ -610,6 +610,21 @@ object Queries {
     clusters.select(col("sid").as("doc_id"), col("cluster"))
   }
 
+  /** PageRank centrality over the SAME near-dup pair graph as
+    * [[dedupClusters]] — ranks documents by how central they sit in
+    * their duplication neighborhood (curation picks canonical docs by
+    * max rank). Exact integer micro-unit recurrence
+    * ([[graft.ops.GraphOps.pageRankMicro]]), 5 fixed iterations; the
+    * oracle unrolls the identical recurrence as chained CTEs with
+    * DuckDB floor division. */
+  def dedupPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+    val ranks = graft.ops.GraphOps.pageRankUndirected(pairs, iters = 5)
+    pairs.unpersist()
+    ranks.select(col("id").as("doc_id"), col("rank_micro"))
+  }
+
   /** The ladder with transitive collapse: connected near-dup
     * components keep only their minimum id (vs [[dedupCorpus]]'s
     * greedy pair-drop, which keeps docs that share a near-dup without
@@ -1746,6 +1761,7 @@ object Queries {
     "dedup_embedding_bucketed" -> dedupEmbeddingBucketed _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_pagerank" -> dedupPagerank _,
     "dedup_corpus_transitive" -> dedupCorpusTransitive _,
     "dup_spans" -> dupSpans _,
     "dedup_spans" -> dedupSpans _,

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph centrality over corpus-derived graphs.
+  *
+  * The near-dup pair graph (Dedup.jaccardPairs et al.) is more than a
+  * dedup input: its structure ranks documents by how central they are
+  * to a duplication neighborhood, which curation pipelines use to pick
+  * canonical/representative docs (the web-scale analogue ranks hosts
+  * on the link graph before crawling — the reference app has no graph
+  * ops, this is pure scale extension surface). PageRank here is the
+  * standard damped power iteration, but carried out ENTIRELY in exact
+  * integer micro-units (floor division at every step), so a fixed
+  * iteration count yields bit-identical ranks on any partitioning and
+  * in any engine that replays the same integer recurrence — the DuckDB
+  * oracle unrolls the iterations as chained CTEs with `//`.
+  *
+  * Recurrence (all Long micro-units of total mass 1e6):
+  *   init(v)   = 1_000_000 div N
+  *   contrib(u)= rank(u) div outdeg(u)
+  *   rank'(v)  = (150_000 div N) + (17 * Σ_{u→v} contrib(u)) div 20
+  * i.e. damping 0.85 = 17/20 and teleport (1-d)/N, with floors. Floors
+  * leak a few micro-units of mass per round — irrelevant for ranking,
+  * and the price of exact cross-engine replay (float power iteration
+  * is order-dependent under Spark's non-deterministic sum order).
+  *
+  * Scale shape: one equi-join (edges ⋈ ranks on src) plus one groupBy
+  * (dst) per round, both over the EDGE frame only — never the corpus.
+  * Edges+degrees are persisted once; each round's ranks are persisted
+  * and the previous round released, so lineage stays one round deep at
+  * any iteration count (same discipline as Dedup.dedupClusters). A
+  * near-dup pair graph is corpus-tiny by construction (it IS the
+  * found duplication), so even at 100 TB corpus scale the per-round
+  * shuffles are small; for genuinely huge graphs the shape is still
+  * the canonical distributed PageRank (no driver collect anywhere).
+  */
+object GraphOps {
+
+  /** Directed PageRank in exact integer micro-units; see object doc.
+    * `edges` rows are (src, dst) arcs; node set = all endpoint ids
+    * (sinks redistribute nothing — their mass leaves, matching the
+    * plain recurrence the oracle replays). Returns (id, rank_micro),
+    * eager + persisted — caller owns unpersist(). */
+  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 0, s"pageRankMicro: iters must be >= 0, got $iters")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // out-degree per source; nodes = every id seen on either side
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "pageRankMicro: empty edge frame")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one persisted (src, dst, deg) frame reused every round
+    val edgeDeg = e.join(deg, "src").persist(lvl)
+    edgeDeg.count()
+    val initMicro = 1000000L / n
+    val teleMicro = 150000L / n
+    var ranks = nodes.withColumn("rank_micro", lit(initMicro)).persist(lvl)
+    ranks.count()
+    var prev = ranks
+    for (_ <- 1 to iters) {
+      val contribs = edgeDeg
+        .join(ranks, edgeDeg("src") === ranks("id"))
+        .select(col("dst"), expr("rank_micro div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_micro"))
+      val next = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(nodes("id"),
+          (lit(teleMicro) +
+            expr("(17 * coalesce(in_micro, 0L)) div 20")).as("rank_micro"))
+        .persist(lvl)
+      next.count()
+      prev.unpersist()
+      prev = next
+      ranks = next
+    }
+    edgeDeg.unpersist()
+    nodes.unpersist()
+    ranks // caller owns the persisted (id, rank_micro) frame
+  }
+
+  /** Undirected wrapper: each pair (id_a, id_b) becomes both arcs, so
+    * rank flows both ways — the natural form for similarity graphs. */
+  def pageRankUndirected(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", iters: Int = 5): DataFrame = {
+    val arcs = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    pageRankMicro(arcs, "src", "dst", iters)
+  }
+}

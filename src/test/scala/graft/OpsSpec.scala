@@ -1880,4 +1880,52 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pageRank: star center ranks highest; exact recurrence matches a scalar replay; partition-invariant") {
+    import graft.ops.GraphOps
+    // Star: 1 is the hub of 2..5 (undirected). Hub receives 4 full
+    // contributions per round; leaves 1/4 of the hub's — center must
+    // dominate every leaf, and the 4 leaves tie exactly.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val r = GraphOps.pageRankUndirected(star, iters = 5)
+    val got = r.select($"id", $"rank_micro").as[(Long, Long)].collect().toMap
+    r.unpersist()
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert((2L to 5L).map(got).toSet.size == 1, s"leaves must tie exactly: $got")
+    assert(got(1L) > got(2L), s"hub must outrank leaves: $got")
+    // Scalar replay of the documented integer recurrence on the same
+    // graph — the engine must match it EXACTLY (no float tolerance).
+    val n = 5L
+    var hub = 1000000L / n; var leaf = 1000000L / n
+    for (_ <- 1 to 5) {
+      val hubIn = 4L * (leaf / 1L)         // each leaf has outdeg 1
+      val leafIn = hub / 4L                // hub has outdeg 4
+      val t = 150000L / n
+      val nh = t + (17L * hubIn) / 20L
+      val nl = t + (17L * leafIn) / 20L
+      hub = nh; leaf = nl
+    }
+    assert(got(1L) == hub && got(2L) == leaf,
+      s"engine (${got(1L)}, ${got(2L)}) != scalar replay ($hub, $leaf)")
+    // Partition invariance: integer arithmetic leaves no sum-order
+    // residue — any repartitioning yields identical ranks.
+    val skewed = star.repartition(7)
+    val r2 = GraphOps.pageRankUndirected(skewed, iters = 5)
+    val got2 = r2.select($"id", $"rank_micro").as[(Long, Long)].collect().toMap
+    r2.unpersist()
+    assert(got2 == got)
+  }
+
+  test("pageRank: directed sink absorbs nothing; chain ranks grow toward the sink") {
+    import graft.ops.GraphOps
+    // Directed chain 1→2→3: 3 is a sink (outdeg 0, redistributes
+    // nothing); downstream nodes accumulate strictly more rank.
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphOps.pageRankMicro(chain, "src", "dst", iters = 5)
+    val got = r.select($"id", $"rank_micro").as[(Long, Long)].collect().toMap
+    r.unpersist()
+    assert(got(3L) > got(2L) && got(2L) > got(1L), s"chain must rank downstream higher: $got")
+    // head gets teleport mass only: 150000/3 = 50000 every round
+    assert(got(1L) == 50000L, s"head rank must be the teleport floor: $got")
+  }
 }
