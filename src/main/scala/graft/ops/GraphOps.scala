@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Graph centrality over corpus-derived graphs.
   *
@@ -29,11 +28,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: one equi-join (edges ⋈ ranks on src) plus one groupBy
   * (dst) per round, both over the EDGE frame only — never the corpus.
-  * Edges+degrees are persisted once; each round's ranks are persisted
-  * and the previous round released, so lineage stays one round deep at
-  * any iteration count (same discipline as Dedup.dedupClusters). A
-  * near-dup pair graph is corpus-tiny by construction (it IS the
-  * found duplication), so even at 100 TB corpus scale the per-round
+  * Edges+degrees are localCheckpoint'ed once and each round's ranks
+  * re-checkpointed, so both the PHYSICAL lineage and the LOGICAL plan
+  * stay depth-1 at any iteration count (see the in-body note: with
+  * persist alone, Catalyst re-analysis of the embedded input plan
+  * dominated wall time 50:1 on a real near-dup graph). A near-dup
+  * pair graph is corpus-tiny by construction (it IS the found
+  * duplication), so even at 100 TB corpus scale the per-round
   * shuffles are small; for genuinely huge graphs the shape is still
   * the canonical distributed PageRank (no driver collect anywhere).
   */
@@ -47,42 +48,48 @@ object GraphOps {
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5): DataFrame = {
     require(iters >= 0, s"pageRankMicro: iters must be >= 0, got $iters")
-    val lvl = StorageLevel.MEMORY_AND_DISK
+    // LINEAGE TRUNCATION, not just caching: every round's frame embeds
+    // its inputs' LOGICAL plans, and cache substitution only happens at
+    // physical planning — so if `edges` arrives with a deep plan (e.g.
+    // a jaccard pair pipeline), each round would re-analyze a tree
+    // containing dozens of copies of it. Measured on the 250k-edge
+    // near-dup graph: 99 s with persist-only (all of it Catalyst
+    // analysis), ~2 s with localCheckpoint. The checkpointed frames
+    // are LogicalRDD leaves — O(1) plan size per round at any
+    // iteration count. (On a multi-executor cluster prefer reliable
+    // checkpoint() for the same truncation if executor loss matters;
+    // the blocks here are also persisted MEMORY_AND_DISK.) The edge
+    // projection is truncated FIRST so the input plan is analyzed
+    // exactly once — nodes/deg/edgeDeg below all derive from the leaf.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // out-degree per source; nodes = every id seen on either side
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().persist(lvl)
+      .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRankMicro: empty edge frame")
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // one persisted (src, dst, deg) frame reused every round
-    val edgeDeg = e.join(deg, "src").persist(lvl)
-    edgeDeg.count()
+    // one checkpointed (src, dst, deg) frame reused every round
+    val edgeDeg = e.join(deg, "src").localCheckpoint()
     val initMicro = 1000000L / n
     val teleMicro = 150000L / n
-    var ranks = nodes.withColumn("rank_micro", lit(initMicro)).persist(lvl)
-    ranks.count()
-    var prev = ranks
+    var ranks = nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = edgeDeg
         .join(ranks, edgeDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank_micro div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_micro"))
-      val next = nodes
+      ranks = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(nodes("id"),
           (lit(teleMicro) +
             expr("(17 * coalesce(in_micro, 0L)) div 20")).as("rank_micro"))
-        .persist(lvl)
-      next.count()
-      prev.unpersist()
-      prev = next
-      ranks = next
+        .localCheckpoint() // eager: materializes the round, depth-1 lineage
     }
-    edgeDeg.unpersist()
-    nodes.unpersist()
-    ranks // caller owns the persisted (id, rank_micro) frame
+    // superseded checkpoint blocks are released by the ContextCleaner
+    // once unreferenced; the caller's unpersist() on the result is a
+    // harmless no-op (kept for contract symmetry with the pair ops)
+    ranks
   }
 
   /** Undirected wrapper: each pair (id_a, id_b) becomes both arcs, so

@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "graph"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -515,6 +515,45 @@ object ScaleProbe {
         .hashSplit(clean, "doc_id").count())
     }
     pipeDocs.unpersist()
+    }
+    if (on("graph")) {
+    // PageRank at probe scale: (a) the REAL near-dup pair graph of the
+    // 10x replica corpus (the graph a curation pass actually ranks),
+    // (b) a synthetic 10M-arc power-iteration to isolate per-round
+    // join+agg cost on a graph too big for any driver-side shortcut.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseG = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val docsG = (0 until 10).map(r =>
+        baseG.select((col("doc_id") + lit(r * 1000000)).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] graph corpus=${docsG.count()} docs")
+    val pairsG = graft.ops.Dedup.jaccardPairs(
+      docsG, "doc_id", "text", n = 8, threshold = 0.5, maxDocFreq = 640, minShared = 2)
+    println(s"[probe] near-dup pair graph edges=${pairsG.count()}")
+    time("pagerank 5 iters, near-dup graph") {
+      val r = graft.ops.GraphOps.pageRankUndirected(pairsG, iters = 5)
+      println("[probe]   nodes=" + r.count())
+      r.unpersist()
+    }
+    pairsG.unpersist()
+    docsG.unpersist()
+    // Synthetic scale-free-ish directed graph: 10M arcs over 1M nodes,
+    // hub-skewed dst (xxhash mod with quadratic skew) — per-iteration
+    // cost is one edges⋈ranks shuffle + one dst groupBy; 5 rounds.
+    val m = 10000000L
+    val arcs = spark.range(m).select(
+        pmod(xxhash64(lit(1), col("id")), lit(1000000L)).as("src"),
+        pmod(pmod(xxhash64(lit(2), col("id")), lit(1000L)) *
+          pmod(xxhash64(lit(3), col("id")), lit(1000L)), lit(1000000L)).as("dst"))
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] synthetic arcs=${arcs.count()}")
+    time("pagerank 5 iters, 10M arcs / 1M nodes") {
+      val r = graft.ops.GraphOps.pageRankMicro(arcs, "src", "dst", iters = 5)
+      println("[probe]   nodes=" + r.count())
+      r.unpersist()
+    }
+    arcs.unpersist()
     }
     spark.stop()
   }
