@@ -1413,6 +1413,8 @@ object OracleSql {
 
     "bpe_vocab" -> bpeVocabSql(Queries.BpeTrainMerges, 30),
 
+    "bpe_encode" -> bpeEncodeSql(Queries.BpeTrainMerges),
+
     // approx_ok is the literal-TRUE gate (corpus_distinct_approx
     // pattern): the row hash-matches only if the engine's
     // approx_percentile rank error actually held.
@@ -2333,6 +2335,34 @@ object OracleSql {
       s"SELECT $r AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
       .mkString("\nUNION ALL ")
     bpeStages(merges) + s"\nSELECT * FROM (\n$union) ORDER BY merge_rank"
+  }
+
+  // Encode every document with the trained merge table: each distinct
+  // word's segmentation is its FINAL packed state in the last training
+  // CTE (the word itself = that state with sentinels removed), so the
+  // apply side is one word→segmentation map join back onto the
+  // exploded documents — no re-running of merges per document.
+  private def bpeEncodeSql(merges: Int): String = {
+    val s = graft.ops.TextAnalytics.BpeSentinel
+    bpeStages(merges) +
+      s""",
+         | wmap AS (SELECT replace(tok, '$s', '') AS w,
+         |            array_to_string(list_filter(string_split(tok, '$s'), x -> x <> ''), ' ') AS segd
+         |          FROM w$merges),
+         | dws AS (SELECT doc_id,
+         |           list_filter(string_split_regex(trim(text), '\\s+'),
+         |                       x -> x <> '' AND NOT contains(x, '$s')) AS ws
+         |         FROM documents),
+         | expl AS (SELECT doc_id, i, ws[i] AS w
+         |          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM dws)),
+         | j AS (SELECT e.doc_id,
+         |         sum(len(string_split(m.segd, ' '))) AS n_tokens,
+         |         string_agg(m.segd, ' | ' ORDER BY e.i) AS seg_str
+         |       FROM expl e JOIN wmap m ON m.w = e.w GROUP BY e.doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS INT) AS n_words,
+         | CAST(coalesce(j.n_tokens, 0) AS INT) AS n_tokens,
+         | coalesce(j.seg_str, '') AS seg_str
+         |FROM dws d LEFT JOIN j USING (doc_id)""".stripMargin
   }
 
   private def bpeVocabSql(merges: Int, k: Int): String = {

@@ -1209,6 +1209,35 @@ object Queries {
     TextAnalytics.bpeVocab(t(s, dir, "documents"), "text",
       merges = BpeTrainMerges, k = 30)
 
+  /** The APPLY side of [[bpeTrain]]: encode every document with the
+    * learned 8-round merge table — the train→ship→encode loop a real
+    * tokenizer pipeline runs. The collected merge table is the tiny
+    * shipped artifact (8 rows); encoding is a MAP-ONLY column over the
+    * corpus ([[TextAnalytics.bpeSegment]]'s packed-replace chain per
+    * word, no joins, no shuffle). Output: per-doc word/token counts
+    * plus the space-joined segmentation (`" | "` between words), which
+    * the oracle recomputes by reading each distinct word's final state
+    * off the last unrolled training CTE (word = the packed token
+    * string with sentinels removed). */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val table = TextAnalytics.bpeTrain(docs, "text", merges = BpeTrainMerges)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val sent = TextAnalytics.BpeSentinel
+    val words = filter(split(trim(col("text")), "\\s+"),
+      w => w =!= lit("") && !w.contains(lit(sent)))
+    val segs = transform(words,
+      w => concat_ws(" ", TextAnalytics.bpeSegment(w, table)))
+    docs
+      .withColumn("__segs", segs)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        size(filter(split(array_join(col("__segs"), " "), " "),
+          x => x =!= lit(""))).as("n_tokens"),
+        array_join(col("__segs"), " | ").as("seg_str"))
+  }
+
   /** Hot-key skew report over the events join key: top-5 users by row
     * count with their uniform-share skew factor. */
   def skewReport(s: SparkSession, dir: String): DataFrame =
@@ -1821,6 +1850,7 @@ object Queries {
     "bpe_pairs" -> bpePairs _,
     "bpe_train" -> bpeTrain _,
     "bpe_vocab" -> bpeVocab _,
+    "bpe_encode" -> bpeEncode _,
     "length_prune_approx" -> lengthPruneApprox _,
     "event_paths" -> eventPaths _,
     "dedup_incremental" -> dedupIncremental _,
