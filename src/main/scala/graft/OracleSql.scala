@@ -339,36 +339,12 @@ object OracleSql {
     // of GraphOps.pageRankMicro unrolled: r0 = init, each r{k} one
     // chained CTE — floor division (`//`) at every step makes the
     // fixpoint bit-identical to the Spark loop.
-    "dedup_pagerank" -> {
-      val prefix =
-        """WITH sh AS (SELECT DISTINCT doc_id AS sid,
-          |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
-          |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
-          | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-          | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
-          | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
-          |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
-          |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
-          | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
-          | p AS (SELECT id_a, id_b FROM (
-          |        SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
-          |        FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
-          |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
-          | e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
-          | nodes AS (SELECT DISTINCT a AS id FROM e),
-          | deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
-          | t AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS ini,
-          |              CAST(150000 // count(*) AS BIGINT) AS tele FROM nodes),
-          | r0 AS (SELECT id, (SELECT ini FROM t) AS r FROM nodes)""".stripMargin
-      val iterCtes = (1 to 5).map { k =>
-        s""", c$k AS (SELECT e.b AS id, sum(r${k - 1}.r // deg.d) AS m
-           |        FROM e JOIN r${k - 1} ON r${k - 1}.id = e.a JOIN deg ON deg.a = e.a GROUP BY e.b),
-           | r$k AS (SELECT nodes.id, (SELECT tele FROM t) + (17 * coalesce(c$k.m, 0)) // 20 AS r
-           |        FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
-      }.mkString
-      prefix + iterCtes +
-        "\nSELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r5"
-    },
+    "dedup_pagerank" -> pageRankSql(iters = 5, seedPred = None),
+
+    // The personalized variant: init/teleport mass restricted to the
+    // seed nodes (id % 3 = 0), so rank = graph proximity to the seed
+    // set — identical unrolled recurrence, seed-gated CASE terms.
+    "ppr_expand" -> pageRankSql(iters = 5, seedPred = Some("id % 3 = 0")),
 
     // dedup_clusters' reachability closure rolled up to the size
     // histogram.
@@ -2335,6 +2311,46 @@ object OracleSql {
       s"SELECT $r AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
       .mkString("\nUNION ALL ")
     bpeStages(merges) + s"\nSELECT * FROM (\n$union) ORDER BY merge_rank"
+  }
+
+  // PageRank over the near-dup pair graph (dedup_clusters' pair
+  // pipeline) — GraphOps.pageRankMicro's exact integer recurrence
+  // unrolled as chained CTEs. seedPred = None is the global form
+  // (every node gets init/teleport mass); Some(pred) restricts both
+  // to the seed nodes (personalized PageRank).
+  private def pageRankSql(iters: Int, seedPred: Option[String]): String = {
+    val massSrc = seedPred.fold("nodes")(p => s"(SELECT id FROM nodes WHERE $p)")
+    val gate = seedPred.fold("TRUE")(identity)
+    val prefix =
+      s"""WITH sh AS (SELECT DISTINCT doc_id AS sid,
+         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+         | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+         | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+         | p AS (SELECT id_a, id_b FROM (
+         |        SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+         |        FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
+         |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
+         | e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         | nodes AS (SELECT DISTINCT a AS id FROM e),
+         | deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
+         | t AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS ini,
+         |              CAST(150000 // count(*) AS BIGINT) AS tele FROM $massSrc),
+         | r0 AS (SELECT id, CASE WHEN $gate THEN (SELECT ini FROM t) ELSE 0 END AS r FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s""", c$k AS (SELECT e.b AS id, sum(r${k - 1}.r // deg.d) AS m
+         |        FROM e JOIN r${k - 1} ON r${k - 1}.id = e.a JOIN deg ON deg.a = e.a GROUP BY e.b),
+         | r$k AS (SELECT nodes.id,
+         |          CASE WHEN $gate THEN (SELECT tele FROM t) ELSE 0 END +
+         |          (17 * coalesce(c$k.m, 0)) // 20 AS r
+         |        FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
+    }.mkString
+    prefix + iterCtes +
+      s"\nSELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r$iters"
   }
 
   // Encode every document with the trained merge table: each distinct

@@ -625,6 +625,24 @@ object Queries {
     ranks.select(col("id").as("doc_id"), col("rank_micro"))
   }
 
+  /** PERSONALIZED PageRank over the same near-dup graph: init and
+    * teleport mass restricted to the seed docs (doc_id % 3 == 0 —
+    * stand-in for "the hits a query already found"), so rank measures
+    * graph proximity to the seed set and expands it with "more like
+    * these" neighbors. The seed frame is a plain parquet-scan filter;
+    * the op intersects it with the graph's node set (identical to the
+    * oracle's seed CTE over nodes). */
+  def pprExpand(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+    val seeds = t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+    val ranks = graft.ops.GraphOps.personalizedPageRankUndirected(
+      pairs, seeds, iters = 5)
+    pairs.unpersist()
+    ranks.select(col("id").as("doc_id"), col("rank_micro"))
+  }
+
   /** The ladder with transitive collapse: connected near-dup
     * components keep only their minimum id (vs [[dedupCorpus]]'s
     * greedy pair-drop, which keeps docs that share a near-dup without
@@ -1791,6 +1809,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_pagerank" -> dedupPagerank _,
+    "ppr_expand" -> pprExpand _,
     "dedup_corpus_transitive" -> dedupCorpusTransitive _,
     "dup_spans" -> dupSpans _,
     "dedup_spans" -> dedupSpans _,

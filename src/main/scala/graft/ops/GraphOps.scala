@@ -17,14 +17,18 @@ import org.apache.spark.sql.functions._
   * in any engine that replays the same integer recurrence — the DuckDB
   * oracle unrolls the iterations as chained CTEs with `//`.
   *
-  * Recurrence (all Long micro-units of total mass 1e6):
+  * Global recurrence (all Long micro-units of total mass 1e6):
   *   init(v)   = 1_000_000 div N
   *   contrib(u)= rank(u) div outdeg(u)
   *   rank'(v)  = (150_000 div N) + (17 * Σ_{u→v} contrib(u)) div 20
-  * i.e. damping 0.85 = 17/20 and teleport (1-d)/N, with floors. Floors
-  * leak a few micro-units of mass per round — irrelevant for ranking,
-  * and the price of exact cross-engine replay (float power iteration
-  * is order-dependent under Spark's non-deterministic sum order).
+  * i.e. damping 0.85 = 17/20 and teleport (1-d)/N, with floors. The
+  * PERSONALIZED variant restricts both init and teleport mass to a
+  * seed set S (each seed gets 1_000_000 div |S| / 150_000 div |S|,
+  * non-seeds 0) — rank then measures proximity to the seeds, the
+  * query-expansion / "more like these" form. Floors leak a few
+  * micro-units of mass per round — irrelevant for ranking, and the
+  * price of exact cross-engine replay (float power iteration is
+  * order-dependent under Spark's non-deterministic sum order).
   *
   * Scale shape: one equi-join (edges ⋈ ranks on src) plus one groupBy
   * (dst) per round, both over the EDGE frame only — never the corpus.
@@ -40,40 +44,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Directed PageRank in exact integer micro-units; see object doc.
-    * `edges` rows are (src, dst) arcs; node set = all endpoint ids
-    * (sinks redistribute nothing — their mass leaves, matching the
-    * plain recurrence the oracle replays). Returns (id, rank_micro),
-    * eager + persisted — caller owns unpersist(). */
-  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 5): DataFrame = {
-    require(iters >= 0, s"pageRankMicro: iters must be >= 0, got $iters")
-    // LINEAGE TRUNCATION, not just caching: every round's frame embeds
-    // its inputs' LOGICAL plans, and cache substitution only happens at
-    // physical planning — so if `edges` arrives with a deep plan (e.g.
-    // a jaccard pair pipeline), each round would re-analyze a tree
-    // containing dozens of copies of it. Measured on the 250k-edge
-    // near-dup graph: 99 s with persist-only (all of it Catalyst
-    // analysis), ~2 s with localCheckpoint. The checkpointed frames
-    // are LogicalRDD leaves — O(1) plan size per round at any
-    // iteration count. (On a multi-executor cluster prefer reliable
-    // checkpoint() for the same truncation if executor loss matters;
-    // the blocks here are also persisted MEMORY_AND_DISK.) The edge
-    // projection is truncated FIRST so the input plan is analyzed
-    // exactly once — nodes/deg/edgeDeg below all derive from the leaf.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
-    val n = nodes.count()
-    require(n > 0, "pageRankMicro: empty edge frame")
+  /** The shared power-iteration loop. `nodes` must already be a
+    * checkpointed (id, init_micro, tele_micro) frame; `e` a
+    * checkpointed (src, dst) frame. */
+  private def prLoop(e: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // one checkpointed (src, dst, deg) frame reused every round
     val edgeDeg = e.join(deg, "src").localCheckpoint()
-    val initMicro = 1000000L / n
-    val teleMicro = 150000L / n
-    var ranks = nodes.withColumn("rank_micro", lit(initMicro)).localCheckpoint()
+    var ranks = nodes.select(col("id"), col("init_micro").as("rank_micro"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = edgeDeg
         .join(ranks, edgeDeg("src") === ranks("id"))
@@ -82,7 +61,7 @@ object GraphOps {
       ranks = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(nodes("id"),
-          (lit(teleMicro) +
+          (col("tele_micro") +
             expr("(17 * coalesce(in_micro, 0L)) div 20")).as("rank_micro"))
         .localCheckpoint() // eager: materializes the round, depth-1 lineage
     }
@@ -92,6 +71,74 @@ object GraphOps {
     ranks
   }
 
+  /** Checkpointed (src, dst) edge projection + distinct node frame.
+    * LINEAGE TRUNCATION, not just caching: every round's frame embeds
+    * its inputs' LOGICAL plans, and cache substitution only happens at
+    * physical planning — so if `edges` arrives with a deep plan (e.g.
+    * a jaccard pair pipeline), each round would re-analyze a tree
+    * containing dozens of copies of it. Measured on the 250k-edge
+    * near-dup graph: 99 s with persist-only (all of it Catalyst
+    * analysis), ~2 s with localCheckpoint. The checkpointed frames
+    * are LogicalRDD leaves — O(1) plan size per round at any
+    * iteration count. (On a multi-executor cluster prefer reliable
+    * checkpoint() for the same truncation if executor loss matters;
+    * the blocks here are also persisted MEMORY_AND_DISK.) The edge
+    * projection is truncated FIRST so the input plan is analyzed
+    * exactly once — everything else derives from the leaf. */
+  private def edgeNodeFrames(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val ids = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    (e, ids)
+  }
+
+  /** Directed PageRank in exact integer micro-units; see object doc.
+    * `edges` rows are (src, dst) arcs; node set = all endpoint ids
+    * (sinks redistribute nothing — their mass leaves, matching the
+    * plain recurrence the oracle replays). Returns (id, rank_micro). */
+  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 0, s"pageRankMicro: iters must be >= 0, got $iters")
+    val (e, ids) = edgeNodeFrames(edges, srcCol, dstCol)
+    val n = ids.count()
+    require(n > 0, "pageRankMicro: empty edge frame")
+    val nodes = ids
+      .withColumn("init_micro", lit(1000000L / n))
+      .withColumn("tele_micro", lit(150000L / n))
+    prLoop(e, nodes, iters)
+  }
+
+  /** PERSONALIZED PageRank: init + teleport mass restricted to the
+    * seed id set — ranks measure graph proximity to the seeds ("more
+    * like these" expansion of a hit set over the similarity graph).
+    * `seeds` is a one-column frame of ids; seeds not present in the
+    * graph contribute nothing (they are dropped by the node
+    * intersection — |S| counts only seeds that ARE nodes, matching
+    * the oracle's seed CTE). Broadcast semi-join tags seeds; the loop
+    * shape is identical to the global variant. */
+  def personalizedPageRankMicro(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 0, s"personalizedPageRankMicro: iters must be >= 0, got $iters")
+    val (e, ids) = edgeNodeFrames(edges, srcCol, dstCol)
+    val seedIds = seeds.toDF("id")
+    val flagged = ids.join(broadcast(seedIds.withColumn("__seed", lit(1))),
+        Seq("id"), "left")
+      .withColumn("__seed", coalesce(col("__seed"), lit(0)))
+      .localCheckpoint()
+    val s = flagged.filter(col("__seed") === 1).count()
+    require(s > 0, "personalizedPageRankMicro: no seed is a graph node")
+    val nodes = flagged
+      .withColumn("init_micro",
+        when(col("__seed") === 1, lit(1000000L / s)).otherwise(lit(0L)))
+      .withColumn("tele_micro",
+        when(col("__seed") === 1, lit(150000L / s)).otherwise(lit(0L)))
+      .select("id", "init_micro", "tele_micro")
+    prLoop(e, nodes, iters)
+  }
+
   /** Undirected wrapper: each pair (id_a, id_b) becomes both arcs, so
     * rank flows both ways — the natural form for similarity graphs. */
   def pageRankUndirected(pairs: DataFrame, aCol: String = "id_a",
@@ -99,5 +146,14 @@ object GraphOps {
     val arcs = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     pageRankMicro(arcs, "src", "dst", iters)
+  }
+
+  /** Undirected personalized wrapper; see [[personalizedPageRankMicro]]. */
+  def personalizedPageRankUndirected(pairs: DataFrame, seeds: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      iters: Int = 5): DataFrame = {
+    val arcs = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    personalizedPageRankMicro(arcs, "src", "dst", seeds, iters)
   }
 }
