@@ -346,6 +346,10 @@ object OracleSql {
     // set — identical unrolled recurrence, seed-gated CASE terms.
     "ppr_expand" -> pageRankSql(iters = 5, seedPred = Some("id % 3 = 0")),
 
+    // Components + ranks composed into the curation decision: per
+    // near-dup cluster keep the max-rank member (ties to smaller id).
+    "dedup_canonical" -> dedupCanonicalSql(iters = 5),
+
     // dedup_clusters' reachability closure rolled up to the size
     // histogram.
     "dedup_cluster_sizes" ->
@@ -2318,30 +2322,38 @@ object OracleSql {
   // unrolled as chained CTEs. seedPred = None is the global form
   // (every node gets init/teleport mass); Some(pred) restricts both
   // to the seed nodes (personalized PageRank).
-  private def pageRankSql(iters: Int, seedPred: Option[String]): String = {
+  // The shared near-dup pair pipeline up to the arc list `e` (WITH
+  // RECURSIVE so callers may append a reachability closure).
+  // (def, not val: the query map above is built at object init, before
+  // a later-declared val would be assigned)
+  private def pairGraphCtes: String =
+    """WITH RECURSIVE sh AS (SELECT DISTINCT doc_id AS sid,
+      |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+      |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
+      | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+      | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+      | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
+      |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
+      |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
+      | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
+      | p AS (SELECT id_a, id_b FROM (
+      |        SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
+      |        FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
+      |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
+      | e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p)""".stripMargin
+
+  // nodes/degree/mass CTEs + r0..r{iters} — the unrolled PageRank
+  // recurrence over the `e` arc list.
+  private def pageRankCtes(iters: Int, seedPred: Option[String]): String = {
     val massSrc = seedPred.fold("nodes")(p => s"(SELECT id FROM nodes WHERE $p)")
     val gate = seedPred.fold("TRUE")(identity)
-    val prefix =
-      s"""WITH sh AS (SELECT DISTINCT doc_id AS sid,
-         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
-         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
-         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-         | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
-         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
-         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
-         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
-         | sets AS (SELECT sid, list(h) AS ls, count(*) AS s FROM sh GROUP BY sid),
-         | p AS (SELECT id_a, id_b FROM (
-         |        SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
-         |        FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b)
-         |       WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
-         | e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
-         | nodes AS (SELECT DISTINCT a AS id FROM e),
+    val head =
+      s""", nodes AS (SELECT DISTINCT a AS id FROM e),
          | deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
          | t AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS ini,
          |              CAST(150000 // count(*) AS BIGINT) AS tele FROM $massSrc),
          | r0 AS (SELECT id, CASE WHEN $gate THEN (SELECT ini FROM t) ELSE 0 END AS r FROM nodes)""".stripMargin
-    val iterCtes = (1 to iters).map { k =>
+    val iter = (1 to iters).map { k =>
       s""", c$k AS (SELECT e.b AS id, sum(r${k - 1}.r // deg.d) AS m
          |        FROM e JOIN r${k - 1} ON r${k - 1}.id = e.a JOIN deg ON deg.a = e.a GROUP BY e.b),
          | r$k AS (SELECT nodes.id,
@@ -2349,9 +2361,35 @@ object OracleSql {
          |          (17 * coalesce(c$k.m, 0)) // 20 AS r
          |        FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
     }.mkString
-    prefix + iterCtes +
-      s"\nSELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r$iters"
+    head + iter
   }
+
+  private def pageRankSql(iters: Int, seedPred: Option[String]): String =
+    pairGraphCtes + pageRankCtes(iters, seedPred) +
+      s"\nSELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r$iters"
+
+  // Canonical-doc pick: connected components (reachability closure)
+  // joined with the unrolled ranks; per cluster keep the max-rank doc,
+  // ties to the smaller id — the deterministic curation decision.
+  private def dedupCanonicalSql(iters: Int): String =
+    pairGraphCtes +
+      """,
+        | reach(id, root) AS (
+        |   SELECT DISTINCT a, a FROM e
+        |   UNION
+        |   SELECT e.b, reach.root FROM reach JOIN e ON e.a = reach.id
+        | ),
+        | cl AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id)""".stripMargin +
+      pageRankCtes(iters, None) +
+      s"""
+         |SELECT cluster, id AS keep_doc_id, CAST(r AS BIGINT) AS keep_rank_micro,
+         | n_members
+         |FROM (
+         |  SELECT cl.cluster, cl.id, r$iters.r,
+         |    count(*) OVER (PARTITION BY cl.cluster) AS n_members,
+         |    row_number() OVER (PARTITION BY cl.cluster ORDER BY r$iters.r DESC, cl.id ASC) AS rn
+         |  FROM cl JOIN r$iters ON r$iters.id = cl.id)
+         |WHERE rn = 1""".stripMargin
 
   // Encode every document with the trained merge table: each distinct
   // word's segmentation is its FINAL packed state in the last training

@@ -643,6 +643,27 @@ object Queries {
     ranks.select(col("id").as("doc_id"), col("rank_micro"))
   }
 
+  /** The curation decision the graph ops compose into: per near-dup
+    * cluster, keep the member with the highest PageRank (the most
+    * central copy of the duplicated content), ties to the smaller id.
+    * One broadcast-sized join of two pair-graph derivatives; the
+    * arg-max rides a single `max(struct(rank, -id))` partial
+    * aggregate — no per-cluster window sort. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+    val clusters = Dedup.dedupClusters(pairs)
+    val ranks = graft.ops.GraphOps.pageRankUndirected(pairs, iters = 5)
+    pairs.unpersist()
+    val out = clusters.join(ranks, clusters("sid") === ranks("id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("rank_micro"), (-col("sid")).as("negid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("m.negid")).as("keep_doc_id"),
+        col("m.rank_micro").as("keep_rank_micro"), col("n_members"))
+    out
+  }
+
   /** The ladder with transitive collapse: connected near-dup
     * components keep only their minimum id (vs [[dedupCorpus]]'s
     * greedy pair-drop, which keeps docs that share a near-dup without
@@ -1810,6 +1831,7 @@ object Queries {
     "dedup_clusters" -> dedupClusters _,
     "dedup_pagerank" -> dedupPagerank _,
     "ppr_expand" -> pprExpand _,
+    "dedup_canonical" -> dedupCanonical _,
     "dedup_corpus_transitive" -> dedupCorpusTransitive _,
     "dup_spans" -> dupSpans _,
     "dedup_spans" -> dedupSpans _,

@@ -54,6 +54,22 @@ object ShardExport {
     manifest
   }
 
+  /** Size-targeted variant: derives the shard count from the corpus's
+    * total serialized length (`ceil(total_chars / targetChars)`, one
+    * aggregate scan) so shard files land near a byte budget — the
+    * form a dataloader with fixed shard-size expectations uses. */
+  def writeJsonlShardsBySize(df: DataFrame, idCol: String, outDir: String,
+      targetChars: Long): DataFrame = {
+    require(targetChars > 0, "targetChars must be positive")
+    val cols = df.columns
+    val total = df
+      .select(length(to_json(struct(cols.map(col): _*))).cast("long").as("l"))
+      .agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
+    val shards = math.max(1L, (total + targetChars - 1) / targetChars)
+    require(shards <= Int.MaxValue, s"derived shard count $shards overflows Int")
+    writeJsonlShards(df, idCol, outDir, shards.toInt)
+  }
+
   /** Read an exported shard tree back: the `shard=K` directory name is
     * recovered as the partition column; lines are parsed with the
     * caller's schema (the reader never infers — a dataloader contract

@@ -272,5 +272,12 @@ class EndToEndSpec extends SparkSpec {
       .orderBy("shard").collect()
     assert(m2.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
       manifest.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+    // size-targeted: shard count derived from total serialized chars
+    val totalChars = manifest.map(_.getLong(2)).sum
+    val out3 = Files.createTempDirectory("graft-shards3").toString
+    val m3 = ShardExport.writeJsonlShardsBySize(docs, "doc_id", out3,
+      targetChars = totalChars / 3)
+    assert(m3.select("shard").distinct().count() <= 4) // ceil(total/(total/3)) = 3 or 4
+    assert(m3.agg(sum("n_rows")).head().getLong(0) == 100L)
   }
 }
