@@ -136,6 +136,27 @@ object OracleSql {
         |       FROM s)
         |SELECT query_id, vec_id, rank, round(c, 6) AS cosine FROM r WHERE rank <= 5""".stripMargin,
 
+    // Leave-one-out 5-NN majority-vote label recovery, per-label
+    // rollup; vote tie-break (count desc, label asc) replayed with
+    // window ranks.
+    "knn_label_accuracy" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        | s AS (SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid, b.label AS blabel,
+        |        list_cosine_similarity(a.e, b.e) AS c
+        |       FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        | kn AS (SELECT aid, alabel, blabel FROM (
+        |         SELECT aid, alabel, blabel,
+        |          row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
+        |         FROM s) WHERE rn <= 5),
+        | vote AS (SELECT aid, alabel, blabel, count(*) AS n FROM kn GROUP BY 1, 2, 3),
+        | pick AS (SELECT aid, alabel, blabel AS pred FROM (
+        |           SELECT aid, alabel, blabel,
+        |            row_number() OVER (PARTITION BY aid ORDER BY n DESC, blabel ASC) AS rn
+        |           FROM vote) WHERE rn = 1)
+        |SELECT alabel AS label, count(*) AS n_vectors,
+        | CAST(sum(CASE WHEN pred = alabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM pick GROUP BY alabel""".stripMargin,
+
     "knn_threshold" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         | d AS (SELECT vec_id AS id, 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS distance

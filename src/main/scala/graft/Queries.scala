@@ -316,6 +316,22 @@ object Queries {
   /** O2 batched, heap-aggregate plan: same results as knn_batch, but
     * the map-side TopKHits partial prunes each partition to k rows per
     * query before the shuffle — the bounded-exchange scale shape. */
+  /** Embedding-quality eval: leave-one-out 5-NN majority-vote label
+    * recovery over the labeled embedding table, rolled up per label —
+    * the standard "does the space cluster by label" gate before an
+    * embedding ships. Heap-agg batch-KNN plan; vote ties (count desc,
+    * label asc) are deterministic, so the oracle replays the identical
+    * selection with window ranks. */
+  def knnLabelAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.knnClassify(e, "vec_id", "embedding", "label", k = 5)
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("pred_label") === col("true_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_vectors"), col("n_correct"))
+  }
+
   def knnBatchAgg(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 5)
@@ -1808,6 +1824,7 @@ object Queries {
     "knn_topk" -> knnTopk _,
     "knn_batch" -> knnBatch _,
     "knn_batch_agg" -> knnBatchAgg _,
+    "knn_label_accuracy" -> knnLabelAccuracy _,
     "knn_threshold" -> knnThreshold _,
     "lsh_topk" -> lshTopk _,
     "ivf_topk" -> ivfTopk _,

@@ -216,6 +216,46 @@ object SimilaritySearch {
         (col("pos") + 1).cast("long").as("rank"), col("h.score").as("cosine"))
   }
 
+  /** Leave-one-out kNN CLASSIFICATION over a labeled embedding table —
+    * the standard embedding-quality eval (a good embedding space puts
+    * same-label items together, so the k-nearest-neighbor majority
+    * vote recovers the label). Self is excluded; the vote breaks ties
+    * (count desc, label asc), so the prediction is deterministic.
+    * Returns (id, true_label, pred_label) per vector.
+    *
+    * Scale shape: the batch-KNN heap-aggregate plan with the table
+    * itself broadcast as the anchor set (an embedding table of
+    * anchor-eval size broadcasts; for a full-corpus self-eval, slice
+    * the anchor side into batches — the per-batch plan is unchanged).
+    * The exchange carries k rows per (partition, anchor); the label
+    * join-back and the vote ride broadcast + partial aggregates — no
+    * window sort anywhere. */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val anchors = df.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("anchor_vec"), col(labelCol).as("anchor_label"))
+    val scored = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col("anchor_id")) // leave-one-out
+      .withColumn("cosine",
+        VectorFunctions.cosineSimilarity(col(vecCol), col("anchor_vec")))
+    val labels = df.select(col(idCol).as("__nid"), col(labelCol).as("__nlabel"))
+    val votes = scored.groupBy(col("anchor_id"), col("anchor_label"))
+      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col(idCol), k).as("hits"))
+      .select(col("anchor_id"), col("anchor_label"),
+        explode(col("hits")).as("h"))
+      .select(col("anchor_id"), col("anchor_label"), col("h.id").as("__nid"))
+      .join(broadcast(labels), "__nid")
+      .groupBy(col("anchor_id"), col("anchor_label"), col("__nlabel"))
+      .agg(count(lit(1)).as("__n"))
+    votes.groupBy(col("anchor_id"), col("anchor_label"))
+      .agg(max(struct(col("__n"),
+        (-col("__nlabel")).cast("long").as("__negl"))).as("m"))
+      .select(col("anchor_id").as(idCol),
+        col("anchor_label").as("true_label"),
+        (-col("m.__negl")).cast("int").as("pred_label"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor,
     * the `k` most-similar vectors with a DIFFERENT label — the
     * near-miss negatives that make an embedding model actually learn a

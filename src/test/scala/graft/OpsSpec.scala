@@ -1916,6 +1916,26 @@ class OpsSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("knnClassify: leave-one-out majority vote, deterministic tie to smaller label") {
+    // Two tight clusters on orthogonal axes; each member's 2 nearest
+    // (excluding self) are its cluster mates -> label recovered.
+    def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+    val rows = Seq(
+      (0L, v(1, 0.00, 0), 0), (1L, v(1, 0.01, 0), 0), (2L, v(1, -0.01, 0), 0),
+      (3L, v(0, 1, 0.00), 1), (4L, v(0, 1, 0.01), 1), (5L, v(0, 1, -0.01), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch.knnClassify(rows, "vec_id", "embedding", "label", k = 2)
+      .select($"vec_id", $"true_label", $"pred_label")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got.forall { case (_, t, p) => t == p }, s"clean clusters must classify: $got")
+    // k=4 from a 1-vs-... actually force a 2-2 VOTE TIE: anchor 0 with
+    // k=4 sees {1,2} (label 0) and two of {3,4,5} (label 1) -> tie on
+    // count, deterministic pick = smaller label (0).
+    val tied = SimilaritySearch.knnClassify(rows, "vec_id", "embedding", "label", k = 4)
+      .filter($"vec_id" === 0L).select($"pred_label").as[Int].head()
+    assert(tied == 0, s"2-2 tie must break to the smaller label, got $tied")
+  }
+
   test("personalized pageRank: mass stays near the seed; unreachable nodes rank zero") {
     import graft.ops.GraphOps
     // Two disjoint undirected components: {1,2} and {3,4}. Seeding
