@@ -1741,6 +1741,58 @@ object OracleSql {
 
     // CMS gate: exact top-20 words recomputed; the sketch-side bounds
     // are the booleans (length_prune_approx pattern).
+    // Same line synthesis (slice 1 repeated, slice 2 + '.', slice 3),
+    // same trimmed-non-empty-line convention, exact integer ratios.
+    "line_stats" ->
+      """WITH e AS (SELECT doc_id,
+        |    substr(text, 1, 40) || chr(10) || substr(text, 1, 40) || chr(10) ||
+        |    substr(text, 41, 40) || '.' || chr(10) || substr(text, 81, 40) AS ml
+        |   FROM documents),
+        | l AS (SELECT doc_id, trim(x) AS line
+        |       FROM (SELECT doc_id, unnest(string_split(ml, chr(10))) AS x FROM e)
+        |       WHERE trim(x) <> ''),
+        | p AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        | round((sum(c) - count(*))::DOUBLE / sum(c), 6) AS dup_line_frac,
+        | round(sum((c - 1) * length(line))::DOUBLE / sum(c * length(line)), 6) AS dup_line_char_frac,
+        | round(sum(CASE WHEN regexp_matches(line, '[.!?]$') THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS punct_line_frac
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    // Same per-lang planting; script classes via RE2 properties that
+    // match java.util.regex's (\p{Latin}≡\p{IsLatin}, \p{Han}≡\p{IsHan});
+    // whitespace as an explicit class (java \s and RE2 \s disagree on
+    // vertical tab).
+    "script_mix" ->
+      """WITH e AS (SELECT doc_id, text || CASE lang
+        |     WHEN 'zh' THEN ' ' || repeat('数据处理系统一二三十', 24)
+        |     WHEN 'fr' THEN ' café déjà élève'
+        |     WHEN 'es' THEN ' niño más año'
+        |     WHEN 'de' THEN ' größe über straße'
+        |     ELSE ' 1234567890' END AS st FROM documents),
+        | c AS (SELECT doc_id, length(st) AS n_chars,
+        |    length(st) - length(regexp_replace(st, '\p{Latin}', '', 'g')) AS n_latin,
+        |    length(st) - length(regexp_replace(st, '\p{Han}', '', 'g')) AS n_han,
+        |    length(st) - length(regexp_replace(st, '[0-9]', '', 'g')) AS n_digit,
+        |    length(st) - length(regexp_replace(st, '[ \t\n\r\f]', '', 'g')) AS n_space
+        |   FROM e WHERE length(st) > 0)
+        |SELECT doc_id, n_chars,
+        | round(n_latin::DOUBLE / n_chars, 6) AS latin_frac,
+        | round(n_han::DOUBLE / n_chars, 6) AS han_frac,
+        | round(n_digit::DOUBLE / n_chars, 6) AS digit_frac,
+        | round((n_chars - n_latin - n_han - n_digit - n_space)::DOUBLE / n_chars, 6) AS other_frac,
+        | CASE WHEN n_latin * 2 > n_chars THEN 'latin'
+        |      WHEN n_han * 2 > n_chars THEN 'han'
+        |      WHEN n_digit * 2 > n_chars THEN 'digit'
+        |      ELSE 'mixed' END AS main_script
+        |FROM c""".stripMargin,
+
+    // Gate-is-oracle: the sketch side contributes only the boolean —
+    // a broken compaction/merge/serialization flips qs_ok to false in
+    // Spark and breaks the hash.
+    "quantile_sketch" ->
+      """SELECT d AS decile, (SELECT count(*) FROM lineitem) AS n, true AS qs_ok
+        |FROM generate_series(1, 9) t(d) ORDER BY d""".stripMargin,
+
     "cms_check" ->
       """WITH ww AS (SELECT wd FROM (SELECT
         |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd

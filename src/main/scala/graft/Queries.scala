@@ -1595,6 +1595,71 @@ object Queries {
     }.toDF("word", "n_exact", "cms_ok")
   }
 
+  /** KLL-style deterministic quantile sketch gate — the quantile
+    * member of the sketch family ([[cmsCheck]] point counts,
+    * [[heavyHitters]] Misra-Gries, HLL distinct). Sketch
+    * `l_extendedprice` cents (k=256 ⇒ each task buffer ≤ ~3k doubles,
+    * ONE buffer per partition crosses the exchange — never a global
+    * sort), query the 9 deciles, then verify the summary's
+    * SELF-REPORTED one-sided rank bound against exact ranks computed
+    * in one extra scan:
+    * est ≤ exactRank(v_q) ≤ est + errBound, with est ≥ ceil(q·n/10).
+    * The gate IS the oracle (same pattern as cms_check): only
+    * exact-side values + the boolean cross to DuckDB. */
+  def quantileSketchQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{QsFunctions, QuantileSketchAgg}
+    val cents = t(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val summ = QuantileSketchAgg.fromRow(
+      cents.agg(QsFunctions.quantileSketch(col("cents"), 256).as("qs"))
+        .select(col("qs.n"), col("qs.err_bound"), col("qs.max_weight"),
+          col("qs.items")).head())
+    val deciles = (1 to 9).map { q =>
+      val tgt = math.max(1L, math.ceil(q * summ.n / 10.0).toLong)
+      (q, tgt, summ.valueAtRank(tgt))
+    }
+    val rankCols = deciles.map { case (q, _, v) =>
+      sum(when(col("cents") <= lit(v.toLong), 1L).otherwise(0L)).as(s"r$q")
+    }
+    val exact = cents.agg(rankCols.head, rankCols.tail: _*).head()
+    import s.implicits._
+    deciles.zipWithIndex.map { case ((q, tgt, v), i) =>
+      val ex = exact.getLong(i)
+      val est = summ.estRank(v)
+      (q.toLong, summ.n, est >= tgt && ex >= est && ex <= est + summ.errBound)
+    }.toDF("decile", "n", "qs_ok")
+  }
+
+  /** Gopher/C4 line-level signals over deterministically synthesized
+    * multi-line text (the corpus has no newlines, so the query builds
+    * lines from text slices — first slice repeated for a guaranteed
+    * duplicate, one line punctuation-terminated; same planting pattern
+    * as [[luhnCardsQ]]). */
+  def lineStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        substring(col("text"), 1, 40),
+        substring(col("text"), 1, 40),
+        concat(substring(col("text"), 41, 40), lit(".")),
+        substring(col("text"), 81, 40)).as("ml"))
+    TextAnalytics.lineStats(e, "doc_id", "ml").withColumnRenamed("sid", "doc_id")
+  }
+
+  /** Unicode script mix over per-language enriched text: zh docs get a
+    * 240-char Han block (short docs flip to han-majority, long ones
+    * stay latin — both branches exercised), fr/es/de get accented
+    * Latin (non-ASCII but still script=Latin), en gets digits. */
+  def scriptMixQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("lang") === "zh", concat(lit(" "), lit("数据处理系统一二三十" * 24)))
+          .when(col("lang") === "fr", lit(" café déjà élève"))
+          .when(col("lang") === "es", lit(" niño más año"))
+          .when(col("lang") === "de", lit(" größe über straße"))
+          .otherwise(lit(" 1234567890"))).as("st"))
+    TextAnalytics.scriptMix(e, "doc_id", "st").withColumnRenamed("sid", "doc_id")
+  }
+
   /** Luhn-validated card detection over deterministically enriched
     * text (even docs get a valid test PAN, odd docs an off-by-one
     * invalid one — same planting pattern as [[piiRedact]]). */
@@ -1933,6 +1998,9 @@ object Queries {
     "cluster_silhouette" -> clusterSilhouette _,
     "embedding_drift" -> embeddingDrift _,
     "cms_check" -> cmsCheck _,
+    "quantile_sketch" -> quantileSketchQ _,
+    "line_stats" -> lineStatsQ _,
+    "script_mix" -> scriptMixQ _,
     "luhn_cards" -> luhnCardsQ _,
     "heavy_hitters_by_lang" -> heavyHittersByLang _,
     "contrastive_pairs" -> contrastivePairs _,

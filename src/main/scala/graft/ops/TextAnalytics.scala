@@ -1102,4 +1102,74 @@ object TextAnalytics {
       .select(col("sid"), col("logw"),
         (col("key_micro").cast("double") / 1e6).as("gumbel_key"))
   }
+
+  /** Line-level duplication/quality signals (the Gopher repetition
+    * rules at LINE granularity — Rae et al. 2112.11446 Table A1
+    * "duplicate line fraction" / "duplicate line character fraction",
+    * plus C4's terminal-punctuation line rule; the line analogue of
+    * [[repetitionStats]]'s word/n-gram signals). Per doc over
+    * non-empty TRIMMED lines:
+    *
+    *  - `n_lines` — line occurrences;
+    *  - `dup_line_frac` — occurrences beyond a line's first, / n_lines;
+    *  - `dup_line_char_frac` — chars in those repeats / all line chars;
+    *  - `punct_line_frac` — lines ending in `.` `!` `?`, / n_lines.
+    *
+    * Scale shape: one explode + two partial aggregations keyed by
+    * (doc, line) then doc — both map-side combinable, no joins; ratios
+    * are exact integer divisions rounded 6 dp (oracle convention). */
+  def lineStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("sid"),
+        explode(split(col(textCol), "\\r?\\n")).as("raw"))
+      .select(col("sid"), trim(col("raw")).as("line"))
+      .filter(col("line") =!= "")
+    lines.groupBy("sid", "line").agg(count(lit(1)).as("c"))
+      .groupBy("sid").agg(
+        sum("c").as("n_lines"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("c") - 1) * length(col("line"))).as("dup_chars"),
+        sum(col("c") * length(col("line"))).as("tot_chars"),
+        sum(when(col("line").rlike("[.!?]$"), col("c")).otherwise(0L)).as("punct_lines"))
+      .select(col("sid"), col("n_lines"),
+        round((col("n_lines") - col("n_distinct")).cast("double") / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        round(col("dup_chars").cast("double") / col("tot_chars"), 6)
+          .as("dup_line_char_frac"),
+        round(col("punct_lines").cast("double") / col("n_lines"), 6)
+          .as("punct_line_frac"))
+  }
+
+  /** Unicode script mix: per-doc character fractions by script class —
+    * the script-level complement of [[langIdColumn]]'s stopword
+    * heuristic (a CJK doc defeats stopword lists; its script ratio is
+    * unambiguous). Counts come from the length drop of a
+    * single-char-class `regexp_replace` strip — map-only, codegen'd,
+    * one scan, no UDF. Classes are spelled as properties that mean the
+    * SAME thing in java.util.regex (Spark) and RE2 (the DuckDB
+    * oracle): script properties `IsLatin`/`Latin`, `IsHan`/`Han`,
+    * explicit `[0-9]`, and an explicit whitespace class (java's `\s`
+    * and RE2's `\s` disagree on vertical tab). `main_script` is the
+    * majority class (> half of chars), else "mixed". */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pat: String): Column =
+      length(col(textCol)) - length(regexp_replace(col(textCol), pat, ""))
+    df.select(col(idCol).as("sid"),
+        length(col(textCol)).as("n_chars"),
+        cnt("\\p{IsLatin}").as("n_latin"),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("[ \\t\\n\\r\\f]").as("n_space"))
+      .filter(col("n_chars") > 0)
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_han") - col("n_digit") - col("n_space"))
+      .select(col("sid"), col("n_chars"),
+        round(col("n_latin").cast("double") / col("n_chars"), 6).as("latin_frac"),
+        round(col("n_han").cast("double") / col("n_chars"), 6).as("han_frac"),
+        round(col("n_digit").cast("double") / col("n_chars"), 6).as("digit_frac"),
+        round(col("n_other").cast("double") / col("n_chars"), 6).as("other_frac"),
+        when(col("n_latin") * 2 > col("n_chars"), "latin")
+          .when(col("n_han") * 2 > col("n_chars"), "han")
+          .when(col("n_digit") * 2 > col("n_chars"), "digit")
+          .otherwise("mixed").as("main_script"))
+  }
 }

@@ -1881,6 +1881,59 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: exact under capacity; self-reported rank bound holds under adversarial orders, ties, partitionings; grouped") {
+    import graft.functions.{QsFunctions, QuantileSketchAgg}
+    import org.apache.spark.sql.DataFrame
+    def summarize(df: DataFrame, k: Int) = QuantileSketchAgg.fromRow(
+      df.agg(QsFunctions.quantileSketch($"x", k).as("qs"))
+        .select($"qs.n", $"qs.err_bound", $"qs.max_weight", $"qs.items").head())
+    // n <= k: no compaction ever fires — the sketch IS the exact
+    // multiset (errBound 0, every rank query exact)
+    val s0 = summarize((1 to 100).map(_.toDouble).toDF("x"), 256)
+    assert(s0.errBound == 0L && s0.n == 100L)
+    for (t <- Seq(1L, 37L, 100L)) assert(s0.valueAtRank(t) == t.toDouble)
+    // adversarial arrival orders x heavy ties, k=32 so compaction is
+    // constant; the one-sided invariant est <= true <= est + errBound
+    // must hold at EVERY query point under every partitioning (merge
+    // tree), and the self-reported bound must stay non-vacuous
+    val streams: Seq[(String, Seq[Double])] = Seq(
+      "asc" -> (1 to 5000).map(_.toDouble),
+      "desc" -> (5000 to 1 by -1).map(_.toDouble),
+      "tied" -> Seq.tabulate(5000)(i => (i % 7).toDouble),
+      "zig" -> Seq.tabulate(5000)(i => if (i % 2 == 0) i.toDouble else (10000 - i).toDouble))
+    for ((name, xs) <- streams; parts <- Seq(1, 4, 13)) {
+      val sk = summarize(xs.toDF("x").repartition(parts), 32)
+      assert(sk.n == xs.size.toLong, s"$name parts=$parts n")
+      assert(sk.errBound < sk.n / 2, s"$name parts=$parts vacuous bound ${sk.errBound}")
+      val sorted = xs.sorted
+      def trueRank(v: Double): Long = {
+        var lo = 0; var hi = sorted.size // first index with sorted(i) > v
+        while (lo < hi) { val m = (lo + hi) / 2; if (sorted(m) <= v) lo = m + 1 else hi = m }
+        lo.toLong
+      }
+      for (q <- 1 to 9) {
+        val t = math.max(1L, math.ceil(q * sk.n / 10.0).toLong)
+        val v = sk.valueAtRank(t)
+        val est = sk.estRank(v); val tru = trueRank(v)
+        assert(est >= t, s"$name parts=$parts q=$q est=$est < target=$t")
+        assert(est <= tru && tru <= est + sk.errBound,
+          s"$name parts=$parts q=$q v=$v est=$est true=$tru bound=${sk.errBound}")
+      }
+      for (v <- Seq(0.0, 3.0, 2500.0, 4999.0, 10000.0)) {
+        val est = sk.estRank(v); val tru = trueRank(v)
+        assert(est <= tru && tru <= est + sk.errBound,
+          s"$name parts=$parts point=$v est=$est true=$tru bound=${sk.errBound}")
+      }
+    }
+    // grouped form: one independent bounded buffer per (partition, key)
+    val rows = Seq.tabulate(2000)(i => (i % 2, i.toDouble)).toDF("k", "x")
+      .repartition(5)
+      .groupBy($"k").agg(QsFunctions.quantileSketch($"x", 16).as("qs"))
+      .select($"k", $"qs.n", $"qs.err_bound", $"qs.items").collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(0, 1))
+    rows.foreach(r => assert(r.getLong(1) == 1000L, s"group n: $r"))
+  }
+
   test("pageRank: star center ranks highest; exact recurrence matches a scalar replay; partition-invariant") {
     import graft.ops.GraphOps
     // Star: 1 is the hub of 2..5 (undirected). Hub receives 4 full
