@@ -1786,6 +1786,47 @@ object OracleSql {
         |      ELSE 'mixed' END AS main_script
         |FROM c""".stripMargin,
 
+    // Distinct-n per source: same whitespace split, same n-gram
+    // windows (ngram_novelty's generate_series pattern per n).
+    "ngram_diversity" ->
+      """WITH wdocs AS (SELECT source, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        | g AS (SELECT source, n,
+        |        unnest(list_transform(generate_series(1, len(words) - n + 1),
+        |          i -> array_to_string(words[i:i+n-1], ' '))) AS g
+        |       FROM wdocs, (SELECT unnest([1, 2, 3]) AS n) ns
+        |       WHERE len(words) >= n)
+        |SELECT source, CAST(n AS BIGINT) AS n, count(*) AS n_grams,
+        | count(DISTINCT g) AS n_distinct,
+        | round(count(DISTINCT g)::DOUBLE / count(*), 6) AS diversity
+        |FROM g WHERE g <> '' GROUP BY source, n""".stripMargin,
+
+    // Same planted URLs; host/site/normalize replicated with the
+    // LITERAL same RE2-safe regexes (DuckDB backrefs are \1, Spark's
+    // $1 — same semantics). DuckDB regexp_replace is first-match-only
+    // by default, which coincides with Spark's replace-all here
+    // because every pattern is end-anchored or single-match.
+    "url_domains" ->
+      """WITH e AS (SELECT doc_id, text,
+        |    'https://WWW.' || source || '.Example.COM:443/p/' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '#frag' END AS url
+        |   FROM documents),
+        | n AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', ''),
+        |      '^www\.', '') AS domain,
+        |    regexp_replace(
+        |      lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+        |        '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) ||
+        |      regexp_extract(regexp_replace(url, '[?#].*$', ''),
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(.*)$', 1),
+        |      '(.)/$', '\1') AS norm_url
+        |   FROM e)
+        |SELECT domain, count(*) AS n_docs,
+        | count(DISTINCT norm_url) AS n_urls,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM n WHERE domain <> '' GROUP BY domain""".stripMargin,
+
     // Gate-is-oracle: the sketch side contributes only the boolean —
     // a broken compaction/merge/serialization flips qs_ok to false in
     // Spark and breaks the hash.

@@ -1660,6 +1660,24 @@ object Queries {
     TextAnalytics.scriptMix(e, "doc_id", "st").withColumnRenamed("sid", "doc_id")
   }
 
+  /** Distinct-1/2/3 diversity per source over the raw corpus. */
+  def ngramDiversityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.ngramDiversity(t(s, dir, "documents"), "source", "text", maxN = 3)
+      .withColumnRenamed("grp", "source")
+
+  /** Domain rollup over deterministically planted crawl URLs (mixed
+    * case, explicit port, www alias, per-doc path, %3 docs a trailing
+    * slash, %2 docs a query string vs a fragment — every
+    * normalization rule exercised). */
+  def urlDomains(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      concat(lit("https://WWW."), col("source"), lit(".Example.COM:443/p/"),
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0, "?utm=x").otherwise("#frag")).as("url"))
+    graft.ops.UrlOps.domainStats(e, "url", "text")
+  }
+
   /** Luhn-validated card detection over deterministically enriched
     * text (even docs get a valid test PAN, odd docs an off-by-one
     * invalid one — same planting pattern as [[piiRedact]]). */
@@ -2001,6 +2019,8 @@ object Queries {
     "quantile_sketch" -> quantileSketchQ _,
     "line_stats" -> lineStatsQ _,
     "script_mix" -> scriptMixQ _,
+    "ngram_diversity" -> ngramDiversityQ _,
+    "url_domains" -> urlDomains _,
     "luhn_cards" -> luhnCardsQ _,
     "heavy_hitters_by_lang" -> heavyHittersByLang _,
     "contrastive_pairs" -> contrastivePairs _,

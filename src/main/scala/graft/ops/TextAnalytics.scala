@@ -1139,6 +1139,42 @@ object TextAnalytics {
           .as("punct_line_frac"))
   }
 
+  /** Distinct-n diversity (Li et al. 2016's distinct-1/2/3, at corpus
+    * granularity): per (group, n ≤ maxN) the fraction of word n-gram
+    * OCCURRENCES that are distinct n-grams within the group — the
+    * generation-diversity / template-detection complement of
+    * [[repetitionStats]] (within-doc) and `ngram_novelty` (per-doc
+    * against corpus df). A source whose diversity collapses at n=2,3
+    * is emitting templated text even when its unigram mix looks fine.
+    *
+    * Scale shape: ONE scan — each doc's word array explodes to (n,
+    * gram) pairs for all n at once (guarded `transform(sequence(...))`
+    * per n, empty below n words), then a single (group, n, gram)
+    * partial-agg rollup; no joins, no distinct over the raw corpus. */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, "maxN must be >= 1")
+    val withWords = df.select(col(groupCol).as("grp"),
+      split(trim(col(textCol)), "\\s+").as("words"))
+    val gramArms = (1 to maxN).map { n =>
+      s"""CASE WHEN size(words) >= $n THEN
+         |  transform(sequence(1, size(words) - ${n - 1}),
+         |    i -> struct($n AS n, concat_ws(' ', slice(words, i, $n)) AS g))
+         |ELSE array() END""".stripMargin
+    }.mkString("flatten(array(", ", ", "))")
+    withWords
+      .select(col("grp"), explode(expr(gramArms)).as("ng"))
+      .select(col("grp"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .filter(col("g") =!= "")
+      .groupBy("grp", "n").agg(
+        count(lit(1)).as("n_grams"),
+        count_distinct(col("g")).as("n_distinct"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 6)
+          .as("diversity"))
+  }
+
   /** Unicode script mix: per-doc character fractions by script class —
     * the script-level complement of [[langIdColumn]]'s stopword
     * heuristic (a CJK doc defeats stopword lists; its script ratio is

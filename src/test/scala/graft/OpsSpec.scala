@@ -1881,6 +1881,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("url ops: host/site/registered-domain extraction and normalization rules") {
+    import graft.ops.UrlOps._
+    val df = Seq(
+      "https://WWW.Example.COM:8080/Path/Sub/?q=1#f",
+      "http://sub.shop.example.co.uk/a",
+      "ftp://files.example.org/",
+      "not a url").toDF("u")
+    val got = df.select(hostOf($"u"), siteOf($"u"), registeredDomainOf($"u"),
+      normalizeUrl($"u")).as[(String, String, String, String)].collect()
+    // case folds on scheme+host only, port survives normalize but not
+    // hostOf, query/fragment stripped, trailing slash dropped
+    assert(got(0) == (("www.example.com", "example.com", "example.com",
+      "https://www.example.com:8080/Path/Sub")))
+    // two-level public suffix: the documented last-two-labels
+    // approximation yields co.uk (PSL table is the fix, same slot)
+    assert(got(1) == (("sub.shop.example.co.uk", "sub.shop.example.co.uk",
+      "co.uk", "http://sub.shop.example.co.uk/a")))
+    // root path collapses onto the authority
+    assert(got(2) == (("files.example.org", "files.example.org",
+      "example.org", "ftp://files.example.org")))
+    // non-absolute input degrades to empty strings, never throws
+    assert(got(3) == (("", "", "", "")))
+  }
+
+  test("ngram diversity: distinct-1/2/3 exact on a hand-derived corpus") {
+    import graft.ops.TextAnalytics
+    val docs = Seq((1L, "a b a b"), (2L, "a a a")).toDF("id", "text")
+      .withColumn("src", lit("s"))
+    val got = TextAnalytics.ngramDiversity(docs, "src", "text", maxN = 3)
+      .select($"n", $"n_grams", $"n_distinct", $"diversity")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // n=1: 7 occurrences of {a,b}; n=2: 5 of {a b, b a, a a};
+    // n=3: 3 of {a b a, b a b, a a a} — all distinct
+    assert(got(0) == ((1L, 7L, 2L, 0.285714)))
+    assert(got(1) == ((2L, 5L, 3L, 0.6)))
+    assert(got(2) == ((3L, 3L, 3L, 1.0)))
+  }
+
   test("quantile sketch: exact under capacity; self-reported rank bound holds under adversarial orders, ties, partitionings; grouped") {
     import graft.functions.{QsFunctions, QuantileSketchAgg}
     import org.apache.spark.sql.DataFrame
