@@ -525,4 +525,40 @@ object Streams {
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Stream-stream attribution join: every (start, point) pair with
+    * the same key where `startTs <= pointTs < startTs + horizon` — the
+    * streaming twin of [[graft.ops.TemporalJoins.pointInIntervalJoin]]
+    * for intervals of fixed `horizonSeconds` width (click→conversion
+    * attribution, incident correlation).
+    *
+    * This is Spark's NATIVE stream-stream inner join, and the shape is
+    * load-bearing: two event-time watermarks plus a TWO-SIDED range
+    * predicate are exactly what the engine needs to bound both state
+    * stores — a buffered start row is evicted once the watermark
+    * passes `startTs + horizon`, a point row once no future start can
+    * precede it; an unconstrained key-equality join would buffer both
+    * streams forever. State per trigger is O(events inside the horizon
+    * × watermark window), independent of stream lifetime.
+    *
+    * Contract mirrors the batch op: non-key column names must be
+    * disjoint; output = key + both frames' columns, one row per
+    * containment. Also callable on batch frames (`withWatermark` is a
+    * no-op there) — the spec asserts stream == batch == hand-derived
+    * pairs. */
+  def intervalJoinStream(starts: DataFrame, points: DataFrame,
+      keyCol: String, startTsCol: String, pointTsCol: String,
+      horizonSeconds: Long, watermark: String = "10 minutes"): DataFrame = {
+    require(horizonSeconds > 0, s"horizon must be positive, got $horizonSeconds")
+    val overlap = starts.columns.toSet.intersect(points.columns.toSet) - keyCol
+    require(overlap.isEmpty, s"non-key column names must be disjoint: $overlap")
+    val l = starts.withColumnRenamed(keyCol, "__lk")
+      .withWatermark(startTsCol, watermark)
+    val r = points.withColumnRenamed(keyCol, "__rk")
+      .withWatermark(pointTsCol, watermark)
+    l.join(r, expr(s"__lk = __rk AND $startTsCol <= $pointTsCol AND " +
+        s"$pointTsCol < $startTsCol + interval $horizonSeconds seconds"))
+      .withColumnRenamed("__lk", keyCol)
+      .drop("__rk")
+  }
 }

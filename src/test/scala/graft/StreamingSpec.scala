@@ -461,6 +461,56 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream-stream interval join: attribution pairs == batch twin == hand-derived; outside-horizon and keyless points drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickIn = MemoryStream[UserEvent]
+    val convIn = MemoryStream[UserEvent]
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"ts".as("click_ts"), $"event_type".as("channel"))
+    def convs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"ts".as("conv_ts"), $"value")
+    val joined = Streams.intervalJoinStream(
+      clicks(clickIn.toDF()), convs(convIn.toDF()),
+      "user_id", "click_ts", "conv_ts", horizonSeconds = 3600,
+      watermark = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("attr_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // trigger 1: user 1 clicks at 1' and 30', converts at 35' (both
+      // clicks inside the 1h horizon); user 2 clicks at 10' only
+      clickIn.addData(UserEvent(1, ts(1), "email", 0),
+        UserEvent(1, ts(30), "ads", 0), UserEvent(2, ts(10), "ads", 0))
+      convIn.addData(UserEvent(1, ts(35), "conv", 10.0))
+      q.processAllAvailable()
+      // trigger 2: user 1 converts at 61' — exactly horizon-end of the
+      // 1' click (exclusive: 61' == 1'+3600s drops), inside the 30'
+      // click's window; user 2 converts at 80' (70' past its click —
+      // outside); user 3 converts with no click at all
+      convIn.addData(UserEvent(1, ts(61), "conv", 20.0),
+        UserEvent(2, ts(80), "conv", 30.0), UserEvent(3, ts(40), "conv", 40.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_join")
+        .select($"user_id", $"conv_ts", $"click_ts", $"channel", $"value")
+        .as[(Long, Timestamp, Timestamp, String, Double)].collect().toSet
+      val expected = Set(
+        (1L, ts(35), ts(1), "email", 10.0),
+        (1L, ts(35), ts(30), "ads", 10.0),
+        (1L, ts(61), ts(30), "ads", 20.0))
+      assert(got == expected, s"got $got")
+      // batch twin: identical function over batch frames
+      val cb = clicks(Seq(UserEvent(1, ts(1), "email", 0),
+        UserEvent(1, ts(30), "ads", 0), UserEvent(2, ts(10), "ads", 0)).toDF())
+      val vb = convs(Seq(UserEvent(1, ts(35), "conv", 10.0),
+        UserEvent(1, ts(61), "conv", 20.0), UserEvent(2, ts(80), "conv", 30.0),
+        UserEvent(3, ts(40), "conv", 40.0)).toDF())
+      val batch = Streams.intervalJoinStream(cb, vb, "user_id", "click_ts",
+          "conv_ts", horizonSeconds = 3600)
+        .select($"user_id", $"conv_ts", $"click_ts", $"channel", $"value")
+        .as[(Long, Timestamp, Timestamp, String, Double)].collect().toSet
+      assert(batch == expected, s"batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate content within the watermark is dropped") {
     val src = java.nio.file.Files.createTempDirectory("graft_dedup_src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt")
