@@ -327,6 +327,15 @@ object TextAnalytics {
       maxDocFreq, minShared)
     val clusters = Dedup.dedupClusters(pairs)
     pairs.unpersist()
+    leakageSafeSplitWithClusters(df, idCol, clusters, valPct, testPct)
+  }
+
+  /** [[leakageSafeSplit]] against a PREBUILT near-dup clustering
+    * (columns `sid`, `cluster`) — the form a pipeline uses when the
+    * pair graph is already materialized (it is the most expensive
+    * artifact in the chain; build once, key every consumer on it). */
+  def leakageSafeSplitWithClusters(df: DataFrame, idCol: String,
+      clusters: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame = {
     val bucket = pmod(portableIdHash(col("split_key")), lit(100))
     df.join(clusters.withColumnRenamed("sid", "__cid"),
         col(idCol) === col("__cid"), "left")
