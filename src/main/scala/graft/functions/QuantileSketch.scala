@@ -164,37 +164,9 @@ case class QuantileSketchAgg(
         .asInstanceOf[Array[Any]]))
   }
 
-  override def serialize(buf: QSketchBuffer): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.k)
-    out.writeLong(buf.n)
-    out.writeLong(buf.errBound)
-    out.writeInt(buf.levels.length)
-    buf.levels.foreach { lv =>
-      out.writeInt(lv.length)
-      lv.foreach(out.writeDouble)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: QSketchBuffer): Array[Byte] = QSketchIO.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): QSketchBuffer = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val buf = new QSketchBuffer(in.readInt())
-    buf.n = in.readLong()
-    buf.errBound = in.readLong()
-    val nl = in.readInt()
-    var l = 0
-    while (l < nl) {
-      if (buf.levels.length == l) buf.levels += ArrayBuffer.empty[Double]
-      val m = in.readInt()
-      var i = 0
-      while (i < m) { buf.levels(l) += in.readDouble(); i += 1 }
-      l += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): QSketchBuffer = QSketchIO.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -257,4 +229,73 @@ object QsFunctions {
     ColumnBridge.column(QuantileSketchAgg(
       ColumnBridge.expression(value.cast("double")), k)
       .toAggregateExpression())
+}
+
+/** Shared byte layout for the sketch — the aggregate's shuffle
+  * serializer AND the streaming summary's persisted state (same
+  * dual-use discipline as [[MgSummary]]); file writes are atomic
+  * tmp+move. */
+object QSketchIO {
+  def toBytes(buf: QSketchBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeLong(buf.n)
+    out.writeLong(buf.errBound)
+    out.writeInt(buf.levels.length)
+    buf.levels.foreach { lv =>
+      out.writeInt(lv.length)
+      lv.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): QSketchBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new QSketchBuffer(in.readInt())
+    buf.n = in.readLong()
+    buf.errBound = in.readLong()
+    val nl = in.readInt()
+    var l = 0
+    while (l < nl) {
+      if (buf.levels.length == l) buf.levels += ArrayBuffer.empty[Double]
+      val m = in.readInt()
+      var i = 0
+      while (i < m) { buf.levels(l) += in.readDouble(); i += 1 }
+      l += 1
+    }
+    buf
+  }
+
+  /** Rebuild a buffer from an EVALUATED summary (n, errBound, weighted
+    * items): every item weight is a power of two by construction, so
+    * weight 2^l returns the item to level l — the reconstruction is the
+    * original buffer up to within-level order, which no operation
+    * observes. */
+  def fromSummary(k: Int, n: Long, errBound: Long,
+      items: Iterable[(Double, Long)]): QSketchBuffer = {
+    val buf = new QSketchBuffer(k)
+    buf.n = n
+    buf.errBound = errBound
+    items.foreach { case (v, w) =>
+      require(w > 0 && (w & (w - 1)) == 0, s"item weight $w is not a power of two")
+      val l = java.lang.Long.numberOfTrailingZeros(w)
+      while (buf.levels.length <= l) buf.levels += ArrayBuffer.empty[Double]
+      buf.levels(l) += v
+    }
+    buf
+  }
+
+  def write(path: java.nio.file.Path, buf: QSketchBuffer): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, toBytes(buf))
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def read(path: java.nio.file.Path, k: Int): QSketchBuffer =
+    if (!java.nio.file.Files.exists(path)) new QSketchBuffer(k)
+    else fromBytes(java.nio.file.Files.readAllBytes(path))
 }

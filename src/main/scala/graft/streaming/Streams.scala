@@ -284,6 +284,40 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming quantile-summary maintenance — the quantile member of
+    * the streaming summary family ([[heavyHittersStream]] counts,
+    * [[embeddingMeanStream]] means): each trigger reduces its
+    * micro-batch to ONE KLL buffer with the distributed
+    * `quantile_sketch` aggregate (one bounded buffer per partition
+    * crosses the exchange, one summary row reaches the driver) and
+    * merges it into the persisted state. The sketch is mergeable with
+    * its error budget INTACT — the persisted `errBound` after any
+    * trigger sequence equals what a single batch pass over the whole
+    * history would have spent plus the merge compactions, and the
+    * one-sided rank guarantee telescopes across triggers. State is
+    * ≤ k·log₂(n/k) doubles regardless of stream length. */
+  def quantileSketchStream(values: DataFrame, valueCol: String, k: Int,
+      summaryPath: java.nio.file.Path, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val row = batch
+          .agg(graft.functions.QsFunctions.quantileSketch(col(valueCol), k).as("qs"))
+          .select(col("qs.n"), col("qs.err_bound"), col("qs.items")).head()
+        if (row.getLong(0) > 0) {
+          val delta = graft.functions.QSketchIO.fromSummary(k,
+            row.getLong(0), row.getLong(1),
+            row.getSeq[org.apache.spark.sql.Row](2)
+              .map(r => (r.getDouble(0), r.getLong(1))))
+          val total = graft.functions.QSketchIO.read(summaryPath, k)
+          total.mergeFrom(delta)
+          graft.functions.QSketchIO.write(summaryPath, total)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming embedding-mean maintenance — the streaming side of the
     * [[graft.ops.SimilaritySearch.embeddingDrift]] monitor: each
     * trigger reduces its micro-batch to (count, per-dim double sums)

@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "graph"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "graph"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -554,6 +554,35 @@ object ScaleProbe {
       r.unpersist()
     }
     arcs.unpersist()
+    }
+    if (on("r7c")) {
+      // KLL quantile sketch at 50M FULLY-DISTINCT doubles (the regime
+      // that punishes the exact competitors: Spark's exact `percentile`
+      // is a value→count map aggregate — cheap when distincts are few,
+      // O(distinct) state when every value differs; percentile_approx
+      // is the built-in GK baseline). The sketch ships ONE
+      // <= k·log(n/k)-item buffer per partition regardless.
+      val vals = spark.range(50000000L)
+        .select((xxhash64(col("id")).cast("double") / lit(Long.MaxValue.toDouble)).as("x"))
+        .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] values=${vals.count()} (all distinct)")
+      def time2(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      for (k <- Seq(256, 1024)) time2(s"quantile_sketch k=$k over 50M") {
+        val r = vals.agg(graft.functions.QsFunctions.quantileSketch(col("x"), k).as("qs"))
+          .select(col("qs.n"), col("qs.err_bound")).head()
+        println(s"[probe]   n=${r.getLong(0)} errBound=${r.getLong(1)} " +
+          f"(eps=${r.getLong(1).toDouble / r.getLong(0)}%.5f)")
+      }
+      time2("percentile_approx(9 deciles) — Spark's GK baseline") {
+        vals.agg(expr("percentile_approx(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")).head()
+      }
+      time2("exact percentile (value-counts aggregate, O(distinct) state)") {
+        vals.agg(expr("percentile(x, array(0.1,0.5,0.9))")).head()
+      }
+      vals.unpersist()
     }
     spark.stop()
   }

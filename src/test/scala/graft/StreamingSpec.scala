@@ -292,6 +292,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming quantile sketch: summary merges across triggers, rank bound vs full history") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val summary = Files.createTempDirectory("qs_stream").resolve("summary.bin")
+    val ckpt = Files.createTempDirectory("qs_stream_ckpt").toString
+    val k = 32
+    // trigger 1: under capacity — the persisted summary is exact
+    val b1 = (1 to 20).map(_.toDouble)
+    input.addData(b1)
+    Streams.quantileSketchStream(input.toDF().toDF("x"), "x", k, summary, ckpt)
+      .awaitTermination()
+    val s1 = graft.functions.QSketchIO.read(summary, k)
+    assert(s1.n == 20L && s1.errBound == 0L)
+    assert(s1.valueAtRank(10L) == 10.0)
+    // trigger 2 (same checkpoint): enough mass to force compaction;
+    // the one-sided guarantee must hold against the FULL history
+    val b2 = (1 to 2000).map(i => (i % 500).toDouble)
+    input.addData(b2)
+    Streams.quantileSketchStream(input.toDF().toDF("x"), "x", k, summary, ckpt)
+      .awaitTermination()
+    val s2 = graft.functions.QSketchIO.read(summary, k)
+    val history = (b1 ++ b2).sorted
+    assert(s2.n == history.size.toLong)
+    assert(s2.errBound > 0L && s2.errBound < s2.n / 2)
+    val summ = graft.functions.QSummary(s2.n, s2.errBound, s2.maxWeight,
+      s2.sortedItems)
+    for (q <- 1 to 9) {
+      val t = math.ceil(q * s2.n / 10.0).toLong
+      val v = summ.valueAtRank(t)
+      val est = summ.estRank(v)
+      val tru = history.count(_ <= v).toLong
+      assert(est >= t && est <= tru && tru <= est + s2.errBound,
+        s"q=$q v=$v est=$est true=$tru bound=${s2.errBound}")
+    }
+  }
+
   test("streaming embedding mean: two-trigger state == batch sums exactly (dyadic values)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[Float])]
