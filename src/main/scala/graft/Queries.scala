@@ -1260,6 +1260,17 @@ object Queries {
     * the oracle unrolls exactly this many SQL stages. */
   val BpeTrainMerges = 8
 
+  /** Per-JVM cache of the trained 8-round merge table — train once,
+    * every consumer (train/vocab/encode) reads the shipped artifact
+    * (same materialize-once contract as [[standardPairs]]). The
+    * returned frame is a driver-local relation, so reuse costs
+    * nothing. */
+  private val bpeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def standardBpeTable(s: SparkSession, dir: String): DataFrame =
+    bpeTableCache.computeIfAbsent(dir, _ =>
+      TextAnalytics.bpeTrain(t(s, dir, "documents"), "text", merges = BpeTrainMerges))
+
   /** Distributed BPE vocabulary training: 8 global merge rounds over
     * the frequency-weighted distinct-word table; returns the learned
     * merge table. The oracle replays the identical loop as 8 unrolled
@@ -1267,14 +1278,16 @@ object Queries {
     * `replace` merge semantics, same (count desc, lhs, rhs) tie
     * rule). */
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.bpeTrain(t(s, dir, "documents"), "text", merges = BpeTrainMerges)
+    standardBpeTable(s, dir)
 
   /** The subword vocabulary the 8-round merge table induces: top-30
     * tokens by frequency-weighted occurrence. Oracle = the same
     * unrolled stages, final vocab read off the last w{r} CTE. */
   def bpeVocab(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.bpeVocab(t(s, dir, "documents"), "text",
-      merges = BpeTrainMerges, k = 30)
+    TextAnalytics.bpeVocabWithTable(t(s, dir, "documents"), "text",
+      standardBpeTable(s, dir).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq,
+      k = 30)
 
   /** The APPLY side of [[bpeTrain]]: encode every document with the
     * learned 8-round merge table — the train→ship→encode loop a real
@@ -1288,7 +1301,7 @@ object Queries {
     * string with sentinels removed). */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val table = TextAnalytics.bpeTrain(docs, "text", merges = BpeTrainMerges)
+    val table = standardBpeTable(s, dir)
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val sent = TextAnalytics.BpeSentinel

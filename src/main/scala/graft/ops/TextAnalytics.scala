@@ -969,10 +969,17 @@ object TextAnalytics {
     * subword tokens by corpus occurrence (frequency-weighted over the
     * distinct-word table), ties lexicographic. One [[bpeTrain]] run +
     * one map-only [[bpeSegment]] re-apply + one partial-agg count. */
-  def bpeVocab(df: DataFrame, textCol: String, merges: Int, k: Int): DataFrame = {
+  def bpeVocab(df: DataFrame, textCol: String, merges: Int, k: Int): DataFrame =
+    bpeVocabWithTable(df, textCol,
+      bpeTrain(df, textCol, merges).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq, k)
+
+  /** [[bpeVocab]] against an ALREADY-TRAINED merge table — the form a
+    * pipeline uses when the table (the shipped artifact) is
+    * materialized once and every consumer reads it. */
+  def bpeVocabWithTable(df: DataFrame, textCol: String,
+      table: Seq[(String, String)], k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val table = bpeTrain(df, textCol, merges).collect()
-      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     bpeWordCounts(df, textCol)
       .select(explode(bpeSegment(col("__w"), table)).as("token"), col("cnt"))
       .groupBy(col("token")).agg(sum(col("cnt")).as("n_occurrences"))

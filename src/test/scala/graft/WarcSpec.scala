@@ -105,6 +105,27 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("WET text feeds the corpus pipeline: quality gate -> exact dedup -> hash split compose") {
+    import graft.ops.{Dedup, TextAnalytics}
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "the dog sleeps by the open door of the barn").getBytes(StandardCharsets.UTF_8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_pipe")
+    java.nio.file.Files.write(dir.resolve("seg.warc"), cat(
+      rec("conversion", "http://example.com/a", good),
+      rec("conversion", "http://example.com/b", good), // exact dup content
+      rec("conversion", "http://example.com/c", "zxq".getBytes))) // fails the gate
+    val wet = Warc.wetDocuments(Warc.readWarcRecords(spark, dir.toString))
+    val gated = TextAnalytics.qualityFilter(wet, "text")
+      .filter(org.apache.spark.sql.functions.col("passes_quality"))
+    val deduped = Dedup.exact(gated, "url", "text")
+    val out = TextAnalytics.hashSplit(deduped, "url")
+      .select($"url", $"split").as[(String, String)].collect()
+    // dup collapses to the lexicographically-smaller url, junk gated out
+    assert(out.length == 1)
+    assert(out.head._1 == "http://example.com/a")
+    assert(Set("train", "val", "test").contains(out.head._2))
+  }
+
   test("readWarcRecords + wetDocuments: binaryFile scan explodes records in-task; WET text decodes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc")
     java.nio.file.Files.write(dir.resolve("seg0.warc"), cat(infoRec, conv1))
