@@ -1786,6 +1786,50 @@ object OracleSql {
         |      ELSE 'mixed' END AS main_script
         |FROM c""".stripMargin,
 
+    // MaxSim: cosines rounded 6 dp BEFORE the per-doc max (so both
+    // engines pick the same max), sum left-associated, rounded again.
+    "maxsim_topk" ->
+      """WITH c AS (SELECT vec_id % 100 AS doc_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS c0,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)), 6) AS c1,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 2)), 6) AS c2,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 3)), 6) AS c3
+        |   FROM embeddings),
+        | m AS (SELECT doc_id, max(c0) AS m0, max(c1) AS m1, max(c2) AS m2, max(c3) AS m3
+        |       FROM c GROUP BY doc_id)
+        |SELECT doc_id, round(((m0 + m1) + m2) + m3, 6) AS maxsim
+        |FROM m ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Exact batch top-10 replayed (knn_batch pattern), then the IR
+    // metrics; ideal ordering re-ranks by (rel desc, rank) — the same
+    // deterministic window as the Spark op.
+    "retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlab
+        |            FROM embeddings WHERE vec_id < 5),
+        | s AS (SELECT q.query_id, q.qlab, e.vec_id AS doc_id, e.label,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+        |       FROM embeddings e, q),
+        | r AS (SELECT query_id, qlab, doc_id, label, c,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS rnk
+        |       FROM s),
+        | t AS (SELECT query_id, rnk, CASE WHEN label = qlab THEN 1.0 ELSE 0.0 END AS rel
+        |       FROM r WHERE rnk <= 10),
+        | i AS (SELECT query_id, rnk, rel,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rnk) AS irank FROM t)
+        |SELECT query_id, count(*) AS n_retrieved,
+        | CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+        | round(coalesce(max(CASE WHEN rel > 0 THEN 1.0 / rnk END), 0.0), 6) AS mrr,
+        | round(sum((pow(2.0, rel) - 1.0) / log2(rnk + 1.0)), 6) AS dcg,
+        | round(CASE WHEN sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) > 0
+        |   THEN sum((pow(2.0, rel) - 1.0) / log2(rnk + 1.0))
+        |      / sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0))
+        |   ELSE 0.0 END, 6) AS ndcg
+        |FROM i GROUP BY query_id""".stripMargin,
+
     // Distinct-n per source: same whitespace split, same n-gram
     // windows (ngram_novelty's generate_series pattern per n).
     "ngram_diversity" ->

@@ -1685,6 +1685,38 @@ object Queries {
     TextAnalytics.scriptMix(e, "doc_id", "st").withColumnRenamed("sid", "doc_id")
   }
 
+  /** ColBERT-style MaxSim over multi-vector documents (vec_id % 100
+    * buckets the embedding table into vector bags; query tokens =
+    * embeddings 0-3). */
+  def maxsimTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    SimilaritySearch.maxSimTopK(
+      e.select((col("vec_id") % 100).as("doc"), col("embedding")),
+      "doc", "embedding", qs, 10)
+  }
+
+  /** MRR / nDCG@10 of the exact batch top-k against label-match
+    * relevance (doc relevant iff it shares the query's label — the
+    * [[knnLabelAccuracy]] ground-truth convention). */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val results = SimilaritySearch.bruteForceTopKBatchAgg(
+        e, "vec_id", "embedding", queries, "query_id", "qv", 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val qlab = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("__qlab"))
+    val labels = e.select(col("vec_id").as("doc_id"), col("label"))
+      .crossJoin(broadcast(qlab))
+      .select(col("query_id"), col("doc_id"),
+        (col("label") === col("__qlab")).cast("int").as("rel"))
+    ops.RetrievalEval.evalRanking(results, labels, 10)
+  }
+
   /** Distinct-1/2/3 diversity per source over the raw corpus. */
   def ngramDiversityQ(s: SparkSession, dir: String): DataFrame =
     TextAnalytics.ngramDiversity(t(s, dir, "documents"), "source", "text", maxN = 3)
@@ -2039,6 +2071,8 @@ object Queries {
     "script_mix" -> scriptMixQ _,
     "ngram_diversity" -> ngramDiversityQ _,
     "url_domains" -> urlDomains _,
+    "maxsim_topk" -> maxsimTopk _,
+    "retrieval_eval" -> retrievalEval _,
     "luhn_cards" -> luhnCardsQ _,
     "heavy_hitters_by_lang" -> heavyHittersByLang _,
     "contrastive_pairs" -> contrastivePairs _,

@@ -630,4 +630,35 @@ object SimilaritySearch {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** ColBERT-style late-interaction (MaxSim) scoring (Khattab & Zaharia
+    * 2020 §3): a document is a BAG of vectors in the exploded
+    * (doc, vector) row layout — the scale-friendly form (fixed-width
+    * rows, pruned scans; a nested array-of-arrays column defeats both);
+    * score(doc) = Σ over query tokens q of max over the doc's vectors v
+    * of cos(q, v).
+    *
+    * Plan: ONE corpus scan — each row evaluates |Q| codegen'd cosines
+    * against LITERAL query vectors (Q is a handful of token embeddings,
+    * broadcast as constants), the per-doc aggregate takes |Q| maxes
+    * (map-side combinable: one |Q|-column row per (partition, doc)
+    * crosses the exchange), then a fixed-order sum and TakeOrdered k.
+    * No join, no explode. Cosines are 6 dp-rounded BEFORE the max and
+    * the sum is left-associated so Spark and the SQL oracle pick
+    * identical scores bit for bit. */
+  def maxSimTopK(vecs: DataFrame, docCol: String, vecCol: String,
+      queryVecs: Seq[Array[Double]], k: Int): DataFrame = {
+    require(queryVecs.nonEmpty, "maxSim needs at least one query vector")
+    val cosCols = queryVecs.zipWithIndex.map { case (q, i) =>
+      round(VectorFunctions.cosineSimilarity(col(vecCol), lit(q)), 6).as(s"__c$i")
+    }
+    val maxes = queryVecs.indices.map(i => max(col(s"__c$i")).as(s"__m$i"))
+    val score = queryVecs.indices.map(i => col(s"__m$i")).reduce(_ + _)
+    vecs.select(col(docCol).as("doc_id") +: cosCols: _*)
+      .groupBy("doc_id")
+      .agg(maxes.head, maxes.tail: _*)
+      .select(col("doc_id"), round(score, 6).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -1881,6 +1881,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("maxsim: per-token max then sum, hand-derived on orthogonal bags") {
+    import graft.ops.SimilaritySearch
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f)), (2L, Array(0.6f, 0.8f, 0f))).toDF("doc", "v")
+    val qs = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0))
+    val got = SimilaritySearch.maxSimTopK(vecs, "doc", "v", qs, 10)
+      .as[(Long, Double)].collect()
+    // doc 2: max cos vs q1 = 0.6 (second vector), vs q2 = 1.0 -> 1.6
+    // doc 1: max vs q1 = 1.0, vs q2 = 0.0 -> 1.0
+    assert(got.toSeq == Seq((2L, 1.6), (1L, 1.0)))
+  }
+
+  test("retrieval eval: MRR and nDCG hand-derived; perfect ranking scores 1; no-relevant scores 0") {
+    import graft.ops.RetrievalEval
+    val results = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // b,c relevant at 2,3
+      (2L, 20L, 1), (2L, 21L, 2),               // perfect: rel at 1, none at 2? -> make 20 relevant only
+      (3L, 30L, 1), (3L, 31L, 2))               // nothing relevant
+      .toDF("query_id", "doc_id", "rank")
+    val labels = Seq((1L, 11L, 1), (1L, 12L, 1), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rel")
+    val got = RetrievalEval.evalRanking(results, labels, 10)
+      .select($"query_id", $"n_relevant", $"mrr", $"ndcg")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val l2 = math.log(2)
+    def lg2(x: Double) = math.log(x) / l2
+    val dcg1 = 1.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    val idcg1 = 1.0 / lg2(2.0) + 1.0 / lg2(3.0)
+    def r6d(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got(0) == ((1L, 2L, 0.5, r6d(dcg1 / idcg1))))
+    // q2: the single relevant doc sits at rank 1 — ideal == actual
+    assert(got(1) == ((2L, 1L, 1.0, 1.0)))
+    assert(got(2) == ((3L, 0L, 0.0, 0.0)))
+  }
+
   test("url ops: host/site/registered-domain extraction and normalization rules") {
     import graft.ops.UrlOps._
     val df = Seq(
