@@ -41,6 +41,83 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: quantile sketch one-sided rank bound across random streams, distributions, k, partitionings") {
+    // the sketch-side twin of the MG property above: est <= true <=
+    // est + errBound at random probe points, with the sketch exact
+    // (errBound 0) whenever n never exceeds capacity
+    for (trial <- 1 to 10) {
+      val k = 8 + rnd.nextInt(56)
+      val nVals = 50 + rnd.nextInt(4000)
+      val shape = rnd.nextInt(3)
+      val xs = (1 to nVals).map { _ =>
+        shape match {
+          case 0 => rnd.nextDouble() * 1000                  // uniform
+          case 1 => math.exp(rnd.nextGaussian() * 3)         // heavy tail
+          case _ => rnd.nextInt(7).toDouble                  // heavy ties
+        }
+      }
+      val parts = 1 + rnd.nextInt(8)
+      val row = xs.toDF("x").repartition(parts)
+        .agg(graft.functions.QsFunctions.quantileSketch($"x", k).as("qs"))
+        .select($"qs.n", $"qs.err_bound", $"qs.max_weight", $"qs.items").head()
+      val sk = graft.functions.QuantileSketchAgg.fromRow(row)
+      assert(sk.n == nVals.toLong, s"trial $trial n")
+      val sorted = xs.sorted
+      val probes = Seq(sorted.head - 1, sorted(nVals / 4), sorted(nVals / 2),
+        sorted(3 * nVals / 4), sorted.last + 1) ++
+        (1 to 5).map(_ => sorted(rnd.nextInt(nVals)))
+      probes.foreach { p =>
+        val est = sk.estRank(p)
+        val tru = sorted.count(_ <= p).toLong
+        assert(est <= tru && tru <= est + sk.errBound,
+          s"trial $trial k=$k parts=$parts p=$p est=$est true=$tru bound=${sk.errBound}")
+      }
+      if (nVals < k) assert(sk.errBound == 0L, s"trial $trial: no compaction yet bound>0")
+    }
+  }
+
+  test("property: WARC parse round-trips random records, any gzip member grouping") {
+    val printable = (' ' to '~').toVector
+    for (trial <- 1 to 8) {
+      val recs = (0 until 1 + rnd.nextInt(6)).map { i =>
+        val payload = Array.fill(rnd.nextInt(300))(
+          printable(rnd.nextInt(printable.size)).toByte)
+        (s"http://t$trial.example.com/p$i", payload)
+      }
+      def mk(uri: String, payload: Array[Byte]): Array[Byte] = {
+        val head = (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        head ++ payload ++ "\r\n\r\n".getBytes
+      }
+      val raw = recs.flatMap { case (u, p) => mk(u, p) }.toArray
+      // random member grouping: each record boundary flips a coin on
+      // whether to start a new gzip member
+      val bos = new java.io.ByteArrayOutputStream()
+      var cur = new java.io.ByteArrayOutputStream()
+      recs.foreach { case (u, p) =>
+        cur.write(mk(u, p))
+        if (rnd.nextBoolean()) {
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(cur.toByteArray); gz.finish(); gz.close()
+          cur = new java.io.ByteArrayOutputStream()
+        }
+      }
+      if (cur.size() > 0) {
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(cur.toByteArray); gz.finish(); gz.close()
+      }
+      for (bytes <- Seq(raw, bos.toByteArray)) {
+        val got = graft.ingest.Warc.parse(bytes)
+        assert(got.size == recs.size, s"trial $trial: ${got.size} != ${recs.size}")
+        got.zip(recs).foreach { case (g, (u, p)) =>
+          assert(g.targetUri == u && java.util.Arrays.equals(g.payload, p),
+            s"trial $trial: record mismatch at $u")
+        }
+      }
+    }
+  }
+
   test("property: DSIR micro sums bit-identical across partitionings on random corpora") {
     for (trial <- 1 to 5) {
       val vocab = (1 to 40).map(i => s"t$i")

@@ -456,6 +456,41 @@ class ScaleOpsSpec extends SparkSpec {
       s"pipeline must stay broadcast + single-window shaped:\n$plan")
   }
 
+  test("round-7 batch-4 plan shapes: maxsim single-exchange no-join, quantile partial agg, line stats no joins") {
+    val vecs = (1L to 300L).map(i =>
+      (i % 30, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat)))
+      .toDF("doc", "v")
+    // MaxSim: one scan, |Q|-max partial aggregate, TakeOrdered — no
+    // join (query tokens are literals), no window, no range sort
+    val ms = graft.ops.SimilaritySearch.maxSimTopK(vecs, "doc", "v",
+      Seq(Array.fill(8)(0.5), Array.fill(8)(-0.25)), 5)
+    val msPlan = ms.queryExecution.executedPlan.toString
+    assert(!msPlan.contains("Join") && !msPlan.contains("Window") &&
+      msPlan.contains("TakeOrderedAndProject"),
+      s"maxSim must be scan -> partial agg -> TakeOrdered:\n$msPlan")
+    assert(msPlan.contains("partial_max") || msPlan.contains("partial_") ,
+      s"maxSim per-doc maxes must partial-aggregate map-side:\n$msPlan")
+
+    // quantile sketch: partial_quantile_sketch before the exchange —
+    // one bounded buffer per task crosses, never the value rows
+    val qs = vecs.select(($"doc" * 1.0).as("x"))
+      .agg(graft.functions.QsFunctions.quantileSketch($"x", 64).as("qs"))
+    val qsPlan = qs.queryExecution.executedPlan.toString
+    assert(qsPlan.contains("partial_quantile_sketch"),
+      s"quantile sketch must partial-aggregate map-side:\n$qsPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(qsPlan).isEmpty,
+      s"global sketch agg exchanges a single partition:\n$qsPlan")
+
+    // line stats: explode + two partial aggs keyed (doc, line) then
+    // doc — no joins, no window, no global sort
+    val docs = (1L to 50L).map(i => (i, s"line a\nline b\nline a")).toDF("id", "txt")
+    val ls = graft.ops.TextAnalytics.lineStats(docs, "id", "txt")
+    val lsPlan = ls.queryExecution.executedPlan.toString
+    assert(!lsPlan.contains("Join") && !lsPlan.contains("Window") &&
+      !lsPlan.contains("Exchange rangepartitioning"),
+      s"lineStats must be explode + partial aggs only:\n$lsPlan")
+  }
+
   test("ANN recall@10 gate: defaults >= 0.9 on the clustered regime at probe scale") {
     // The promoted-from-probe recall GATE (BASELINE.md "ANN recall@10
     // vs exact"): the default ANN parameters (LSH 8 planes probe<=2,
