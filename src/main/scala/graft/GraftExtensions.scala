@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "misra_gries", es => graft.functions.MisraGries(
       org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.StringType),
       es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+    inject(e, "quantile_sketch", es => graft.functions.QuantileSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType),
+      es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
   }
 }

@@ -169,6 +169,9 @@ object OracleSql {
 
     "ivf_topk" -> ivfTopkSql(dim = 64, numPlanes = 6, nProbe = 8, k = 10),
 
+    "ivf_filtered" -> ivfFilteredSql(dim = 64, numPlanes = 6,
+      nProbeInit = 4, k = 10, pred = "label = 2"),
+
     // NB: top-k by dot product DESC — nearest = largest inner product
     "sim_inner_product" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -1786,6 +1789,36 @@ object OracleSql {
         |      ELSE 'mixed' END AS main_script
         |FROM c""".stripMargin,
 
+    // Unigram-LM seed: same distinct-word weighting, same (2..4)-char
+    // substring windows, same (count desc, token) top-40 cut.
+    "unigram_seed" ->
+      """WITH wc AS (SELECT w, count(*) AS cnt
+        |            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |                  FROM documents) WHERE w <> '' GROUP BY w),
+        | subs AS (SELECT substring(w, CAST(i AS INT), CAST(l AS INT)) AS token, cnt
+        |   FROM (SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i FROM wc),
+        |        (SELECT unnest([2, 3, 4]) AS l) ls
+        |   WHERE i + l - 1 <= length(w))
+        |SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occ
+        |FROM subs GROUP BY token ORDER BY n_occ DESC, token LIMIT 40""".stripMargin,
+
+    // Gate-is-oracle: the corpus alphabet, which EM must preserve.
+    "unigram_vocab" ->
+      """WITH wc AS (SELECT DISTINCT w
+        |            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |                  FROM documents) WHERE w <> ''),
+        | ch AS (SELECT DISTINCT substring(w, CAST(i AS INT), 1) AS token
+        |        FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM wc))
+        |SELECT token, true AS in_vocab FROM ch""".stripMargin,
+
+    // Exact char conservation: Viterbi segmentations partition each
+    // word's characters, so the vocab-side char mass equals this.
+    "unigram_conservation" ->
+      """SELECT CAST(sum(cnt * length(w)) AS BIGINT) AS token_chars
+        |FROM (SELECT w, count(*) AS cnt
+        |      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |            FROM documents) WHERE w <> '' GROUP BY w)""".stripMargin,
+
     // MaxSim: cosines rounded 6 dp BEFORE the per-doc max (so both
     // engines pick the same max), sum left-associated, rounded again.
     "maxsim_topk" ->
@@ -2206,6 +2239,45 @@ object OracleSql {
     * centroids, probe = nProbe buckets by 6-dp-rounded centroid cosine
     * (bucket tiebreak — rounding absorbs summation-order ulps between
     * engines), exact cosine rank inside the probed buckets. */
+  /** Replays [[graft.ops.SimilaritySearch.ivfTopKFiltered]] exactly:
+    * same plane buckets, same 6 dp-rounded centroid ranking (ties to
+    * the lower bucket), same probe-prefix rule (smallest
+    * nProbeInit·2^j whose cumulative FILTERED count reaches k, whole
+    * index if none), same exact top-k over the filtered probed rows. */
+  private def ivfFilteredSql(dim: Int, numPlanes: Int, nProbeInit: Int,
+      k: Int, pred: String): String = {
+    val bucketExpr = (0 until numPlanes).map { p =>
+      val comps = (0 until dim)
+        .map(d => graft.ops.SimilaritySearch.planeComponent(p, d).toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $comps) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val centroid = (1 to dim).map(d => s"avg(v[$d])").mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       | b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |        ($bucketExpr) AS bucket
+       |       FROM embeddings),
+       | cent AS (SELECT bucket, $centroid AS c FROM b GROUP BY bucket),
+       | rk AS (SELECT bucket, row_number() OVER (
+       |          ORDER BY round(list_cosine_similarity(c, qv), 6) DESC, bucket) AS rnk
+       |        FROM cent, q),
+       | fcnt AS (SELECT bucket, count(*) AS n FROM b WHERE $pred GROUP BY bucket),
+       | cum AS (SELECT rnk, bucket, sum(coalesce(n, 0)) OVER (ORDER BY rnk) AS cumn
+       |         FROM rk LEFT JOIN fcnt USING (bucket)),
+       | need AS (SELECT coalesce(min(rnk), (SELECT count(*) FROM cent)) AS minrnk
+       |          FROM cum WHERE cumn >= $k),
+       | psel AS (SELECT least((SELECT count(*) FROM cent),
+       |    (SELECT min($nProbeInit * CAST(pow(2, j) AS BIGINT))
+       |     FROM generate_series(0, 24) t(j)
+       |     WHERE $nProbeInit * CAST(pow(2, j) AS BIGINT) >= (SELECT minrnk FROM need))) AS p),
+       | probe AS (SELECT bucket FROM cum, psel WHERE rnk <= p)
+       |SELECT vec_id, CAST(label AS BIGINT) AS label,
+       | round(list_cosine_similarity(v, qv), 6) AS cosine
+       |FROM b JOIN probe USING (bucket), q
+       |WHERE $pred
+       |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   private def ivfTopkSql(dim: Int, numPlanes: Int, nProbe: Int, k: Int): String = {
     val bucketExpr = (0 until numPlanes).map { p =>
       val comps = (0 until dim)

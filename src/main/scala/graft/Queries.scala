@@ -1685,6 +1685,39 @@ object Queries {
     TextAnalytics.scriptMix(e, "doc_id", "st").withColumnRenamed("sid", "doc_id")
   }
 
+  /** Per-JVM cache of the trained unigram-LM vocabulary (driver-local
+    * frame; same shipped-artifact contract as [[standardBpeTable]]). */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def trainedUnigram(s: SparkSession, dir: String): DataFrame =
+    unigramCache.computeIfAbsent(dir, _ =>
+      ops.UnigramLm.train(t(s, dir, "documents"), "text",
+        vocabSize = 80, iters = 2, seedSize = 128, maxTokenLen = 4))
+
+  /** Unigram-LM tokenizer seed stage (Kudo 2018): top-40 multi-char
+    * substrings by frequency-weighted occurrence — the scale-dominant
+    * distributed pass, exact-oracle-gated. */
+  def unigramSeed(s: SparkSession, dir: String): DataFrame =
+    ops.UnigramLm.seedVocab(t(s, dir, "documents"), "text",
+      seedSize = 40, maxTokenLen = 4)
+
+  /** Alphabet-closure gate over the trained unigram vocab: every
+    * corpus character must survive EM (else some word would be
+    * unsegmentable). Gate-is-oracle: DuckDB recomputes the alphabet;
+    * a training failure or a dropped char breaks the row set. */
+  def unigramVocab(s: SparkSession, dir: String): DataFrame =
+    trainedUnigram(s, dir).filter(col("is_char"))
+      .select(col("token"), lit(true).as("in_vocab"))
+
+  /** Char-conservation gate: the final-E-step token counts partition
+    * the corpus characters, so Σ n_occ·len(token) over the shipped
+    * vocab equals Σ cnt·len(word) over the corpus EXACTLY — DuckDB
+    * computes the right side from raw text; any Viterbi/EM/count bug
+    * breaks the equality. */
+  def unigramConservation(s: SparkSession, dir: String): DataFrame =
+    trainedUnigram(s, dir)
+      .agg(sum(col("n_occ") * length(col("token"))).as("token_chars"))
+
   /** ColBERT-style MaxSim over multi-vector documents (vec_id % 100
     * buckets the embedding table into vector bags; query tokens =
     * embeddings 0-3). */
@@ -1697,6 +1730,17 @@ object Queries {
       e.select((col("vec_id") % 100).as("doc"), col("embedding")),
       "doc", "embedding", qs, 10)
   }
+
+  /** Filtered ANN: IVF probe set sized by the predicate's per-bucket
+    * survivor counts (adaptive widening) — guaranteed k results,
+    * deterministic probe prefix, replayed bucket-for-bucket by the
+    * oracle. */
+  def ivfFiltered(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.ivfTopKFiltered(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, queryVec(s, dir), k = 10,
+        col("label") === 2, nProbeInit = 4, numPlanes = 6)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        r6(col("cosine")).as("cosine"))
 
   /** MRR / nDCG@10 of the exact batch top-k against label-match
     * relevance (doc relevant iff it shares the query's label — the
@@ -2073,6 +2117,10 @@ object Queries {
     "url_domains" -> urlDomains _,
     "maxsim_topk" -> maxsimTopk _,
     "retrieval_eval" -> retrievalEval _,
+    "ivf_filtered" -> ivfFiltered _,
+    "unigram_seed" -> unigramSeed _,
+    "unigram_vocab" -> unigramVocab _,
+    "unigram_conservation" -> unigramConservation _,
     "luhn_cards" -> luhnCardsQ _,
     "heavy_hitters_by_lang" -> heavyHittersByLang _,
     "contrastive_pairs" -> contrastivePairs _,

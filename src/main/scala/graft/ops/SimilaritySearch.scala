@@ -631,6 +631,60 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Predicate-aware IVF search with ADAPTIVE PROBE WIDENING — the
+    * "filtered vector search" semantics of modern vector stores. A
+    * post-filter over a fixed probe set silently returns < k whenever
+    * the predicate is selective (the classic filtered-ANN failure);
+    * this path instead sizes the probe set FROM the filtered counts:
+    *
+    *  1. rank all buckets by centroid similarity (the stored-index
+    *     artifact — centroids come from the FULL corpus, predicates
+    *     change per query);
+    *  2. count the predicate's survivors per bucket — a map + partial
+    *     agg with NO cosine work (a stored layout keeps these counts
+    *     as footer stats and skips the job entirely);
+    *  3. probe the smallest `nProbeInit · 2^j` prefix of the ranking
+    *     whose cumulative filtered count reaches k (the whole index if
+    *     none does) — exactly what iterative probe-doubling converges
+    *     to, computed in one step;
+    *  4. exact cosine top-k over the filtered rows of those buckets.
+    *
+    * The probe set is a deterministic function of (corpus, predicate,
+    * k), so the SQL oracle replays it; guarantee: returns min(k, total
+    * filtered rows) rows — never silently fewer. Bucket ranking uses
+    * 6 dp-rounded centroid similarity, ties to the lower bucket id. */
+  def ivfTopKFiltered(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryVec: Array[Double], k: Int, predicate: Column,
+      nProbeInit: Int = 8, numPlanes: Int = 6): DataFrame = {
+    require(k >= 1 && nProbeInit >= 1, "k and nProbeInit must be positive")
+    val withBucket = df.withColumn("bucket", lshBucketColumn(col(vecCol), dim, numPlanes))
+    val stats = ivfBuild(df, vecCol, dim, numPlanes)
+      .withColumn("centroid_sim",
+        round(VectorFunctions.cosineSimilarity(col("centroid"), lit(queryVec)), 6))
+      .select("bucket", "centroid_sim")
+    val fCounts = withBucket.filter(predicate)
+      .groupBy("bucket").agg(count(lit(1)).as("fc"))
+    val ranked = stats.join(fCounts, Seq("bucket"), "left")
+      .select(col("bucket"), col("centroid_sim"), coalesce(col("fc"), lit(0L)).as("fc"))
+      .collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+    val cum = ranked.scanLeft(0L)(_ + _.getLong(2)).tail
+    val nBuckets = ranked.length
+    val minRank = cum.indexWhere(_ >= k.toLong) match {
+      case -1 => nBuckets
+      case i => i + 1
+    }
+    var p = nProbeInit
+    while (p < minRank) p *= 2
+    p = math.min(p, nBuckets)
+    val probed = ranked.take(p).map(_.getLong(0))
+    withBucket.filter(col("bucket").isin(probed: _*)).filter(predicate)
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+      .drop("bucket")
+  }
+
   /** ColBERT-style late-interaction (MaxSim) scoring (Khattab & Zaharia
     * 2020 §3): a document is a BAG of vectors in the exploded
     * (doc, vector) row layout — the scale-friendly form (fixed-width

@@ -1881,6 +1881,84 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("unigram LM tokenizer: seed counts hand-derived; Viterbi picks the modeled token; EM keeps the useful vocab; encode round") {
+    import graft.ops.UnigramLm
+    // seed stage: "abab"x2 + "cd"x1 — substrings of abab per word:
+    // ab@1, ab@3 (2 each), ba@2, aba@1, bab@2, abab@1; cd: cd@1
+    val docs = Seq("abab abab cd").toDF("text")
+    val seeds = UnigramLm.seedCounts(docs, "text", maxTokenLen = 4)
+      .as[(String, Long)].collect().toMap
+    assert(seeds("ab") == 4L && seeds("ba") == 2L && seeds("abab") == 2L &&
+      seeds("aba") == 2L && seeds("bab") == 2L && seeds("cd") == 1L)
+    // viterbi: "ab" as one modeled token beats a+b (one logp beats two)
+    val scores = Map("a" -> -3000000L, "b" -> -3000000L, "c" -> -3000000L,
+      "d" -> -3000000L, "ab" -> -1000000L)
+    assert(UnigramLm.viterbi("abab", scores, 4) == Seq("ab", "ab"))
+    assert(UnigramLm.viterbi("cd", scores, 4) == Seq("c", "d"))
+    // equal-score tie prefers the longer last token
+    val tied = Map("a" -> -1000000L, "aa" -> -2000000L)
+    assert(UnigramLm.viterbi("aa", tied, 4) == Seq("aa"))
+    // full train: frequent "ab" survives EM with the dominant count;
+    // alphabet closure always holds; result partition-invariant
+    val corpus = Seq.fill(30)("abab").mkString(" ") + " " +
+      Seq.fill(10)("cdcd").mkString(" ") + " xy"
+    for (parts <- Seq(1, 4)) {
+      val v = UnigramLm.train(Seq(corpus).toDF("text").repartition(parts),
+          "text", vocabSize = 10, iters = 3, seedSize = 16, maxTokenLen = 4)
+        .as[(String, Long, Long, Boolean)].collect()
+      val byTok = v.map(r => r._1 -> r).toMap
+      assert(Set("a", "b", "c", "d", "x", "y").subsetOf(byTok.keySet), s"alphabet: ${byTok.keySet}")
+      val multi = v.filter(!_._4)
+      assert(multi.nonEmpty && multi.map(_._1).contains("abab"),
+        s"EM must keep the dominant substring: ${v.mkString(",")}")
+      // the best segmentation of abab uses one vocab token, so its
+      // E-step count equals the word count
+      assert(byTok("abab")._2 == 30L, s"abab count: ${byTok("abab")}")
+    }
+    // encode with the trained vocab
+    val trained = UnigramLm.train(Seq(corpus).toDF("text"), "text",
+        vocabSize = 10, iters = 3, seedSize = 16, maxTokenLen = 4)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val enc = UnigramLm.encode(Seq((7L, "abab xy")).toDF("id", "text"),
+        "id", "text", trained, maxTokenLen = 4)
+      .as[(Long, Long, Long, String)].head()
+    assert(enc._1 == 7L && enc._2 == 2L)
+    assert(enc._4.startsWith("abab | "), s"seg: ${enc._4}")
+  }
+
+  test("filtered IVF: widens to the whole index when the predicate is scarce (never silently < k); dense case returns k") {
+    import graft.ops.SimilaritySearch
+    val dim = 8
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.tabulate(dim)(d => math.sin(i * 7 + d).toFloat), (i % 20).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val q = Array.tabulate(dim)(d => math.cos(d + 1.0))
+    // scarce: 10 matching rows scattered over buckets, k = 25 > total —
+    // the probe set must become the whole index and return ALL matches
+    // == the exact filtered top-k (a fixed-probe post-filter would
+    // silently return however few landed in the first buckets)
+    val scarce = SimilaritySearch.ivfTopKFiltered(vecs, "vec_id", "embedding",
+        dim, q, k = 25, predicate = $"label" === 3, nProbeInit = 1, numPlanes = 4)
+      .select($"vec_id", round($"cosine", 6).as("c")).as[(Long, Double)].collect()
+    val exact = SimilaritySearch.bruteForceTopK(vecs.filter($"label" === 3),
+        "vec_id", "embedding", q, 25)
+      .select($"vec_id", round($"cosine", 6).as("c")).as[(Long, Double)].collect()
+    assert(scarce.length == 10 && scarce.toSeq == exact.toSeq)
+    // dense: plenty of matches — exactly k rows, all passing the
+    // predicate, scores non-increasing
+    val dense = SimilaritySearch.ivfTopKFiltered(vecs, "vec_id", "embedding",
+        dim, q, k = 12, predicate = $"label" % 2 === 0, nProbeInit = 2, numPlanes = 4)
+      .select($"vec_id", $"label", $"cosine").as[(Long, Int, Double)].collect()
+    assert(dense.length == 12)
+    assert(dense.forall(_._2 % 2 == 0))
+    assert(dense.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // empty predicate: zero rows, no throw
+    assert(SimilaritySearch.ivfTopKFiltered(vecs, "vec_id", "embedding",
+      dim, q, k = 5, predicate = $"label" === 99, nProbeInit = 2, numPlanes = 4)
+      .count() == 0L)
+  }
+
   test("maxsim: per-token max then sum, hand-derived on orthogonal bags") {
     import graft.ops.SimilaritySearch
     val vecs = Seq(

@@ -118,6 +118,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: extractors never throw on random/truncated bytes for any supported format") {
+    // ingest at crawl scale sees corrupt files constantly; the contract
+    // is Option (None on failure), NEVER an exception that kills a task
+    import graft.ingest.Extractors
+    val magics: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "PK".getBytes("ISO-8859-1"),           // zip container formats
+      Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte), // OLE2
+      "%PDF-1.7\n".getBytes,
+      "{\\rtf1 ".getBytes,
+      Array(0x1f, 0x8b).map(_.toByte))
+    for (trial <- 1 to 6; ext <- Extractors.supportedExtensions) {
+      val junk = Array.fill(rnd.nextInt(2000))(rnd.nextInt(256).toByte)
+      val prefixed = magics(trial % magics.size) ++ junk
+      // must return (not throw); content of the Option is unspecified
+      Extractors.extract(s"f$ext", junk)
+      Extractors.extract(s"f$ext", prefixed)
+      Extractors.extract(s"f$ext", prefixed.take(rnd.nextInt(prefixed.length + 1)))
+    }
+  }
+
   test("property: DSIR micro sums bit-identical across partitionings on random corpora") {
     for (trial <- 1 to 5) {
       val vocab = (1 to 40).map(i => s"t$i")

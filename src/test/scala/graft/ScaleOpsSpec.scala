@@ -286,6 +286,12 @@ class ScaleOpsSpec extends SparkSpec {
           | ('a'), ('a'), ('a'), ('b'), ('c') AS t(w)""".stripMargin)
         .selectExpr("transform(mg, e -> e.item) AS items").head.getSeq[String](0)
       assert(mg.contains("a"))
+      // quantile sketch from pure SQL: n <= k so the summary is exact
+      val qs = s2.sql(
+        """SELECT quantile_sketch(x, 16) AS qs FROM VALUES
+          | (1.0D), (2.0D), (3.0D), (4.0D) AS t(x)""".stripMargin)
+        .selectExpr("qs.n", "qs.err_bound").head
+      assert(qs.getLong(0) == 4L && qs.getLong(1) == 0L)
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }
