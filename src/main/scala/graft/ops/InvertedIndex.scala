@@ -43,11 +43,16 @@ object InvertedIndex {
       TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
       words.as("__w"))
     // stats FIRST and with the scan path's exact expressions (count
-    // cast double; integer token sum / count) — identical doubles
+    // cast double; integer token sum / count) — identical doubles.
+    // `sum_dl` (exact integer) rides along so incremental appendDocs
+    // can recompute avgdl EXACTLY as a rebuild would (n·avgdl would
+    // reintroduce float error); bm25SearchIndexed reads positionally
+    // and ignores it.
     base.agg(
         count(lit(1)).cast("double").as("n"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
-        lit(numBuckets).as("num_buckets"))
+        lit(numBuckets).as("num_buckets"),
+        sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
     base.select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
       .filter(col("term") =!= "")
@@ -55,6 +60,65 @@ object InvertedIndex {
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(termHash(col("term")), lit(numBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
+  /** Append-only incremental maintenance: merge a batch of NEW
+    * documents into a stored index. Only the batch terms' hash-bucket
+    * partitions are rewritten (dynamic partition overwrite — untouched
+    * buckets' files are never opened), and stats update from EXACT
+    * integer sums, so the maintained index is BIT-IDENTICAL to a full
+    * rebuild over old ∪ new (asserted in StreamingSpec, incl. scores).
+    *
+    * Contract: batch doc ids must be new — streaming ingest dedups
+    * upstream ([[graft.streaming.Streams.dedupStream]]); a colliding id
+    * double-counts postings exactly as a rebuild over a corpus with a
+    * duplicated id would. Work per batch is O(batch postings + touched
+    * buckets' existing postings) regardless of index size. */
+  def appendDocs(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val stats = spark.read.parquet(s"$dir/stats").collect().head
+    val (oldN, numBuckets, oldSum) =
+      (stats.getDouble(0).toLong, stats.getInt(2), stats.getLong(3))
+    val words = split(trim(col(textCol)), "\\s+")
+    val base = batch.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+      words.as("__w"))
+    val brow = base.agg(count(lit(1)).as("nb"), sum(col("dl")).as("sb")).head()
+    val nb = brow.getLong(0)
+    if (nb == 0) return
+    val sb = brow.getLong(1)
+    val newPostings = base
+      .select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(termHash(col("term")), lit(numBuckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = newPostings.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val merged = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(touched: _*))
+      // partition-column read-back infers INT; the build side is LONG
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+        col("bucket").cast("long").as("bucket"))
+      .unionByName(newPostings
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bucket")))
+      // eager checkpoint: the write overwrites the path the old rows
+      // were read from (the ivfPqUpsert discipline)
+      .localCheckpoint(true)
+    newPostings.unpersist()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$dir/postings")
+    val n2 = oldN + nb
+    val sum2 = oldSum + sb
+    // the rebuild's exact arithmetic: integer sum cast double / count
+    spark.range(1).select(
+        lit(n2).cast("double").as("n"),
+        (lit(sum2).cast("double") / lit(n2).cast("double")).as("avgdl"),
+        lit(numBuckets).as("num_buckets"),
+        lit(sum2).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** BM25 top-k from the stored index; identical results to

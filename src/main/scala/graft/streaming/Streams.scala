@@ -284,6 +284,30 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming BM25 index maintenance — the LEXICAL twin of
+    * [[ivfPqMaintainStream]]: each trigger's new documents merge into
+    * the stored inverted index via
+    * [[graft.ops.InvertedIndex.appendDocs]] (touched term-hash buckets
+    * rewritten, exact-integer stats update — the maintained index
+    * stays BIT-IDENTICAL to a full rebuild). In-batch id collisions
+    * collapse first-writer-wins (min text by id order is arbitrary for
+    * true dups; deterministic via min) so a replayed trigger cannot
+    * double-append; CROSS-trigger dedup is the upstream
+    * [[dedupStream]]'s job, per the appendDocs contract. */
+  def bm25MaintainStream(docs: DataFrame, indexDir: String, idCol: String,
+      textCol: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val collapsed = batch.groupBy(col(idCol))
+          .agg(min(col(textCol)).as(textCol))
+        graft.ops.InvertedIndex.appendDocs(batch.sparkSession, indexDir,
+          collapsed, idCol, textCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming quantile-summary maintenance — the quantile member of
     * the streaming summary family ([[heavyHittersStream]] counts,
     * [[embeddingMeanStream]] means): each trigger reduces its

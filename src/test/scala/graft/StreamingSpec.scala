@@ -292,6 +292,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming BM25 maintenance: maintained index == full rebuild, scores bit-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.InvertedIndex
+    val idxDir = Files.createTempDirectory("bm25_stream_idx").toString
+    val ckpt = Files.createTempDirectory("bm25_stream_ckpt").toString
+    val d1 = Seq((1L, "spark query engine"), (2L, "fast vector query"))
+    val d2 = Seq((3L, "query planner rules"), (4L, "storage engine pages"))
+    val d3 = Seq((5L, "vector index scan"))
+    InvertedIndex.write(d1.toDF("doc_id", "text"), "doc_id", "text", idxDir, numBuckets = 8)
+    val input = MemoryStream[(Long, String)]
+    // trigger 1 (with an in-batch duplicate id that must collapse),
+    // then trigger 2 on the same checkpoint
+    input.addData(d2 :+ ((3L, "query planner rules")): _*)
+    Streams.bm25MaintainStream(input.toDF().toDF("doc_id", "text"), idxDir,
+      "doc_id", "text", ckpt).awaitTermination()
+    input.addData(d3: _*)
+    Streams.bm25MaintainStream(input.toDF().toDF("doc_id", "text"), idxDir,
+      "doc_id", "text", ckpt).awaitTermination()
+    // full rebuild over the complete corpus
+    val fullDir = Files.createTempDirectory("bm25_full_idx").toString
+    InvertedIndex.write((d1 ++ d2 ++ d3).toDF("doc_id", "text"),
+      "doc_id", "text", fullDir, numBuckets = 8)
+    for (terms <- Seq(Seq("query"), Seq("vector", "engine"), Seq("scan", "pages"))) {
+      val a = InvertedIndex.bm25SearchIndexed(spark, idxDir, terms)
+        .as[(Long, Double)].collect().toSeq
+      val b = InvertedIndex.bm25SearchIndexed(spark, fullDir, terms)
+        .as[(Long, Double)].collect().toSeq
+      assert(a == b, s"terms=$terms maintained=$a rebuild=$b")
+    }
+    // stats row identical (exact integer sums drive avgdl)
+    val sa = spark.read.parquet(s"$idxDir/stats").collect().head
+    val sb = spark.read.parquet(s"$fullDir/stats").collect().head
+    assert(sa == sb, s"stats: $sa vs $sb")
+  }
+
   test("streaming quantile sketch: summary merges across triggers, rank bound vs full history") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Double]
