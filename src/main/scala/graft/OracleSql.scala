@@ -1305,6 +1305,36 @@ object OracleSql {
         | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
         |FROM b""".stripMargin,
 
+    // Aho–Corasick phrase blocklist: leftmost non-overlapping counts
+    // == the replace()-length formula, recomputed from raw text.
+    "blocklist_phrases" ->
+      """WITH terms(term) AS (VALUES ('table table'), ('fast merge'),
+        |    ('scan'), ('scan slow'), ('val'), ('a a')),
+        | w AS (SELECT doc_id, text,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS trimmed
+        |   FROM documents),
+        | tok AS (SELECT doc_id,
+        |    CASE WHEN length(trimmed) = 0 THEN 0
+        |         ELSE CAST(length(string_split_regex(trimmed, '\s+')) AS BIGINT) END AS nt
+        |   FROM w),
+        | h AS (SELECT d.doc_id,
+        |    CAST(sum((length(d.text) - length(replace(d.text, t.term, ''))) // length(t.term)) AS BIGINT) AS hits
+        |   FROM documents d CROSS JOIN terms t GROUP BY d.doc_id)
+        |SELECT tok.doc_id, h.hits AS n_hits,
+        | round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(h.hits AS DOUBLE) / nt END, 6) AS hit_ratio,
+        | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(h.hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
+        |FROM tok JOIN h ON tok.doc_id = h.doc_id""".stripMargin,
+
+    "blocklist_term_stats" ->
+      """WITH terms(term) AS (VALUES ('table table'), ('fast merge'),
+        |    ('scan'), ('scan slow'), ('val'), ('a a')),
+        | h AS (SELECT t.term,
+        |    (length(d.text) - length(replace(d.text, t.term, ''))) // length(t.term) AS c
+        |   FROM documents d CROSS JOIN terms t)
+        |SELECT term, CAST(sum(c) AS BIGINT) AS n_occurrences,
+        | CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS doc_freq
+        |FROM h GROUP BY term""".stripMargin,
+
     // PMI in one fixed-association double expression, rounded 6 dp
     // BEFORE ranking; ties break on the word pair.
     "pmi_collocations" ->

@@ -1191,6 +1191,30 @@ object Queries {
         terms = Seq("slow", "big", "merge"), maxRatio = 0.05)
       .select(col("doc_id"), col("n_hits"), col("hit_ratio"), col("flagged"))
 
+  /** The phrase-blocklist list shared by both Aho–Corasick queries:
+    * multi-word phrases, a nested pattern pair ("scan" fires inside
+    * "scan slow"), a mid-word substring ("val" inside every "value"),
+    * and a self-overlapping pattern ("a a" in "a a a" counts once —
+    * leftmost non-overlap, the `replace`-count semantic the oracle
+    * replays). */
+  private val phraseList = Seq(
+    "table table", "fast merge", "scan", "scan slow", "val", "a a")
+
+  /** Phrase-blocklist screen via one Aho–Corasick walk per doc —
+    * O(len) regardless of pattern count (the 10⁴-term scale shape;
+    * [[blocklistFilter]]'s per-term plan is the small-list twin). */
+  def blocklistPhrases(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.blocklistPhrases(t(s, dir, "documents"), "doc_id", "text",
+        phrases = phraseList, maxRatio = 0.05)
+      .select(col("doc_id"), col("n_hits"), col("hit_ratio"), col("flagged"))
+
+  /** Per-phrase corpus audit: total occurrences + doc frequency from
+    * the same single-walk count vectors, partial-agg compacted. */
+  def blocklistTermStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.blocklistTermStats(t(s, dir, "documents"), "text",
+        phrases = phraseList)
+      .select(col("term"), col("n_occurrences"), col("doc_freq"))
+
   /** Top-50 adjacent-word collocations by PMI (count ≥ 5), 6 dp-rounded
     * before ranking, pair-lexicographic tie-break. */
   def pmiCollocations(s: SparkSession, dir: String): DataFrame =
@@ -2076,6 +2100,8 @@ object Queries {
     "mix_temperature" -> mixTemperature _,
     "length_histogram" -> lengthHistogram _,
     "blocklist_filter" -> blocklistFilter _,
+    "blocklist_phrases" -> blocklistPhrases _,
+    "blocklist_term_stats" -> blocklistTermStats _,
     "pmi_collocations" -> pmiCollocations _,
     "decontaminate_overlap" -> decontaminateOverlap _,
     "dedup_cross_source" -> dedupCrossSource _,

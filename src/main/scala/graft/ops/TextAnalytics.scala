@@ -1224,4 +1224,54 @@ object TextAnalytics {
           .when(col("n_digit") * 2 > col("n_chars"), "digit")
           .otherwise("mixed").as("main_script"))
   }
+
+  /** Phrase-blocklist screen at large pattern counts — the
+    * Aho–Corasick twin of [[blocklistScore]]. Where blocklistScore
+    * matches whole whitespace tokens with one codegen'd filter per
+    * term (fine to ~10² single-word terms, then the generated method
+    * outgrows Janino), this matches SUBSTRINGS — so multi-word phrases
+    * work — in O(len) per row regardless of pattern count, via one
+    * automaton walk ([[graft.functions.MultiMatchTotal]]).
+    *
+    * Counts are leftmost non-overlapping per pattern (exactly DuckDB's
+    * `(length(t) - length(replace(t, p, ''))) / length(p)`, which is
+    * how the oracle replays them). Map-only, no shuffle; the pattern
+    * list ships once per executor inside the (broadcast) task binary
+    * and builds one cached automaton per JVM. */
+  def blocklistPhrases(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], maxRatio: Double = 0.1): DataFrame = {
+    require(phrases.nonEmpty, "blocklistPhrases needs at least one phrase")
+    require(phrases.distinct.size == phrases.size,
+      "blocklistPhrases phrases must be distinct (duplicates would count on the first copy only)")
+    import graft.functions.MultiMatchFunctions.multiMatchTotal
+    df.withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_hits", multiMatchTotal(col(textCol), phrases))
+      .withColumn("hit_ratio", round(when(col("n_tokens") === 0, 0.0)
+        .otherwise(col("n_hits").cast("double") / col("n_tokens")), 6))
+      .withColumn("flagged", col("hit_ratio") > lit(maxRatio))
+  }
+
+  /** Corpus-level rollup per blocklist phrase: total occurrences and
+    * document frequency. One automaton walk per row emits the
+    * per-phrase count vector; posexplode + partial-agg sum compacts to
+    * P rows per partition before the single exchange, so corpus size
+    * never crosses the shuffle — only the (pattern-count-sized)
+    * partials do. The audit pass a pipeline runs to see WHICH list
+    * entries actually fire before committing to a filter threshold. */
+  def blocklistTermStats(df: DataFrame, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklistTermStats needs at least one phrase")
+    require(phrases.distinct.size == phrases.size,
+      "blocklistTermStats phrases must be distinct")
+    import graft.functions.MultiMatchFunctions.multiMatchCounts
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = phrases.zipWithIndex.map { case (p, i) => (i, p) }.toDF("__pos", "term")
+    df.select(posexplode(multiMatchCounts(col(textCol), phrases)).as(Seq("__pos", "__c")))
+      .groupBy(col("__pos"))
+      .agg(sum(col("__c")).as("n_occurrences"),
+        sum(when(col("__c") > 0, 1L).otherwise(0L)).as("doc_freq"))
+      .join(broadcast(terms), "__pos")
+      .select(col("term"), col("n_occurrences"), col("doc_freq"))
+  }
 }

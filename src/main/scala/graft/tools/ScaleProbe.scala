@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "graph"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "graph"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -583,6 +583,92 @@ object ScaleProbe {
         vals.agg(expr("percentile(x, array(0.1,0.5,0.9))")).head()
       }
       vals.unpersist()
+    }
+    if (on("unigram")) {
+      // Unigram-LM training at a REAL vocabulary scale: 300k distinct
+      // syllable-composed words under a zipf-ish count law (the bench
+      // corpus has a ~50-word vocab — useless for this probe). The
+      // claim under test: seed + EM cost is driven by DISTINCT words
+      // (and the driver model stays seedSize + alphabet), not corpus
+      // token count, because the E-step maps the distinct-word table.
+      val syl = Array("ba", "ko", "ri", "ta", "mu", "ze", "lan", "dor",
+        "vi", "qua", "pex", "shi", "tro", "gul", "nem", "yar")
+      val wordsDf = spark.range(300000L).select(
+        concat_ws("",
+          element_at(lit(syl), (pmod(xxhash64(col("id"), lit(1)), lit(16)) + 1).cast("int")),
+          element_at(lit(syl), (pmod(xxhash64(col("id"), lit(2)), lit(16)) + 1).cast("int")),
+          element_at(lit(syl), (pmod(xxhash64(col("id"), lit(3)), lit(16)) + 1).cast("int")))
+          .as("w"),
+        (lit(1000000L) / (col("id") + 1) + 1).as("cnt")) // zipf-ish
+      // pack words into synthetic docs so train() sees raw text; each
+      // "doc" row is one word repeated cnt-weight times is infeasible —
+      // instead weight via repetition of the word row itself in text
+      val docs = wordsDf.select(concat_ws(" ", col("w"),
+        when(col("cnt") > 100, col("w")).otherwise(lit(""))).as("text"))
+        .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] unigram docs=${docs.count()} (300k distinct 4-6-char words)")
+      def time3(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time3("unigram seed (substring rollup over 300k distinct words)") {
+        println("[probe]   seed rows=" + graft.ops.UnigramLm
+          .seedVocab(docs, "text", seedSize = 2048, maxTokenLen = 6).count())
+      }
+      time3("unigram train vocabSize=4096, 2 EM rounds + final recount") {
+        val v = graft.ops.UnigramLm.train(docs, "text", vocabSize = 4096,
+          iters = 2, seedSize = 4096, maxTokenLen = 6)
+        println("[probe]   vocab rows=" + v.count())
+      }
+      docs.unpersist()
+    }
+    if (on("ac")) {
+      // Aho–Corasick vs per-term plans as the pattern list grows. The
+      // claim: AC walk time is O(len) per row — FLAT in P — while the
+      // per-term filter chain (blocklistScore) is O(len·P) and its
+      // generated code outgrows Janino's 64 KB method limit in the
+      // hundreds of terms. 1M docs × ~60 chars; realistic pattern mix
+      // of corpus words + junk terms that never match.
+      val syl2 = Array("data", "scan", "merge", "table", "spark", "fast",
+        "slow", "join", "sort", "hash", "row", "value", "key", "line")
+      val docs2 = spark.range(1000000L).select(concat_ws(" ", (0 until 10).map(k =>
+          element_at(lit(syl2), (pmod(xxhash64(col("id"), lit(k)), lit(14)) + 1).cast("int"))): _*)
+        .as("text")).repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] ac docs=${docs2.count()}")
+      def time4(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      def patList(p: Int): Seq[String] = {
+        val rnd = new scala.util.Random(7)
+        val real = for (a <- syl2; b <- syl2) yield s"$a $b" // 196 two-word phrases
+        val junk = (1 to p).map(_ => (1 to 8).map(_ =>
+          ('a' + rnd.nextInt(26)).toChar).mkString)
+        (real ++ junk).distinct.take(p)
+      }
+      for (p <- Seq(64, 512, 4096)) {
+        val pats = patList(p)
+        time4(s"ac multi_match_total P=$p (flat-in-P claim)") {
+          println("[probe]   hits=" + docs2.select(
+            graft.functions.MultiMatchFunctions.multiMatchTotal(col("text"), pats).as("h"))
+            .agg(sum(col("h"))).head().getLong(0))
+        }
+      }
+      for (p <- Seq(64, 512)) { // per-term chain: already impractical at 512
+        val pats = patList(p).map(_.replace(" ", "")) // single tokens for the token matcher
+        time4(s"per-term filter chain P=$p (O(len*P) baseline)") {
+          // at P=512 the reduce(_+_) sum is a 512-deep expression tree
+          // and Catalyst's recursive transforms overflow the stack —
+          // the per-term plan cannot even be PLANNED at list sizes AC
+          // handles flat; record that instead of dying
+          try println("[probe]   hits=" + graft.ops.TextAnalytics.blocklistScore(
+              docs2, "text", "text", terms = pats)
+              .agg(sum(col("n_hits"))).head().getLong(0))
+          catch { case _: StackOverflowError =>
+            println(s"[probe]   UNPLANNABLE: StackOverflowError in Catalyst at P=$p") }
+        }
+      }
+      docs2.unpersist()
     }
     spark.stop()
   }

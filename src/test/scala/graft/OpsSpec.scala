@@ -2177,4 +2177,97 @@ class OpsSpec extends SparkSpec {
     // head gets teleport mass only: 150000/3 = 50000 every round
     assert(got(1L) == 50000L, s"head rank must be the teleport floor: $got")
   }
+
+  // --- Aho–Corasick multi-pattern matching ---
+
+  /** Leftmost non-overlapping count — the replace()-length semantic
+    * the oracle replays; the reference both AC expressions must match. */
+  private def naiveCount(text: String, pat: String): Long = {
+    var i = 0; var c = 0L
+    var j = text.indexOf(pat, i)
+    while (j >= 0) { c += 1; i = j + pat.length; j = text.indexOf(pat, i) }
+    c
+  }
+
+  test("aho-corasick: nested patterns all fire; self-overlap suppressed per pattern") {
+    import graft.functions.MultiMatchFunctions._
+    val pats = Seq("he", "she", "hers", "aa", "a a")
+    val rows = Seq((1L, "ushers"), (2L, "aaaa"), (3L, "a a a"), (4L, ""), (5L, "xyz"))
+      .toDF("id", "text")
+    val got = rows.select($"id", multiMatchCounts($"text", pats).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // "ushers": she@1, he@2 (inside she — distinct patterns independent), hers@2
+    assert(got(1L) == Seq(1L, 1L, 1L, 0L, 0L), s"ushers: ${got(1L)}")
+    // "aaaa": aa@0 then aa@2 (leftmost non-overlap = 2, not 3)
+    assert(got(2L) == Seq(0L, 0L, 0L, 2L, 0L), s"aaaa: ${got(2L)}")
+    // "a a a": "a a"@0 consumes through index 2; @2 overlaps -> 1
+    assert(got(3L) == Seq(0L, 0L, 0L, 0L, 1L), s"a a a: ${got(3L)}")
+    assert(got(4L) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(got(5L) == Seq(0L, 0L, 0L, 0L, 0L))
+    val tot = rows.select($"id", multiMatchTotal($"text", pats).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(tot == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("aho-corasick: matches the naive replace-count on random corpora (seeded)") {
+    import graft.functions.MultiMatchFunctions._
+    val rnd = new scala.util.Random(42)
+    // tiny alphabet maximizes overlap/nesting collisions
+    def randText(n: Int) = (1 to n).map(_ => "ab ".charAt(rnd.nextInt(3))).mkString
+    val pats = (1 to 40).map(_ => randText(1 + rnd.nextInt(4))).distinct
+      .filter(_.nonEmpty).toSeq
+    val texts = (1L to 60L).map(i => (i, randText(rnd.nextInt(80))))
+    val got = texts.toDF("id", "text")
+      .select($"id", multiMatchCounts($"text", pats).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.foreach { case (id, tx) =>
+      val want = pats.map(naiveCount(tx, _))
+      assert(got(id) == want, s"id=$id text='$tx': got ${got(id)} want $want")
+    }
+  }
+
+  test("aho-corasick: utf-8 multi-byte patterns count at char-occurrence parity") {
+    import graft.functions.MultiMatchFunctions._
+    val pats = Seq("é", "héllo", "日本", "本語")
+    val rows = Seq((1L, "héllo wörld héllo"), (2L, "日本語の日本"), (3L, "ascii only"))
+      .toDF("id", "text")
+    val got = rows.select($"id", multiMatchCounts($"text", pats).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(2L, 2L, 0L, 0L), s"${got(1L)}")
+    // "日本語の日本": 日本@0 and @4, 本語@1 — nested CJK at byte level
+    assert(got(2L) == Seq(0L, 0L, 2L, 1L), s"${got(2L)}")
+    assert(got(3L) == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("aho-corasick: stays inside WholeStageCodegen over a parquet scan") {
+    import graft.functions.MultiMatchFunctions._
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-ac-codegen").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(multiMatchTotal($"text", Seq("quick", "lazy dog")).as("t"))
+    val inCodegen = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec if w.toString.contains("multi_match_total") => w
+    }
+    assert(inCodegen.nonEmpty,
+      s"multi_match_total not inside a codegen span:\n${df.queryExecution.executedPlan}")
+    // "quick" in docs 1-3 (3), "lazy dog" in docs 1-2 (2), doc 4 neither
+    assert(df.agg(sum($"t")).head.getLong(0) == 5L)
+  }
+
+  test("aho-corasick term stats: totals and doc frequency hand-derived") {
+    val got = TextAnalytics.blocklistTermStats(docs, "text", Seq("quick", "lazy", "o"))
+      .as[(String, Long, Long)].collect().map { case (k, a, b) => (k, (a, b)) }.toMap
+    // docs 1-3 each contain "quick" and "lazy" once; doc 4 neither.
+    assert(got("quick") == ((3L, 3L)))
+    assert(got("lazy") == ((3L, 3L)))
+    // "o": brown fox...dog per doc: brown(1) fox(1) over(1) dog/cat(1 or 0)
+    val naive = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "completely different content about spark engines")
+      .map(t => naiveCount(t, "o"))
+    assert(got("o") == ((naive.sum, naive.count(_ > 0).toLong)))
+  }
 }
