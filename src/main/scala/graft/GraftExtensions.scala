@@ -40,5 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "quantile_sketch", es => graft.functions.QuantileSketchAgg(
       org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType),
       es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+    // pattern list = a foldable array literal (array('a','b',...)):
+    // evaluated once at plan time, so SQL callers get the same
+    // per-executor cached automaton as the programmatic API
+    def patterns(p: Expression): Seq[String] = {
+      val arr = p.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until arr.numElements()).map(i =>
+        arr.getUTF8String(i).toString)
+    }
+    inject(e, "multi_match_total", es =>
+      graft.functions.MultiMatchTotal(es(0), patterns(es(1))))
+    inject(e, "multi_match_counts", es =>
+      graft.functions.MultiMatchCounts(es(0), patterns(es(1))))
   }
 }

@@ -1215,6 +1215,15 @@ object Queries {
         phrases = phraseList)
       .select(col("term"), col("n_occurrences"), col("doc_freq"))
 
+  /** Deflate compression-ratio screen (rows-only oracle: deflate
+    * output is image-deterministic but not engine-portable — no
+    * DuckDB compression primitive to replay it). */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.compressionStats(t(s, dir, "documents"), "doc_id", "text",
+        level = 6, minRatio = 0.3, maxRatio = 1.1)
+      .select(col("doc_id"), col("n_bytes"), col("deflate_len"),
+        col("compression_ratio"), col("flagged"))
+
   /** Top-50 adjacent-word collocations by PMI (count ≥ 5), 6 dp-rounded
     * before ranking, pair-lexicographic tie-break. */
   def pmiCollocations(s: SparkSession, dir: String): DataFrame =
@@ -2102,6 +2111,7 @@ object Queries {
     "blocklist_filter" -> blocklistFilter _,
     "blocklist_phrases" -> blocklistPhrases _,
     "blocklist_term_stats" -> blocklistTermStats _,
+    "compression_ratio" -> compressionRatio _,
     "pmi_collocations" -> pmiCollocations _,
     "decontaminate_overlap" -> decontaminateOverlap _,
     "dedup_cross_source" -> dedupCrossSource _,

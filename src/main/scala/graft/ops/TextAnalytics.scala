@@ -1225,6 +1225,27 @@ object TextAnalytics {
           .otherwise("mixed").as("main_script"))
   }
 
+  /** Compression-ratio screen (the Gopher/RefinedWeb signal): deflate
+    * the row's UTF-8 bytes ([[graft.functions.DeflateLength]], row-
+    * local thread-cached Deflater) and flag docs whose ratio falls
+    * outside [minRatio, maxRatio] — below = template/boilerplate
+    * repetition token-level stats miss (long-range repeats), above =
+    * high-entropy junk. Map-only, no shuffle. Ratios are deterministic
+    * within a cluster image but not engine-portable (no DuckDB
+    * compression primitive) — the query carries a rows-only oracle
+    * check and the spec pins ordering properties, not absolute
+    * lengths. */
+  def compressionStats(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6, minRatio: Double = 0.3, maxRatio: Double = 1.1): DataFrame = {
+    import graft.functions.DeflateFunctions.deflateLength
+    df.withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
+      .withColumn("deflate_len", deflateLength(col(textCol), level))
+      .withColumn("compression_ratio", round(when(col("n_bytes") === 0, 1.0)
+        .otherwise(col("deflate_len").cast("double") / col("n_bytes")), 6))
+      .withColumn("flagged",
+        col("compression_ratio") < minRatio || col("compression_ratio") > maxRatio)
+  }
+
   /** Phrase-blocklist screen at large pattern counts — the
     * Aho–Corasick twin of [[blocklistScore]]. Where blocklistScore
     * matches whole whitespace tokens with one codegen'd filter per

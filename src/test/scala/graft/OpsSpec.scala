@@ -2255,6 +2255,33 @@ class OpsSpec extends SparkSpec {
     assert(df.agg(sum($"t")).head.getLong(0) == 5L)
   }
 
+  test("compression ratio: repetition compresses, entropy doesn't; matches a reference deflate") {
+    val repetitive = "buy cheap pills now " * 200
+    val rnd = new scala.util.Random(9)
+    val entropy = (1 to 4000).map(_ => (rnd.nextInt(94) + 33).toChar).mkString
+    val rows = Seq((1L, repetitive), (2L, entropy), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalytics.compressionStats(rows, "doc_id", "text", level = 6)
+      .select($"doc_id", $"n_bytes", $"deflate_len", $"compression_ratio", $"flagged")
+      .as[(Long, Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // ordering property (image-independent): template repeats compress
+    // far better than printable noise
+    assert(got(1L)._4 < 0.1, s"repetitive ratio must be tiny: ${got(1L)}")
+    assert(got(2L)._4 > 0.5, s"high-entropy ratio must stay high: ${got(2L)}")
+    assert(got(1L)._5 && !got(2L)._5, "only the repetitive doc is flagged")
+    // empty text: defined ratio 1.0, unflagged
+    assert(got(3L) == ((3L, 0L, 0L, 1.0, false)))
+    // expression == a reference Deflater run (same JVM, raw mode)
+    def ref(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    assert(got(1L)._3 == ref(repetitive) && got(2L)._3 == ref(entropy))
+  }
+
   test("aho-corasick term stats: totals and doc frequency hand-derived") {
     val got = TextAnalytics.blocklistTermStats(docs, "text", Seq("quick", "lazy", "o"))
       .as[(String, Long, Long)].collect().map { case (k, a, b) => (k, (a, b)) }.toMap

@@ -292,6 +292,13 @@ class ScaleOpsSpec extends SparkSpec {
           | (1.0D), (2.0D), (3.0D), (4.0D) AS t(x)""".stripMargin)
         .selectExpr("qs.n", "qs.err_bound").head
       assert(qs.getLong(0) == 4L && qs.getLong(1) == 0L)
+      // aho-corasick from pure SQL: pattern list is a foldable array literal
+      val mm = s2.sql(
+        """SELECT multi_match_total(t, array('he', 'she', 'aa')) AS n,
+          |       multi_match_counts(t, array('he', 'she', 'aa')) AS c
+          |FROM VALUES ('ushers aaaa') AS v(t)""".stripMargin).head
+      assert(mm.getLong(0) == 4L, s"ushers aaaa: he+she+2*aa, got ${mm.getLong(0)}")
+      assert(mm.getSeq[Long](1) == Seq(1L, 1L, 2L))
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }
