@@ -1,0 +1,219 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Versioned snapshots for a parquet corpus table — the
+  * reproducibility primitive of a training-data pipeline: a training
+  * run PINS a snapshot version while re-crawls keep appending, and a
+  * bad batch rolls back without rewriting data.
+  *
+  * The lakehouse-table shape in miniature (immutable data files + a
+  * metadata log; cf. the published Iceberg/Delta designs):
+  *
+  *   tableDir/
+  *     data/part-<uuid>.parquet     immutable — written once, never edited
+  *     _versions/v00000042.json     snapshot = explicit data-file list
+  *                                  + op metadata (op, parent, count)
+  *
+  * Why a file list and not "the directory": at 100 TB, append and
+  * upsert must be METADATA operations. Appending a crawl batch writes
+  * only the new files and one JSON entry; readers of version N never
+  * see half-written batches (the version file is tmp+atomic-move, and
+  * data files are invisible until referenced). Time-travel is "read
+  * the old list"; rollback is "write a new version pointing at an old
+  * list" (never deleting — audit stays intact); vacuum deletes files
+  * unreferenced by ANY retained version only.
+  *
+  * Upsert rewrites only the files that CONTAIN replaced keys (file
+  * pruning via per-file key scan — the slot where parquet footer
+  * min/max stats prune without reading data at scale); untouched files
+  * carry over to the new version by reference.
+  *
+  * Single-writer discipline (one pipeline owns a table; Spark jobs
+  * coordinate through the driver). Readers are lock-free and always
+  * consistent: a version file is either fully present or absent.
+  */
+object SnapshotLog {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Snapshot(version: Long, parent: Long, op: String,
+      files: Seq[String], rowCount: Long)
+
+  private def versionsDir(tableDir: String): Path = Paths.get(tableDir, "_versions")
+  private def dataDir(tableDir: String): Path = Paths.get(tableDir, "data")
+  private def versionPath(tableDir: String, v: Long): Path =
+    versionsDir(tableDir).resolve(f"v$v%08d.json")
+
+  private def listDir(d: Path): Seq[Path] = {
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** All committed versions, ascending. */
+  def versions(tableDir: String): Seq[Long] =
+    listDir(versionsDir(tableDir))
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{8}\\.json") => s.substring(1, 9).toLong }
+      .sorted
+
+  def currentVersion(tableDir: String): Option[Long] = versions(tableDir).lastOption
+
+  def readSnapshotMeta(tableDir: String, v: Long): Snapshot = {
+    val node = mapper.readTree(Files.readAllBytes(versionPath(tableDir, v)))
+    Snapshot(
+      version = node.get("version").asLong(),
+      parent = node.get("parent").asLong(),
+      op = node.get("op").asText(),
+      files = node.get("files").elements().asScala.map(_.asText()).toSeq,
+      rowCount = node.get("row_count").asLong())
+  }
+
+  private def writeSnapshotMeta(tableDir: String, s: Snapshot): Unit = {
+    Files.createDirectories(versionsDir(tableDir))
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    root.put("parent", s.parent)
+    root.put("op", s.op)
+    root.put("row_count", s.rowCount)
+    val arr = root.putArray("files")
+    s.files.sorted.foreach(arr.add)
+    val tmp = versionsDir(tableDir).resolve(s".v${s.version}.json.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, versionPath(tableDir, s.version),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write `df` as new immutable data files; returns their names.
+    * Files land under data/ with a unique batch prefix (Spark writes
+    * into a scratch dir, then the parts move in — a crashed write
+    * leaves only unreferenced scratch, never a corrupt snapshot). */
+  private def writeDataFiles(df: DataFrame, tableDir: String): (Seq[String], Long) = {
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = Paths.get(tableDir, s".scratch-$batch")
+    df.write.parquet(scratch.toString)
+    Files.createDirectories(dataDir(tableDir))
+    val moved = listDir(scratch)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"part-$batch-${p.getFileName.toString.stripPrefix("part-")}"
+        Files.move(p, dataDir(tableDir).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        name
+      }
+    listDir(scratch).foreach(Files.delete) // _SUCCESS etc.
+    Files.delete(scratch)
+    // row count from the written files' parquet footers (metadata-only
+    // scan — no data read, and no recompute of df's lineage)
+    val n = if (moved.isEmpty) 0L else df.sparkSession.read.parquet(
+      moved.map(f => dataDir(tableDir).resolve(f).toString): _*).count()
+    (moved, n)
+  }
+
+  /** Create version 0 from `df`. Fails if the table already has versions. */
+  def init(df: DataFrame, tableDir: String): Long = {
+    require(versions(tableDir).isEmpty, s"snapshot table already initialized: $tableDir")
+    val (files, n) = writeDataFiles(df, tableDir)
+    writeSnapshotMeta(tableDir, Snapshot(0L, -1L, "init", files, n))
+    0L
+  }
+
+  /** Append-only commit: new files + carried-over references. */
+  def append(df: DataFrame, tableDir: String): Long = {
+    val cur = currentVersion(tableDir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val prev = readSnapshotMeta(tableDir, cur)
+    val (files, n) = writeDataFiles(df, tableDir)
+    val next = cur + 1
+    writeSnapshotMeta(tableDir,
+      Snapshot(next, cur, "append", prev.files ++ files, prev.rowCount + n))
+    next
+  }
+
+  /** Upsert commit: rows of `updates` replace same-key rows. Only data
+    * files CONTAINING a replaced key are rewritten (file-pruned by a
+    * per-file key semi-join — the parquet-footer-stats slot at scale);
+    * unaffected files carry by reference. Update batches may also
+    * carry new keys (insert part). */
+  def upsert(spark: SparkSession, updates: DataFrame, tableDir: String,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val cur = currentVersion(tableDir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val prev = readSnapshotMeta(tableDir, cur)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    // which existing files hold replaced keys? (file-granular prune)
+    val touched = prev.files.filter { f =>
+      val p = dataDir(tableDir).resolve(f).toString
+      !spark.read.parquet(p).join(broadcast(keys), keyCols, "left_semi").isEmpty
+    }
+    val survivorsFromTouched =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(
+          touched.map(f => dataDir(tableDir).resolve(f).toString): _*)
+        .join(broadcast(keys), keyCols, "left_anti"))
+    val rewrite = survivorsFromTouched
+      .map(_.unionByName(updates)).getOrElse(updates)
+    val (files, n) = writeDataFiles(rewrite, tableDir)
+    val kept = prev.files.filterNot(touched.contains)
+    // exact row count: footer-only count over the kept refs when any
+    // file was rewritten
+    val keptCount =
+      if (touched.isEmpty) prev.rowCount
+      else if (kept.isEmpty) 0L
+      else spark.read.parquet(
+        kept.map(f => dataDir(tableDir).resolve(f).toString): _*).count()
+    val next = cur + 1
+    writeSnapshotMeta(tableDir,
+      Snapshot(next, cur, "upsert", kept ++ files, keptCount + n))
+    next
+  }
+
+  /** Roll the table back BY REFERENCE: a new version whose file list
+    * is version `v`'s. History stays intact (audit); vacuum governs
+    * actual file deletion. */
+  def rollback(tableDir: String, v: Long): Long = {
+    val target = readSnapshotMeta(tableDir, v)
+    val cur = currentVersion(tableDir).get
+    val next = cur + 1
+    writeSnapshotMeta(tableDir,
+      Snapshot(next, cur, s"rollback(to=$v)", target.files, target.rowCount))
+    next
+  }
+
+  /** Read a snapshot (default: current) as a DataFrame over exactly
+    * its file list. */
+  def read(spark: SparkSession, tableDir: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(tableDir)).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val s = readSnapshotMeta(tableDir, v)
+    if (s.files.isEmpty)
+      throw new IllegalStateException(s"snapshot v$v has no data files")
+    spark.read.parquet(s.files.map(f => dataDir(tableDir).resolve(f).toString): _*)
+  }
+
+  /** Delete data files referenced by NO retained version, then drop
+    * version entries older than `keepVersions` back from current.
+    * Returns (versions dropped, data files deleted). The only
+    * destructive op — everything else is append-only metadata. */
+  def vacuum(tableDir: String, keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val all = versions(tableDir)
+    val keep = all.takeRight(keepVersions)
+    val dropVs = all.dropRight(keepVersions)
+    val referenced = keep.flatMap(v => readSnapshotMeta(tableDir, v).files).toSet
+    val dd = dataDir(tableDir)
+    val deleted = listDir(dd)
+      .filterNot(p => referenced.contains(p.getFileName.toString))
+      .map { p => Files.delete(p); 1 }.sum
+    dropVs.foreach(v => Files.delete(versionPath(tableDir, v)))
+    (dropVs.size, deleted)
+  }
+}

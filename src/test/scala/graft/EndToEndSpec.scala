@@ -280,4 +280,56 @@ class EndToEndSpec extends SparkSpec {
     assert(m3.select("shard").distinct().count() <= 4) // ceil(total/(total/3)) = 3 or 4
     assert(m3.agg(sum("n_rows")).head().getLong(0) == 100L)
   }
+
+  test("snapshot log: init/append/upsert/time-travel/rollback/vacuum") {
+    import graft.store.SnapshotLog
+    val dir = Files.createTempDirectory("graft-snap").toString
+    // 4 hash-partitioned files so upsert's file pruning has something
+    // to prune (one key lives in one file)
+    val v0df = (1L to 40L).map(i => (i, s"text $i", 1))
+      .toDF("doc_id", "text", "batch").repartition(4, col("doc_id"))
+    assert(SnapshotLog.init(v0df, dir) == 0L)
+    assert(SnapshotLog.read(spark, dir).count() == 40L)
+    assert(SnapshotLog.readSnapshotMeta(dir, 0L).rowCount == 40L)
+
+    // append: metadata-only for existing data (v0 files carried by ref)
+    val v1df = (41L to 50L).map(i => (i, s"text $i", 2)).toDF("doc_id", "text", "batch")
+    assert(SnapshotLog.append(v1df, dir) == 1L)
+    val s0 = SnapshotLog.readSnapshotMeta(dir, 0L)
+    val s1 = SnapshotLog.readSnapshotMeta(dir, 1L)
+    assert(s0.files.toSet.subsetOf(s1.files.toSet), "append must carry v0 files by reference")
+    assert(s1.rowCount == 50L)
+    // time travel: v0 unchanged
+    assert(SnapshotLog.read(spark, dir, Some(0L)).count() == 40L)
+
+    // upsert: replace doc 7, insert doc 100 — only files containing
+    // key 7 rewrite; every other v1 file carries over
+    val up = Seq((7L, "UPDATED", 3), (100L, "text 100", 3)).toDF("doc_id", "text", "batch")
+    assert(SnapshotLog.upsert(spark, up, dir, Seq("doc_id")) == 2L)
+    val s2 = SnapshotLog.readSnapshotMeta(dir, 2L)
+    val carried = s1.files.toSet.intersect(s2.files.toSet)
+    assert(carried.nonEmpty, "untouched files must carry by reference")
+    assert(s2.files.toSet != s1.files.toSet)
+    val cur = SnapshotLog.read(spark, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(cur.size == 51 && cur(7L) == "UPDATED" && cur(100L) == "text 100" &&
+      cur(8L) == "text 8")
+    assert(s2.rowCount == 51L)
+
+    // rollback to v0 by reference; history intact
+    assert(SnapshotLog.rollback(dir, 0L) == 3L)
+    assert(SnapshotLog.read(spark, dir).count() == 40L)
+    assert(SnapshotLog.read(spark, dir, Some(2L)).count() == 51L, "history must survive rollback")
+    assert(SnapshotLog.versions(dir) == Seq(0L, 1L, 2L, 3L))
+
+    // roll forward again (so vacuum keeps the 51-row state), then
+    // vacuum to 1 version: old versions drop, their exclusive files go
+    assert(SnapshotLog.rollback(dir, 2L) == 4L)
+    val (dropped, deleted) = SnapshotLog.vacuum(dir, keepVersions = 1)
+    assert(dropped == 4 && deleted > 0, s"dropped=$dropped deleted=$deleted")
+    assert(SnapshotLog.versions(dir) == Seq(4L))
+    val after = SnapshotLog.read(spark, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(after.size == 51 && after(7L) == "UPDATED")
+  }
 }
