@@ -52,5 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.MultiMatchTotal(es(0), patterns(es(1))))
     inject(e, "multi_match_counts", es =>
       graft.functions.MultiMatchCounts(es(0), patterns(es(1))))
+    inject(e, "nfc_normalize", es => graft.functions.NfcNormalize(es(0)))
+    inject(e, "deflate_length", es => graft.functions.DeflateLength(es(0),
+      if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else -1))
   }
 }

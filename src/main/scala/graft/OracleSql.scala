@@ -1325,6 +1325,71 @@ object OracleSql {
         | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(h.hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
         |FROM tok JOIN h ON tok.doc_id = h.doc_id""".stripMargin,
 
+    // RFM quintiles: integer dimensions, exact linear-interpolation
+    // quantiles (quantile_cont == Spark percentile), strict
+    // boundary < value scoring — boundary ties land low on both sides.
+    "rfm_segments" ->
+      """WITH r AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-31') AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |   FROM orders GROUP BY o_custkey),
+        | b AS (SELECT
+        |    round(quantile_cont(-recency_days, 0.2), 6) AS b1_r,
+        |    round(quantile_cont(-recency_days, 0.4), 6) AS b2_r,
+        |    round(quantile_cont(-recency_days, 0.6), 6) AS b3_r,
+        |    round(quantile_cont(-recency_days, 0.8), 6) AS b4_r,
+        |    round(quantile_cont(frequency, 0.2), 6) AS b1_f,
+        |    round(quantile_cont(frequency, 0.4), 6) AS b2_f,
+        |    round(quantile_cont(frequency, 0.6), 6) AS b3_f,
+        |    round(quantile_cont(frequency, 0.8), 6) AS b4_f,
+        |    round(quantile_cont(monetary_cents, 0.2), 6) AS b1_m,
+        |    round(quantile_cont(monetary_cents, 0.4), 6) AS b2_m,
+        |    round(quantile_cont(monetary_cents, 0.6), 6) AS b3_m,
+        |    round(quantile_cont(monetary_cents, 0.8), 6) AS b4_m
+        |   FROM r),
+        | s AS (SELECT r.*,
+        |    1 + (CASE WHEN b1_r < -recency_days THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b2_r < -recency_days THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b3_r < -recency_days THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b4_r < -recency_days THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN b1_f < frequency THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b2_f < frequency THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b3_f < frequency THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b4_f < frequency THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN b1_m < monetary_cents THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b2_m < monetary_cents THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b3_m < monetary_cents THEN 1 ELSE 0 END)
+        |      + (CASE WHEN b4_m < monetary_cents THEN 1 ELSE 0 END) AS m_score
+        |   FROM r CROSS JOIN b)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        | r_score, f_score, m_score,
+        | CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |      WHEN r_score >= 4 THEN 'recent'
+        |      WHEN f_score >= 4 THEN 'loyal_at_risk'
+        |      WHEN m_score >= 4 THEN 'big_spender_lapsed'
+        |      ELSE 'standard' END AS segment
+        |FROM s""".stripMargin,
+
+    // NFC canonical dedup: the enrichment plants composed (chr(233))
+    // vs decomposed (chr(769) combining acute) accent twins; the key
+    // is nfc_normalize + lower + trim + whitespace collapse, mirroring
+    // Dedup.normalizedKey exactly (nfc BEFORE lower on both sides).
+    "dedup_unicode" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233) AS text
+        |   FROM documents),
+        | b AS (SELECT doc_id + 10000000 AS doc_id,
+        |    upper(text) || '  cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769) || ' ' AS text
+        |   FROM documents),
+        | u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        | k AS (SELECT doc_id,
+        |    regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS nk
+        |   FROM u),
+        | r AS (SELECT doc_id, nk,
+        |    row_number() OVER (PARTITION BY nk ORDER BY doc_id) AS rn FROM k)
+        |SELECT doc_id, nk AS norm_text FROM r WHERE rn = 1""".stripMargin,
+
     "blocklist_term_stats" ->
       """WITH terms(term) AS (VALUES ('table table'), ('fast merge'),
         |    ('scan'), ('scan slow'), ('val'), ('a a')),

@@ -1215,6 +1215,23 @@ object Queries {
         phrases = phraseList)
       .select(col("term"), col("n_occurrences"), col("doc_freq"))
 
+  /** Normalization-aware exact dedup: every doc gets a composed-accent
+    * twin (decomposed combining marks + case + whitespace variants at
+    * id+10M) that byte-hash dedup misses; the NFC canonical key
+    * collapses each pair to its original id. The oracle replays the
+    * enrichment and the key with DuckDB's `nfc_normalize`. */
+  def dedupUnicode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.select(col("doc_id"),
+      concat(col("text"), lit(" café résumé")).as("text"))
+    val b = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(upper(col("text")),
+        lit("  café résumé ")).as("text"))
+    Dedup.exactNormalized(a.unionByName(b), "doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.normalizedKey(col("text")).as("norm_text"))
+  }
+
   /** Deflate compression-ratio screen (rows-only oracle: deflate
     * output is image-deterministic but not engine-portable — no
     * DuckDB compression primitive to replay it). */
@@ -1499,6 +1516,14 @@ object Queries {
     pairs.unpersist()
     out
   }
+
+  /** RFM quintile segmentation over orders, pinned to 1998-12-31.
+    * Integer dimensions end-to-end (epoch days / counts / cents) so
+    * the exact-percentile boundaries and strict-exceedance scores
+    * replay identically in DuckDB's quantile_cont. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.rfmSegments(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice", to_date(lit("1998-12-31")))
 
   /** Top-20 user-journey trigrams (µs timestamps, event_id tiebreak). */
   def eventPaths(s: SparkSession, dir: String): DataFrame =
@@ -2112,6 +2137,8 @@ object Queries {
     "blocklist_phrases" -> blocklistPhrases _,
     "blocklist_term_stats" -> blocklistTermStats _,
     "compression_ratio" -> compressionRatio _,
+    "dedup_unicode" -> dedupUnicode _,
+    "rfm_segments" -> rfmSegments _,
     "pmi_collocations" -> pmiCollocations _,
     "decontaminate_overlap" -> decontaminateOverlap _,
     "dedup_cross_source" -> dedupCrossSource _,

@@ -36,6 +36,25 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Canonical dedup key: Unicode NFC ([[graft.functions.NfcNormalize]],
+    * ASCII fast-path) + lowercase + outer trim + inner whitespace
+    * collapse. Web text mixes composed and decomposed encodings of the
+    * same characters — byte-level [[exact]] misses those pairs; this
+    * key collapses them. Replayable in DuckDB as
+    * `nfc_normalize(lower(...))` + the same regexes. */
+  def normalizedKey(text: Column): Column =
+    regexp_replace(trim(lower(
+      graft.functions.UnicodeFunctions.nfcNormalize(text))), "\\s+", " ")
+
+  /** Exact dedup under the canonical key — same keep-lowest-id rule as
+    * [[exact]], same one-shuffle window shape, but composed/decomposed
+    * and case/whitespace variants now collide. */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(normalizedKey(col(textCol)), 256))
+      .orderBy(col(idCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** Distinct character n-gram shingles per document:
     * (id, shingle) rows. Windows start at 1..max(len-n+1, 1), so every
     * non-empty doc has ≥1 shingle (the final one may be short). */

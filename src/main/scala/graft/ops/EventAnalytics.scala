@@ -434,4 +434,54 @@ object EventAnalytics {
         (1 to 9).flatMap(i => Seq(col(s"p${i}0_a"), col(s"p${i}0_b"))) :+
         col("max_decile_gap")): _*)
   }
+
+  /** RFM segmentation (recency / frequency / monetary quintiles) —
+    * the classic customer-value rollup over an order log.
+    *
+    * Determinism at the oracle level: all three dimensions are exact
+    * INTEGERS (epoch-day recency, order count, monetary in cents via
+    * per-order round-to-cent then long sum — order-independent where a
+    * double sum is not), quintile boundaries come from the exact
+    * linear-interpolation `percentile` (same R-7 scheme as DuckDB's
+    * `quantile_cont`), and scores count STRICT `boundary < value`
+    * exceedances — a value sitting exactly on a boundary lands in the
+    * lower bucket on both engines.
+    *
+    * Scale shape: one partial-aggregating groupBy(customer) over the
+    * order log (the only corpus-sized shuffle), then a 4-value
+    * boundary row per dimension from the customer-sized rollup,
+    * broadcast back as a one-row cross join — no global sort, no
+    * window rank (ntile would single-reduce the whole customer set).
+    * `asOfDay` pins "today" so recency is reproducible. */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+      priceCol: String, asOfDay: Column): DataFrame = {
+    val rolled = orders.groupBy(col(custCol))
+      .agg(datediff(asOfDay, max(col(dateCol).cast("date"))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(priceCol) * 100).cast("long")).as("monetary_cents"))
+    // recency: FEWER days = better, so score on the negated value to
+    // keep one strict-exceedance rule for all three dimensions
+    val scored = rolled.withColumn("neg_recency", -col("recency_days"))
+    def boundaries(c: String, tag: String) = (1 to 4).map(i =>
+      round(expr(s"percentile($c, 0.${i * 2})"), 6).as(s"b${i}_$tag"))
+    val allBounds = boundaries("neg_recency", "r") ++
+      boundaries("frequency", "f") ++ boundaries("monetary_cents", "m")
+    val bounds = scored.agg(allBounds.head, allBounds.tail: _*)
+    def score(v: Column, tag: String): Column =
+      (1 to 4).map(i => when(col(s"b${i}_$tag") < v, 1).otherwise(0))
+        .reduce(_ + _) + 1
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("r_score", score(col("neg_recency"), "r"))
+      .withColumn("f_score", score(col("frequency"), "f"))
+      .withColumn("m_score", score(col("monetary_cents"), "m"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("f_score") >= 4, "loyal_at_risk")
+          .when(col("m_score") >= 4, "big_spender_lapsed")
+          .otherwise("standard"))
+      .select(col(custCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
+  }
 }

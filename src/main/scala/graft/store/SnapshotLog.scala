@@ -43,7 +43,7 @@ object SnapshotLog {
   private val mapper = new ObjectMapper()
 
   final case class Snapshot(version: Long, parent: Long, op: String,
-      files: Seq[String], rowCount: Long)
+      files: Seq[String], rowCount: Long, streamBatchId: Long = -1L)
 
   private def versionsDir(tableDir: String): Path = Paths.get(tableDir, "_versions")
   private def dataDir(tableDir: String): Path = Paths.get(tableDir, "data")
@@ -72,7 +72,8 @@ object SnapshotLog {
       parent = node.get("parent").asLong(),
       op = node.get("op").asText(),
       files = node.get("files").elements().asScala.map(_.asText()).toSeq,
-      rowCount = node.get("row_count").asLong())
+      rowCount = node.get("row_count").asLong(),
+      streamBatchId = node.path("stream_batch_id").asLong(-1L))
   }
 
   private def writeSnapshotMeta(tableDir: String, s: Snapshot): Unit = {
@@ -82,6 +83,7 @@ object SnapshotLog {
     root.put("parent", s.parent)
     root.put("op", s.op)
     root.put("row_count", s.rowCount)
+    root.put("stream_batch_id", s.streamBatchId)
     val arr = root.putArray("files")
     s.files.sorted.foreach(arr.add)
     val tmp = versionsDir(tableDir).resolve(s".v${s.version}.json.tmp")
@@ -174,6 +176,36 @@ object SnapshotLog {
     writeSnapshotMeta(tableDir,
       Snapshot(next, cur, "upsert", kept ++ files, keptCount + n))
     next
+  }
+
+  /** Greatest stream batch id any committed version carries (-1 if
+    * none): the replay fence for streaming appends. */
+  def maxStreamBatchId(tableDir: String): Long =
+    versions(tableDir).foldLeft(-1L)((m, v) =>
+      math.max(m, readSnapshotMeta(tableDir, v).streamBatchId))
+
+  /** Idempotent append for streaming sinks: Structured Streaming's
+    * foreachBatch re-delivers a batch after a failed trigger, so the
+    * committed version records its batch id and a replay whose id is
+    * ≤ the fence becomes a no-op (returns the current version). This
+    * is the standard transactional-sink discipline: the (batchId,
+    * commit) pair makes at-least-once delivery exactly-once in the
+    * log. Also initializes the table on the first batch. */
+  def appendIdempotent(df: DataFrame, tableDir: String, batchId: Long): Long = {
+    val fence = maxStreamBatchId(tableDir)
+    if (batchId <= fence) return currentVersion(tableDir).get
+    val cur = currentVersion(tableDir)
+    val (files, n) = writeDataFiles(df, tableDir)
+    cur match {
+      case None =>
+        writeSnapshotMeta(tableDir, Snapshot(0L, -1L, "stream-append", files, n, batchId))
+        0L
+      case Some(c) =>
+        val prev = readSnapshotMeta(tableDir, c)
+        writeSnapshotMeta(tableDir, Snapshot(c + 1, c, "stream-append",
+          prev.files ++ files, prev.rowCount + n, batchId))
+        c + 1
+    }
   }
 
   /** Roll the table back BY REFERENCE: a new version whose file list

@@ -308,6 +308,25 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming snapshot-table maintenance: each micro-batch commits as
+    * one new [[graft.store.SnapshotLog]] version via
+    * `appendIdempotent`, which fences on the recorded stream batch id
+    * — foreachBatch's at-least-once redelivery becomes exactly-once in
+    * the version log (the transactional-sink discipline; the OTHER
+    * maintain-streams get idempotence from replace-by-id semantics,
+    * an append-only log needs the fence). Readers meanwhile pin any
+    * committed version: ingestion never tears a training run's view. */
+  def snapshotAppendStream(docs: DataFrame, tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.SnapshotLog.appendIdempotent(batch, tableDir, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming quantile-summary maintenance — the quantile member of
     * the streaming summary family ([[heavyHittersStream]] counts,
     * [[embeddingMeanStream]] means): each trigger reduces its

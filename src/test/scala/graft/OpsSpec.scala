@@ -2255,6 +2255,70 @@ class OpsSpec extends SparkSpec {
     assert(df.agg(sum($"t")).head.getLong(0) == 5L)
   }
 
+  test("rfm segmentation: hand-derived quintile scores, boundary ties land low, no global sort") {
+    import graft.ops.EventAnalytics
+    // 5 customers, engineered so every dimension is distinct:
+    // frequency 1..5, monetary 100..500 dollars, recency 10..50 days
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(k => (c.toLong, s"2024-01-${10 + c}",
+        100.0 * c / c)) // each order $100; frequency c => monetary 100*c
+    }.toDF("cust", "d", "price").withColumn("d", to_date($"d"))
+    val got = EventAnalytics.rfmSegments(orders, "cust", "d", "price",
+        to_date(lit("2024-02-10")))
+      .select($"cust", $"recency_days", $"frequency", $"monetary_cents",
+        $"r_score", $"f_score", $"m_score")
+      .as[(Long, Long, Long, Long, Int, Int, Int)].collect().sortBy(_._1)
+    // recency: cust c last orders 2024-01-(10+c) -> days = 31-c -> c=5 most recent
+    assert(got.map(_._2).toSeq == Seq(30L, 29L, 28L, 27L, 26L))
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_._4).toSeq == Seq(10000L, 20000L, 30000L, 40000L, 50000L))
+    // 5 distinct values, quintile boundaries interpolate between ranks:
+    // strict-exceedance scoring gives 1..5 in dimension order
+    assert(got.map(_._5).toSeq == Seq(1, 2, 3, 4, 5), s"r: ${got.toSeq}")
+    assert(got.map(_._6).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(got.map(_._7).toSeq == Seq(1, 2, 3, 4, 5))
+    // all-tied dimension: every value sits ON every boundary -> all
+    // land in the LOWEST bucket (strict < never fires)
+    val flat = Seq((1L, "2024-01-01", 5.0), (2L, "2024-01-01", 5.0))
+      .toDF("cust", "d", "price").withColumn("d", to_date($"d"))
+    val fg = EventAnalytics.rfmSegments(flat, "cust", "d", "price",
+        to_date(lit("2024-02-10")))
+      .select($"m_score").as[Int].collect().toSet
+    assert(fg == Set(1), s"tied monetary must all score 1: $fg")
+    // scale shape: no window/ntile global sort; bounds broadcast back
+    val plan = EventAnalytics.rfmSegments(orders, "cust", "d", "price",
+      to_date(lit("2024-02-10"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rfm must not use a window rank")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bounds must broadcast:\n$plan")
+  }
+
+  test("nfc-normalized dedup: composed/decomposed, case, and whitespace variants collide") {
+    import graft.functions.UnicodeFunctions.nfcNormalize
+    // NFC output check: decomposed e+U+0301 composes to U+00E9
+    val composed = "café"
+    val decomposed = "café"
+    val n = Seq(Tuple1(decomposed)).toDF("t")
+      .select(nfcNormalize($"t")).as[String].head()
+    assert(n == composed && n.length == 4)
+    // ASCII fast path: identity, nulls preserved
+    val fp = Seq(Tuple1("plain ascii"), Tuple1(null: String)).toDF("t")
+      .select(nfcNormalize($"t")).as[String].collect()
+    assert(fp.toSeq == Seq("plain ascii", null))
+    // all four variants of one logical doc collapse to the lowest id
+    val rows = Seq(
+      (1L, s"the $composed menu"),
+      (2L, s"the $decomposed menu"),
+      (3L, s"THE $composed MENU"),
+      (4L, s"  the   $decomposed  menu "),
+      (5L, "a genuinely different doc")).toDF("doc_id", "text")
+    val kept = Dedup.exactNormalized(rows, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), s"variants must collapse: $kept")
+    // byte-exact dedup misses every pair (the gap this op closes)
+    assert(Dedup.exact(rows, "doc_id", "text").count() == 5L)
+  }
+
   test("compression ratio: repetition compresses, entropy doesn't; matches a reference deflate") {
     val repetitive = "buy cheap pills now " * 200
     val rnd = new scala.util.Random(9)

@@ -299,6 +299,12 @@ class ScaleOpsSpec extends SparkSpec {
           |FROM VALUES ('ushers aaaa') AS v(t)""".stripMargin).head
       assert(mm.getLong(0) == 4L, s"ushers aaaa: he+she+2*aa, got ${mm.getLong(0)}")
       assert(mm.getSeq[Long](1) == Seq(1L, 1L, 2L))
+      // unicode + compression signals from pure SQL (combining acute
+      // via its UTF-8 bytes — Spark's chr() is mod-256 ASCII, not a
+      // codepoint constructor)
+      assert(s2.sql("SELECT nfc_normalize('cafe' || decode(unhex('CC81'), 'UTF-8')) AS n")
+        .head.getString(0) == "café")
+      assert(s2.sql("SELECT deflate_length(repeat('ab', 100), 6) < 20").head.getBoolean(0))
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }

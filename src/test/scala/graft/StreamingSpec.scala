@@ -602,4 +602,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 2, s"expected 2 survivors, got ${out.length}")
     assert(out.distinct.length == 2)
   }
+
+  test("streaming snapshot append: versions per trigger, replay fenced, reads pin versions") {
+    import graft.store.SnapshotLog
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("graft_snapstream").toString
+    val ckpt = Files.createTempDirectory("graft_snapstream_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a"), (2L, "b"))
+    val q1 = Streams.snapshotAppendStream(
+      input.toDF().toDF("doc_id", "text"), tableDir, ckpt)
+    q1.awaitTermination()
+    assert(SnapshotLog.read(spark, tableDir).count() == 2L)
+    val vAfterFirst = SnapshotLog.currentVersion(tableDir).get
+
+    input.addData((3L, "c"))
+    val q2 = Streams.snapshotAppendStream(
+      input.toDF().toDF("doc_id", "text"), tableDir, ckpt)
+    q2.awaitTermination()
+    assert(SnapshotLog.read(spark, tableDir).count() == 3L)
+    // the first trigger's snapshot is still pinnable mid-ingest
+    assert(SnapshotLog.read(spark, tableDir, Some(vAfterFirst)).count() == 2L)
+
+    // replay fence: re-delivering an already-committed batch id is a
+    // no-op (foreachBatch is at-least-once; the log stays exactly-once)
+    val fence = SnapshotLog.maxStreamBatchId(tableDir)
+    val cur = SnapshotLog.currentVersion(tableDir).get
+    val replayed = Seq((9L, "dup")).toDF("doc_id", "text")
+    assert(SnapshotLog.appendIdempotent(replayed, tableDir, fence) == cur)
+    assert(SnapshotLog.read(spark, tableDir).count() == 3L, "replay must not double-append")
+    // a genuinely new batch id commits
+    assert(SnapshotLog.appendIdempotent(replayed, tableDir, fence + 1) == cur + 1)
+    assert(SnapshotLog.read(spark, tableDir).count() == 4L)
+  }
 }
