@@ -1325,6 +1325,17 @@ object OracleSql {
         | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(h.hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
         |FROM tok JOIN h ON tok.doc_id = h.doc_id""".stripMargin,
 
+    // Canary screen: the oracle re-derives the benchmark prefixes AND
+    // the replace-count hits from raw text — fully independent replay.
+    "canary_screen" ->
+      """WITH pats AS (SELECT DISTINCT substring(text, 1, 30) AS p
+        |   FROM documents WHERE doc_id % 10 = 0 AND length(substring(text, 1, 30)) = 30),
+        | c AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        | h AS (SELECT c.doc_id,
+        |    CAST(sum((length(c.text) - length(replace(c.text, pats.p, ''))) // length(pats.p)) AS BIGINT) AS n
+        |   FROM c CROSS JOIN pats GROUP BY c.doc_id)
+        |SELECT doc_id, n AS n_canary_hits, (n > 0) AS leaked FROM h""".stripMargin,
+
     // RFM quintiles: integer dimensions, exact linear-interpolation
     // quantiles (quantile_cont == Spark percentile), strict
     // boundary < value scoring — boundary ties land low on both sides.

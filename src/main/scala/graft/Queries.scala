@@ -1232,6 +1232,25 @@ object Queries {
         Dedup.normalizedKey(col("text")).as("norm_text"))
   }
 
+  /** Canary decontamination screen — the exact-substring complement of
+    * the gram-overlap decontaminate family: the benchmark slice's
+    * 30-char document prefixes become Aho–Corasick canary patterns
+    * (benchmark sets are small — the collect IS the production shape)
+    * and one automaton walk counts leaked occurrences per corpus doc.
+    * Same replace-count semantics as blocklist_phrases, so the oracle
+    * recomputes the whole thing — prefix derivation included — in SQL. */
+  def canaryScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val pats = docs.filter(col("doc_id") % 10 === 0)
+      .select(substring(col("text"), 1, 30).as("p"))
+      .filter(length(col("p")) === 30)
+      .distinct().as[String].collect().sorted.toSeq
+    TextAnalytics.canaryHits(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", pats)
+      .select(col("doc_id"), col("n_canary_hits"), col("leaked"))
+  }
+
   /** Deflate compression-ratio screen (rows-only oracle: deflate
     * output is image-deterministic but not engine-portable — no
     * DuckDB compression primitive to replay it). */
@@ -2139,6 +2158,7 @@ object Queries {
     "compression_ratio" -> compressionRatio _,
     "dedup_unicode" -> dedupUnicode _,
     "rfm_segments" -> rfmSegments _,
+    "canary_screen" -> canaryScreen _,
     "pmi_collocations" -> pmiCollocations _,
     "decontaminate_overlap" -> decontaminateOverlap _,
     "dedup_cross_source" -> dedupCrossSource _,

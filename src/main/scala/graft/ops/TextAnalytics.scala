@@ -1272,6 +1272,21 @@ object TextAnalytics {
       .withColumn("flagged", col("hit_ratio") > lit(maxRatio))
   }
 
+  /** Canary-string contamination screen: count exact occurrences of
+    * benchmark canary strings (document prefixes, answer keys, GUID
+    * canaries) in each corpus doc via one Aho–Corasick walk — O(len)
+    * per row no matter how many canaries the benchmark set yields.
+    * The exact-substring complement of the gram-overlap
+    * decontamination family: grams catch paraphrase-adjacent overlap,
+    * canaries catch verbatim inclusion with certainty. */
+  def canaryHits(df: DataFrame, idCol: String, textCol: String,
+      canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "canaryHits needs at least one canary string")
+    import graft.functions.MultiMatchFunctions.multiMatchTotal
+    df.withColumn("n_canary_hits", multiMatchTotal(col(textCol), canaries))
+      .withColumn("leaked", col("n_canary_hits") > 0)
+  }
+
   /** Corpus-level rollup per blocklist phrase: total occurrences and
     * document frequency. One automaton walk per row emits the
     * per-phrase count vector; posexplode + partial-agg sum compacts to

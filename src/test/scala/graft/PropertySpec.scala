@@ -202,4 +202,56 @@ class PropertySpec extends SparkSpec {
       assert(nd >= 9L, s"$t: deciles collapsed ($nd distinct)") // ~167 values spread all 10
     }
   }
+
+  test("property: snapshot log matches an in-memory model across random op sequences") {
+    import graft.store.SnapshotLog
+    // model: version -> Map(id -> text); every committed version must
+    // read back exactly its model state, at every point in the run
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-snapprop$trial").toString
+      var model = Vector.empty[Map[Long, String]]
+      def df(rows: Map[Long, String]) =
+        rows.toSeq.toDF("id", "text").repartition(1 + rnd.nextInt(3), $"id")
+      val init = (1 to 5 + rnd.nextInt(10))
+        .map(i => i.toLong -> s"t$trial-$i").toMap
+      SnapshotLog.init(df(init), dir)
+      model :+= init
+      var nextId = 1000L
+      for (step <- 1 to 6) {
+        rnd.nextInt(3) match {
+          case 0 => // append fresh ids
+            val batch = (1 to 1 + rnd.nextInt(4))
+              .map { _ => nextId += 1; nextId -> s"a$step-$nextId" }.toMap
+            SnapshotLog.append(df(batch), dir)
+            model :+= (model.last ++ batch)
+          case 1 => // upsert: replace some existing + insert one new
+            val existing = model.last.keys.toSeq.sorted
+              .take(1 + rnd.nextInt(3)).map(k => k -> s"u$step-$k")
+            nextId += 1
+            val batch = (existing :+ (nextId -> s"u$step-$nextId")).toMap
+            SnapshotLog.upsert(spark, df(batch), dir, Seq("id"))
+            model :+= (model.last ++ batch)
+          case 2 => // rollback to a random earlier version
+            val v = rnd.nextInt(model.size)
+            SnapshotLog.rollback(dir, v.toLong)
+            model :+= model(v)
+        }
+      }
+      // every version ever committed reads back as its model state
+      model.indices.foreach { v =>
+        val got = SnapshotLog.read(spark, dir, Some(v.toLong))
+          .as[(Long, String)].collect().toMap
+        assert(got == model(v), s"trial $trial v$v: got ${got.size} rows")
+        assert(SnapshotLog.readSnapshotMeta(dir, v.toLong).rowCount == model(v).size.toLong)
+      }
+      // vacuum to the last 2 versions: they still read correctly
+      SnapshotLog.vacuum(dir, keepVersions = 2)
+      val keptVs = model.indices.takeRight(2)
+      keptVs.foreach { v =>
+        val got = SnapshotLog.read(spark, dir, Some(v.toLong))
+          .as[(Long, String)].collect().toMap
+        assert(got == model(v), s"trial $trial post-vacuum v$v")
+      }
+    }
+  }
 }
