@@ -59,6 +59,19 @@ object Queries {
     s.read.parquet(s"$d/pairs")
   }
 
+  /** Per-JVM materialized positional 5-gram table over `documents`
+    * ((sid, pos, gh) — the span family's shared scan): the
+    * dup-span report and the span removal both consume it, so the
+    * explode+hash pass over the corpus runs once per session, same
+    * contract as [[standardPairs]]. */
+  private def standardPosGrams(s: SparkSession, dir: String): DataFrame = {
+    val d = cachedIndexDir("posgram5", dir) { tmp =>
+      Dedup.positionalWordGramHashes(t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+    }
+    s.read.parquet(s"$d/grams")
+  }
+
   /** Connected components of [[standardPairs]], cached the same way.
     * NOTE: [[standardPairs]] is forced BEFORE entering the cache
     * builder — `computeIfAbsent` must not nest on the same map. */
@@ -718,7 +731,7 @@ object Queries {
     * report, relational form). Oracle recomputes grams + the island
     * merge from raw text in SQL. */
   def dupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)
+    Dedup.duplicatedSpansFromGrams(standardPosGrams(s, dir), n = 5)
       .select(col("sid").as("doc_id"), col("span_start"),
         col("span_end"), col("span_words"))
 
@@ -726,7 +739,8 @@ object Queries {
     * whose keeper (min doc id) is another doc are dropped; one
     * canonical occurrence survives corpus-wide. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)
+    Dedup.removeDuplicatedSpansFromGrams(t(s, dir, "documents"),
+        "doc_id", "text", standardPosGrams(s, dir), n = 5)
       .select(col("sid").as("doc_id"), col("cleaned_text"),
         col("n_kept"), col("n_dropped"))
 
@@ -2035,8 +2049,10 @@ object Queries {
     * 5-grams — the span-level complement of [[decontaminate]]. */
   def decontaminateSpansQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    Dedup.decontaminateSpans(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+    // positional grams are row-local, so the corpus-slice predicate
+    // commutes to a sid filter on the shared cached gram table
+    Dedup.decontaminateSpansFromGrams(
+        standardPosGrams(s, dir).filter(col("sid") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
       .select(col("sid").as("doc_id"), col("span_start"), col("span_end"),
         col("span_words"))

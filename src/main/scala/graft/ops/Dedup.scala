@@ -842,8 +842,15 @@ object Dedup {
     * Shuffle volume is O(total words); the window partitions by doc so
     * its sort is bounded by document length, never corpus size. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5): DataFrame = {
-    val grams = positionalWordGramHashes(df, idCol, textCol, n)
+      n: Int = 5): DataFrame =
+    duplicatedSpansFromGrams(positionalWordGramHashes(df, idCol, textCol, n), n)
+
+  /** [[duplicatedSpans]] over a PRECOMPUTED positional gram frame
+    * ((sid, pos, gh) as produced by [[positionalWordGramHashes]]) —
+    * the span family shares one expensive gram scan when several
+    * passes run over the same corpus (report + removal + audit), so a
+    * pipeline materializes the grams once and feeds each consumer. */
+  def duplicatedSpansFromGrams(grams: DataFrame, n: Int): DataFrame = {
     val dupGrams = grams.select("sid", "gh").distinct()
       .groupBy("gh").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2).select("gh")
@@ -877,12 +884,23 @@ object Dedup {
     * distinct. */
   def decontaminateSpans(corpus: DataFrame, corpusId: String, corpusText: String,
       benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 5, broadcastBytesCap: Long = 128L << 20): DataFrame =
+    decontaminateSpansFromGrams(
+      positionalWordGramHashes(corpus, corpusId, corpusText, n),
+      benchmark, benchId, benchText, n, broadcastBytesCap)
+
+  /** [[decontaminateSpans]] over a precomputed CORPUS positional gram
+    * frame (positional grams are row-local, so a slice predicate on
+    * the corpus commutes to a `sid` filter on a shared gram table —
+    * see [[duplicatedSpansFromGrams]]). */
+  def decontaminateSpansFromGrams(corpusGrams: DataFrame,
+      benchmark: DataFrame, benchId: String, benchText: String,
       n: Int = 5, broadcastBytesCap: Long = 128L << 20): DataFrame = {
     val benchGrams = wordGramHashes(benchmark, benchId, benchText, n)
       .select(col("gh")).distinct()
     val nBench = benchGrams.count()
     val benchSide = if (nBench * 24L < broadcastBytesCap) broadcast(benchGrams) else benchGrams
-    val hitPos = positionalWordGramHashes(corpus, corpusId, corpusText, n)
+    val hitPos = corpusGrams
       .join(benchSide, Seq("gh"), "left_semi")
       .select("sid", "pos").distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sid").orderBy("pos")
@@ -910,8 +928,15 @@ object Dedup {
     * (doc, position), and a per-doc sorted-struct rebuild identical to
     * the one [[graft.search.VectorSearch.ragPrompt]] uses. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5): DataFrame = {
-    val grams = positionalWordGramHashes(df, idCol, textCol, n)
+      n: Int = 5): DataFrame =
+    removeDuplicatedSpansFromGrams(df, idCol, textCol,
+      positionalWordGramHashes(df, idCol, textCol, n), n)
+
+  /** [[removeDuplicatedSpans]] over a precomputed positional gram
+    * frame (must be the grams of exactly `df` — see
+    * [[duplicatedSpansFromGrams]]). */
+  def removeDuplicatedSpansFromGrams(df: DataFrame, idCol: String,
+      textCol: String, grams: DataFrame, n: Int): DataFrame = {
     val keepers = grams.groupBy("gh")
       .agg(min("sid").as("__keeper"), countDistinct("sid").as("__nd"))
       .filter(col("__nd") >= 2)

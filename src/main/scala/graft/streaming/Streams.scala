@@ -249,6 +249,17 @@ object Streams {
     graft.ops.TextAnalytics.qualityFilter(docs, textCol)
       .filter(col("passes_quality"))
 
+  /** Streaming canary screen — stateless twin of the batch
+    * canary_screen: the canary list rides in the Aho–Corasick
+    * expression (one cached automaton per executor, no state store,
+    * no watermark), so incoming docs are screened for verbatim
+    * benchmark leakage at ingest time and dropped before they ever
+    * reach the corpus. */
+  def canaryScreenStream(docs: DataFrame, idCol: String, textCol: String,
+      canaries: Seq[String]): DataFrame =
+    graft.ops.TextAnalytics.canaryHits(docs, idCol, textCol, canaries)
+      .filter(!col("leaked"))
+
   /** Streaming heavy-hitters maintenance — the streaming twin of the
     * heavy_hitters batch op. Each trigger aggregates its micro-batch
     * into ONE bounded Misra-Gries buffer (the identical distributed

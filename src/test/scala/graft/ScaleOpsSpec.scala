@@ -510,6 +510,41 @@ class ScaleOpsSpec extends SparkSpec {
       s"lineStats must be explode + partial aggs only:\n$lsPlan")
   }
 
+  test("round-7 batch-5 plan shapes: AC screens map-only, term stats one exchange, nfc dedup one shuffle") {
+    val docs = (1L to 200L).map(i => (i, s"some words about scan merge $i"))
+      .toDF("doc_id", "text")
+
+    // phrase blocklist + canary screen: row-local walks — ZERO exchanges
+    val bp = graft.ops.TextAnalytics.blocklistPhrases(docs, "doc_id", "text",
+      Seq("scan merge", "absent phrase"))
+    assert(!bp.queryExecution.executedPlan.toString.contains("Exchange"),
+      "blocklistPhrases must be map-only")
+    val ch = graft.ops.TextAnalytics.canaryHits(docs, "doc_id", "text",
+      Seq("some words about scan"))
+    assert(!ch.queryExecution.executedPlan.toString.contains("Exchange"),
+      "canaryHits must be map-only")
+
+    // compression screen: map-only
+    val cs = graft.ops.TextAnalytics.compressionStats(docs, "doc_id", "text")
+    assert(!cs.queryExecution.executedPlan.toString.contains("Exchange"),
+      "compressionStats must be map-only")
+
+    // term stats: ONE hash exchange of P-sized partials + a broadcast
+    // join back to the term names — corpus rows never shuffle
+    val ts = graft.ops.TextAnalytics.blocklistTermStats(docs, "text",
+      Seq("scan", "merge", "words"))
+    val tsPlan = ts.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(tsPlan).size == 1 &&
+      tsPlan.contains("BroadcastHashJoin"),
+      s"termStats must exchange only partials and broadcast names:\n$tsPlan")
+
+    // nfc dedup: same single-shuffle window shape as exact
+    val nd = graft.ops.Dedup.exactNormalized(docs, "doc_id", "text")
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ndPlan).size == 1,
+      s"exactNormalized must shuffle once on the key hash:\n$ndPlan")
+  }
+
   test("ANN recall@10 gate: defaults >= 0.9 on the clustered regime at probe scale") {
     // The promoted-from-probe recall GATE (BASELINE.md "ANN recall@10
     // vs exact"): the default ANN parameters (LSH 8 planes probe<=2,

@@ -603,6 +603,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.distinct.length == 2)
   }
 
+  test("streaming canary screen: leaked docs dropped at ingest, == batch twin, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val canaries = Seq("the secret benchmark question", "canary-guid-123")
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, "clean document text"),
+      (2L, "contains the secret benchmark question verbatim"),
+      (3L, "also clean"),
+      (4L, "tagged canary-guid-123 inside"))
+    val screened = Streams.canaryScreenStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", canaries)
+    val ckpt = Files.createTempDirectory("graft_canary_ckpt").toString
+    val q = screened.writeStream.format("memory").queryName("canary_out")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("canary_out").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L), s"leaked docs must drop: $out")
+    // stateless: no state store operator in the plan
+    assert(!screened.queryExecution.analyzed.toString.contains("stateful"))
+  }
+
   test("streaming snapshot append: versions per trigger, replay fenced, reads pin versions") {
     import graft.store.SnapshotLog
     implicit val sqlCtx = spark.sqlContext
