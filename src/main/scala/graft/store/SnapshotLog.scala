@@ -76,7 +76,7 @@ object SnapshotLog {
       streamBatchId = node.path("stream_batch_id").asLong(-1L))
   }
 
-  private def writeSnapshotMeta(tableDir: String, s: Snapshot): Unit = {
+  private[graft] def writeSnapshotMeta(tableDir: String, s: Snapshot): Unit = {
     Files.createDirectories(versionsDir(tableDir))
     val root = mapper.createObjectNode()
     root.put("version", s.version)
@@ -89,8 +89,21 @@ object SnapshotLog {
     val tmp = versionsDir(tableDir).resolve(s".v${s.version}.json.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
       .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, versionPath(tableDir, s.version),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // commit = hard-link the tmp file to the version name: createLink
+    // is ATOMICALLY create-new (POSIX rename would silently REPLACE a
+    // concurrent writer's commit — the one failure mode a version log
+    // must never have). Loser of a version-number race gets a clean
+    // conflict error; optimistic concurrency under the single-writer
+    // discipline.
+    try {
+      Files.createLink(versionPath(tableDir, s.version), tmp)
+      Files.delete(tmp)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot v${s.version} was committed concurrently at $tableDir", e)
+    }
   }
 
   /** Write `df` as new immutable data files; returns their names.
@@ -149,13 +162,21 @@ object SnapshotLog {
     val cur = currentVersion(tableDir).getOrElse(
       throw new IllegalStateException(s"no snapshot table at $tableDir"))
     val prev = readSnapshotMeta(tableDir, cur)
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
     val keys = updates.select(keyCols.map(col): _*).distinct()
-    // which existing files hold replaced keys? (file-granular prune)
-    val touched = prev.files.filter { f =>
-      val p = dataDir(tableDir).resolve(f).toString
-      !spark.read.parquet(p).join(broadcast(keys), keyCols, "left_semi").isEmpty
-    }
+    // which existing files hold replaced keys? ONE column-pruned scan
+    // of the key columns tagged with input_file_name — never a job per
+    // file (a 10⁴-file table would pay 10⁴ job launches; this pays one
+    // scan whose read schema is just the keys, the parquet-footer-
+    // stats prune slot at 100 TB)
+    val touchedPaths = spark.read.parquet(
+        prev.files.map(f => dataDir(tableDir).resolve(f).toString): _*)
+      .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+      .join(broadcast(keys), keyCols, "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = prev.files.filter(f =>
+      touchedPaths.exists(_.endsWith("/" + f)))
     val survivorsFromTouched =
       if (touched.isEmpty) None
       else Some(spark.read.parquet(

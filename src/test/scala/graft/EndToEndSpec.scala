@@ -331,5 +331,18 @@ class EndToEndSpec extends SparkSpec {
     val after = SnapshotLog.read(spark, dir).select($"doc_id", $"text")
       .as[(Long, String)].collect().toMap
     assert(after.size == 51 && after(7L) == "UPDATED")
+
+    // conflict detection: two writers racing to the same version
+    // number — the loser must get an error, never a silent lost
+    // update (commit is an atomically-create-new hard link, not a
+    // replacing POSIX rename)
+    val winner = SnapshotLog.Snapshot(5L, 4L, "append", SnapshotLog
+      .readSnapshotMeta(dir, 4L).files, 51L)
+    SnapshotLog.writeSnapshotMeta(dir, winner)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.writeSnapshotMeta(dir, winner.copy(op = "racing-append"))
+    }
+    assert(SnapshotLog.readSnapshotMeta(dir, 5L).op == "append",
+      "the winner's commit must survive the race untouched")
   }
 }
