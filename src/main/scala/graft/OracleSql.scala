@@ -1325,6 +1325,41 @@ object OracleSql {
         | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(h.hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
         |FROM tok JOIN h ON tok.doc_id = h.doc_id""".stripMargin,
 
+    // Stupid Backoff: counts from the %10<>3 slice, scores on %10=3;
+    // branch order and the Laplace unigram floor mirror
+    // TextAnalytics.stupidBackoffScore exactly.
+    "lm_stupid_backoff" ->
+      """WITH cw AS (SELECT list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws
+        |   FROM documents WHERE doc_id % 10 <> 3),
+        | uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(ws) AS w FROM cw) GROUP BY w),
+        | tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+        | bi AS (SELECT a, b, count(*) AS c2 FROM (
+        |    SELECT ws[i] AS a, ws[i+1] AS b
+        |    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM cw WHERE len(ws) >= 2))
+        |   GROUP BY a, b),
+        | tric AS (SELECT a, b, c, count(*) AS c3 FROM (
+        |    SELECT ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+        |    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM cw WHERE len(ws) >= 3))
+        |   GROUP BY a, b, c),
+        | sw AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws
+        |   FROM documents WHERE doc_id % 10 = 3),
+        | tri AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+        |   FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM sw WHERE len(ws) >= 3)),
+        | sc AS (SELECT t.doc_id,
+        |    CASE WHEN tric.c3 IS NOT NULL THEN CAST(tric.c3 AS DOUBLE) / CAST(b_ab.c2 AS DOUBLE)
+        |         WHEN b_bc.c2 IS NOT NULL THEN 0.4 * CAST(b_bc.c2 AS DOUBLE) / CAST(u_b.c1 AS DOUBLE)
+        |         ELSE (0.4 * 0.4) * (CAST(coalesce(u_c.c1, 0) AS DOUBLE) + 1.0) / (tot.n + tot.v) END AS s
+        |   FROM tri t
+        |   LEFT JOIN tric ON t.a = tric.a AND t.b = tric.b AND t.c = tric.c
+        |   LEFT JOIN bi b_ab ON t.a = b_ab.a AND t.b = b_ab.b
+        |   LEFT JOIN bi b_bc ON t.b = b_bc.a AND t.c = b_bc.b
+        |   LEFT JOIN uni u_b ON t.b = u_b.w
+        |   LEFT JOIN uni u_c ON t.c = u_c.w
+        |   CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        | round(sum(ln(s)) / count(*), 6) AS mean_sb_logprob
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
     // Canary screen: the oracle re-derives the benchmark prefixes AND
     // the replace-count hits from raw text — fully independent replay.
     "canary_screen" ->

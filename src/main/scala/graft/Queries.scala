@@ -1246,6 +1246,18 @@ object Queries {
         Dedup.normalizedKey(col("text")).as("norm_text"))
   }
 
+  /** Stupid Backoff trigram scoring: the %10==3 slice plays incoming
+    * docs scored against the LM counted from the rest (the
+    * dedup_incremental split) — all three backoff branches live. */
+  def lmStupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalytics.stupidBackoffScore(
+        docs.filter(col("doc_id") % 10 === 3),
+        docs.filter(col("doc_id") % 10 =!= 3),
+        "doc_id", "text", alpha = 0.4)
+      .select(col("doc_id"), col("n_trigrams"), col("mean_sb_logprob"))
+  }
+
   /** Canary decontamination screen — the exact-substring complement of
     * the gram-overlap decontaminate family: the benchmark slice's
     * 30-char document prefixes become Aho–Corasick canary patterns
@@ -2175,6 +2187,7 @@ object Queries {
     "dedup_unicode" -> dedupUnicode _,
     "rfm_segments" -> rfmSegments _,
     "canary_screen" -> canaryScreen _,
+    "lm_stupid_backoff" -> lmStupidBackoff _,
     "pmi_collocations" -> pmiCollocations _,
     "decontaminate_overlap" -> decontaminateOverlap _,
     "dedup_cross_source" -> dedupCrossSource _,

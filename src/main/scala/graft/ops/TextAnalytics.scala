@@ -852,6 +852,87 @@ object TextAnalytics {
         round(col("__lp") / col("n_bigrams").cast("double"), 6).as("mean_bigram_logprob"))
   }
 
+  /** Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4 — the web-scale LM
+    * recipe: raw relative frequencies with a fixed backoff multiplier
+    * α, NO discounting/normalization, because at corpus scale
+    * smoothing's statistical edge vanishes while its global
+    * normalization pass does not). Per doc: mean log score over
+    * trigram positions,
+    *   S(c|a,b) = c₃(abc)/c₂(ab)            if the trigram was seen
+    *            = α·c₂(bc)/c₁(b)            else if the bigram was
+    *            = α²·(c₁(c)+1)/(N+V)        else (Laplace floor so
+    *                                          OOV words stay defined
+    *                                          — our one deviation
+    *                                          from the paper's c/N).
+    *
+    * Counts come from `corpus`, scores go to `score` — the production
+    * shape (score incoming/held-out docs against the corpus LM); a
+    * self-scored corpus never exercises the backoff branches because
+    * every trigram of every doc is in its own count table.
+    *
+    * Scale shape: three partial-aggregating count tables (uni/bi/tri —
+    * vocabulary-sized, Heaps-sublinear in the corpus) joined back onto
+    * the exploded trigram positions on their gram keys; the totals row
+    * broadcasts. No normalization pass touches the corpus — the
+    * entire point of the algorithm. Log-sum rounds 6 dp at the end
+    * (the bigram_lm convention). */
+  def stupidBackoffScore(score: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    def words(df: DataFrame, keep: Seq[Column]) = df.select(keep :+
+      filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit("")).as("__ws"): _*)
+    val cws = words(corpus, Seq.empty)
+    val uni = cws.select(explode(col("__ws")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+    val totals = uni.agg(sum(col("__c1")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val bi = cws.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS a, __ws[i] AS b))"))
+        .as("__p"))
+      .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c2"))
+    val triCounts = cws.filter(size(col("__ws")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ws) - 2), i -> struct(__ws[i-1] AS a, __ws[i] AS b, __ws[i+1] AS c))"))
+        .as("__t"))
+      .select(col("__t.a").as("__a"), col("__t.b").as("__b"), col("__t.c").as("__c"))
+      .groupBy(col("__a"), col("__b"), col("__c")).agg(count(lit(1)).as("__c3"))
+    val tri = words(score, Seq(col(idCol))).filter(size(col("__ws")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ws) - 2), i -> struct(__ws[i-1] AS a, __ws[i] AS b, __ws[i+1] AS c))"))
+        .as("__t"))
+      .select(col(idCol), col("__t.a").as("__a"), col("__t.b").as("__b"),
+        col("__t.c").as("__c"))
+    // a seen trigram implies its context bigram and words were seen
+    // (they are substrings of that very occurrence), so the branch
+    // denominators are never null when their branch fires; the
+    // unigram floor is Laplace-smoothed so OOV words stay defined
+    val scored = tri
+      .join(triCounts, Seq("__a", "__b", "__c"), "left")
+      .join(bi.select(col("__a"), col("__b"), col("__c2").as("__c2ab")),
+        Seq("__a", "__b"), "left")
+      .join(bi.select(col("__a").as("__b"), col("__b").as("__c"),
+        col("__c2").as("__c2bc")), Seq("__b", "__c"), "left")
+      .join(uni.select(col("__w").as("__b"), col("__c1").as("__c1b")),
+        Seq("__b"), "left")
+      .join(uni.select(col("__w").as("__c"), col("__c1").as("__c1c")),
+        Seq("__c"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s",
+        when(col("__c3").isNotNull,
+          col("__c3").cast("double") / col("__c2ab").cast("double"))
+          .when(col("__c2bc").isNotNull,
+            lit(alpha) * col("__c2bc").cast("double") / col("__c1b").cast("double"))
+          .otherwise(lit(alpha * alpha) *
+            (coalesce(col("__c1c"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("__n") + col("__v"))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(log(col("__s"))) / count(lit(1)).cast("double"), 6)
+          .as("mean_sb_logprob"))
+  }
+
   /** Corpus adjacent-character-pair counts within words — the
     * frequency table of BPE training's first merge step (Sennrich et
     * al. 2016: repeatedly merge the most frequent symbol pair; this is

@@ -2255,6 +2255,32 @@ class OpsSpec extends SparkSpec {
     assert(df.agg(sum($"t")).head.getLong(0) == 5L)
   }
 
+  test("stupid backoff: all three branches hand-derived; short docs absent") {
+    // corpus "a b c a b d": uni a2 b2 c1 d1 (N=6, V=4);
+    // bi ab2 bc1 ca1 bd1; tri abc1 bca1 cab1 abd1
+    val corpus = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val scoreDocs = Seq(
+      (1L, "a b c x b d q"), // branches: tri, floor, floor, bi, floor
+      (2L, "a b"))           // < 3 words -> no output row
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.stupidBackoffScore(scoreDocs, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(!got.contains(2L), "short docs have no trigram positions")
+    val (n, mean) = got(1L)
+    assert(n == 5L)
+    val a = 0.4
+    val expected = Seq(
+      1.0 / 2.0,                      // (a,b,c): c3/c2ab
+      a * a * (0.0 + 1) / (6 + 4),    // (b,c,x): x OOV floor
+      a * a * (2.0 + 1) / (6 + 4),    // (c,x,b): floor, c1(b)=2
+      a * 1.0 / 2.0,                  // (x,b,d): bigram bd / c1(b)
+      a * a * (0.0 + 1) / (6 + 4))    // (b,d,q): q OOV floor
+      .map(math.log).sum / 5
+    assert(math.abs(mean - BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"mean $mean != hand-derived $expected")
+  }
+
   test("rfm segmentation: hand-derived quintile scores, boundary ties land low, no global sort") {
     import graft.ops.EventAnalytics
     // 5 customers, engineered so every dimension is distinct:
