@@ -338,6 +338,28 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming mini-batch k-means maintenance (Sculley 2010) — the
+    * clustering member of the streaming summary family: each trigger
+    * assigns its vectors to the persisted centroids (one broadcast-
+    * literal map pass + one partial-agg shuffle, the batch kmeans
+    * iteration plan) and applies the per-center running-mean update
+    * with exact integer micro-unit arithmetic. O(k·dim) state, replay
+    * fenced on the stream batch id. First trigger seeds from its k
+    * lowest-id vectors (the batch seeding rule). */
+  def kmeansMaintainStream(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, statePath: java.nio.file.Path, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.MiniBatchKmeans.processBatch(
+            batch, idCol, vecCol, dim, k, statePath, batchId)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming quantile-summary maintenance — the quantile member of
     * the streaming summary family ([[heavyHittersStream]] counts,
     * [[embeddingMeanStream]] means): each trigger reduces its

@@ -625,6 +625,54 @@ class StreamingSpec extends SparkSpec {
     assert(!screened.queryExecution.analyzed.toString.contains("stateful"))
   }
 
+  test("streaming mini-batch kmeans: hand-derived running means, replay fenced, converges") {
+    import graft.ops.MiniBatchKmeans
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft_mbk").resolve("kmeans.json")
+    val ckpt = Files.createTempDirectory("graft_mbk_ckpt").toString
+    val input = MemoryStream[(Long, Array[Double])]
+    // trigger 1: seeds c0=0.0, c1=10.0 (lowest ids); assignment pairs
+    // (0.0, 0.2) -> c0 and (10.0, 9.8) -> c1; running means 0.1 / 9.9
+    input.addData((1L, Array(0.0)), (2L, Array(10.0)),
+      (3L, Array(0.2)), (4L, Array(9.8)))
+    val q1 = Streams.kmeansMaintainStream(
+      input.toDF().toDF("id", "vec"), "id", "vec", dim = 1, k = 2, state, ckpt)
+    q1.awaitTermination()
+    val s1 = MiniBatchKmeans.read(state).get
+    assert(s1.centroidsMicro == Vector(Vector(100000L), Vector(9900000L)), s"$s1")
+    assert(s1.counts == Vector(2L, 2L))
+
+    // trigger 2: one more point near c0 -> c0 = (0.1*2 + 0.4)/3 = 0.2
+    input.addData((5L, Array(0.4)))
+    val q2 = Streams.kmeansMaintainStream(
+      input.toDF().toDF("id", "vec"), "id", "vec", dim = 1, k = 2, state, ckpt)
+    q2.awaitTermination()
+    val s2 = MiniBatchKmeans.read(state).get
+    assert(s2.centroidsMicro == Vector(Vector(200000L), Vector(9900000L)), s"$s2")
+    assert(s2.counts == Vector(3L, 2L) && s2.lastBatchId == 1L)
+
+    // replay fence: re-processing an already-applied batch id is a no-op
+    MiniBatchKmeans.processBatch(
+      Seq((9L, Array(100.0))).toDF("id", "vec"), "id", "vec", 1, 2, state, 0L)
+    assert(MiniBatchKmeans.read(state).get == s2, "replay must not mutate state")
+
+    // convergence: a stream of two tight blobs ends with centroids at
+    // the blob means regardless of per-trigger slicing
+    val state2 = Files.createTempDirectory("graft_mbk2").resolve("kmeans.json")
+    val blobs = (1L to 200L).map(i =>
+      (i, Array(if (i % 2 == 0) 5.0 + (i % 7) * 0.01 else -5.0 - (i % 5) * 0.01)))
+    // seed batch must contain both blobs' neighborhoods: ids 1,2
+    blobs.grouped(50).zipWithIndex.foreach { case (chunk, bi) =>
+      MiniBatchKmeans.processBatch(chunk.toDF("id", "vec"), "id", "vec", 1, 2,
+        state2, bi.toLong)
+    }
+    val fin = MiniBatchKmeans.read(state2).get
+    val cs = fin.centroids.map(_.head).sorted
+    assert(math.abs(cs(0) - -5.02) < 0.05 && math.abs(cs(1) - 5.03) < 0.05,
+      s"blob centroids off: $cs")
+    assert(fin.counts.sum == 200L)
+  }
+
   test("streaming snapshot append: versions per trigger, replay fenced, reads pin versions") {
     import graft.store.SnapshotLog
     implicit val sqlCtx = spark.sqlContext
