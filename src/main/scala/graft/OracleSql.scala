@@ -1325,6 +1325,19 @@ object OracleSql {
         | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(h.hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
         |FROM tok JOIN h ON tok.doc_id = h.doc_id""".stripMargin,
 
+    // Grouped top-3 per language by token count, heap-agg tie rule
+    // (score desc, id asc) replayed as a window rank.
+    "grouped_topk" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) END AS nt
+        |   FROM documents),
+        | r AS (SELECT lang, doc_id, nt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY nt DESC, doc_id) AS rank
+        |   FROM t)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, nt AS n_tokens
+        |FROM r WHERE rank <= 3""".stripMargin,
+
     // Stupid Backoff: counts from the %10<>3 slice, scores on %10=3;
     // branch order and the Laplace unigram floor mirror
     // TextAnalytics.stupidBackoffScore exactly.

@@ -1246,6 +1246,20 @@ object Queries {
         Dedup.normalizedKey(col("text")).as("norm_text"))
   }
 
+  /** Grouped top-k via the heap aggregate's group-by form: top-3 docs
+    * per language by token count (ties to lower id). The scale shape
+    * for leaderboard queries — map-side k-prune means k·partitions
+    * rows per group cross the exchange, where a row_number window
+    * shuffles and sorts EVERY row of every group. */
+  def groupedTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__sc", TextFunctions.tokenCount(col("text")).cast("double"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKFunctions.topKHits(col("__sc"), col("doc_id"), 3).as("hits"))
+      .select(col("lang"), posexplode(col("hits")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("n_tokens"))
+
   /** Stupid Backoff trigram scoring: the %10==3 slice plays incoming
     * docs scored against the LM counted from the rest (the
     * dedup_incremental split) — all three backoff branches live. */
@@ -2188,6 +2202,7 @@ object Queries {
     "rfm_segments" -> rfmSegments _,
     "canary_screen" -> canaryScreen _,
     "lm_stupid_backoff" -> lmStupidBackoff _,
+    "grouped_topk" -> groupedTopk _,
     "pmi_collocations" -> pmiCollocations _,
     "decontaminate_overlap" -> decontaminateOverlap _,
     "dedup_cross_source" -> dedupCrossSource _,

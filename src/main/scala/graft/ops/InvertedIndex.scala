@@ -4,6 +4,8 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Materialized inverted index for lexical (BM25) retrieval — the text
   * analogue of [[SimilaritySearch.ivfWrite]]/[[SimilaritySearch.ivfTopKStored]].
   * [[TextAnalytics.bm25Search]] scans the whole corpus per query-term
@@ -113,6 +115,77 @@ object InvertedIndex {
     val n2 = oldN + nb
     val sum2 = oldSum + sb
     // the rebuild's exact arithmetic: integer sum cast double / count
+    spark.range(1).select(
+        lit(n2).cast("double").as("n"),
+        (lit(sum2).cast("double") / lit(n2).cast("double")).as("avgdl"),
+        lit(numBuckets).as("num_buckets"),
+        lit(sum2).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Deletion maintenance — [[appendDocs]]' inverse, the right-to-be-
+    * forgotten pass an indexed corpus needs: remove `docs`' postings
+    * and subtract their EXACT length sums from the stats, leaving the
+    * index BIT-IDENTICAL to a rebuild over corpus ∖ docs. The removal
+    * batch carries the documents' TEXT (the pipeline deleting docs has
+    * them — it is dropping them from the corpus table in the same
+    * commit): the text determines the terms, the terms determine the
+    * touched hash buckets, so — exactly like append — only the touched
+    * buckets' partitions rewrite (dynamic partition overwrite) and the
+    * anti-join runs over those buckets' postings only. Ids absent from
+    * the index subtract nothing and drop nothing (idempotent replay).
+    * Work per batch: O(batch postings + touched buckets), independent
+    * of index size. */
+  def removeDocs(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val stats = spark.read.parquet(s"$dir/stats").collect().head
+    val (oldN, numBuckets, oldSum) =
+      (stats.getDouble(0).toLong, stats.getInt(2), stats.getLong(3))
+    val words = split(trim(col(textCol)), "\\s+")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+      words.as("__w")).dropDuplicates("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val victims = base.select(col("doc_id"), explode(col("__w")).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("bucket", pmod(termHash(col("term")), lit(numBuckets)))
+    val touched = victims.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) { base.unpersist(); return }
+    val bucketRows = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(touched: _*))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+        col("bucket").cast("long").as("bucket"))
+    // subtract ONLY docs actually present in the index (replay safety):
+    // presence and the exact (doc, dl) to subtract come from the index
+    // itself, not the caller's claim
+    val present = bucketRows.join(broadcast(base.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"), col("dl")).distinct()
+      .collect()
+    val survivors = bucketRows
+      .join(broadcast(base.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // the write overwrites the read path
+    base.unpersist()
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$dir/postings")
+    // dynamic overwrite only replaces partitions PRESENT in the
+    // written frame — a bucket whose postings were ALL removed writes
+    // zero rows and would keep its stale files; drop those partition
+    // dirs explicitly
+    val survivorBuckets = survivors.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touched.filterNot(survivorBuckets.contains).foreach { b =>
+      val p = java.nio.file.Paths.get(dir, "postings", s"bucket=$b")
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally s.close()
+        java.nio.file.Files.delete(p)
+      }
+    }
+    val n2 = oldN - present.length
+    val sum2 = oldSum - present.map(_.getLong(1)).sum
     spark.range(1).select(
         lit(n2).cast("double").as("n"),
         (lit(sum2).cast("double") / lit(n2).cast("double")).as("avgdl"),

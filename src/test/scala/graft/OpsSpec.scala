@@ -975,6 +975,42 @@ class OpsSpec extends SparkSpec {
       s"expected bucket partition pruning in:\n$plan")
   }
 
+  test("inverted index removeDocs: bit-identical to a rebuild without the docs; idempotent") {
+    val docs = Seq(
+      (1L, "spark join window spark spark"),
+      (2L, "join join join window nothing else here"),
+      (3L, "completely unrelated words about databases"),
+      (4L, "window window spark"),
+      (5L, "spark alone")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_rm").toString
+    graft.ops.InvertedIndex.write(docs, "doc_id", "text", dir, numBuckets = 16)
+    // remove docs 2 and 5 (their text, as the deleting pipeline has it)
+    graft.ops.InvertedIndex.removeDocs(spark, dir,
+      docs.filter($"doc_id".isin(2L, 5L)), "doc_id", "text")
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_invidx_rb").toString
+    graft.ops.InvertedIndex.write(docs.filter(!$"doc_id".isin(2L, 5L)),
+      "doc_id", "text", rebuilt, numBuckets = 16)
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select($"term", $"doc_id", $"dl", $"tf", $"bucket".cast("long"))
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .as[(Double, Double, Int, Long)].head()
+    assert(postings(dir) == postings(rebuilt), "postings must match a rebuild")
+    assert(stats(dir) == stats(rebuilt), "stats row must be bit-identical")
+    val terms = Seq("spark", "join", "window")
+    val a = graft.ops.InvertedIndex.bm25SearchIndexed(spark, dir, terms, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    val b = graft.ops.InvertedIndex.bm25SearchIndexed(spark, rebuilt, terms, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b, "scores must match the rebuild")
+    // replayed removal (ids no longer present) is a no-op
+    graft.ops.InvertedIndex.removeDocs(spark, dir,
+      docs.filter($"doc_id".isin(2L, 5L)), "doc_id", "text")
+    assert(postings(dir) == postings(rebuilt) && stats(dir) == stats(rebuilt),
+      "replay must change nothing")
+  }
+
   test("decontamination: flags docs sharing word n-grams with the benchmark") {
     import spark.implicits._
     val corpus = Seq(
