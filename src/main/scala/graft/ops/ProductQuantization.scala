@@ -335,6 +335,45 @@ object ProductQuantization {
     }
   }
 
+  /** Deletion maintenance for the stored layout — [[ivfPqUpsert]]'s
+    * inverse and the vector twin of
+    * [[InvertedIndex.removeDocs]] (right-to-be-forgotten for an
+    * embedding index). Victims' cells are found with ONE column-pruned
+    * scan of (id, bucket) — no per-file jobs, no caller-supplied
+    * vectors needed — then only those cells rewrite (dynamic partition
+    * overwrite) and cells emptied of all codes have their partition
+    * dirs dropped. PQ codes are row-independent, so the result equals
+    * a re-encode of corpus ∖ victims under the same model by
+    * construction; ids absent from the index are no-ops (idempotent
+    * replay). */
+  def ivfPqRemove(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val codesPath = s"$dir/codes"
+    val victims = ids.select(col(idCol)).distinct()
+    val touched = spark.read.parquet(codesPath)
+      .select(col(idCol), col("bucket").cast("int").as("bucket"))
+      .join(broadcast(victims), Seq(idCol))
+      .select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    val survivors = spark.read.parquet(codesPath)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .withColumn("bucket", col("bucket").cast("int"))
+      .join(broadcast(victims), Seq(idCol), "left_anti")
+      .select(col(idCol), col("pq_code"), col("bucket"))
+      .localCheckpoint(true) // the write overwrites the read path
+    val kept = survivors.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(codesPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(codesPath), spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(kept).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/bucket=$b"), true)
+    }
+  }
+
   /** Compact an [[ivfPqWrite]] layout after repeated upserts (each
     * upsert appends ≥1 file per touched cell; footers-per-query is
     * what a partitioned store dies of). */

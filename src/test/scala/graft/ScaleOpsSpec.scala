@@ -134,6 +134,27 @@ class ScaleOpsSpec extends SparkSpec {
       assert(n == 1, s"${c.getPath.getName} has $n files after compaction")
     }
     assert(dump(dir) == dump(rebuildDir)) // compaction changes nothing
+
+    // deletion maintenance: remove two ids (one the earlier insert) —
+    // codes must equal the corpus-minus-victims re-encode; a cell
+    // emptied of all codes loses its partition dir; replay is a no-op
+    val victims = Seq(7L, 500L).toDF("vec_id")
+    ops.ProductQuantization.ivfPqRemove(spark, dir, victims, "vec_id")
+    val prunedDir = java.nio.file.Files.createTempDirectory("ivfpq_pruned").toString
+    ops.ProductQuantization.ivfPqWrite(
+      updatedCorpus.join(victims, Seq("vec_id"), "left_anti"),
+      prunedDir, "vec_id", "embedding", model)
+    assert(dump(dir) == dump(prunedDir), "removal must equal the pruned re-encode")
+    ops.ProductQuantization.ivfPqRemove(spark, dir, victims, "vec_id")
+    assert(dump(dir) == dump(prunedDir), "replayed removal must change nothing")
+    // emptied-cell partition-dir drop: delete EVERY remaining id and
+    // check the cell dirs are gone
+    ops.ProductQuantization.ivfPqRemove(spark, dir,
+      updatedCorpus.select($"vec_id"), "vec_id")
+    val remainingCells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    assert(remainingCells.isEmpty,
+      s"cells must vanish with their last code: ${remainingCells.map(_.getPath.getName).toSeq}")
   }
 
   test("quantized sidecar stage 1 scans only (id, qvec) — column-pruned") {
