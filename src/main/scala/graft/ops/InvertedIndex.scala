@@ -194,6 +194,26 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** CDC maintenance: apply one change batch to the stored index.
+    * `changes` columns: `op` ("insert" | "update" | "delete"),
+    * `<idCol>`, `text_before` (the INDEXED text — required for
+    * update/delete; this is the CDC before-image a log like Debezium
+    * carries, and it is what locates the old postings' buckets without
+    * scanning the index), `text_after` (required for insert/update).
+    * Applies as remove(before-images) then append(after-images), so
+    * the index stays BIT-IDENTICAL to a rebuild over the corpus with
+    * the batch applied. In-batch discipline: at most one change per
+    * id (collapse upstream — CDC logs are per-key ordered). */
+  def applyCdc(spark: SparkSession, dir: String, changes: DataFrame,
+      idCol: String): Unit = {
+    val removals = changes.filter(col("op").isin("update", "delete"))
+      .select(col(idCol), col("text_before").as("__t"))
+    if (!removals.isEmpty) removeDocs(spark, dir, removals, idCol, "__t")
+    val additions = changes.filter(col("op").isin("insert", "update"))
+      .select(col(idCol), col("text_after").as("__t"))
+    if (!additions.isEmpty) appendDocs(spark, dir, additions, idCol, "__t")
+  }
+
   /** BM25 top-k from the stored index; identical results to
     * [[TextAnalytics.bm25Search]] over the indexed corpus (asserted in
     * OpsSpec; the driver oracle replays the same SQL for both). */

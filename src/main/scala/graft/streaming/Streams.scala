@@ -338,6 +338,25 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** CDC-driven BM25 index maintenance — the change-log consumer over
+    * [[graft.ops.InvertedIndex.applyCdc]]: each trigger's batch of
+    * (op, id, text_before, text_after) rows applies as
+    * remove-then-append, keeping the stored index bit-identical to a
+    * rebuild over the evolving corpus. Before-images locate old
+    * postings' buckets, so work per trigger stays O(batch + touched
+    * buckets) regardless of index size. */
+  def bm25CdcStream(changes: DataFrame, indexDir: String, idCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.InvertedIndex.applyCdc(batch.sparkSession, indexDir,
+          batch, idCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming mini-batch k-means maintenance (Sculley 2010) — the
     * clustering member of the streaming summary family: each trigger
     * assigns its vectors to the persisted centroids (one broadcast-

@@ -625,6 +625,51 @@ class StreamingSpec extends SparkSpec {
     assert(!screened.queryExecution.analyzed.toString.contains("stateful"))
   }
 
+  test("cdc bm25 maintenance: insert/update/delete triggers == rebuild of the evolved corpus") {
+    import graft.ops.InvertedIndex
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark join window"),
+      (2L, "join join nothing else"),
+      (3L, "window words here")).toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("bm25_cdc_idx").toString
+    InvertedIndex.write(docs, "doc_id", "text", idxDir, numBuckets = 16)
+    val ckpt = Files.createTempDirectory("bm25_cdc_ckpt").toString
+    val input = MemoryStream[(String, Long, String, String)]
+    // trigger 1: update doc 2 (before-image!), delete doc 3, insert doc 4
+    input.addData(
+      ("update", 2L, "join join nothing else", "join rewritten body"),
+      ("delete", 3L, "window words here", null),
+      ("insert", 4L, null, "fresh spark doc"))
+    val q1 = Streams.bm25CdcStream(
+      input.toDF().toDF("op", "doc_id", "text_before", "text_after"),
+      idxDir, "doc_id", ckpt)
+    q1.awaitTermination()
+    // trigger 2: delete the doc inserted in trigger 1
+    input.addData(("delete", 4L, "fresh spark doc", null))
+    val q2 = Streams.bm25CdcStream(
+      input.toDF().toDF("op", "doc_id", "text_before", "text_after"),
+      idxDir, "doc_id", ckpt)
+    q2.awaitTermination()
+    val finalCorpus = Seq(
+      (1L, "spark join window"),
+      (2L, "join rewritten body")).toDF("doc_id", "text")
+    val rebuilt = Files.createTempDirectory("bm25_cdc_rb").toString
+    InvertedIndex.write(finalCorpus, "doc_id", "text", rebuilt, numBuckets = 16)
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select($"term", $"doc_id", $"dl", $"tf", $"bucket".cast("long"))
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .as[(Double, Double, Int, Long)].head()
+    assert(postings(idxDir) == postings(rebuilt))
+    assert(stats(idxDir) == stats(rebuilt))
+    val a = InvertedIndex.bm25SearchIndexed(spark, idxDir, Seq("join", "spark"), topK = 5)
+      .as[(Long, Double)].collect().toSeq
+    val b = InvertedIndex.bm25SearchIndexed(spark, rebuilt, Seq("join", "spark"), topK = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b, s"scores: $a vs $b")
+  }
+
   test("streaming mini-batch kmeans: hand-derived running means, replay fenced, converges") {
     import graft.ops.MiniBatchKmeans
     implicit val sqlCtx = spark.sqlContext
