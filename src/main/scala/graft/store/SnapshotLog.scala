@@ -229,6 +229,51 @@ object SnapshotLog {
     }
   }
 
+  /** CDC apply — one change batch, ONE version commit. `changes`
+    * carries an `op` column ("insert" | "update" | "delete") plus the
+    * table schema; inserts/updates upsert their payload rows, deletes
+    * drop their keys. Only files CONTAINING an affected key rewrite
+    * (the [[upsert]] single-scan prune); everything lands in a single
+    * new version, fenced on `batchId` like [[appendIdempotent]] so a
+    * redelivered trigger is a no-op. Returns the committed (or
+    * current, when fenced) version. */
+  def applyCdc(spark: SparkSession, changes: DataFrame, tableDir: String,
+      keyCols: Seq[String], batchId: Long): Long = {
+    require(keyCols.nonEmpty, "applyCdc needs key columns")
+    val fence = maxStreamBatchId(tableDir)
+    val cur = currentVersion(tableDir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    if (batchId <= fence) return cur
+    val prev = readSnapshotMeta(tableDir, cur)
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    val affectedKeys = changes.select(keyCols.map(col): _*).distinct()
+    val upserts = changes.filter(col("op").isin("insert", "update")).drop("op")
+    val touchedPaths = spark.read.parquet(
+        prev.files.map(f => dataDir(tableDir).resolve(f).toString): _*)
+      .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+      .join(broadcast(affectedKeys), keyCols, "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = prev.files.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(
+          touched.map(f => dataDir(tableDir).resolve(f).toString): _*)
+        .join(broadcast(affectedKeys), keyCols, "left_anti"))
+    val rewrite = survivors.map(_.unionByName(upserts)).getOrElse(upserts)
+    val (files, n) = writeDataFiles(rewrite, tableDir)
+    val kept = prev.files.filterNot(touched.contains)
+    val keptCount =
+      if (touched.isEmpty) prev.rowCount
+      else if (kept.isEmpty) 0L
+      else spark.read.parquet(
+        kept.map(f => dataDir(tableDir).resolve(f).toString): _*).count()
+    val next = cur + 1
+    writeSnapshotMeta(tableDir,
+      Snapshot(next, cur, "cdc", kept ++ files, keptCount + n, batchId))
+    next
+  }
+
   /** Roll the table back BY REFERENCE: a new version whose file list
     * is version `v`'s. History stays intact (audit); vacuum governs
     * actual file deletion. */

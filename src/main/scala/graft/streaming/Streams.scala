@@ -379,6 +379,26 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** CDC-driven snapshot-table maintenance: each trigger's change
+    * batch (op, key, payload) applies as ONE
+    * [[graft.store.SnapshotLog.applyCdc]] version commit — upserts and
+    * deletes together, file-pruned, batch-id fenced. The corpus-table
+    * counterpart of [[bm25CdcStream]]: together they keep table and
+    * index in lockstep from the same change log. */
+  def snapshotCdcStream(changes: DataFrame, tableDir: String,
+      keyCols: Seq[String], checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.store.SnapshotLog.applyCdc(
+            batch.sparkSession, batch, tableDir, keyCols, batchId): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming quantile-summary maintenance — the quantile member of
     * the streaming summary family ([[heavyHittersStream]] counts,
     * [[embeddingMeanStream]] means): each trigger reduces its

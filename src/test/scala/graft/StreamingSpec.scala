@@ -625,6 +625,36 @@ class StreamingSpec extends SparkSpec {
     assert(!screened.queryExecution.analyzed.toString.contains("stateful"))
   }
 
+  test("cdc snapshot maintenance: one version per trigger, upsert+delete combined, fenced") {
+    import graft.store.SnapshotLog
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("snap_cdc").toString
+    val ckpt = Files.createTempDirectory("snap_cdc_ckpt").toString
+    SnapshotLog.init((1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .repartition(3, $"doc_id"), dir)
+    val input = MemoryStream[(String, Long, String)]
+    input.addData(
+      ("update", 3L, "UPDATED 3"),
+      ("delete", 7L, null),
+      ("insert", 11L, "text 11"))
+    val q1 = Streams.snapshotCdcStream(
+      input.toDF().toDF("op", "doc_id", "text"), dir, Seq("doc_id"), ckpt)
+    q1.awaitTermination()
+    val afterV = SnapshotLog.currentVersion(dir).get
+    val got = SnapshotLog.read(spark, dir).as[(Long, String)].collect().toMap
+    val want = ((1L to 10L).filterNot(_ == 7L).map(i => i -> s"text $i").toMap
+      + (3L -> "UPDATED 3") + (11L -> "text 11"))
+    assert(got == want, s"got ${got.size} rows")
+    assert(SnapshotLog.readSnapshotMeta(dir, afterV).rowCount == 10L)
+    // pre-CDC snapshot still pinnable
+    assert(SnapshotLog.read(spark, dir, Some(0L)).count() == 10L)
+    // fence: replaying the same batch id is a no-op
+    val v = SnapshotLog.applyCdc(spark,
+      Seq(("delete", 1L, null: String)).toDF("op", "doc_id", "text"),
+      dir, Seq("doc_id"), batchId = 0L)
+    assert(v == afterV && SnapshotLog.read(spark, dir).count() == 10L)
+  }
+
   test("cdc bm25 maintenance: insert/update/delete triggers == rebuild of the evolved corpus") {
     import graft.ops.InvertedIndex
     implicit val sqlCtx = spark.sqlContext
