@@ -1214,6 +1214,17 @@ object OracleSql {
       """SELECT lang, count(DISTINCT text) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY lang""".stripMargin,
 
+    // HLL inclusion-exclusion overlap: exact side recomputed, gate
+    // pinned TRUE (the estimate lives Spark-side; drift flips the
+    // boolean and breaks the hash).
+    "corpus_overlap_approx" ->
+      """WITH t AS (SELECT DISTINCT doc_id % 2 AS side, tok
+        |   FROM (SELECT doc_id, unnest(list_filter(
+        |     string_split_regex(trim(text), '\s+'), w -> w <> '')) AS tok
+        |    FROM documents))
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact_overlap, TRUE AS approx_ok
+        |FROM (SELECT tok FROM t GROUP BY tok HAVING count(DISTINCT side) = 2)""".stripMargin,
+
     "mm_media_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_size,
         | sha256(text) AS content_sha256 FROM documents""".stripMargin,

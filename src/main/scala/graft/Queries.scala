@@ -1150,6 +1150,32 @@ object Queries {
         (abs(col("__approx") - col("n_exact")) <=
           greatest(lit(1.0), col("n_exact") * lit(0.05))).as("approx_ok"))
 
+  /** Cross-corpus vocabulary overlap via HLL inclusion-exclusion —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), the sketch identity that
+    * estimates corpus overlap WITHOUT shuffling either token set (the
+    * exact join is the verification here, but at 100 TB only the three
+    * fixed-size sketches would run). Gate-is-oracle like
+    * [[corpusDistinctApprox]]: Spark computes exact AND estimate; the
+    * oracle replays the exact side and pins `approx_ok` TRUE. */
+  def corpusOverlapApprox(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(2)).as("side"),
+        explode(filter(split(trim(col("text")), "\\s+"), w => w =!= lit(""))).as("tok"))
+      .distinct()
+    val exact = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("side")).as("__ns"))
+      .filter(col("__ns") === 2)
+      .agg(count(lit(1)).as("n_exact_overlap"))
+    val est = toks.agg(
+      approx_count_distinct(when(col("side") === 0, col("tok")), rsd = 0.02).as("__ea"),
+      approx_count_distinct(when(col("side") === 1, col("tok")), rsd = 0.02).as("__eb"),
+      approx_count_distinct(col("tok"), rsd = 0.02).as("__eu"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_exact_overlap"),
+        (abs(col("__ea") + col("__eb") - col("__eu") - col("n_exact_overlap")) <=
+          greatest(lit(2.0), col("n_exact_overlap") * lit(0.1))).as("approx_ok"))
+  }
+
   // ---------------------------------------------------------------------
   // Multimodal plumbing (binary columns; image decode/resize are real
   // javax.imageio paths; video frame-sampling is a slicing stand-in)
@@ -2185,6 +2211,7 @@ object Queries {
     "token_budget_sample" -> tokenBudgetSample _,
     "corpus_stats" -> corpusStats _,
     "corpus_distinct_approx" -> corpusDistinctApprox _,
+    "corpus_overlap_approx" -> corpusOverlapApprox _,
     "quality_classifier" -> qualityClassifier _,
     "mm_media_meta" -> mmMediaMeta _,
     "mm_frames" -> mmFrames _,
