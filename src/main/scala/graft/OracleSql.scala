@@ -1336,6 +1336,57 @@ object OracleSql {
         | (round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(h.hits AS DOUBLE) / nt END, 6) > 0.05) AS flagged
         |FROM tok JOIN h ON tok.doc_id = h.doc_id""".stripMargin,
 
+    // C4 line filter: replay the planting and the keep rule (terminal
+    // punct + >= 3 words) with list ops; [.!?"]$ is RE2-safe.
+    "c4_line_filter" ->
+      """WITH m AS (SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      substring(text, 1, 40),
+        |      substring(text, 1, 40) || '!',
+        |      substring(text, 41, 40) || '.',
+        |      substring(text, 81, 40)) AS ml
+        |   FROM documents),
+        | l AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(ml, chr(10)), x -> trim(x)),
+        |      x -> x <> ''
+        |        AND len(string_split_regex(x, '\s+')) >= 3
+        |        AND regexp_matches(x, '[.!?"]$')) AS keep,
+        |    list_filter(list_transform(string_split(ml, chr(10)), x -> trim(x)),
+        |      x -> x <> '') AS nonempty
+        |   FROM m)
+        |SELECT doc_id,
+        | array_to_string(keep, chr(10)) AS cleaned_text,
+        | CAST(len(keep) AS BIGINT) AS n_lines_kept,
+        | CAST(len(nonempty) - len(keep) AS BIGINT) AS n_lines_dropped,
+        | (len(keep) >= 2) AS kept
+        |FROM l""".stripMargin,
+
+    // Paragraph dedup: winner per paragraph hash = min (doc, pos),
+    // rebuild in position order, every doc row returns.
+    "dedup_paragraphs" ->
+      """WITH m AS (SELECT doc_id,
+        |    concat_ws(chr(10) || chr(10),
+        |      substring(text, 1, 60),
+        |      'subscribe to our newsletter for updates',
+        |      substring(text, 61, 60)) AS ml
+        |   FROM documents),
+        | p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |   FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i
+        |         FROM (SELECT doc_id, string_split(ml, chr(10) || chr(10)) AS ps FROM m))
+        |   WHERE trim(ps[i]) <> ''),
+        | w AS (SELECT para, doc_id, pos,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |   FROM p),
+        | k AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned
+        |   FROM w WHERE rn = 1 GROUP BY doc_id),
+        | t AS (SELECT doc_id, count(*) AS total FROM p GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | coalesce(k.cleaned, '') AS cleaned_text,
+        | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_paras_kept,
+        | CAST(t.total - coalesce(k.n_kept, 0) AS BIGINT) AS n_paras_dropped
+        |FROM t LEFT JOIN k ON t.doc_id = k.doc_id""".stripMargin,
+
     // Grouped top-3 per language by token count, heap-agg tie rule
     // (score desc, id asc) replayed as a window rank.
     "grouped_topk" ->

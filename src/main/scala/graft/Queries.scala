@@ -1286,6 +1286,36 @@ object Queries {
       .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("doc_id"), col("col.score").cast("long").as("n_tokens"))
 
+  /** C4 line filter over planted multi-line docs (the corpus is
+    * single-line): line A lacks terminal punctuation (dropped), B ends
+    * "!", C ends "." (kept when long enough — short docs exercise the
+    * minWords drop), D lacks punctuation (dropped). */
+  def c4LineFilterQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        substring(col("text"), 1, 40),
+        concat(substring(col("text"), 1, 40), lit("!")),
+        concat(substring(col("text"), 41, 40), lit(".")),
+        substring(col("text"), 81, 40)).as("ml"))
+    TextAnalytics.c4LineFilter(e, "doc_id", "ml", minWords = 3, minLines = 2)
+      .select(col("doc_id"), col("cleaned_text"), col("n_lines_kept"),
+        col("n_lines_dropped"), col("kept"))
+  }
+
+  /** Corpus-wide paragraph dedup: every doc carries the same planted
+    * boilerplate middle paragraph — only doc 0 (the global min) keeps
+    * it; real paragraphs survive everywhere. */
+  def dedupParagraphsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n\n",
+        substring(col("text"), 1, 60),
+        lit("subscribe to our newsletter for updates"),
+        substring(col("text"), 61, 60)).as("ml"))
+    TextAnalytics.dedupParagraphs(e, "doc_id", "ml")
+      .select(col("sid").as("doc_id"), col("cleaned_text"),
+        col("n_paras_kept"), col("n_paras_dropped"))
+  }
+
   /** Stupid Backoff trigram scoring: the %10==3 slice plays incoming
     * docs scored against the LM counted from the rest (the
     * dedup_incremental split) — all three backoff branches live. */
@@ -2230,6 +2260,8 @@ object Queries {
     "canary_screen" -> canaryScreen _,
     "lm_stupid_backoff" -> lmStupidBackoff _,
     "grouped_topk" -> groupedTopk _,
+    "c4_line_filter" -> c4LineFilterQ _,
+    "dedup_paragraphs" -> dedupParagraphsQ _,
     "pmi_collocations" -> pmiCollocations _,
     "decontaminate_overlap" -> decontaminateOverlap _,
     "dedup_cross_source" -> dedupCrossSource _,

@@ -852,6 +852,60 @@ object TextAnalytics {
         round(col("__lp") / col("n_bigrams").cast("double"), 6).as("mean_bigram_logprob"))
   }
 
+  /** C4 line filter (Raffel et al. 2020 §2.2, the "clean" rules'
+    * line-level subset): keep only lines that end in terminal
+    * punctuation AND carry ≥ `minWords` words; a doc survives iff ≥
+    * `minLines` lines remain. This is the TRANSFORM companion of the
+    * [[lineStats]] signals — C4 rewrites docs line-by-line rather than
+    * dropping them whole. Pure array expressions per row (split /
+    * filter / array_join — no explode, no shuffle): a 100 TB pass is
+    * one map stage. Regex `[.!?"]$` is RE2-safe for the oracle. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, minLines: Int = 2): DataFrame = {
+    val trimmed = transform(split(col(textCol), "\n"), l => trim(l))
+    val keptLines = filter(trimmed, l =>
+      l =!= "" && size(split(l, "\\s+")) >= minWords && l.rlike("[.!?\"]$"))
+    df.select(col(idCol),
+        array_join(keptLines, "\n").as("cleaned_text"),
+        size(keptLines).cast("long").as("n_lines_kept"),
+        (size(filter(trimmed, l => l =!= "")) - size(keptLines)).cast("long")
+          .as("n_lines_dropped"))
+      .withColumn("kept", col("n_lines_kept") >= minLines)
+  }
+
+  /** Corpus-wide paragraph dedup (the CCNet/RefinedWeb pass: boilerplate
+    * paragraphs — nav text, legal footers — repeat across millions of
+    * pages; the FIRST occurrence corpus-wide survives, every later
+    * copy is excised while its document survives). Winner per
+    * paragraph hash = min (doc, pos) — deterministic. Scale shape: one
+    * paragraph explode, one per-hash min-struct partial agg (counts
+    * and mins, never lists), a semi-join back, and the per-doc
+    * sorted-struct rebuild of [[graft.ops.Dedup.removeDuplicatedSpans]].
+    * Every doc row returns; a fully-boilerplate non-winner comes back
+    * empty. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol).as("sid"),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("ph", sha2(col("para"), 256))
+    val winners = paras.groupBy(col("ph"))
+      .agg(min(struct(col("sid"), col("pos"))).as("__w"))
+      .select(col("ph"), col("__w.sid").as("sid"), col("__w.pos").as("pos"))
+    val kept = paras.join(winners, Seq("ph", "sid", "pos"), "left_semi")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), "\n\n").as("cleaned_text"))
+    val totals = df.select(col(idCol).as("sid"),
+      size(filter(transform(split(col(textCol), "\n\n"), p => trim(p)),
+        p => p =!= "")).cast("long").as("__total"))
+    totals.join(kept, Seq("sid"), "left")
+      .select(col("sid"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+        (col("__total") - coalesce(col("n_paras_kept"), lit(0L))).as("n_paras_dropped"))
+  }
+
   /** Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" §4 — the web-scale LM
     * recipe: raw relative frequencies with a fixed backoff multiplier

@@ -2291,6 +2291,33 @@ class OpsSpec extends SparkSpec {
     assert(df.agg(sum($"t")).head.getLong(0) == 5L)
   }
 
+  test("c4 line filter: terminal-punct + min-words rules, doc gate; paragraph dedup keeps first occurrence") {
+    val rows = Seq(
+      (1L, "Good line with punctuation.\nno terminal punct here\nshort.\nAnother keeper line!"),
+      (2L, "only one keeper sentence.\njunk"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalytics.c4LineFilter(rows, "doc_id", "text",
+        minWords = 3, minLines = 2)
+      .select($"doc_id", $"cleaned_text", $"n_lines_kept", $"n_lines_dropped", $"kept")
+      .as[(Long, String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // doc 1: keeps lines 1 and 4 ("short." fails minWords; line 2 no punct)
+    assert(got(1L) == ((1L, "Good line with punctuation.\nAnother keeper line!", 2L, 2L, true)))
+    assert(got(2L) == ((2L, "only one keeper sentence.", 1L, 1L, false)))
+    assert(got(3L) == ((3L, "", 0L, 0L, false)))
+
+    val paras = Seq(
+      (1L, "unique alpha\n\nshared boilerplate\n\nunique beta"),
+      (2L, "shared boilerplate\n\nunique gamma"),
+      (3L, "shared boilerplate")).toDF("doc_id", "text")
+    val pd = TextAnalytics.dedupParagraphs(paras, "doc_id", "text")
+      .select($"sid", $"cleaned_text", $"n_paras_kept", $"n_paras_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 owns the first occurrence (pos 1); docs 2 and 3 lose it
+    assert(pd(1L) == ((1L, "unique alpha\n\nshared boilerplate\n\nunique beta", 3L, 0L)))
+    assert(pd(2L) == ((2L, "unique gamma", 1L, 1L)))
+    assert(pd(3L) == ((3L, "", 0L, 1L)), "fully-boilerplate doc returns empty, not missing")
+  }
+
   test("stupid backoff: all three branches hand-derived; short docs absent") {
     // corpus "a b c a b d": uni a2 b2 c1 d1 (N=6, V=4);
     // bi ab2 bc1 ca1 bd1; tri abc1 bca1 cab1 abd1
