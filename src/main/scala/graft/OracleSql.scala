@@ -28,6 +28,48 @@ object OracleSql {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH l AS (SELECT * FROM lineitem
+        |   WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |     AND l_shipdate < TIMESTAMP '1996-04-01'),
+        | a AS (SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS promo_cents,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |   FROM l JOIN part ON l_partkey = p_partkey)
+        |SELECT promo_cents, total_cents,
+        | round(100.0 * CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) AS promo_share_pct
+        |FROM a""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH th AS (SELECT l_partkey,
+        |    round(0.2 * CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS th
+        |   FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   WHERE p_brand = 'Brand#13' GROUP BY l_partkey),
+        | s AS (SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS small_qty_cents,
+        |    count(*) AS n_lines
+        |   FROM lineitem JOIN th ON lineitem.l_partkey = th.l_partkey
+        |   WHERE l_quantity < th)
+        |SELECT small_qty_cents, n_lines,
+        | round(CAST(small_qty_cents AS DOUBLE) / 700.0, 6) AS avg_yearly
+        |FROM s""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |   FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150)
+        |SELECT c_name, c_custkey, o_orderkey, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     "q4_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,

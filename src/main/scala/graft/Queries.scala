@@ -834,6 +834,78 @@ object Queries {
         expr("p_ts div 1000").as("p_ts_us"), expr("v_ts div 1000").as("v_ts_us"))
   }
 
+  /** TPC-H Q13 shape — outer-join count distribution: orders per
+    * customer INCLUDING zero-order customers (the left join +
+    * count(non-null) idiom), then the histogram over those counts.
+    * Two partial-agg shuffles; the priority filter rides in the join
+    * condition, not a WHERE (which would turn the outer join inner). */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q14 shape — conditional-aggregate share: promo revenue
+    * fraction for one ship month. Exact integer cents both sides of
+    * the ratio; the part table broadcasts. */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = broadcast(t(s, dir, "part"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .agg(
+        centsSum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          .as("promo_cents"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        r6(lit(100.0) * col("promo_cents").cast("double") /
+          col("total_cents").cast("double")).as("promo_share_pct"))
+  }
+
+  /** TPC-H Q17 shape — per-group scalar subquery: revenue impact of
+    * small-quantity orders for one brand, threshold = 0.2 × the
+    * part's average quantity. The per-part threshold table is
+    * parts-sized → broadcast back (never a correlated per-row
+    * subquery); threshold rounds 6 dp BEFORE the compare so boundary
+    * rows land identically in both engines. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val brandParts = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val th = l.join(broadcast(brandParts), l("l_partkey") === brandParts("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(r6(lit(0.2) * sum(col("l_quantity").cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("__th"))
+    l.join(broadcast(th), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("__th"))
+      .agg(centsSum(col("l_extendedprice")).as("small_qty_cents"),
+        count(lit(1)).as("n_lines"))
+      .select(col("small_qty_cents"), col("n_lines"),
+        r6(col("small_qty_cents").cast("double") / lit(700.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 shape — HAVING filter joined back to dimensions: orders
+    * whose total quantity exceeds 150, with their customer. The
+    * having-side aggregate is integer-exact; the survivors are
+    * order-of-magnitude fewer than lineitem, so the joins back are on
+    * the reduced set. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 150L)
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("total_qty"))
+  }
+
   /** Deterministic per-language rate sampling (hash-bucket membership,
     * map-only — the language-rebalancing step of a data mix). Emitted
     * as per-stratum survivor counts. */
@@ -2216,6 +2288,10 @@ object Queries {
     "doc_centroids" -> docCentroids _,
     "q11_asof_join" -> q11AsofJoin _,
     "q12_interval_join" -> q12IntervalJoin _,
+    "q13_custdist" -> q13CustDist _,
+    "q14_promo_share" -> q14PromoShare _,
+    "q17_small_qty" -> q17SmallQty _,
+    "q18_large_orders" -> q18LargeOrders _,
     "stratified_sample" -> stratifiedSample _,
     "stratified_quota" -> stratifiedQuota _,
     "quality_filter" -> qualityFilterQ _,
