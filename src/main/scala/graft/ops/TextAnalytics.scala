@@ -906,6 +906,85 @@ object TextAnalytics {
         (col("__total") - coalesce(col("n_paras_kept"), lit(0L))).as("n_paras_dropped"))
   }
 
+  /** Incremental paragraph dedup against a PERSISTED hash index — the
+    * cross-batch form of [[dedupParagraphs]] for incremental ingest:
+    * a paragraph seen in ANY earlier batch is excised (first writer
+    * wins, the streaming-ingest analogue of the batch op's min-(doc,
+    * pos) winner); within the batch the batch rule applies. The index
+    * is an add-only set of paragraph hashes partitioned by a 64-way
+    * hash bucket, so each batch reads ONLY its touched buckets
+    * (partition-pruned anti-join) and appends only new hashes — work
+    * per batch is O(batch + touched buckets), independent of corpus
+    * history. A `state.json` batch-id fence keeps the INDEX
+    * exactly-once under redelivery (hashes never double-commit); a
+    * replayed trigger's recomputed OUTPUT sees the already-updated
+    * index, so pair the stream with an idempotent downstream sink
+    * (e.g. [[graft.store.SnapshotLog.appendIdempotent]], which drops
+    * the replayed batch whole). Returns the batch's cleaned docs
+    * (every doc row returns; fully-boilerplate docs come back
+    * empty). */
+  def dedupParagraphsIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long = -1L): DataFrame = {
+    val statePath = java.nio.file.Paths.get(indexDir, "state.json")
+    val hashesPath = s"$indexDir/hashes"
+    val fence =
+      if (!java.nio.file.Files.exists(statePath)) -1L
+      else new String(java.nio.file.Files.readAllBytes(statePath)).trim.toLong
+    val paras = batch.select(col(idCol).as("sid"),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("ph", sha2(col("para"), 256))
+      .withColumn("bucket", pmod(conv(substring(col("ph"), 1, 15), 16, 10)
+        .cast("long"), lit(64)))
+    // in-batch winners (the batch op's min-(doc, pos) rule)
+    val winners = paras.groupBy(col("ph"))
+      .agg(min(struct(col("sid"), col("pos"))).as("__w"))
+      .select(col("ph"), col("__w.sid").as("sid"), col("__w.pos").as("pos"))
+    val inBatchKept = paras.join(winners, Seq("ph", "sid", "pos"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = inBatchKept.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val hasIndex = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(hashesPath))
+    val kept =
+      if (!hasIndex || touched.isEmpty) inBatchKept
+      else inBatchKept.join(
+        spark.read.parquet(hashesPath)
+          .filter(col("bucket").isin(touched: _*)).select(col("ph")),
+        Seq("ph"), "left_anti")
+    val keptRows = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rebuilt = {
+      val agg = keptRows.groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_paras_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")), "\n\n").as("cleaned_text"))
+      val totals = batch.select(col(idCol).as("sid"),
+        size(filter(transform(split(col(textCol), "\n\n"), p => trim(p)),
+          p => p =!= "")).cast("long").as("__total"))
+      totals.join(agg, Seq("sid"), "left")
+        .select(col("sid"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+          coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+          (col("__total") - coalesce(col("n_paras_kept"), lit(0L))).as("n_paras_dropped"))
+        .localCheckpoint(true) // decouple from the caches released below
+    }
+    // commit the new hashes AFTER computing the result, fenced
+    if (batchId > fence) {
+      val newHashes = keptRows.select(col("ph"), col("bucket")).distinct()
+      if (!newHashes.isEmpty) {
+        newHashes.write.mode("append").partitionBy("bucket").parquet(hashesPath)
+      }
+      val tmp = statePath.resolveSibling("state.json.tmp")
+      java.nio.file.Files.write(tmp, batchId.toString.getBytes)
+      java.nio.file.Files.move(tmp, statePath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    inBatchKept.unpersist(); keptRows.unpersist()
+    rebuilt
+  }
+
   /** Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" §4 — the web-scale LM
     * recipe: raw relative frequencies with a fixed backoff multiplier

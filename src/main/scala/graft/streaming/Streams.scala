@@ -357,6 +357,28 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming paragraph dedup — boilerplate excision AT INGEST: each
+    * trigger's docs are cleaned against the persisted paragraph-hash
+    * index ([[graft.ops.TextAnalytics.dedupParagraphsIncremental]],
+    * partition-pruned anti-join + add-only hash append, batch-id
+    * fenced) and the cleaned docs land in a snapshot table via the
+    * exactly-once append — the full first-writer-wins pipeline a
+    * re-crawl feeds. */
+  def paragraphDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, tableDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cleaned = graft.ops.TextAnalytics.dedupParagraphsIncremental(
+            batch.sparkSession, indexDir, batch, idCol, textCol, batchId)
+          graft.store.SnapshotLog.appendIdempotent(cleaned, tableDir, batchId): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming mini-batch k-means maintenance (Sculley 2010) — the
     * clustering member of the streaming summary family: each trigger
     * assigns its vectors to the persisted centroids (one broadcast-

@@ -625,6 +625,48 @@ class StreamingSpec extends SparkSpec {
     assert(!screened.queryExecution.analyzed.toString.contains("stateful"))
   }
 
+  test("streaming paragraph dedup: first trigger wins across triggers, == batch op, index fenced") {
+    import graft.ops.TextAnalytics
+    import graft.store.SnapshotLog
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = Files.createTempDirectory("para_idx").toString
+    val tableDir = Files.createTempDirectory("para_table").toString
+    val ckpt = Files.createTempDirectory("para_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, "unique alpha\n\nshared boilerplate"),
+      (2L, "shared boilerplate\n\nunique beta"))
+    val q1 = Streams.paragraphDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idxDir, tableDir, ckpt)
+    q1.awaitTermination()
+    input.addData((3L, "shared boilerplate\n\nunique gamma"))
+    val q2 = Streams.paragraphDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idxDir, tableDir, ckpt)
+    q2.awaitTermination()
+    val got = SnapshotLog.read(spark, tableDir)
+      .select($"sid", $"cleaned_text").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unique alpha\n\nshared boilerplate",
+      2L -> "unique beta",
+      3L -> "unique gamma"), s"$got")
+    // trigger order matched id order, so the streamed result equals
+    // the batch op over the full corpus
+    val batchTwin = TextAnalytics.dedupParagraphs(
+      Seq((1L, "unique alpha\n\nshared boilerplate"),
+        (2L, "shared boilerplate\n\nunique beta"),
+        (3L, "shared boilerplate\n\nunique gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select($"sid", $"cleaned_text").as[(Long, String)].collect().toMap
+    assert(got == batchTwin)
+    // fence: replaying an old batch id must not add this new paragraph
+    val before = spark.read.parquet(s"$idxDir/hashes").count()
+    TextAnalytics.dedupParagraphsIncremental(spark, idxDir,
+      Seq((9L, "brand new paragraph")).toDF("doc_id", "text"),
+      "doc_id", "text", batchId = 0L)
+    assert(spark.read.parquet(s"$idxDir/hashes").count() == before,
+      "fenced replay must not grow the index")
+  }
+
   test("cdc snapshot maintenance: one version per trigger, upsert+delete combined, fenced") {
     import graft.store.SnapshotLog
     implicit val sqlCtx = spark.sqlContext
