@@ -70,6 +70,55 @@ object OracleSql {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // Deequ-style profile: one row per column, micro-exact means.
+    "schema_profile" ->
+      """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        | CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        | CAST(max(o_custkey) AS VARCHAR) AS max_value,
+        | round(CAST(sum(CAST(round(o_custkey * 1000000) AS BIGINT)) AS DOUBLE) / 1e6
+        |   / (count(*) - sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)), 6) AS mean
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        | CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        | CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+        | round(CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE) / 1e6
+        |   / (count(*) - sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)), 6)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        | CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        | CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR),
+        | NULL
+        |FROM orders""".stripMargin,
+
+    "table_checks" ->
+      """SELECT 'not_null(o_orderkey)' AS "check",
+        | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        | (sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0) AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_range(o_totalprice,0.0,700000.0)',
+        | CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0
+        |   AND o_totalprice <= 700000 THEN 0 ELSE 1 END) AS BIGINT),
+        | (sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0
+        |   AND o_totalprice <= 700000 THEN 0 ELSE 1 END) = 0)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'one_of(o_orderstatus)',
+        | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT),
+        | (sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) = 0)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique(o_orderkey)',
+        | CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+        | (coalesce(sum(n - 1), 0) = 0)
+        |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)""".stripMargin,
+
     "q4_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,

@@ -834,6 +834,24 @@ object Queries {
         expr("p_ts div 1000").as("p_ts_us"), expr("v_ts div 1000").as("v_ts_us"))
   }
 
+  /** Single-pass dataset profile (the Deequ/TFDV pattern) over three
+    * orders columns — nulls, exact distincts, min/max, micro-exact
+    * means. ONE scan however many columns ride along. */
+  def schemaProfile(s: SparkSession, dir: String): DataFrame =
+    ops.DataProfile.profile(t(s, dir, "orders"),
+      Seq("o_custkey", "o_totalprice", "o_orderpriority"))
+
+  /** Declarative constraint gate in one scan (+ one keyed agg for the
+    * uniqueness rule): violation counts, never row dumps. */
+  def tableChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    ops.DataProfile.validate(o, Seq(
+        ops.DataProfile.notNull("o_orderkey"),
+        ops.DataProfile.inRange("o_totalprice", 0.0, 700000.0),
+        ops.DataProfile.oneOf("o_orderstatus", Seq("O", "F", "P"))))
+      .unionByName(ops.DataProfile.checkUnique(o, Seq("o_orderkey")))
+  }
+
   /** TPC-H Q13 shape — outer-join count distribution: orders per
     * customer INCLUDING zero-order customers (the left join +
     * count(non-null) idiom), then the histogram over those counts.
@@ -2292,6 +2310,8 @@ object Queries {
     "q14_promo_share" -> q14PromoShare _,
     "q17_small_qty" -> q17SmallQty _,
     "q18_large_orders" -> q18LargeOrders _,
+    "schema_profile" -> schemaProfile _,
+    "table_checks" -> tableChecks _,
     "stratified_sample" -> stratifiedSample _,
     "stratified_quota" -> stratifiedQuota _,
     "quality_filter" -> qualityFilterQ _,

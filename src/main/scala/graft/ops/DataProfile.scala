@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Dataset profiling and constraint validation — the data-quality gate
+  * a pipeline runs before committing a table to a training run (the
+  * published Deequ/TFDV pattern: profile once, assert declaratively).
+  *
+  * Scale shape: ONE pass — every per-column statistic is a
+  * partial-aggregating expression in a single `agg`, so profiling a
+  * 100 TB table costs one scan regardless of how many columns/checks
+  * ride along; `approx_count_distinct` keeps distinct estimation
+  * sketch-sized. Constraint checks reuse the same single-scan
+  * aggregate form (a violation COUNT per rule, never a row dump — the
+  * violating-row sample is a separate bounded query when needed). */
+object DataProfile {
+
+  /** One profile row per requested column: nulls, distincts (exact ≤
+    * HLL estimate per `exactDistinct`), min/max (numeric and string
+    * both — rendered as strings for a uniform schema), and for
+    * numerics the mean in exact integer micro-units (order-independent
+    * across partitionings, the repo convention). */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val isNum = schema(c).dataType.isInstanceOf[NumericType]
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c), rsd = 0.02)).as(s"__nd_$c"),
+        min(col(c)).cast(StringType).as(s"__min_$c"),
+        max(col(c)).cast(StringType).as(s"__max_$c"),
+        (if (isNum) sum(round(col(c).cast("double") * 1000000).cast("long"))
+         else lit(null).cast("long")).as(s"__micro_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"),
+        when(col(s"__micro_$c").isNotNull && col(s"__n_$c") > col(s"__nulls_$c"),
+          round(col(s"__micro_$c").cast("double") / 1e6 /
+            (col(s"__n_$c") - col(s"__nulls_$c")).cast("double"), 6))
+          .as("mean"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Declarative row-level constraint. `predicate` must be TRUE for a
+    * conforming row; violations are counted, never collected. */
+  final case class Check(name: String, predicate: Column)
+
+  def notNull(c: String): Check = Check(s"not_null($c)", col(c).isNotNull)
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"in_range($c,$lo,$hi)",
+      col(c).isNotNull && col(c) >= lo && col(c) <= hi)
+  def matches(c: String, regex: String): Check =
+    Check(s"matches($c)", col(c).isNotNull && col(c).rlike(regex))
+  def oneOf(c: String, values: Seq[String]): Check =
+    Check(s"one_of($c)", col(c).isin(values: _*))
+
+  /** Run all checks in ONE scan: a row per check with its violation
+    * count and pass flag. Uniqueness checks need a keyed aggregate,
+    * not a row predicate — [[checkUnique]] below. */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "validate needs at least one check")
+    val aggs = checks.zipWithIndex.map { case (ck, i) =>
+      sum(when(ck.predicate, 0L).otherwise(1L)).as(s"__v_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCheck = checks.zipWithIndex.map { case (ck, i) =>
+      struct(lit(ck.name).as("check"),
+        col(s"__v_$i").as("n_violations"),
+        (col(s"__v_$i") === 0L).as("passed"))
+    }
+    row.select(explode(array(perCheck: _*)).as("c")).select(col("c.*"))
+  }
+
+  /** Key-uniqueness check: one keyed partial-agg count, violations =
+    * rows beyond the first per duplicate key (so 0 ⇔ unique). */
+  def checkUnique(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "checkUnique needs key columns")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+      .select(lit(s"unique(${keyCols.mkString(",")})").as("check"),
+        col("n_violations"), (col("n_violations") === 0L).as("passed"))
+  }
+}

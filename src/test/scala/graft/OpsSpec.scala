@@ -2291,6 +2291,45 @@ class OpsSpec extends SparkSpec {
     assert(df.agg(sum($"t")).head.getLong(0) == 5L)
   }
 
+  test("data profile: hand-derived stats and constraint gate; one scan each") {
+    import graft.ops.DataProfile
+    val rows = Seq(
+      (1L, Some(10.5), Some("a")), (2L, None, Some("b")),
+      (2L, Some(20.0), None), (4L, Some(-3.25), Some("zz")))
+      .toDF("k", "v", "s")
+    val prof = DataProfile.profile(rows, Seq("k", "v", "s"))
+      .as[(String, Long, Long, Long, String, String, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(prof("k") == (("k", 4L, 0L, 3L, "1", "4", Some(2.25))))
+    assert(prof("v") == (("v", 4L, 1L, 3L, "-3.25", "20.0", Some(9.083333))))
+    // string column: no mean, lexicographic min/max
+    assert(prof("s") == (("s", 4L, 1L, 3L, "a", "zz", None)))
+
+    val checks = DataProfile.validate(rows, Seq(
+        DataProfile.notNull("v"),
+        DataProfile.inRange("v", 0.0, 15.0),
+        DataProfile.oneOf("s", Seq("a", "b"))))
+      .unionByName(DataProfile.checkUnique(rows, Seq("k")))
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(checks("not_null(v)") == ((1L, false)))
+    // in_range: null v (1) + 20.0 (1) + -3.25 (1) = 3 violations
+    assert(checks("in_range(v,0.0,15.0)") == ((3L, false)))
+    // one_of: null s and "zz" violate
+    assert(checks("one_of(s)") == ((2L, false)))
+    // k=2 appears twice -> 1 violation
+    assert(checks("unique(k)") == ((1L, false)))
+    // all-conforming frame passes everything
+    val clean = Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("k", "v", "s")
+    assert(DataProfile.validate(clean, Seq(DataProfile.notNull("v")))
+      .unionByName(DataProfile.checkUnique(clean, Seq("k")))
+      .select($"passed").as[Boolean].collect().forall(identity))
+    // scale shape: the profile is ONE scan — a single hash-agg
+    // exchange, no joins
+    val plan = DataProfile.profile(rows, Seq("k", "v", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+  }
+
   test("c4 line filter: terminal-punct + min-words rules, doc gate; paragraph dedup keeps first occurrence") {
     val rows = Seq(
       (1L, "Good line with punctuation.\nno terminal punct here\nshort.\nAnother keeper line!"),
