@@ -84,6 +84,44 @@ object DataProfile {
     row.select(explode(array(perCheck: _*)).as("c")).select(col("c.*"))
   }
 
+  /** Persisted validation report for continuous monitoring: per-check
+    * cumulative violation and row counts, merged trigger by trigger
+    * (exact long sums — mergeable by construction), batch-id fenced
+    * like every maintained summary in the engine. */
+  def mergeReport(path: java.nio.file.Path, batch: DataFrame,
+      checks: Seq[Check], batchId: Long): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (prevCounts, prevRows, fence) =
+      if (!java.nio.file.Files.exists(path)) (Map.empty[String, Long], 0L, -1L)
+      else {
+        val node = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+        val cs = node.get("checks")
+        val m = checks.map(_.name).flatMap { n =>
+          Option(cs.get(n)).map(n -> _.asLong())
+        }.toMap
+        (m, node.get("n_rows").asLong(), node.get("last_batch_id").asLong())
+      }
+    if (batchId <= fence) return
+    val aggs = count(lit(1)).as("__n") +:
+      checks.zipWithIndex.map { case (ck, i) =>
+        sum(when(ck.predicate, 0L).otherwise(1L)).as(s"__v_$i")
+      }
+    val row = batch.agg(aggs.head, aggs.tail: _*).head()
+    val root = mapper.createObjectNode()
+    root.put("n_rows", prevRows + row.getLong(0))
+    root.put("last_batch_id", batchId)
+    val cs = root.putObject("checks")
+    checks.zipWithIndex.foreach { case (ck, i) =>
+      cs.put(ck.name, prevCounts.getOrElse(ck.name, 0L) + row.getLong(1 + i))
+    }
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Key-uniqueness check: one keyed partial-agg count, violations =
     * rows beyond the first per duplicate key (so 0 ⇔ unique). */
   def checkUnique(df: DataFrame, keyCols: Seq[String]): DataFrame = {

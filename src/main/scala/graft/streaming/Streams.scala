@@ -401,6 +401,25 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Continuous data-quality monitoring — the streaming member of the
+    * [[graft.ops.DataProfile]] family: each trigger validates its
+    * micro-batch in ONE scan (violation counts, never rows) and merges
+    * the exact long counts into the persisted report, batch-id fenced.
+    * The report after any trigger sequence equals one batch validate
+    * over the whole history. */
+  def validateStream(rows: DataFrame, checks: Seq[graft.ops.DataProfile.Check],
+      reportPath: java.nio.file.Path, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.DataProfile.mergeReport(reportPath, batch, checks, batchId)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** CDC-driven snapshot-table maintenance: each trigger's change
     * batch (op, key, payload) applies as ONE
     * [[graft.store.SnapshotLog.applyCdc]] version commit — upserts and

@@ -625,6 +625,40 @@ class StreamingSpec extends SparkSpec {
     assert(!screened.queryExecution.analyzed.toString.contains("stateful"))
   }
 
+  test("streaming validation report: counts merge across triggers == batch validate, fenced") {
+    import graft.ops.DataProfile
+    implicit val sqlCtx = spark.sqlContext
+    val report = Files.createTempDirectory("dq_report").resolve("report.json")
+    val ckpt = Files.createTempDirectory("dq_ckpt").toString
+    val checks = Seq(DataProfile.notNull("v"), DataProfile.inRange("v", 0.0, 10.0))
+    val input = MemoryStream[(Long, Option[Double])]
+    input.addData((1L, Some(5.0)), (2L, None), (3L, Some(99.0)))
+    val q1 = Streams.validateStream(
+      input.toDF().toDF("k", "v"), checks, report, ckpt)
+    q1.awaitTermination()
+    input.addData((4L, Some(2.0)), (5L, None))
+    val q2 = Streams.validateStream(
+      input.toDF().toDF("k", "v"), checks, report, ckpt)
+    q2.awaitTermination()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(report))
+    assert(node.get("n_rows").asLong() == 5L)
+    // not_null: rows 2 and 5; in_range: 2, 3 (99.0), 5
+    assert(node.get("checks").get("not_null(v)").asLong() == 2L)
+    assert(node.get("checks").get("in_range(v,0.0,10.0)").asLong() == 3L)
+    // == one batch validate over the full history
+    val batchAll = DataProfile.validate(
+      Seq((1L, Some(5.0)), (2L, None), (3L, Some(99.0)),
+        (4L, Some(2.0)), (5L, None)).toDF("k", "v"), checks)
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(batchAll("not_null(v)") == 2L && batchAll("in_range(v,0.0,10.0)") == 3L)
+    // fence: replaying an old batch id leaves the report untouched
+    DataProfile.mergeReport(report,
+      Seq((9L, Option.empty[Double])).toDF("k", "v"), checks, batchId = 0L)
+    val after = mapper.readTree(java.nio.file.Files.readAllBytes(report))
+    assert(after.get("n_rows").asLong() == 5L, "fenced replay must not merge")
+  }
+
   test("streaming paragraph dedup: first trigger wins across triggers, == batch op, index fenced") {
     import graft.ops.TextAnalytics
     import graft.store.SnapshotLog
