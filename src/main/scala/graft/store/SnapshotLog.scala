@@ -229,6 +229,26 @@ object SnapshotLog {
     }
   }
 
+  /** Quality-gated append: run the declarative
+    * [[graft.ops.DataProfile.Check]]s over the batch FIRST (one scan,
+    * violation counts) and commit only if every check passes —
+    * otherwise throw with the per-check counts and write nothing (the
+    * version log stays untouched, so a bad crawl batch cannot poison
+    * a pinned training view). Returns the committed version. */
+  def appendValidated(df: DataFrame, tableDir: String,
+      checks: Seq[graft.ops.DataProfile.Check]): Long = {
+    require(checks.nonEmpty, "appendValidated needs at least one check")
+    val failures = graft.ops.DataProfile.validate(df, checks)
+      .filter(org.apache.spark.sql.functions.col("passed") === false)
+      .collect()
+    if (failures.nonEmpty) {
+      throw new IllegalArgumentException(
+        "appendValidated rejected the batch: " + failures.map(r =>
+          s"${r.getString(0)}=${r.getLong(1)} violations").mkString(", "))
+    }
+    append(df, tableDir)
+  }
+
   /** CDC apply — one change batch, ONE version commit. `changes`
     * carries an `op` column ("insert" | "update" | "delete") plus the
     * table schema; inserts/updates upsert their payload rows, deletes

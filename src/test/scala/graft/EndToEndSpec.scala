@@ -336,13 +336,28 @@ class EndToEndSpec extends SparkSpec {
     // number — the loser must get an error, never a silent lost
     // update (commit is an atomically-create-new hard link, not a
     // replacing POSIX rename)
-    val winner = SnapshotLog.Snapshot(5L, 4L, "append", SnapshotLog
-      .readSnapshotMeta(dir, 4L).files, 51L)
+    // quality-gated append: a violating batch is rejected WHOLE and
+    // commits nothing; a clean batch commits normally
+    val checks = Seq(graft.ops.DataProfile.notNull("text"),
+      graft.ops.DataProfile.inRange("batch", 0.0, 100.0))
+    val vBefore = SnapshotLog.currentVersion(dir).get
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendValidated(
+        Seq((300L, null: String, 5)).toDF("doc_id", "text", "batch"), dir, checks)
+    }
+    assert(SnapshotLog.currentVersion(dir).get == vBefore,
+      "rejected batch must not commit a version")
+    assert(SnapshotLog.appendValidated(
+      Seq((301L, "ok", 5)).toDF("doc_id", "text", "batch"), dir, checks) == vBefore + 1)
+    assert(SnapshotLog.read(spark, dir).count() == 52L)
+
+    val winner = SnapshotLog.Snapshot(6L, 5L, "append", SnapshotLog
+      .readSnapshotMeta(dir, 5L).files, 52L)
     SnapshotLog.writeSnapshotMeta(dir, winner)
     intercept[java.util.ConcurrentModificationException] {
       SnapshotLog.writeSnapshotMeta(dir, winner.copy(op = "racing-append"))
     }
-    assert(SnapshotLog.readSnapshotMeta(dir, 5L).op == "append",
+    assert(SnapshotLog.readSnapshotMeta(dir, 6L).op == "append",
       "the winner's commit must survive the race untouched")
   }
 }
