@@ -254,4 +254,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: snapshot CDC apply matches the model across random change batches") {
+    import graft.store.SnapshotLog
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-cdcprop$trial").toString
+      val init = (1 to 8 + rnd.nextInt(8)).map(i => i.toLong -> s"t$trial-$i").toMap
+      SnapshotLog.init(init.toSeq.toDF("id", "text")
+        .repartition(1 + rnd.nextInt(3), $"id"), dir)
+      var state = init
+      var nextId = 500L
+      for (step <- 1 to 5) {
+        // random change batch: deletes of existing keys, updates of
+        // existing keys, inserts of fresh keys — at most one op per key
+        val existing = state.keys.toSeq.sorted
+        val dels = existing.take(rnd.nextInt(1 + existing.size / 4))
+        val upds = existing.drop(dels.size).take(rnd.nextInt(3))
+        val ins = (1 to rnd.nextInt(3)).map { _ => nextId += 1; nextId }
+        val changes =
+          dels.map(k => ("delete", k, null: String)) ++
+          upds.map(k => ("update", k, s"u$step-$k")) ++
+          ins.map(k => ("insert", k, s"i$step-$k"))
+        if (changes.nonEmpty) {
+          SnapshotLog.applyCdc(spark,
+            changes.toDF("op", "id", "text").repartition(1 + rnd.nextInt(2)),
+            dir, Seq("id"), batchId = step.toLong)
+          state = state -- dels ++
+            upds.map(k => k -> s"u$step-$k") ++ ins.map(k => k -> s"i$step-$k")
+        }
+        val got = SnapshotLog.read(spark, dir).as[(Long, String)].collect().toMap
+        assert(got == state, s"trial $trial step $step: ${got.size} vs ${state.size}")
+        assert(SnapshotLog.readSnapshotMeta(dir,
+          SnapshotLog.currentVersion(dir).get).rowCount == state.size.toLong)
+      }
+    }
+  }
+
+  test("property: aho-corasick matches naive counts on unicode-mixed random corpora") {
+    import graft.functions.MultiMatchFunctions._
+    def naive(text: String, pat: String): Long = {
+      var i = 0; var c = 0L
+      var j = text.indexOf(pat, i)
+      while (j >= 0) { c += 1; i = j + pat.length; j = text.indexOf(pat, i) }
+      c
+    }
+    // alphabet mixes 1-byte, 2-byte, and 3-byte UTF-8 chars so byte-
+    // level matching is exercised across encodings and alignments
+    val alpha = "abé日 "
+    def randText(n: Int) = (1 to n).map(_ => alpha.charAt(rnd.nextInt(alpha.length))).mkString
+    for (trial <- 1 to 4) {
+      val pats = (1 to 30).map(_ => randText(1 + rnd.nextInt(4)))
+        .distinct.filter(_.nonEmpty)
+      val texts = (1L to 40L).map(i => (i, randText(rnd.nextInt(60))))
+      val got = texts.toDF("id", "text")
+        .select($"id", multiMatchCounts($"text", pats).as("c"))
+        .as[(Long, Seq[Long])].collect().toMap
+      texts.foreach { case (id, tx) =>
+        val want = pats.map(naive(tx, _))
+        assert(got(id) == want, s"trial $trial id=$id text='$tx'")
+      }
+    }
+  }
 }
