@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "graph"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "profile" | "graph"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -669,6 +669,26 @@ object ScaleProbe {
         }
       }
       docs2.unpersist()
+    }
+    if (on("profile")) {
+      // Deequ-style profile: exact multi-distinct pays Spark's expand
+      // (one duplicated pass per distinct column); the HLL switch is
+      // the 100 TB path. Measured on the sf0.1 orders table.
+      val o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] profile orders rows=${o.count()}")
+      val cols = Seq("o_custkey", "o_totalprice", "o_orderpriority")
+      def time5(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time5("profile exactDistinct=true (expand plan)") {
+        graft.ops.DataProfile.profile(o, cols, exactDistinct = true).collect()
+      }
+      time5("profile exactDistinct=false (HLL, single agg)") {
+        graft.ops.DataProfile.profile(o, cols, exactDistinct = false).collect()
+      }
+      o.unpersist()
     }
     spark.stop()
   }
