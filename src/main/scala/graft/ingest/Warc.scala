@@ -36,23 +36,43 @@ object Warc {
       contentLength: Long,
       payload: Array[Byte])
 
+  /** Hard cap on decompressed archive size: a JVM byte[] tops out at
+    * ~Int.MaxValue, so one task can never hold more than ~2 GiB of
+    * inflated WARC anyway — inflation stops at the cap and the parse
+    * keeps the records recovered so far (same truncation-safe contract
+    * as a cut-off tail). Common Crawl segments inflate to ~4–5 GB, so
+    * archives SHOULD be split below ~500 MB compressed per file; the
+    * file-per-task scan makes smaller-file layouts strictly better for
+    * parallelism too. */
+  val MaxInflatedBytes: Int = Int.MaxValue - 8
+
   /** Decompress a (possibly multi-member) gzip stream. Common Crawl
     * writes one member PER RECORD, concatenated; `GZIPInputStream`
     * chains members natively, so whole-file decompression recovers the
     * full record sequence. Non-gzip input is returned as-is; a corrupt
-    * stream yields the bytes inflated before the fault (truncation-safe
-    * contract). */
+    * stream yields the bytes inflated before the fault, and output is
+    * clamped to [[MaxInflatedBytes]] (truncation-safe contract — the
+    * sizing hint is computed in Long arithmetic so a multi-hundred-MB
+    * archive cannot overflow it to a negative allocation). */
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b)
       return bytes
-    val out = new ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    val sizeHint = math.min(math.max(64L, bytes.length.toLong * 4L),
+      MaxInflatedBytes.toLong).toInt
+    var out: ByteArrayOutputStream = null
     try {
+      out = new ByteArrayOutputStream(sizeHint)
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n > 0) {
+        val room = MaxInflatedBytes - out.size()
+        val take = math.min(n, room)
+        if (take > 0) out.write(buf, 0, take)
+        n = if (take < n) -1 else in.read(buf) // cap reached — stop inflating
+      }
     } catch { case _: java.io.IOException => () }
-    out.toByteArray
+    if (out == null) bytes else out.toByteArray
   }
 
   /** Next line as (text-without-EOL, position-after-EOL); accepts CRLF

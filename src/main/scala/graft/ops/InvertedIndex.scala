@@ -37,6 +37,34 @@ object InvertedIndex {
   private def termHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Index stats row, positionally stable for [[bm25SearchIndexed]]:
+    * (n double, avgdl double, num_buckets int, sum_dl long,
+    * last_batch_id long). `lastBatch` is the streaming replay fence —
+    * −1 when the index has never been maintained from a stream (and
+    * when reading a pre-fence 4-column stats row). */
+  private case class Stats(n: Long, avgdl: Double, numBuckets: Int,
+      sumDl: Long, lastBatch: Long)
+
+  private def readStats(spark: SparkSession, dir: String): Stats = {
+    val row = spark.read.parquet(s"$dir/stats").collect().head
+    val lb = if (row.schema.size >= 5) row.getLong(4) else -1L
+    Stats(row.getDouble(0).toLong, row.getDouble(1), row.getInt(2),
+      row.getLong(3), lb)
+  }
+
+  /** Write the stats row with the rebuild's exact arithmetic (integer
+    * sum cast double / count) so maintained avgdl is bit-identical to
+    * a rebuild's. */
+  private def writeStats(spark: SparkSession, dir: String, n: Long,
+      sumDl: Long, numBuckets: Int, lastBatch: Long): Unit =
+    spark.range(1).select(
+        lit(n).cast("double").as("n"),
+        (lit(sumDl).cast("double") / lit(n).cast("double")).as("avgdl"),
+        lit(numBuckets).as("num_buckets"),
+        lit(sumDl).as("sum_dl"),
+        lit(lastBatch).as("last_batch_id"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+
   def write(df: DataFrame, idCol: String, textCol: String, dir: String,
       numBuckets: Int = 256): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
@@ -49,12 +77,14 @@ object InvertedIndex {
     // `sum_dl` (exact integer) rides along so incremental appendDocs
     // can recompute avgdl EXACTLY as a rebuild would (n·avgdl would
     // reintroduce float error); bm25SearchIndexed reads positionally
-    // and ignores it.
+    // and ignores it, as it does `last_batch_id` (the replay fence,
+    // −1 = fresh build).
     base.agg(
         count(lit(1)).cast("double").as("n"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
         lit(numBuckets).as("num_buckets"),
-        sum(col("dl")).as("sum_dl"))
+        sum(col("dl")).as("sum_dl"),
+        lit(-1L).as("last_batch_id"))
       .write.mode("overwrite").parquet(s"$dir/stats")
     base.select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
       .filter(col("term") =!= "")
@@ -75,19 +105,33 @@ object InvertedIndex {
     * upstream ([[graft.streaming.Streams.dedupStream]]); a colliding id
     * double-counts postings exactly as a rebuild over a corpus with a
     * duplicated id would. Work per batch is O(batch postings + touched
-    * buckets' existing postings) regardless of index size. */
+    * buckets' existing postings) regardless of index size.
+    *
+    * `batchId`: the streaming replay fence. foreachBatch redelivers a
+    * batch after a failed trigger; with `batchId >= 0` the call is a
+    * no-op when `batchId <=` the recorded `last_batch_id` (in-batch id
+    * collapse alone does NOT make replay safe — it dedups only within
+    * one delivery). −1 (the default) skips the fence for direct batch
+    * use. */
   def appendDocs(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, textCol: String): Unit = {
-    val stats = spark.read.parquet(s"$dir/stats").collect().head
-    val (oldN, numBuckets, oldSum) =
-      (stats.getDouble(0).toLong, stats.getInt(2), stats.getLong(3))
+      idCol: String, textCol: String, batchId: Long = -1L): Unit = {
+    val stats = readStats(spark, dir)
+    if (batchId >= 0 && batchId <= stats.lastBatch) return // replayed trigger
+    val (oldN, numBuckets, oldSum) = (stats.n, stats.numBuckets, stats.sumDl)
+    val fence2 = math.max(stats.lastBatch, batchId)
     val words = split(trim(col(textCol)), "\\s+")
     val base = batch.select(col(idCol).as("doc_id"),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
       words.as("__w"))
     val brow = base.agg(count(lit(1)).as("nb"), sum(col("dl")).as("sb")).head()
     val nb = brow.getLong(0)
-    if (nb == 0) return
+    if (nb == 0) {
+      // nothing to merge, but an empty fenced trigger must still
+      // advance the fence or its id could be "reused" by a replay
+      if (batchId > stats.lastBatch)
+        writeStats(spark, dir, oldN, oldSum, numBuckets, fence2)
+      return
+    }
     val sb = brow.getLong(1)
     val newPostings = base
       .select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
@@ -112,15 +156,7 @@ object InvertedIndex {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(s"$dir/postings")
-    val n2 = oldN + nb
-    val sum2 = oldSum + sb
-    // the rebuild's exact arithmetic: integer sum cast double / count
-    spark.range(1).select(
-        lit(n2).cast("double").as("n"),
-        (lit(sum2).cast("double") / lit(n2).cast("double")).as("avgdl"),
-        lit(numBuckets).as("num_buckets"),
-        lit(sum2).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    writeStats(spark, dir, oldN + nb, oldSum + sb, numBuckets, fence2)
   }
 
   /** Deletion maintenance — [[appendDocs]]' inverse, the right-to-be-
@@ -133,25 +169,44 @@ object InvertedIndex {
     * touched hash buckets, so — exactly like append — only the touched
     * buckets' partitions rewrite (dynamic partition overwrite) and the
     * anti-join runs over those buckets' postings only. Ids absent from
-    * the index subtract nothing and drop nothing (idempotent replay).
-    * Work per batch: O(batch postings + touched buckets), independent
-    * of index size. */
+    * the index subtract nothing and drop nothing (idempotent replay —
+    * for docs WITH postings; see the zero-term caveat below).
+    *
+    * Zero-term victims (empty/whitespace-only text): they were counted
+    * into `n` at build/append time but left no postings, so presence
+    * cannot be re-checked against the index — they subtract from `n`
+    * unconditionally, matching a rebuild over corpus ∖ docs. Replay
+    * idempotence for THEM therefore needs the `batchId` fence (or a
+    * caller that never replays empty-doc removals).
+    *
+    * `batchId`: streaming replay fence, same semantics as
+    * [[appendDocs]]. */
   def removeDocs(spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: String, textCol: String): Unit = {
-    val stats = spark.read.parquet(s"$dir/stats").collect().head
-    val (oldN, numBuckets, oldSum) =
-      (stats.getDouble(0).toLong, stats.getInt(2), stats.getLong(3))
+      idCol: String, textCol: String, batchId: Long = -1L): Unit = {
+    val stats = readStats(spark, dir)
+    if (batchId >= 0 && batchId <= stats.lastBatch) return // replayed trigger
+    val (oldN, numBuckets, oldSum) = (stats.n, stats.numBuckets, stats.sumDl)
+    val fence2 = math.max(stats.lastBatch, batchId)
     val words = split(trim(col(textCol)), "\\s+")
     val base = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
       words.as("__w")).dropDuplicates("doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // zero-term victims never touch a bucket: count them from the batch
+    val zeroVictims = base.filter(col("dl") === 0L).count()
     val victims = base.select(col("doc_id"), explode(col("__w")).as("term"))
       .filter(col("term") =!= "")
       .withColumn("bucket", pmod(termHash(col("term")), lit(numBuckets)))
     val touched = victims.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    if (touched.isEmpty) { base.unpersist(); return }
+    if (touched.isEmpty) {
+      base.unpersist()
+      // a batch of only empty docs still shrinks n (dl sums are 0);
+      // an empty fenced trigger still advances the fence
+      if (zeroVictims > 0 || batchId > stats.lastBatch)
+        writeStats(spark, dir, oldN - zeroVictims, oldSum, numBuckets, fence2)
+      return
+    }
     val bucketRows = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(touched: _*))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"),
@@ -184,14 +239,8 @@ object InvertedIndex {
         java.nio.file.Files.delete(p)
       }
     }
-    val n2 = oldN - present.length
-    val sum2 = oldSum - present.map(_.getLong(1)).sum
-    spark.range(1).select(
-        lit(n2).cast("double").as("n"),
-        (lit(sum2).cast("double") / lit(n2).cast("double")).as("avgdl"),
-        lit(numBuckets).as("num_buckets"),
-        lit(sum2).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    writeStats(spark, dir, oldN - present.length - zeroVictims,
+      oldSum - present.map(_.getLong(1)).sum, numBuckets, fence2)
   }
 
   /** CDC maintenance: apply one change batch to the stored index.
@@ -203,15 +252,31 @@ object InvertedIndex {
     * Applies as remove(before-images) then append(after-images), so
     * the index stays BIT-IDENTICAL to a rebuild over the corpus with
     * the batch applied. In-batch discipline: at most one change per
-    * id (collapse upstream — CDC logs are per-key ordered). */
+    * id (collapse upstream — CDC logs are per-key ordered).
+    *
+    * `batchId`: streaming replay fence — a redelivered trigger is a
+    * whole-batch no-op. The remove and append phases are two separate
+    * index writes; the fence advances with the FINAL write, so a crash
+    * between the phases replays from the remove phase, whose
+    * posting-side subtraction is presence-checked (idempotent). Only
+    * empty-text before-images re-subtract `n` in that narrow window —
+    * the removeDocs zero-term caveat. */
   def applyCdc(spark: SparkSession, dir: String, changes: DataFrame,
-      idCol: String): Unit = {
+      idCol: String, batchId: Long = -1L): Unit = {
+    if (batchId >= 0 && batchId <= readStats(spark, dir).lastBatch) return
     val removals = changes.filter(col("op").isin("update", "delete"))
       .select(col(idCol), col("text_before").as("__t"))
     if (!removals.isEmpty) removeDocs(spark, dir, removals, idCol, "__t")
     val additions = changes.filter(col("op").isin("insert", "update"))
       .select(col(idCol), col("text_after").as("__t"))
     if (!additions.isEmpty) appendDocs(spark, dir, additions, idCol, "__t")
+    if (batchId >= 0) {
+      // stamp the fence even when one phase was empty (or both — an
+      // empty trigger must not leave its id replayable)
+      val st = readStats(spark, dir)
+      if (batchId > st.lastBatch)
+        writeStats(spark, dir, st.n, st.sumDl, st.numBuckets, batchId)
+    }
   }
 
   /** BM25 top-k from the stored index; identical results to

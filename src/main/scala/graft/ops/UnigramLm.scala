@@ -42,6 +42,25 @@ object UnigramLm {
       .filter(col("__w") =!= "")
       .groupBy("__w").agg(count(lit(1)).as("cnt"))
 
+  /** Corpus alphabet with frequency-weighted counts, derived
+    * DISTRIBUTED from the distinct-word table (`__w`, `cnt`): chars
+    * explode executor-side, one partial-agg groupBy rolls them up, and
+    * only the alphabet-sized result reaches the driver — the
+    * distinct-word table itself (Heaps-law huge at crawl scale) never
+    * does. Char granularity is the JVM UTF-16 code unit, matching
+    * [[viterbi]]'s `substring` indexing. Sorted (count desc, char asc)
+    * for a deterministic vocab order. */
+  private[graft] def alphabetCounts(words: DataFrame): Seq[(String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.as[(String, Long)]
+      .flatMap { case (w, c) => w.map(ch => (ch.toString, c)) }
+      .toDF("ch", "c")
+      .groupBy("ch").agg(sum("c").as("cnt"))
+      .as[(String, Long)].collect()
+      .sortBy { case (t, c) => (-c, t) }.toSeq
+  }
+
   /** Seed candidates from a WEIGHTED distinct-word table
     * (`__w`, `cnt`): every (position, 2 ≤ length ≤ maxTokenLen)
     * substring, weighted by the word's corpus count. */
@@ -145,10 +164,7 @@ object UnigramLm {
     import spark.implicits._
     val words = wordCounts(df, textCol)
       .as[(String, Long)].persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val alphabet: Seq[(String, Long)] = words.collect()
-      .flatMap { case (w, c) => w.map(ch => (ch.toString, c)) }
-      .groupBy(_._1).map { case (ch, xs) => ch -> xs.map(_._2).sum }
-      .toSeq.sortBy { case (t, c) => (-c, t) }
+    val alphabet: Seq[(String, Long)] = alphabetCounts(words.toDF("__w", "cnt"))
     val seed: Seq[(String, Long)] =
       seedCountsFromWords(words.toDF("__w", "cnt"), maxTokenLen)
         .orderBy(col("n_occ").desc, col("token").asc)

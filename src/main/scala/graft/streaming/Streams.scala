@@ -260,12 +260,35 @@ object Streams {
     graft.ops.TextAnalytics.canaryHits(docs, idCol, textCol, canaries)
       .filter(!col("leaked"))
 
+  /** Sidecar batch-id fence for driver-side read-merge-write summary
+    * state (MG/KLL/mean files): foreachBatch is at-least-once, and a
+    * replayed trigger must not double-merge its delta. The fence file
+    * sits next to the state file (`<name>.batch`), written AFTER the
+    * state with the same atomic tmp+move — a crash between the two
+    * writes replays one merge (the inherent two-file window, same as
+    * the snapshot log's append-then-stamp), never more. */
+  private def readFence(statePath: java.nio.file.Path): Long = {
+    val p = statePath.resolveSibling(statePath.getFileName.toString + ".batch")
+    if (!java.nio.file.Files.exists(p)) -1L
+    else new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
+  }
+
+  private def writeFence(statePath: java.nio.file.Path, batchId: Long): Unit = {
+    val p = statePath.resolveSibling(statePath.getFileName.toString + ".batch")
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Streaming heavy-hitters maintenance — the streaming twin of the
     * heavy_hitters batch op. Each trigger aggregates its micro-batch
     * into ONE bounded Misra-Gries buffer (the identical distributed
     * partial-agg plan the batch op runs — each task ships ≤ k
     * counters) and MERGES it into the persisted summary at
-    * `summaryPath`. MG summaries are mergeable with the guarantee
+    * `summaryPath`, batch-id fenced against trigger redelivery. MG
+    * summaries are mergeable with the guarantee
     * telescoping across any merge tree (Agarwal et al. 2012), so after
     * N total stream items every item with true count > N/(k+1) is in
     * the file and no estimate exceeds its true count — same contract
@@ -277,18 +300,21 @@ object Streams {
       summaryPath: java.nio.file.Path, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     items.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch
-          .agg(graft.functions.MgFunctions.misraGries(col(itemCol), k).as("mg"))
-          .select(explode(col("mg")).as("e"))
-          .select(col("e.item"), col("e.est"))
-          .collect() // ≤ k rows by construction
-        if (rows.nonEmpty) {
-          val delta = new graft.functions.MgBuffer(k)
-          rows.foreach(r => delta.counts.put(r.getString(0), r.getLong(1)))
-          val total = graft.functions.MgSummary.read(summaryPath, k)
-          total.mergeFrom(delta)
-          graft.functions.MgSummary.write(summaryPath, total)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > readFence(summaryPath)) {
+          val rows = batch
+            .agg(graft.functions.MgFunctions.misraGries(col(itemCol), k).as("mg"))
+            .select(explode(col("mg")).as("e"))
+            .select(col("e.item"), col("e.est"))
+            .collect() // ≤ k rows by construction
+          if (rows.nonEmpty) {
+            val delta = new graft.functions.MgBuffer(k)
+            rows.foreach(r => delta.counts.put(r.getString(0), r.getLong(1)))
+            val total = graft.functions.MgSummary.read(summaryPath, k)
+            total.mergeFrom(delta)
+            graft.functions.MgSummary.write(summaryPath, total)
+          }
+          writeFence(summaryPath, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -302,18 +328,20 @@ object Streams {
     * rewritten, exact-integer stats update — the maintained index
     * stays BIT-IDENTICAL to a full rebuild). In-batch id collisions
     * collapse first-writer-wins (min text by id order is arbitrary for
-    * true dups; deterministic via min) so a replayed trigger cannot
-    * double-append; CROSS-trigger dedup is the upstream
-    * [[dedupStream]]'s job, per the appendDocs contract. */
+    * true dups; deterministic via min) — that dedups only WITHIN one
+    * delivery; replay safety comes from the batch-id fence appendDocs
+    * records in the index stats row (a redelivered trigger is a
+    * no-op). CROSS-trigger dedup is the upstream [[dedupStream]]'s
+    * job, per the appendDocs contract. */
   def bm25MaintainStream(docs: DataFrame, indexDir: String, idCol: String,
       textCol: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val collapsed = batch.groupBy(col(idCol))
           .agg(min(col(textCol)).as(textCol))
         graft.ops.InvertedIndex.appendDocs(batch.sparkSession, indexDir,
-          collapsed, idCol, textCol)
+          collapsed, idCol, textCol, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -344,14 +372,15 @@ object Streams {
     * remove-then-append, keeping the stored index bit-identical to a
     * rebuild over the evolving corpus. Before-images locate old
     * postings' buckets, so work per trigger stays O(batch + touched
-    * buckets) regardless of index size. */
+    * buckets) regardless of index size. Batch-id fenced via the index
+    * stats row — a redelivered trigger applies nothing. */
   def bm25CdcStream(changes: DataFrame, indexDir: String, idCol: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.InvertedIndex.applyCdc(batch.sparkSession, indexDir,
-          batch, idCol)
+          batch, idCol, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -451,23 +480,28 @@ object Streams {
     * trigger sequence equals what a single batch pass over the whole
     * history would have spent plus the merge compactions, and the
     * one-sided rank guarantee telescopes across triggers. State is
-    * ≤ k·log₂(n/k) doubles regardless of stream length. */
+    * ≤ k·log₂(n/k) doubles regardless of stream length. Batch-id
+    * fenced (sidecar `.batch` file) — a redelivered trigger must not
+    * double-merge, which would silently inflate n/errBound. */
   def quantileSketchStream(values: DataFrame, valueCol: String, k: Int,
       summaryPath: java.nio.file.Path, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     values.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val row = batch
-          .agg(graft.functions.QsFunctions.quantileSketch(col(valueCol), k).as("qs"))
-          .select(col("qs.n"), col("qs.err_bound"), col("qs.items")).head()
-        if (row.getLong(0) > 0) {
-          val delta = graft.functions.QSketchIO.fromSummary(k,
-            row.getLong(0), row.getLong(1),
-            row.getSeq[org.apache.spark.sql.Row](2)
-              .map(r => (r.getDouble(0), r.getLong(1))))
-          val total = graft.functions.QSketchIO.read(summaryPath, k)
-          total.mergeFrom(delta)
-          graft.functions.QSketchIO.write(summaryPath, total)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > readFence(summaryPath)) {
+          val row = batch
+            .agg(graft.functions.QsFunctions.quantileSketch(col(valueCol), k).as("qs"))
+            .select(col("qs.n"), col("qs.err_bound"), col("qs.items")).head()
+          if (row.getLong(0) > 0) {
+            val delta = graft.functions.QSketchIO.fromSummary(k,
+              row.getLong(0), row.getLong(1),
+              row.getSeq[org.apache.spark.sql.Row](2)
+                .map(r => (r.getDouble(0), r.getLong(1))))
+            val total = graft.functions.QSketchIO.read(summaryPath, k)
+            total.mergeFrom(delta)
+            graft.functions.QSketchIO.write(summaryPath, total)
+          }
+          writeFence(summaryPath, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -483,20 +517,24 @@ object Streams {
     * baseline at any moment without rescanning history. State is
     * dim+1 numbers — O(dim) regardless of stream length. Doubles are
     * persisted via toString (shortest round-trip: read(write(x)) is
-    * bit-identical, the IVF-PQ model.json discipline). */
+    * bit-identical, the IVF-PQ model.json discipline). Batch-id
+    * fenced (sidecar `.batch` file) against trigger redelivery. */
   def embeddingMeanStream(vecs: DataFrame, vecCol: String, dim: Int,
       statePath: java.nio.file.Path, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     vecs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val v = batch.select(col(vecCol).cast("array<double>").as("__v"))
-        val aggs = (0 until dim).map(i => sum(col("__v")(i)).as(s"s$i"))
-        val row = v.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n")): _*).head()
-        val n = row.getLong(dim)
-        if (n > 0) {
-          val (n0, s0) = MeanState.read(statePath, dim)
-          MeanState.write(statePath, n0 + n,
-            Array.tabulate(dim)(i => s0(i) + row.getDouble(i)))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > readFence(statePath)) {
+          val v = batch.select(col(vecCol).cast("array<double>").as("__v"))
+          val aggs = (0 until dim).map(i => sum(col("__v")(i)).as(s"s$i"))
+          val row = v.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n")): _*).head()
+          val n = row.getLong(dim)
+          if (n > 0) {
+            val (n0, s0) = MeanState.read(statePath, dim)
+            MeanState.write(statePath, n0 + n,
+              Array.tabulate(dim)(i => s0(i) + row.getDouble(i)))
+          }
+          writeFence(statePath, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)

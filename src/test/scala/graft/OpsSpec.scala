@@ -995,6 +995,7 @@ class OpsSpec extends SparkSpec {
       .select($"term", $"doc_id", $"dl", $"tf", $"bucket".cast("long"))
       .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
     def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .select($"n", $"avgdl", $"num_buckets", $"sum_dl") // fence col aside
       .as[(Double, Double, Int, Long)].head()
     assert(postings(dir) == postings(rebuilt), "postings must match a rebuild")
     assert(stats(dir) == stats(rebuilt), "stats row must be bit-identical")
@@ -1009,6 +1010,70 @@ class OpsSpec extends SparkSpec {
       docs.filter($"doc_id".isin(2L, 5L)), "doc_id", "text")
     assert(postings(dir) == postings(rebuilt) && stats(dir) == stats(rebuilt),
       "replay must change nothing")
+  }
+
+  test("inverted index removeDocs: zero-term victims shrink n like a rebuild (no bucket touched)") {
+    import graft.ops.InvertedIndex
+    val docs = Seq((1L, "alpha beta"), (2L, "   "), (3L, "beta gamma"),
+      (4L, "")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_zt").toString
+    InvertedIndex.write(docs, "doc_id", "text", dir, numBuckets = 8)
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .select($"n", $"avgdl", $"num_buckets", $"sum_dl")
+      .as[(Double, Double, Int, Long)].head()
+    // the build counted both empty docs into n (dl = 0)
+    assert(stats(dir)._1 == 4.0 && stats(dir)._4 == 4L)
+    // removing one empty doc touches no hash bucket but must still
+    // decrement n, or avgdl/idf drift from a rebuild without the doc
+    InvertedIndex.removeDocs(spark, dir,
+      docs.filter($"doc_id" === 2L), "doc_id", "text")
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_invidx_ztr").toString
+    InvertedIndex.write(docs.filter($"doc_id" =!= 2L), "doc_id", "text",
+      rebuilt, numBuckets = 8)
+    assert(stats(dir) == stats(rebuilt), s"${stats(dir)} vs ${stats(rebuilt)}")
+    val a = InvertedIndex.bm25SearchIndexed(spark, dir, Seq("beta"))
+      .as[(Long, Double)].collect().toSeq
+    val b = InvertedIndex.bm25SearchIndexed(spark, rebuilt, Seq("beta"))
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty, "scores must match the rebuild")
+    // a mixed batch (one empty + one posting doc) also matches a rebuild
+    InvertedIndex.removeDocs(spark, dir,
+      docs.filter($"doc_id".isin(3L, 4L)), "doc_id", "text")
+    val rebuilt2 = java.nio.file.Files.createTempDirectory("graft_invidx_ztr2").toString
+    InvertedIndex.write(docs.filter($"doc_id" === 1L), "doc_id", "text",
+      rebuilt2, numBuckets = 8)
+    assert(stats(dir) == stats(rebuilt2), s"${stats(dir)} vs ${stats(rebuilt2)}")
+  }
+
+  test("inverted index replay fence: redelivered append/cdc batch ids are no-ops") {
+    import graft.ops.InvertedIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx_fence").toString
+    InvertedIndex.write(Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, numBuckets = 8)
+    def rawStats() = spark.read.parquet(s"$dir/stats").collect().head
+    assert(rawStats().getLong(4) == -1L, "fresh build carries fence -1")
+    // fenced append applies once and records its batch id
+    val add = Seq((3L, "gamma delta")).toDF("doc_id", "text")
+    InvertedIndex.appendDocs(spark, dir, add, "doc_id", "text", batchId = 0L)
+    val s1 = rawStats()
+    assert(s1.getDouble(0) == 3.0 && s1.getLong(4) == 0L)
+    // redelivered trigger: same id merges nothing (postings included)
+    InvertedIndex.appendDocs(spark, dir, add, "doc_id", "text", batchId = 0L)
+    assert(rawStats() == s1, "replayed append must be a no-op")
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter($"doc_id" === 3L).count() == 2L, "no doubled postings")
+    // cdc batch applies once under its id, replay is a whole-batch no-op
+    val changes = Seq(("delete", 1L, "alpha beta", null.asInstanceOf[String]))
+      .toDF("op", "doc_id", "text_before", "text_after")
+    InvertedIndex.applyCdc(spark, dir, changes, "doc_id", batchId = 1L)
+    val s2 = rawStats()
+    assert(s2.getDouble(0) == 2.0 && s2.getLong(4) == 1L)
+    InvertedIndex.applyCdc(spark, dir, changes, "doc_id", batchId = 1L)
+    assert(rawStats() == s2, "replayed cdc must be a no-op")
+    // an unfenced (batch) call still works and leaves the fence alone
+    InvertedIndex.appendDocs(spark, dir,
+      Seq((9L, "zeta")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(rawStats().getDouble(0) == 3.0 && rawStats().getLong(4) == 1L)
   }
 
   test("decontamination: flags docs sharing word n-grams with the benchmark") {
@@ -1961,6 +2026,23 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].head()
     assert(enc._1 == 7L && enc._2 == 2L)
     assert(enc._4.startsWith("abab | "), s"seg: ${enc._4}")
+  }
+
+  test("unigram LM alphabet pass: distributed char rollup == driver-side reference, any partitioning") {
+    import graft.ops.UnigramLm
+    // unicode + repeats: the distributed explode+groupBy must match a
+    // driver-side char fold exactly (count desc, char asc order), so no
+    // words.collect() alphabet pass can sneak back in
+    val words = Seq(("abab", 3L), ("caña", 2L), ("日本", 1L), ("ab", 5L))
+    val expected = words
+      .flatMap { case (w, c) => w.map(ch => (ch.toString, c)) }
+      .groupBy(_._1).map { case (ch, xs) => ch -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    for (parts <- Seq(1, 4)) {
+      val got = UnigramLm.alphabetCounts(
+        words.toDF("__w", "cnt").repartition(parts))
+      assert(got == expected, s"parts=$parts: $got vs $expected")
+    }
   }
 
   test("filtered IVF: widens to the whole index when the predicate is scarce (never silently < k); dense case returns k") {

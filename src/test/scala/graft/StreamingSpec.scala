@@ -5,6 +5,7 @@ import graft.search.{SearchOptions, VectorSearch}
 import graft.streaming.Streams
 import graft.streaming.Streams.UserEvent
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import java.nio.file.Files
@@ -321,10 +322,16 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq
       assert(a == b, s"terms=$terms maintained=$a rebuild=$b")
     }
-    // stats row identical (exact integer sums drive avgdl)
-    val sa = spark.read.parquet(s"$idxDir/stats").collect().head
-    val sb = spark.read.parquet(s"$fullDir/stats").collect().head
+    // stats row identical (exact integer sums drive avgdl); the replay
+    // fence column differs by design (maintained records batch ids)
+    val statCols = Seq("n", "avgdl", "num_buckets", "sum_dl")
+    val sa = spark.read.parquet(s"$idxDir/stats")
+      .select(statCols.map(col): _*).collect().head
+    val sb = spark.read.parquet(s"$fullDir/stats")
+      .select(statCols.map(col): _*).collect().head
     assert(sa == sb, s"stats: $sa vs $sb")
+    assert(spark.read.parquet(s"$idxDir/stats").collect().head.getLong(4) == 1L,
+      "maintained index must record the last stream batch id")
   }
 
   test("streaming quantile sketch: summary merges across triggers, rank bound vs full history") {
@@ -361,6 +368,21 @@ class StreamingSpec extends SparkSpec {
       assert(est >= t && est <= tru && tru <= est + s2.errBound,
         s"q=$q v=$v est=$est true=$tru bound=${s2.errBound}")
     }
+    // replay fence: the sidecar records the last applied batch id, and
+    // a redelivered (not-newer) id must not double-merge — n/errBound
+    // would silently inflate otherwise
+    val fenceFile = summary.resolveSibling(summary.getFileName.toString + ".batch")
+    assert(Files.exists(fenceFile) &&
+      new String(Files.readAllBytes(fenceFile)).trim.toLong == 1L,
+      "two triggers must leave fence = 1")
+    Files.write(fenceFile, "999".getBytes) // all future ids <= fence
+    input.addData((1 to 50).map(_.toDouble))
+    val ckpt2 = Files.createTempDirectory("qs_stream_ckpt2").toString
+    Streams.quantileSketchStream(input.toDF().toDF("x"), "x", k, summary, ckpt2)
+      .awaitTermination()
+    val s3 = graft.functions.QSketchIO.read(summary, k)
+    assert(s3.n == s2.n && s3.errBound == s2.errBound,
+      "fenced replay must not merge")
   }
 
   test("streaming embedding mean: two-trigger state == batch sums exactly (dyadic values)") {
@@ -766,6 +788,7 @@ class StreamingSpec extends SparkSpec {
       .select($"term", $"doc_id", $"dl", $"tf", $"bucket".cast("long"))
       .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
     def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .select($"n", $"avgdl", $"num_buckets", $"sum_dl") // fence col aside
       .as[(Double, Double, Int, Long)].head()
     assert(postings(idxDir) == postings(rebuilt))
     assert(stats(idxDir) == stats(rebuilt))
