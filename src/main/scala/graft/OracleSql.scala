@@ -248,6 +248,28 @@ object OracleSql {
         | CAST(sum(CASE WHEN pred = alabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM pick GROUP BY alabel""".stripMargin,
 
+    // Sampled-anchor twin: anchors restricted to vec_id % 4 = 0 (the
+    // deterministic portable sample), neighbors the full table — the
+    // per-anchor pipeline is the exact eval's verbatim.
+    "knn_label_accuracy_sampled" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        | s AS (SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid, b.label AS blabel,
+        |        list_cosine_similarity(a.e, b.e) AS c
+        |       FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |       WHERE a.vec_id % 4 = 0),
+        | kn AS (SELECT aid, alabel, blabel FROM (
+        |         SELECT aid, alabel, blabel,
+        |          row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
+        |         FROM s) WHERE rn <= 5),
+        | vote AS (SELECT aid, alabel, blabel, count(*) AS n FROM kn GROUP BY 1, 2, 3),
+        | pick AS (SELECT aid, alabel, blabel AS pred FROM (
+        |           SELECT aid, alabel, blabel,
+        |            row_number() OVER (PARTITION BY aid ORDER BY n DESC, blabel ASC) AS rn
+        |           FROM vote) WHERE rn = 1)
+        |SELECT alabel AS label, count(*) AS n_vectors,
+        | CAST(sum(CASE WHEN pred = alabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM pick GROUP BY alabel""".stripMargin,
+
     "knn_threshold" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         | d AS (SELECT vec_id AS id, 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS distance
@@ -2184,6 +2206,20 @@ object OracleSql {
         | round(count(DISTINCT g)::DOUBLE / count(*), 6) AS diversity
         |FROM g WHERE g <> '' GROUP BY source, n""".stripMargin,
 
+    // HLL diversity gate: exact side replayed, approx_ok pinned TRUE
+    // (the corpus_distinct_approx pattern — a drifting sketch flips
+    // the boolean Spark-side and breaks the hash).
+    "ngram_diversity_approx" ->
+      """WITH wdocs AS (SELECT source, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        | g AS (SELECT source, n,
+        |        unnest(list_transform(generate_series(1, len(words) - n + 1),
+        |          i -> array_to_string(words[i:i+n-1], ' '))) AS g
+        |       FROM wdocs, (SELECT unnest([1, 2, 3]) AS n) ns
+        |       WHERE len(words) >= n)
+        |SELECT source, CAST(n AS BIGINT) AS n, count(*) AS n_grams,
+        | count(DISTINCT g) AS n_distinct, TRUE AS approx_ok
+        |FROM g WHERE g <> '' GROUP BY source, n""".stripMargin,
+
     // Same planted URLs; host/site/normalize replicated with the
     // LITERAL same RE2-safe regexes (DuckDB backrefs are \1, Spark's
     // $1 — same semantics). DuckDB regexp_replace is first-match-only
@@ -2217,6 +2253,15 @@ object OracleSql {
     "quantile_sketch" ->
       """SELECT d AS decile, (SELECT count(*) FROM lineitem) AS n, true AS qs_ok
         |FROM generate_series(1, 9) t(d) ORDER BY d""".stripMargin,
+
+    // Gate-is-oracle: deflate is not engine-portable, so the oracle
+    // replays only the portable columns (strlen = UTF-8 bytes, the
+    // octet_length twin) and pins deflate_ok — the Spark side computes
+    // it from RFC 1951 stream invariants (bounds + doubling law).
+    "compression_ratio" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | true AS deflate_ok
+        |FROM documents""".stripMargin,
 
     "cms_check" ->
       """WITH ww AS (SELECT wd FROM (SELECT

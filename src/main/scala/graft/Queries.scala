@@ -377,6 +377,22 @@ object Queries {
       .select(col("label"), col("n_vectors"), col("n_correct"))
   }
 
+  /** Sampled-anchor twin of [[knnLabelAccuracy]] — the at-scale
+    * default (exact LOO stays the oracle path for the full eval):
+    * anchors = vec_id % 4 == 0, neighbors = full table, so per-anchor
+    * predictions match the exact eval's and only the rollup's anchor
+    * set shrinks. */
+  def knnLabelAccuracySampled(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.knnClassifySampled(e, "vec_id", "embedding", "label",
+        k = 5, sampleMod = 4)
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("pred_label") === col("true_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_vectors"), col("n_correct"))
+  }
+
   def knnBatchAgg(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 5)
@@ -835,11 +851,14 @@ object Queries {
   }
 
   /** Single-pass dataset profile (the Deequ/TFDV pattern) over three
-    * orders columns — nulls, exact distincts, min/max, micro-exact
-    * means. ONE scan however many columns ride along. */
+    * orders columns — nulls, distincts, min/max, micro-exact means.
+    * The ORACLE pins the exact-distinct form (DuckDB replays exact
+    * counts); the API default is HLL — the at-scale single-scan shape
+    * without the multi-distinct Expand tax. */
   def schemaProfile(s: SparkSession, dir: String): DataFrame =
     ops.DataProfile.profile(t(s, dir, "orders"),
-      Seq("o_custkey", "o_totalprice", "o_orderpriority"))
+      Seq("o_custkey", "o_totalprice", "o_orderpriority"),
+      exactDistinct = true)
 
   /** Declarative constraint gate in one scan (+ one keyed agg for the
     * uniqueness rule): violation counts, never row dumps. */
@@ -1437,14 +1456,35 @@ object Queries {
       .select(col("doc_id"), col("n_canary_hits"), col("leaked"))
   }
 
-  /** Deflate compression-ratio screen (rows-only oracle: deflate
-    * output is image-deterministic but not engine-portable — no
-    * DuckDB compression primitive to replay it). */
-  def compressionRatio(s: SparkSession, dir: String): DataFrame =
+  /** Deflate compression-ratio screen, gate-is-oracle form (the
+    * cms_check / quantile_sketch pattern): deflate output is
+    * image-deterministic but not engine-portable (no DuckDB deflate
+    * primitive), so the oracle replays the PORTABLE columns (doc_id,
+    * n_bytes = UTF-8 bytes) and pins `deflate_ok` to true while the
+    * Spark side derives the boolean from invariants every DEFLATE
+    * stream must satisfy — a broken expression, cache, or level wiring
+    * flips a row to false and breaks the hash:
+    *  - empty text deflates to length 0 (the expression's identity);
+    *  - nonempty output is positive and under the stored-block worst
+    *    case n + 5·⌈n/16383⌉ + 16 (RFC 1951 §3.2.4 — deflate never
+    *    expands past stored blocks plus header slack);
+    *  - doubling law: deflate(t‖t) ≤ 2·deflate(t) + 64 — the second
+    *    copy rides LZ77 back-references, never a second full stream's
+    *    cost. */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DeflateFunctions.deflateLength
     TextAnalytics.compressionStats(t(s, dir, "documents"), "doc_id", "text",
         level = 6, minRatio = 0.3, maxRatio = 1.1)
-      .select(col("doc_id"), col("n_bytes"), col("deflate_len"),
-        col("compression_ratio"), col("flagged"))
+      .withColumn("deflate_len2",
+        deflateLength(concat(col("text"), col("text")), 6))
+      .select(col("doc_id"), col("n_bytes"),
+        (((col("n_bytes") === 0 && col("deflate_len") === 0) ||
+          (col("n_bytes") > 0 && col("deflate_len") > 0 &&
+           col("deflate_len") <= col("n_bytes") +
+             lit(5) * ceil(col("n_bytes").cast("double") / 16383.0).cast("long") +
+             lit(16))) &&
+         col("deflate_len2") <= col("deflate_len") * 2 + lit(64)).as("deflate_ok"))
+  }
 
   /** Top-50 adjacent-word collocations by PMI (count ≥ 5), 6 dp-rounded
     * before ranking, pair-lexicographic tie-break. */
@@ -2029,6 +2069,23 @@ object Queries {
     TextAnalytics.ngramDiversity(t(s, dir, "documents"), "source", "text", maxN = 3)
       .withColumnRenamed("grp", "source")
 
+  /** HLL diversity twin, gate-is-oracle (the corpus_distinct_approx
+    * pattern): the oracle replays the exact distincts; the estimate
+    * lives Spark-side as a bounded-error boolean — sketch drift flips
+    * `approx_ok` and breaks the hash. At 100 TB only the approx form
+    * runs (the exact join here is the verification). */
+  def ngramDiversityApproxQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val exact = TextAnalytics.ngramDiversity(docs, "source", "text", maxN = 3)
+      .select(col("grp"), col("n"), col("n_grams"), col("n_distinct"))
+    val approx = TextAnalytics.ngramDiversityApprox(docs, "source", "text", maxN = 3)
+      .select(col("grp"), col("n"), col("n_distinct_est"))
+    exact.join(broadcast(approx), Seq("grp", "n"))
+      .select(col("grp").as("source"), col("n"), col("n_grams"), col("n_distinct"),
+        (abs(col("n_distinct_est") - col("n_distinct")) <=
+          greatest(lit(1.0), col("n_distinct") * lit(0.05))).as("approx_ok"))
+  }
+
   /** Domain rollup over deterministically planted crawl URLs (mixed
     * case, explicit port, www alias, per-doc path, %3 docs a trailing
     * slash, %2 docs a query string vs a fragment — every
@@ -2267,6 +2324,7 @@ object Queries {
     "knn_batch" -> knnBatch _,
     "knn_batch_agg" -> knnBatchAgg _,
     "knn_label_accuracy" -> knnLabelAccuracy _,
+    "knn_label_accuracy_sampled" -> knnLabelAccuracySampled _,
     "knn_threshold" -> knnThreshold _,
     "lsh_topk" -> lshTopk _,
     "ivf_topk" -> ivfTopk _,
@@ -2396,6 +2454,7 @@ object Queries {
     "line_stats" -> lineStatsQ _,
     "script_mix" -> scriptMixQ _,
     "ngram_diversity" -> ngramDiversityQ _,
+    "ngram_diversity_approx" -> ngramDiversityApproxQ _,
     "url_domains" -> urlDomains _,
     "maxsim_topk" -> maxsimTopk _,
     "retrieval_eval" -> retrievalEval _,

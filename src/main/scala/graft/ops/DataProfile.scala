@@ -17,13 +17,21 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * violating-row sample is a separate bounded query when needed). */
 object DataProfile {
 
-  /** One profile row per requested column: nulls, distincts (exact ≤
-    * HLL estimate per `exactDistinct`), min/max (numeric and string
-    * both — rendered as strings for a uniform schema), and for
-    * numerics the mean in exact integer micro-units (order-independent
-    * across partitionings, the repo convention). */
+  /** One profile row per requested column: nulls, distincts (HLL
+    * estimate by default, exact via `exactDistinct = true`), min/max
+    * (numeric and string both — rendered as strings for a uniform
+    * schema), and for numerics the mean in exact integer micro-units
+    * (order-independent across partitionings, the repo convention).
+    *
+    * The HLL default is the at-scale shape: multiple EXACT distincts
+    * in one agg pay Spark's Expand — one duplicated scan pass per
+    * distinct column (probed 4.16 s exact vs 1.39 s HLL on the sf0.1
+    * profile, and the tax grows linearly in profiled columns), while
+    * `approx_count_distinct` keeps the whole profile a single
+    * partial-agg scan however many columns ride along. The exact form
+    * remains for oracle replay (the `schema_profile` query pins it). */
   def profile(df: DataFrame, cols: Seq[String],
-      exactDistinct: Boolean = true): DataFrame = {
+      exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val schema = df.schema
     val aggs: Seq[Column] = cols.flatMap { c =>

@@ -231,8 +231,30 @@ object SimilaritySearch {
     * join-back and the vote ride broadcast + partial aggregates — no
     * window sort anywhere. */
   def knnClassify(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int): DataFrame = {
-    val anchors = df.select(col(idCol).as("anchor_id"),
+      labelCol: String, k: Int): DataFrame =
+    knnClassifyOver(df, df, idCol, vecCol, labelCol, k)
+
+  /** Sampled-anchor LOO kNN eval — the documented AT-SCALE default:
+    * exact [[knnClassify]] makes every vector an anchor, so the eval
+    * is inherently N² (fine as an offline gate, a scale-killer as a
+    * routine metric). This variant anchors only rows with
+    * `id % sampleMod == 0` — a DETERMINISTIC, engine-portable sample
+    * (no rand(): replays identically across engines and retries) —
+    * while neighbors remain the FULL table (self excluded), so each
+    * sampled anchor's prediction is bit-identical to what the exact
+    * eval would produce for that anchor; sampling changes only which
+    * anchors the accuracy rollup averages over. Cost drops from N² to
+    * (N/sampleMod)·N. */
+  def knnClassifySampled(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, sampleMod: Long): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    knnClassifyOver(df, df.filter(pmod(col(idCol), lit(sampleMod)) === 0),
+      idCol, vecCol, labelCol, k)
+  }
+
+  private def knnClassifyOver(df: DataFrame, anchorsDf: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val anchors = anchorsDf.select(col(idCol).as("anchor_id"),
       col(vecCol).as("anchor_vec"), col(labelCol).as("anchor_label"))
     val scored = df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(anchors))

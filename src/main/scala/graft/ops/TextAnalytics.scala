@@ -1382,7 +1382,38 @@ object TextAnalytics {
     * per n, empty below n words), then a single (group, n, gram)
     * partial-agg rollup; no joins, no distinct over the raw corpus. */
   def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
-      maxN: Int = 3): DataFrame = {
+      maxN: Int = 3): DataFrame =
+    ngramRows(df, groupCol, textCol, maxN)
+      .groupBy("grp", "n").agg(
+        count(lit(1)).as("n_grams"),
+        count_distinct(col("g")).as("n_distinct"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 6)
+          .as("diversity"))
+
+  /** HLL twin of [[ngramDiversity]] — the 100 TB path: the exact form
+    * shuffles the DISTINCT GRAM SPACE per (group, n) key (Heaps-law
+    * huge at crawl scale), while `approx_count_distinct` ships one
+    * bounded sketch per partition per key. Same single-scan all-n
+    * explode; the `ngram_diversity_approx` gate pins the estimate to
+    * a 5% band around the exact count (the corpus_distinct_approx
+    * pattern). */
+  def ngramDiversityApprox(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 3, rsd: Double = 0.02): DataFrame =
+    ngramRows(df, groupCol, textCol, maxN)
+      .groupBy("grp", "n").agg(
+        count(lit(1)).as("n_grams"),
+        approx_count_distinct(col("g"), rsd = rsd).as("n_distinct_est"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        col("n_grams"), col("n_distinct_est"),
+        round(col("n_distinct_est").cast("double") / col("n_grams"), 6)
+          .as("diversity_est"))
+
+  /** Shared explode for the diversity family: one scan emits every
+    * word n-gram for ALL n ≤ maxN as (grp, n, g) rows. */
+  private def ngramRows(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int): DataFrame = {
     require(maxN >= 1, "maxN must be >= 1")
     val withWords = df.select(col(groupCol).as("grp"),
       split(trim(col(textCol)), "\\s+").as("words"))
@@ -1396,13 +1427,6 @@ object TextAnalytics {
       .select(col("grp"), explode(expr(gramArms)).as("ng"))
       .select(col("grp"), col("ng.n").as("n"), col("ng.g").as("g"))
       .filter(col("g") =!= "")
-      .groupBy("grp", "n").agg(
-        count(lit(1)).as("n_grams"),
-        count_distinct(col("g")).as("n_distinct"))
-      .select(col("grp"), col("n").cast("long").as("n"),
-        col("n_grams"), col("n_distinct"),
-        round(col("n_distinct").cast("double") / col("n_grams"), 6)
-          .as("diversity"))
   }
 
   /** Unicode script mix: per-doc character fractions by script class —

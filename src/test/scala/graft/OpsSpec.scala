@@ -2028,6 +2028,54 @@ class OpsSpec extends SparkSpec {
     assert(enc._4.startsWith("abab | "), s"seg: ${enc._4}")
   }
 
+  test("sampled-anchor kNN eval: per-anchor predictions == exact LOO restricted to the sample") {
+    import graft.ops.SimilaritySearch
+    val dim = 8
+    // 3 clusters of 8 vectors around orthogonal axes + noise dims
+    val vecs = (0L until 24L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 10f else 0f) + ((i * 7 + d * 3) % 5) * 0.1f)
+      (i, v.toSeq, c)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = SimilaritySearch.knnClassify(vecs, "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    val sampled = SimilaritySearch.knnClassifySampled(vecs, "vec_id", "embedding",
+        "label", k = 5, sampleMod = 4)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // anchors are exactly the id % 4 == 0 rows...
+    assert(sampled.keySet == (0L until 24L).filter(_ % 4 == 0).toSet)
+    // ...and each sampled anchor's prediction is the exact eval's
+    // verbatim (neighbors stay the full table)
+    sampled.foreach { case (id, row) => assert(row == exact(id), s"anchor $id") }
+    // sampleMod = 1 degenerates to the exact eval
+    val all = SimilaritySearch.knnClassifySampled(vecs, "vec_id", "embedding",
+        "label", k = 5, sampleMod = 1)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(all == exact)
+  }
+
+  test("ngram diversity HLL twin: estimates track exact counts; same gram universe") {
+    val docs = Seq(
+      (1L, "a", "the cat sat on the mat"),
+      (2L, "a", "the cat ran"),
+      (3L, "b", "x y x y x y")).toDF("doc_id", "source", "text")
+    val exact = TextAnalytics.ngramDiversity(docs, "source", "text", maxN = 3)
+      .select($"grp", $"n", $"n_grams", $"n_distinct")
+      .as[(String, Long, Long, Long)].collect().map(r => (r._1, r._2) -> r).toMap
+    val approx = TextAnalytics.ngramDiversityApprox(docs, "source", "text", maxN = 3)
+      .select($"grp", $"n", $"n_grams", $"n_distinct_est")
+      .as[(String, Long, Long, Long)].collect().map(r => (r._1, r._2) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(a._3 == e._3, s"$k: total gram counts must be identical")
+      // HLL++ is exact at tiny cardinality; at scale the gate query
+      // pins a 5% band — here we can demand equality
+      assert(a._4 == e._4, s"$k: est ${a._4} vs exact ${e._4}")
+    }
+  }
+
   test("unigram LM alphabet pass: distributed char rollup == driver-side reference, any partitioning") {
     import graft.ops.UnigramLm
     // unicode + repeats: the distributed explode+groupBy must match a
@@ -2406,10 +2454,19 @@ class OpsSpec extends SparkSpec {
       .unionByName(DataProfile.checkUnique(clean, Seq("k")))
       .select($"passed").as[Boolean].collect().forall(identity))
     // scale shape: the profile is ONE scan — a single hash-agg
-    // exchange, no joins
+    // exchange, no joins, and the HLL DEFAULT avoids the
+    // multi-exact-distinct Expand (one duplicated scan pass per
+    // distinct column) that exactDistinct = true pays
     val plan = DataProfile.profile(rows, Seq("k", "v", "s"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+    assert(!plan.contains("Expand"), s"HLL default must not Expand:\n$plan")
+    val exactPlan = DataProfile.profile(rows, Seq("k", "v", "s"),
+      exactDistinct = true).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact multi-distinct is the Expand form (oracle-only path)")
+    // HLL and exact agree at tiny cardinality (HLL++ is exact there),
+    // so the hand-derived stats above hold under the default too
   }
 
   test("c4 line filter: terminal-punct + min-words rules, doc gate; paragraph dedup keeps first occurrence") {
