@@ -2220,6 +2220,11 @@ object OracleSql {
         | count(DISTINCT g) AS n_distinct, TRUE AS approx_ok
         |FROM g WHERE g <> '' GROUP BY source, n""".stripMargin,
 
+    // PSL-backed registrable domains: planted hosts + the identical
+    // regex chain, with the suffix IN lists GENERATED from the same
+    // checked-in snapshot UrlOps loads — list drift breaks the hash.
+    "url_registrable" -> urlRegistrableSql,
+
     // Same planted URLs; host/site/normalize replicated with the
     // LITERAL same RE2-safe regexes (DuckDB backrefs are \1, Spark's
     // $1 — same semantics). DuckDB regexp_replace is first-match-only
@@ -2566,6 +2571,40 @@ object OracleSql {
        |SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
        |FROM cand JOIN b va ON va.vec_id = id_a JOIN b vb ON vb.vec_id = id_b
        |WHERE list_cosine_similarity(va.v, vb.v) >= $threshold""".stripMargin
+  }
+
+  /** Generated from the SAME PSL snapshot UrlOps loads: the planted
+    * hosts, the hostOf/siteOf regex chain, and the longest-suffix CASE
+    * with the snapshot's 2-/3-level IN lists inlined. */
+  private def urlRegistrableSql: String = {
+    val in2 = graft.ops.UrlOps.pslSuffixes2.map(s => s"'$s'").mkString(", ")
+    val in3 = graft.ops.UrlOps.pslSuffixes3.map(s => s"'$s'").mkString(", ")
+    val l2 = """regexp_extract(site, '([^.]+\.[^.]+)$', 1)"""
+    val l3 = """regexp_extract(site, '([^.]+\.[^.]+\.[^.]+)$', 1)"""
+    val l4 = """regexp_extract(site, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1)"""
+    s"""WITH e AS (SELECT doc_id,
+       |    'https://' || CASE doc_id % 5
+       |      WHEN 0 THEN 'a' || doc_id % 7 || '.shop' || doc_id % 3 || '.example.co.uk'
+       |      WHEN 1 THEN 'news' || doc_id % 7 || '.site' || doc_id % 3 || '.com.au'
+       |      WHEN 2 THEN 'u' || doc_id % 7 || '.github.io'
+       |      WHEN 3 THEN 'www.portal' || doc_id % 3 || '.k12.ca.us'
+       |      ELSE 'CDN' || doc_id % 3 || '.Example.COM:8080' END
+       |      || '/p/' || doc_id AS url
+       |   FROM documents),
+       | h AS (SELECT doc_id,
+       |    regexp_replace(lower(regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$$', '') AS host
+       |   FROM e),
+       | s AS (SELECT doc_id, host,
+       |        regexp_replace(host, '^www\\.', '') AS site FROM h),
+       | r AS (SELECT doc_id, host,
+       |    CASE WHEN $l3 IN ($in3) AND $l4 <> '' THEN $l4
+       |         WHEN $l2 IN ($in2) AND $l3 <> '' THEN $l3
+       |         ELSE $l2 END AS registrable_domain
+       |   FROM s)
+       |SELECT registrable_domain, count(*) AS n_docs,
+       | count(DISTINCT host) AS n_hosts
+       |FROM r GROUP BY registrable_domain""".stripMargin
   }
 
   private def lshTopkSql(dim: Int, numPlanes: Int, probeHamming: Int, k: Int): String = {

@@ -2099,6 +2099,34 @@ object Queries {
     graft.ops.UrlOps.domainStats(e, "url", "text")
   }
 
+  /** PSL-backed registrable-domain rollup over planted crawl hosts
+    * exercising every snapshot path: a co.uk registrant under two
+    * subdomain levels, com.au registrants, private-section github.io
+    * (each user page its own registrable domain), a three-level
+    * k12.ca.us rule behind a www alias, and the plain-.com fallback
+    * with mixed case and an explicit port. The oracle replays the
+    * identical regex chain and IN lists (generated from the same
+    * snapshot). */
+  def urlRegistrable(s: SparkSession, dir: String): DataFrame = {
+    val m7 = (col("doc_id") % 7).cast("string")
+    val m3 = (col("doc_id") % 3).cast("string")
+    val host = when(col("doc_id") % 5 === 0,
+        concat(lit("a"), m7, lit(".shop"), m3, lit(".example.co.uk")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("news"), m7, lit(".site"), m3, lit(".com.au")))
+      .when(col("doc_id") % 5 === 2, concat(lit("u"), m7, lit(".github.io")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("www.portal"), m3, lit(".k12.ca.us")))
+      .otherwise(concat(lit("CDN"), m3, lit(".Example.COM:8080")))
+    val e = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://"), host, lit("/p/"), col("doc_id")).as("url"))
+    e.select(graft.ops.UrlOps.registrableDomainOf(col("url")).as("registrable_domain"),
+        graft.ops.UrlOps.hostOf(col("url")).as("host"))
+      .groupBy("registrable_domain")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("host")).as("n_hosts"))
+  }
+
   /** Luhn-validated card detection over deterministically enriched
     * text (even docs get a valid test PAN, odd docs an off-by-one
     * invalid one — same planting pattern as [[piiRedact]]). */
@@ -2456,6 +2484,7 @@ object Queries {
     "ngram_diversity" -> ngramDiversityQ _,
     "ngram_diversity_approx" -> ngramDiversityApproxQ _,
     "url_domains" -> urlDomains _,
+    "url_registrable" -> urlRegistrable _,
     "maxsim_topk" -> maxsimTopk _,
     "retrieval_eval" -> retrievalEval _,
     "ivf_filtered" -> ivfFiltered _,

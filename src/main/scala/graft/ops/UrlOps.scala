@@ -29,10 +29,54 @@ object UrlOps {
 
   /** Last two host labels — the registrable-domain APPROXIMATION
     * (correct for .com/.org/...; merges distinct registrants under
-    * two-level public suffixes like co.uk — a full fix needs the
-    * Public Suffix List shipped as a lookup table, same slot). */
+    * two-level public suffixes like co.uk — [[registrableDomainOf]]
+    * is the PSL-backed fix and the default for domain quotas). */
   def registeredDomainOf(u: Column): Column =
     regexp_extract(siteOf(u), "([^.]+\\.[^.]+)$", 1)
+
+  /** Checked-in Public Suffix List snapshot (publicsuffix.org format,
+    * curated subset — the full PSL file drops into the same resource
+    * unchanged), split by rule depth. Wildcard/exception rules are
+    * rejected at load: the few ccTLDs needing them fall back to the
+    * two-label approximation. Sorted for deterministic plan literals. */
+  lazy val (pslSuffixes2: Seq[String], pslSuffixes3: Seq[String]) = {
+    val in = getClass.getResourceAsStream("/graft/psl_snapshot.txt")
+    require(in != null, "psl_snapshot.txt missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rules = try src.getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+    finally src.close()
+    require(rules.forall(r => !r.contains("*") && !r.startsWith("!")),
+      "wildcard/exception PSL rules are not supported by this loader")
+    val byDepth = rules.groupBy(_.count(_ == '.'))
+    require(byDepth.keySet.subsetOf(Set(1, 2)),
+      s"unsupported PSL rule depth: ${byDepth.keySet}")
+    (byDepth.getOrElse(1, Vector.empty).distinct.sorted,
+      byDepth.getOrElse(2, Vector.empty).distinct.sorted)
+  }
+
+  /** PSL-backed registrable domain: longest public-suffix match from
+    * the snapshot plus one label — shop.example.co.uk → example.co.uk,
+    * u.github.io → u.github.io, svc.k12.ca.us → svc.k12.ca.us — with
+    * the last-two-labels approximation as the fallback for suffixes
+    * the snapshot doesn't list. A host that IS a public suffix (bare
+    * "co.uk") has no registrable domain per the PSL; this returns the
+    * host itself (a grouping key beats an empty string for quota
+    * rollups). Engine shape: two `isin` literal sets compile to
+    * codegen'd InSet probes — still map-only, one scan, no UDF, and
+    * the oracle replays the same lists as SQL IN. At full-PSL scale
+    * (~9k rules) the sets stay InSet hash probes (Spark converts isin
+    * above 10 items); a broadcast-join table is the alternative slot
+    * if plan-literal size ever bites. */
+  def registrableDomainOf(u: Column): Column = {
+    val site = siteOf(u)
+    val last2 = regexp_extract(site, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(site, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val last4 = regexp_extract(site, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last3.isin(pslSuffixes3: _*) && last4 =!= "", last4)
+      .when(last2.isin(pslSuffixes2: _*) && last3 =!= "", last3)
+      .otherwise(last2)
+  }
 
   /** Canonical dedup/quota key form: lowercase scheme and host, strip
     * the fragment and the query string, drop a trailing slash (the

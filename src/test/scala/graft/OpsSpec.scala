@@ -2185,6 +2185,40 @@ class OpsSpec extends SparkSpec {
     assert(got(3) == (("", "", "", "")))
   }
 
+  test("url ops: PSL-backed registrable domain — 2/3-level suffixes, private section, fallbacks") {
+    import graft.ops.UrlOps
+    // the snapshot loaded and split by depth
+    assert(UrlOps.pslSuffixes2.contains("co.uk") &&
+      UrlOps.pslSuffixes2.contains("com.au") &&
+      UrlOps.pslSuffixes2.contains("github.io"))
+    assert(UrlOps.pslSuffixes3.contains("k12.ca.us"))
+    assert(UrlOps.pslSuffixes2.forall(_.count(_ == '.') == 1))
+    assert(UrlOps.pslSuffixes3.forall(_.count(_ == '.') == 2))
+    val cases = Seq(
+      // 2-level public suffix: registrant + co.uk, any subdomain depth
+      "http://sub.shop.example.co.uk/a" -> "example.co.uk",
+      "https://example.co.uk/" -> "example.co.uk",
+      // host IS the suffix: no registrable domain per PSL — the host
+      // itself comes back as the (documented) grouping key
+      "https://co.uk/x" -> "co.uk",
+      "https://news.paper.com.au/p" -> "paper.com.au",
+      // private-section suffix: each user page its own registrant
+      "https://alice.github.io/repo" -> "alice.github.io",
+      // 3-level suffix, www alias stripped first
+      "https://www.portal.k12.ca.us/home" -> "portal.k12.ca.us",
+      // unlisted suffix falls back to last-two-labels
+      "https://deep.sub.example.com/x" -> "example.com",
+      "https://x.example.de/" -> "example.de",
+      // mixed case + port normalize before the suffix match
+      "https://A.B.Example.CO.UK:443/q" -> "example.co.uk",
+      "nonsense" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.registrableDomainOf($"u")).as[String].collect()
+    cases.zip(got).foreach { case ((u, want), g) =>
+      assert(g == want, s"$u -> $g, expected $want")
+    }
+  }
+
   test("ngram diversity: distinct-1/2/3 exact on a hand-derived corpus") {
     import graft.ops.TextAnalytics
     val docs = Seq((1L, "a b a b"), (2L, "a a a")).toDF("id", "text")
