@@ -268,13 +268,18 @@ object OnnxEmbedder {
     override def open(modelPath: String): WordPieceTokenizer = t
   }
 
-  /** The production provider slot: wraps ONNX Runtime, which is not
-    * installed in this environment (no native .so, no ai.onnxruntime
-    * jar) — the only unimplemented step in the pipeline. */
+  /** The native-runtime provider slot: wraps ONNX Runtime, which is
+    * not installed in this environment (no native .so, no
+    * ai.onnxruntime jar). For a runnable real-weights path use
+    * [[TransformerSessionProvider]] — the pure-JVM BERT forward pass
+    * over GRTF checkpoints — which serves the same
+    * [[InferenceSession]] contract. */
   object NativeRuntimeProvider extends SessionProvider {
     override def open(modelPath: String): InferenceSession =
       throw new UnsupportedOperationException(
         "ONNX Runtime is not available in this environment; supply a " +
-          "SessionProvider wrapping OrtSession, or use DeterministicEmbedder")
+          "SessionProvider wrapping OrtSession, use " +
+          "TransformerSessionProvider for a GRTF checkpoint, or use " +
+          "DeterministicEmbedder")
   }
 }

@@ -194,6 +194,171 @@ class EmbedderSpec extends SparkSpec {
     assert(!q.sameElements(e.encodeBatch(Seq("find me things")).head))
   }
 
+  test("transformer session: zero-layer model == hand-derived embedding LayerNorm") {
+    import graft.embed.{TransformerSession, TransformerWeights}
+    // H=4, no layers: output = LN(word + pos + type), γ/β exercised
+    val w = TransformerWeights(vocabSize = 3, hidden = 4, heads = 2,
+      maxPos = 4, intermediate = 4,
+      wordEmb = Array(Array(0f, 0f, 0f, 0f), Array(1f, 2f, 3f, 4f),
+        Array(-1f, 1f, -1f, 1f)),
+      posEmb = Array(Array(0.5f, 0f, 0f, 0f), Array(0f, 0.5f, 0f, 0f),
+        Array(0f, 0f, 0f, 0f), Array(0f, 0f, 0f, 0f)),
+      typeEmb = Array(0.5f, 0.5f, 0.5f, 0.5f),
+      embLnGamma = Array(2f, 1f, 1f, 1f), embLnBeta = Array(0f, 0f, 0f, 1f),
+      layers = Array.empty)
+    val s = new TransformerSession(w)
+    val out = s.run(Array(Array(1L, 2L)), Array(Array(1L, 1L)))
+    // position 0: x = (1+0.5+0.5, 2+0.5, 3+0.5, 4+0.5) = (2, 2.5, 3.5, 4.5)
+    // mean 3.125, var = (1.265625+0.390625+0.140625+1.890625)/4 = 0.921875
+    val sd0 = math.sqrt(0.921875 + 1e-12)
+    val want0 = Array(2 * (2 - 3.125) / sd0, (2.5 - 3.125) / sd0,
+      (3.5 - 3.125) / sd0, (4.5 - 3.125) / sd0 + 1)
+    // position 1: x = (-1+0.5, 1+0.5+0.5, -1+0.5, 1+0.5) = (-0.5, 2, -0.5, 1.5)
+    // mean 0.625, var = (1.265625+1.890625+1.265625+0.765625)/4 = 1.296875
+    val sd1 = math.sqrt(1.296875 + 1e-12)
+    val want1 = Array(2 * (-0.5 - 0.625) / sd1, (2 - 0.625) / sd1,
+      (-0.5 - 0.625) / sd1, (1.5 - 0.625) / sd1 + 1)
+    out(0)(0).zip(want0).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+    out(0)(1).zip(want1).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+  }
+
+  test("transformer session: one-layer forward == independent scalar reference (uniform attention)") {
+    import graft.embed.{TransformerLayer, TransformerSession, TransformerWeights}
+    val H = 4
+    // wq = wk = 0 -> all attention scores equal -> softmax uniform over
+    // unmasked keys -> ctx = mean(v). Everything else small literal
+    // weights; the expected output is recomputed below with plain
+    // formulas, independent of the production code's loops.
+    def m(rows: Double*)(cols: Int): Array[Array[Float]] =
+      rows.grouped(cols).map(_.map(_.toFloat).toArray).toArray
+    val wv = m(0.1, 0.2, 0, 0, 0, 0.1, -0.2, 0, 0.3, 0, 0.1, 0, 0, 0, 0.2, -0.1)(H)
+    val wo = m(1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1)(H)
+    val wi = m(0.5, 0, 0, 0, 0, 0.5, 0, 0, 0, 0, 0.5, 0, 0, 0, 0, 0.5)(H)
+    val wo2 = m(0.2, 0, 0, 0, 0, 0.2, 0, 0, 0, 0, 0.2, 0, 0, 0, 0, 0.2)(H)
+    val zeros = new Array[Float](H)
+    val ones = Array.fill(H)(1f)
+    val layer = TransformerLayer(
+      wq = Array.fill(H)(new Array[Float](H)), bq = zeros,
+      wk = Array.fill(H)(new Array[Float](H)), bk = zeros,
+      wv = wv, bv = Array(0.01f, -0.01f, 0.02f, 0f),
+      wo = wo, bo = zeros, attnLnGamma = ones, attnLnBeta = zeros,
+      wi = wi, bi = Array(0.1f, 0.1f, -0.1f, -0.1f),
+      wo2 = wo2, bo2 = zeros, ffnLnGamma = ones, ffnLnBeta = zeros)
+    val w = TransformerWeights(vocabSize = 3, hidden = H, heads = 2,
+      maxPos = 4, intermediate = H,
+      wordEmb = Array(Array.fill(H)(0.05f), Array(0.3f, -0.2f, 0.1f, 0.4f),
+        Array(-0.1f, 0.2f, 0.3f, -0.3f)),
+      posEmb = Array.tabulate(4, H)((p, d) => 0.01f * (p + 1) * (d + 1)),
+      typeEmb = Array(0.02f, 0.02f, 0.02f, 0.02f),
+      embLnGamma = ones, embLnBeta = zeros, layers = Array(layer))
+    val got = new TransformerSession(w).run(
+      Array(Array(1L, 2L)), Array(Array(1L, 1L)))(0)
+    // independent reference, plain double formulas
+    def ln(x: Array[Double]): Array[Double] = {
+      val mean = x.sum / x.length
+      val v = x.map(e => (e - mean) * (e - mean)).sum / x.length
+      x.map(e => (e - mean) / math.sqrt(v + 1e-12))
+    }
+    def aff(x: Array[Double], wm: Array[Array[Float]], b: Array[Float]) =
+      Array.tabulate(H)(o => b(o) + (0 until H).map(i => x(i) * wm(i)(o)).sum)
+    def gelu(x: Double) = {
+      // same A&S erf rounding as the engine, tolerance absorbs it
+      0.5 * x * (1 + {
+        val t = 1.0 / (1.0 + 0.3275911 * math.abs(x / math.sqrt(2)))
+        val y = 1 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+          - 0.284496736) * t + 0.254829592) * t * math.exp(-(x * x) / 2)
+        if (x >= 0) y else -y
+      })
+    }
+    val x0 = Array(0L, 1L).zipWithIndex.map { case (_, s) =>
+      val id = s + 1
+      ln(Array.tabulate(H)(d =>
+        w.wordEmb(id)(d).toDouble + w.posEmb(s)(d) + w.typeEmb(d)))
+    }
+    val vs = x0.map(x => aff(x, wv, layer.bv))
+    val ctx = Array.tabulate(H)(d => (vs(0)(d) + vs(1)(d)) / 2) // uniform attn
+    val expect = x0.map { x =>
+      val x1 = ln(Array.tabulate(H)(d => x(d) + ctx(d))) // wo = I, bo = 0
+      val mid = aff(x1, wi, layer.bi).map(gelu)
+      val f = aff(mid, wo2, zeros)
+      ln(Array.tabulate(H)(d => x1(d) + f(d)))
+    }
+    for (s <- 0 to 1; d <- 0 until H)
+      assert(math.abs(got(s)(d) - expect(s)(d)) < 1e-5, s"pos $s dim $d")
+  }
+
+  test("transformer checkpoint: write/read round-trip bit-identical; provider serves it") {
+    import graft.embed.{TransformerCheckpoint, TransformerSessionProvider}
+    val w = TransformerCheckpoint.syntheticWeights(vocabSize = 10, hidden = 8,
+      heads = 2, maxPos = 16, intermediate = 16, layers = 2, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("grtf_ckpt")
+    TransformerCheckpoint.write(dir.resolve("model.bin"), w)
+    val r = TransformerCheckpoint.read(dir.resolve("model.bin"))
+    assert(r.vocabSize == 10 && r.hidden == 8 && r.heads == 2 &&
+      r.maxPos == 16 && r.intermediate == 16 && r.layers.length == 2)
+    assert(r.wordEmb.zip(w.wordEmb).forall { case (x, y) => x.sameElements(y) })
+    assert(r.layers(1).wo2.zip(w.layers(1).wo2)
+      .forall { case (x, y) => x.sameElements(y) })
+    val s = TransformerSessionProvider.open(dir.toString)
+    assert(s.hiddenDim == 8)
+    // same ids -> bit-identical states across session instances
+    val ids = Array(Array(2L, 4L, 3L))
+    val mask = Array(Array(1L, 1L, 1L))
+    val a = s.run(ids, mask)
+    val b = TransformerSessionProvider.open(dir.toString).run(ids, mask)
+    assert(a(0).zip(b(0)).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("real-weights pipeline: 2-layer 32-dim fixture — golden vectors, invariances, Spark path") {
+    import graft.embed.{OnnxEmbedder, TransformerCheckpoint, TransformerSessionProvider}
+    val dir = java.nio.file.Files.createTempDirectory("grtf_model")
+    TransformerCheckpoint.write(dir.resolve("model.bin"),
+      TransformerCheckpoint.syntheticWeights(
+        vocabSize = TestVocab.lines.length, hidden = 32, heads = 4,
+        maxPos = 64, intermediate = 64, layers = 2, seed = 0xC0FFEEL))
+    val w = new java.io.PrintWriter(dir.resolve("vocab.txt").toFile, "UTF-8")
+    TestVocab.lines.foreach(w.println)
+    w.close()
+    val e = OnnxEmbedder(dir.toString, dim = 32, batchSize = 4,
+      provider = TransformerSessionProvider)
+    val short = "tiny doc"
+    val long = "a much longer document with many more whitespace separated tokens here"
+    val vShort = e.encodeBatch(Seq(short)).head
+    val vLong = e.encodeBatch(Seq(long)).head
+    // golden vectors: first 6 components of the full tokenize ->
+    // attention(2 layers) -> masked-mean-pool -> L2 pipeline under the
+    // seed-0xC0FFEE checkpoint, pinned to 1e-5 (regenerate by printing
+    // on intentional model-format changes)
+    val goldShort = Array(0.17027222f, 0.24382558f, 0.23212357f,
+      -0.07765739f, 0.36019966f, -0.26839727f)
+    val goldLong = Array(0.15733185f, 0.23406312f, 0.30299798f,
+      -0.105336726f, 0.33088902f, -0.0674976f)
+    goldShort.zipWithIndex.foreach { case (g, i) =>
+      assert(math.abs(vShort(i) - g) < 1e-5, s"short[$i] = ${vShort(i)}, want $g")
+    }
+    goldLong.zipWithIndex.foreach { case (g, i) =>
+      assert(math.abs(vLong(i) - g) < 1e-5, s"long[$i] = ${vLong(i)}, want $g")
+    }
+    // unit norm; batch-composition invariance (real attention must not
+    // leak padded keys into real positions)
+    Seq(vShort, vLong).foreach { v =>
+      assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    }
+    assert(e.encodeBatch(Seq(short, long)).head.sameElements(vShort))
+    // texts differing only beyond truncation embed identically
+    val tiny = OnnxEmbedder(dir.toString, dim = 32, maxSeqLen = 4,
+      provider = TransformerSessionProvider)
+    assert(tiny.encodeBatch(Seq("one two three four five")).head
+      .sameElements(tiny.encodeBatch(Seq("one two three six")).head))
+    // the Spark mapPartitions path serves the same vectors, any split
+    val df = Seq((1L, short), (2L, long), (3L, "three four five"))
+      .toDF("id", "text").repartition(3)
+    val vecs = e.embed(df, "text")
+      .select($"id", $"vector").as[(Long, Array[Float])].collect().toMap
+    assert(vecs(1L).sameElements(vShort) && vecs(2L).sameElements(vLong))
+    assert(e.embedQuery(spark, short).sameElements(vShort))
+  }
+
   test("onnx pipeline: failing batch falls back per-element; only the bad row nulls") {
     val poisonId = TestVocab.tok.vocab("poisonword").toLong
     val e = OnnxEmbedder("fake-poison", dim = 8, batchSize = 8,
