@@ -1342,10 +1342,15 @@ object OracleSql {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_size,
         | sha256(text) AS content_sha256 FROM documents""".stripMargin,
 
+    // Real AVI mux -> demux round trip: the oracle replays only the
+    // construction arithmetic (256-byte frame slicing of the text), so
+    // the hash matches only if the container parser returns exactly
+    // the muxed frames in order.
     "mm_frames" ->
-      """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS bl FROM documents)
-        |SELECT doc_id, i AS frame_index, CAST(least(4096, bl - i*4096) AS BIGINT) AS frame_len
-        |FROM (SELECT doc_id, bl, unnest(generate_series(0, greatest(CAST(ceil(bl/4096.0) AS BIGINT) - 1, 0), 2)) AS i FROM d)""".stripMargin,
+      """WITH d AS (SELECT doc_id, strlen(text) AS bl FROM documents),
+        | f AS (SELECT doc_id, bl, CAST(ceil(bl/256.0) AS BIGINT) AS nf FROM d WHERE bl > 0)
+        |SELECT doc_id, i AS frame_index, CAST(least(256, bl - i*256) AS BIGINT) AS frame_len
+        |FROM (SELECT doc_id, bl, unnest(generate_series(0, nf - 1, 2)) AS i FROM f)""".stripMargin,
 
     // SemDeDup: the kmeans_clusters assignment replay (identical k=4 x
     // 2-iteration exact-snapped trajectory) + within-cell min-id greedy

@@ -1302,12 +1302,24 @@ object Queries {
         sha2(col("payload"), 256).as("content_sha256"))
 
   /** Frame-sampling plumbing: every 2nd 4-KiB slice of the payload. */
-  def mmFrames(s: SparkSession, dir: String): DataFrame =
+  /** Real AVI round trip: each doc's text bytes become 256-byte MJPEG
+    * "frame" payloads muxed into a real RIFF-AVI container, then
+    * [[Multimodal.sampleFrames]] DEMUXES the container and keeps every
+    * 2nd frame. The oracle replays only the construction arithmetic
+    * (frame count and sizes from strlen), so the hash matches only if
+    * mux → demux recovers exactly the frames that went in, in order. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val mux = udf { (text: String) =>
+      val b = text.getBytes("UTF-8")
+      val frames = b.grouped(256).toSeq
+      Multimodal.muxAvi(width = 64, height = 48, usPerFrame = 40000L, frames)
+    }
     Multimodal.sampleFrames(
-        t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        t(s, dir, "documents").withColumn("payload", mux(col("text"))),
         "doc_id", "payload", stride = 2)
       .select(col("doc_id"), col("frame_index").cast("long").as("frame_index"),
         length(col("frame_bytes")).cast("long").as("frame_len"))
+  }
 
   /** SemDeDup semantic dedup: k-means cells (same k=4 x 2-iteration
     * trajectory as kmeans_clusters) + within-cell greedy min-id

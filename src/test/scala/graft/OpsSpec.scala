@@ -1224,12 +1224,92 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.withMediaMetadata(df, "payload")
       .select("doc_id", "width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(again(1L) == 123)
-    // frames: 10000 bytes -> 3 slices (0,1,2), stride 2 -> indices 0,2
-    val fdf = Seq((1L, "x" * 10000), (2L, "y")).toDF("doc_id", "payload_s")
-      .withColumn("payload", $"payload_s".cast("binary"))
+    // frame sampling: a real 3-frame AVI, stride 2 -> container
+    // ordinals 0 and 2 with the exact muxed payloads; non-AVI rows
+    // contribute no frames
+    val avi = Multimodal.muxAvi(8, 8, 40000L,
+      Seq("frame-zero".getBytes, "frame-one!".getBytes, "frame-two?".getBytes))
+    val fdf = Seq((1L, avi), (2L, "y".getBytes)).toDF("doc_id", "payload")
     val frames = Multimodal.sampleFrames(fdf, "doc_id", "payload", stride = 2)
-      .filter($"doc_id" === 1L).select("frame_index").as[Int].collect().toSeq.sorted
-    assert(frames == Seq(0, 2))
+      .select($"doc_id", $"frame_index", $"frame_bytes")
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(frames.map(f => (f._1, f._2)).toSeq == Seq((1L, 0), (1L, 2)))
+    assert(new String(frames(0)._3) == "frame-zero")
+    assert(new String(frames(1)._3) == "frame-two?")
+  }
+
+  test("avi container: byte-level fixture parse, mux/demux round trip, truncation, mjpeg composition") {
+    import graft.ops.Multimodal
+    // --- independent hand-built AVI (not via the muxer): RIFF/LIST
+    // offsets written explicitly so the parser is checked against the
+    // SPEC, not against its own writer ---
+    val f0 = "AAAA".getBytes("US-ASCII")
+    val f1 = "BBBBB".getBytes("US-ASCII") // odd length: pad byte follows
+    val handBytes = {
+      val bb = new java.io.ByteArrayOutputStream()
+      def t(s: String) = bb.write(s.getBytes("US-ASCII"), 0, 4)
+      def w32(v: Int) = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff); bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff) }
+      // avih payload: usPerFrame=50000, 7 dwords, width=320, height=240, 4 reserved
+      val avihLen = 56
+      val strhLen = 56; val strfLen = 40
+      val strlLen = 4 + (8 + strhLen) + (8 + strfLen)
+      val hdrlLen = 4 + (8 + avihLen) + (8 + strlLen)
+      val moviLen = 4 + (8 + f0.length) + (8 + f1.length + 1) // +1 pad
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+      t("RIFF"); w32(riffLen); t("AVI ")
+      t("LIST"); w32(hdrlLen); t("hdrl")
+      t("avih"); w32(avihLen)
+      w32(50000); w32(0); w32(0); w32(0x10); w32(2); w32(0); w32(1); w32(0)
+      w32(320); w32(240); w32(0); w32(0); w32(0); w32(0)
+      t("LIST"); w32(strlLen); t("strl")
+      t("strh"); w32(strhLen)
+      t("vids"); t("MJPG"); w32(0); w32(0); w32(0)
+      w32(50000); w32(1000000); w32(0); w32(2); w32(0); w32(-1); w32(0); w32(0); w32(0)
+      t("strf"); w32(strfLen)
+      w32(40); w32(320); w32(240); w32(1 | (24 << 16)); t("MJPG")
+      w32(320 * 240 * 3); w32(0); w32(0); w32(0); w32(0)
+      t("LIST"); w32(moviLen); t("movi")
+      t("00dc"); w32(f0.length); bb.write(f0, 0, f0.length)
+      t("00dc"); w32(f1.length); bb.write(f1, 0, f1.length); bb.write(0) // pad
+      bb.toByteArray
+    }
+    val meta = Multimodal.aviMeta(handBytes)
+    assert(meta == Multimodal.AviMeta(320, 240, 50000L, 2L, "MJPG", "avi"))
+    val got = Multimodal.aviFrames(handBytes)
+    assert(got.length == 2 && new String(got(0)) == "AAAA" && new String(got(1)) == "BBBBB")
+    // --- muxer round trip, incl. odd-length frames and empty set ---
+    val frames = Seq("x".getBytes, "yy".getBytes, "zzz".getBytes, "!".getBytes)
+    val muxed = Multimodal.muxAvi(64, 48, 40000L, frames)
+    assert(Multimodal.aviMeta(muxed) == Multimodal.AviMeta(64, 48, 40000L, 4L, "MJPG", "avi"))
+    assert(Multimodal.aviFrames(muxed).map(new String(_)) == Seq("x", "yy", "zzz", "!"))
+    assert(Multimodal.aviFrames(Multimodal.muxAvi(8, 8, 1L, Seq.empty)).isEmpty)
+    // --- truncation-safe: cutting mid-frame keeps the frames before it ---
+    val cut = java.util.Arrays.copyOf(muxed, muxed.length) // find 'zzz' chunk & cut inside
+    val zzzPos = {
+      var i = 0; var found = -1
+      while (found < 0 && i < cut.length - 3) {
+        if (cut(i) == 'z' && cut(i + 1) == 'z' && cut(i + 2) == 'z') found = i
+        i += 1
+      }
+      found
+    }
+    assert(zzzPos > 0)
+    val truncated = java.util.Arrays.copyOfRange(muxed, 0, zzzPos + 1) // mid-chunk
+    assert(Multimodal.aviFrames(truncated).map(new String(_)) == Seq("x", "yy"))
+    // --- garbage / empty never throw ---
+    assert(Multimodal.aviFrames("garbage".getBytes).isEmpty)
+    assert(Multimodal.aviMeta(Array.emptyByteArray).format == "empty")
+    assert(Multimodal.aviMeta("RIFFxxxxWAVE".getBytes).format == "unknown")
+    // --- MJPEG composition: real JPEG frames demux into decodable
+    // images (the sampled-frame -> image-op pipeline) ---
+    val jpegAvi = Multimodal.muxAvi(31, 62, 40000L,
+      Seq(MediaFixture.jpeg(31, 62), MediaFixture.jpeg(31, 62)))
+    val jdf = Seq((1L, jpegAvi)).toDF("doc_id", "payload")
+    val sampled = Multimodal.sampleFrames(jdf, "doc_id", "payload", stride = 1)
+    val dims = Multimodal.withMediaMetadata(sampled, "frame_bytes")
+      .select($"frame_index", $"width", $"height", $"format")
+      .as[(Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(dims.toSeq == Seq((0, 31, 62, "jpeg"), (1, 31, 62, "jpeg")))
   }
 
   test("semantic dedup: within-cell min-id survivor; cross-cell near-dups untouched") {
