@@ -2230,6 +2230,25 @@ object OracleSql {
     // checked-in snapshot UrlOps loads — list drift breaks the hash.
     "url_registrable" -> urlRegistrableSql,
 
+    // PSL-keyed per-domain quota: hash-priority rank replay, quota 3.
+    "domain_quota" -> domainQuotaSql,
+
+    // Binary quantization: the sign rule (e[d] > 0) and per-dim
+    // hamming count replayed from raw embeddings — the packed-long
+    // xor/bit_count path must agree exactly, then exact float rerank.
+    "bq_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        | hd AS (SELECT vec_id,
+        |         CAST(list_sum(list_transform(generate_series(1, 64),
+        |           d -> CASE WHEN (e[d] > 0) <> (qv[d] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |        FROM v, q),
+        | ap AS (SELECT vec_id, hamming FROM hd ORDER BY hamming ASC, vec_id ASC LIMIT 50),
+        | re AS (SELECT ap.vec_id, ap.hamming, list_cosine_similarity(v.e, q.qv) AS c
+        |        FROM ap JOIN v ON ap.vec_id = v.vec_id, q)
+        |SELECT vec_id, hamming, round(c, 6) AS cosine
+        |FROM re ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+
     // Same planted URLs; host/site/normalize replicated with the
     // LITERAL same RE2-safe regexes (DuckDB backrefs are \1, Spark's
     // $1 — same semantics). DuckDB regexp_replace is first-match-only
@@ -2578,10 +2597,12 @@ object OracleSql {
        |WHERE list_cosine_similarity(va.v, vb.v) >= $threshold""".stripMargin
   }
 
-  /** Generated from the SAME PSL snapshot UrlOps loads: the planted
-    * hosts, the hostOf/siteOf regex chain, and the longest-suffix CASE
-    * with the snapshot's 2-/3-level IN lists inlined. */
-  private def urlRegistrableSql: String = {
+  /** Shared CTE prefix for the PSL query family — generated from the
+    * SAME snapshot UrlOps loads: the planted hosts, the hostOf/siteOf
+    * regex chain, and the longest-suffix CASE with the snapshot's
+    * 2-/3-level IN lists inlined (list drift breaks the hash). Yields
+    * CTE `r` with (doc_id, host, registrable_domain). */
+  private def pslRegistrableCtes: String = {
     val in2 = graft.ops.UrlOps.pslSuffixes2.map(s => s"'$s'").mkString(", ")
     val in3 = graft.ops.UrlOps.pslSuffixes3.map(s => s"'$s'").mkString(", ")
     val l2 = """regexp_extract(site, '([^.]+\.[^.]+)$', 1)"""
@@ -2606,11 +2627,27 @@ object OracleSql {
        |    CASE WHEN $l3 IN ($in3) AND $l4 <> '' THEN $l4
        |         WHEN $l2 IN ($in2) AND $l3 <> '' THEN $l3
        |         ELSE $l2 END AS registrable_domain
-       |   FROM s)
-       |SELECT registrable_domain, count(*) AS n_docs,
-       | count(DISTINCT host) AS n_hosts
-       |FROM r GROUP BY registrable_domain""".stripMargin
+       |   FROM s)""".stripMargin
   }
+
+  // NB: the prefix is concatenated, NOT interpolated into a second
+  // stripMargin — `|| '/p/'` continuation lines would be re-stripped.
+  private def urlRegistrableSql: String =
+    pslRegistrableCtes + "\n" +
+      """SELECT registrable_domain, count(*) AS n_docs,
+        | count(DISTINCT host) AS n_hosts
+        |FROM r GROUP BY registrable_domain""".stripMargin
+
+  /** Per-domain quota: the stratified_quota hash-rank replay keyed by
+    * the PSL registrable domain. */
+  private def domainQuotaSql: String =
+    pslRegistrableCtes + "\n" +
+      """SELECT doc_id, registrable_domain, sample_rank FROM (
+        | SELECT doc_id, registrable_domain, row_number() OVER (
+        |   PARTITION BY registrable_domain
+        |   ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |     doc_id) AS sample_rank
+        | FROM r) WHERE sample_rank <= 3""".stripMargin
 
   private def lshTopkSql(dim: Int, numPlanes: Int, probeHamming: Int, k: Int): String = {
     val bucketExpr = (0 until numPlanes).map { p =>

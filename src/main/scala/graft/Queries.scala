@@ -616,6 +616,40 @@ object Queries {
         r6(col("approx_cosine")).as("approx_cosine"))
   }
 
+  /** Binary (sign) quantized two-stage search: hamming pre-rank over
+    * packed 1-bit/dim sign patterns (the 32×-compressed scan with a
+    * 3-instruction distance) → top-50 candidates → exact float cosine
+    * rerank → top-10. The oracle replays the sign rule (e[d] > 0) and
+    * hamming count per-dim from raw embeddings — the packed-long xor /
+    * bit_count path must agree bit for bit. */
+  def bqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    ops.Quantization.binaryTopK(emb, "vec_id", "embedding", q, k = 10, candidates = 50)
+      .select(col("vec_id"), col("hamming"), r6(col("cosine")).as("cosine"))
+  }
+
+  /** Per-registrable-domain quota (3 docs) over the url_registrable
+    * planted hosts — the crawl-curation cap, PSL-keyed, hash-priority
+    * deterministic, two-stage shard-pruned exact rank. */
+  def domainQuota(s: SparkSession, dir: String): DataFrame = {
+    val m7 = (col("doc_id") % 7).cast("string")
+    val m3 = (col("doc_id") % 3).cast("string")
+    val host = when(col("doc_id") % 5 === 0,
+        concat(lit("a"), m7, lit(".shop"), m3, lit(".example.co.uk")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("news"), m7, lit(".site"), m3, lit(".com.au")))
+      .when(col("doc_id") % 5 === 2, concat(lit("u"), m7, lit(".github.io")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("www.portal"), m3, lit(".k12.ca.us")))
+      .otherwise(concat(lit("CDN"), m3, lit(".Example.COM:8080")))
+    val e = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://"), host, lit("/p/"), col("doc_id")).as("url"))
+    graft.ops.UrlOps.domainQuotaSample(e, "url", "doc_id", maxPerDomain = 3)
+      .select(col("doc_id"), col("registrable_domain"), col("sample_rank"))
+  }
+
   /** Product-quantized two-stage search: 8 subspaces × 16-word
     * codebooks (one Lloyd update from lowest-id seeds), candidates by
     * cosine against the codeword reconstruction — the 32×-compressed
@@ -2396,6 +2430,8 @@ object Queries {
     "repetition_stats" -> repetitionStats _,
     "pii_redact" -> piiRedact _,
     "quant_topk" -> quantTopk _,
+    "bq_topk" -> bqTopk _,
+    "domain_quota" -> domainQuota _,
     "pq_topk" -> pqTopk _,
     "ivfpq_topk" -> ivfpqTopk _,
     "mrl_topk" -> mrlTopk _,

@@ -92,4 +92,66 @@ object Quantization {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ------------------------------------------------------------------
+  // Binary (sign) quantization — the 1-bit/dim end of the compression
+  // ladder (int8 = 4×, PQ = 32×, sign bits = 32× with a 3-instruction
+  // distance): bit d set iff v_d > 0, packed into ⌈dim/64⌉ longs.
+  // Hamming distance between sign patterns approximates angular
+  // distance (for L2-normalized embeddings E[hamming] ∝ acos(cosine)),
+  // so a hamming pre-rank over the packed bits + an exact rerank of
+  // the survivors is the classic cheap ANN stage — the scan reads 8
+  // bytes per 64 dims instead of 256.
+  // ------------------------------------------------------------------
+
+  /** Packed sign bits as `array<bigint>` (bit d of word d/64 set iff
+    * component d > 0) — map-only, codegen'd shifts, no UDF. */
+  def signBitsColumn(vecCol: Column, dim: Int): Column = {
+    val words = (dim + 63) / 64
+    val wordExprs = (0 until words).map { w =>
+      val lo = w * 64
+      val hi = math.min(lo + 64, dim)
+      (lo until hi).map(d =>
+        when(vecCol.getItem(d) > 0f, lit(1L << (d - lo))).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+    }
+    array(wordExprs: _*)
+  }
+
+  /** Hamming distance between two packed sign arrays: Σ bit_count(a ⊕
+    * b) — `zip_with` + the codegen'd `bit_count` builtin. */
+  def hammingColumn(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Two-stage binary-quantized search: top-`candidates` by hamming
+    * distance between the query's sign bits and the corpus's (ties
+    * hamming asc, id asc — deterministic), then exact cosine rerank of
+    * the survivors → top-k. Both stages TakeOrderedAndProject; the
+    * sign scan touches 1 bit per dim. The stored-layout version keeps
+    * the packed bits as a sidecar column next to `chunks_q` (same
+    * pattern as the int8 sidecar — parquet prunes to (id, bits)). */
+  def binaryTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, candidates: Int = 50): DataFrame = {
+    val dim = query.length
+    val words = (dim + 63) / 64
+    val qbits = Array.tabulate(words) { w =>
+      val lo = w * 64
+      (lo until math.min(lo + 64, dim)).foldLeft(0L) { (acc, d) =>
+        if (query(d) > 0) acc | (1L << (d - lo)) else acc
+      }
+    }
+    val q = lit(query)
+    val approx = df
+      .withColumn("hamming",
+        hammingColumn(signBitsColumn(col(vecCol), dim), lit(qbits)))
+      .select(col(idCol), col("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(candidates)
+    broadcast(approx).join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), q))
+      .select(col(idCol), col("hamming"), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -93,6 +93,22 @@ object UrlOps {
     regexp_replace(schemeHostLower, "(.)/$", "$1")
   }
 
+  /** Per-domain document quota — the crawl-curation cap ("at most N
+    * docs per registrable domain" keeps one SEO farm from dominating a
+    * training mix): rank within [[registrableDomainOf]] by the
+    * portable id-hash priority and keep the first `maxPerDomain`.
+    * Deterministic (no rand() — a re-crawl keeps the same survivors),
+    * engine-replayable, and scale-shaped by delegation to
+    * [[TextAnalytics.stratifiedQuota]]'s two-stage shard-pruned exact
+    * rank — no whole-domain single-reducer sort even for a
+    * million-doc domain. Returns kept rows + `registrable_domain` +
+    * `sample_rank`. */
+  def domainQuotaSample(df: DataFrame, urlCol: String, idCol: String,
+      maxPerDomain: Int, shards: Int = 64): DataFrame =
+    TextAnalytics.stratifiedQuota(
+      df.withColumn("registrable_domain", registrableDomainOf(col(urlCol))),
+      idCol, "registrable_domain", maxPerDomain, shards)
+
   /** Per-domain corpus rollup: doc count, distinct normalized URLs,
     * total chars — the frame domain quotas/blocklists key on. One
     * map-only projection + one partial-agg groupBy. */

@@ -2265,6 +2265,64 @@ class OpsSpec extends SparkSpec {
     assert(got(3) == (("", "", "", "")))
   }
 
+  test("binary quantization: packed sign bits, hamming == per-dim count, full-pool rerank == exact") {
+    import graft.ops.Quantization
+    val dim = 64
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 13 + d * 7) * (if ((i + d) % 3 == 0) -1 else 1)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0).select($"embedding")
+      .as[Seq[Float]].head().map(_.toDouble).toArray
+    // packed-bits hamming == naive per-dim sign-mismatch count
+    val got = vecs.select($"vec_id",
+        Quantization.hammingColumn(
+          Quantization.signBitsColumn($"embedding", dim),
+          org.apache.spark.sql.functions.lit(Array.tabulate((dim + 63) / 64) { w =>
+            (w * 64 until math.min(w * 64 + 64, dim)).foldLeft(0L)((acc, d) =>
+              if (q(d) > 0) acc | (1L << (d - w * 64)) else acc)
+          })).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val raw = vecs.as[(Long, Seq[Float])].collect().toMap
+    raw.foreach { case (id, v) =>
+      val naive = (0 until dim).count(d => (v(d) > 0) != (q(d) > 0)).toLong
+      assert(got(id) == naive, s"id $id: ${got(id)} vs $naive")
+    }
+    assert(got(0L) == 0L) // query vs itself
+    // with candidates >= corpus the rerank equals the exact top-k
+    val bq = Quantization.binaryTopK(vecs, "vec_id", "embedding", q,
+        k = 5, candidates = 40)
+      .select($"vec_id").as[Long].collect().toSeq
+    val exact = vecs
+      .withColumn("c", graft.functions.VectorFunctions.cosineSimilarity(
+        $"embedding", org.apache.spark.sql.functions.lit(q)))
+      .orderBy($"c".desc, $"vec_id".asc).limit(5)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(bq == exact, s"$bq vs $exact")
+  }
+
+  test("domain quota sample: at most N per registrable domain, hash-priority deterministic") {
+    import graft.ops.UrlOps
+    val docs = (0L until 30L).map { i =>
+      val host =
+        if (i % 2 == 0) s"sub$i.example.co.uk" else s"u${i % 4}.github.io"
+      (i, s"https://$host/p/$i")
+    }.toDF("doc_id", "url")
+    val kept = UrlOps.domainQuotaSample(docs, "url", "doc_id", maxPerDomain = 3)
+      .select($"doc_id", $"registrable_domain", $"sample_rank")
+      .as[(Long, String, Int)].collect()
+    val byDomain = kept.groupBy(_._2)
+    // example.co.uk has 15 docs -> capped at 3; each github.io user page
+    // is its own registrable domain (<= 4 docs each, also capped)
+    assert(byDomain("example.co.uk").length == 3)
+    byDomain.values.foreach(g => assert(g.length <= 3))
+    assert(kept.forall(_._3 <= 3))
+    // deterministic: rerun keeps the identical survivor set
+    val again = UrlOps.domainQuotaSample(docs.repartition(7), "url", "doc_id", 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("url ops: PSL-backed registrable domain — 2/3-level suffixes, private section, fallbacks") {
     import graft.ops.UrlOps
     // the snapshot loaded and split by depth
