@@ -1614,6 +1614,67 @@ object OracleSql {
     // vs decomposed (chr(769) combining acute) accent twins; the key
     // is nfc_normalize + lower + trim + whitespace collapse, mirroring
     // Dedup.normalizedKey exactly (nfc BEFORE lower on both sides).
+    // Aggressive key: same twin planting as dedup_unicode, plus the
+    // digit/punct strip (literal same RE2-safe classes, 'g' flag —
+    // DuckDB regexp_replace is first-match-only by default).
+    "dedup_aggressive" ->
+      """WITH a AS (SELECT doc_id, text || ' post #123, 4 views!' AS text FROM documents),
+        | b AS (SELECT doc_id + 10000000 AS did, text || ' POST #999: 9,881 views...' AS text FROM documents),
+        | u AS (SELECT doc_id, text FROM a UNION ALL SELECT did AS doc_id, text FROM b),
+        | k AS (SELECT doc_id,
+        |    regexp_replace(trim(regexp_replace(lower(nfc_normalize(text)),
+        |      '[0-9]|[!-/:-@\[-`{-~]', '', 'g')), '\s+', ' ', 'g') AS ak
+        |   FROM u),
+        | r AS (SELECT doc_id, row_number() OVER (PARTITION BY ak ORDER BY doc_id) AS rn FROM k)
+        |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
+
+    // Candidate-pair edit verification: same consecutive-pair rule,
+    // classic Levenshtein DP both engines, exact integer distances.
+    "dedup_edit_verify" ->
+      """WITH p AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+        |           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |           WHERE a.doc_id % 7 = 0)
+        |SELECT id_a, id_b,
+        | CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+        | round(1.0 - levenshtein(ta.text, tb.text)::DOUBLE /
+        |   greatest(length(ta.text), length(tb.text), 1), 6) AS edit_sim,
+        | (round(1.0 - levenshtein(ta.text, tb.text)::DOUBLE /
+        |   greatest(length(ta.text), length(tb.text), 1), 6) >= 0.3) AS verified
+        |FROM p JOIN documents ta ON ta.doc_id = p.id_a
+        |       JOIN documents tb ON tb.doc_id = p.id_b""".stripMargin,
+
+    // Vocabulary coverage curve: rank words (count desc, word asc),
+    // cumulative token mass at each candidate size.
+    "vocab_coverage" ->
+      """WITH w AS (SELECT wd, count(*) AS cnt FROM (
+        |     SELECT unnest(string_split_regex(trim(text), '\s+')) AS wd FROM documents)
+        |    WHERE wd <> '' GROUP BY wd),
+        | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS v FROM w),
+        | r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, wd ASC) AS rn FROM w),
+        | c AS (SELECT rn, CAST(sum(cnt) OVER (ORDER BY rn) AS BIGINT) AS cum FROM r),
+        | ks AS (SELECT unnest([100, 1000, 5000]) AS k)
+        |SELECT CAST(k AS BIGINT) AS vocab_size,
+        | least(CAST(k AS BIGINT), v) AS n_types,
+        | coalesce((SELECT cum FROM c WHERE rn = least(k, (SELECT count(*) FROM r))), 0) AS covered_tokens,
+        | total AS total_tokens,
+        | round(coalesce((SELECT cum FROM c WHERE rn = least(k, (SELECT count(*) FROM r))), 0)::DOUBLE
+        |   / total, 6) AS coverage
+        |FROM ks, t""".stripMargin,
+
+    // Per-source OOV against the corpus top-500 vocab: same word
+    // split, same (count desc, word asc) vocab rank.
+    "source_oov" ->
+      """WITH toks AS (SELECT source AS grp, wd AS w FROM (
+        |     SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS wd FROM documents)
+        |    WHERE wd <> ''),
+        | vc AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        | vocab AS (SELECT w, 1 AS inv FROM vc ORDER BY cnt DESC, w ASC LIMIT 500)
+        |SELECT grp AS source, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN vocab.inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | round(sum(CASE WHEN vocab.inv IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+        |FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+        |GROUP BY grp""".stripMargin,
+
     "dedup_unicode" ->
       """WITH a AS (SELECT doc_id,
         |    text || ' caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233) AS text

@@ -2145,6 +2145,51 @@ object Queries {
     graft.ops.UrlOps.domainStats(e, "url", "text")
   }
 
+  /** Aggressive-key dedup (CCNet/RefinedWeb "fuzzy exact"): each doc
+    * gets a twin decorated with different digits/punctuation — the
+    * aggressive key (NFC + lower + strip digits/punct + ws collapse)
+    * collapses every twin pair onto the min id, where the canonical
+    * key would keep both. */
+  def dedupAggressive(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val a = d.select(col("doc_id"),
+      concat(col("text"), lit(" post #123, 4 views!")).as("text"))
+    val b = d.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(col("text"), lit(" POST #999: 9,881 views...")).as("text"))
+    Dedup.exactAggressive(a.unionByName(b), "doc_id", "text")
+      .select(col("doc_id"))
+  }
+
+  /** Edit-distance verification of candidate pairs — the exact-verify
+    * stage after LSH banding: consecutive-doc candidate pairs
+    * (doc_id % 7 == 0), Levenshtein similarity 1 − dist/maxLen,
+    * verified at 0.3. Both engines run the same classic DP, so the
+    * integer distances hash-match exactly. */
+  def dedupEditVerify(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = d.select(col("doc_id").as("id_a"))
+      .filter(col("id_a") % 7 === 0)
+      .withColumn("id_b", col("id_a") + 1)
+      .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    Dedup.editVerifyPairs(pairs, d, "doc_id", "text", minSim = 0.3)
+  }
+
+  /** Vocabulary coverage curve at candidate sizes 100/1000/5000 —
+    * the tokenizer-design profile. */
+  def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq(100, 1000, 5000))
+      .select(col("vocab_size").cast("long").as("vocab_size"),
+        col("n_types"), col("covered_tokens"), col("total_tokens"),
+        col("coverage"))
+
+  /** Per-source OOV rate against the corpus top-500 vocabulary. */
+  def sourceOovQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.sourceOovRate(t(s, dir, "documents"), "source", "text",
+        vocabSize = 500)
+      .select(col("grp").as("source"), col("n_tokens"), col("n_oov"),
+        col("oov_rate"))
+
   /** PSL-backed registrable-domain rollup over planted crawl hosts
     * exercising every snapshot path: a co.uk registrant under two
     * subdomain levels, com.au registrants, private-section github.io
@@ -2486,6 +2531,10 @@ object Queries {
     "blocklist_term_stats" -> blocklistTermStats _,
     "compression_ratio" -> compressionRatio _,
     "dedup_unicode" -> dedupUnicode _,
+    "dedup_aggressive" -> dedupAggressive _,
+    "dedup_edit_verify" -> dedupEditVerify _,
+    "vocab_coverage" -> vocabCoverageQ _,
+    "source_oov" -> sourceOovQ _,
     "rfm_segments" -> rfmSegments _,
     "canary_screen" -> canaryScreen _,
     "lm_stupid_backoff" -> lmStupidBackoff _,

@@ -55,6 +55,50 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Aggressive dedup key (the CCNet/RefinedWeb "fuzzy exact" pass):
+    * NFC + lowercase, then strip ALL digits and punctuation/symbols
+    * and collapse whitespace — catches boilerplate pairs that differ
+    * only in ids, dates, counters, or punctuation ("Post #123, 4
+    * views" vs "Post #456, 9 views"), which the canonical
+    * [[normalizedKey]] deliberately preserves. RE2-safe classes
+    * (`[0-9]`, explicit ASCII punctuation) so DuckDB replays the
+    * literal same regexes. */
+  def aggressiveKey(text: Column): Column =
+    regexp_replace(trim(regexp_replace(
+      lower(graft.functions.UnicodeFunctions.nfcNormalize(text)),
+      """[0-9]|[!-/:-@\[-`{-~]""", "")), "\\s+", " ")
+
+  /** Exact dedup under the aggressive key — keep-lowest-id, one keyed
+    * shuffle, same shape as [[exact]]/[[exactNormalized]]; the third
+    * rung of the dedup-key ladder (byte → canonical → aggressive). */
+  def exactAggressive(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(aggressiveKey(col(textCol)), 256))
+      .orderBy(col(idCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Edit-distance verification of near-dup CANDIDATE pairs — the
+    * exact-verify stage a production fuzzy-dedup pipeline runs after
+    * LSH/banding (banded MinHash admits false positives; Levenshtein
+    * similarity 1 − dist/maxLen is the standard arbiter). Candidates
+    * only: the quadratic-per-pair DP cost is bounded by the candidate
+    * graph, never corpus². `pairs` carries (id_a, id_b); texts join in
+    * via broadcast-friendly keyed joins; output keeps every pair with
+    * `edit_sim` and a `verified` flag at `minSim`. */
+  def editVerifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, minSim: Double): DataFrame = {
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_sim", round(lit(1.0) -
+        col("edit_dist").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1)).cast("double"), 6))
+      .withColumn("verified", col("edit_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"),
+        col("verified"))
+  }
+
   /** Distinct character n-gram shingles per document:
     * (id, shingle) rows. Windows start at 1..max(len-n+1, 1), so every
     * non-empty doc has ≥1 shingle (the final one may be short). */

@@ -754,6 +754,70 @@ object TextAnalytics {
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("total_tokens"),
         min(col("__t")).as("min_tokens"), max(col("__t")).as("max_tokens"))
 
+  /** Vocabulary coverage curve — the tokenizer-design profile: for
+    * each candidate vocab size k, what fraction of corpus TOKEN
+    * OCCURRENCES the top-k words (count desc, word asc — the
+    * deterministic rank every engine replays) would cover. Answers
+    * "how big must the vocab be before OOV is rare" before any
+    * BPE/WordPiece training run.
+    *
+    * Scale shape: word counts = one partial-agg groupBy; the ranking
+    * touches only the top max(sizes) rows (TakeOrdered — the
+    * Heaps-law full vocab is never globally sorted); the cumulative
+    * sum runs over that bounded table (≤ max(sizes) rows, driver-small
+    * by construction). Integer-exact counts, coverage rounded 6 dp. */
+  def vocabCoverage(df: DataFrame, textCol: String, sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), "sizes must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totRow = counts.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("t"),
+      count(lit(1)).as("v")).head()
+    val (total, vTypes) = (totRow.getLong(0), totRow.getLong(1))
+    val top = counts
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(sizes.max)
+      .as[(String, Long)].collect() // ≤ max(sizes) rows — bounded
+    counts.unpersist()
+    val cum = top.scanLeft(0L)(_ + _._2).drop(1)
+    sizes.distinct.sorted.map { k =>
+      val kEff = math.min(k, top.length)
+      val covered = if (kEff == 0) 0L else cum(kEff - 1)
+      (k, math.min(k.toLong, vTypes), covered, total,
+        if (total == 0) 0.0 else math.round(covered.toDouble / total * 1e6) / 1e6)
+    }.toDF("vocab_size", "n_types", "covered_tokens", "total_tokens", "coverage")
+  }
+
+  /** Per-source OOV rate against the corpus top-`vocabSize` vocabulary
+    * — the source-mix health check [[vocabCoverage]] globalizes: a
+    * source whose tokens fall outside the shared vocab will tokenize
+    * into fragments/UNKs. Reference vocab = top-k by (count desc, word
+    * asc) over the WHOLE corpus (broadcast semi-join back); counts
+    * integer-exact, rate 6 dp. One groupBy for the vocab, one for the
+    * rollup. */
+  def sourceOovRate(df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = df.select(col(groupCol).as("grp"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("grp"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Blocklist scoring — the word-list screen of a quality pipeline
     * (profanity/boilerplate/spam-term lists): per doc, total occurrences
     * of the listed terms among its whitespace tokens and the hit ratio,

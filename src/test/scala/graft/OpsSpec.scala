@@ -2265,6 +2265,61 @@ class OpsSpec extends SparkSpec {
     assert(got(3) == (("", "", "", "")))
   }
 
+  test("aggressive dedup key: digit/punct variants collapse where the canonical key keeps both") {
+    val docs = Seq(
+      (1L, "Breaking news: market up. Post #123, 4 views!"),
+      (2L, "Breaking news: market up. Post #456, 9 views!"), // digits differ only
+      (3L, "breaking NEWS  market up   post views"),         // case/ws/punct variant
+      (4L, "Completely different body text here")).toDF("doc_id", "text")
+    val agg = Dedup.exactAggressive(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(agg == Set(1L, 4L), s"aggressive survivors: $agg")
+    // the canonical key preserves digits/punct -> 1 and 2 both survive
+    val canon = Dedup.exactNormalized(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(canon == Set(1L, 2L, 3L, 4L))
+    // key sanity: strip leaves letters/whitespace only
+    val k = docs.select(Dedup.aggressiveKey($"text")).as[String].collect()
+    k.foreach(s => assert(s.matches("[a-z ]*"), s"key not clean: '$s'"))
+  }
+
+  test("edit-distance pair verification: classic DP values, similarity, threshold flag") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),
+      (3L, "the quick brown fox"), (4L, "the quick brown fax"),
+      (5L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.editVerifyPairs(pairs, docs, "doc_id", "text", minSim = 0.8)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // kitten -> sitting: the textbook distance 3; maxLen 7
+    assert(got((1L, 2L)) == ((1L, 2L, 3L, 0.571429, false)))
+    // one substitution over 19 chars: sim 18/19, verified at 0.8
+    assert(got((3L, 4L)) == ((3L, 4L, 1L, 0.947368, true)))
+    // empty right side: distance = len(left), sim 0 (maxLen guard > 0)
+    assert(got((1L, 5L)) == ((1L, 5L, 6L, 0.0, false)))
+  }
+
+  test("vocab coverage + per-source OOV: hand-derived ranks and rates") {
+    val docs = Seq(
+      (1L, "s1", "a a a b b c"),
+      (2L, "s1", "a b d"),
+      (3L, "s2", "e e f")).toDF("doc_id", "source", "text")
+    // counts: a=4, b=3, e=2, c=1, d=1, f=1 (ties rank c<d<f lexically)
+    val cov = TextAnalytics.vocabCoverage(docs, "text", Seq(1, 3, 100))
+      .as[(Int, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(cov(1) == ((1, 1L, 4L, 12L, 0.333333)))
+    assert(cov(3) == ((3, 3L, 9L, 12L, 0.75)))
+    // size beyond the vocab: everything covered, n_types = |vocab|
+    assert(cov(100) == ((100, 6L, 12L, 12L, 1.0)))
+    // OOV vs top-2 vocab {a, b}: s1 has 9 tokens, oov {c, d} = 2;
+    // s2 has 3 tokens, all oov
+    val oov = TextAnalytics.sourceOovRate(docs, "source", "text", vocabSize = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(oov("s1") == (("s1", 9L, 2L, 0.222222)))
+    assert(oov("s2") == (("s2", 3L, 3L, 1.0)))
+  }
+
   test("binary quantization: packed sign bits, hamming == per-dim count, full-pool rerank == exact") {
     import graft.ops.Quantization
     val dim = 64
