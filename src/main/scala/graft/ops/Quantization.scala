@@ -130,7 +130,15 @@ object Quantization {
     * the survivors → top-k. Both stages TakeOrderedAndProject; the
     * sign scan touches 1 bit per dim. The stored-layout version keeps
     * the packed bits as a sidecar column next to `chunks_q` (same
-    * pattern as the int8 sidecar — parquet prunes to (id, bits)). */
+    * pattern as the int8 sidecar — parquet prunes to (id, bits)).
+    *
+    * Pool sizing (the plain-PQ coupling, gate-measured in
+    * ScaleOpsSpec): on clustered corpora a cluster's members share
+    * sign patterns, so hamming TIES across the cluster and
+    * `candidates` must cover the tie set (≈ 2·n/centers — cand=500 on
+    * the 64-center 300k regime recalls only 0.34; the tie-set pool
+    * recalls 1.00). Small-pool configurations are IVF-PQ's job; sign
+    * bits buy the cheapest possible pre-rank scan, not cell pruning. */
   def binaryTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, candidates: Int = 50): DataFrame = {
     val dim = query.length

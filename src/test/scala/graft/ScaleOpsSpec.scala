@@ -652,7 +652,17 @@ class ScaleOpsSpec extends SparkSpec {
         nProbe = 32, candidates = 500))
       finally encoded.unpersist()
       assert(ivfPq >= 0.9, f"IVF-PQ (kC=256, nProbe=32, cand=500) recall@10 $ivfPq%.3f < 0.9")
-      info(f"recall@10 at n=$n: lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f ivfpq=$ivfPq%.3f")
+      // Binary (sign) quantization obeys the SAME tie-set coupling as
+      // plain PQ: cluster members share sign patterns (the center
+      // dominates every dim's sign), so hamming TIES across the
+      // cluster and the candidate pool must cover the tie set —
+      // measured here: cand=500 recalls only 0.34, the tie-set pool
+      // holds the gate. 8 bytes/vector scanned, no training, no
+      // cells; small-pool configurations are IVF-PQ's job.
+      val bq = meanRecall(qv => ops.Quantization.binaryTopK(
+        vecs, "vec_id", "embedding", qv, 10, candidates = tieSet))
+      assert(bq >= 0.9, f"BQ (sign bits, cand=$tieSet) recall@10 $bq%.3f < 0.9")
+      info(f"recall@10 at n=$n: lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f ivfpq=$ivfPq%.3f bq=$bq%.3f")
     } finally vecs.unpersist()
   }
 
