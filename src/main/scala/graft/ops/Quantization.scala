@@ -139,16 +139,23 @@ object Quantization {
     * the 64-center 300k regime recalls only 0.34; the tie-set pool
     * recalls 1.00). Small-pool configurations are IVF-PQ's job; sign
     * bits buy the cheapest possible pre-rank scan, not cell pruning. */
-  def binaryTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Double], k: Int, candidates: Int = 50): DataFrame = {
+  /** Driver-side packing of a query vector's sign bits — the scalar
+    * twin of [[signBitsColumn]] (same bit layout, asserted by the
+    * hamming-zero self-match in spec). */
+  def packSignBits(query: Array[Double]): Array[Long] = {
     val dim = query.length
-    val words = (dim + 63) / 64
-    val qbits = Array.tabulate(words) { w =>
+    Array.tabulate((dim + 63) / 64) { w =>
       val lo = w * 64
       (lo until math.min(lo + 64, dim)).foldLeft(0L) { (acc, d) =>
         if (query(d) > 0) acc | (1L << (d - lo)) else acc
       }
     }
+  }
+
+  def binaryTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, candidates: Int = 50): DataFrame = {
+    val dim = query.length
+    val qbits = packSignBits(query)
     val q = lit(query)
     val approx = df
       .withColumn("hamming",

@@ -167,6 +167,46 @@ object VectorStore {
     VectorSearch.searchChunks(subset, queryVec, metric, opts)
   }
   // -------------------------------------------------------------------
+  // Binary (sign) sidecar: chunks_b/ holds 1-bit/dim packed sign codes
+  // (⌈dim/64⌉ longs per row — 8 bytes per 64 dims, the cheapest stage-1
+  // scan in the ladder: int8 = dim bytes, PQ = m bytes, sign = dim/8).
+  // Hamming pre-rank approximates ANGULAR order, so stage 1 assumes a
+  // cosine-family metric; stage 2 always runs the exact chain under
+  // the database's metric, and candidates ≥ corpus degrades gracefully
+  // to the exact search. Pool sizing: the tie-set coupling documented
+  // on [[graft.ops.Quantization.binaryTopK]].
+  // -------------------------------------------------------------------
+
+  /** Build/refresh the binary sidecar from the stored chunks. */
+  def writeBinary(spark: SparkSession, dbDir: String): Unit = {
+    val m = readManifest(dbDir)
+    chunks(spark, dbDir)
+      .select(col("id"),
+        graft.ops.Quantization.signBitsColumn(col("vector"), m.dimensions).as("bvec"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dbDir/chunks_b")
+  }
+
+  /** Two-stage search against the binary sidecar: stage 1 keeps the
+    * `candidates` hamming-nearest sign patterns (a column-pruned scan
+    * of chunks_b only — 8 bytes per 64 dims); stage 2 broadcast-joins
+    * those ids back to the full chunks table and runs the standard
+    * exact search chain. Same contract as [[searchQuantized]]. */
+  def searchBinary(spark: SparkSession, dbDir: String, queryVec: Array[Float],
+      opts: graft.search.SearchOptions, candidates: Int = 64): DataFrame = {
+    import graft.search.VectorSearch
+    val metric = readManifest(dbDir).distanceMetric
+    val qbits = graft.ops.Quantization.packSignBits(queryVec.map(_.toDouble))
+    val cand = spark.read.parquet(s"$dbDir/chunks_b")
+      .withColumn("__h", graft.ops.Quantization.hammingColumn(col("bvec"), lit(qbits)))
+      .orderBy(col("__h").asc, col("id").asc)
+      .limit(candidates)
+      .select("id")
+    val subset = chunks(spark, dbDir)
+      .join(org.apache.spark.sql.functions.broadcast(cand), Seq("id"))
+    VectorSearch.searchChunks(subset, queryVec, metric, opts)
+  }
+
+  // -------------------------------------------------------------------
   // IVF-PQ index sidecar: chunks_ivfpq/ holds the encoded index of
   // [[graft.ops.ProductQuantization.ivfPqWrite]] — codes parquet
   // partitioned by coarse cell + model.json. Unlike the flat int8

@@ -174,6 +174,27 @@ class EndToEndSpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("binary sidecar: packed sign codes + two-stage search equals exact") {
+    manifest // force build
+    VectorStore.writeBinary(spark, dbDir.toString)
+    val b = spark.read.parquet(s"$dbDir/chunks_b")
+    // 16 dims pack into one long per row
+    assert(b.schema("bvec").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.LongType)
+    assert(b.select(org.apache.spark.sql.functions.size($"bvec")).distinct()
+      .as[Int].collect().toSeq == Seq(1))
+    assert(b.count() == VectorStore.chunks(spark, dbDir.toString).count())
+    // candidates >= corpus: the two-stage result equals the exact search
+    val qv = embedder.embedQuery(spark, "alpha bravo charlie delta echo")
+    val exact = VectorSearch.search(spark, dbDir.toString, "alpha bravo charlie delta echo",
+      embedder, SearchOptions(k = 4, scoreThreshold = 0.0))
+      .select("id").as[Long].collect().toSeq
+    val bin = VectorStore.searchBinary(spark, dbDir.toString, qv,
+      SearchOptions(k = 4, scoreThreshold = 0.0), candidates = 1000)
+      .select("id").as[Long].collect().toSeq
+    assert(bin == exact)
+  }
+
   test("search: keyword + doc-type post-filters, no backfill below k") {
     val all = VectorSearch.search(spark, dbDir.toString, "anything",
       embedder, SearchOptions(k = 100, scoreThreshold = 0.0))

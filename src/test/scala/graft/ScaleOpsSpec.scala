@@ -191,6 +191,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("binary sidecar stage 1 scans only (id, bvec) — column-pruned; full pool == exact") {
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bq_db").toString
+    val chunks = (1L to 100L).map { i =>
+      (i, s"text $i", Array.fill(8)(rnd.nextFloat() * 2 - 1),
+        s"/f$i.txt", ".txt", s"f$i.txt", "2026-01-01", "2026-01-01", s"h$i", "document",
+        Option.empty[Int])
+    }.toDF("id", "text", "vector", "file_path", "file_type", "file_name",
+      "creation_date", "modification_date", "hash", "document_type", "page_number")
+    chunks.write.parquet(s"$dir/chunks")
+    graft.store.VectorStore.writeManifest(dir,
+      graft.model.DbManifest("cosine", 8, "float32", "det", 100, 0))
+    graft.store.VectorStore.writeBinary(spark, dir)
+    val qv = Array.fill(8)(0.25f)
+    val result = graft.store.VectorStore.searchBinary(spark, dir, qv,
+      graft.search.SearchOptions(k = 5, scoreThreshold = 0.0), candidates = 20)
+    // stage-1 scan of chunks_b must read ONLY id + bvec (no text/vector)
+    val plan = result.queryExecution.executedPlan.toString
+    val bScanSchema = plan.linesIterator
+      .filter(l => l.contains("chunks_b") && l.contains("ReadSchema")).mkString
+    assert(bScanSchema.contains("id") && bScanSchema.contains("bvec"),
+      s"chunks_b scan not found in:\n$plan")
+    assert(!bScanSchema.contains("text") && !bScanSchema.contains("vector"))
+    // full candidate pool degrades gracefully to the exact search
+    val exact = graft.search.VectorSearch.searchChunks(
+      spark.read.parquet(s"$dir/chunks"), qv, "cosine",
+      graft.search.SearchOptions(k = 5, scoreThreshold = 0.0))
+      .select("id").as[Long].collect().toSeq
+    val full = graft.store.VectorStore.searchBinary(spark, dir, qv,
+      graft.search.SearchOptions(k = 5, scoreThreshold = 0.0), candidates = 100)
+      .select("id").as[Long].collect().toSeq
+    assert(full == exact)
+  }
+
   test("heap-aggregate batch top-k == window batch top-k, all partitionings") {
     val rnd = new scala.util.Random(13)
     val vecs = (1L to 300L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
