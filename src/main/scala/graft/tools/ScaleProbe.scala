@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "profile" | "graph"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "profile" | "graph" | "bq"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -35,7 +35,7 @@ object ScaleProbe {
         VectorFunctions.l2Normalize(array(comps: _*)).as("embedding"))
       .repartition(32)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (on("ann") || on("dedup") || on("r6ops") || on("r7ops") || on("r7b")) {
+    if (on("ann") || on("dedup") || on("r6ops") || on("r7ops") || on("r7b") || on("bq")) {
       val t0 = System.nanoTime()
       vecs.count()
       println(f"[probe] materialize $n%d x $dim vectors: ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -689,6 +689,38 @@ object ScaleProbe {
         graft.ops.DataProfile.profile(o, cols, exactDistinct = false).collect()
       }
       o.unpersist()
+    }
+    if (on("bq")) {
+      // Compression-ladder stage-1 scan cost at 2M x 64 dims: exact
+      // float cosine scan vs int8-reconstruction scan vs packed sign
+      // bits + hamming. The bq scan touches 8 bytes/vector (vs 256
+      // float, 64 int8) AND its distance is xor+popcount — both the IO
+      // and the ALU story. Candidates sized to the tie-set coupling
+      // documented on binaryTopK.
+      val q2 = Array.tabulate(dim)(d => math.sin(d + 1.0))
+      time("bq: exact float top-10 scan") {
+        SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", q2, 10).collect()
+      }
+      time("bq: int8 two-stage (cand=500)") {
+        graft.ops.Quantization.quantizedTopK(
+          vecs, "vec_id", "embedding", q2, 10, candidates = 500).collect()
+      }
+      // pre-encoded sign codes (the stored-sidecar scan shape)
+      val codes = vecs.select(col("vec_id"),
+          graft.ops.Quantization.signBitsColumn(col("embedding"), dim).as("bv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      codes.count()
+      val qb = graft.ops.Quantization.packSignBits(q2)
+      time("bq: hamming pre-rank over stored codes") {
+        codes.withColumn("h",
+            graft.ops.Quantization.hammingColumn(col("bv"), lit(qb)))
+          .orderBy(col("h").asc, col("vec_id").asc).limit(500).collect()
+      }
+      time("bq: full two-stage from floats (cand=500)") {
+        graft.ops.Quantization.binaryTopK(
+          vecs, "vec_id", "embedding", q2, 10, candidates = 500).collect()
+      }
+      codes.unpersist()
     }
     spark.stop()
   }

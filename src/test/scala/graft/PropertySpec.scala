@@ -139,6 +139,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: AVI parse never throws; mux->demux round-trips random frame sets; cuts keep a prefix") {
+    import graft.ops.Multimodal
+    for (trial <- 1 to 8) {
+      // random frames (incl. empty and odd-length) survive the round trip
+      val frames = (0 until rnd.nextInt(6)).map(_ =>
+        Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+      val avi = Multimodal.muxAvi(1 + rnd.nextInt(512), 1 + rnd.nextInt(512),
+        1L + rnd.nextInt(100000), frames)
+      val back = Multimodal.aviFrames(avi)
+      assert(back.length == frames.length)
+      back.zip(frames).foreach { case (g, w) => assert(g.sameElements(w)) }
+      assert(Multimodal.aviMeta(avi).nFrames == frames.length.toLong)
+      // any truncation yields a PREFIX of the frames, never a throw
+      val cut = avi.take(rnd.nextInt(avi.length + 1))
+      val partial = Multimodal.aviFrames(cut)
+      assert(partial.length <= frames.length)
+      partial.zip(frames).foreach { case (g, w) => assert(g.sameElements(w)) }
+      // garbage and RIFF-prefixed junk parse deterministically, no throw
+      val junk = Array.fill(rnd.nextInt(2000))(rnd.nextInt(256).toByte)
+      Multimodal.aviFrames(junk); Multimodal.aviMeta(junk)
+      val riffJunk = "RIFF".getBytes ++ junk
+      Multimodal.aviFrames(riffJunk); Multimodal.aviMeta(riffJunk)
+      val aviJunk = avi.take(12) ++ junk
+      Multimodal.aviFrames(aviJunk); Multimodal.aviMeta(aviJunk)
+    }
+  }
+
   test("property: DSIR micro sums bit-identical across partitionings on random corpora") {
     for (trial <- 1 to 5) {
       val vocab = (1 to 40).map(i => s"t$i")
