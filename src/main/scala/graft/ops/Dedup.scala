@@ -56,13 +56,15 @@ object Dedup {
   }
 
   /** Aggressive dedup key (the CCNet/RefinedWeb "fuzzy exact" pass):
-    * NFC + lowercase, then strip ALL digits and punctuation/symbols
+    * NFC + lowercase, then strip digits and ASCII punctuation/symbols
     * and collapse whitespace — catches boilerplate pairs that differ
     * only in ids, dates, counters, or punctuation ("Post #123, 4
     * views" vs "Post #456, 9 views"), which the canonical
-    * [[normalizedKey]] deliberately preserves. RE2-safe classes
-    * (`[0-9]`, explicit ASCII punctuation) so DuckDB replays the
-    * literal same regexes. */
+    * [[normalizedKey]] deliberately preserves. Classes are explicit
+    * ASCII ranges (`[0-9]`, the four punctuation blocks) — RE2-safe
+    * and engine-identical; Unicode punctuation (curly quotes,
+    * em-dashes) survives the key by design, `\p{P}` semantics differ
+    * between java.util.regex and RE2 and would break oracle replay. */
   def aggressiveKey(text: Column): Column =
     regexp_replace(trim(regexp_replace(
       lower(graft.functions.UnicodeFunctions.nfcNormalize(text)),
