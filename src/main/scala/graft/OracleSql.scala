@@ -6,6 +6,14 @@ package graft
   * Queries scaladoc for the parity rules). */
 object OracleSql {
 
+  /** The 16 Morton shift/mask terms of `zorder_key` (bit b of bx →
+    * position 2b, of by → 2b+1; disjoint bits, so + == OR) — generated
+    * to match [[graft.ops.ZOrder.interleave]] term-for-term. */
+  private val zkeySql: String =
+    (0 until 8).map(b =>
+      s"(((bx >> $b) & 1) << ${2 * b}) + (((by >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+
   val all: Map[String, String] = Map(
 
     "q1_pricing_agg" ->
@@ -69,6 +77,56 @@ object OracleSql {
         |SELECT c_name, c_custkey, o_orderkey, total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_late_suppliers" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY THEN 1 ELSE 0 END AS late
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   WHERE o_orderstatus = 'F'),
+        | st AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+        |   FROM lo GROUP BY l_orderkey
+        |   HAVING count(DISTINCT l_suppkey) > 1
+        |     AND count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) = 1)
+        |SELECT s_name, CAST(count(DISTINCT lo.l_orderkey) AS BIGINT) AS numwait
+        |FROM lo JOIN st ON lo.l_orderkey = st.l_orderkey
+        |JOIN supplier ON lo.l_suppkey = s_suppkey
+        |WHERE lo.late = 1
+        |GROUP BY s_name""".stripMargin,
+
+    "q22_lapsed_customers" ->
+      """WITH c AS (SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+        | th AS (SELECT round(CAST(sum(CAST(round(c_acctbal*1000000) AS BIGINT)) AS DOUBLE)
+        |     / 1e6 / count(*), 6) AS th
+        |   FROM c WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM c, th
+        |WHERE c_acctbal > th
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "zorder_key" ->
+      ("""WITH b AS (SELECT doc_id,
+        |   LEAST(255, GREATEST(0, CAST(floor((CAST(n_chars AS DOUBLE) - 40.0) * 256 / 520.0) AS BIGINT))) AS bx,
+        |   CAST('0x' || substring(md5(lang), 1, 15) AS BIGINT) % 256 AS by
+        |  FROM documents)
+        |SELECT doc_id, bx, by, """.stripMargin + zkeySql + " AS zkey FROM b"),
+
+    "zorder_prune" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files,
+        | TRUE AS pruned_fewer, TRUE AS rows_match,
+        | (SELECT count(*) FROM documents WHERE n_chars BETWEEN 100 AND 200) AS n_rows""".stripMargin,
 
     // Deequ-style profile: one row per column, micro-exact means.
     "schema_profile" ->

@@ -977,6 +977,125 @@ object Queries {
         col("total_qty"))
   }
 
+  /** TPC-H Q19 shape — disjunctive predicate over a joined pair: an
+    * OR of (brand, size-range, quantity-range) conjunctions. The part
+    * side broadcasts; the disjunction stays ONE codegen'd filter above
+    * the join (no union-of-three-scans rewrite), and the common
+    * `p_size <= 15` / `l_quantity <= 30` envelope is implied by the
+    * branches so Parquet row groups outside it prune via the pushed
+    * min/max bounds. Brands adapted to this generator's Brand#1..25
+    * range (no p_container column exists). */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = broadcast(t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape — the exists/not-exists pair as ONE per-order
+    * aggregate: suppliers who were the SOLE late supplier on a
+    * multi-supplier finished order. Instead of two correlated
+    * subqueries (the literal Q21 plan — two extra joins against
+    * lineitem), one groupBy(orderkey) computes (distinct suppliers,
+    * distinct LATE suppliers) and the qualifying-order set is a
+    * filter on that — a single extra shuffle at orderkey grain, which
+    * AQE can skew-split. "Late" adapts to this schema (no
+    * l_commitdate/l_receiptdate): shipped > 365 days after the order
+    * date. */
+  def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val lo = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .withColumn("__late",
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+          .cast("int"))
+    val stats = lo.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("__late") === 1, col("l_suppkey")))
+          .as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("l_orderkey"))
+    val sup = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name")))
+    lo.filter(col("__late") === 1)
+      .join(stats, Seq("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+  }
+
+  /** TPC-H Q22 shape — scalar-subquery threshold + anti-join: lapsed
+    * customers (no order since 2000-01-01, this schema's stand-in for
+    * "no orders"; c_nationkey for the missing c_phone country code)
+    * from five nations whose balance beats the slice's positive-mean.
+    * The threshold is ONE micro-exact row cross-joined back
+    * (broadcast, never a per-row correlated subquery, rounded 6 dp
+    * before the compare); the recent-buyer set anti-joins at custkey
+    * grain. */
+  def q22LapsedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+    val thRow = c.filter(col("c_acctbal") > 0.0)
+      .agg(r6(sum(round(col("c_acctbal") * 1000000).cast("long")).cast("double")
+        / 1e6 / count(lit(1)).cast("double")).as("__th"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    c.crossJoin(broadcast(thRow))
+      .filter(col("c_acctbal") > col("__th"))
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        centsSum(col("c_acctbal")).as("totacctbal_cents"))
+  }
+
+  /** Z-order key derivation over documents — map-only (bucket + bit
+    * interleave, no exchange): length dimension on a fixed 40..560
+    * envelope, language dimension via the portable hash bucket. The
+    * oracle replays the 16 shift/mask terms verbatim. */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val bx = ops.ZOrder.fixedBucket(col("n_chars"), 40.0, 560.0, 8)
+    val by = ops.ZOrder.hashBucket(col("lang"), 8)
+    t(s, dir, "documents").select(col("doc_id"), bx.as("bx"), by.as("by"),
+      ops.ZOrder.interleave(Seq(bx, by), 8))
+  }
+
+  /** Z-order clustering + footer-stats pruning end-to-end (gate-is-
+    * oracle): cluster documents into 8 z-range files in a snapshot
+    * table, then [[graft.store.SnapshotLog.scanPruned]] a length
+    * range — the gate asserts files were actually SKIPPED on footer
+    * min/max alone AND the pruned result equals the full filtered
+    * scan; the oracle pins the booleans and replays the row count.
+    * The table builds once per JVM (cachedIndexDir). */
+  def zorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val table = cachedIndexDir("zsnap", dir) { tmp =>
+      val clustered = ops.ZOrder.clusterWrite(t(s, dir, "documents"),
+        Seq(ops.ZOrder.fixedBucket(col("n_chars"), 40.0, 560.0, 8),
+          ops.ZOrder.hashBucket(col("lang"), 8)), bits = 8, files = 8)
+      store.SnapshotLog.init(clustered, tmp)
+    }
+    val (pruned, scanned, total) =
+      store.SnapshotLog.scanPruned(s, table, "n_chars", 100.0, 200.0)
+    val nPruned = pruned.count()
+    val nFull = t(s, dir, "documents")
+      .filter(col("n_chars").between(100, 200)).count()
+    import s.implicits._
+    Seq((total.toLong, scanned < total, nPruned == nFull, nFull))
+      .toDF("n_files", "pruned_fewer", "rows_match", "n_rows")
+  }
+
   /** Deterministic per-language rate sampling (hash-bucket membership,
     * map-only — the language-rebalancing step of a data mix). Emitted
     * as per-stratum survivor counts. */
@@ -2489,6 +2608,11 @@ object Queries {
     "q14_promo_share" -> q14PromoShare _,
     "q17_small_qty" -> q17SmallQty _,
     "q18_large_orders" -> q18LargeOrders _,
+    "q19_disjunctive" -> q19Disjunctive _,
+    "q21_late_suppliers" -> q21LateSuppliers _,
+    "q22_lapsed_customers" -> q22LapsedCustomers _,
+    "zorder_key" -> zorderKey _,
+    "zorder_prune" -> zorderPrune _,
     "schema_profile" -> schemaProfile _,
     "table_checks" -> tableChecks _,
     "stratified_sample" -> stratifiedSample _,

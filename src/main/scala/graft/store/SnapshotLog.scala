@@ -47,6 +47,7 @@ object SnapshotLog {
 
   private def versionsDir(tableDir: String): Path = Paths.get(tableDir, "_versions")
   private def dataDir(tableDir: String): Path = Paths.get(tableDir, "data")
+  private def statsDir(tableDir: String): Path = Paths.get(tableDir, "_filestats")
   private def versionPath(tableDir: String, v: Long): Path =
     versionsDir(tableDir).resolve(f"v$v%08d.json")
 
@@ -106,6 +107,148 @@ object SnapshotLog {
     }
   }
 
+  // --------------------------------------------------------------------
+  // Per-file column stats — the parquet-footer min/max manifest that
+  // makes scans METADATA-prunable. Stats are a property of the
+  // immutable data file (not of any snapshot), so they live in a 1:1
+  // sidecar `_filestats/<file>.json` written once at file-creation
+  // time from the parquet FOOTER (no data pages read) and deleted by
+  // vacuum with the file. Every version's pruned scan is then: file
+  // list from the snapshot → drop files whose [min,max] cannot
+  // intersect the predicate → read the rest. Files with no sidecar or
+  // no entry for the column are conservatively kept, so pruning is
+  // always correctness-neutral. Compose with [[graft.ops.ZOrder]]
+  // clustering to make the per-file ranges tight on EVERY z-dimension.
+  // --------------------------------------------------------------------
+
+  /** Footer min/max of one top-level primitive column, merged across
+    * row groups. `kind` ∈ long | double | string; min/max serialized
+    * as strings (exact for longs — no double round-trip). */
+  final case class ColStats(kind: String, min: String, max: String, nulls: Long)
+
+  /** Read one parquet footer and merge per-column row-group stats.
+    * Nested paths and columns with incomplete statistics are skipped
+    * (absent entry = never pruned on). */
+  private def footerStats(p: Path, conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.column.statistics._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, ColStats]
+      val dropped = scala.collection.mutable.Set.empty[String]
+      for (block <- r.getFooter.getBlocks.asScala;
+           cc <- block.getColumns.asScala) {
+        val path = cc.getPath.toArray
+        if (path.length == 1 && !dropped.contains(path(0))) {
+          val name = path(0)
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) {
+            dropped += name; acc.remove(name)
+          } else {
+            val parsed: Option[(String, String, String)] = st match {
+              case s: LongStatistics =>
+                Some(("long", s.genericGetMin.toString, s.genericGetMax.toString))
+              case s: IntStatistics =>
+                Some(("long", s.genericGetMin.toString, s.genericGetMax.toString))
+              case s: DoubleStatistics =>
+                Some(("double", s.genericGetMin.toString, s.genericGetMax.toString))
+              case s: FloatStatistics =>
+                Some(("double", s.genericGetMin.toDouble.toString,
+                  s.genericGetMax.toDouble.toString))
+              case s: BinaryStatistics =>
+                Some(("string", s.genericGetMin.toStringUsingUTF8,
+                  s.genericGetMax.toStringUsingUTF8))
+              case _ => None
+            }
+            parsed match {
+              case None => dropped += name; acc.remove(name)
+              case Some((kind, mn, mx)) =>
+                val merged = acc.get(name) match {
+                  case None => ColStats(kind, mn, mx, st.getNumNulls)
+                  case Some(prev) =>
+                    def lt(a: String, b: String): Boolean = kind match {
+                      case "long" => a.toLong < b.toLong
+                      case "double" => a.toDouble < b.toDouble
+                      case _ => a < b
+                    }
+                    ColStats(kind,
+                      if (lt(mn, prev.min)) mn else prev.min,
+                      if (lt(prev.max, mx)) mx else prev.max,
+                      prev.nulls + st.getNumNulls)
+                }
+                acc(name) = merged
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally r.close()
+  }
+
+  private def writeFileStats(tableDir: String, file: String,
+      stats: Map[String, ColStats]): Unit = {
+    Files.createDirectories(statsDir(tableDir))
+    val root = mapper.createObjectNode()
+    root.put("file", file)
+    val cols = root.putObject("cols")
+    stats.toSeq.sortBy(_._1).foreach { case (name, s) =>
+      val c = cols.putObject(name)
+      c.put("kind", s.kind); c.put("min", s.min)
+      c.put("max", s.max); c.put("nulls", s.nulls)
+    }
+    Files.write(statsDir(tableDir).resolve(s"$file.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Sidecar stats for one data file (None: no sidecar — always scan). */
+  def fileStats(tableDir: String, file: String): Option[Map[String, ColStats]] = {
+    val p = statsDir(tableDir).resolve(s"$file.json")
+    if (!Files.exists(p)) return None
+    val node = mapper.readTree(Files.readAllBytes(p))
+    val cols = node.get("cols")
+    Some(cols.fieldNames().asScala.map { n =>
+      val c = cols.get(n)
+      n -> ColStats(c.get("kind").asText(), c.get("min").asText(),
+        c.get("max").asText(), c.get("nulls").asLong())
+    }.toMap)
+  }
+
+  /** Stats-pruned range scan: read ONLY the snapshot's files whose
+    * footer [min,max] on `colName` can intersect [lo, hi] (numeric
+    * kinds; string columns never prune here). Returns (frame already
+    * filtered to the range, files scanned, files in the snapshot) —
+    * the counts are the pruning evidence specs and gates assert. The
+    * result equals the full scan + filter by construction: a skipped
+    * file PROVABLY holds no matching row, and kept-by-default covers
+    * every stats gap. */
+  def scanPruned(spark: SparkSession, tableDir: String, colName: String,
+      lo: Double, hi: Double, version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(currentVersion(tableDir)).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val s = readSnapshotMeta(tableDir, v)
+    val kept = s.files.filter { f =>
+      fileStats(tableDir, f).flatMap(_.get(colName)) match {
+        case Some(cs) if cs.kind == "long" || cs.kind == "double" =>
+          !(cs.max.toDouble < lo || cs.min.toDouble > hi)
+        case _ => true
+      }
+    }
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val df =
+      if (kept.isEmpty)
+        read(spark, tableDir, Some(v)).where(lit(false))
+      else spark.read.parquet(
+        kept.map(f => dataDir(tableDir).resolve(f).toString): _*).where(pred)
+    (df, kept.size, s.files.size)
+  }
+
   /** Write `df` as new immutable data files; returns their names.
     * Files land under data/ with a unique batch prefix (Spark writes
     * into a scratch dir, then the parts move in — a crashed write
@@ -124,6 +267,12 @@ object SnapshotLog {
       }
     listDir(scratch).foreach(Files.delete) // _SUCCESS etc.
     Files.delete(scratch)
+    // footer-only stats sidecars for the new files (no data pages read)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    moved.foreach { name =>
+      writeFileStats(tableDir, name,
+        footerStats(dataDir(tableDir).resolve(name), conf))
+    }
     // row count from the written files' parquet footers (metadata-only
     // scan — no data read, and no recompute of df's lineage)
     val n = if (moved.isEmpty) 0L else df.sparkSession.read.parquet(
@@ -331,6 +480,11 @@ object SnapshotLog {
     val deleted = listDir(dd)
       .filterNot(p => referenced.contains(p.getFileName.toString))
       .map { p => Files.delete(p); 1 }.sum
+    // sidecars die with their data files (stats are a file property)
+    listDir(statsDir(tableDir))
+      .filterNot(p => referenced.contains(
+        p.getFileName.toString.stripSuffix(".json")))
+      .foreach(Files.delete)
     dropVs.foreach(v => Files.delete(versionPath(tableDir, v)))
     (dropVs.size, deleted)
   }

@@ -700,6 +700,75 @@ class ScaleOpsSpec extends SparkSpec {
     } finally vecs.unpersist()
   }
 
+  test("round-8 z-order: interleave bit-exact, map-only key, footer-stats pruning == full scan") {
+    import graft.ops.ZOrder
+    import graft.store.SnapshotLog
+    // interleave matches a driver-side Morton reference bit-for-bit
+    val pairs = Seq((0L, 0L), (255L, 0L), (0L, 255L), (170L, 85L), (3L, 200L))
+    def morton(bx: Long, by: Long): Long =
+      (0 until 8).map(b => (((bx >> b) & 1L) << (2 * b)) |
+        (((by >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    val got = pairs.toDF("bx", "by")
+      .select(ZOrder.interleave(Seq(col("bx"), col("by")), 8))
+      .as[Long].collect().toSeq
+    assert(got == pairs.map { case (x, y) => morton(x, y) })
+
+    // key derivation is map-only: zero exchanges
+    val docs = (0L until 600L).map(i =>
+      (i, (i * 37 % 1000) + 10, s"cat${i % 7}")).toDF("id", "x", "cat")
+    val keyed = docs.select(col("id"), ZOrder.interleave(Seq(
+      ZOrder.fixedBucket(col("x"), 0.0, 1024.0, 8),
+      ZOrder.hashBucket(col("cat"), 8)), 8))
+    assert(!keyed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "z-key derivation must be map-only")
+
+    // cluster-write into a snapshot table → footer sidecars → pruned
+    // scan skips files AND equals the full filtered scan exactly
+    val dir = java.nio.file.Files.createTempDirectory("zsnap").toString
+    SnapshotLog.init(ZOrder.clusterWrite(docs, Seq(
+      ZOrder.fixedBucket(col("x"), 0.0, 1024.0, 8),
+      ZOrder.hashBucket(col("cat"), 8)), bits = 8, files = 8), dir)
+    val (pruned, scanned, total) = SnapshotLog.scanPruned(spark, dir, "x", 100.0, 300.0)
+    assert(total == 8 && scanned < total,
+      s"expected file skipping, got $scanned/$total")
+    val expect = docs.filter(col("x").between(100, 300))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == expect)
+
+    // sidecar kinds: numeric cols long, strings string
+    val anyFile = SnapshotLog.readSnapshotMeta(dir, 0L).files.head
+    val st = SnapshotLog.fileStats(dir, anyFile).get
+    assert(st("x").kind == "long" && st("cat").kind == "string")
+
+    // a missing sidecar is conservatively scanned, result unchanged
+    val statsFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "_filestats")).iterator()
+    val victim = statsFiles.next(); java.nio.file.Files.delete(victim)
+    val (pruned2, scanned2, _) = SnapshotLog.scanPruned(spark, dir, "x", 100.0, 300.0)
+    assert(scanned2 >= scanned)
+    assert(pruned2.select("id").as[Long].collect().sorted.toSeq == expect)
+  }
+
+  test("round-8 TPC-H analogue plan shapes: q19 one broadcast filter, q21/q22 broadcast dims") {
+    val sf = "/root/testdata/sf0.001"
+    val q19 = Queries.all("q19_disjunctive")(spark, sf)
+    val p19 = q19.queryExecution.executedPlan.toString
+    assert(p19.contains("BroadcastHashJoin") && !p19.contains("Union"),
+      s"q19 must broadcast part under ONE disjunctive filter, no union-of-scans:\n$p19")
+    val q21 = Queries.all("q21_late_suppliers")(spark, sf)
+    val p21 = q21.queryExecution.executedPlan.toString
+    // supplier broadcasts; the lo↔stats join stays a keyed equi-join
+    // on l_orderkey (sort-merge/shuffled-hash is CORRECT there — the
+    // qualifying-order set is not broadcastable at 100 TB), and no
+    // join ever degenerates to cartesian
+    assert(p21.contains("BroadcastHashJoin") && !p21.contains("CartesianProduct"),
+      s"q21 must broadcast supplier, no cartesian:\n$p21")
+    val q22 = Queries.all("q22_lapsed_customers")(spark, sf)
+    val p22 = q22.queryExecution.executedPlan.toString
+    assert(p22.contains("BroadcastNestedLoopJoin") || p22.contains("BroadcastHashJoin"),
+      s"q22 threshold row must broadcast:\n$p22")
+  }
+
   test("salted agg == plain agg for sum/count/min merges") {
     val df = ((1 to 5000).map(i => (1L, i.toLong)) ++
       (1 to 100).map(i => (2L, i.toLong))).toDF("k", "v")
