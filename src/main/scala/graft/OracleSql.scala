@@ -128,6 +128,35 @@ object OracleSql {
         | TRUE AS pruned_fewer, TRUE AS rows_match,
         | (SELECT count(*) FROM documents WHERE n_chars BETWEEN 100 AND 200) AS n_rows""".stripMargin,
 
+    "zorder_compact" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_rows,
+        | TRUE AS version_ok, TRUE AS disjoint,
+        | TRUE AS pruned_fewer, TRUE AS rows_match""".stripMargin,
+
+    "iban_screen" ->
+      """WITH e AS (SELECT doc_id,
+        |    text || ' acct ' || CASE WHEN doc_id % 2 = 0
+        |      THEN 'DE89370400440532013000' ELSE 'DE89370400440532013001' END
+        |      || ' end' AS iban_text
+        |   FROM documents),
+        | c AS (SELECT doc_id, iban_text,
+        |    regexp_extract_all(iban_text, '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b') AS ibans
+        |   FROM e),
+        | v AS (SELECT doc_id, iban_text, ibans,
+        |    list_filter(ibans, x -> CAST(list_reduce(
+        |      list_prepend('0', list_transform(generate_series(1, length(x)), i ->
+        |        substring(substring(x, 5) || substring(x, 1, 4), i, 1))),
+        |      (a, ch) -> CAST(CASE WHEN ch >= '0' AND ch <= '9'
+        |          THEN (CAST(a AS INT) * 10 + CAST(ch AS INT)) % 97
+        |          ELSE (CAST(a AS INT) * 100 + ascii(ch) - 55) % 97 END AS VARCHAR))
+        |      AS INT) = 1) AS valid
+        |   FROM c)
+        |SELECT doc_id, CAST(len(ibans) AS BIGINT) AS n_iban_candidates,
+        | CAST(len(valid) AS BIGINT) AS n_mod97_valid,
+        | CASE WHEN len(valid) >= 1 THEN replace(iban_text, valid[1], '[IBAN]')
+        |      ELSE iban_text END AS redacted
+        |FROM v""".stripMargin,
+
     // Deequ-style profile: one row per column, micro-exact means.
     "schema_profile" ->
       """SELECT 'o_custkey' AS "column", count(*) AS n_rows,

@@ -2351,6 +2351,62 @@ object Queries {
         col("redacted"))
   }
 
+  /** IBAN screen over planted candidates: even docs carry the valid
+    * ISO 13616 example IBAN, odd docs a one-digit corruption — the
+    * mod-97 validator must accept exactly the even rows (the
+    * synthetic corpus has no bank accounts of its own, so the
+    * planting makes the booleans non-vacuous; the luhn_cards
+    * discipline). Oracle replays the streaming modulus with
+    * list_reduce. */
+  def ibanScreenQ(s: SparkSession, dir: String): DataFrame = {
+    val enriched = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" acct "),
+        when(col("doc_id") % 2 === 0, "DE89370400440532013000")
+          .otherwise("DE89370400440532013001"),
+        lit(" end")).as("iban_text"))
+    TextAnalytics.ibanAccounts(enriched, "iban_text")
+      .select(col("doc_id"), col("n_iban_candidates"), col("n_mod97_valid"),
+        col("redacted"))
+  }
+
+  /** Z-order OPTIMIZE end-to-end (gate-is-oracle): half the corpus
+    * clustered at init, half appended UNCLUSTERED in one
+    * key-space-spanning file; [[graft.ops.ZOrder.compact]] must merge
+    * the overlap cluster in ONE commit, preserve the exact row set,
+    * leave pairwise-disjoint per-file z-ranges, and keep footer-stats
+    * pruning effective. Build once per JVM; compact is idempotent so
+    * re-runs see the same version. */
+  def zorderCompactQ(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(ops.ZOrder.fixedBucket(col("n_chars"), 40.0, 560.0, 8),
+      ops.ZOrder.hashBucket(col("lang"), 8))
+    val table = cachedIndexDir("zcompact", dir) { tmp =>
+      val docs = t(s, dir, "documents")
+      store.SnapshotLog.init(ops.ZOrder.clusterWrite(
+        docs.filter(col("doc_id") % 2 === 0), dims, bits = 8, files = 8), tmp)
+      store.SnapshotLog.append(
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("zkey", ops.ZOrder.interleave(dims, 8)).coalesce(1), tmp)
+    }
+    val v = ops.ZOrder.compact(s, table)
+    val snap = store.SnapshotLog.readSnapshotMeta(table, v)
+    val zr = snap.files.flatMap(f => store.SnapshotLog.fileStats(table, f)
+      .flatMap(_.get("zkey")).map(cs => (cs.min.toLong, cs.max.toLong)))
+      .sortBy(_._1)
+    val disjoint = zr.size == snap.files.size &&
+      zr.sliding(2).forall {
+        case Seq((_, aMax), (bMin, _)) => aMax < bMin
+        case _ => true
+      }
+    val (pruned, scanned, total) =
+      store.SnapshotLog.scanPruned(s, table, "n_chars", 100.0, 200.0)
+    val nFull = t(s, dir, "documents")
+      .filter(col("n_chars").between(100, 200)).count()
+    import s.implicits._
+    Seq((store.SnapshotLog.read(s, table).count(), v == 2L, disjoint,
+      scanned < total, pruned.count() == nFull))
+      .toDF("n_rows", "version_ok", "disjoint", "pruned_fewer", "rows_match")
+  }
+
   /** Per-language Misra-Gries heavy hitters — the grouped form of
     * [[heavyHitters]] (one bounded buffer per (partition, lang)):
     * guaranteed-heavy words within each language, same gate. */
@@ -2613,6 +2669,8 @@ object Queries {
     "q22_lapsed_customers" -> q22LapsedCustomers _,
     "zorder_key" -> zorderKey _,
     "zorder_prune" -> zorderPrune _,
+    "zorder_compact" -> zorderCompactQ _,
+    "iban_screen" -> ibanScreenQ _,
     "schema_profile" -> schemaProfile _,
     "table_checks" -> tableChecks _,
     "stratified_sample" -> stratifiedSample _,

@@ -237,6 +237,40 @@ object TextAnalytics {
       .drop("__cards")
   }
 
+  /** IBAN detection with ISO 13616 mod-97 validation — the
+    * [[luhnCards]] sibling for bank-account PII: a candidate span
+    * ([A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}) is a REAL IBAN only if moving
+    * its first four chars to the end and expanding letters to two
+    * digits (A=10..Z=35) leaves a number ≡ 1 (mod 97). The modulus
+    * streams left-to-right with a tiny integer accumulator
+    * ((a·10+d) mod 97 per digit, (a·100+v) mod 97 per letter) — never
+    * a big-integer parse — as one codegen'd higher-order expression;
+    * detection, validation, and redaction (valid spans only) are
+    * map-only at any corpus size. */
+  def ibanAccounts(df: DataFrame, textCol: String): DataFrame = {
+    // \b doubled for Spark SQL's escaped string literals (see luhnCards)
+    val pat = "\\\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\\\b"
+    // mod-97 of rearranged candidate r: fold chars through the
+    // streaming modulus (accumulator always < 9700)
+    val mod97 = (c: String) =>
+      s"""aggregate(transform(sequence(1, length($c)), i ->
+         |  substring(substring($c, 5) || substring($c, 1, 4), i, 1)),
+         | 0, (a, ch) ->
+         |  CASE WHEN ch >= '0' AND ch <= '9'
+         |    THEN (a * 10 + CAST(ch AS INT)) % 97
+         |    ELSE (a * 100 + ascii(ch) - 55) % 97 END)""".stripMargin
+        .replaceAll("\\s+", " ")
+    df.withColumn("__ibans", expr(s"regexp_extract_all($textCol, '$pat', 0)"))
+      .withColumn("n_iban_candidates", size(col("__ibans")).cast("long"))
+      .withColumn("n_mod97_valid", expr(
+        s"size(filter(__ibans, c -> ${mod97("c")} = 1))").cast("long"))
+      .withColumn("redacted", expr(
+        s"""aggregate(filter(__ibans, c -> ${mod97("c")} = 1),
+           | $textCol, (acc, c) -> replace(acc, c, '[IBAN]'))"""
+          .stripMargin.replaceAll("\\s+", " ")))
+      .drop("__ibans")
+  }
+
   /** Corpus-wide most frequent word n-grams — the boilerplate report a
     * pipeline runs before writing repetition filters: total occurrences
     * and containing-doc counts per gram, top `k`. One (gram) shuffle

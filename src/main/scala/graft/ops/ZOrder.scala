@@ -72,4 +72,49 @@ object ZOrder {
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions("zkey")
   }
+
+  /** Incremental OPTIMIZE: restore z-disjointness after appends.
+    * Appended batches carry z-keys but their files OVERLAP the
+    * clustered layout's ranges, eroding pruning. This reads NOTHING
+    * but the sidecar stats to find the overlap clusters (classic
+    * merge-overlapping-intervals over per-file [zmin, zmax] —
+    * clusters are disjoint by construction), then rewrites ONLY
+    * multi-file clusters, range-partitioned back into the same file
+    * count, in one [[graft.store.SnapshotLog.replaceFiles]] commit.
+    * Files already disjoint are untouched — at 100 TB a steady-state
+    * table pays for the recently-appended slice only, never a full
+    * rewrite. A file with no z-key stats conservatively joins every
+    * cluster. Returns the committed version (current version
+    * unchanged when the layout is already disjoint). */
+  def compact(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      zkeyCol: String = "zkey"): Long = {
+    import graft.store.SnapshotLog
+    val cur = SnapshotLog.currentVersion(tableDir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val snap = SnapshotLog.readSnapshotMeta(tableDir, cur)
+    val ranges = snap.files.map { f =>
+      SnapshotLog.fileStats(tableDir, f).flatMap(_.get(zkeyCol)) match {
+        case Some(cs) if cs.kind == "long" || cs.kind == "double" =>
+          (f, cs.min.toDouble, cs.max.toDouble)
+        case _ => (f, Double.NegativeInfinity, Double.PositiveInfinity)
+      }
+    }.sortBy { case (f, mn, mx) => (mn, mx, f) }
+    val clusters = scala.collection.mutable.ListBuffer
+      .empty[(scala.collection.mutable.ListBuffer[String], Double)]
+    ranges.foreach { case (f, mn, mx) =>
+      if (clusters.nonEmpty && mn <= clusters.last._2) {
+        val (fs, curMax) = clusters.last
+        fs += f
+        clusters(clusters.size - 1) = (fs, math.max(curMax, mx))
+      } else clusters += ((scala.collection.mutable.ListBuffer(f), mx))
+    }
+    val victims = clusters.collect { case (fs, _) if fs.size > 1 => fs.toSeq }
+      .flatten.toSeq
+    if (victims.isEmpty) return cur
+    val rewritten = SnapshotLog.readFiles(spark, tableDir, victims)
+      .repartitionByRange(victims.size, col(zkeyCol))
+      .sortWithinPartitions(zkeyCol)
+    SnapshotLog.replaceFiles(spark, tableDir, victims, rewritten,
+      s"optimize-zorder($zkeyCol)")
+  }
 }

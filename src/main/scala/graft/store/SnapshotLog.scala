@@ -443,6 +443,32 @@ object SnapshotLog {
     next
   }
 
+  /** Compaction-style commit: drop `drop` (must all be referenced by
+    * the current version), write `add` as new files, commit one new
+    * version with the union — the primitive under layout maintenance
+    * (z-order compaction, small-file merge): a METADATA swap whose
+    * data writes touch only the files being reorganized. The caller
+    * asserts row preservation semantics; this records exact counts
+    * (footer-only reads, no data pages). */
+  def replaceFiles(spark: SparkSession, tableDir: String, drop: Seq[String],
+      add: DataFrame, op: String): Long = {
+    val cur = currentVersion(tableDir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val prev = readSnapshotMeta(tableDir, cur)
+    val bad = drop.filterNot(prev.files.contains)
+    require(bad.isEmpty, s"replaceFiles: not in current version: $bad")
+    val droppedRows =
+      if (drop.isEmpty) 0L
+      else spark.read.parquet(
+        drop.map(f => dataDir(tableDir).resolve(f).toString): _*).count()
+    val (files, n) = writeDataFiles(add, tableDir)
+    val next = cur + 1
+    writeSnapshotMeta(tableDir, Snapshot(next, cur, op,
+      prev.files.filterNot(drop.contains) ++ files,
+      prev.rowCount - droppedRows + n))
+    next
+  }
+
   /** Roll the table back BY REFERENCE: a new version whose file list
     * is version `v`'s. History stays intact (audit); vacuum governs
     * actual file deletion. */
@@ -453,6 +479,13 @@ object SnapshotLog {
     writeSnapshotMeta(tableDir,
       Snapshot(next, cur, s"rollback(to=$v)", target.files, target.rowCount))
     next
+  }
+
+  /** Read a specific subset of a snapshot's data files (layout
+    * maintenance reads exactly the files it reorganizes). */
+  def readFiles(spark: SparkSession, tableDir: String, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "readFiles needs at least one file")
+    spark.read.parquet(files.map(f => dataDir(tableDir).resolve(f).toString): _*)
   }
 
   /** Read a snapshot (default: current) as a DataFrame over exactly

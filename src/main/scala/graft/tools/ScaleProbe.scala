@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "profile" | "graph" | "bq"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "profile" | "graph" | "bq" | "zorder"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -721,6 +721,43 @@ object ScaleProbe {
           vecs, "vec_id", "embedding", q2, 10, candidates = 500).collect()
       }
       codes.unpersist()
+    }
+    if (on("zorder")) {
+      // Z-order data-skipping at 2M rows on DISK (the pruning story is
+      // scan BYTES, so this section writes real parquet): 64 clustered
+      // files over (x: 0..100k numeric, cat: 64-value categorical),
+      // then a 5%-of-keyspace range filter — full scan vs stats-pruned
+      // scan, and the OPTIMIZE cost after a 5% unclustered append.
+      import graft.ops.ZOrder
+      import graft.store.SnapshotLog
+      def mkRows(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("x"),
+        concat(lit("cat"),
+          pmod(xxhash64(col("id"), lit(7)), lit(64L)).cast("string")).as("cat"))
+      def dims = Seq(ZOrder.fixedBucket(col("x"), 0.0, 100000.0, 8),
+        ZOrder.hashBucket(col("cat"), 8))
+      val zdir = java.nio.file.Files.createTempDirectory("zprobe").toString
+      time(s"zorder: clusterWrite 64 files + init ($n rows)") {
+        SnapshotLog.init(ZOrder.clusterWrite(mkRows(0, n), dims, 8, 64), zdir)
+      }
+      time("zorder: full-scan range count (5% of keyspace)") {
+        SnapshotLog.read(spark, zdir).filter(col("x").between(1000, 6000)).count()
+      }
+      time("zorder: stats-pruned range count") {
+        val (df, kept, total) = SnapshotLog.scanPruned(spark, zdir, "x", 1000.0, 6000.0)
+        val c = df.count()
+        println(s"  [zorder] files scanned $kept/$total, rows $c")
+      }
+      SnapshotLog.append(mkRows(n, n + n / 20)
+        .withColumn("zkey", ZOrder.interleave(dims, 8)).coalesce(1), zdir)
+      time("zorder: OPTIMIZE after 5% unclustered append") {
+        ZOrder.compact(spark, zdir)
+      }
+      time("zorder: stats-pruned range count post-OPTIMIZE") {
+        val (df, kept, total) = SnapshotLog.scanPruned(spark, zdir, "x", 1000.0, 6000.0)
+        val c = df.count()
+        println(s"  [zorder] files scanned $kept/$total, rows $c")
+      }
     }
     spark.stop()
   }

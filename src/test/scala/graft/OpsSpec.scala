@@ -2024,6 +2024,24 @@ class OpsSpec extends SparkSpec {
     assert(got(3) == ((4L, 1L, 1L, "amex [CARD] ok")))
   }
 
+  test("iban mod-97: valid IBANs detected+redacted, corrupt check digits kept, letters in BBAN handled") {
+    val docs = Seq(
+      (1L, "acct DE89370400440532013000 ok"), // ISO 13616 example, valid
+      (2L, "acct DE89370400440532013001 ok"), // last digit corrupted
+      (3L, "acct GB29NWBK60161331926819 uk"), // letters inside the BBAN, valid
+      (4L, "ref DE8937040044 short"), // below candidate length
+      (5L, "two GB29NWBK60161331926819 and DE89370400440532013000 here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.ibanAccounts(docs, "text")
+      .select($"doc_id", $"n_iban_candidates", $"n_mod97_valid", $"redacted")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 1L, "acct [IBAN] ok")))
+    assert(got(1) == ((2L, 1L, 0L, "acct DE89370400440532013001 ok")))
+    assert(got(2) == ((3L, 1L, 1L, "acct [IBAN] uk")))
+    assert(got(3) == ((4L, 0L, 0L, "ref DE8937040044 short")))
+    assert(got(4) == ((5L, 2L, 2L, "two [IBAN] and [IBAN] here")))
+  }
+
   test("misra-gries: exact when vocab fits; guarantee holds under adversarial vocab + merges") {
     import graft.functions.MgFunctions.misraGries
     // vocab (3) <= k (8): the sketch IS the exact count

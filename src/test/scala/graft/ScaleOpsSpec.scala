@@ -749,6 +749,61 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned2.select("id").as[Long].collect().sorted.toSeq == expect)
   }
 
+  test("round-8 z-order compact: appends erode pruning, OPTIMIZE restores disjoint ranges, no-op when clean") {
+    import graft.ops.ZOrder
+    import graft.store.SnapshotLog
+    def zkeyOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("zkey", ZOrder.interleave(Seq(
+        ZOrder.fixedBucket(col("x"), 0.0, 1024.0, 8),
+        ZOrder.hashBucket(col("cat"), 8)), 8))
+    val base = (0L until 600L).map(i =>
+      (i, (i * 37 % 1000) + 10, s"cat${i % 7}")).toDF("id", "x", "cat")
+    val dir = java.nio.file.Files.createTempDirectory("zcompact").toString
+    SnapshotLog.init(ZOrder.clusterWrite(base, Seq(
+      ZOrder.fixedBucket(col("x"), 0.0, 1024.0, 8),
+      ZOrder.hashBucket(col("cat"), 8)), bits = 8, files = 8), dir)
+    // an UNCLUSTERED append: one file spanning the whole key space
+    val extra = (600L until 700L).map(i =>
+      (i, (i * 53 % 1000) + 10, s"cat${i % 7}")).toDF("id", "x", "cat")
+    SnapshotLog.append(zkeyOf(extra).coalesce(1), dir)
+    val (_, scannedBefore, totalBefore) =
+      SnapshotLog.scanPruned(spark, dir, "x", 100.0, 300.0)
+    assert(totalBefore == 9)
+
+    val v = ZOrder.compact(spark, dir)
+    assert(v == 2L, s"compaction must commit one new version, got $v")
+    // row preservation: exact id multiset across the rewrite
+    val ids = SnapshotLog.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == (0L until 700L).toSeq)
+    // per-file z-ranges pairwise disjoint after OPTIMIZE
+    val snap = SnapshotLog.readSnapshotMeta(dir, v)
+    val zr = snap.files.flatMap(f => SnapshotLog.fileStats(dir, f)
+      .flatMap(_.get("zkey")).map(cs => (cs.min.toLong, cs.max.toLong)))
+    assert(zr.size == snap.files.size, "every file must carry zkey stats")
+    val sortedR = zr.sortBy(_._1)
+    sortedR.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"ranges must be disjoint: $sortedR")
+      case _ =>
+    }
+    // pruning at least as good as the pre-append clustered layout
+    val (prunedAfter, scannedAfter, totalAfter) =
+      SnapshotLog.scanPruned(spark, dir, "x", 100.0, 300.0)
+    assert(scannedAfter < totalAfter,
+      s"post-compaction scan must still skip files: $scannedAfter/$totalAfter")
+    val expect = (0L until 700L).filter { i =>
+      val x = if (i < 600) (i * 37 % 1000) + 10 else (i * 53 % 1000) + 10
+      x >= 100 && x <= 300
+    }
+    assert(prunedAfter.select("id").as[Long].collect().sorted.toSeq == expect)
+    // compaction never scans MORE than the eroded layout did
+    assert(scannedAfter <= scannedBefore && totalAfter == totalBefore,
+      s"$scannedAfter/$totalAfter vs $scannedBefore/$totalBefore")
+    // idempotence: a disjoint layout compacts to a no-op
+    assert(ZOrder.compact(spark, dir) == v)
+  }
+
   test("round-8 TPC-H analogue plan shapes: q19 one broadcast filter, q21/q22 broadcast dims") {
     val sf = "/root/testdata/sf0.001"
     val q19 = Queries.all("q19_disjunctive")(spark, sf)
