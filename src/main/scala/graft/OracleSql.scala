@@ -133,6 +133,25 @@ object OracleSql {
         | TRUE AS version_ok, TRUE AS disjoint,
         | TRUE AS pruned_fewer, TRUE AS rows_match""".stripMargin,
 
+    "salted_join" ->
+      """WITH d AS (SELECT event_type, count(*) AS type_total
+        |   FROM events GROUP BY event_type)
+        |SELECT e.event_type, max(d.type_total) AS type_total,
+        | count(*) AS n_joined
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
+
+    "join_size_estimate" ->
+      """WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS k
+        |   FROM lineitem WHERE l_orderkey % 2 = 0),
+        | b AS (SELECT CAST(l_partkey AS VARCHAR) AS k
+        |   FROM lineitem WHERE l_orderkey % 2 = 1),
+        | ca AS (SELECT k, count(*) AS n FROM a GROUP BY k),
+        | cb AS (SELECT k, count(*) AS n FROM b GROUP BY k)
+        |SELECT (SELECT CAST(sum(ca.n * cb.n) AS BIGINT)
+        |   FROM ca JOIN cb USING (k)) AS n_exact,
+        | TRUE AS est_ge_exact, TRUE AS est_within_bound""".stripMargin,
+
     "iban_screen" ->
       """WITH e AS (SELECT doc_id,
         |    text || ' acct ' || CASE WHEN doc_id % 2 = 0

@@ -2088,6 +2088,35 @@ object Queries {
     }.toDF("word", "n_exact", "cms_ok")
   }
 
+  /** CMS inner-product join-size estimate (gate-is-oracle) — the
+    * sketch a planner consults BEFORE committing to a join strategy
+    * at 100 TB: two bounded (5 × 2048) tables over the halves'
+    * l_partkey streams, est = min-row dot product. The gate asserts
+    * the two-sided guarantee (never under; over by ≤ ε·N_A·N_B with
+    * ε = e/width — deterministic here for the fixed seeds); the
+    * oracle recomputes the exact join size as Σ cntA·cntB. The exact
+    * side is ONE count-per-key pass per half; the sketches are what
+    * survives when even that is too big. */
+  def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CmBuffer, CmFunctions}
+    val (depth, width) = (5, 2048)
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("string").as("k"), col("l_orderkey"))
+    val a = li.filter(col("l_orderkey") % 2 === 0).select("k")
+    val b = li.filter(col("l_orderkey") % 2 === 1).select("k")
+    def sketch(df: DataFrame): CmBuffer = CmBuffer.fromRow(
+      df.agg(CmFunctions.countMin(col("k"), depth, width).as("s"))
+        .head().getStruct(0), depth, width)
+    val (sa, sb) = (sketch(a), sketch(b))
+    val est = CmBuffer.innerProduct(sa, sb)
+    val exact = a.join(b, "k").count()
+    val bound = exact + math.ceil(
+      math.E / width * sa.total.toDouble * sb.total.toDouble).toLong
+    import s.implicits._
+    Seq((exact, est >= exact, est <= bound))
+      .toDF("n_exact", "est_ge_exact", "est_within_bound")
+  }
+
   /** KLL-style deterministic quantile sketch gate — the quantile
     * member of the sketch family ([[cmsCheck]] point counts,
     * [[heavyHitters]] Misra-Gries, HLL distinct). Sketch
@@ -2407,6 +2436,22 @@ object Queries {
       .toDF("n_rows", "version_ok", "disjoint", "pruned_fewer", "rows_match")
   }
 
+  /** Salted hash-join on a pathologically skewed key (event_type has
+    * a handful of values, so EVERY key is hot): the large side salts
+    * into 8 sub-keys by event_id, the dim replicates across salts —
+    * each hot key spreads over 8 reducers instead of one straggler.
+    * The oracle replays the PLAIN join; equality is the salting
+    * contract ([[graft.ops.Salting.saltedJoin]]). */
+  def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("event_type"))
+    val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+    ops.Salting.saltedJoin(ev, dim, "event_type", factor = 8,
+        spreadCols = Seq("event_id"))
+      .groupBy(col("event_type"))
+      .agg(max(col("type_total")).as("type_total"),
+        count(lit(1)).as("n_joined"))
+  }
+
   /** Per-language Misra-Gries heavy hitters — the grouped form of
     * [[heavyHitters]] (one bounded buffer per (partition, lang)):
     * guaranteed-heavy words within each language, same gate. */
@@ -2671,6 +2716,8 @@ object Queries {
     "zorder_prune" -> zorderPrune _,
     "zorder_compact" -> zorderCompactQ _,
     "iban_screen" -> ibanScreenQ _,
+    "salted_join" -> saltedJoinQ _,
+    "join_size_estimate" -> joinSizeEstimate _,
     "schema_profile" -> schemaProfile _,
     "table_checks" -> tableChecks _,
     "stratified_sample" -> stratifiedSample _,

@@ -249,6 +249,40 @@ object SnapshotLog {
     (df, kept.size, s.files.size)
   }
 
+  /** Multi-dimension stats-pruned scan: a file survives only if its
+    * [min,max] intersects EVERY range (the conjunctive predicate a
+    * z-ordered layout exists for — file survivor sets intersect, so
+    * pruning multiplies across dimensions). Same conservative-keep
+    * contract as [[scanPruned]] per dimension. */
+  def scanPrunedMulti(spark: SparkSession, tableDir: String,
+      ranges: Seq[(String, Double, Double)], version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    require(ranges.nonEmpty, "scanPrunedMulti needs at least one range")
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(currentVersion(tableDir)).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val s = readSnapshotMeta(tableDir, v)
+    val kept = s.files.filter { f =>
+      val st = fileStats(tableDir, f)
+      ranges.forall { case (colName, lo, hi) =>
+        st.flatMap(_.get(colName)) match {
+          case Some(cs) if cs.kind == "long" || cs.kind == "double" =>
+            !(cs.max.toDouble < lo || cs.min.toDouble > hi)
+          case _ => true
+        }
+      }
+    }
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val df =
+      if (kept.isEmpty)
+        read(spark, tableDir, Some(v)).where(lit(false))
+      else spark.read.parquet(
+        kept.map(f => dataDir(tableDir).resolve(f).toString): _*).where(pred)
+    (df, kept.size, s.files.size)
+  }
+
   /** Write `df` as new immutable data files; returns their names.
     * Files land under data/ with a unique batch prefix (Spark writes
     * into a scratch dir, then the parts move in — a crashed write

@@ -366,6 +366,34 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Z-ordered snapshot ingest with in-line layout maintenance: each
+    * trigger's batch gets its Morton key (map-only) and lands via the
+    * exactly-once [[graft.store.SnapshotLog.appendIdempotent]]; every
+    * `compactEvery` batches, [[graft.ops.ZOrder.compact]] restores
+    * per-file z-range disjointness so footer-stats pruning stays
+    * effective as appends accumulate — the streaming face of the
+    * OPTIMIZE cycle. Appends are batch-id fenced; compaction needs no
+    * fence of its own (it is row-set-preserving and a no-op on a
+    * clean layout, so a crash-replayed compact is at worst a wasted
+    * rewrite, never wrong data). */
+  def zorderAppendStream(docs: DataFrame, tableDir: String,
+      dims: Seq[org.apache.spark.sql.Column], bits: Int,
+      checkpointDir: String, compactEvery: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be positive")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.withColumn("zkey",
+          graft.ops.ZOrder.interleave(dims, bits))
+        graft.store.SnapshotLog.appendIdempotent(keyed, tableDir, batchId)
+        if ((batchId + 1) % compactEvery == 0)
+          graft.ops.ZOrder.compact(batch.sparkSession, tableDir): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** CDC-driven BM25 index maintenance — the change-log consumer over
     * [[graft.ops.InvertedIndex.applyCdc]]: each trigger's batch of
     * (op, id, text_before, text_after) rows applies as

@@ -2042,6 +2042,30 @@ class OpsSpec extends SparkSpec {
     assert(got(4) == ((5L, 2L, 2L, "two [IBAN] and [IBAN] here")))
   }
 
+  test("count-min inner product: exact when collision-free, never under, partition-invariant") {
+    import graft.functions.{CmBuffer, CmFunctions}
+    def sk(df: org.apache.spark.sql.DataFrame, depth: Int, width: Int) =
+      CmBuffer.fromRow(df.agg(CmFunctions.countMin($"k", depth, width).as("s"))
+        .head().getStruct(0), depth, width)
+    val a = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(4)("y") ++ Seq.fill(7)("w")).toDF("k")
+    val trueIp = 5L * 2 + 3L * 4 // keys x and y overlap
+    // wide sketch: collision-free on 4 keys -> inner product is EXACT,
+    // and point estimates equal true counts
+    val (wa, wb) = (sk(a, 5, 4096), sk(b, 5, 4096))
+    assert(CmBuffer.innerProduct(wa, wb) == trueIp)
+    assert(wa.estimate("x") == 5L && wa.estimate("y") == 3L && wb.estimate("w") == 7L)
+    // adversarial width 2: collisions everywhere, but never an underestimate
+    val (na, nb) = (sk(a, 5, 2), sk(b, 5, 2))
+    assert(CmBuffer.innerProduct(na, nb) >= trueIp)
+    assert(na.estimate("z") >= 1L)
+    // partition-invariance: the merged table is bit-identical under
+    // any slicing (elementwise-add merge; MurmurHash3 fixed seeds)
+    val s1 = sk(a.repartition(7), 5, 64)
+    val s7 = sk(a.repartition(1), 5, 64)
+    assert(s1.counts.toSeq == s7.counts.toSeq && s1.total == s7.total)
+  }
+
   test("misra-gries: exact when vocab fits; guarantee holds under adversarial vocab + merges") {
     import graft.functions.MgFunctions.misraGries
     // vocab (3) <= k (8): the sketch IS the exact count

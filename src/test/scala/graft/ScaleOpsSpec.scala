@@ -749,6 +749,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned2.select("id").as[Long].collect().sorted.toSeq == expect)
   }
 
+  test("round-8 multi-dim prune: conjunctive ranges multiply file skipping, equality holds") {
+    import graft.ops.ZOrder
+    import graft.store.SnapshotLog
+    // two numeric dims both in the z-key: a conjunctive filter's
+    // survivor set is the INTERSECTION of the per-dim survivors
+    val rows = (0L until 2000L).map(i =>
+      (i, (i * 37) % 1000, (i * 91) % 1000)).toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zmulti").toString
+    SnapshotLog.init(ZOrder.clusterWrite(rows, Seq(
+      ZOrder.fixedBucket(col("x"), 0.0, 1024.0, 8),
+      ZOrder.fixedBucket(col("y"), 0.0, 1024.0, 8)), bits = 8, files = 16), dir)
+    val (_, kx, total) = SnapshotLog.scanPruned(spark, dir, "x", 0.0, 250.0)
+    val (_, ky, _) = SnapshotLog.scanPruned(spark, dir, "y", 0.0, 250.0)
+    val (both, kxy, _) = SnapshotLog.scanPrunedMulti(spark, dir,
+      Seq(("x", 0.0, 250.0), ("y", 0.0, 250.0)))
+    assert(kx < total && ky < total, s"each dim must prune: $kx, $ky of $total")
+    assert(kxy <= math.min(kx, ky),
+      s"conjunction must prune at least as hard as either dim: $kxy vs $kx/$ky")
+    val expect = rows.filter(col("x").between(0, 250) && col("y").between(0, 250))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(both.select("id").as[Long].collect().sorted.toSeq == expect)
+  }
+
   test("round-8 z-order compact: appends erode pruning, OPTIMIZE restores disjoint ranges, no-op when clean") {
     import graft.ops.ZOrder
     import graft.store.SnapshotLog

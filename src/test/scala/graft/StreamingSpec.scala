@@ -847,6 +847,55 @@ class StreamingSpec extends SparkSpec {
     assert(fin.counts.sum == 200L)
   }
 
+  test("streaming z-order ingest: keyed appends, periodic OPTIMIZE restores disjoint ranges") {
+    import graft.ops.ZOrder
+    import graft.store.SnapshotLog
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("graft_zstream").toString
+    val ckpt = Files.createTempDirectory("graft_zstream_ckpt").toString
+    val dims = Seq(ZOrder.fixedBucket(col("x"), 0.0, 1024.0, 8),
+      ZOrder.hashBucket(col("cat"), 8))
+    val input = MemoryStream[(Long, Long, String)]
+    // two triggers of keyspace-spanning batches, compactEvery=2 →
+    // the second trigger compacts after its append
+    input.addData((0L until 300L).map(i => (i, (i * 37) % 1000, s"c${i % 5}")): _*)
+    val q1 = Streams.zorderAppendStream(
+      input.toDF().toDF("id", "x", "cat"), tableDir, dims, 8, ckpt,
+      compactEvery = 2)
+    q1.awaitTermination()
+    input.addData((300L until 600L).map(i => (i, (i * 53) % 1000, s"c${i % 5}")): _*)
+    val q2 = Streams.zorderAppendStream(
+      input.toDF().toDF("id", "x", "cat"), tableDir, dims, 8, ckpt,
+      compactEvery = 2)
+    q2.awaitTermination()
+
+    // content: every streamed row present exactly once, zkey matches
+    // the batch derivation
+    val got = SnapshotLog.read(spark, tableDir)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == (0L until 600L))
+    val wantKeys = (0L until 600L).map(i =>
+      (i, if (i < 300) (i * 37) % 1000 else (i * 53) % 1000, s"c${i % 5}"))
+      .toDF("id", "x", "cat").withColumn("zkey", ZOrder.interleave(dims, 8))
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    got.select("id", "zkey").as[(Long, Long)].collect().foreach { case (id, z) =>
+      assert(z == wantKeys(id), s"zkey mismatch for $id")
+    }
+
+    // layout: the trailing OPTIMIZE left pairwise-disjoint z-ranges
+    val v = SnapshotLog.currentVersion(tableDir).get
+    val snap = SnapshotLog.readSnapshotMeta(tableDir, v)
+    assert(snap.op.startsWith("optimize-zorder"),
+      s"last commit must be the OPTIMIZE, got ${snap.op}")
+    val zr = snap.files.flatMap(f => SnapshotLog.fileStats(tableDir, f)
+      .flatMap(_.get("zkey")).map(cs => (cs.min.toLong, cs.max.toLong)))
+      .sortBy(_._1)
+    assert(zr.size == snap.files.size)
+    zr.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $zr")
+      case _ =>
+    }
+  }
+
   test("streaming snapshot append: versions per trigger, replay fenced, reads pin versions") {
     import graft.store.SnapshotLog
     implicit val sqlCtx = spark.sqlContext
