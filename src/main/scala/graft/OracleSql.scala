@@ -116,6 +116,143 @@ object OracleSql {
         |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
 
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS forecast_cents,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+        | CAST(c_nationkey AS BIGINT) AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE (s_nationkey = 1 AND c_nationkey = 2)
+        |   OR (s_nationkey = 2 AND c_nationkey = 1)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH j AS (SELECT year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS cents,
+        |    s_nationkey
+        |   FROM lineitem
+        |   JOIN part ON l_partkey = p_partkey
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'),
+        | a AS (SELECT CAST(o_year AS BIGINT) AS o_year,
+        |    CAST(sum(CASE WHEN s_nationkey = 5 THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |   FROM j GROUP BY 1)
+        |SELECT o_year, nation_cents, total_cents,
+        | round(CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) AS mkt_share
+        |FROM a""".stripMargin,
+
+    "q10_returned_items" ->
+      """WITH lost AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS lost_cents
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   WHERE l_returnflag = 'R'
+        |     AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |     AND o_orderdate < TIMESTAMP '1997-10-01'
+        |   GROUP BY o_custkey
+        |   ORDER BY lost_cents DESC, o_custkey ASC LIMIT 20)
+        |SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | lost_cents
+        |FROM lost JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+        | CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |   - sum(CAST(round(p_retailprice*0.6*l_quantity*100) AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |   WHERE s_nationkey = 3 GROUP BY l_partkey),
+        | th AS (SELECT CAST(sum(value_cents) AS DOUBLE) / 1000 AS th FROM pp)
+        |SELECT l_partkey, value_cents FROM pp, th
+        |WHERE CAST(value_cents AS DOUBLE) > th""".stripMargin,
+
+    "q12_ship_delay" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |   THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH ps AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |   FROM lineitem
+        |   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |     AND l_shipdate < TIMESTAMP '1997-04-01'
+        |   GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM ps)""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM bridge
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#17'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH q AS (SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |   FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   WHERE p_name LIKE 'small%'
+        |     AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |     AND l_shipdate < TIMESTAMP '1998-01-01'
+        |   GROUP BY l_suppkey HAVING sum(CAST(l_quantity AS BIGINT)) > 400)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey < 10
+        |  AND s_suppkey IN (SELECT l_suppkey FROM q)""".stripMargin,
+
     "zorder_key" ->
       ("""WITH b AS (SELECT doc_id,
         |   LEAST(255, GREATEST(0, CAST(floor((CAST(n_chars AS DOUBLE) - 40.0) * 256 / 520.0) AS BIGINT))) AS bx,
@@ -1623,6 +1760,24 @@ object OracleSql {
         |   FROM t)
         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, nt AS n_tokens
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "weighted_reservoir" ->
+      """WITH s AS (SELECT source, doc_id,
+        |    round(pow(
+        |      (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+        |        / pow(2.0, 60),
+        |      1.0 / n_chars), 6) AS key
+        |   FROM documents),
+        | r AS (SELECT source, doc_id, key,
+        |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rank
+        |   FROM s)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id AS id, key
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "pca_project" ->
+      """SELECT count(*) AS n_rows, TRUE AS ortho_ok, TRUE AS eigs_sorted_ok,
+        | TRUE AS trace_ok, TRUE AS proj_var_ok, TRUE AS ratio_ok
+        |FROM embeddings""".stripMargin,
 
     // Stupid Backoff: counts from the %10<>3 slice, scores on %10=3;
     // branch order and the Laplace unigram floor mirror

@@ -1061,6 +1061,291 @@ object Queries {
         centsSum(col("c_acctbal")).as("totacctbal_cents"))
   }
 
+  /** TPC-H Q5 shape — the star-join chain with a cross-dimension
+    * equality: revenue by supplier nation for one region and one
+    * order year, where the CUSTOMER is in the SUPPLIER's nation.
+    * nation⋈region collapses to a broadcast key list; supplier
+    * broadcasts; the only big shuffles are lineitem⋈orders and
+    * ⋈customer on their natural keys. The c_nationkey=s_nationkey
+    * equality rides as a filter ABOVE the joins (it is not a join
+    * key — making it one would force a different, skewed
+    * partitioning of the fact table). */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val asia = broadcast(
+      t(s, dir, "nation").join(
+          t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val sup = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(asia, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q6 shape — the pure scan-filter-agg revenue forecast: one
+    * ship year, a discount band, a quantity cap, no joins. Exists to
+    * pin the pushdown story: all three predicates reach the parquet
+    * scan as PushedFilters, so row groups outside the year prune on
+    * footer min/max before a single page decodes. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(centsSum(col("l_extendedprice") * col("l_discount"))
+          .as("forecast_cents"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q7 shape — bidirectional nation-pair shipping volume:
+    * revenue per (supplier nation, customer nation, ship year) for
+    * one nation pair in both directions. Both nation maps broadcast;
+    * the disjunctive pair predicate stays ONE filter above the joins
+    * (not a union of two plans), and the ship-year column is derived
+    * map-side. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val sup = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
+        (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+      .groupBy(col("s_nationkey").cast("long").as("supp_nation"),
+        col("c_nationkey").cast("long").as("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue_cents"))
+  }
+
+  /** TPC-H Q8 shape — national market share: of one region's ECONOMY
+    * part revenue, the fraction supplied by one nation, per order
+    * year. The share is a conditional aggregate over ONE joined
+    * stream (never two scans diffed); cents both sides of the
+    * ratio, 6-dp rounded. Part and supplier broadcast; the region's
+    * customer set filters via the broadcast nation list. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val americaNations = broadcast(
+      t(s, dir, "nation").join(
+          t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__mkt_nation")))
+    val p = broadcast(t(s, dir, "part")
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+    val sup = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(americaNations, col("c_nationkey") === col("__mkt_nation"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        centsSum(when(col("s_nationkey") === 5,
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))).as("nation_cents"),
+        centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        r6(col("nation_cents").cast("double") /
+          col("total_cents").cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q10 shape — returned-item ranking: top 20 customers by
+    * revenue lost to returns (l_returnflag = 'R') for one order
+    * quarter. The heavy work is a custkey-grain aggregate over the
+    * filtered fact; the top-20 is TakeOrderedAndProject above it
+    * (never a full sort), custkey tie-break for a deterministic
+    * boundary; customer attributes join back AFTER the take, on 20
+    * rows. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lost = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("o_custkey").asc)
+      .limit(20)
+    lost.join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("lost_cents"))
+  }
+
+  /** TPC-H Q9 shape — product-type profit rollup: for parts whose
+    * name carries one token ('widget'; the generator has no
+    * ps_supplycost, so cost = 60% of retail), profit per (supplier
+    * nation, order year). Part (name-filtered) and supplier
+    * broadcast; profit is exact integer cents computed per line
+    * BEFORE the rollup. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(t(s, dir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice")))
+    val sup = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    t(s, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("s_nationkey").cast("long").as("supp_nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+        centsSum(col("p_retailprice") * lit(0.6) * col("l_quantity")))
+        .as("profit_cents"))
+  }
+
+  /** TPC-H Q11 shape — HAVING against a scalar subquery over the SAME
+    * aggregate: line-revenue value per part for one supplier nation,
+    * keeping parts whose value exceeds 0.1% of the slice total. The
+    * total is ONE exact-cents row broadcast back over the per-part
+    * rollup — the per-part aggregate is computed once and reused for
+    * both sides (no second scan of the fact). */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val sup = broadcast(t(s, dir, "supplier")
+      .filter(col("s_nationkey") === 3).select(col("s_suppkey")))
+    val perPart = t(s, dir, "lineitem")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(centsSum(col("l_extendedprice")).as("value_cents"))
+      .persist()
+    val th = perPart.agg((sum(col("value_cents")) / lit(1000L)).as("__th"))
+    val out = perPart.crossJoin(broadcast(th))
+      .filter(col("value_cents").cast("double") > col("__th"))
+      .select(col("l_partkey"), col("value_cents"))
+    out.count(): Unit // materialize before unpersist marks
+    perPart.unpersist()
+    out
+  }
+
+  /** TPC-H Q12 shape — two conditional counts per ship-delay bucket
+    * (the generator has no l_shipmode; delay class is the analogous
+    * low-cardinality group): for lines shipped in 1997, count
+    * high-priority vs other orders per SLOW / FAST bucket (slow =
+    * shipped > 90 days after the order date). One join, one tiny
+    * rollup; the CASE counts ride in the same aggregate. */
+  def q12ShipDelay(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(col("l_shipdate") > col("o_orderdate") +
+          expr("INTERVAL 90 DAYS"), "SLOW").otherwise("FAST")
+        .as("delay_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q15 shape — top supplier via a scalar MAX subquery: revenue
+    * per supplier for one ship quarter, keeping the supplier(s) whose
+    * revenue EQUALS the max (exact integer cents, so the equality is
+    * deterministic cross-engine — the reason Q15's view is computed
+    * in cents, not floats). The max is one broadcast row; supplier
+    * names join on the surviving handful. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_cents"))
+      .persist()
+    val mx = perSupp.agg(max(col("total_cents")).as("__mx"))
+    val out = perSupp.crossJoin(broadcast(mx))
+      .filter(col("total_cents") === col("__mx"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+    out.count(): Unit
+    perSupp.unpersist()
+    out
+  }
+
+  /** TPC-H Q16 shape — distinct-supplier counts per part attribute,
+    * with an excluded-supplier anti-join: suppliers per (brand, size)
+    * for non-Brand#17 parts, excluding negative-balance suppliers
+    * (the generator's stand-in for Q16's complaint comment). The
+    * part↔supplier bridge is the distinct (partkey, suppkey) pair
+    * set from lineitem (no partsupp table) — pair-grain distinct
+    * FIRST, then the rollup counts distinct suppliers per group. */
+  def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    val p = broadcast(t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#17")
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(bad, col("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape — nested semi-join chain: suppliers of one
+    * nation who shipped more than 400 units of 'small'-named parts
+    * during 1997 (the generator's stand-in for Q20's excess-stock
+    * predicate over partsupp). Threshold at suppkey grain over the
+    * part-filtered fact slice; the supplier table SEMI-joins the
+    * qualifying keys — names only, no row multiplication. */
+  def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(t(s, dir, "part")
+      .filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey")))
+    val qualifying = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 400L)
+    t(s, dir, "supplier").filter(col("s_nationkey") < 10)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   /** Z-order key derivation over documents — map-only (bucket + bit
     * interleave, no exchange): length dimension on a fixed 40..560
     * envelope, language dimension via the portable hash bucket. The
@@ -1559,6 +1844,61 @@ object Queries {
       .select(col("lang"), posexplode(col("hits")))
       .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("doc_id"), col("col.score").cast("long").as("n_tokens"))
+
+  /** Distributed PCA end-to-end gate (gate-is-oracle): fit on the
+    * embeddings table (ONE exact-integer gram pass, driver Jacobi,
+    * [[graft.ops.Pca]]), project map-only, then assert the linear-
+    * algebra invariants no wrong implementation satisfies together —
+    * orthonormal basis, descending nonnegative eigenvalues, trace
+    * conservation (Σ all d eigenvalues = total variance), and the
+    * distributed projection's mean energy matching the top-k
+    * eigenvalue mass (ties the executor-side dot products back to the
+    * driver model). The oracle pins the booleans and replays the row
+    * count. */
+  def pcaProjectQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dim = 64
+    val k = 16
+    val model = ops.Pca.fit(e, "embedding", dim, k)
+    val ortho = (for {
+      i <- model.components.indices
+      j <- i until model.components.length
+    } yield {
+      val dp = model.components(i).zip(model.components(j))
+        .map { case (a, b) => a * b }.sum
+      math.abs(dp - (if (i == j) 1.0 else 0.0))
+    }).max
+    val eigs = model.eigenvalues
+    val sortedOk = eigs.sliding(2).forall {
+      case Array(a, b) => a >= b - 1e-12
+      case _ => true
+    } && eigs.forall(_ >= -1e-9)
+    val traceOk = math.abs(eigs.sum - model.trace) <=
+      1e-9 * math.max(1.0, model.trace)
+    val proj = ops.Pca.project(e, "vec_id", "embedding", model)
+    val a = proj.agg(count(lit(1)).as("n"), sum(col("sq_norm")).as("e"))
+      .head()
+    val (nRows, energy) = (a.getLong(0), a.getDouble(1))
+    val explained = eigs.take(k).sum
+    val projVarOk = math.abs(energy / nRows - explained) <=
+      1e-4 * math.max(1e-12, model.trace)
+    val ratio = explained / model.trace
+    import s.implicits._
+    Seq((nRows, ortho < 1e-9, sortedOk, traceOk, projVarOk,
+        ratio > 0.0 && ratio <= 1.0 + 1e-9))
+      .toDF("n_rows", "ortho_ok", "eigs_sorted_ok", "trace_ok",
+        "proj_var_ok", "ratio_ok")
+  }
+
+  /** Weighted reservoir sample (A-ES), 5 docs per source with
+    * char-length weights: longer docs proportionally likelier, no
+    * rand() anywhere — the oracle replays u = portable id hash,
+    * key = round(u^(1/w), 6), rank = (key desc, id asc). Heap-agg
+    * top-k, not a window ([[TextAnalytics.weightedReservoir]]). */
+  def weightedReservoirQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalytics.weightedReservoir(t(s, dir, "documents"), "source",
+        "doc_id", col("n_chars"), k = 5)
+      .withColumnRenamed("grp", "source")
 
   /** C4 line filter over planted multi-line docs (the corpus is
     * single-line): line A lacks terminal punctuation (dropped), B ends
@@ -2712,6 +3052,17 @@ object Queries {
     "q19_disjunctive" -> q19Disjunctive _,
     "q21_late_suppliers" -> q21LateSuppliers _,
     "q22_lapsed_customers" -> q22LapsedCustomers _,
+    "q5_local_supplier" -> q5LocalSupplier _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q7_volume_shipping" -> q7VolumeShipping _,
+    "q8_market_share" -> q8MarketShare _,
+    "q10_returned_items" -> q10ReturnedItems _,
+    "q9_product_profit" -> q9ProductProfit _,
+    "q11_important_parts" -> q11ImportantParts _,
+    "q12_ship_delay" -> q12ShipDelay _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q16_supplier_counts" -> q16SupplierCounts _,
+    "q20_excess_suppliers" -> q20ExcessSuppliers _,
     "zorder_key" -> zorderKey _,
     "zorder_prune" -> zorderPrune _,
     "zorder_compact" -> zorderCompactQ _,
@@ -2768,6 +3119,8 @@ object Queries {
     "canary_screen" -> canaryScreen _,
     "lm_stupid_backoff" -> lmStupidBackoff _,
     "grouped_topk" -> groupedTopk _,
+    "weighted_reservoir" -> weightedReservoirQ _,
+    "pca_project" -> pcaProjectQ _,
     "c4_line_filter" -> c4LineFilterQ _,
     "dedup_paragraphs" -> dedupParagraphsQ _,
     "pmi_collocations" -> pmiCollocations _,

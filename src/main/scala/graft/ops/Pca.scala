@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.functions.{GramFunctions, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column — the dimensionality-
+  * reduction step of an embedding pipeline (index shrinking, whitening
+  * before clustering, Matryoshka-style truncation with data-adapted
+  * axes instead of prefix axes).
+  *
+  * Design for 100 TB, deterministic end to end:
+  *
+  *  - ONE distributed pass accumulates the exact integer-micro-unit
+  *    gram buffer ([[graft.functions.GramMatrix]]): a d+d(d+1)/2-long
+  *    buffer per partition, elementwise-add merge — shuffle volume is
+  *    partitions·17 KB at d=64, independent of row count, and the
+  *    result is bit-identical under any partitioning (integer adds
+  *    commute), so the whole model is reproducible without float
+  *    snapping.
+  *  - The d×d covariance eigensolve runs on the DRIVER (cyclic Jacobi;
+  *    d is an embedding dimension, 64–4096 — microseconds to seconds,
+  *    never data-sized). Eigenvectors are sign-normalized (first
+  *    component of largest magnitude made positive) so the basis is
+  *    unique.
+  *  - [[project]] is MAP-ONLY: k codegen'd dot products per row
+  *    against literal component arrays, the [[Clustering]] centroid
+  *    idiom — no shuffle, no UDF.
+  *
+  * Reference for the pipeline role: embedding post-processing in
+  * vector stores (the reference app stores raw model embeddings;
+  * database_interactions.py:118-166 — PCA is the standard shrink step
+  * its scale-up would need). */
+object Pca {
+
+  /** Fitted model: `mean` (length d), `components` (k rows, each
+    * length d, orthonormal, eigenvalue-descending), `eigenvalues`
+    * (ALL d, descending), `trace` = total variance. */
+  case class Model(mean: Array[Double], components: Array[Array[Double]],
+      eigenvalues: Array[Double], trace: Double) {
+    def k: Int = components.length
+    def d: Int = mean.length
+  }
+
+  /** One pass + driver eigensolve. `vecCol` casts to array<double>;
+    * rows must all have dimension `dim`. */
+  def fit(vecs: DataFrame, vecCol: String, dim: Int, k: Int): Model = {
+    require(k > 0 && k <= dim, s"k must be in [1, $dim], got $k")
+    val row = vecs.agg(GramFunctions.gramMatrix(col(vecCol), dim).as("m"))
+      .head().getStruct(0)
+    val n = row.getLong(0)
+    require(n > 1, s"PCA needs at least 2 rows, got $n")
+    val s = row.getSeq[Long](1)
+    val g = row.getSeq[Long](2)
+    val mean = s.map(_ / 1e6 / n).toArray
+    // covariance: E[xy] - E[x]E[y]; micro-products carry 1e12 scale
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = g(idx) / 1e12 / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    Model(mean, eigVecs.take(k), eigVals, trace)
+  }
+
+  /** Map-only projection: z_j = (x − mean)·c_j, computed as
+    * dot(x, c_j) − dot(mean, c_j) so the per-row work is k literal-
+    * array dot products (codegen'd) and the mean correction is a plan
+    * constant. Output: (idCol, z: array<double>, sq_norm: double —
+    * Σ z², the reconstruction-energy term). */
+  def project(vecs: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val zs = model.components.map { c =>
+      val offset = c.zip(model.mean).map { case (ci, mi) => ci * mi }.sum
+      VectorFunctions.dotProduct(v, array(c.map(lit).toIndexedSeq: _*)) -
+        lit(offset)
+    }
+    vecs.select(col(idCol), array(zs.toIndexedSeq: _*).as("z"))
+      .withColumn("sq_norm",
+        expr("aggregate(z, 0D, (acc, x) -> acc + x * x)"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues descending, matching orthonormal eigenvectors as
+    * rows, sign-normalized). O(d³) per sweep, ~8 sweeps to 1e-12 —
+    * driver-side by design (the matrix is d×d, never data-sized). */
+  private[ops] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-14 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { ei =>
+      val vec = Array.tabulate(d)(i => v(i)(ei))
+      // sign convention: the largest-|component| coordinate positive
+      val pivot = (0 until d).maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(pivot) < 0) vec.map(-_) else vec
+    }.toArray
+    (vals, vecs)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+}

@@ -340,6 +340,34 @@ object TextAnalytics {
         .otherwise("train"))
   }
 
+  /** Weighted reservoir sample, k per group (Efraimidis–Spirakis
+    * A-ES): each row draws u ∈ (0, 1] from its portable id hash and
+    * ranks by key = u^(1/w) — the top-k keys per group are a
+    * weight-proportional sample WITHOUT replacement. Deterministic
+    * twice over: u is the md5-prefix hash (no rand(), replayable in
+    * any engine) and the key rounds 6 dp with id tie-break before
+    * ranking (cross-engine pow ulps cannot reorder).
+    *
+    * Scale shape: the ranking is the [[graft.functions.TopKFunctions
+    * .topKHits]] heap aggregate — map-side k-prune, k·partitions rows
+    * per group cross the exchange; a row_number window would shuffle
+    * and sort EVERY row. Weights must be strictly positive. */
+  def weightedReservoir(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (portableIdHash(col(idCol)).cast("double") + lit(1.0)) /
+      lit(math.pow(2.0, 60))
+    val key = round(pow(u, lit(1.0) / weightCol.cast("double")), 6)
+    df.select(col(groupCol).as("grp"), col(idCol).cast("long").as("__id"),
+        key.as("__key"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.TopKFunctions.topKHits(
+        col("__key"), col("__id"), k).as("hits"))
+      .select(col("grp"), posexplode(col("hits")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("key"))
+  }
+
   /** Leakage-safe train/val/test split: [[hashSplit]]'s bucketing, but
     * keyed by the document's NEAR-DUP CLUSTER representative instead of
     * its own id — near-duplicate documents land in the SAME split by

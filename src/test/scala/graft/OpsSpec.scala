@@ -2066,6 +2066,40 @@ class OpsSpec extends SparkSpec {
     assert(s1.counts.toSeq == s7.counts.toSeq && s1.total == s7.total)
   }
 
+  test("pca: recovers planted 2D structure, projection energy matches eigenvalues, partition-invariant") {
+    import graft.ops.Pca
+    // planted basis in R^8: u along dims 0/1, w along dims 2/3, with
+    // variance 9 along u and 1 along w — everything else exactly flat
+    val r = 1.0 / math.sqrt(2.0)
+    val u = Array(r, r, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val w = Array(0.0, 0.0, r, -r, 0.0, 0.0, 0.0, 0.0)
+    val rows = (0 until 200).map { i =>
+      val a = 3.0 * ((i % 20) - 9.5) / 9.5   // spread ±3 along u
+      val b = 1.0 * ((i / 20) - 4.5) / 4.5   // spread ±1 along w
+      (i.toLong, (0 until 8).map(j => (a * u(j) + b * w(j)).toFloat).toArray)
+    }.toDF("vec_id", "vec")
+    val m = Pca.fit(rows, "vec", 8, 3)
+    // PC1 aligns with u, PC2 with w (sign-normalized, so just |cos|)
+    def absCos(x: Array[Double], y: Array[Double]) =
+      math.abs(x.zip(y).map { case (p, q) => p * q }.sum)
+    assert(absCos(m.components(0), u) > 0.9999, m.components(0).toSeq)
+    assert(absCos(m.components(1), w) > 0.9999, m.components(1).toSeq)
+    // exactly two nonzero eigenvalues; λ1/λ2 ≈ var ratio 9:1-ish
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    assert(math.abs(m.eigenvalues(2)) < 1e-6, m.eigenvalues.toSeq)
+    assert(math.abs(m.eigenvalues.sum - m.trace) < 1e-9)
+    // projection with k=2 captures ALL the energy (data is rank 2)
+    val proj = Pca.project(rows, "vec_id", "vec", m.copy(components = m.components.take(2)))
+    val got = proj.agg(sum($"sq_norm")).head().getDouble(0) / 200
+    assert(math.abs(got - m.eigenvalues.take(2).sum) < 1e-4,
+      s"$got vs ${m.eigenvalues.take(2).sum}")
+    // exact-integer gram: the model is BIT-identical under any slicing
+    val m1 = Pca.fit(rows.repartition(7), "vec", 8, 3)
+    assert(m1.mean.toSeq == m.mean.toSeq)
+    assert(m1.eigenvalues.toSeq == m.eigenvalues.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq)
+  }
+
   test("misra-gries: exact when vocab fits; guarantee holds under adversarial vocab + merges") {
     import graft.functions.MgFunctions.misraGries
     // vocab (3) <= k (8): the sketch IS the exact count

@@ -749,6 +749,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned2.select("id").as[Long].collect().sorted.toSeq == expect)
   }
 
+  test("round-8 pca: gram pass is one bounded-buffer aggregate, projection is map-only") {
+    import graft.ops.Pca
+    val rows = (0 until 500).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        (math.sin(i * 0.37 + j) * (j + 1)).toFloat).toArray)
+    }.toDF("vec_id", "vec")
+    val m = Pca.fit(rows.repartition(8), "vec", 16, 4)
+    // projection plan: k literal dot products per row, NO exchange
+    val proj = Pca.project(rows, "vec_id", "vec", m)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must be map-only:\n$plan")
+    // the fit's distributed side is ONE partial aggregate (gram
+    // buffers merge), never a per-pair shuffle: the agg frame on the
+    // same input shows a single hashpartitioning-free global agg
+    val aggPlan = rows.repartition(8)
+      .agg(graft.functions.GramFunctions.gramMatrix(col("vec"), 16))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(aggPlan).isEmpty,
+      s"gram pass must not hash-shuffle rows:\n$aggPlan")
+  }
+
   test("round-8 multi-dim prune: conjunctive ranges multiply file skipping, equality holds") {
     import graft.ops.ZOrder
     import graft.store.SnapshotLog
