@@ -52,6 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.MultiMatchTotal(es(0), patterns(es(1))))
     inject(e, "multi_match_counts", es =>
       graft.functions.MultiMatchCounts(es(0), patterns(es(1))))
+    inject(e, "count_min", es => graft.functions.CountMinAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.StringType),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+    inject(e, "gram_matrix", es => graft.functions.GramMatrix(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
+    inject(e, "bloom_sketch", es => graft.functions.BloomSketch(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.StringType),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
     inject(e, "nfc_normalize", es => graft.functions.NfcNormalize(es(0)))
     inject(e, "deflate_length", es => graft.functions.DeflateLength(es(0),
       if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else -1))

@@ -1779,6 +1779,33 @@ object OracleSql {
         | TRUE AS trace_ok, TRUE AS proj_var_ok, TRUE AS ratio_ok
         |FROM embeddings""".stripMargin,
 
+    "pca_ann" ->
+      """SELECT count(*) AS n_queries, TRUE AS isometry_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    "bloom_file_prune" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files,
+        | TRUE AS pruned_fewer, TRUE AS rows_match,
+        | (SELECT count(*) FROM documents WHERE source = 'src7') AS n_rows""".stripMargin,
+
+    "triangle_count" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |   WHERE l_quantity >= 40),
+        | e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |   FROM li a JOIN li b
+        |     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | deg AS (SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+        | tri AS (SELECT count(*) AS t FROM e e1
+        |   JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        | (SELECT count(*) FROM e) AS n_edges,
+        | (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) FROM deg) AS n_wedges,
+        | (SELECT t FROM tri) AS n_triangles,
+        | round(3.0 * (SELECT t FROM tri)
+        |   / (SELECT sum(d*(d-1)//2) FROM deg), 6) AS clustering""".stripMargin,
+
     // Stupid Backoff: counts from the %10<>3 slice, scores on %10=3;
     // branch order and the Laplace unigram floor mirror
     // TextAnalytics.stupidBackoffScore exactly.

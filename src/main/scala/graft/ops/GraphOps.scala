@@ -156,4 +156,67 @@ object GraphOps {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     personalizedPageRankMicro(arcs, "src", "dst", seeds, iters)
   }
+
+  /** Exact triangle count with the degree-ordered orientation (Suri &
+    * Vassilvitskii 2011) — the distributed-graph shape that survives
+    * skew: every undirected edge orients from its lower (degree, id)
+    * endpoint to the higher, so each node's OUT-degree is
+    * O(√m) regardless of its real degree (a celebrity node of degree
+    * 10⁶ emits no wedges — its neighbors point AT it), and every
+    * triangle is generated by exactly one wedge at its lowest-order
+    * corner. Two shuffles: wedge generation (self-join on the wedge
+    * apex) and the closing-edge semi-join. A naive wedge join on raw
+    * edges is Σ deg² — one hot node detonates it; this is Σ outdeg²
+    * ≤ m^1.5.
+    *
+    * Input: undirected pairs (any orientation, duplicates fine).
+    * Returns one row (n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering = 3·T / wedges, 6 dp). */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("x"))
+      .unionByName(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // total order (d, x): orient each edge low → high
+    val withDeg = e
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
+      .select(col("o.a").as("a"), col("o.b").as("b"))
+    val ordDeg = deg // (x, d) — the order key both joins reuse
+    // wedges at apex a: unordered pair {b1, b2}, emitted once with
+    // b1 before b2 in the SAME (d, id) order the orientation uses
+    val o1 = oriented.select(col("a"), col("b").as("b1"))
+    val o2 = oriented.select(col("a"), col("b").as("b2"))
+    val wedges = o1.join(o2, "a")
+      .join(ordDeg.select(col("x").as("b1"), col("d").as("d1")), "b1")
+      .join(ordDeg.select(col("x").as("b2"), col("d").as("d2")), "b2")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("b1") < col("b2")))
+    // a triangle closes iff the oriented edge b1 → b2 exists
+    val closing = oriented.select(col("a").as("ca"), col("b").as("cb"))
+    val tri = wedges.join(closing,
+      wedges("b1") === closing("ca") && wedges("b2") === closing("cb"),
+      "left_semi")
+    val nNodes = deg.count()
+    val nEdges = e.count()
+    val nWedges = deg.agg(
+      sum((col("d") * (col("d") - 1) / 2).cast("long"))).head().getLong(0)
+    val nTri = tri.count()
+    val cc =
+      if (nWedges == 0L) 0.0
+      else BigDecimal(3.0 * nTri / nWedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, nWedges, nTri, cc))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering")
+  }
 }

@@ -45,14 +45,20 @@ object Pca {
   /** One pass + driver eigensolve. `vecCol` casts to array<double>;
     * rows must all have dimension `dim`. */
   def fit(vecs: DataFrame, vecCol: String, dim: Int, k: Int): Model = {
-    require(k > 0 && k <= dim, s"k must be in [1, $dim], got $k")
     val row = vecs.agg(GramFunctions.gramMatrix(col(vecCol), dim).as("m"))
       .head().getStruct(0)
-    val n = row.getLong(0)
+    modelFromMoments(row.getLong(0), row.getSeq[Long](1).toArray,
+      row.getSeq[Long](2).toArray, dim, k)
+  }
+
+  /** Eigensolve from exact micro-unit moments — shared by [[fit]] and
+    * the streaming maintainer (whose persisted state IS these longs,
+    * so streamed and batch models are bit-identical by construction). */
+  def modelFromMoments(n: Long, s: Array[Long], g: Array[Long],
+      dim: Int, k: Int): Model = {
+    require(k > 0 && k <= dim, s"k must be in [1, $dim], got $k")
     require(n > 1, s"PCA needs at least 2 rows, got $n")
-    val s = row.getSeq[Long](1)
-    val g = row.getSeq[Long](2)
-    val mean = s.map(_ / 1e6 / n).toArray
+    val mean = s.map(_ / 1e6 / n)
     // covariance: E[xy] - E[x]E[y]; micro-products carry 1e12 scale
     val cov = Array.ofDim[Double](dim, dim)
     var idx = 0
@@ -69,6 +75,57 @@ object Pca {
     val trace = (0 until dim).map(i => cov(i)(i)).sum
     val (eigVals, eigVecs) = jacobiEigen(cov)
     Model(mean, eigVecs.take(k), eigVals, trace)
+  }
+
+  /** Persisted gram state (the streaming maintainer's file): exact
+    * micro-unit longs, so merge = elementwise add and the maintained
+    * model equals one batch fit over the whole history, bit for bit. */
+  final class GramState(val dim: Int) {
+    var n: Long = 0L
+    val s = new Array[Long](dim)
+    val g = new Array[Long](dim * (dim + 1) / 2)
+    def merge(dn: Long, ds: Seq[Long], dg: Seq[Long]): Unit = {
+      n += dn
+      var i = 0
+      while (i < s.length) { s(i) += ds(i); i += 1 }
+      i = 0
+      while (i < g.length) { g(i) += dg(i); i += 1 }
+    }
+  }
+
+  object GramIO {
+    def read(path: java.nio.file.Path, dim: Int): GramState = {
+      val st = new GramState(dim)
+      if (java.nio.file.Files.exists(path)) {
+        val bb = java.nio.ByteBuffer.wrap(java.nio.file.Files.readAllBytes(path))
+        val d = bb.getInt()
+        require(d == dim, s"gram state dim $d != requested $dim")
+        st.n = bb.getLong()
+        var i = 0
+        while (i < st.s.length) { st.s(i) = bb.getLong(); i += 1 }
+        i = 0
+        while (i < st.g.length) { st.g(i) = bb.getLong(); i += 1 }
+      }
+      st
+    }
+
+    def write(path: java.nio.file.Path, st: GramState): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(
+        12 + 8 * (st.s.length + st.g.length))
+      bb.putInt(st.dim); bb.putLong(st.n)
+      st.s.foreach(bb.putLong); st.g.foreach(bb.putLong)
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, bb.array())
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Model from a maintained state file. */
+  def modelFromState(path: java.nio.file.Path, dim: Int, k: Int): Model = {
+    val st = GramIO.read(path, dim)
+    modelFromMoments(st.n, st.s, st.g, dim, k)
   }
 
   /** Map-only projection: z_j = (x − mean)·c_j, computed as

@@ -283,6 +283,111 @@ object SnapshotLog {
     (df, kept.size, s.files.size)
   }
 
+  // --------------------------------------------------------------------
+  // Per-file Bloom sidecars — the POINT-predicate complement of the
+  // footer min/max stats: equality on a high-cardinality or hash-
+  // distributed column (ids, urls, categories spread across the
+  // keyspace) never prunes on [min,max], but a per-file bloom answers
+  // "can this file contain v?" from metadata alone. Like _filestats,
+  // a bloom is a property of the immutable file: built once (ONE
+  // column scan over all sidecar-less files, grouped by file name),
+  // stored as `_filebloom/<file>.json`, deleted by vacuum with the
+  // file. Missing sidecar or column ⇒ conservatively scanned — the
+  // filter above the scan makes pruning correctness-neutral; only a
+  // false POSITIVE (reads a file it needn't) is possible, never a
+  // false negative.
+  // --------------------------------------------------------------------
+
+  private def bloomDir(tableDir: String): Path = Paths.get(tableDir, "_filebloom")
+
+  /** Build bloom sidecars on `colName` for every current-version data
+    * file that lacks one. One distributed pass: scan only the missing
+    * files, group by file name, one [[graft.functions.BloomSketch]]
+    * buffer each (OR-merge, numBits/64 longs). Returns the number of
+    * sidecars written. */
+  def writeBloomSidecars(spark: SparkSession, tableDir: String,
+      colName: String, numBits: Int = 4096, numHashes: Int = 5): Int = {
+    val v = currentVersion(tableDir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val missing = readSnapshotMeta(tableDir, v).files.filter { f =>
+      val p = bloomDir(tableDir).resolve(s"$f.json")
+      !Files.exists(p) || !mapper.readTree(Files.readAllBytes(p))
+        .get("cols").has(colName)
+    }
+    if (missing.isEmpty) return 0
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name, split}
+    val rows = spark.read.parquet(
+        missing.map(f => dataDir(tableDir).resolve(f).toString): _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("__file"),
+        col(colName).cast("string").as("__v"))
+      .groupBy(col("__file"))
+      .agg(graft.functions.BloomFunctions.bloomSketch(
+        col("__v"), numBits, numHashes).as("b"))
+      .select(col("__file"), col("b.n"), col("b.words"))
+      .collect()
+    Files.createDirectories(bloomDir(tableDir))
+    rows.foreach { r =>
+      val file = r.getString(0)
+      val p = bloomDir(tableDir).resolve(s"$file.json")
+      val root =
+        if (Files.exists(p))
+          mapper.readTree(Files.readAllBytes(p))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else {
+          val n = mapper.createObjectNode()
+          n.put("file", file); n.putObject("cols"); n
+        }
+      val c = root.get("cols")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .putObject(colName)
+      c.put("bits", numBits); c.put("hashes", numHashes)
+      c.put("n", r.getLong(1))
+      val words = c.putArray("words")
+      r.getSeq[Long](2).foreach(words.add)
+      Files.write(p, mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    }
+    rows.length
+  }
+
+  /** Bloom sidecar for (file, column), if present. */
+  def fileBloom(tableDir: String, file: String, colName: String)
+      : Option[graft.functions.BloomBuffer] = {
+    val p = bloomDir(tableDir).resolve(s"$file.json")
+    if (!Files.exists(p)) return None
+    val cols = mapper.readTree(Files.readAllBytes(p)).get("cols")
+    if (cols == null || !cols.has(colName)) return None
+    val c = cols.get(colName)
+    val words = (0 until c.get("words").size())
+      .map(i => c.get("words").get(i).asLong()).toArray
+    Some(graft.functions.BloomBuffer.fromWords(
+      words, c.get("hashes").asInt(), c.get("n").asLong()))
+  }
+
+  /** Bloom-pruned POINT scan: read only the files whose bloom might
+    * contain `value` (missing sidecar ⇒ kept). Returns (frame already
+    * filtered to the equality, files scanned, files in snapshot) —
+    * provably equal to scan+filter: a bloom never false-negatives. */
+  def scanPrunedPoint(spark: SparkSession, tableDir: String,
+      colName: String, value: String, version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(currentVersion(tableDir)).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $tableDir"))
+    val s = readSnapshotMeta(tableDir, v)
+    val bytes = value.getBytes(StandardCharsets.UTF_8)
+    val kept = s.files.filter { f =>
+      fileBloom(tableDir, f, colName).forall(_.mightContain(bytes))
+    }
+    val df =
+      if (kept.isEmpty)
+        read(spark, tableDir, Some(v)).where(lit(false))
+      else spark.read.parquet(
+          kept.map(f => dataDir(tableDir).resolve(f).toString): _*)
+        .where(col(colName).cast("string") === lit(value))
+    (df, kept.size, s.files.size)
+  }
+
   /** Write `df` as new immutable data files; returns their names.
     * Files land under data/ with a unique batch prefix (Spark writes
     * into a scratch dir, then the parts move in — a crashed write
@@ -549,6 +654,10 @@ object SnapshotLog {
       .map { p => Files.delete(p); 1 }.sum
     // sidecars die with their data files (stats are a file property)
     listDir(statsDir(tableDir))
+      .filterNot(p => referenced.contains(
+        p.getFileName.toString.stripSuffix(".json")))
+      .foreach(Files.delete)
+    listDir(bloomDir(tableDir))
       .filterNot(p => referenced.contains(
         p.getFileName.toString.stripSuffix(".json")))
       .foreach(Files.delete)

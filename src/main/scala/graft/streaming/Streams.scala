@@ -536,6 +536,37 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming PCA maintenance — the covariance member of the
+    * streaming summary family: each trigger reduces its micro-batch to
+    * ONE exact integer gram buffer ([[graft.functions.GramFunctions
+    * .gramMatrix]], one bounded buffer per partition) and elementwise-
+    * adds it into the persisted moment state; the model read via
+    * [[graft.ops.Pca.modelFromState]] after any trigger sequence is
+    * BIT-IDENTICAL to one batch [[graft.ops.Pca.fit]] over the whole
+    * history (integer adds commute — no float drift to argue about).
+    * State is d + d(d+1)/2 longs regardless of stream length; batch-id
+    * fenced like the other read-merge-write summaries. */
+  def pcaMaintainStream(vecs: DataFrame, vecCol: String, dim: Int,
+      statePath: java.nio.file.Path, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > readFence(statePath)) {
+          val row = batch
+            .agg(graft.functions.GramFunctions.gramMatrix(col(vecCol), dim).as("m"))
+            .select(col("m.n"), col("m.s"), col("m.g")).head()
+          if (row.getLong(0) > 0) {
+            val st = graft.ops.Pca.GramIO.read(statePath, dim)
+            st.merge(row.getLong(0), row.getSeq[Long](1), row.getSeq[Long](2))
+            graft.ops.Pca.GramIO.write(statePath, st)
+          }
+          writeFence(statePath, batchId)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming embedding-mean maintenance — the streaming side of the
     * [[graft.ops.SimilaritySearch.embeddingDrift]] monitor: each
     * trigger reduces its micro-batch to (count, per-dim double sums)

@@ -2066,6 +2066,28 @@ class OpsSpec extends SparkSpec {
     assert(s1.counts.toSeq == s7.counts.toSeq && s1.total == s7.total)
   }
 
+  test("triangle count: hand-counted graphs, hub skew, duplicate/reversed edges collapse") {
+    import graft.ops.GraphOps
+    // K4 (4 triangles... no: K4 has C(4,3)=4 triangles) plus a
+    // pendant edge and a duplicate/reversed noise
+    val k4 = for (i <- 0 to 3; j <- 0 to 3 if i < j) yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((3L, 9L), (9L, 3L), (1L, 0L)))
+      .toDF("id_a", "id_b")
+    val got = GraphOps.triangleStats(edges, "id_a", "id_b").head()
+    assert(got.getLong(0) == 5)            // nodes 0-3 and 9
+    assert(got.getLong(1) == 7)            // 6 K4 edges + pendant
+    assert(got.getLong(3) == 4, s"K4 has 4 triangles: $got")
+    // star hub: 1 center, 30 leaves — MANY wedges, zero triangles (the
+    // skew case the degree orientation exists for: the hub emits none)
+    val star = (1 to 30).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
+    val sg = GraphOps.triangleStats(star, "id_a", "id_b").head()
+    assert(sg.getLong(2) == 435L && sg.getLong(3) == 0L)
+    assert(sg.getDouble(4) == 0.0)
+    // triangle fan on the hub: close one leaf pair → exactly 1 triangle
+    val fan = star.union(Seq((7L, 8L)).toDF("id_a", "id_b"))
+    assert(GraphOps.triangleStats(fan, "id_a", "id_b").head().getLong(3) == 1L)
+  }
+
   test("pca: recovers planted 2D structure, projection energy matches eigenvalues, partition-invariant") {
     import graft.ops.Pca
     // planted basis in R^8: u along dims 0/1, w along dims 2/3, with

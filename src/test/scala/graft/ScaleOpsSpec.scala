@@ -360,6 +360,22 @@ class ScaleOpsSpec extends SparkSpec {
       assert(s2.sql("SELECT nfc_normalize('cafe' || decode(unhex('CC81'), 'UTF-8')) AS n")
         .head.getString(0) == "café")
       assert(s2.sql("SELECT deflate_length(repeat('ab', 100), 6) < 20").head.getBoolean(0))
+      // round-8 sketch family from pure SQL
+      val cm = s2.sql(
+        """SELECT count_min(w, 5, 64) AS cm FROM VALUES
+          | ('x'), ('x'), ('y') AS t(w)""".stripMargin)
+        .selectExpr("cm.total").head
+      assert(cm.getLong(0) == 3L)
+      val gm = s2.sql(
+        """SELECT gram_matrix(v, 2) AS g FROM VALUES
+          | (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)""".stripMargin)
+        .selectExpr("g.n", "g.s").head
+      assert(gm.getLong(0) == 2L && gm.getSeq[Long](1) == Seq(4000000L, 6000000L))
+      val bl = s2.sql(
+        """SELECT bloom_sketch(w, 256, 3) AS b FROM VALUES
+          | ('alpha'), ('beta') AS t(w)""".stripMargin)
+        .selectExpr("b.n").head
+      assert(bl.getLong(0) == 2L)
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }
@@ -768,6 +784,45 @@ class ScaleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(aggPlan).isEmpty,
       s"gram pass must not hash-shuffle rows:\n$aggPlan")
+  }
+
+  test("round-8 bloom sidecars: never false-negative, point scans equal filter, vacuum cleans") {
+    import graft.store.SnapshotLog
+    val dir = java.nio.file.Files.createTempDirectory("bloomsnap").toString
+    val rows = (0L until 800L).map(i => (i, s"key_${i % 40}")).toDF("id", "k")
+    SnapshotLog.init(rows.repartition(8, col("k")), dir)
+    assert(SnapshotLog.writeBloomSidecars(spark, dir, "k") == 8)
+    // idempotent: nothing left to build
+    assert(SnapshotLog.writeBloomSidecars(spark, dir, "k") == 0)
+    // every present key: pruned scan == full filter (no false negatives)
+    for (key <- Seq("key_0", "key_17", "key_39")) {
+      val (df, kept, total) = SnapshotLog.scanPrunedPoint(spark, dir, "k", key)
+      assert(kept < total, s"$key must skip files: $kept of $total")
+      val got = df.select("id").as[Long].collect().sorted.toSeq
+      val want = rows.filter(col("k") === key)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"$key pruned scan must equal filter")
+    }
+    // absent key: typically prunes everything, and the result is empty
+    val (none, keptNone, _) =
+      SnapshotLog.scanPrunedPoint(spark, dir, "k", "no_such_key")
+    assert(none.count() == 0L)
+    assert(keptNone <= 1, s"absent key should bloom out (fp budget 1): $keptNone")
+    // missing sidecar column: conservatively scans everything
+    val (all, keptAll, totalAll) =
+      SnapshotLog.scanPrunedPoint(spark, dir, "id", "5")
+    assert(keptAll == totalAll)
+    assert(all.count() == 1L)
+    // vacuum: bloom sidecars die with their files
+    val before = new java.io.File(s"$dir/_filebloom").list().length
+    assert(before == 8)
+    // rewrite the table so v0's files orphan and their blooms go
+    val v0files = SnapshotLog.readSnapshotMeta(dir, 0L).files
+    SnapshotLog.replaceFiles(spark, dir, v0files,
+      rows.limit(10).toDF("id", "k"), "rewrite")
+    SnapshotLog.vacuum(dir, keepVersions = 1)
+    val after = new java.io.File(s"$dir/_filebloom").list().length
+    assert(after < before, s"vacuum must drop orphaned blooms: $after vs $before")
   }
 
   test("round-8 multi-dim prune: conjunctive ranges multiply file skipping, equality holds") {

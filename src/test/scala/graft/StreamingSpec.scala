@@ -334,6 +334,41 @@ class StreamingSpec extends SparkSpec {
       "maintained index must record the last stream batch id")
   }
 
+  test("streaming pca: maintained model BIT-identical to batch fit over full history, replay fenced") {
+    import graft.ops.Pca
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val state = Files.createTempDirectory("pca_stream").resolve("gram.bin")
+    val ckpt = Files.createTempDirectory("pca_stream_ckpt").toString
+    def mk(range: Range) = range.map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        (math.sin(i * 0.31 + j * 1.7) * (1.0 + j % 3)).toFloat).toArray)
+    }
+    val b1 = mk(0 until 120)
+    val b2 = mk(120 until 300)
+    input.addData(b1)
+    Streams.pcaMaintainStream(input.toDF().toDF("vec_id", "vec"), "vec", 8,
+      state, ckpt).awaitTermination()
+    input.addData(b2)
+    Streams.pcaMaintainStream(input.toDF().toDF("vec_id", "vec"), "vec", 8,
+      state, ckpt).awaitTermination()
+    val streamed = Pca.modelFromState(state, 8, 3)
+    val batch = Pca.fit((b1 ++ b2).toDF("vec_id", "vec"), "vec", 8, 3)
+    // exact integer moments: not close — EQUAL
+    assert(streamed.mean.toSeq == batch.mean.toSeq)
+    assert(streamed.eigenvalues.toSeq == batch.eigenvalues.toSeq)
+    assert(streamed.components.map(_.toSeq).toSeq ==
+      batch.components.map(_.toSeq).toSeq)
+    assert(streamed.trace == batch.trace)
+    // replay fence: re-merging batch 1's gram by hand would inflate n;
+    // the stream-side fence (gram.bin.batch == 1) blocks redelivery
+    val fence = state.resolveSibling(state.getFileName.toString + ".batch")
+    assert(Files.exists(fence) &&
+      new String(Files.readAllBytes(fence)).trim.toLong == 1L)
+    val st = Pca.GramIO.read(state, 8)
+    assert(st.n == 300L)
+  }
+
   test("streaming quantile sketch: summary merges across triggers, rank bound vs full history") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Double]
