@@ -1788,6 +1788,50 @@ object OracleSql {
         | TRUE AS pruned_fewer, TRUE AS rows_match,
         | (SELECT count(*) FROM documents WHERE source = 'src7') AS n_rows""".stripMargin,
 
+    "fuzzy_key_join" ->
+      """WITH keyed AS (SELECT doc_id,
+        |    substring(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 8) AS k0
+        |   FROM documents),
+        | k AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1 THEN 'z' || substring(k0, 2, 7)
+        |         WHEN doc_id % 4 = 2 THEN substring(k0, 1, 7)
+        |         WHEN doc_id % 4 = 3 THEN k0 || 'q'
+        |         ELSE k0 END AS key
+        |   FROM keyed)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | a.key AS key_a, b.key AS key_b,
+        | CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 1""".stripMargin,
+
+    "ewma_smooth" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
+        |   FROM events GROUP BY 1, 2),
+        | ser AS (SELECT event_type,
+        |    list(v ORDER BY day) AS arr FROM daily GROUP BY 1),
+        | ex AS (SELECT d.event_type, d.day, d.v,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS INT) AS i
+        |   FROM daily d)
+        |SELECT ex.event_type, ex.day, ex.v,
+        | (SELECT list_reduce(s.arr[1:ex.i],
+        |    (acc, x) -> round(0.3 * x + 0.7 * acc, 6))
+        |   FROM ser s WHERE s.event_type = ex.event_type) AS ewma,
+        | round(ex.v - (SELECT list_reduce(s.arr[1:ex.i],
+        |    (acc, x) -> round(0.3 * x + 0.7 * acc, 6))
+        |   FROM ser s WHERE s.event_type = ex.event_type), 6) AS resid
+        |FROM ex""".stripMargin,
+
+    "kmv_overlap" ->
+      """WITH a AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS pk
+        |   FROM lineitem WHERE l_orderkey % 2 = 0),
+        | b AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS pk
+        |   FROM lineitem WHERE l_orderkey % 2 = 1)
+        |SELECT (SELECT count(*) FROM a JOIN b USING (pk)) AS n_inter,
+        | (SELECT count(*) FROM (SELECT pk FROM a UNION SELECT pk FROM b)) AS n_union,
+        | TRUE AS inter_ok, TRUE AS jaccard_ok, TRUE AS distinct_ok""".stripMargin,
+
     "triangle_count" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
         |   WHERE l_quantity >= 40),

@@ -1406,6 +1406,35 @@ object Queries {
       .toDF("n_files", "pruned_fewer", "rows_match", "n_rows")
   }
 
+  /** Edit-distance ≤ 1 fuzzy key join over planted typo families
+    * (FastSS deletion-neighborhood blocking,
+    * [[graft.ops.Dedup.editDistanceJoin]]): each 4-doc group gets a
+    * base 8-hex key plus a substituted, a truncated, and an appended
+    * twin — one edit each from the base, two edits from each other,
+    * so the verified pair set is exactly base×{sub, trunc, append}
+    * (plus the rare accidental cross-group hits the oracle equally
+    * sees). The oracle replays the naive all-pairs levenshtein —
+    * blocking-independence of the result IS the check. */
+  def fuzzyKeyJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents").select(col("doc_id"),
+      substring(md5(expr("CAST(doc_id div 4 AS STRING)")), 1, 8).as("k0"))
+      .withColumn("key",
+        when(col("doc_id") % 4 === 1,
+          concat(lit("z"), substring(col("k0"), 2, 7)))
+        .when(col("doc_id") % 4 === 2, substring(col("k0"), 1, 7))
+        .when(col("doc_id") % 4 === 3, concat(col("k0"), lit("q")))
+        .otherwise(col("k0")))
+    ops.Dedup.editDistanceJoin(keyed, "doc_id", "key", maxBlock = 64)
+  }
+
+  /** EWMA-smoothed daily value series per event type (α = 0.3): the
+    * oracle replays the identical 6-dp-rounded recurrence via
+    * list_reduce over each day's prefix — per-step rounding makes the
+    * sequence a fixed artifact, not a float race. */
+  def ewmaSmoothQ(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.ewmaSmooth(events(s, dir), "event_type", "ts",
+      "value", alpha = 0.3)
+
   /** Exact triangle census of the co-order part graph (parts that
     * appear on the same high-quantity order are connected): the
     * degree-ordered two-shuffle plan of
@@ -2576,6 +2605,38 @@ object Queries {
       .toDF("n_exact", "est_ge_exact", "est_within_bound")
   }
 
+  /** KMV set-overlap estimation (gate-is-oracle) — the INTERSECTION
+    * member of the sketch family: HLL can union but never intersect;
+    * a KMV pair estimates Jaccard and |A∩B| from two bounded k-min
+    * tables (the overlap-auditing primitive between corpus shards at
+    * 100 TB, where the exact key join is the thing being avoided).
+    * Portable md5-prefix hashing makes both sketches fixed artifacts;
+    * the oracle recomputes the exact intersection/union and pins the
+    * error-band booleans (ε ≈ 1/√k of the union). */
+  def kmvOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KmvBuffer, KmvFunctions}
+    val k = 512
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("string").as("pk"), col("l_orderkey"))
+    def sketch(df: DataFrame): KmvBuffer = KmvBuffer.fromSorted(
+      df.agg(KmvFunctions.kmvSketch(col("pk"), k).as("s"))
+        .head().getSeq[Long](0).toArray, k)
+    val a = li.filter(col("l_orderkey") % 2 === 0).select("pk")
+    val b = li.filter(col("l_orderkey") % 2 === 1).select("pk")
+    val (sa, sb) = (sketch(a), sketch(b))
+    val (jac, inter) = KmvBuffer.overlap(sa, sb)
+    val exactInter = a.intersect(b).count()
+    val exactUnion = a.union(b).distinct().count()
+    val eps = 3.0 / math.sqrt(k) // ~3σ of the Jaccard estimator
+    import s.implicits._
+    Seq((exactInter, exactUnion,
+        math.abs(inter - exactInter) <= eps * exactUnion,
+        jac >= 0.0 && jac <= 1.0,
+        math.abs(sa.estimateDistinct - a.distinct().count()) <=
+          eps * exactUnion))
+      .toDF("n_inter", "n_union", "inter_ok", "jaccard_ok", "distinct_ok")
+  }
+
   /** KLL-style deterministic quantile sketch gate — the quantile
     * member of the sketch family ([[cmsCheck]] point counts,
     * [[heavyHitters]] Misra-Gries, HLL distinct). Sketch
@@ -3243,6 +3304,9 @@ object Queries {
     "pca_ann" -> pcaAnnQ _,
     "bloom_file_prune" -> bloomFilePruneQ _,
     "triangle_count" -> triangleCountQ _,
+    "kmv_overlap" -> kmvOverlapQ _,
+    "ewma_smooth" -> ewmaSmoothQ _,
+    "fuzzy_key_join" -> fuzzyKeyJoinQ _,
     "c4_line_filter" -> c4LineFilterQ _,
     "dedup_paragraphs" -> dedupParagraphsQ _,
     "pmi_collocations" -> pmiCollocations _,

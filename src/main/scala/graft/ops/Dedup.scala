@@ -101,6 +101,55 @@ object Dedup {
         col("verified"))
   }
 
+  /** Edit-distance ≤ 1 similarity JOIN via deletion neighborhoods
+    * (FastSS, Bocek et al. 2007) — the blocking that makes fuzzy key
+    * matching linear instead of all-pairs: every key emits itself plus
+    * its |k| single-deletion variants, and any two keys within one
+    * edit (substitute / insert / delete) provably share a variant
+    * (substitution at i ⇒ equal i-deletions; insertion ⇒ the longer
+    * key's deletion equals the shorter key itself). Candidates come
+    * from variant-block self-joins, then the exact `levenshtein ≤ 1`
+    * verify arbitrates — the [[editVerifyPairs]] discipline, so
+    * blocking only ever needs to be a SUPERSET.
+    *
+    * Scale shape: variant rows = Σ(len+1) per key — linear with a
+    * length-bounded constant; block fan-out is C(block, 2), so hot
+    * variants (very short or very common keys) are capped at
+    * `maxBlock` — a fraction-of-corpus knob like the jaccard df cap,
+    * dropping only blocks whose pairs the ladder's exact rung already
+    * collapses. Returns distinct (id_a < id_b, key_a, key_b, dist). */
+  def editDistanceJoin(df: DataFrame, idCol: String, keyCol: String,
+      maxBlock: Int = 64): DataFrame = {
+    require(maxBlock >= 2, "maxBlock must be >= 2")
+    val keyed = df.select(col(idCol).cast("long").as("__id"),
+      col(keyCol).cast("string").as("__k"))
+    // variant 0 = the key itself; variant i = key minus char i
+    val variants = keyed.select(col("__id"), col("__k"),
+      explode(expr(
+        """transform(sequence(0, length(__k)), i ->
+          |  CASE WHEN i = 0 THEN __k
+          |       ELSE concat(substring(__k, 1, i - 1),
+          |                   substring(__k, i + 1, length(__k))) END)""".stripMargin))
+        .as("__var")).distinct()
+    // the jaccardPairs posting-list shape: ONE groupBy builds each
+    // variant's block, the size filter IS the cap, and pairs emit
+    // in-row — Σ C(block, 2) rows, no posting-list self-join
+    val blocks = variants
+      .groupBy(col("__var"))
+      .agg(sort_array(collect_list(struct(col("__id"), col("__k")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBlock))
+    blocks.select(explode(expr(
+        """flatten(transform(sequence(1, size(ms) - 1), i ->
+          |  transform(sequence(i + 1, size(ms)), j ->
+          |    struct(ms[i-1].__id AS id_a, ms[j-1].__id AS id_b,
+          |           ms[i-1].__k AS key_a, ms[j-1].__k AS key_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.key_a"), col("p.key_b"))
+      .filter(col("id_a") < col("id_b")).distinct()
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
   /** Distinct character n-gram shingles per document:
     * (id, shingle) rows. Windows start at 1..max(len-n+1, 1), so every
     * non-empty doc has ≥1 shingle (the final one may be short). */

@@ -328,6 +328,44 @@ object EventAnalytics {
       .select(col(typeCol), col(dayCol), col("n"), col("z"))
   }
 
+  /** EWMA smoothing per group over a daily value series — the
+    * forecasting/denoising member of the time-series family
+    * ([[dailyAnomalies]] flags, this one smooths): EWMA₁ = v₁,
+    * EWMAₜ = α·vₜ + (1−α)·EWMAₜ₋₁, every step 6-dp rounded so the
+    * recursion is a fixed double sequence any engine replays exactly
+    * (per-step rounding kills ulp drift before it compounds — the
+    * kmeans micro-unit discipline applied to a recurrence). Residual
+    * = v − ewma is the anomaly signal with the trend removed.
+    *
+    * Scale shape: the heavy reduction is the (group, day) rollup —
+    * partial-agg, exact integer cents. The recursion itself runs on
+    * ONE collected array per group (the TIME axis — bounded by the
+    * calendar, not the event count; a 10-year daily series is 3,652
+    * elements) inside a single codegen'd higher-order `aggregate`, so
+    * no window sort and no driver loop. */
+  def ewmaSmooth(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val daily = events
+      .withColumn("day", expr(s"$tsCol div ${86400L * 1000000000L}"))
+      .groupBy(col(typeCol), col("day"))
+      .agg((sum(round(col(valueCol) * 100).cast("long")).cast("double") /
+        100.0).as("v"))
+    val a = alpha
+    val b = 1.0 - alpha
+    daily.groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("ser"))
+      .withColumn("ewmas", expr(
+        s"""aggregate(ser, CAST(array() AS ARRAY<DOUBLE>),
+           | (acc, x) -> concat(acc, array(round(
+           |    CASE WHEN size(acc) = 0 THEN x.v
+           |         ELSE $a * x.v + $b * element_at(acc, -1) END, 6))))""".stripMargin))
+      .select(col(typeCol), posexplode(arrays_zip(col("ser"), col("ewmas"))))
+      .select(col(typeCol), col("col.ser.day").as("day"),
+        col("col.ser.v").as("v"), col("col.ewmas").as("ewma"))
+      .withColumn("resid", round(col("v") - col("ewma"), 6))
+  }
+
   /** Item co-occurrence mining (the market-basket / "related items"
     * report): items sharing a user count as co-occurring once per
     * user; output the top-`k` pairs by co-occurrence with their lift

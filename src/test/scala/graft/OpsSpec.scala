@@ -2066,6 +2066,34 @@ class OpsSpec extends SparkSpec {
     assert(s1.counts.toSeq == s7.counts.toSeq && s1.total == s7.total)
   }
 
+  test("kmv sketch: exact under capacity, hash matches SQL replay, overlap recovers planted jaccard") {
+    import graft.functions.{KmvBuffer, KmvFunctions}
+    def sk(df: org.apache.spark.sql.DataFrame, k: Int) = KmvBuffer.fromSorted(
+      df.agg(KmvFunctions.kmvSketch($"v", k).as("s"))
+        .head().getSeq[Long](0).toArray, k)
+    // under capacity: the sketch IS the distinct set (estimate exact),
+    // duplicates collapse, partitioning irrelevant
+    val a = (Seq("p", "q", "r", "p", "q") ++ Seq.fill(3)("s")).toDF("v")
+    val sa = sk(a.repartition(5), 64)
+    assert(sa.size == 4 && sa.estimateDistinct == 4.0)
+    // JVM hash == the SQL portable md5-prefix hash, value for value
+    val sqlHashes = a.distinct()
+      .selectExpr("CAST(conv(substring(md5(v), 1, 15), 16, 10) AS BIGINT) AS h")
+      .as[Long].collect().sorted.toSeq
+    assert(sa.sorted.toSeq == sqlHashes)
+    // planted overlap: |A|=600, |B|=600, |A∩B|=300 → J = 1/3; a k=256
+    // sketch must land within 3/√k of the truth on BOTH J and |A∩B|
+    val big = (0 until 600).map(i => s"a_$i").toDF("v")
+    val other = ((300 until 600).map(i => s"a_$i") ++
+      (0 until 300).map(i => s"b_$i")).toDF("v")
+    val (j, inter) = KmvBuffer.overlap(sk(big, 256), sk(other, 256))
+    val eps = 3.0 / math.sqrt(256)
+    assert(math.abs(j - 1.0 / 3.0) <= eps, s"jaccard $j")
+    assert(math.abs(inter - 300.0) <= eps * 900.0, s"intersection $inter")
+    // estimator sanity at capacity: distinct estimate within 3σ
+    assert(math.abs(sk(big, 256).estimateDistinct - 600.0) <= eps * 600.0)
+  }
+
   test("triangle count: hand-counted graphs, hub skew, duplicate/reversed edges collapse") {
     import graft.ops.GraphOps
     // K4 (4 triangles... no: K4 has C(4,3)=4 triangles) plus a

@@ -376,6 +376,11 @@ class ScaleOpsSpec extends SparkSpec {
           | ('alpha'), ('beta') AS t(w)""".stripMargin)
         .selectExpr("b.n").head
       assert(bl.getLong(0) == 2L)
+      val kmv = s2.sql(
+        """SELECT kmv_sketch(w, 16) AS s FROM VALUES
+          | ('a'), ('b'), ('a') AS t(w)""".stripMargin)
+        .selectExpr("size(s)").head
+      assert(kmv.getInt(0) == 2)
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }
