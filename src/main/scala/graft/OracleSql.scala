@@ -1788,6 +1788,22 @@ object OracleSql {
         | TRUE AS pruned_fewer, TRUE AS rows_match,
         | (SELECT count(*) FROM documents WHERE source = 'src7') AS n_rows""".stripMargin,
 
+    "mahalanobis_outliers" ->
+      """SELECT count(*) AS n_planted, TRUE AS all_recovered
+        |FROM embeddings WHERE vec_id % 97 = 0""".stripMargin,
+
+    "agg_view_cdc" ->
+      """WITH final AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        |         THEN o_totalprice + 10 ELSE o_totalprice END AS v
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+        |             AND o_orderkey % 3 = 0))
+        |SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(sum(CAST(round(v*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY o_orderstatus""".stripMargin,
+
     "fuzzy_key_join" ->
       """WITH keyed AS (SELECT doc_id,
         |    substring(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 8) AS k0

@@ -1406,6 +1406,64 @@ object Queries {
       .toDF("n_files", "pruned_fewer", "rows_match", "n_rows")
   }
 
+  /** CDC-maintained aggregate view over a deterministic change plan:
+    * the view builds on the %7≠0 slice of orders, then ONE CDC batch
+    * inserts the %7 rows, bumps %5 rows by +10, and deletes the
+    * %3 (∧%5≠0∧%7≠0) rows — the maintained (status, cnt, sum_cents)
+    * must equal the oracle's groupBy over the post-change table
+    * ([[graft.ops.AggView]]: per-key integer deltas, touched-bucket
+    * rewrites, per-bucket fences). */
+  def aggViewCdcQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val viewDir = java.nio.file.Files
+      .createTempDirectory("graft_aggview").toString
+    ops.AggView.build(o.filter(col("o_orderkey") % 7 =!= 0), viewDir,
+      "o_orderstatus", "o_totalprice", buckets = 4)
+    val inserts = o.filter(col("o_orderkey") % 7 === 0)
+      .select(lit("insert").as("op"), col("o_orderstatus"),
+        lit(null).cast("double").as("value_before"),
+        col("o_totalprice").as("value_after"))
+    val updates = o.filter(col("o_orderkey") % 7 =!= 0 &&
+        col("o_orderkey") % 5 === 0)
+      .select(lit("update").as("op"), col("o_orderstatus"),
+        col("o_totalprice").as("value_before"),
+        (col("o_totalprice") + 10.0).as("value_after"))
+    val deletes = o.filter(col("o_orderkey") % 7 =!= 0 &&
+        col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 3 === 0)
+      .select(lit("delete").as("op"), col("o_orderstatus"),
+        col("o_totalprice").as("value_before"),
+        lit(null).cast("double").as("value_after"))
+    ops.AggView.applyCdc(s,
+      inserts.unionByName(updates).unionByName(deletes), viewDir,
+      "o_orderstatus", batchId = 0L): Unit
+    ops.AggView.read(s, viewDir)
+      .select(col("key").as("o_orderstatus"), col("cnt"), col("sum_cents"))
+  }
+
+  /** Embedding anomaly detection (gate-is-oracle): plant 5 corrupted
+    * vectors (every 97th scaled ×6 — far outside the unit-ball corpus
+    * along its own direction), fit PCA on the corrupted corpus, score
+    * Mahalanobis in the k=16 basis, and assert the planted ids are
+    * EXACTLY the top-5 scores (precision@5 = 1) — the
+    * detector-recovers-the-plant discipline of iban/luhn/canary.
+    * Oracle pins the booleans and replays the plant count. */
+  def mahalanobisOutliersQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corrupted = e.withColumn("embedding",
+      when(col("vec_id") % 97 === 0,
+        expr("transform(embedding, x -> x * CAST(6.0 AS FLOAT))"))
+      .otherwise(col("embedding")))
+    val model = ops.Pca.fit(corrupted, "embedding", 64, 16)
+    val scores = ops.Pca.mahalanobisScores(corrupted, "vec_id", "embedding", model)
+    val planted = e.filter(col("vec_id") % 97 === 0).count()
+    val top = scores.orderBy(col("maha").desc, col("vec_id").asc)
+      .limit(planted.toInt)
+      .filter(col("vec_id") % 97 === 0).count()
+    import s.implicits._
+    Seq((planted, top == planted)).toDF("n_planted", "all_recovered")
+  }
+
   /** Edit-distance ≤ 1 fuzzy key join over planted typo families
     * (FastSS deletion-neighborhood blocking,
     * [[graft.ops.Dedup.editDistanceJoin]]): each 4-doc group gets a
@@ -3307,6 +3365,8 @@ object Queries {
     "kmv_overlap" -> kmvOverlapQ _,
     "ewma_smooth" -> ewmaSmoothQ _,
     "fuzzy_key_join" -> fuzzyKeyJoinQ _,
+    "mahalanobis_outliers" -> mahalanobisOutliersQ _,
+    "agg_view_cdc" -> aggViewCdcQ _,
     "c4_line_filter" -> c4LineFilterQ _,
     "dedup_paragraphs" -> dedupParagraphsQ _,
     "pmi_collocations" -> pmiCollocations _,

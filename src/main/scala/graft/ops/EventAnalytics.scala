@@ -344,13 +344,27 @@ object EventAnalytics {
     * elements) inside a single codegen'd higher-order `aggregate`, so
     * no window sort and no driver loop. */
   def ewmaSmooth(events: DataFrame, typeCol: String, tsCol: String,
-      valueCol: String, alpha: Double): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
-    val daily = events
+      valueCol: String, alpha: Double): DataFrame =
+    ewmaOverDaily(dailyCents(events, typeCol, tsCol, valueCol)
+      .withColumn("v", col("cents").cast("double") / 100.0)
+      .drop("cents"), typeCol, alpha)
+
+  /** Exact integer-cents (group, day) rollup — the mergeable daily
+    * state the streaming twin persists (day sums ADD, so late or
+    * out-of-order events land safely in their day). */
+  private[graft] def dailyCents(events: DataFrame, typeCol: String,
+      tsCol: String, valueCol: String): DataFrame =
+    events
       .withColumn("day", expr(s"$tsCol div ${86400L * 1000000000L}"))
       .groupBy(col(typeCol), col("day"))
-      .agg((sum(round(col(valueCol) * 100).cast("long")).cast("double") /
-        100.0).as("v"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+
+  /** The EWMA recurrence over a prepared (group, day, v) frame —
+    * shared by [[ewmaSmooth]] and the streaming state reader, so the
+    * streamed series is the batch series by construction. */
+  private[graft] def ewmaOverDaily(daily: DataFrame, typeCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     val a = alpha
     val b = 1.0 - alpha
     daily.groupBy(col(typeCol))
@@ -364,6 +378,46 @@ object EventAnalytics {
       .select(col(typeCol), col("col.ser.day").as("day"),
         col("col.ser.v").as("v"), col("col.ewmas").as("ewma"))
       .withColumn("resid", round(col("v") - col("ewma"), 6))
+  }
+
+  /** Persisted daily-cents state for the streaming EWMA twin: plain
+    * sorted "grp\tday\tcents" lines (exact longs — mergeable by
+    * addition), atomic tmp+move write, read into the same frame
+    * [[ewmaOverDaily]] consumes. */
+  object DailyStateIO {
+    def read(path: java.nio.file.Path): Map[(String, Long), Long] = {
+      if (!java.nio.file.Files.exists(path)) return Map.empty
+      new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(g, d, c) = l.split("\t", 3)
+          (g, d.toLong) -> c.toLong
+        }.toMap
+    }
+
+    def write(path: java.nio.file.Path, m: Map[(String, Long), Long]): Unit = {
+      val body = m.toSeq.sortBy { case ((g, d), _) => (g, d) }
+        .map { case ((g, d), c) => s"$g\t$d\t$c" }.mkString("\n")
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** EWMA series from a maintained daily state — identical to
+    * [[ewmaSmooth]] over the full event history by construction
+    * (the state IS the exact daily rollup). */
+  def ewmaFromState(spark: org.apache.spark.sql.SparkSession,
+      statePath: java.nio.file.Path, typeCol: String,
+      alpha: Double): DataFrame = {
+    import spark.implicits._
+    val daily = DailyStateIO.read(statePath).toSeq
+      .map { case ((g, d), c) => (g, d, c / 100.0) }
+      .toDF(typeCol, "day", "v")
+    ewmaOverDaily(daily, typeCol, alpha)
   }
 
   /** Item co-occurrence mining (the market-basket / "related items"

@@ -146,6 +146,27 @@ object Pca {
         expr("aggregate(z, 0D, (acc, x) -> acc + x * x)"))
   }
 
+  /** Mahalanobis outlier score in the PCA basis — the embedding-space
+    * anomaly monitor (corrupt vectors, wrong-model embeddings, drifted
+    * shards): score = Σ_{j≤k} z_j² / λ_j measures how many standard
+    * deviations a vector sits from the corpus along each principal
+    * axis, which flags magnitude AND direction anomalies that plain
+    * L2-to-mean misses (a far-but-along-the-main-axis vector is
+    * normal; a slightly-off-but-orthogonal one is not). Map-only on
+    * top of [[project]]: k dots + a weighted square sum per row, no
+    * shuffle. Axes with λ < `eps` are skipped (no variance — any
+    * deviation would divide by ~0). */
+  def mahalanobisScores(vecs: DataFrame, idCol: String, vecCol: String,
+      model: Model, eps: Double = 1e-9): DataFrame = {
+    val weights = model.eigenvalues.take(model.k)
+      .map(l => if (l < eps) 0.0 else 1.0 / l)
+    project(vecs, idCol, vecCol, model)
+      .withColumn("maha", round(expr(
+        s"""aggregate(zip_with(z, array(${weights.mkString(", ")}),
+           |  (zi, wi) -> zi * zi * wi), 0D, (acc, x) -> acc + x)""".stripMargin), 6))
+      .select(col(idCol), col("maha"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues descending, matching orthonormal eigenvectors as
     * rows, sign-normalized). O(d³) per sweep, ~8 sweeps to 1e-12 —

@@ -567,6 +567,61 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** CDC-driven aggregate-VIEW maintenance — the materialized-view
+    * member of the CDC consumer family ([[snapshotCdcStream]] table,
+    * [[bm25CdcStream]] index, this one the dashboard rollup): each
+    * trigger's change batch applies as per-key integer deltas to the
+    * bucketed [[graft.ops.AggView]] state, touched buckets only,
+    * per-bucket batch-id fences (a replayed trigger skips buckets it
+    * already applied). */
+  def aggViewCdcStream(changes: DataFrame, viewDir: String, keyCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.AggView.applyCdc(
+            batch.sparkSession, batch, viewDir, keyCol, batchId): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Streaming EWMA maintenance — the time-series member of the
+    * streaming summary family, with a stronger-than-usual contract:
+    * the persisted state is the EXACT integer daily-cents rollup
+    * (day sums add, so out-of-order and late events land safely in
+    * their day — no watermark needed for correctness), and the
+    * recurrence derives at READ time over the calendar-bounded
+    * series, so [[graft.ops.EventAnalytics.ewmaFromState]] equals the
+    * batch [[graft.ops.EventAnalytics.ewmaSmooth]] over the whole
+    * history bit for bit, under ANY trigger slicing. Batch-id fenced. */
+  def ewmaMaintainStream(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, statePath: java.nio.file.Path, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > readFence(statePath)) {
+          val delta = graft.ops.EventAnalytics
+            .dailyCents(batch, typeCol, tsCol, valueCol)
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+          if (delta.nonEmpty) {
+            val st = scala.collection.mutable.Map(
+              graft.ops.EventAnalytics.DailyStateIO.read(statePath).toSeq: _*)
+            delta.foreach { case (k, c) =>
+              st(k) = st.getOrElse(k, 0L) + c
+            }
+            graft.ops.EventAnalytics.DailyStateIO.write(statePath, st.toMap)
+          }
+          writeFence(statePath, batchId)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming embedding-mean maintenance — the streaming side of the
     * [[graft.ops.SimilaritySearch.embeddingDrift]] monitor: each
     * trigger reduces its micro-batch to (count, per-dim double sums)

@@ -369,6 +369,92 @@ class StreamingSpec extends SparkSpec {
     assert(st.n == 300L)
   }
 
+  test("streaming agg view: CDC triggers maintain rollup == recompute, bucket fences block replay") {
+    import graft.ops.AggView
+    implicit val sqlCtx = spark.sqlContext
+    val viewDir = Files.createTempDirectory("graft_aggview_stream").toString
+    val ckpt = Files.createTempDirectory("graft_aggview_ckpt").toString
+    // base table: 60 rows across 3 keys
+    val base = (0 until 60).map(i => (i.toLong, s"k${i % 3}", 10.0 + i))
+      .toDF("id", "key", "v")
+    AggView.build(base, viewDir, "key", "v", buckets = 4)
+    // trigger 1: insert 20 new rows on keys k0/k3 (k3 is NEW); trigger
+    // 2: delete ten of the base rows and bump ten others by +5
+    val input = MemoryStream[(String, String, Option[Double], Option[Double])]
+    def run() = Streams.aggViewCdcStream(
+      input.toDF().toDF("op", "key", "value_before", "value_after"),
+      viewDir, "key", ckpt).awaitTermination()
+    input.addData((0 until 20).map(i =>
+      ("insert", if (i % 2 == 0) "k0" else "k3", None: Option[Double],
+        Some(100.0 + i))))
+    run()
+    input.addData(
+      (0 until 10).map(i =>
+        ("delete", s"k${(i * 3) % 3}", Some(10.0 + i * 3), None: Option[Double])) ++
+      (30 until 40).map(i =>
+        ("update", s"k${i % 3}", Some(10.0 + i), Some(15.0 + i))))
+    run()
+    // expected: recompute over the mutated row set
+    val mutated = (0 until 60).filterNot(i => i % 3 == 0 && i < 30)
+      .map { i =>
+        val v = if (i >= 30 && i < 40) 15.0 + i else 10.0 + i
+        (s"k${i % 3}", v)
+      } ++ (0 until 20).map(i => (if (i % 2 == 0) "k0" else "k3", 100.0 + i))
+    val want = mutated.groupBy(_._1).map { case (k, vs) =>
+      (k, vs.size.toLong, vs.map(v => math.round(v._2 * 100)).sum)
+    }.toSet
+    val got = AggView.read(spark, viewDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // replay: a redelivered trigger carries the SAME batch id and the
+    // same changes — every touched bucket's fence is already at 1, so
+    // nothing rewrites
+    val replay = ((0 until 10).map(i =>
+        ("delete", s"k${(i * 3) % 3}", Some(10.0 + i * 3), None: Option[Double])) ++
+      (30 until 40).map(i =>
+        ("update", s"k${i % 3}", Some(10.0 + i), Some(15.0 + i))))
+      .toDF("op", "key", "value_before", "value_after")
+    assert(AggView.applyCdc(spark, replay, viewDir, "key", batchId = 1L) == 0)
+    assert(AggView.read(spark, viewDir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet == want)
+  }
+
+  test("streaming ewma: out-of-order triggers, state equals batch series bit-exact, fenced") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val state = Files.createTempDirectory("ewma_stream").resolve("daily.tsv")
+    val ckpt = Files.createTempDirectory("ewma_stream_ckpt").toString
+    val day = 86400L * 1000000000L
+    // trigger 1: days 0-4; trigger 2 revisits day 1 (late data) and
+    // extends to day 6 — the daily-cents state absorbs both orders
+    val b1 = (0 until 50).map(i =>
+      ("a", (i % 5) * day + i, 1.0 + i * 0.13)) ++
+      (0 until 30).map(i => ("b", (i % 3) * day + i, 2.0 + i * 0.07))
+    val b2 = (0 until 40).map(i =>
+      ("a", (if (i % 4 == 0) 1L else 5L + i % 2) * day + i, 3.0 + i * 0.11))
+    def run() = Streams.ewmaMaintainStream(
+      input.toDF().toDF("event_type", "ts", "value"), "event_type", "ts",
+      "value", state, ckpt).awaitTermination()
+    input.addData(b1); run()
+    input.addData(b2); run()
+    val streamed = graft.ops.EventAnalytics
+      .ewmaFromState(spark, state, "event_type", alpha = 0.3)
+      .orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val batch = graft.ops.EventAnalytics.ewmaSmooth(
+        (b1 ++ b2).toDF("event_type", "ts", "value"), "event_type", "ts",
+        "value", alpha = 0.3)
+      .orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(streamed == batch, "streamed series must equal batch bit-exact")
+    // fence: re-running with no new data must not double-merge
+    val before = graft.ops.EventAnalytics.DailyStateIO.read(state)
+    run()
+    assert(graft.ops.EventAnalytics.DailyStateIO.read(state) == before)
+  }
+
   test("streaming quantile sketch: summary merges across triggers, rank bound vs full history") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Double]
