@@ -15,7 +15,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     // optional 2nd arg gates one section
-    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "profile" | "graph" | "bq" | "zorder"); default runs all —
+    // ("ann" | "dedup" | "events" | "r6ops" | "r7ops" | "r7b" | "r7c" | "unigram" | "ac" | "profile" | "graph" | "bq" | "zorder" | "r8ops"); default runs all —
     // single sections keep re-runs cheap and avoid cross-section
     // memory pressure when iterating on one probe
     val sec = args.drop(1).headOption.getOrElse("all")
@@ -35,7 +35,7 @@ object ScaleProbe {
         VectorFunctions.l2Normalize(array(comps: _*)).as("embedding"))
       .repartition(32)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (on("ann") || on("dedup") || on("r6ops") || on("r7ops") || on("r7b") || on("bq")) {
+    if (on("ann") || on("dedup") || on("r6ops") || on("r7ops") || on("r7b") || on("bq") || on("r8ops")) {
       val t0 = System.nanoTime()
       vecs.count()
       println(f"[probe] materialize $n%d x $dim vectors: ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -757,6 +757,93 @@ object ScaleProbe {
         val (df, kept, total) = SnapshotLog.scanPruned(spark, zdir, "x", 1000.0, 6000.0)
         val c = df.count()
         println(s"  [zorder] files scanned $kept/$total, rows $c")
+      }
+    }
+    if (on("r8ops")) {
+      import graft.store.SnapshotLog
+      // Round-8 operators at 1000x bench scale. Claims under test:
+      // (a) the PCA gram pass is ONE bounded-buffer aggregate — cost
+      //     scales with rows, shuffle stays at partitions x 17 KB;
+      // (b) projection + Mahalanobis are map-only scan passes;
+      // (c) KMV answers set overlap in two bounded aggs where the
+      //     exact answer pays a full distinct + join;
+      // (d) bloom sidecars skip files on a point predicate over a
+      //     hash-distributed key (footer min/max provably can't);
+      // (e) the degree-ordered triangle plan survives a 1M-edge graph
+      //     with hubs.
+      val vcount = vecs.count()
+      println(s"[probe] r8ops corpus=$vcount x $dim")
+      var model: graft.ops.Pca.Model = null
+      time("pca fit (gram pass + driver jacobi)") {
+        model = graft.ops.Pca.fit(vecs, "embedding", dim, 16)
+        println(f"  [pca] top eig=${model.eigenvalues.head}%.6f trace=${model.trace}%.4f")
+      }
+      time("pca project k=16 (map-only)") {
+        println("  [pca] rows=" + graft.ops.Pca
+          .project(vecs, "vec_id", "embedding",
+            model.copy(components = model.components.take(16)))
+          .agg(sum(col("sq_norm"))).head().getDouble(0))
+      }
+      time("mahalanobis scores (map-only)") {
+        println("  [pca] max=" + graft.ops.Pca
+          .mahalanobisScores(vecs, "vec_id", "embedding", model)
+          .agg(max(col("maha"))).head().getDouble(0))
+      }
+      // two overlapping key sets, ~60% Jaccard, built from the ids
+      val a = spark.range(n).select((col("id") % (n / 2)).cast("string").as("k"))
+      val b = spark.range(n).select(((col("id") % (n / 2)) + (n / 10)).cast("string").as("k"))
+      time("kmv overlap (two k=512 sketches)") {
+        import graft.functions.{KmvBuffer, KmvFunctions}
+        def sk(df: org.apache.spark.sql.DataFrame) = KmvBuffer.fromSorted(
+          df.agg(KmvFunctions.kmvSketch(col("k"), 512).as("s"))
+            .head().getSeq[Long](0).toArray, 512)
+        val (j, inter) = KmvBuffer.overlap(sk(a), sk(b))
+        println(f"  [kmv] jaccard=$j%.4f inter=$inter%.0f")
+      }
+      time("exact overlap (distinct + join baseline)") {
+        println("  [exact] inter=" + a.distinct().join(b.distinct(), "k").count())
+      }
+      val bdir = java.nio.file.Files.createTempDirectory("probe_bloom").toString
+      time("bloom sidecars: snapshot init (32 files) + build") {
+        SnapshotLog.init(spark.range(n).select(col("id"),
+          concat(lit("key_"), (col("id") % 100000).cast("string")).as("k"))
+          .repartition(32, col("k")), bdir)
+        println("  [bloom] sidecars=" +
+          SnapshotLog.writeBloomSidecars(spark, bdir, "k"))
+      }
+      time("bloom point scan (one key in 100k)") {
+        val (df, kept, total) = SnapshotLog.scanPrunedPoint(spark, bdir, "k", "key_777")
+        println(s"  [bloom] files scanned $kept/$total rows=${df.count()}")
+      }
+      time("full scan + filter baseline (same predicate)") {
+        println("  [full] rows=" + SnapshotLog.read(spark, bdir)
+          .filter(col("k") === "key_777").count())
+      }
+      // ~1M-edge graph with hubs: node i connects to i+1..i+3 (chain
+      // triangles) and every 1000th node to 300 fanout neighbors
+      val chain = spark.range(n / 4).selectExpr("id AS a")
+        .select(col("a"), explode(expr("sequence(1, 3)")).as("d"))
+        .select(col("a").as("id_a"), (col("a") + col("d")).as("id_b"))
+      val hubs = spark.range(n / 4 / 1000).select((col("id") * 1000).as("id_a"),
+          explode(expr("sequence(1, 300)")).as("d"))
+        .select(col("id_a"), (col("id_a") + col("d") * 7).as("id_b"))
+      time("triangles (degree-ordered, ~1M edges + hubs)") {
+        val r = graft.ops.GraphOps.triangleStats(
+          chain.unionByName(hubs), "id_a", "id_b").head()
+        println(s"  [tri] nodes=${r.getLong(0)} edges=${r.getLong(1)} " +
+          s"wedges=${r.getLong(2)} triangles=${r.getLong(3)}")
+      }
+      // 500k 8-hex keys in planted typo families of 4
+      val keys = spark.range(500000L).select(col("id"),
+          substring(md5(expr("CAST(id div 4 AS STRING)")), 1, 8).as("k0"))
+        .select(col("id"), when(col("id") % 4 === 1,
+            concat(lit("z"), substring(col("k0"), 2, 7)))
+          .when(col("id") % 4 === 2, substring(col("k0"), 1, 7))
+          .when(col("id") % 4 === 3, concat(col("k0"), lit("q")))
+          .otherwise(col("k0")).as("key"))
+      time("fuzzy key join (FastSS, 500k keys)") {
+        println("  [fastss] pairs=" + graft.ops.Dedup
+          .editDistanceJoin(keys, "id", "key", maxBlock = 64).count())
       }
     }
     spark.stop()
