@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => builder(es)))
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // window-top-k → bounded heap aggregate (see TopKWindowRewrite)
+    e.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     inject(e, "dot_product", es => DotProduct(es(0), es(1)))
     inject(e, "cosine_similarity", es => CosineSimilarity(es(0), es(1)))
     inject(e, "euclidean_distance", es => EuclideanDistance(es(0), es(1)))

@@ -845,6 +845,30 @@ object ScaleProbe {
         println("  [fastss] pairs=" + graft.ops.Dedup
           .editDistanceJoin(keys, "id", "key", maxBlock = 64).count())
       }
+      // the TopKWindowRewrite delta: Spark 4's own WindowGroupLimit
+      // already fixes the SHUFFLE (k rows per group per map side),
+      // but the plan still pays two full local sorts + the window;
+      // the heap aggregate replaces both with O(n log k) inserts
+      val lb = spark.range(n).select((col("id") % 1000).cast("string").as("grp"),
+        col("id"), (xxhash64(col("id")).cast("double") / 1e18).as("score"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      lb.count()
+      time("window top-3/group (WindowGroupLimit plan)") {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val w = W.partitionBy(col("grp"))
+          .orderBy(col("score").desc, col("id").asc)
+        println("  [topk] rows=" + lb
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") <= 3).count())
+      }
+      time("heap-agg top-3/group (TopKWindowRewrite plan)") {
+        println("  [topk] rows=" + lb.groupBy(col("grp"))
+          .agg(graft.functions.TopKFunctions.topKHits(col("score"), col("id"), 3)
+            .as("hits"))
+          .select(col("grp"), explode(col("hits")))
+          .count())
+      }
+      lb.unpersist()
     }
     spark.stop()
   }

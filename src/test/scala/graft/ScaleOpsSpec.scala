@@ -791,6 +791,66 @@ class ScaleOpsSpec extends SparkSpec {
       s"gram pass must not hash-shuffle rows:\n$aggPlan")
   }
 
+  test("round-8 topk-window rewrite: window plan becomes heap aggregate, results identical, ineligible declines") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      import s2.implicits._
+      val rows = (0L until 4000L).map(i =>
+        (s"g${i % 7}", i, ((i * 37) % 1000).toDouble)).toDF("grp", "id", "score")
+      rows.createOrReplaceTempView("lb")
+      val q =
+        """SELECT grp, id, score, rn FROM (
+          |  SELECT grp, id, score, row_number() OVER
+          |    (PARTITION BY grp ORDER BY score DESC, id ASC) AS rn FROM lb)
+          |WHERE rn <= 3""".stripMargin
+      val rewritten = s2.sql(q)
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("top_k_hits"), s"rewrite must fire:\n$opt")
+      assert(!opt.contains("Window"), s"window must be gone:\n$opt")
+      val phys = rewritten.queryExecution.executedPlan.toString
+      assert(phys.contains("partial_top_k_hits") || phys.contains("top_k_hits"),
+        s"physical heap agg expected:\n$phys")
+      // ground truth from a plain session (no extensions, real window)
+      val want = spark.createDataFrame(rows.collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))))
+        .toDF("grp", "id", "score")
+      want.createOrReplaceTempView("lb_plain")
+      val expect = spark.sql(q.replace("lb", "lb_plain"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val got = rewritten.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+      assert(got == expect, s"rewritten results must equal window results")
+      // ineligible: projecting a column the heap cannot carry → no rewrite
+      val extra = (0L until 100L).map(i =>
+        (s"g${i % 3}", i, i.toDouble, s"payload$i"))
+        .toDF("grp", "id", "score", "payload")
+      extra.createOrReplaceTempView("lb2")
+      val q2 =
+        """SELECT grp, id, payload, rn FROM (
+          |  SELECT *, row_number() OVER
+          |    (PARTITION BY grp ORDER BY score DESC, id ASC) AS rn FROM lb2)
+          |WHERE rn <= 3""".stripMargin
+      assert(s2.sql(q2).queryExecution.optimizedPlan.toString.contains("Window"),
+        "payload projection must decline the rewrite")
+      // ineligible: no deterministic id tie-break → no rewrite
+      val q3 =
+        """SELECT grp, id, score, rn FROM (
+          |  SELECT grp, id, score, row_number() OVER
+          |    (PARTITION BY grp ORDER BY score DESC) AS rn FROM lb)
+          |WHERE rn <= 3""".stripMargin
+      assert(s2.sql(q3).queryExecution.optimizedPlan.toString.contains("Window"),
+        "missing tie-break must decline the rewrite")
+    } finally {
+      SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("round-8 bloom sidecars: never false-negative, point scans equal filter, vacuum cleans") {
     import graft.store.SnapshotLog
     val dir = java.nio.file.Files.createTempDirectory("bloomsnap").toString
