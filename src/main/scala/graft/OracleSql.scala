@@ -1792,6 +1792,16 @@ object OracleSql {
       """SELECT count(*) AS n_planted, TRUE AS all_recovered
         |FROM embeddings WHERE vec_id % 97 = 0""".stripMargin,
 
+    "cube_pricing" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+        | coalesce(l_linestatus, '<all>') AS l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
     "agg_view_cdc" ->
       """WITH final AS (
         |  SELECT o_orderstatus,

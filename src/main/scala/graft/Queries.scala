@@ -221,6 +221,23 @@ object Queries {
       .select(coalesce(col("lang_pred"), lit("<all>")).as("lang_pred"),
         col("n_docs"), col("total_chars"))
 
+  /** CUBE with grouping_id — the multi-dimension subtotal shape
+    * ([[corpusRollup]] is the 1-D rollup): all four grouping sets of
+    * (returnflag, linestatus) in ONE pass (Catalyst plans Expand +
+    * a single partial aggregation, never 4 jobs); grouping_id
+    * disambiguates subtotal rows from genuine values, first listed
+    * column = most significant bit in BOTH engines. */
+  def cubePricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        centsSum(col("l_extendedprice")).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        col("gid"), col("sum_qty"), col("sum_price_cents"), col("n_rows"))
+
   /** Exact percentiles per event type (Spark `percentile` interpolates
     * identically to SQL quantile_cont; rounded to absorb summation-order
     * ulps). */
@@ -3367,6 +3384,7 @@ object Queries {
     "fuzzy_key_join" -> fuzzyKeyJoinQ _,
     "mahalanobis_outliers" -> mahalanobisOutliersQ _,
     "agg_view_cdc" -> aggViewCdcQ _,
+    "cube_pricing" -> cubePricing _,
     "c4_line_filter" -> c4LineFilterQ _,
     "dedup_paragraphs" -> dedupParagraphsQ _,
     "pmi_collocations" -> pmiCollocations _,

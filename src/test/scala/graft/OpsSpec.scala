@@ -2066,6 +2066,33 @@ class OpsSpec extends SparkSpec {
     assert(s1.counts.toSeq == s7.counts.toSeq && s1.total == s7.total)
   }
 
+  test("query registry: no duplicate keys in Queries.all or OracleSql (Map literals silently shadow)") {
+    // a Map literal with a repeated key keeps only the LAST entry — a
+    // name collision silently replaces an existing query and its
+    // oracle (caught live in round 8: a new 'embedding_outliers' was
+    // shadowed by the old one and the "verified" run tested the wrong
+    // pairing). Parse the source and reject duplicates outright.
+    def keysOf(path: String): Seq[String] = {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      """(?m)^    "([a-z0-9_]+)" ->""".r.findAllMatchIn(src).map(_.group(1)).toSeq
+    }
+    for (f <- Seq("src/main/scala/graft/Queries.scala",
+        "src/main/scala/graft/OracleSql.scala")) {
+      val ks = keysOf(f)
+      val dups = ks.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+      assert(dups.isEmpty, s"$f has duplicate registrations: $dups")
+      assert(ks.nonEmpty, s"$f parsed zero keys — pattern drift")
+    }
+    // and the runtime maps agree with each other: every oracle key has
+    // a query; every query has an oracle (the driver treats a missing
+    // oracle as a weaker rows-only check — keep the surface total)
+    val q = Queries.all.keySet
+    val o = OracleSql.all.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+    assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).toSeq.sorted}")
+  }
+
   test("kmv sketch: exact under capacity, hash matches SQL replay, overlap recovers planted jaccard") {
     import graft.functions.{KmvBuffer, KmvFunctions}
     def sk(df: org.apache.spark.sql.DataFrame, k: Int) = KmvBuffer.fromSorted(
