@@ -1792,6 +1792,19 @@ object OracleSql {
       """SELECT count(*) AS n_planted, TRUE AS all_recovered
         |FROM embeddings WHERE vec_id % 97 = 0""".stripMargin,
 
+    "activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        | isl AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |   FROM days),
+        | runs AS (SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+        |   FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        | CAST(max(len) AS BIGINT) AS max_streak,
+        | min(start_day) AS first_day
+        |FROM runs GROUP BY user_id""".stripMargin,
+
     "cube_pricing" ->
       """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
         | coalesce(l_linestatus, '<all>') AS l_linestatus,

@@ -221,6 +221,25 @@ object Queries {
       .select(coalesce(col("lang_pred"), lit("<all>")).as("lang_pred"),
         col("n_docs"), col("total_chars"))
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per
+    * user (the day − row_number constant-per-island trick). The
+    * window sorts WITHIN a user's distinct-day set — bounded by the
+    * calendar, never the event count; the heavy reduction is the
+    * (user, day) distinct, one partial-agg shuffle. */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("max_streak"),
+        min(col("start_day")).as("first_day"))
+  }
+
   /** CUBE with grouping_id — the multi-dimension subtotal shape
     * ([[corpusRollup]] is the 1-D rollup): all four grouping sets of
     * (returnflag, linestatus) in ONE pass (Catalyst plans Expand +
@@ -3385,6 +3404,7 @@ object Queries {
     "mahalanobis_outliers" -> mahalanobisOutliersQ _,
     "agg_view_cdc" -> aggViewCdcQ _,
     "cube_pricing" -> cubePricing _,
+    "activity_streaks" -> activityStreaks _,
     "c4_line_filter" -> c4LineFilterQ _,
     "dedup_paragraphs" -> dedupParagraphsQ _,
     "pmi_collocations" -> pmiCollocations _,
