@@ -1792,6 +1792,21 @@ object OracleSql {
       """SELECT count(*) AS n_planted, TRUE AS all_recovered
         |FROM embeddings WHERE vec_id % 97 = 0""".stripMargin,
 
+    "corr_matrix" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    round(corr(l_quantity, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    round(corr(l_quantity, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    round(corr(l_discount, l_tax), 6) FROM lineitem)""".stripMargin,
+
     "activity_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    epoch_ns(ts) // 86400000000000 AS day FROM events),

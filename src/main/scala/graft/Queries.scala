@@ -221,6 +221,18 @@ object Queries {
       .select(coalesce(col("lang_pred"), lit("<all>")).as("lang_pred"),
         col("n_docs"), col("total_chars"))
 
+  /** One-pass Pearson correlation matrix over lineitem's numeric
+    * columns ([[graft.ops.DataProfile.correlationMatrix]]): the gram
+    * aggregate gives all 6 pairs in one scan where Spark's own corr
+    * is a pass per pair; scales bring each column near the unit ball
+    * and cancel in the ratio. The oracle replays DuckDB's corr() —
+    * micro-unit quantization error is ~1e-9, far inside the 6-dp
+    * round. */
+  def corrMatrixQ(s: SparkSession, dir: String): DataFrame =
+    ops.DataProfile.correlationMatrix(t(s, dir, "lineitem"), Seq(
+      ("l_quantity", 100.0), ("l_extendedprice", 100000.0),
+      ("l_discount", 1.0), ("l_tax", 1.0)))
+
   /** Gaps-and-islands: longest consecutive-day activity streak per
     * user (the day − row_number constant-per-island trick). The
     * window sorts WITHIN a user's distinct-day set — bounded by the
@@ -3405,6 +3417,7 @@ object Queries {
     "agg_view_cdc" -> aggViewCdcQ _,
     "cube_pricing" -> cubePricing _,
     "activity_streaks" -> activityStreaks _,
+    "corr_matrix" -> corrMatrixQ _,
     "c4_line_filter" -> c4LineFilterQ _,
     "dedup_paragraphs" -> dedupParagraphsQ _,
     "pmi_collocations" -> pmiCollocations _,

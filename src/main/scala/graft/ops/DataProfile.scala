@@ -66,6 +66,58 @@ object DataProfile {
     * conforming row; violations are counted, never collected. */
   final case class Check(name: String, predicate: Column)
 
+  /** Pearson correlation matrix of numeric columns in ONE pass — the
+    * multivariate face of [[profile]], via the exact-integer gram
+    * aggregate ([[graft.functions.GramMatrix]]): each row contributes
+    * its scaled column vector to one bounded buffer per partition, so
+    * p columns cost p(p+1)/2 longs of shuffle, not p² scans (Spark's
+    * own `corr` is one pass PER PAIR). Correlation is scale-invariant,
+    * so each column ships with a fixed `scale` divisor that brings its
+    * range near the unit ball — the micro-unit gram needs |x| ≲ 1 for
+    * overflow headroom (scaladoc on GramBuffer) and the divisor drops
+    * out of the ratio. Deterministic: integer moments are
+    * partition-order invariant; output rounds 6 dp. Zero-variance
+    * columns yield null correlations. */
+  def correlationMatrix(df: DataFrame,
+      cols: Seq[(String, Double)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val d = cols.size
+    val vec = array(cols.map { case (c, s) =>
+      (col(c).cast("double") / lit(s)) }: _*)
+    val row = df.agg(
+      graft.functions.GramFunctions.gramMatrix(vec, d).as("m"))
+      .head().getStruct(0)
+    val n = row.getLong(0)
+    require(n > 1, s"correlation needs at least 2 rows, got $n")
+    val sArr = row.getSeq[Long](1)
+    val g = row.getSeq[Long](2)
+    val mean = sArr.map(_ / 1e6 / n)
+    def gIdx(i: Int, j: Int): Int = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      a * d - a * (a - 1) / 2 + (b - a)
+    }
+    def cov(i: Int, j: Int): Double =
+      g(gIdx(i, j)) / 1e12 / n - mean(i) * mean(j)
+    val out = for {
+      i <- 0 until d
+      j <- (i + 1) until d
+    } yield {
+      val vi = cov(i, i)
+      val vj = cov(j, j)
+      // variance below the micro-unit quantization floor (~1e-12) is
+      // indistinguishable from zero in this representation — and a
+      // 1-ulp positive residue from E[x²]−E[x]² must not divide
+      val r: java.lang.Double =
+        if (vi <= 1e-12 || vj <= 1e-12) null
+        else BigDecimal(cov(i, j) / math.sqrt(vi * vj))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (cols(i)._1, cols(j)._1, r)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("col_a", "col_b", "corr")
+  }
+
   def notNull(c: String): Check = Check(s"not_null($c)", col(c).isNotNull)
   def inRange(c: String, lo: Double, hi: Double): Check =
     Check(s"in_range($c,$lo,$hi)",

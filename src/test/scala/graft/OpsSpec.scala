@@ -2093,6 +2093,28 @@ class OpsSpec extends SparkSpec {
     assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).toSeq.sorted}")
   }
 
+  test("correlation matrix: planted perfect/anti/zero correlations, zero-variance null, scale-invariant") {
+    import graft.ops.DataProfile
+    val rows = (0 until 400).map { i =>
+      val x = (i % 20).toDouble / 20.0
+      (x, 2.0 * x + 0.25, 1.0 - x, ((i * 7919) % 400).toDouble / 400.0, 0.42)
+    }.toDF("x", "y2x", "anti", "noise", "const")
+    val m = DataProfile.correlationMatrix(rows, Seq(("x", 1.0), ("y2x", 1.0),
+      ("anti", 1.0), ("noise", 1.0), ("const", 1.0)))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(m(("x", "y2x")) == 1.0)
+    assert(m(("x", "anti")) == -1.0)
+    assert(math.abs(m(("x", "noise")).asInstanceOf[Double]) < 0.1)
+    assert(m(("x", "const")) == null, "zero variance must be null")
+    // scale invariance: dividing a column by a constant changes nothing
+    val scaled = DataProfile.correlationMatrix(rows, Seq(("x", 50.0),
+      ("y2x", 0.01), ("anti", 1.0), ("noise", 1.0), ("const", 1.0)))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(scaled(("x", "y2x")) == 1.0 && scaled(("x", "anti")) == -1.0)
+  }
+
   test("kmv sketch: exact under capacity, hash matches SQL replay, overlap recovers planted jaccard") {
     import graft.functions.{KmvBuffer, KmvFunctions}
     def sk(df: org.apache.spark.sql.DataFrame, k: Int) = KmvBuffer.fromSorted(
