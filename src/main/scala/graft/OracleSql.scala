@@ -1767,7 +1767,7 @@ object OracleSql {
         |      (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
         |        / pow(2.0, 60),
         |      1.0 / n_chars), 6) AS key
-        |   FROM documents),
+        |   FROM documents WHERE n_chars > 0),
         | r AS (SELECT source, doc_id, key,
         |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rank
         |   FROM s)

@@ -1293,11 +1293,13 @@ object Queries {
       .agg(centsSum(col("l_extendedprice")).as("value_cents"))
       .persist()
     val th = perPart.agg((sum(col("value_cents")) / lit(1000L)).as("__th"))
+    // The cache stays alive until the CALLER's action consumes the
+    // result (an eager count-then-unpersist here would discard the
+    // cache before the caller evaluates, recomputing perPart twice);
+    // Spark's LRU block manager reclaims it under memory pressure.
     val out = perPart.crossJoin(broadcast(th))
       .filter(col("value_cents").cast("double") > col("__th"))
       .select(col("l_partkey"), col("value_cents"))
-    out.count(): Unit // materialize before unpersist marks
-    perPart.unpersist()
     out
   }
 
@@ -1340,15 +1342,13 @@ object Queries {
         .as("total_cents"))
       .persist()
     val mx = perSupp.agg(max(col("total_cents")).as("__mx"))
-    val out = perSupp.crossJoin(broadcast(mx))
+    // Cache lives until the caller's action — see q11ImportantParts.
+    perSupp.crossJoin(broadcast(mx))
       .filter(col("total_cents") === col("__mx"))
       .join(broadcast(t(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_cents"))
-    out.count(): Unit
-    perSupp.unpersist()
-    out
   }
 
   /** TPC-H Q16 shape — distinct-supplier counts per part attribute,

@@ -70,7 +70,11 @@ final class CmBuffer(val depth: Int, val width: Int) {
 object CmBuffer {
   /** Join-size estimate from two same-shaped sketches: min over rows
     * of the row-wise dot product. true ≤ est, and est ≤ true +
-    * ε·totalA·totalB w.p. 1−δ. */
+    * ε·totalA·totalB w.p. 1−δ. A row whose dot product overflows Long
+    * (totalA·totalB approaching 2^63, ~3B rows per side) SATURATES to
+    * Long.MaxValue instead of wrapping — the saturated row value is
+    * still ≥ its true value, so min-over-rows keeps the
+    * never-underestimate guarantee at any scale. */
   def innerProduct(a: CmBuffer, b: CmBuffer): Long = {
     require(a.depth == b.depth && a.width == b.width,
       "inner product needs same-shaped sketches")
@@ -79,10 +83,17 @@ object CmBuffer {
     while (d < a.depth) {
       var s = 0L
       var w = 0
-      while (w < a.width) {
-        s += a.counts(d * a.width + w) * b.counts(d * a.width + w)
+      var saturated = false
+      while (w < a.width && !saturated) {
+        try {
+          s = Math.addExact(s, Math.multiplyExact(
+            a.counts(d * a.width + w), b.counts(d * a.width + w)))
+        } catch {
+          case _: ArithmeticException => saturated = true
+        }
         w += 1
       }
+      if (saturated) s = Long.MaxValue
       if (s < best) best = s
       d += 1
     }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   * a single float snap. Overflow headroom: unit-ball components give
   * micro-products ≤ 1e12, so ~9.2e6 rows fit a signed long per cell;
   * [[GramFunctions.gramMatrix]]'s scaladoc documents the per-shard
-  * bound for corpora beyond that. */
+  * bound for corpora beyond that. The envelope is ENFORCED: every
+  * accumulation uses `Math.addExact`/`Math.multiplyExact`, so a
+  * corpus past the documented bound fails loudly with an
+  * ArithmeticException instead of silently corrupting covariances. */
 final class GramBuffer(val d: Int) {
   var n: Long = 0L
   val s = new Array[Long](d)
@@ -30,7 +33,7 @@ final class GramBuffer(val d: Int) {
     var i = 0
     while (i < d) {
       m(i) = math.round(v.getDouble(i) * 1e6)
-      s(i) += m(i)
+      s(i) = Math.addExact(s(i), m(i))
       i += 1
     }
     var idx = 0
@@ -38,7 +41,7 @@ final class GramBuffer(val d: Int) {
     while (i < d) {
       var j = i
       while (j < d) {
-        g(idx) += m(i) * m(j)
+        g(idx) = Math.addExact(g(idx), Math.multiplyExact(m(i), m(j)))
         idx += 1; j += 1
       }
       i += 1
@@ -48,11 +51,11 @@ final class GramBuffer(val d: Int) {
 
   def mergeFrom(o: GramBuffer): Unit = {
     require(o.d == d, s"gram_matrix dim mismatch in merge: ${o.d} vs $d")
-    n += o.n
+    n = Math.addExact(n, o.n)
     var i = 0
-    while (i < d) { s(i) += o.s(i); i += 1 }
+    while (i < d) { s(i) = Math.addExact(s(i), o.s(i)); i += 1 }
     i = 0
-    while (i < g.length) { g(i) += o.g(i); i += 1 }
+    while (i < g.length) { g(i) = Math.addExact(g(i), o.g(i)); i += 1 }
   }
 }
 

@@ -95,7 +95,15 @@ object AggView {
   }
 
   /** Apply one CDC batch: per-key integer deltas, touched-bucket-only
-    * merge-rewrites, per-bucket fences. Returns buckets rewritten. */
+    * merge-rewrites, per-bucket fences. Returns buckets rewritten.
+    *
+    * CONTRACT — 'update' rows must keep the group key unchanged: the
+    * delta (va − vb) is applied wholly to the row's CURRENT key, so an
+    * upstream update that MOVES a row between keys must be emitted as
+    * delete(old key, value_before) + insert(new key, value_after), the
+    * standard CDC retraction encoding (Debezium/Flink changelog do the
+    * same). A key-changing 'update' row would leave the old key's
+    * cnt/sum stale. */
   def applyCdc(spark: SparkSession, changes: DataFrame, dir: String,
       keyCol: String, batchId: Long): Int = {
     val buckets = numBuckets(dir)

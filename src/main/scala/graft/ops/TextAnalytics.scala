@@ -351,14 +351,19 @@ object TextAnalytics {
     * Scale shape: the ranking is the [[graft.functions.TopKFunctions
     * .topKHits]] heap aggregate — map-side k-prune, k·partitions rows
     * per group cross the exchange; a row_number window would shuffle
-    * and sort EVERY row. Weights must be strictly positive. */
+    * and sort EVERY row. Weights must be strictly positive; rows with
+    * zero/negative/null weight are FILTERED OUT before the key is
+    * computed (u^(1/w) at w ≤ 0 yields Infinity/NaN and degenerates
+    * the sample) — a non-positive weight means "never sample", which
+    * is exactly what dropping the row implements. */
   def weightedReservoir(df: DataFrame, groupCol: String, idCol: String,
       weightCol: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val u = (portableIdHash(col(idCol)).cast("double") + lit(1.0)) /
       lit(math.pow(2.0, 60))
     val key = round(pow(u, lit(1.0) / weightCol.cast("double")), 6)
-    df.select(col(groupCol).as("grp"), col(idCol).cast("long").as("__id"),
+    df.filter(weightCol.cast("double") > 0.0)
+      .select(col(groupCol).as("grp"), col(idCol).cast("long").as("__id"),
         key.as("__key"))
       .groupBy(col("grp"))
       .agg(graft.functions.TopKFunctions.topKHits(
