@@ -528,6 +528,12 @@ object OracleSql {
     "ivf_filtered" -> ivfFilteredSql(dim = 64, numPlanes = 6,
       nProbeInit = 4, k = 10, pred = "label = 2"),
 
+    // The STORED layout must return the exact rows the in-memory
+    // arithmetic (and this SQL replay of it) chooses — the sidecar only
+    // changes WHERE the per-bucket counts come from, never the counts.
+    "ivf_filtered_stored" -> ivfFilteredSql(dim = 64, numPlanes = 6,
+      nProbeInit = 4, k = 10, pred = "label = 1"),
+
     // NB: top-k by dot product DESC — nearest = largest inner product
     "sim_inner_product" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -2865,6 +2865,26 @@ object Queries {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         r6(col("cosine")).as("cosine"))
 
+  /** Filtered ANN over the STORED IVF layout: per-bucket filtered
+    * counts come from the [[SimilaritySearch.ivfWriteStats]] sidecar
+    * (no counting scan — the in-memory path's step-2 job disappears),
+    * probe sizing is the same nProbeInit·2^j arithmetic, and the data
+    * scan carries a STATIC partition filter on the probed buckets
+    * (asserted in ScaleOpsSpec). Same oracle shape as [[ivfFiltered]]
+    * with `label = 1`. */
+  def ivfFilteredStored(s: SparkSession, dir: String): DataFrame = {
+    val store = cachedIndexDir("ivfstats", dir) { tmp =>
+      SimilaritySearch.ivfWrite(t(s, dir, "embeddings"), tmp,
+        "embedding", dim = 64, numPlanes = 6)
+      SimilaritySearch.ivfWriteStats(s, tmp, Seq("label"))
+    }
+    SimilaritySearch.ivfTopKFilteredStored(s, store, "vec_id", "embedding",
+        queryVec(s, dir), k = 10, statsCol = "label", statsValue = "1",
+        nProbeInit = 4)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        r6(col("cosine")).as("cosine"))
+  }
+
   /** MRR / nDCG@10 of the exact batch top-k against label-match
     * relevance (doc relevant iff it shares the query's label — the
     * [[knnLabelAccuracy]] ground-truth convention). */
@@ -3464,6 +3484,7 @@ object Queries {
     "maxsim_topk" -> maxsimTopk _,
     "retrieval_eval" -> retrievalEval _,
     "ivf_filtered" -> ivfFiltered _,
+    "ivf_filtered_stored" -> ivfFilteredStored _,
     "unigram_seed" -> unigramSeed _,
     "unigram_vocab" -> unigramVocab _,
     "unigram_conservation" -> unigramConservation _,

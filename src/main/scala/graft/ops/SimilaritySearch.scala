@@ -524,9 +524,16 @@ object SimilaritySearch {
       .join(broadcast(newIds), Seq(idCol), "left_anti")
     // localCheckpoint materializes the touched-bucket survivors BEFORE
     // the write: the write overwrites the same path the survivors were
-    // read from, which Spark (correctly) refuses in one lazy plan
-    val rewritten = survivors.select(col(idCol), col(vecCol), col("bucket"))
-      .unionByName(newB.select(col(idCol), col(vecCol), col("bucket")))
+    // read from, which Spark (correctly) refuses in one lazy plan.
+    // The FULL stored schema is preserved — attribute columns (labels,
+    // sources — what filtered ANN and the stats sidecar index) ride
+    // along with the vectors, so the upsert batch must carry them too.
+    val storedCols = survivors.columns.toSeq
+    require(storedCols.toSet.subsetOf(newB.columns.toSet),
+      s"ivfUpsert batch is missing stored columns: " +
+        storedCols.toSet.diff(newB.columns.toSet).mkString(", "))
+    val rewritten = survivors.select(storedCols.map(col): _*)
+      .unionByName(newB.select(storedCols.map(col): _*))
       .localCheckpoint(true)
     val keptBuckets = rewritten.select(col("bucket"))
       .distinct().collect().map(_.getLong(0)).toSet
@@ -549,13 +556,131 @@ object SimilaritySearch {
         .filter(col("bucket").isin(touched: _*)).drop("bucket"),
       vecCol, dim, numPlanes)
     val merged = oldCentroids.unionByName(freshCentroids).collect()
-    newB.unpersist()
     val centroidSchema = spark.read.parquet(s"$dir/centroids").schema
     spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(merged: _*)),
         centroidSchema)
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // stats-sidecar maintenance, same touched-buckets-only shape as the
+    // centroids: indexed columns are self-described by the sidecar's
+    // col_name domain, kept rows come from untouched buckets, fresh
+    // rows from one grouped scan of the rewritten touched partitions.
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    if (fs.exists(statsPath)) {
+      val old = spark.read.parquet(s"$dir/stats")
+      val statsCols = old.select("col_name").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val kept = old.filter(!col("bucket").isin(touched: _*))
+      val fresh = bucketStats(
+        spark.read.parquet(vecsPath)
+          .filter(col("bucket").isin(touched: _*))
+          .withColumn("bucket", col("bucket").cast("long")),
+        statsCols)
+      val mergedStats = kept.unionByName(fresh).localCheckpoint(true)
+      writeStatsRows(spark, dir, mergedStats)
+    }
+    newB.unpersist()
+  }
+
+  /** Per-bucket attribute-count sidecar for the [[ivfWrite]] layout —
+    * the stats that make FILTERED stored-ANN queries skip the counting
+    * scan entirely. For each listed attribute column the sidecar holds
+    * one row per (bucket, column, value): the number of stored vectors
+    * in that bucket carrying that value. It is index METADATA, sized
+    * like the centroid table × attribute cardinality (2^numPlanes ·
+    * Σ|domain|) — never like the corpus — so a query reads it
+    * driver-side the way it reads centroids.
+    *
+    * One grouped scan per attribute over the stored vectors builds it;
+    * [[ivfUpsert]] maintains it incrementally (touched buckets only).
+    * Attribute domains are assumed low-cardinality (labels, sources,
+    * shards — the columns one filters ANN by); a high-cardinality
+    * column would bloat the sidecar and belongs in a bloom sidecar
+    * instead. */
+  def ivfWriteStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+      statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "ivfWriteStats needs at least one column")
+    val v = spark.read.parquet(s"$dir/vectors")
+    writeStatsRows(spark, dir, bucketStats(v, statsCols))
+  }
+
+  /** (bucket, col_name, value, cnt) rows for the given attribute
+    * columns of a bucketed vector frame. */
+  private def bucketStats(v: DataFrame, statsCols: Seq[String]): DataFrame =
+    statsCols.map { c =>
+      v.groupBy(col("bucket").cast("long").as("bucket"),
+          col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("col_name", lit(c))
+        .select("bucket", "col_name", "value", "cnt")
+    }.reduce(_ unionByName _)
+
+  private def writeStatsRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stats: DataFrame): Unit =
+    stats.repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Filtered ANN over the STORED [[ivfWrite]] layout — the on-disk
+    * twin of [[ivfTopKFiltered]] with the counting scan REPLACED by the
+    * [[ivfWriteStats]] sidecar:
+    *
+    *  1. centroid ranking: driver-side over the ≤ 2^numPlanes-row
+    *     centroid table (6-dp rounded cosine, bucket-id tiebreak);
+    *  2. per-bucket filtered counts: a LOOKUP in the stats sidecar —
+    *     no data file is opened for counting (the in-memory path's
+    *     step-2 job disappears, exactly what the sidecar is for);
+    *  3. probe sizing: smallest nProbeInit·2^j prefix of the ranking
+    *     whose cumulative filtered count reaches k (whole index if
+    *     none) — identical arithmetic to the in-memory path, so both
+    *     paths and the SQL oracle choose the SAME probe set;
+    *  4. one scan of ONLY the probed bucket partitions (`bucket
+    *     isin(...)` is a static partition filter — unprobed buckets'
+    *     files are never opened), predicate + exact cosine top-k.
+    *
+    * Returns min(k, total filtered rows) rows — never silently fewer.
+    * The predicate is equality on a sidecar-indexed column; compose
+    * richer predicates by indexing each column and intersecting
+    * per-bucket counts conservatively (min), which keeps the ≥-k
+    * guarantee since true conjunctive counts are ≤ min. */
+  def ivfTopKFilteredStored(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, vecCol: String, queryVec: Array[Double],
+      k: Int, statsCol: String, statsValue: String,
+      nProbeInit: Int = 8): DataFrame = {
+    require(k >= 1 && nProbeInit >= 1, "k and nProbeInit must be positive")
+    val ranked = spark.read.parquet(s"$dir/centroids")
+      .withColumn("centroid_sim",
+        round(VectorFunctions.cosineSimilarity(col("centroid"), lit(queryVec)), 6))
+      .select(col("bucket").cast("long"), col("centroid_sim"))
+      .collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .map(_.getLong(0))
+    val fc = spark.read.parquet(s"$dir/stats")
+      .filter(col("col_name") === statsCol && col("value") === statsValue)
+      .select(col("bucket").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = probePrefix(ranked, fc, k, nProbeInit)
+    spark.read.parquet(s"$dir/vectors")
+      .filter(col("bucket").isin(probed: _*))
+      .filter(col(statsCol).cast("string") === statsValue)
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Probe-doubling arithmetic shared by the filtered paths: smallest
+    * nProbeInit·2^j prefix of the similarity-ranked buckets whose
+    * cumulative filtered count reaches k; the whole ranking if none
+    * does. */
+  private[graft] def probePrefix(ranked: Seq[Long], counts: Map[Long, Long],
+      k: Int, nProbeInit: Int): Seq[Long] = {
+    val cum = ranked.scanLeft(0L)((a, b) => a + counts.getOrElse(b, 0L)).tail
+    val minRank = cum.indexWhere(_ >= k.toLong) match {
+      case -1 => ranked.length
+      case i => i + 1
+    }
+    var p = nProbeInit
+    while (p < minRank) p *= 2
+    ranked.take(math.min(p, ranked.length))
   }
 
   /** Compact an [[ivfWrite]] layout after repeated [[ivfUpsert]]s: each
@@ -686,20 +811,12 @@ object SimilaritySearch {
       .select("bucket", "centroid_sim")
     val fCounts = withBucket.filter(predicate)
       .groupBy("bucket").agg(count(lit(1)).as("fc"))
-    val ranked = stats.join(fCounts, Seq("bucket"), "left")
+    val rankedRows = stats.join(fCounts, Seq("bucket"), "left")
       .select(col("bucket"), col("centroid_sim"), coalesce(col("fc"), lit(0L)).as("fc"))
       .collect()
       .sortBy(r => (-r.getDouble(1), r.getLong(0)))
-    val cum = ranked.scanLeft(0L)(_ + _.getLong(2)).tail
-    val nBuckets = ranked.length
-    val minRank = cum.indexWhere(_ >= k.toLong) match {
-      case -1 => nBuckets
-      case i => i + 1
-    }
-    var p = nProbeInit
-    while (p < minRank) p *= 2
-    p = math.min(p, nBuckets)
-    val probed = ranked.take(p).map(_.getLong(0))
+    val probed = probePrefix(rankedRows.map(_.getLong(0)).toSeq,
+      rankedRows.map(r => r.getLong(0) -> r.getLong(2)).toMap, k, nProbeInit)
     withBucket.filter(col("bucket").isin(probed: _*)).filter(predicate)
       .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), lit(queryVec)))
       .orderBy(col("cosine").desc, col(idCol).asc)

@@ -36,6 +36,51 @@ class ScaleOpsSpec extends SparkSpec {
       brute.select("vec_id").as[Long].collect().toSeq)
   }
 
+  test("stored filtered IVF: sidecar counts == in-memory counting pass; scan prunes; upsert maintains stats") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 200L).map(i =>
+        (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_filt").toString
+    SimilaritySearch.ivfWrite(vecs, dir, "embedding", dim = 8, numPlanes = 4)
+    SimilaritySearch.ivfWriteStats(spark, dir, Seq("label"))
+
+    val q = Array.fill(8)(0.3)
+    def stored() = SimilaritySearch.ivfTopKFilteredStored(spark, dir,
+      "vec_id", "embedding", q, k = 5, "label", "1", nProbeInit = 2)
+    def inMem(df: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.ivfTopKFiltered(df, "vec_id", "embedding", 8, q,
+        k = 5, col("label") === 1, nProbeInit = 2, numPlanes = 4)
+    // identical probe arithmetic, identical rows — the sidecar only
+    // changes WHERE the per-bucket filtered counts come from
+    assert(stored().select("vec_id").as[Long].collect().toSeq ==
+      inMem(vecs).select("vec_id").as[Long].collect().toSeq)
+    // never silently < k when the predicate has ≥ k survivors anywhere
+    assert(stored().count() == 5)
+    // static partition pruning: only probed buckets' files are read
+    val scanText = stored().queryExecution.executedPlan.toString
+    assert(scanText.contains("PartitionFilters") && scanText.contains("bucket"),
+      s"expected partition filters on bucket in:\n$scanText")
+
+    // upsert: replaced ids (some changing label AND bucket) + new ids;
+    // the maintained sidecar must equal a from-scratch counting pass
+    val upd = (190L to 210L).map(i =>
+        (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), ((i + 1) % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    SimilaritySearch.ivfUpsert(spark, dir, upd, "vec_id", "embedding",
+      dim = 8, numPlanes = 4)
+    val after = vecs.filter(col("vec_id") < 190).unionByName(upd)
+    assert(stored().select("vec_id").as[Long].collect().toSeq ==
+      inMem(after).select("vec_id").as[Long].collect().toSeq)
+    // sidecar equals a full rebuild, row for row
+    val maintained = spark.read.parquet(s"$dir/stats")
+      .orderBy("bucket", "col_name", "value").collect().toSeq
+    SimilaritySearch.ivfWriteStats(spark, dir, Seq("label"))
+    val rebuilt = spark.read.parquet(s"$dir/stats")
+      .orderBy("bucket", "col_name", "value").collect().toSeq
+    assert(maintained == rebuilt)
+  }
+
   test("stored IVF-PQ: model JSON round-trips exactly; scan prunes to probed cells; == in-memory") {
     // 4 axis clusters (the OpsSpec IVF-PQ corpus) so coarse cells are
     // meaningful and the pruning assertion reads a strict subset
