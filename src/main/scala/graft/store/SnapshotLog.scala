@@ -87,7 +87,12 @@ object SnapshotLog {
     root.put("stream_batch_id", s.streamBatchId)
     val arr = root.putArray("files")
     s.files.sorted.foreach(arr.add)
-    val tmp = versionsDir(tableDir).resolve(s".v${s.version}.json.tmp")
+    // tmp name is unique PER WRITER: with a shared `.vN.json.tmp`, two
+    // racers targeting the same version overwrite each other's staged
+    // bytes and the createLink winner can publish the LOSER's content —
+    // a lost update the version race itself would never catch.
+    val tmp = versionsDir(tableDir).resolve(
+      s".v${s.version}-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
       .getBytes(StandardCharsets.UTF_8))
     // commit = hard-link the tmp file to the version name: createLink
@@ -435,16 +440,66 @@ object SnapshotLog {
     0L
   }
 
-  /** Append-only commit: new files + carried-over references. */
+  /** Append-only commit: new files + carried-over references.
+    * Concurrent appenders are safe: a lost version-number race
+    * re-reads the new head and retries (see [[commitAppendRetry]]) —
+    * an append's file list composes with ANY parent, so optimistic
+    * retry cannot lose or duplicate data. */
   def append(df: DataFrame, tableDir: String): Long = {
-    val cur = currentVersion(tableDir).getOrElse(
+    currentVersion(tableDir).getOrElse(
       throw new IllegalStateException(s"no snapshot table at $tableDir"))
-    val prev = readSnapshotMeta(tableDir, cur)
     val (files, n) = writeDataFiles(df, tableDir)
-    val next = cur + 1
-    writeSnapshotMeta(tableDir,
-      Snapshot(next, cur, "append", prev.files ++ files, prev.rowCount + n))
-    next
+    commitAppendRetry(tableDir, "append", files, n, batchId = -1L,
+      allowInit = false)
+  }
+
+  /** Optimistic-retry commit for APPEND-ONLY snapshots. The data files
+    * are already on disk (immutable, invisible until referenced); the
+    * loop re-reads the head, builds the metadata entry against it, and
+    * attempts the atomic createLink commit. Losing the race costs one
+    * re-read of a head JSON — at fleet scale a lost race is a retried
+    * METADATA write, not a failed ingest job.
+    *
+    * Append-only is the ONLY op where this is sound: new files compose
+    * with any parent's file list, so commit order is irrelevant to the
+    * final state. Upsert/CDC/compact commits compute their file
+    * rewrites FROM a specific parent and still fail loudly on
+    * conflict — replaying those against a moved head could resurrect
+    * rows the winner deleted.
+    *
+    * A `batchId ≥ 0` marks a streaming append: the replay fence is
+    * re-checked INSIDE the loop, so if the race loser discovers the
+    * winner already committed the same batch, it returns the current
+    * version without committing (its scratch files stay unreferenced
+    * for vacuum) — exactly-once survives concurrent redelivery. */
+  private def commitAppendRetry(tableDir: String, op: String,
+      files: Seq[String], n: Long, batchId: Long, allowInit: Boolean,
+      maxAttempts: Int = 8): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (batchId >= 0L && maxStreamBatchId(tableDir) >= batchId)
+        return currentVersion(tableDir).get
+      try {
+        return currentVersion(tableDir) match {
+          case None =>
+            require(allowInit, s"no snapshot table at $tableDir")
+            writeSnapshotMeta(tableDir,
+              Snapshot(0L, -1L, op, files, n, batchId))
+            0L
+          case Some(c) =>
+            val prev = readSnapshotMeta(tableDir, c)
+            writeSnapshotMeta(tableDir, Snapshot(c + 1, c, op,
+              prev.files ++ files, prev.rowCount + n, batchId))
+            c + 1
+        }
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(attempt * 5L)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Upsert commit: rows of `updates` replace same-key rows. Only data
@@ -509,20 +564,12 @@ object SnapshotLog {
     * commit) pair makes at-least-once delivery exactly-once in the
     * log. Also initializes the table on the first batch. */
   def appendIdempotent(df: DataFrame, tableDir: String, batchId: Long): Long = {
+    require(batchId >= 0L, "stream batch ids are non-negative")
     val fence = maxStreamBatchId(tableDir)
     if (batchId <= fence) return currentVersion(tableDir).get
-    val cur = currentVersion(tableDir)
     val (files, n) = writeDataFiles(df, tableDir)
-    cur match {
-      case None =>
-        writeSnapshotMeta(tableDir, Snapshot(0L, -1L, "stream-append", files, n, batchId))
-        0L
-      case Some(c) =>
-        val prev = readSnapshotMeta(tableDir, c)
-        writeSnapshotMeta(tableDir, Snapshot(c + 1, c, "stream-append",
-          prev.files ++ files, prev.rowCount + n, batchId))
-        c + 1
-    }
+    commitAppendRetry(tableDir, "stream-append", files, n, batchId,
+      allowInit = true)
   }
 
   /** Quality-gated append: run the declarative

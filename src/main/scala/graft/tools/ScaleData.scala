@@ -73,10 +73,20 @@ object ScaleData {
     wr(amplify(rd("lineitem"), "l_orderkey" -> ordS,
       "l_partkey" -> partS, "l_suppkey" -> suppS)
       .repartition(32), "lineitem")
-    val evIdS = stride(rd("events"), "event_id")
-    val userS = stride(rd("events"), "user_id")
-    wr(amplify(rd("events"),
-      "event_id" -> evIdS, "user_id" -> userS), "events")
+    // events.ts ships as TIMESTAMP(NANOS): read it the way
+    // Queries.events does (nanosAsLong => epoch-ns LongType) and write
+    // the Long form — a plain rewrite would re-type it TIMESTAMP_NTZ,
+    // which the query layer deliberately refuses to guess about.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val ev0 = rd("events")
+    val ev = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev0
+      case _ => ev0.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
+    wr(amplify(ev,
+      "event_id" -> stride(ev, "event_id"),
+      "user_id" -> stride(ev, "user_id")), "events")
     wr(amplify(rd("documents"),
       "doc_id" -> stride(rd("documents"), "doc_id")), "documents")
     wr(amplify(rd("embeddings"),

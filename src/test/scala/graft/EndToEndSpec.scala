@@ -302,6 +302,69 @@ class EndToEndSpec extends SparkSpec {
     assert(m3.agg(sum("n_rows")).head().getLong(0) == 100L)
   }
 
+  test("snapshot log: concurrent appenders — every batch lands once, versions stay linear") {
+    import graft.store.SnapshotLog
+    val dir = Files.createTempDirectory("graft-snap-race").toString
+    SnapshotLog.init(Seq((0L, "seed")).toDF("doc_id", "text")
+      .coalesce(1), dir)
+    // 6 writers race plain appends from a start barrier; losers of the
+    // createLink version race must re-read the head and retry, never
+    // fail and never clobber a committed version
+    val writers = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to writers).map { w =>
+      new Thread(() => {
+        try {
+          val df = Seq((w.toLong, s"writer $w")).toDF("doc_id", "text")
+            .coalesce(1)
+          barrier.await()
+          SnapshotLog.append(df, dir): Unit
+        } catch { case t: Throwable => errors.add(t): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent append failed: ${errors.peek()}")
+    // linear history: contiguous versions, each child's parent = its
+    // predecessor, file lists strictly grow (append-only carry)
+    val vs = SnapshotLog.versions(dir)
+    assert(vs == (0L to writers.toLong))
+    vs.sliding(2).foreach { case Seq(a, b) =>
+      val sa = SnapshotLog.readSnapshotMeta(dir, a)
+      val sb = SnapshotLog.readSnapshotMeta(dir, b)
+      assert(sb.parent == a)
+      assert(sa.files.toSet.subsetOf(sb.files.toSet))
+    }
+    // every writer's row landed exactly once
+    val rows = SnapshotLog.read(spark, dir).select($"doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(rows == (0L to writers.toLong))
+
+    // streaming race on the SAME batch id: exactly one commit wins,
+    // the loser returns the winner's version, no duplicate rows
+    val sdir = Files.createTempDirectory("graft-snap-race2").toString
+    val b2 = new java.util.concurrent.CyclicBarrier(2)
+    val versionsSeen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val t2 = (1 to 2).map { w =>
+      new Thread(() => {
+        try {
+          val df = Seq((w.toLong, "dup batch")).toDF("doc_id", "text")
+            .coalesce(1)
+          b2.await()
+          versionsSeen.add(
+            SnapshotLog.appendIdempotent(df, sdir, batchId = 7L)): Unit
+        } catch { case t: Throwable => errors.add(t): Unit }
+      })
+    }
+    t2.foreach(_.start()); t2.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent idempotent append failed: ${errors.peek()}")
+    assert(versionsSeen.size() == 2)
+    assert(SnapshotLog.versions(sdir) == Seq(0L),
+      "same-batch racers must produce exactly one committed version")
+    assert(SnapshotLog.read(spark, sdir).count() == 1L)
+    assert(SnapshotLog.maxStreamBatchId(sdir) == 7L)
+  }
+
   test("snapshot log: init/append/upsert/time-travel/rollback/vacuum") {
     import graft.store.SnapshotLog
     val dir = Files.createTempDirectory("graft-snap").toString
