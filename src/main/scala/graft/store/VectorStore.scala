@@ -102,6 +102,86 @@ object VectorStore {
     spark.read.parquet(s"$dbDir/chunks")
 
   // -------------------------------------------------------------------
+  // Sidecar write contract: chunks_q / chunks_b / chunks_ivfpq are
+  // DERIVED data over chunks/. Any write to chunks/ outside
+  // [[upsertChunks]] INVALIDATES them (they will happily serve stale
+  // candidates); upsertChunks is the maintained path — it applies the
+  // row changes and brings every sidecar that exists back in sync in
+  // the same call, each by its cheapest sound move:
+  //   chunks_b      row-local sign codes → encode the batch, merge
+  //   chunks_q      affine codes depend on GLOBAL per-dim [min,max]:
+  //                 batch inside the stored envelope → encode with the
+  //                 stored stats and merge (codes stay comparable; if a
+  //                 REPLACED row defined an extremum the envelope is
+  //                 now loose — still sound for every stored code, a
+  //                 periodic rebuild re-tightens);
+  //                 batch outside → full rebuild (stats changed, every
+  //                 stored code would mean something else)
+  //   chunks_ivfpq  fixed-codebook encode + touched-cell rewrite
+  //                 ([[graft.ops.ProductQuantization.ivfPqUpsert]])
+  // -------------------------------------------------------------------
+
+  /** Upsert chunk rows: same-id rows are replaced, new ids inserted,
+    * and every PRESENT index sidecar is maintained in the same call
+    * (see the contract above). The flat chunks/ table rewrites in one
+    * pass — the reference's database layout; at lakehouse scale the
+    * chunk table lives in a [[SnapshotLog]] and only key-containing
+    * files rewrite. Single-writer, like [[create]]. */
+  def upsertChunks(spark: SparkSession, dbDir: String,
+      updates: DataFrame): Unit = {
+    val cur = chunks(spark, dbDir)
+    require(cur.columns.toSet.subsetOf(updates.columns.toSet),
+      "upsertChunks batch is missing chunk columns: " +
+        cur.columns.toSet.diff(updates.columns.toSet).mkString(", "))
+    val upd = updates.select(cur.columns.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val updIds = upd.select("id").distinct()
+    require(upd.count() == updIds.count(),
+      "upsertChunks batch has duplicate ids — an upsert needs one row per id")
+    val rewritten = cur
+      .join(org.apache.spark.sql.functions.broadcast(updIds), Seq("id"), "left_anti")
+      .unionByName(upd)
+      .localCheckpoint(true) // materialize before overwriting the source
+    rewritten.write.mode(SaveMode.Overwrite).parquet(s"$dbDir/chunks")
+
+    val m = readManifest(dbDir)
+    def sidecarExists(name: String): Boolean =
+      Files.isDirectory(Paths.get(dbDir, name))
+
+    if (sidecarExists("chunks_b")) {
+      val fresh = upd.select(col("id"),
+        graft.ops.Quantization.signBitsColumn(col("vector"), m.dimensions).as("bvec"))
+      val merged = spark.read.parquet(s"$dbDir/chunks_b")
+        .join(org.apache.spark.sql.functions.broadcast(updIds), Seq("id"), "left_anti")
+        .unionByName(fresh)
+        .localCheckpoint(true)
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$dbDir/chunks_b")
+    }
+
+    if (sidecarExists("chunks_q")) {
+      val (mins, maxs) = readQuantStats(dbDir)
+      val (bMins, bMaxs) = graft.ops.Quantization.dimStats(upd, "vector", m.dimensions)
+      val inEnvelope = (0 until m.dimensions).forall(d =>
+        bMins(d) >= mins(d) && bMaxs(d) <= maxs(d))
+      if (inEnvelope) {
+        val fresh = graft.ops.Quantization.quantize(upd, "vector", mins, maxs)
+          .select("id", "qvec")
+        val merged = spark.read.parquet(s"$dbDir/chunks_q")
+          .join(org.apache.spark.sql.functions.broadcast(updIds), Seq("id"), "left_anti")
+          .unionByName(fresh)
+          .localCheckpoint(true)
+        merged.write.mode(SaveMode.Overwrite).parquet(s"$dbDir/chunks_q")
+      } else writeQuantized(spark, dbDir) // stats changed: full rebuild
+    }
+
+    if (sidecarExists("chunks_ivfpq")) {
+      graft.ops.ProductQuantization.ivfPqUpsert(spark,
+        s"$dbDir/chunks_ivfpq", upd.select("id", "vector"), "id", "vector")
+    }
+    upd.unpersist()
+  }
+
+  // -------------------------------------------------------------------
   // Quantized index sidecar: chunks_q/ holds (id, qvec array<tinyint>)
   // — 1/4 the vector bytes and none of the text/metadata columns, so
   // the stage-1 scan of a two-stage search reads a small fraction of

@@ -195,6 +195,80 @@ class EndToEndSpec extends SparkSpec {
     assert(bin == exact)
   }
 
+  test("upsertChunks maintains every sidecar: in-envelope merge keeps stored codes; out-of-envelope rebuilds") {
+    val rnd = new scala.util.Random(19)
+    val dir = Files.createTempDirectory("graft_upsert_db").toString
+    def mkChunks(ids: Seq[Long], scale: Float) = ids.map { i =>
+      (i, s"text $i", Array.fill(8)(rnd.nextFloat() * 2 * scale - scale),
+        s"/f$i.txt", ".txt", s"f$i.txt", "2026-01-01", "2026-01-01", s"h$i",
+        "document", Option.empty[Int])
+    }.toDF("id", "text", "vector", "file_path", "file_type", "file_name",
+      "creation_date", "modification_date", "hash", "document_type", "page_number")
+    mkChunks(1L to 60L, 1.0f).write.parquet(s"$dir/chunks")
+    VectorStore.writeManifest(dir,
+      graft.model.DbManifest("cosine", 8, "float32", "det", 60, 0))
+    VectorStore.writeQuantized(spark, dir)
+    VectorStore.writeBinary(spark, dir)
+    VectorStore.writeIvfPq(spark, dir, kCoarse = 4, m = 4, ksub = 16,
+      coarseIters = 2, pqIters = 1)
+    val statsBefore = VectorStore.readQuantStats(dir)
+    val mergedQBefore = spark.read.parquet(s"$dir/chunks_q")
+      .filter(!$"id".isin(5L, 6L, 101L, 102L))
+      .orderBy("id").collect().toSeq
+
+    // replace 2 rows + insert 2, all vectors INSIDE the stored quant
+    // envelope (scale 0.5 < 1.0) → merge path, stats untouched
+    VectorStore.upsertChunks(spark, dir,
+      mkChunks(Seq(5L, 6L, 101L, 102L), 0.5f))
+    val ch = VectorStore.chunks(spark, dir)
+    assert(ch.count() == 62 && ch.select("id").distinct().count() == 62)
+    assert(spark.read.parquet(s"$dir/chunks_q").count() == 62)
+    assert(spark.read.parquet(s"$dir/chunks_b").count() == 62)
+    assert(VectorStore.readQuantStats(dir)._1.toSeq == statsBefore._1.toSeq,
+      "in-envelope upsert must not rewrite quant stats")
+
+    // merge semantics: untouched ids keep their exact stored codes
+    // (no re-encode — a rebuild might TIGHTEN stats if a replaced row
+    // defined the old envelope; the merge keeps the stored envelope,
+    // which stays valid for every code in the sidecar)
+    val beforeCodes = mergedQBefore
+    val afterCodes = spark.read.parquet(s"$dir/chunks_q")
+      .filter(!$"id".isin(5L, 6L, 101L, 102L))
+      .orderBy("id").collect().toSeq
+    assert(afterCodes == beforeCodes)
+
+    // every sidecar search (full pool) == exact search over the
+    // UPDATED chunks — stale candidates would break this
+    val qv = Array.fill(8)(0.25f)
+    val exact = VectorSearch.searchChunks(ch, qv, "cosine",
+        SearchOptions(k = 5, scoreThreshold = 0.0))
+      .select("id").as[Long].collect().toSeq
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSeq
+    assert(ids(VectorStore.searchQuantized(spark, dir, qv,
+      SearchOptions(k = 5, scoreThreshold = 0.0), candidates = 100)) == exact)
+    assert(ids(VectorStore.searchBinary(spark, dir, qv,
+      SearchOptions(k = 5, scoreThreshold = 0.0), candidates = 100)) == exact)
+    assert(ids(VectorStore.searchIvfPq(spark, dir, qv,
+      SearchOptions(k = 5, scoreThreshold = 0.0), nProbe = 4,
+      candidates = 100)) == exact)
+
+    // out-of-envelope batch (scale 3 > stored max) → the quant sidecar
+    // must REBUILD (stats change) and search equality must still hold
+    VectorStore.upsertChunks(spark, dir, mkChunks(Seq(103L), 3.0f))
+    assert(VectorStore.readQuantStats(dir)._2.toSeq != statsBefore._2.toSeq,
+      "out-of-envelope upsert must rebuild quant stats")
+    val ch2 = VectorStore.chunks(spark, dir)
+    val exact2 = VectorSearch.searchChunks(ch2, qv, "cosine",
+        SearchOptions(k = 5, scoreThreshold = 0.0))
+      .select("id").as[Long].collect().toSeq
+    assert(ids(VectorStore.searchQuantized(spark, dir, qv,
+      SearchOptions(k = 5, scoreThreshold = 0.0), candidates = 100)) == exact2)
+    assert(ids(VectorStore.searchIvfPq(spark, dir, qv,
+      SearchOptions(k = 5, scoreThreshold = 0.0), nProbe = 4,
+      candidates = 100)) == exact2)
+  }
+
   test("search: keyword + doc-type post-filters, no backfill below k") {
     val all = VectorSearch.search(spark, dbDir.toString, "anything",
       embedder, SearchOptions(k = 100, scoreThreshold = 0.0))
