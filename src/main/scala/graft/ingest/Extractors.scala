@@ -436,9 +436,14 @@ object Extractors {
   // with Tj / TJ / ' / ". PDF 1.5 object streams (/Type /ObjStm — the
   // container shape every xref-stream writer produces) are expanded
   // into the object map; the xref/xref-stream tables themselves are
-  // never read (the object scan IS the index). Out of scope (extractor
-  // returns what it can): CMap/ToUnicode composite-font remapping,
-  // encrypted files, LZW/DCT-only streams.
+  // never read (the object scan IS the index). Composite/subset fonts
+  // are remapped through their /ToUnicode CMap (bfchar + bfrange,
+  // 1- and 2-byte codespaces; /Resources inline or by ref, inherited
+  // from the page tree) — the shape every embedded-subset-font writer
+  // emits, where raw string bytes are glyph codes, not Latin-1. Out of
+  // scope (extractor returns what it can): fonts with NO /ToUnicode
+  // (would need per-font /Differences + glyph-name tables), encrypted
+  // files, LZW/DCT-only streams.
   // -------------------------------------------------------------------
 
   /** One indirect object: its dictionary source and raw stream bytes. */
@@ -536,14 +541,105 @@ object Extractors {
     try run(false) catch { case scala.util.control.NonFatal(_) => run(true) }
   }
 
+  /** Unicode mapping of one font: code byte-width (1 or 2) + glyph
+    * code → text. Absent map = simple Latin-1 font (identity). */
+  private[ingest] final case class FontMap(width: Int, map: Map[Int, String])
+
+  /** Parse a /ToUnicode CMap stream: codespacerange fixes the code
+    * width; bfchar pairs and bfrange runs (scalar-increment and
+    * array-destination forms) fill the map. Destinations are UTF-16BE
+    * hex strings (possibly multi-unit, e.g. ligature expansions). */
+  private[ingest] def parseToUnicode(data: Array[Byte]): FontMap = {
+    val s = new String(data, StandardCharsets.ISO_8859_1)
+    val HexRe = "<([0-9A-Fa-f]+)>".r
+    var width = 0
+    for (cs <- "begincodespacerange([\\s\\S]*?)endcodespacerange".r.findAllMatchIn(s);
+         h <- HexRe.findFirstMatchIn(cs.group(1)))
+      width = math.max(width, h.group(1).length / 2)
+    def dst(hex: String): String =
+      new String(hex.grouped(4).filter(_.length == 4)
+        .map(Integer.parseInt(_, 16).toChar).toArray)
+    val m = Map.newBuilder[Int, String]
+    for (bc <- "beginbfchar([\\s\\S]*?)endbfchar".r.findAllMatchIn(s)) {
+      HexRe.findAllMatchIn(bc.group(1)).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, d) =>
+          width = math.max(width, src.length / 2)
+          m += Integer.parseInt(src, 16) -> dst(d)
+        case _ =>
+      }
+    }
+    for (br <- "beginbfrange([\\s\\S]*?)endbfrange".r.findAllMatchIn(s)) {
+      val toks = "<([0-9A-Fa-f]+)>|(\\[)|(\\])".r.findAllMatchIn(br.group(1)).toSeq
+      var i = 0
+      while (i + 2 < toks.length) {
+        val lo = Integer.parseInt(toks(i).group(1), 16)
+        val hi = Integer.parseInt(toks(i + 1).group(1), 16)
+        width = math.max(width, toks(i).group(1).length / 2)
+        if (toks(i + 2).group(2) != null) { // array form: one dst per code
+          var j = i + 3; var c = lo
+          while (j < toks.length && toks(j).group(3) == null) {
+            if (c <= hi) m += c -> dst(toks(j).group(1))
+            c += 1; j += 1
+          }
+          i = j + 1 // past the closing bracket
+        } else { // scalar form: destination increments with the code
+          val dhex = toks(i + 2).group(1)
+          // increment applies to the LAST 16-bit unit of the dst
+          val prefix = dst(dhex.dropRight(4))
+          val base = Integer.parseInt(dhex.takeRight(4), 16)
+          var c = lo
+          val hiClamped = math.min(hi, lo + 0xFFFF) // 2-byte codespace cap
+          while (c <= hiClamped) {
+            m += c -> (prefix + (base + (c - lo)).toChar)
+            c += 1
+          }
+          i += 3
+        }
+      }
+    }
+    FontMap(if (width >= 2) 2 else 1, m.result())
+  }
+
+  /** Decode the raw code units of one shown string through the active
+    * font's ToUnicode map; no map = identity (simple Latin-1 font). A
+    * 2-byte font consumes code units pairwise (big-endian); unmapped
+    * codes in a mapped 2-byte font contribute nothing (subset fonts
+    * only map the glyphs they embed), unmapped 1-byte codes fall back
+    * to identity. */
+  private def decodeShown(raw: CharSequence, fm: Option[FontMap]): String =
+    fm match {
+      case None => raw.toString
+      case Some(FontMap(w, map)) =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i < raw.length) {
+          if (w == 2) {
+            if (i + 1 < raw.length) {
+              val code = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+              sb.append(map.getOrElse(code, ""))
+            }
+            i += 2
+          } else {
+            val code = raw.charAt(i) & 0xff
+            sb.append(map.getOrElse(code, raw.charAt(i).toString))
+            i += 1
+          }
+        }
+        sb.toString
+    }
+
   /** Text shown by one content stream: literal/hex strings fed to the
     * text-show operators, in order; line moves (Td, TD, `T*`, ET) map
-    * to '\n'. */
-  private def pdfContentText(data: Array[Byte]): String = {
+    * to '\n'. `fonts` carries the page's resolved ToUnicode maps; the
+    * `Tf` operator selects which one decodes subsequent strings. */
+  private def pdfContentText(data: Array[Byte],
+      fonts: Map[String, FontMap] = Map.empty): String = {
     val s = new String(data, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     val line = new StringBuilder
-    var pending = new StringBuilder // strings seen since the last operator
+    var pending = new StringBuilder // decoded strings since the last operator
+    var lastName = ""               // most recent /Name token (Tf operand)
+    var curFont: Option[FontMap] = None
     def flushLine(): Unit = {
       if (line.nonEmpty) { sb.append(line.toString.strip()).append('\n'); line.clear() }
     }
@@ -552,44 +648,54 @@ object Extractors {
     while (i < n) {
       s.charAt(i) match {
         case '(' => // literal string; parens nest, backslash escapes
+          val raw = new StringBuilder
           var depth = 1; i += 1
           while (i < n && depth > 0) {
             s.charAt(i) match {
               case '\\' if i + 1 < n =>
                 s.charAt(i + 1) match {
-                  case 'n' => pending.append('\n'); i += 2
-                  case 'r' => pending.append('\r'); i += 2
-                  case 't' => pending.append('\t'); i += 2
-                  case 'b' => pending.append('\b'); i += 2
-                  case 'f' => pending.append('\f'); i += 2
+                  case 'n' => raw.append('\n'); i += 2
+                  case 'r' => raw.append('\r'); i += 2
+                  case 't' => raw.append('\t'); i += 2
+                  case 'b' => raw.append('\b'); i += 2
+                  case 'f' => raw.append('\f'); i += 2
                   case '\n' => i += 2 // line continuation
                   case c if c >= '0' && c <= '7' => // \ooo octal, 1-3 digits
                     var j = i + 1; var v = 0
                     while (j < n && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
                       v = v * 8 + (s.charAt(j) - '0'); j += 1
                     }
-                    pending.append(v.toChar); i = j
-                  case c => pending.append(c); i += 2
+                    raw.append(v.toChar); i = j
+                  case c => raw.append(c); i += 2
                 }
-              case '(' => depth += 1; pending.append('('); i += 1
-              case ')' => depth -= 1; if (depth > 0) pending.append(')'); i += 1
-              case c => pending.append(c); i += 1
+              case '(' => depth += 1; raw.append('('); i += 1
+              case ')' => depth -= 1; if (depth > 0) raw.append(')'); i += 1
+              case c => raw.append(c); i += 1
             }
           }
+          pending.append(decodeShown(raw, curFont))
         case '<' if i + 1 < n && s.charAt(i + 1) != '<' => // hex string
           val close = s.indexOf('>', i)
           if (close < 0) i = n
           else {
+            val raw = new StringBuilder
             val hex = s.substring(i + 1, close).replaceAll("\\s", "")
             val padded = if (hex.length % 2 == 1) hex + "0" else hex
             var k = 0
-            while (k + 1 < padded.length + 1 && k + 2 <= padded.length) {
-              pending.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
+            while (k + 2 <= padded.length) {
+              raw.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
               k += 2
             }
+            pending.append(decodeShown(raw, curFont))
             i = close + 1
           }
         case '<' => i += 2 // '<<' dict open
+        case '/' => // name token: remember it as the potential Tf operand
+          val start = i + 1
+          i += 1
+          while (i < n && !s.charAt(i).isWhitespace &&
+            !"()<>[]{}/%".contains(s.charAt(i))) i += 1
+          lastName = s.substring(start, i)
         case '%' => while (i < n && s.charAt(i) != '\n') i += 1 // comment
         case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
           val start = i
@@ -600,6 +706,8 @@ object Extractors {
               line.append(pending); pending = new StringBuilder
             case "Td" | "TD" | "T*" => pending.clear(); flushLine()
             case "ET" => pending.clear(); flushLine()
+            case "Tf" => // select font: strings after this decode through it
+              curFont = fonts.get(lastName); pending.clear()
             case _ => pending.clear() // any other op: strings were operands
           }
         case _ => i += 1
@@ -609,35 +717,98 @@ object Extractors {
     sb.toString.strip()
   }
 
+  /** Source text of the balanced `<< … >>` dictionary starting at
+    * `start` (which must point at the opening `<<`). */
+  private def balancedDictAt(s: String, start: Int): Option[String] = {
+    if (start + 1 >= s.length || s.charAt(start) != '<' || s.charAt(start + 1) != '<')
+      return None
+    var depth = 0; var i = start
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(s.substring(start, i))
+      } else i += 1
+    }
+    None
+  }
+
+  /** Resolved SOURCE of a dict-valued key: inline `<< … >>` is sliced
+    * balanced; an `N 0 R` value resolves through the object map. */
+  private def dictValueSrc(src: String, key: String,
+      objs: Map[Int, PdfObj]): Option[String] = {
+    val km = ("/" + key + "(?![A-Za-z0-9])").r.findFirstMatchIn(src)
+      .getOrElse(return None)
+    val rest = src.substring(km.end)
+    val trimmed = rest.indexWhere(!_.isWhitespace) match {
+      case -1 => return None
+      case p => p
+    }
+    if (rest.startsWith("<<", trimmed)) balancedDictAt(rest, trimmed)
+    else "^(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(rest.substring(trimmed))
+      .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict)
+  }
+
+  /** ToUnicode font maps of one page: /Resources (own or inherited
+    * from the page tree) → /Font → per-name font object → /ToUnicode
+    * stream. Fonts without a /ToUnicode decode as identity Latin-1. */
+  private def pageFontMaps(resourcesSrc: Option[String],
+      objs: Map[Int, PdfObj]): Map[String, FontMap] =
+    resourcesSrc.flatMap(dictValueSrc(_, "Font", objs)).map { fdict =>
+      "/([A-Za-z0-9.#_+-]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fdict)
+        .flatMap { fm =>
+          objs.get(fm.group(2).toInt).flatMap { fo =>
+            "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(fo.dict)
+              .flatMap(t => objs.get(t.group(1).toInt)).flatMap { tu =>
+                // a malformed CMap must not sink the document: fall
+                // back to identity decoding for that font only
+                try {
+                  val data =
+                    if (tu.dict.contains("/FlateDecode")) inflate(tu.stream)
+                    else tu.stream
+                  Some(fm.group(1) -> parseToUnicode(data))
+                } catch { case scala.util.control.NonFatal(_) => None }
+              }
+          }
+        }.toMap
+    }.getOrElse(Map.empty)
+
   /** Page texts in page-tree order. Traversal: trailer-less — find the
     * /Catalog object, walk /Pages → /Kids recursively (inner nodes may
-    * nest), resolve each page's /Contents ref(s). Falls back to
+    * nest), resolve each page's /Contents ref(s); /Resources inherit
+    * down the tree per spec (nearest ancestor wins). Falls back to
     * file-order /Type /Page objects when no catalog resolves. */
   def pdfPages(bytes: Array[Byte]): Seq[String] = {
     val objs = pdfObjects(bytes)
     val PageTypeRe = "/Type\\s*/Page\\b".r
     val KidsRe = "/Kids\\s*\\[([^\\]]*)\\]".r
-    def pageOrder: Seq[Int] = {
+    def ownResources(dict: String): Option[String] =
+      dictValueSrc(dict, "Resources", objs)
+    def pageOrder: Seq[(Int, Option[String])] = {
       val catalog = objs.collectFirst {
         case (_, o) if o.dict.contains("/Catalog") =>
           "/Pages\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
       }.flatten
-      def walk(num: Int, depth: Int): Seq[Int] =
+      def walk(num: Int, depth: Int,
+          inheritedRes: Option[String]): Seq[(Int, Option[String])] =
         if (depth > 64) Seq.empty
         else objs.get(num).toSeq.flatMap { o =>
-          if (PageTypeRe.findFirstIn(o.dict).isDefined) Seq(num)
+          val res = ownResources(o.dict).orElse(inheritedRes)
+          if (PageTypeRe.findFirstIn(o.dict).isDefined) Seq((num, res))
           else KidsRe.findFirstMatchIn(o.dict).toSeq.flatMap(k =>
             RefRe.findAllMatchIn(k.group(1)).map(_.group(1).toInt).toSeq
-              .flatMap(walk(_, depth + 1)))
+              .flatMap(walk(_, depth + 1, res)))
         }
-      val viaTree = catalog.map(walk(_, 0)).getOrElse(Seq.empty)
+      val viaTree = catalog.map(walk(_, 0, None)).getOrElse(Seq.empty)
       if (viaTree.nonEmpty) viaTree
       else objs.toSeq.sortBy(_._1).collect {
-        case (num, o) if PageTypeRe.findFirstIn(o.dict).isDefined => num
+        case (num, o) if PageTypeRe.findFirstIn(o.dict).isDefined =>
+          (num, ownResources(o.dict))
       }
     }
-    pageOrder.map { pnum =>
+    pageOrder.map { case (pnum, res) =>
       val dict = objs(pnum).dict
+      val fonts = pageFontMaps(res, objs)
       val contentRefs = "/Contents\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict)
         .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
         .orElse("/Contents\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(dict)
@@ -645,7 +816,7 @@ object Extractors {
         .getOrElse(Seq.empty)
       contentRefs.flatMap(objs.get).map { c =>
         val data = if (c.dict.contains("/FlateDecode")) inflate(c.stream) else c.stream
-        pdfContentText(data)
+        pdfContentText(data, fonts)
       }.filter(_.nonEmpty).mkString("\n")
     }
   }

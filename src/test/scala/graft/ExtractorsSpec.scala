@@ -184,6 +184,45 @@ class ExtractorsSpec extends AnyFunSuite {
     assert(Extractors.pdfPages(corrupted).isEmpty) // no page dicts resolvable
   }
 
+  test("pdf: subset-font ToUnicode CMap — bfchar, bfrange scalar + array, inherited ref resources") {
+    // Glyph codes are ARBITRARY (what an embedded-subset writer emits);
+    // only the CMap gives them meaning. Exercises: multi-unit bfchar
+    // destination (ligature ffi), non-ASCII bfchar (é), scalar bfrange
+    // (0010..0019 → a..j), array bfrange (0020/0021 → X/Y), unmapped
+    // code (0099 → dropped), hex whitespace, TJ arrays, Tf re-select.
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0001> <0053>
+        |<0002> <006600660069>
+        |<0003> <00E9>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0019> <0061>
+        |<0020> <0021> [<0058> <0059>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end end""".stripMargin
+    val content = "BT /F1 12 Tf <000100020003> Tj 0 -14 Td " +
+      "[<0010 0011> -120 <0020> <0099>] TJ ET"
+    val bytes = PdfFixture.mkPdfType0(content, cmap)
+    assert(Extractors.pdfPages(bytes) == Seq("Sffié\nabX"))
+    assert(Extractors.extract("sub.pdf", bytes).contains("[[page1]]Sffié\nabX"))
+    // corrupting the CMap stream must degrade to identity decoding of
+    // that font, never sink the document
+    val corrupted = bytes.clone()
+    val probe = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val cmapAt = probe.indexOf("stream\n", probe.indexOf("8 0 obj")) + "stream\n".length
+    (cmapAt until cmapAt + 4).foreach(i => corrupted(i) = 0x7F)
+    assert(Extractors.pdfPages(corrupted).nonEmpty) // no throw, page present
+  }
+
   test("pdf: blank pages skipped by markers; empty pdf -> None") {
     val bytes = mkPdf(("BT (Visible.) Tj ET", false), ("BT ( ) Tj ET", false))
     // pagesToMarkedText skips blank page texts, 1-based numbering kept

@@ -98,4 +98,41 @@ object PdfFixture {
     "BT /F1 12 Tf 72 720 Td " +
       lines.map(l => s"(${l.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")}) Tj")
         .mkString(" 0 -14 Td ") + " ET"
+
+  /** Single-page PDF with an embedded-subset composite font: the page
+    * INHERITS /Resources from the Pages node (spec inheritance), the
+    * resources dict is a REF, and /F1 is a /Type0 font whose
+    * /ToUnicode CMap stream (Flate) is `cmap`. `content` shows glyph
+    * CODES (hex strings), so extraction only round-trips through the
+    * CMap — the embedded-subset-font shape real-world writers emit. */
+  def mkPdfType0(content: String, cmap: String): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def w(s: String): Unit = out.write(s.getBytes(iso))
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += out.size(); w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 /Resources 6 0 R >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n"))
+    val data = content.getBytes(iso)
+    obj(4) {
+      w(s"<< /Length ${data.length} >>\nstream\n"); out.write(data); w("\nendstream\n")
+    }
+    obj(6)(w("<< /Font << /F1 7 0 R >> >>\n"))
+    obj(7)(w("<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+FakeSubset " +
+      "/Encoding /Identity-H /ToUnicode 8 0 R >>\n"))
+    val cmapData = deflate(cmap.getBytes(iso))
+    obj(8) {
+      w(s"<< /Length ${cmapData.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(cmapData); w("\nendstream\n")
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%%%EOF\n")
+    out.toByteArray
+  }
 }
