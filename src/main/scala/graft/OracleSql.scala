@@ -580,6 +580,17 @@ object OracleSql {
         | WHERE length(trim(substring(text, CAST((i-1)*200 + 1 AS INT), 200), E' \t\n\r\x0B\x0C')) > 0
         |) GROUP BY doc_id""".stripMargin,
 
+    // Gate-is-oracle: the real-weights pipeline's structural
+    // invariants (corpus size, dim, unit norm, exact top-1
+    // self-retrieval) — the vectors themselves are the checkpoint's
+    // business, the CONTRACT is SQL-replayable.
+    "embed_real" ->
+      """SELECT doc_id AS query_doc_id,
+        | (SELECT count(*) FROM documents WHERE doc_id % 25 = 0) AS n_corpus,
+        | TRUE AS dim_ok, TRUE AS unit_norm_ok,
+        | 1.0 AS top1_sim, TRUE AS top1_exact
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
+
     "embed_chunks" ->
       """SELECT doc_id, i - 1 AS chunk_ordinal,
         | CAST(64 AS BIGINT) AS vec_dim, 1.0 AS vec_norm

@@ -334,6 +334,60 @@ object Queries {
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("vec_norm"))
   }
 
+  /** REAL-WEIGHTS embedding pipeline, end to end (gate-is-oracle): a
+    * GRTF transformer checkpoint (2 layers, hidden 32, deterministic
+    * seed) + a corpus-derived WordPiece vocab are materialized once
+    * per JVM, the corpus slice (doc_id %25 = 0) embeds through the
+    * pure-JVM BERT forward pass on EXECUTORS ([[graft.embed
+    * .OnnxEmbedder]] mapPartitions, executor-local session cache —
+    * the production shape, reference embedding_models.py:54-131), and
+    * each query doc (doc_id %100 = 0) searches the built index with
+    * its own text. The gate pins the structural invariants the oracle
+    * replays: corpus size, dimension, unit norm (≤1e-4 deviation),
+    * and EXACT top-1 self-retrieval (identical text ⇒ identical
+    * deterministic vector ⇒ 6-dp cosine exactly 1.0). */
+  def embedReal(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents")
+      .filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+    val modelDir = cachedIndexDir("grtf_model", dir) { tmp =>
+      // vocabulary OF the corpus slice (sorted = deterministic ids);
+      // the collect is bounded by the slice's distinct-token count
+      val toks = corpus
+        .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0).distinct()
+        .orderBy(col("t")).collect().map(_.getString(0))
+      val lines = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ toks
+      val w = new java.io.PrintWriter(
+        java.nio.file.Paths.get(tmp, "vocab.txt").toFile, "UTF-8")
+      try lines.foreach(w.println) finally w.close()
+      graft.embed.TransformerCheckpoint.write(
+        java.nio.file.Paths.get(tmp, "model.bin"),
+        graft.embed.TransformerCheckpoint.syntheticWeights(
+          vocabSize = lines.length, hidden = 32, heads = 4, maxPos = 128,
+          intermediate = 64, layers = 2, seed = 0x5EEDL))
+    }
+    val e = graft.embed.OnnxEmbedder(modelDir, dim = 32, batchSize = 8,
+      maxSeqLen = 128, provider = graft.embed.TransformerSessionProvider)
+    val vecs = e.embed(corpus, "text").select(col("doc_id"), col("vector"))
+      .localCheckpoint(true) // embed once; consumed by stats + search
+    val stats = vecs.agg(
+      count(lit(1)).as("n_corpus"),
+      max(when(size(col("vector")) =!= 32, 1).otherwise(0)).as("bad_dim"),
+      round(max(abs(sqrt(aggregate(col("vector"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))) - 1.0d)), 4)
+        .as("norm_dev"))
+    val queries = vecs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("vector").as("qv"))
+    SimilaritySearch.bruteForceTopKBatchAgg(
+        vecs, "doc_id", "vector", queries, "query_id", "qv", k = 1)
+      .select(col("query_id").as("query_doc_id"), r6(col("cosine")).as("top1_sim"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_doc_id"), col("n_corpus"),
+        (col("bad_dim") === 0).as("dim_ok"),
+        (col("norm_dev") < 0.0001).as("unit_norm_ok"),
+        col("top1_sim"), (col("top1_sim") === 1.0d).as("top1_exact"))
+  }
+
   /** Demo WordPiece vocab over the corpus vocabulary (ids = line
     * numbers, the vocab.txt contract): whole words for most of the
     * corpus, "spark" decomposes to sp + ##ark, and "big"/"dup" are
@@ -3320,6 +3374,7 @@ object Queries {
     "rag_prompt" -> ragPrompt _,
     "chunk_counts" -> chunkCounts _,
     "embed_chunks" -> embedChunks _,
+    "embed_real" -> embedReal _,
     "wordpiece_ids" -> wordpieceIds _,
     "citation_agg" -> citationAgg _,
     "page_ranges" -> pageRanges _,

@@ -870,6 +870,32 @@ object ScaleProbe {
       }
       lb.unpersist()
     }
+    // TransformerSession throughput: tokens/sec per (model size, batch)
+    // — the JVM analogue of the reference's per-model batch-size table
+    // (utilities_core.py:162-180). Single-session numbers; the Spark
+    // mapPartitions path multiplies by cores (one session per
+    // executor-thread partition).
+    if (on("grtf")) {
+      import graft.embed.{TransformerCheckpoint, TransformerSession}
+      val seqLen = 128
+      for ((hidden, layers, inter) <- Seq((32, 2, 64), (64, 4, 256), (128, 4, 512))) {
+        val sess = new TransformerSession(TransformerCheckpoint.syntheticWeights(
+          vocabSize = 1000, hidden = hidden, heads = 4, maxPos = seqLen,
+          intermediate = inter, layers = layers, seed = 7L))
+        for (batch <- Seq(1, 8, 32)) {
+          val ids = Array.fill(batch)(Array.tabulate(seqLen)(i => (i % 996 + 4).toLong))
+          val mask = Array.fill(batch)(Array.fill(seqLen)(1L))
+          sess.run(ids, mask) // warm
+          val reps = math.max(1, 64 / batch)
+          val t0 = System.nanoTime()
+          (1 to reps).foreach(_ => sess.run(ids, mask))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val toks = reps.toLong * batch * seqLen
+          println(f"[probe] grtf h$hidden%-3d L$layers batch=$batch%-2d " +
+            f"${toks / sec}%9.0f tok/s (${toks / sec * 32}%9.0f tok/s @32 cores)")
+        }
+      }
+    }
     spark.stop()
   }
 }
