@@ -33,13 +33,26 @@ object SkewReport {
 /** Skew mitigation for shuffle joins and aggregations: salt the skewed
   * (large) side's key into `factor` sub-keys and replicate the small
   * side across all salt values, so one hot key's rows spread over
-  * `factor` reducers instead of one straggler task. AQE's skew-join
-  * handles sort-merge skew adaptively; explicit salting remains the
-  * tool when (a) the join is hash-based, (b) the skew is extreme
-  * enough that even split SMJ partitions straggle, or (c) the skewed
-  * stage is an aggregation with large per-key state (collect/distinct)
-  * that map-side partial aggregation cannot compact. The salt is
-  * `pmod(xxhash64(spreadCols), factor)` — a pure function of row
+  * `factor` reducers instead of one straggler task.
+  *
+  * DEFAULT RECOMMENDATION (round-9 A/B, `ScaleProbe <n> skew`,
+  * BASELINE.md): for shuffle JOINS on Spark 4, prefer AQE's skew-join
+  * over [[saltedJoin]] — at a 50%-hot key over 4M/8M rows the AQE
+  * plan beat plain SMJ 1.9-2.1× while salting managed 1.4-1.6×
+  * (salting pays the `factor`-fold replication of the small side; AQE
+  * splits only the oversized partitions and co-reads the matching
+  * build side for free). Mind the trigger: AQE only splits partitions
+  * over `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`
+  * (256MB default — right for clusters, far above local-test sizes).
+  *
+  * Explicit salting remains the tool when (a) the skewed stage is an
+  * AGGREGATION with large per-key state (collect_set/distinct) that
+  * map-side partial aggregation cannot compact — AQE never splits a
+  * skewed GROUP, [[saltedAgg]]'s two-phase merge is the only spread;
+  * (b) the join is shuffled-hash (AQE skew handling targets SMJ);
+  * (c) one key is so hot that even a split partition's SORT straggles
+  * and you want a deterministic spread keyed on row content. The salt
+  * is `pmod(xxhash64(spreadCols), factor)` — a pure function of row
   * content, so task retries and recomputed partitions salt
   * identically (a `rand()` salt would not). */
 object Salting {

@@ -870,6 +870,47 @@ object ScaleProbe {
       }
       lb.unpersist()
     }
+    // AQE skew-join vs explicit salting, A/B at a 50%-hot key: the
+    // round-9 question "does Spark 4 AQE obsolete saltedJoin?".
+    // Sort-merge forced (broadcast would hide the skew entirely);
+    // the AQE skew threshold is lowered to 8MB so the optimization
+    // can fire at probe scale (default 256MB targets real clusters).
+    if (on("skew")) {
+      val nKeys = 10000L
+      val large = spark.range(n).select(
+          when(col("id") % 2 === 0, 0L)
+            .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("k"),
+          col("id").as("payload"))
+        .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+      val small = spark.range(nKeys).select(col("id").as("k"),
+        (col("id") * 7).as("v")).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] skew corpus: large=${large.count()} (50% on key 0), small=${small.count()}")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(label: String)(setup: => Unit): Unit = {
+        setup
+        time(label) {
+          println("  [skew] rows=" + large.join(small, Seq("k")).count())
+        }
+      }
+      run("SMJ join, AQE off") {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      }
+      run("SMJ join, AQE skew-join on (8MB thr)") {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      time("saltedJoin factor 16 (AQE off)") {
+        println("  [skew] rows=" + graft.ops.Salting.saltedJoin(
+          large, small, "k", factor = 16, spreadCols = Seq("payload")).count())
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      large.unpersist(); small.unpersist()
+    }
     // TransformerSession throughput: tokens/sec per (model size, batch)
     // — the JVM analogue of the reference's per-model batch-size table
     // (utilities_core.py:162-180). Single-session numbers; the Spark
