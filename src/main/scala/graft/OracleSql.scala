@@ -499,7 +499,7 @@ object OracleSql {
         | s AS (SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid, b.label AS blabel,
         |        list_cosine_similarity(a.e, b.e) AS c
         |       FROM v a JOIN v b ON a.vec_id <> b.vec_id
-        |       WHERE a.vec_id % 4 = 0),
+        |       WHERE a.vec_id % 4 = 0 AND a.vec_id < 2000),
         | kn AS (SELECT aid, alabel, blabel FROM (
         |         SELECT aid, alabel, blabel,
         |          row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
@@ -1612,13 +1612,15 @@ object OracleSql {
         |SELECT doc_id, i AS frame_index, CAST(least(256, bl - i*256) AS BIGINT) AS frame_len
         |FROM (SELECT doc_id, bl, unnest(generate_series(0, nf - 1, 2)) AS i FROM f)""".stripMargin,
 
-    // SemDeDup: the kmeans_clusters assignment replay (identical k=4 x
-    // 2-iteration exact-snapped trajectory) + within-cell min-id greedy
+    // SemDeDup: the kmeans_clusters assignment replay (identical
+    // corpus-scaled-k x 2-iteration exact-snapped trajectory; k =
+    // greatest(4, n/512) = 4 at sf<=0.1) + within-cell min-id greedy
     // survivor at cosine >= 0.4.
     "semantic_dedup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
-        |        FROM v ORDER BY vec_id LIMIT 4),
+        |        FROM v ORDER BY vec_id
+        |        LIMIT (SELECT greatest(4, count(*) // 512) FROM v)),
         | d1 AS (SELECT v.vec_id, c.cl,
         |         list_sum(list_transform(generate_series(1, 64),
         |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
@@ -2817,7 +2819,7 @@ object OracleSql {
         | v AS (SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
         |       FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b),
         | p AS MATERIALIZED (SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (s_a + s_b - i), 6) AS jaccard
-        |      FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2),
+        |      FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2 AND id_a < 1000),
         | anch AS (SELECT DISTINCT id_a FROM p),
         | excl AS MATERIALIZED (SELECT id_a AS a, id_b AS x FROM p
         |         UNION SELECT id_b, id_a FROM p UNION SELECT id_a, id_a FROM p),

