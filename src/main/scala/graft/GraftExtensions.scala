@@ -72,5 +72,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "nfc_normalize", es => graft.functions.NfcNormalize(es(0)))
     inject(e, "deflate_length", es => graft.functions.DeflateLength(es(0),
       if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else -1))
+    // graft_search(db, query[, k, threshold, term, types]) — the full
+    // O2→O4→P4-P6 search chain as a TABLE-VALUED function: a pure-SQL
+    // session (`--conf spark.sql.extensions=graft.GraftExtensions`)
+    // runs the same plan VectorSearch.search builds, no driver code.
+    // Arguments are foldable literals, evaluated once at analysis time
+    // (the same contract as the pattern lists above).
+    e.injectTableFunction((FunctionIdentifier("graft_search"),
+      info("graft_search"),
+      (es: Seq[Expression]) => {
+        def str(i: Int): String = es(i).eval().toString
+        // SQL numeric literals arrive as Decimal (0.4), Integer (6) or
+        // Double (0.4D) — normalize all three
+        def num(i: Int): Double = es(i).eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+          case other => other.toString.toDouble
+        }
+        val opts = graft.search.SearchOptions(
+          k = if (es.length > 2) num(2).toInt
+          else graft.search.SearchOptions.DefaultK,
+          scoreThreshold = if (es.length > 3) num(3)
+          else graft.search.SearchOptions.DefaultThreshold,
+          searchTerm = if (es.length > 4) str(4) else "",
+          documentTypes = if (es.length > 5) str(5) else "")
+        graft.search.VectorSearch.searchSql(
+          org.apache.spark.sql.SparkSession.active, str(0), str(1), opts)
+          .queryExecution.logical
+      }))
   }
 }

@@ -137,6 +137,35 @@ object VectorSearch {
     searchChunks(VectorStore.chunks(spark, dbDir), qv, metric, opts)
   }
 
+  /** The O2→O4→P4-P6 chain for PURE-SQL users — the plan behind the
+    * `graft_search(db, query[, k, threshold, term, types])`
+    * table-valued function that [[graft.GraftExtensions]] registers:
+    *
+    * {{{
+    *   SELECT id, text, distance, similarity_score
+    *   FROM graft_search('/data/db', 'what is spark', 6, 0.4)
+    * }}}
+    *
+    * The embedder is resolved FROM the manifest's model tag, so the
+    * SQL caller never touches driver code: the deterministic embedder
+    * family resolves directly; model-path embedders (ONNX/GRTF) carry
+    * state a SQL literal cannot, so those databases answer SQL search
+    * through a registered view over a programmatic search instead —
+    * the error says exactly that. Everything downstream of the query
+    * vector IS the standard chain, bit-identical to [[search]]. */
+  def searchSql(spark: SparkSession, dbDir: String, query: String,
+      opts: SearchOptions = SearchOptions()): DataFrame = {
+    val m = VectorStore.readManifest(dbDir)
+    val embedder: Embedder =
+      if (m.model.toLowerCase.contains("det"))
+        graft.embed.DeterministicEmbedder(m.dimensions)
+      else throw new IllegalArgumentException(
+        s"graft_search: manifest model '${m.model}' needs a programmatic " +
+          "Embedder (e.g. OnnxEmbedder with its model path); register a " +
+          "view over VectorSearch.search(...) for SQL access to this db")
+    search(spark, dbDir, query, embedder, opts)
+  }
+
   /** Batched multi-query search (the scale path: N queries × M
     * chunks) — DEFAULT physical shape is the bounded-heap aggregate
     * ([[searchBatchAgg]]): map-side partials prune each partition to k

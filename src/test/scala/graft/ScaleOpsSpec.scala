@@ -426,6 +426,42 @@ class ScaleOpsSpec extends SparkSpec {
           | ('a'), ('b'), ('a') AS t(w)""".stripMargin)
         .selectExpr("size(s)").head
       assert(kmv.getInt(0) == 2)
+
+      // graft_search TVF: the whole O2→O4→P4-P6 chain from pure SQL,
+      // equal to the programmatic VectorSearch.search row for row
+      val dbDir = java.nio.file.Files.createTempDirectory("graft_sql_db").toString
+      val emb = graft.embed.DeterministicEmbedder(dim = 16)
+      import s2.implicits._
+      val texts = (1L to 40L).map(i =>
+        (i, s"chunk text number $i about topic ${i % 7}",
+          s"/f$i.txt", ".txt", s"f$i.txt", "2026-01-01", "2026-01-01",
+          s"h$i", "document", Option.empty[Int]))
+        .toDF("id", "text", "file_path", "file_type", "file_name",
+          "creation_date", "modification_date", "hash", "document_type",
+          "page_number")
+      emb.embed(texts, "text")
+        .select("id", "text", "vector", "file_path", "file_type",
+          "file_name", "creation_date", "modification_date", "hash",
+          "document_type", "page_number")
+        .write.parquet(s"$dbDir/chunks")
+      graft.store.VectorStore.writeManifest(dbDir,
+        graft.model.DbManifest("cosine", 16, "float32",
+          "DeterministicEmbedder", 40, 0))
+      val sqlRows = s2.sql(
+        s"""SELECT id, round(distance, 6) AS d, round(similarity_score, 6) AS s
+           |FROM graft_search('$dbDir', 'topic 3 text', 5, 0.0)""".stripMargin)
+        .as[(Long, Double, Double)].collect().toSeq
+      val apiRows = graft.search.VectorSearch.search(s2, dbDir,
+          "topic 3 text", emb, graft.search.SearchOptions(k = 5, scoreThreshold = 0.0))
+        .selectExpr("id", "round(distance, 6)", "round(similarity_score, 6)")
+        .as[(Long, Double, Double)].collect().toSeq
+      assert(sqlRows == apiRows && sqlRows.size == 5)
+      // post-filters ride through the TVF arguments (P4/P5)
+      val filtered = s2.sql(
+        s"""SELECT id FROM graft_search('$dbDir', 'topic 3 text', 5, 0.0,
+           | 'number 3')""".stripMargin).as[Long].collect().toSeq
+      assert(filtered.nonEmpty &&
+        filtered.toSet.subsetOf(sqlRows.map(_._1).toSet))
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }

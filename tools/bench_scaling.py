@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Generate BENCH_SCALING.md from two bench artifacts.
+
+Usage: python3 tools/bench_scaling.py [bench_results/bench_sf0.1.json] \
+           [bench_results/bench_sf1.json] [data_factor=10]
+
+Reads the per-query JSON the graft.Bench main persists, computes the
+per-query wall ratio between the two scale factors, and writes a
+markdown report flagging anything super-linear (ratio > data factor).
+Driver-side tooling (like compare_oracle.py) — not part of the Scala
+library.
+"""
+import json
+import statistics
+import sys
+
+lo_path = sys.argv[1] if len(sys.argv) > 1 else "bench_results/bench_sf0.1.json"
+hi_path = sys.argv[2] if len(sys.argv) > 2 else "bench_results/bench_sf1.json"
+factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+
+lo = json.load(open(lo_path))
+hi = json.load(open(hi_path))
+ql, qh = lo["queries"], hi["queries"]
+
+rows = []
+for k in sorted(qh):
+    a, b = ql.get(k), qh.get(k)
+    if a is None or a <= 0 or b is None or b < 0:
+        continue
+    rows.append((b / a, a, b, k))
+rows.sort(reverse=True)
+
+failed = {k: v for k, v in qh.items() if v < 0}
+ratios = [r[0] for r in rows]
+med = statistics.median(ratios)
+super_linear = [r for r in rows if r[0] > factor]
+
+out = []
+out.append("# BENCH_SCALING — sf0.1 vs sf1 (data ×%g)\n" % factor)
+out.append("Artifacts: `%s` (total %.1f s) vs `%s` (total %.1f s).\n"
+           % (lo_path, lo["value"], hi_path, hi["value"]))
+out.append("Protocol: lo %s · hi %s\n" % (lo["protocol"], hi["protocol"]))
+out.append("")
+out.append("- queries compared: **%d**; failed/timeout at sf1: **%d** %s"
+           % (len(rows), len(failed), sorted(failed) if failed else ""))
+out.append("- median wall ratio: **%.2f×** at %g× data "
+           "(sub-linear: local[32] parallel headroom absorbs the growth)" % (med, factor))
+out.append("- super-linear (> %g×): **%d**\n" % (factor, len(super_linear)))
+out.append("## Super-linear queries (the worklist)\n")
+out.append("| query | sf0.1 s | sf1 s | ratio |")
+out.append("|---|---|---|---|")
+for r, a, b, k in super_linear:
+    out.append("| %s | %.2f | %.2f | %.1f× |" % (k, a, b, r))
+out.append("")
+out.append("## Full per-query table (ratio desc)\n")
+out.append("| query | sf0.1 s | sf1 s | ratio |")
+out.append("|---|---|---|---|")
+for r, a, b, k in rows:
+    out.append("| %s | %.3f | %.3f | %.1f× |" % (k, a, b, r))
+out.append("")
+
+open("BENCH_SCALING.md", "w").write("\n".join(out) + "\n")
+print("wrote BENCH_SCALING.md: %d queries, median %.2fx, %d super-linear"
+      % (len(rows), med, len(super_linear)))
