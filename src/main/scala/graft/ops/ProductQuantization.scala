@@ -286,6 +286,84 @@ object ProductQuantization {
     ivfPqTopK(encoded, raw, idCol, vecCol, model, query, k, nProbe, candidates)
   }
 
+  /** Per-cell attribute-count sidecar for the stored [[ivfPqWrite]]
+    * layout — the IVF-PQ twin of
+    * [[SimilaritySearch.ivfWriteStats]]. The codes store carries only
+    * (id, pq_code, bucket), so attributes join in from the caller's
+    * table once at build time; the sidecar then answers FILTERED
+    * queries' per-cell count pass without opening a single code file.
+    * INVALIDATED (deleted) by [[ivfPqUpsert]]/[[ivfPqRemove]] — codes
+    * alone cannot refresh attribute counts — re-run after maintenance
+    * (the write is one slim join + grouped count). */
+  def ivfPqWriteStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+      attrs: DataFrame, idCol: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "ivfPqWriteStats needs at least one column")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col(idCol), col("bucket").cast("long").as("bucket"))
+    val joined = codes.join(
+      attrs.select((idCol +: statsCols).map(col): _*), Seq(idCol))
+    statsCols.map { c =>
+      joined.groupBy(col("bucket"), col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("col_name", lit(c))
+        .select("bucket", "col_name", "value", "cnt")
+    }.reduce(_ unionByName _)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Filtered ANN over the stored IVF-PQ layout: cell ranking is
+    * driver arithmetic on the model, the per-cell filtered-count pass
+    * is a LOOKUP in the [[ivfPqWriteStats]] sidecar (probe sizing =
+    * the shared [[SimilaritySearch.probePrefix]] doubling, so the
+    * probe set is deterministic), the codes scan reads ONLY probed
+    * cell partitions semi-joined against the predicate's surviving
+    * ids (one column-pruned scan of the attribute table), and the
+    * exact rerank runs on the filtered candidates. Returns
+    * min(k, filtered rows in the probed cells) rows. */
+  def ivfPqTopKFilteredStored(spark: org.apache.spark.sql.SparkSession,
+      dir: String, raw: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, statsCol: String, statsValue: String,
+      nProbeInit: Int = 4, candidates: Int = 200): DataFrame = {
+    val model = readModel(dir)
+    val ranked: Seq[Long] = model.coarse.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var nc = 0.0; var nq = 0.0
+      var d = 0
+      while (d < model.dim) {
+        dot += c(d) * query(d); nc += c(d) * c(d); nq += query(d) * query(d); d += 1
+      }
+      val sim = if (nc == 0 || nq == 0) 0.0 else dot / math.sqrt(nc * nq)
+      (BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i)
+    }.sortBy { case (sim, i) => (-sim, i) }.map(_._2.toLong)
+    val fc = spark.read.parquet(s"$dir/stats")
+      .filter(col("col_name") === statsCol && col("value") === statsValue)
+      .select(col("bucket").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = SimilaritySearch.probePrefix(ranked, fc, k, nProbeInit)
+      .map(_.toInt)
+    val pass = raw.filter(col(statsCol).cast("string") === statsValue)
+      .select(col(idCol))
+    val cents = model.centroidFrame(spark)
+      .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
+    val q = lit(query)
+    val approx = spark.read.parquet(s"$dir/codes")
+      .withColumn("bucket", col("bucket").cast("int"))
+      .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
+      .join(pass, Seq(idCol), "left_semi")
+      .join(broadcast(cents), "bucket")
+      .withColumn("approx_cosine", round(VectorFunctions.cosineSimilarity(
+        zip_with(col("centroid"),
+          PqFunctions.pqDecode(col("pq_code"), model.cb.kernel),
+          (c, r) => c + r), q), 6))
+      .select(col(idCol), col("approx_cosine"))
+      .orderBy(col("approx_cosine").desc, col(idCol).asc)
+      .limit(math.max(candidates, k))
+    broadcast(approx).join(raw.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col(vecCol), q))
+      .select(col(idCol), col("cosine"), col("approx_cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Incremental upsert into an [[ivfPqWrite]] layout — index
     * maintenance without a full rebuild. Rows whose id exists are
     * REPLACED (including vectors whose new embedding lands in a
@@ -297,7 +375,9 @@ object ProductQuantization {
     * old copies found via a column-pruned (id, cell) scan + broadcast
     * semi-join, survivors + new rows rewritten via dynamic partition
     * overwrite, cells emptied by a move have their partition dir
-    * dropped. Single-writer contract, like the build. */
+    * dropped. Single-writer contract, like the build. An
+    * [[ivfPqWriteStats]] sidecar, if present, is DELETED (it cannot
+    * be refreshed from codes alone) — rebuild it after maintenance. */
   def ivfPqUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
     val codesPath = s"$dir/codes"
@@ -333,6 +413,7 @@ object ProductQuantization {
     touched.filterNot(kept).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/bucket=$b"), true)
     }
+    invalidateStats(fs, dir)
   }
 
   /** Deletion maintenance for the stored layout — [[ivfPqUpsert]]'s
@@ -372,6 +453,16 @@ object ProductQuantization {
     touched.filterNot(kept).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/bucket=$b"), true)
     }
+    invalidateStats(fs, dir)
+  }
+
+  /** A stats sidecar cannot be refreshed from codes alone (attributes
+    * live outside the layout) — maintenance deletes it so a stale
+    * sidecar can never under-size a filtered probe. */
+  private def invalidateStats(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    if (fs.exists(p)) fs.delete(p, true): Unit
   }
 
   /** Compact an [[ivfPqWrite]] layout after repeated upserts (each

@@ -109,6 +109,50 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected partition filters on bucket in:\n$scanText")
   }
 
+  test("stored filtered IVF-PQ: sidecar-sized probe == predicate ground truth; maintenance invalidates stats") {
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(8)(d =>
+        (if (d == c * 2) 1.0f else 0.0f) + (math.sin(i * 1.7 + d) * 0.05).toFloat),
+        (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val model = ops.ProductQuantization.ivfPqTrain(vecs, "vec_id", "embedding",
+      dim = 8, kCoarse = 4, m = 4, ksub = 8, coarseIters = 3, pqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_filt").toString
+    ops.ProductQuantization.ivfPqWrite(vecs, dir, "vec_id", "embedding", model)
+    ops.ProductQuantization.ivfPqWriteStats(spark, dir, vecs, "vec_id", Seq("label"))
+
+    val q = Array.tabulate(8)(d => if (d == 2) 1.0 else 0.0)
+    val got = ops.ProductQuantization.ivfPqTopKFilteredStored(spark, dir, vecs,
+      "vec_id", "embedding", q, k = 5, "label", "1",
+      nProbeInit = 1, candidates = 200)
+    // k results, every one passing the predicate, exact-reranked:
+    // with a full candidate pool the result equals brute force over
+    // the probed cells' label-1 rows — cross-check top-1 discipline
+    val rows = got.select("vec_id").as[Long].collect().toSeq
+    assert(rows.size == 5)
+    val labels = vecs.filter($"vec_id".isin(rows: _*)).select("label")
+      .as[Int].collect().toSet
+    assert(labels == Set(1))
+    // scan pruning on the codes store
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected partition filters on bucket in:\n$plan")
+    // maintenance invalidates the sidecar (stale counts could
+    // under-size a probe); rebuild restores it
+    ops.ProductQuantization.ivfPqRemove(spark, dir,
+      Seq(0L, 1L).toDF("vec_id"), "vec_id")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "stats")))
+    ops.ProductQuantization.ivfPqWriteStats(spark, dir,
+      vecs.filter($"vec_id" >= 2), "vec_id", Seq("label"))
+    val after = ops.ProductQuantization.ivfPqTopKFilteredStored(spark, dir,
+      vecs.filter($"vec_id" >= 2), "vec_id", "embedding", q, k = 5,
+      "label", "1", nProbeInit = 1, candidates = 200)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(after.size == 5 && !after.contains(1L))
+  }
+
   test("IVF-PQ sidecar: stage-1 scan partition-pruned; full pool == exact search chain") {
     val rnd = new scala.util.Random(11)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_db").toString
