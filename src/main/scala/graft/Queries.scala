@@ -696,15 +696,29 @@ object Queries {
   val EmbBucketBandBits = 4
 
   /** The scale path for embedding near-dup: banded sign-LSH candidates
-    * (8 bands × 4 plane-sign bits — equi-join buckets, never all-pairs)
-    * + exact cosine verification. The oracle replays the identical
-    * deterministic plane matrix, so the pair set matches bit for bit;
-    * vs the all-pairs query it is a ~75%-recall subset at this low 0.4
-    * threshold (≥97% at real near-dup thresholds ≥0.8). */
-  def dedupEmbeddingBucketed(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupsBucketed(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, numPlanes = EmbBucketPlanes, bandBits = EmbBucketBandBits)
+    * (equi-join buckets, never all-pairs) + exact cosine verification.
+    * The oracle replays the identical deterministic plane matrix, so
+    * the pair set matches bit for bit; vs the all-pairs query it is a
+    * ~75%-recall subset at this low 0.4 threshold (≥97% at real
+    * near-dup thresholds ≥0.8).
+    *
+    * BAND WIDTH SCALES WITH THE CORPUS: a fixed 4-bit band has only
+    * 16 possible keys, so buckets — and the within-bucket pair join —
+    * grow quadratically with rows (the sf1 bench measured 80× at 10×
+    * data). Widening bands as the corpus grows keeps the expected
+    * bucket ~n/2^bits bounded; 4 bits at n ≤ 4096 keeps the sf0.01
+    * oracle replay byte-identical (the vacuous-at-verify discipline).
+    * Wider bands trade a little recall per band for boundedness —
+    * the documented LSH banding lever. */
+  def dedupEmbeddingBucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val n = e.count()
+    val bits = if (n <= 4096L) EmbBucketBandBits
+      else if (n <= 262144L) 8 else 16 // 32 planes divisible by all
+    Dedup.embeddingNearDupsBucketed(e, "vec_id", "embedding",
+        threshold = 0.4, numPlanes = EmbBucketPlanes, bandBits = bits)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
+  }
 
   /** Int8-quantized two-stage search: top-50 by cosine against the
     * per-dimension affine int8 reconstruction (the 4×-cheaper scan a
