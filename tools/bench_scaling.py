@@ -52,6 +52,28 @@ out.append("|---|---|---|---|")
 for r, a, b, k in super_linear:
     out.append("| %s | %.2f | %.2f | %.1f× |" % (k, a, b, r))
 out.append("")
+out.append("### Reading the super-linear list\n")
+out.append("""\
+- **By-design quadratic oracle twins.** `knn_label_accuracy` (exact
+  N-squared leave-one-out) and `dedup_embedding` (all-pairs) exist as the
+  naive references their scale paths are verified against —
+  `knn_label_accuracy_sampled` (bounded anchor panel) and
+  `dedup_embedding_bucketed` (corpus-scaled LSH bands) are the documented
+  at-scale defaults and must stay ~linear here.
+- **Output-driven growth.** The sf1 corpus replicates documents and
+  embeddings VERBATIM (ScaleData, deliberately the dedup worst case):
+  every row gains 9 exact duplicates, so pair-listing outputs grow
+  ~C(10,2) = 45-fold by construction. A pair query's cost follows its
+  output, not its input.
+- **Amdahl floor.** Queries under ~0.5 s at sf0.1 are dominated by fixed
+  plan/setup cost, so their ratio overstates the data term; judge the
+  absolute sf1 seconds for those.
+- **One-time index builds** (`bm25_indexed`, `dedup_incremental`) pay
+  their build inside the timing; amortized cost per query is the read
+  path, which is bounded. `contrastive_pairs` is alphabetically the
+  FIRST consumer of the shared per-JVM near-dup pair graph, so the
+  whole dedup family's one-time pair-graph build lands in its number.
+""")
 out.append("## Full per-query table (ratio desc)\n")
 out.append("| query | sf0.1 s | sf1 s | ratio |")
 out.append("|---|---|---|---|")
