@@ -70,9 +70,10 @@ out.append("""\
   absolute sf1 seconds for those.
 - **One-time index builds** (`bm25_indexed`, `dedup_incremental`) pay
   their build inside the timing; amortized cost per query is the read
-  path, which is bounded. `contrastive_pairs` is alphabetically the
-  FIRST consumer of the shared per-JVM near-dup pair graph, so the
-  whole dedup family's one-time pair-graph build lands in its number.
+  path, which is bounded. Shared per-JVM caches land in their first
+  alphabetical consumer: `contrastive_pairs` fronts the near-dup pair
+  graph for the whole dedup family, `decontaminate_spans` the
+  positional 5-gram table for the span family.
 """)
 out.append("## Full per-query table (ratio desc)\n")
 out.append("| query | sf0.1 s | sf1 s | ratio |")
