@@ -61,11 +61,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // Single worker thread reused across queries: the Future is only a
-    // deadline handle; execution parallelism stays inside Spark.
-    val pool = Executors.newFixedThreadPool(1)
+    // Fresh single worker thread PER QUERY (daemon): the Future is only
+    // a deadline handle — execution parallelism stays inside Spark —
+    // and a timed-out task that ignores interrupt (non-interruptible
+    // IO) must not keep the pool thread hostage and queue every later
+    // query behind it, recording bogus sentinels for healthy queries.
     def timedRun(name: String): Double = {
       val fn = SparkEntry.queries(name)
+      val pool = Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, s"bench-$name"); t.setDaemon(true); t
+      })
       val t0 = System.nanoTime()
       val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
@@ -91,16 +96,21 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      pool.shutdownNow(): Unit // abandoned if the task ignored interrupt
       if (status == 0) dt else status.toDouble
     }
     val results = names.map { name =>
-      val samples = (1 to runs).map(_ => timedRun(name))
-      // A timeout poisons the remaining runs' budget too — report the
-      // first sentinel rather than retrying a known-over-budget query.
+      // Short-circuit after the first timeout: re-running a
+      // known-over-budget query would burn another full timeout per
+      // remaining sample for a number we already know is -2.
+      val samples = scala.collection.mutable.ArrayBuffer[Double]()
+      var run = 0
+      while (run < runs && !samples.lastOption.contains(-2.0)) {
+        samples += timedRun(name); run += 1
+      }
       name -> (if (samples.exists(_ >= 0)) samples.filter(_ >= 0).min
                else samples.head)
     }
-    pool.shutdownNow(): Unit
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -806,9 +806,13 @@ object Extractors {
           (num, ownResources(o.dict))
       }
     }
+    // pages overwhelmingly INHERIT one /Resources dict (shared subset
+    // fonts), so the CMap inflate+parse runs once per distinct
+    // resources source, not once per page
+    val fontCache = scala.collection.mutable.HashMap.empty[Option[String], Map[String, FontMap]]
     pageOrder.map { case (pnum, res) =>
       val dict = objs(pnum).dict
-      val fonts = pageFontMaps(res, objs)
+      val fonts = fontCache.getOrElseUpdate(res, pageFontMaps(res, objs))
       val contentRefs = "/Contents\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict)
         .map(m => RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
         .orElse("/Contents\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(dict)

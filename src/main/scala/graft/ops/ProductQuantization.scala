@@ -302,13 +302,9 @@ object ProductQuantization {
       .select(col(idCol), col("bucket").cast("long").as("bucket"))
     val joined = codes.join(
       attrs.select((idCol +: statsCols).map(col): _*), Seq(idCol))
-    statsCols.map { c =>
-      joined.groupBy(col("bucket"), col(c).cast("string").as("value"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("col_name", lit(c))
-        .select("bucket", "col_name", "value", "cnt")
-    }.reduce(_ unionByName _)
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
+    // one sidecar schema + writer, shared with the IVF layout
+    SimilaritySearch.writeStatsRows(spark, dir,
+      SimilaritySearch.bucketStats(joined, statsCols))
   }
 
   /** Filtered ANN over the stored IVF-PQ layout: cell ranking is
@@ -334,10 +330,7 @@ object ProductQuantization {
       val sim = if (nc == 0 || nq == 0) 0.0 else dot / math.sqrt(nc * nq)
       (BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i)
     }.sortBy { case (sim, i) => (-sim, i) }.map(_._2.toLong)
-    val fc = spark.read.parquet(s"$dir/stats")
-      .filter(col("col_name") === statsCol && col("value") === statsValue)
-      .select(col("bucket").cast("long"), col("cnt").cast("long"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fc = SimilaritySearch.readStatsCounts(spark, dir, statsCol, statsValue)
     val probed = SimilaritySearch.probePrefix(ranked, fc, k, nProbeInit)
       .map(_.toInt)
     val pass = raw.filter(col(statsCol).cast("string") === statsValue)
@@ -381,6 +374,13 @@ object ProductQuantization {
   def ivfPqUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
     val codesPath = s"$dir/codes"
+    // invalidate the stats sidecar BEFORE touching codes: a crash
+    // between a codes rewrite and a late invalidation would leave
+    // stale counts that under-size filtered probes — the exact
+    // failure invalidation exists to prevent. Worst case of the early
+    // delete is a missing sidecar (rebuild), never a wrong one.
+    invalidateStats(org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(codesPath), spark.sparkContext.hadoopConfiguration), dir)
     val model = readModel(dir)
     val newE = ivfPqEncode(newVecs, idCol, vecCol, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -413,7 +413,6 @@ object ProductQuantization {
     touched.filterNot(kept).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/bucket=$b"), true)
     }
-    invalidateStats(fs, dir)
   }
 
   /** Deletion maintenance for the stored layout — [[ivfPqUpsert]]'s
@@ -437,6 +436,9 @@ object ProductQuantization {
       .select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return
+    // invalidate BEFORE the rewrite — see ivfPqUpsert
+    invalidateStats(org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(codesPath), spark.sparkContext.hadoopConfiguration), dir)
     val survivors = spark.read.parquet(codesPath)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
       .withColumn("bucket", col("bucket").cast("int"))
@@ -453,7 +455,6 @@ object ProductQuantization {
     touched.filterNot(kept).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/bucket=$b"), true)
     }
-    invalidateStats(fs, dir)
   }
 
   /** A stats sidecar cannot be refreshed from codes alone (attributes

@@ -615,8 +615,9 @@ object SimilaritySearch {
   }
 
   /** (bucket, col_name, value, cnt) rows for the given attribute
-    * columns of a bucketed vector frame. */
-  private def bucketStats(v: DataFrame, statsCols: Seq[String]): DataFrame =
+    * columns of a bucketed vector frame — the ONE definition of the
+    * stats-sidecar schema, shared with the IVF-PQ layout. */
+  private[graft] def bucketStats(v: DataFrame, statsCols: Seq[String]): DataFrame =
     statsCols.map { c =>
       v.groupBy(col("bucket").cast("long").as("bucket"),
           col(c).cast("string").as("value"))
@@ -625,9 +626,18 @@ object SimilaritySearch {
         .select("bucket", "col_name", "value", "cnt")
     }.reduce(_ unionByName _)
 
-  private def writeStatsRows(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeStatsRows(spark: org.apache.spark.sql.SparkSession,
       dir: String, stats: DataFrame): Unit =
     stats.repartition(1).write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Per-bucket counts of one (column, value) from a stats sidecar —
+    * the lookup both filtered-stored query paths size probes from. */
+  private[graft] def readStatsCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String, statsCol: String, statsValue: String): Map[Long, Long] =
+    spark.read.parquet(s"$dir/stats")
+      .filter(col("col_name") === statsCol && col("value") === statsValue)
+      .select(col("bucket").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Filtered ANN over the STORED [[ivfWrite]] layout — the on-disk
     * twin of [[ivfTopKFiltered]] with the counting scan REPLACED by the
@@ -663,10 +673,7 @@ object SimilaritySearch {
       .collect()
       .sortBy(r => (-r.getDouble(1), r.getLong(0)))
       .map(_.getLong(0))
-    val fc = spark.read.parquet(s"$dir/stats")
-      .filter(col("col_name") === statsCol && col("value") === statsValue)
-      .select(col("bucket").cast("long"), col("cnt").cast("long"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fc = readStatsCounts(spark, dir, statsCol, statsValue)
     val probed = probePrefix(ranked, fc, k, nProbeInit)
     spark.read.parquet(s"$dir/vectors")
       .filter(col("bucket").isin(probed: _*))

@@ -147,21 +147,26 @@ object VectorSearch {
     * }}}
     *
     * The embedder is resolved FROM the manifest's model tag, so the
-    * SQL caller never touches driver code: the deterministic embedder
-    * family resolves directly; model-path embedders (ONNX/GRTF) carry
-    * state a SQL literal cannot, so those databases answer SQL search
-    * through a registered view over a programmatic search instead —
-    * the error says exactly that. Everything downstream of the query
-    * vector IS the standard chain, bit-identical to [[search]]. */
+    * SQL caller never touches driver code: the tag must be EXACTLY
+    * `DeterministicEmbedder` (resolved with its default empty
+    * queryPrompt — the manifest stores only the class tag, so a db
+    * built with a custom prompt has state this path cannot recover
+    * and belongs on the view route below). Model-path embedders
+    * (ONNX/GRTF) carry state a SQL literal cannot, so those databases
+    * answer SQL search through a registered view over a programmatic
+    * search instead — the error says exactly that. Everything
+    * downstream of the query vector IS the standard chain,
+    * bit-identical to [[search]]. */
   def searchSql(spark: SparkSession, dbDir: String, query: String,
       opts: SearchOptions = SearchOptions()): DataFrame = {
     val m = VectorStore.readManifest(dbDir)
     val embedder: Embedder =
-      if (m.model.toLowerCase.contains("det"))
+      if (m.model == "DeterministicEmbedder")
         graft.embed.DeterministicEmbedder(m.dimensions)
       else throw new IllegalArgumentException(
-        s"graft_search: manifest model '${m.model}' needs a programmatic " +
-          "Embedder (e.g. OnnxEmbedder with its model path); register a " +
+        s"graft_search: manifest model '${m.model}' carries state the " +
+          "manifest tag cannot reconstruct (a model path, or a custom " +
+          "query prompt); use a programmatic Embedder and register a " +
           "view over VectorSearch.search(...) for SQL access to this db")
     search(spark, dbDir, query, embedder, opts)
   }

@@ -85,6 +85,13 @@ object SnapshotLog {
     root.put("op", s.op)
     root.put("row_count", s.rowCount)
     root.put("stream_batch_id", s.streamBatchId)
+    // running fence = max stream batch id over the whole chain, carried
+    // forward so the HEAD alone answers maxStreamBatchId in O(1) — a
+    // per-commit fold over every version's JSON would make a long-lived
+    // stream's commit latency O(history). Legacy metas without the
+    // field fall back to the fold once; their successors then carry it.
+    root.put("fence", math.max(s.streamBatchId,
+      if (s.parent >= 0) fenceOf(tableDir, s.parent) else -1L))
     val arr = root.putArray("files")
     s.files.sorted.foreach(arr.add)
     // tmp name is unique PER WRITER: with a shared `.vN.json.tmp`, two
@@ -550,11 +557,23 @@ object SnapshotLog {
     next
   }
 
+  /** Running fence of one version: its meta's carried `fence` field,
+    * or (legacy metas) the fold over its chain prefix. */
+  private def fenceOf(tableDir: String, v: Long): Long = {
+    val root = mapper.readTree(Files.readAllBytes(versionPath(tableDir, v)))
+    Option(root.get("fence")).map(_.asLong()).getOrElse(
+      versions(tableDir).filter(_ <= v).foldLeft(-1L)((m, x) =>
+        math.max(m, readSnapshotMeta(tableDir, x).streamBatchId)))
+  }
+
   /** Greatest stream batch id any committed version carries (-1 if
-    * none): the replay fence for streaming appends. */
+    * none): the replay fence for streaming appends. O(1) — read off
+    * the head's carried running fence. */
   def maxStreamBatchId(tableDir: String): Long =
-    versions(tableDir).foldLeft(-1L)((m, v) =>
-      math.max(m, readSnapshotMeta(tableDir, v).streamBatchId))
+    currentVersion(tableDir) match {
+      case None => -1L
+      case Some(c) => fenceOf(tableDir, c)
+    }
 
   /** Idempotent append for streaming sinks: Structured Streaming's
     * foreachBatch re-delivers a batch after a failed trigger, so the
@@ -696,24 +715,38 @@ object SnapshotLog {
   /** Delete data files referenced by NO retained version, then drop
     * version entries older than `keepVersions` back from current.
     * Returns (versions dropped, data files deleted). The only
-    * destructive op — everything else is append-only metadata. */
-  def vacuum(tableDir: String, keepVersions: Int = 2): (Int, Int) = {
+    * destructive op — everything else is append-only metadata.
+    *
+    * CONCURRENT-APPENDER SAFETY: an appender's data files are moved
+    * into data/ BEFORE its metadata commit, so for a moment they are
+    * referenced by no version — exactly what vacuum targets. Unreferenced
+    * files younger than `graceMillis` (default 1 h) are therefore
+    * SKIPPED: an in-flight append commits long within the grace window,
+    * while genuinely orphaned scratch (crashed writers, losers of a
+    * same-batch race) ages past it and is collected by the next run.
+    * Set graceMillis = 0 only under a guaranteed no-writers window. */
+  def vacuum(tableDir: String, keepVersions: Int = 2,
+      graceMillis: Long = 3600000L): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val all = versions(tableDir)
     val keep = all.takeRight(keepVersions)
     val dropVs = all.dropRight(keepVersions)
     val referenced = keep.flatMap(v => readSnapshotMeta(tableDir, v).files).toSet
     val dd = dataDir(tableDir)
+    val cutoff = System.currentTimeMillis() - graceMillis
     val deleted = listDir(dd)
       .filterNot(p => referenced.contains(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .map { p => Files.delete(p); 1 }.sum
-    // sidecars die with their data files (stats are a file property)
+    // sidecars die with their data files (stats are a file property);
+    // a grace-skipped young file keeps its sidecar too
+    val surviving = listDir(dd).map(_.getFileName.toString).toSet
     listDir(statsDir(tableDir))
-      .filterNot(p => referenced.contains(
+      .filterNot(p => surviving.contains(
         p.getFileName.toString.stripSuffix(".json")))
       .foreach(Files.delete)
     listDir(bloomDir(tableDir))
-      .filterNot(p => referenced.contains(
+      .filterNot(p => surviving.contains(
         p.getFileName.toString.stripSuffix(".json")))
       .foreach(Files.delete)
     dropVs.foreach(v => Files.delete(versionPath(tableDir, v)))

@@ -483,7 +483,7 @@ class EndToEndSpec extends SparkSpec {
     // roll forward again (so vacuum keeps the 51-row state), then
     // vacuum to 1 version: old versions drop, their exclusive files go
     assert(SnapshotLog.rollback(dir, 2L) == 4L)
-    val (dropped, deleted) = SnapshotLog.vacuum(dir, keepVersions = 1)
+    val (dropped, deleted) = SnapshotLog.vacuum(dir, keepVersions = 1, graceMillis = 0L) // test: no concurrent writers
     assert(dropped == 4 && deleted > 0, s"dropped=$dropped deleted=$deleted")
     assert(SnapshotLog.versions(dir) == Seq(4L))
     val after = SnapshotLog.read(spark, dir).select($"doc_id", $"text")

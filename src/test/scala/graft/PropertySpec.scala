@@ -272,7 +272,7 @@ class PropertySpec extends SparkSpec {
         assert(SnapshotLog.readSnapshotMeta(dir, v.toLong).rowCount == model(v).size.toLong)
       }
       // vacuum to the last 2 versions: they still read correctly
-      SnapshotLog.vacuum(dir, keepVersions = 2)
+      SnapshotLog.vacuum(dir, keepVersions = 2, graceMillis = 0L)
       val keptVs = model.indices.takeRight(2)
       keptVs.foreach { v =>
         val got = SnapshotLog.read(spark, dir, Some(v.toLong))

@@ -1010,7 +1010,7 @@ class ScaleOpsSpec extends SparkSpec {
     val v0files = SnapshotLog.readSnapshotMeta(dir, 0L).files
     SnapshotLog.replaceFiles(spark, dir, v0files,
       rows.limit(10).toDF("id", "k"), "rewrite")
-    SnapshotLog.vacuum(dir, keepVersions = 1)
+    SnapshotLog.vacuum(dir, keepVersions = 1, graceMillis = 0L) // test: no concurrent writers
     val after = new java.io.File(s"$dir/_filebloom").list().length
     assert(after < before, s"vacuum must drop orphaned blooms: $after vs $before")
   }

@@ -23,14 +23,23 @@ hi = json.load(open(hi_path))
 ql, qh = lo["queries"], hi["queries"]
 
 rows = []
-for k in sorted(qh):
+dropped = []  # no-silent-caps: every non-compared query is reported
+for k in sorted(set(ql) | set(qh)):
     a, b = ql.get(k), qh.get(k)
-    if a is None or a <= 0 or b is None or b < 0:
-        continue
-    rows.append((b / a, a, b, k))
+    if a is None or b is None:
+        dropped.append((k, "only in one artifact"))
+    elif a <= 0:
+        dropped.append((k, "lo sample %.3f (failed or rounds to 0 — judge the hi absolute: %.3fs)"
+                        % (a, b if b is not None else float("nan"))))
+    elif b < 0:
+        continue  # counted under failed below
+    else:
+        rows.append((b / a, a, b, k))
 rows.sort(reverse=True)
 
 failed = {k: v for k, v in qh.items() if v < 0}
+if not rows:
+    sys.exit("no comparable queries between %s and %s" % (lo_path, hi_path))
 ratios = [r[0] for r in rows]
 med = statistics.median(ratios)
 super_linear = [r for r in rows if r[0] > factor]
@@ -45,7 +54,11 @@ out.append("- queries compared: **%d**; failed/timeout at sf1: **%d** %s"
            % (len(rows), len(failed), sorted(failed) if failed else ""))
 out.append("- median wall ratio: **%.2f×** at %g× data "
            "(sub-linear: local[32] parallel headroom absorbs the growth)" % (med, factor))
-out.append("- super-linear (> %g×): **%d**\n" % (factor, len(super_linear)))
+out.append("- super-linear (> %g×): **%d**" % (factor, len(super_linear)))
+if dropped:
+    out.append("- not compared (%d): %s" % (len(dropped),
+               "; ".join("`%s` — %s" % d for d in dropped)))
+out.append("")
 out.append("## Super-linear queries (the worklist)\n")
 out.append("| query | sf0.1 s | sf1 s | ratio |")
 out.append("|---|---|---|---|")
