@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.StringType),
       es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
     inject(e, "nfc_normalize", es => graft.functions.NfcNormalize(es(0)))
+    inject(e, "fix_mojibake", es => graft.functions.FixMojibake(es(0)))
     inject(e, "deflate_length", es => graft.functions.DeflateLength(es(0),
       if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else -1))
     // graft_search(db, query[, k, threshold, term, types]) — the full

@@ -2696,6 +2696,51 @@ object OracleSql {
     // checked-in snapshot UrlOps loads — list drift breaks the hash.
     "url_registrable" -> urlRegistrableSql,
 
+    // Full step-for-step replay of UrlOps.canonicalUrl: fragment/query
+    // split, tracking filter + name sort, scheme+host lower, default
+    // ports, trailing slash. DuckDB backrefs are \1 (Spark's $1).
+    "url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |   'HTTPS://' || source || '.Example.COM' ||
+        |   CASE WHEN doc_id % 5 = 0 THEN ':443'
+        |        WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END ||
+        |   '/Articles/' || CAST(doc_id AS VARCHAR) ||
+        |   CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |   CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=mail&a=1&fbclid=XyZ'
+        |        WHEN doc_id % 3 = 1 THEN '?utm_campaign=x' ELSE '' END ||
+        |   CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END AS url
+        |  FROM documents),
+        | s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        | s2 AS (SELECT doc_id, regexp_replace(nofrag, '\?.*$', '') AS base,
+        |         regexp_extract(nofrag, '\?(.*)$', 1) AS q FROM s1),
+        | s3 AS (SELECT doc_id, base,
+        |         list_sort(list_filter(string_split(q, '&'), p -> p <> ''
+        |           AND NOT regexp_matches(p,
+        |             '^(utm_[^=]*|fbclid|gclid|dclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$')))
+        |           AS kept
+        |        FROM s2),
+        | s4 AS (SELECT doc_id, kept, regexp_replace(
+        |          regexp_replace(regexp_replace(
+        |            lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
+        |            '^(http://[^:/]*):80$', '\1'),
+        |            '^(https://[^:/]*):443$', '\1')
+        |          || regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(.*)$', 1),
+        |          '(.)/$', '\1') AS joined
+        |        FROM s3)
+        |SELECT doc_id, CASE WHEN len(kept) > 0
+        |  THEN joined || '?' || array_to_string(kept, '&')
+        |  ELSE joined END AS url_canonical
+        |FROM s4""".stripMargin,
+
+    // The oracle computes the EXPECTED repaired text directly from the
+    // plant (ground truth), not a replay of the repair — any bug in
+    // the general single-pass fuser hash-mismatches.
+    "fix_mojibake" ->
+      """SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text
+        | ELSE replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ö')
+        |      || ' Ã1' END AS fixed
+        |FROM documents""".stripMargin,
+
     // PSL-keyed per-domain quota: hash-priority rank replay, quota 3.
     "domain_quota" -> domainQuotaSql,
 

@@ -3017,6 +3017,48 @@ object Queries {
     graft.ops.UrlOps.domainStats(e, "url", "text")
   }
 
+  /** Canonical crawl-dedup URL keys over constructed URLs covering
+    * every branch: mixed-case scheme/host, default :443 vs explicit
+    * :8443 ports, trailing slashes, tracking-only and mixed query
+    * strings (parameters re-sorted, utm_ and fbclid dropped), fragments.
+    * The oracle replays the whole [[graft.ops.UrlOps.canonicalUrl]]
+    * pipeline step for step in SQL. */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://"), col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, ":443")
+        .when(col("doc_id") % 5 === 1, ":8443").otherwise(""),
+      lit("/Articles/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0, "/").otherwise(""),
+      when(col("doc_id") % 2 === 0, "?b=2&utm_source=mail&a=1&fbclid=XyZ")
+        .when(col("doc_id") % 3 === 1, "?utm_campaign=x").otherwise(""),
+      when(col("doc_id") % 7 === 0, "#sec-2").otherwise(""))
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.UrlOps.canonicalUrl(url).as("url_canonical"))
+  }
+
+  /** Mojibake repair (gate = ground truth): the corpus is DAMAGED with
+    * the classic UTF-8-as-Latin-1 double encoding (a→Ã¡, e→Ã©, o→Ã¶,
+    * plus a lead-without-trail decoy that must copy through), %4==0
+    * rows stay clean (the repair must be an identity on them), then
+    * [[graft.functions.UnicodeFunctions.fixMojibake]] runs the GENERAL
+    * single-pass repair. The oracle computes the EXPECTED text
+    * directly from the plant (á/é/ö substitution), so any repair bug —
+    * a missed pair, a false fusion on clean text, a broken decoy —
+    * hash-mismatches. */
+  def fixMojibakeQ(s: SparkSession, dir: String): DataFrame = {
+    val damaged = concat(
+      replace(replace(replace(col("text"),
+          lit("a"), lit("Ã¡")),
+          lit("e"), lit("Ã©")),
+          lit("o"), lit("Ã¶")),
+      lit(" Ã1"))
+    val input = when(col("doc_id") % 4 === 0, col("text")).otherwise(damaged)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.UnicodeFunctions.fixMojibake(input).as("fixed"))
+  }
+
   /** Aggressive-key dedup (CCNet/RefinedWeb "fuzzy exact"): each doc
     * gets a twin decorated with different digits/punctuation — the
     * aggressive key (NFC + lower + strip digits/punct + ws collapse)
@@ -3566,6 +3608,8 @@ object Queries {
     "ngram_diversity_approx" -> ngramDiversityApproxQ _,
     "url_domains" -> urlDomains _,
     "url_registrable" -> urlRegistrable _,
+    "url_canonical" -> urlCanonical _,
+    "fix_mojibake" -> fixMojibakeQ _,
     "maxsim_topk" -> maxsimTopk _,
     "retrieval_eval" -> retrievalEval _,
     "ivf_filtered" -> ivfFiltered _,

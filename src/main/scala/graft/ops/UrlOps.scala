@@ -93,6 +93,40 @@ object UrlOps {
     regexp_replace(schemeHostLower, "(.)/$", "$1")
   }
 
+  /** Tracking / click-id query parameters — noise a crawl's canonical
+    * URL key must not carry (the same article arrives once per
+    * newsletter campaign otherwise). Anchored name match; the value is
+    * irrelevant. */
+  val TrackingParamRe: String =
+    "^(utm_[^=]*|fbclid|gclid|dclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$"
+
+  /** Canonical crawl-dedup URL key — [[normalizeUrl]] plus the parts
+    * a real crawl needs: fragment dropped, scheme+host lowercased with
+    * DEFAULT ports stripped (:80 http / :443 https — same resource,
+    * different bytes), tracking parameters ([[TrackingParamRe]])
+    * removed, and the SURVIVING query parameters SORTED by name so
+    * `?a=1&b=2` and `?b=2&a=1` collapse to one key; an emptied query
+    * drops its `?`. Path case and non-tracking values are preserved
+    * (RFC 3986: only scheme+host are case-insensitive). Pure column
+    * expressions — map-only at any scale, and every step replays in
+    * SQL (the oracle does). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike(TrackingParamRe)))
+    val schemeHost =
+      lower(regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
+    val noDefaultPort = regexp_replace(
+      regexp_replace(schemeHost, "^(http://[^:/]*):80$", "$1"),
+      "^(https://[^:/]*):443$", "$1")
+    val path = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(.*)$", 1)
+    val joined = regexp_replace(concat(noDefaultPort, path), "(.)/$", "$1")
+    when(size(kept) > 0, concat(joined, lit("?"), array_join(kept, "&")))
+      .otherwise(joined)
+  }
+
   /** Per-domain document quota — the crawl-curation cap ("at most N
     * docs per registrable domain" keeps one SEO farm from dominating a
     * training mix): rank within [[registrableDomainOf]] by the

@@ -2962,6 +2962,46 @@ class OpsSpec extends SparkSpec {
       s"bounds must broadcast:\n$plan")
   }
 
+  test("fix_mojibake: pair fusion, clean-text identity, decoys, one layer per pass") {
+    import graft.functions.UnicodeFunctions.fixMojibake
+    def fix(s: String): String = Seq(Tuple1(s)).toDF("t")
+      .select(fixMojibake($"t")).as[String].head()
+    // the classic double-encodings: é (C3 A9), ö (C3 B6), nbsp (C2 A0)
+    assert(fix("cafÃ©") == "café")
+    assert(fix("schÃ¶nÂ x") == "schön x")
+    // clean text — including real Ã/Â NOT followed by a trail — is
+    // untouched (idempotence on healthy corpora)
+    assert(fix("plain ascii") == "plain ascii")
+    assert(fix("Ã1 and ÂZ") == "Ã1 and ÂZ")
+    assert(fix("café") == "café") // already-repaired text is stable
+    // trailing lead at end of string copies through
+    assert(fix("oopsÃ") == "oopsÃ")
+    // twice-encoded text loses exactly one layer per application
+    val once = "cafÃ©"
+    val twice = once.flatMap {
+      case c if c >= 0x80 && c <= 0xBF => Seq('Â', c)
+      case c if c >= 0xC0 && c <= 0xFF => Seq('Ã', (c - 0x40).toChar)
+      case c => Seq(c)
+    }.mkString
+    assert(fix(twice) == once && fix(fix(twice)) == "café")
+    // nulls preserved
+    assert(Seq(Tuple1(null: String)).toDF("t")
+      .select(fixMojibake($"t")).as[String].head() == null)
+  }
+
+  test("canonicalUrl: tracking strip + param sort, default ports, fragment, trailing slash") {
+    import graft.ops.UrlOps
+    def canon(s: String): String = Seq(Tuple1(s)).toDF("u")
+      .select(UrlOps.canonicalUrl($"u")).as[String].head()
+    assert(canon("HTTPS://Www.Ex.COM:443/A/b/?b=2&utm_source=m&a=1&fbclid=z#x")
+      == "https://www.ex.com/A/b?a=1&b=2")
+    assert(canon("http://ex.com:80/p") == "http://ex.com/p")
+    assert(canon("http://ex.com:8080/p") == "http://ex.com:8080/p") // non-default kept
+    assert(canon("https://ex.com/p?utm_campaign=x") == "https://ex.com/p") // emptied query drops '?'
+    assert(canon("https://ex.com/Case/Kept") == "https://ex.com/Case/Kept") // path case preserved
+    assert(canon("https://ex.com/p?ref=rss&z=1&a=2") == "https://ex.com/p?a=2&z=1")
+  }
+
   test("nfc-normalized dedup: composed/decomposed, case, and whitespace variants collide") {
     import graft.functions.UnicodeFunctions.nfcNormalize
     // NFC output check: decomposed e+U+0301 composes to U+00E9
