@@ -21,7 +21,18 @@ import org.apache.spark.sql.SparkSession
   * (default 600, 0 = unbounded): the query runs under its own Spark
   * job group and a blown deadline cancels the group, records the
   * sentinel -2.0, and the suite moves on — one super-linear query at
-  * a large SF cannot stall the whole artifact. */
+  * a large SF cannot stall the whole artifact.
+  *
+  * ATTRIBUTION: shared one-time artifacts (the near-dup pair graph,
+  * positional 5-gram table, BPE merge table, BM25/shingle/IVF/z-order
+  * stored indexes — [[Queries.prebuilds]]) are built in an explicitly
+  * timed "prebuild" section BEFORE the query loop and reported under
+  * `protocol.prebuild_sec`. Without this they land in their first
+  * alphabetical consumer's wall time, which made steady-state-linear
+  * queries (contrastive_pairs, bm25_indexed) read as super-linear in
+  * the sf1 scaling table. Each query row also carries `rows_out` (the
+  * forced plan's row count) so output-driven growth is auditable from
+  * the artifact alone. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,9 +60,8 @@ object Bench {
     // (GC pause, CPU contention from a co-tenant process) cannot then
     // masquerade as a code regression — the min is the best available
     // estimate of the query's intrinsic cost. Caches are cleared between
-    // runs so eager queries (jaccard/minhash/corpus persist their
-    // results under a caller-owns-unpersist contract) are measured cold
-    // each time and cached blocks don't accumulate across the suite.
+    // runs so eager queries are measured cold each time and cached
+    // blocks don't accumulate across the suite.
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt, 1)
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "600").toLong
@@ -61,34 +71,68 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // Explicitly-timed shared-artifact builds (skipped under a query
+    // filter that would not touch them anyway — a filtered run is a
+    // dev loop, not a scaling artifact; SPARK_GRAFT_BENCH_PREBUILD=0
+    // also disables, reproducing the old first-consumer attribution).
+    val doPrebuild = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREBUILD", "1") != "0"
+    val prebuildTimes: Seq[(String, Double)] =
+      if (!doPrebuild) Seq.empty
+      else Queries.prebuilds.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try build(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prebuild $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] prebuild $name%s ${dt}%.3fs")
+        name -> dt
+      }
+    spark.catalog.clearCache()
+
     // Fresh single worker thread PER QUERY (daemon): the Future is only
     // a deadline handle — execution parallelism stays inside Spark —
     // and a timed-out task that ignores interrupt (non-interruptible
     // IO) must not keep the pool thread hostage and queue every later
     // query behind it, recording bogus sentinels for healthy queries.
-    def timedRun(name: String): Double = {
+    // Returns (seconds-or-sentinel, rows_out, zombie): zombie=true when
+    // a timed-out task is STILL RUNNING after cancellation — the next
+    // queries' wall times share the box with it, so downstream scaling
+    // analysis must discount that tail rather than read pollution as a
+    // regression (r9 ADVICE).
+    def timedRun(name: String): (Double, Long, Boolean) = {
       val fn = SparkEntry.queries(name)
       val pool = Executors.newSingleThreadExecutor(r => {
         val t = new Thread(r, s"bench-$name"); t.setDaemon(true); t
       })
       val t0 = System.nanoTime()
-      val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = {
+      val fut = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
           spark.sparkContext.setJobGroup(s"bench-$name", name,
             interruptOnCancel = true)
-          fn(spark, sfDir).queryExecution.toRdd.count(): Unit
+          fn(spark, sfDir).queryExecution.toRdd.count()
         }
       })
+      var rows = -1L
+      var zombie = false
       val status =
         try {
-          if (timeoutSec > 0) fut.get(timeoutSec, TimeUnit.SECONDS)
-          else fut.get()
+          rows = if (timeoutSec > 0) fut.get(timeoutSec, TimeUnit.SECONDS)
+                 else fut.get()
           0
         } catch {
           case _: TimeoutException =>
             spark.sparkContext.cancelJobGroup(s"bench-$name")
             fut.cancel(true)
-            System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
+            // brief poll: did cancellation actually stop the task, or is
+            // a non-interruptible stage / driver-side loop still alive?
+            var waited = 0
+            while (!fut.isDone && waited < 50) { Thread.sleep(100); waited += 1 }
+            zombie = !fut.isDone
+            System.err.println(s"[bench] $name timed out after ${timeoutSec}s" +
+              (if (zombie) " (ZOMBIE: task still running after cancel)" else ""))
             -2
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -97,29 +141,43 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       pool.shutdownNow(): Unit // abandoned if the task ignored interrupt
-      if (status == 0) dt else status.toDouble
+      (if (status == 0) dt else status.toDouble, rows, zombie)
     }
+    val zombies = scala.collection.mutable.ArrayBuffer[String]()
     val results = names.map { name =>
       // Short-circuit after the first timeout: re-running a
       // known-over-budget query would burn another full timeout per
       // remaining sample for a number we already know is -2.
-      val samples = scala.collection.mutable.ArrayBuffer[Double]()
+      val samples = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
       var run = 0
-      while (run < runs && !samples.lastOption.contains(-2.0)) {
-        samples += timedRun(name); run += 1
+      var stop = false
+      while (run < runs && !stop) {
+        val (dt, rows, zombie) = timedRun(name)
+        samples += ((dt, rows))
+        if (zombie) zombies += name
+        stop = dt == -2.0
+        run += 1
       }
-      name -> (if (samples.exists(_ >= 0)) samples.filter(_ >= 0).min
-               else samples.head)
+      val ok = samples.filter(_._1 >= 0)
+      val best = if (ok.nonEmpty) ok.minBy(_._1) else samples.head
+      (name, best._1, best._2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val rowsOut = results.map { case (k, _, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val prebuildJson = prebuildTimes
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val zombieJson = zombies.distinct
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Self-describing protocol fields: min-of-N runs and the box's
     // 1-minute load average at start vs end, so a reader can tell a
     // loaded-box outlier from a code regression without a re-run.
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":{"runs":$runs,"agg":"min","cpus":$cpus,"timeout_sec":$timeoutSec,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_out":$rowsOut,"protocol":{"runs":$runs,"agg":"min","cpus":$cpus,"timeout_sec":$timeoutSec,"prebuild_sec":$prebuildJson,"zombies":$zombieJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}"""
     println(json)
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
       .getOrElse {

@@ -472,12 +472,14 @@ object OracleSql {
 
     // Leave-one-out 5-NN majority-vote label recovery, per-label
     // rollup; vote tie-break (count desc, label asc) replayed with
-    // window ranks.
+    // window ranks. Anchor panel vec_id < 2048 (vacuous at sf ≤ 0.1)
+    // mirrors the engine's linear-cost bound; neighbors stay full.
     "knn_label_accuracy" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
         | s AS (SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid, b.label AS blabel,
         |        list_cosine_similarity(a.e, b.e) AS c
-        |       FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |       FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |       WHERE a.vec_id < 2048),
         | kn AS (SELECT aid, alabel, blabel FROM (
         |         SELECT aid, alabel, blabel,
         |          row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
@@ -1483,11 +1485,14 @@ object OracleSql {
         |SELECT doc_id FROM ex
         |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)""".stripMargin,
 
+    // Id slice vec_id < 2048 on both sides (vacuous at sf ≤ 0.1)
+    // mirrors the engine's constant-cost bound on the exact twin.
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+        |WHERE a.vec_id < 2048 AND b.vec_id < 2048
+        | AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
 
     "dedup_embedding_bucketed" -> dedupEmbeddingBucketedSql(
       dim = 64, numPlanes = graft.Queries.EmbBucketPlanes,
@@ -3086,21 +3091,28 @@ object OracleSql {
     * deterministic plane matrix (emitted as double literals), band keys
     * = bandBits-wide slices of the sign bucket, candidate pairs from the
     * (band, key) equi-join, exact cosine verification on candidates. */
+  /** Corpus-scaled band width: the SQL derives bandBits from count(*)
+    * with the SAME tiers as Queries.dedupEmbeddingBucketed (n ≤ 4096 →
+    * `bandBits`, ≤ 262144 → 8, else 16), so the oracle stays valid at
+    * every corpus size instead of silently hash-mismatching above the
+    * first tier (r9 ADVICE finding). */
   private def dedupEmbeddingBucketedSql(dim: Int, numPlanes: Int,
       bandBits: Int, threshold: Double): String = {
-    val bands = numPlanes / bandBits
-    val mask = (1L << bandBits) - 1L
     val bucketExpr = (0 until numPlanes).map { p =>
       val comps = (0 until dim)
         .map(d => graft.ops.SimilaritySearch.planeComponent(p, d).toString)
         .mkString("[", ", ", "]")
       s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $comps) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    s"""WITH p AS (SELECT CASE WHEN count(*) <= 4096 THEN $bandBits
+       |        WHEN count(*) <= 262144 THEN 8 ELSE 16 END AS bb
+       |       FROM embeddings),
+       | b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |        ($bucketExpr) AS bits
        |       FROM embeddings),
-       | bk AS (SELECT vec_id, band, (bits >> (band * $bandBits)) & $mask AS key
-       |        FROM (SELECT vec_id, bits, unnest(generate_series(0, ${bands - 1})) AS band FROM b)),
+       | bk AS (SELECT vec_id, band, (bits >> (band * p.bb)) & ((1 << p.bb) - 1) AS key
+       |        FROM (SELECT vec_id, bits, unnest(generate_series(0, CAST($numPlanes / p.bb AS INT) - 1)) AS band
+       |              FROM b, p), p),
        | cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |          FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
        |SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS cosine

@@ -83,6 +83,103 @@ object Queries {
     s.read.parquet(s"$d/clusters")
   }
 
+  /** Synthetic transformer checkpoint + corpus vocabulary for
+    * [[embedReal]] — one per-JVM build. */
+  private def grtfModelDir(s: SparkSession, dir: String): String =
+    cachedIndexDir("grtf_model", dir) { tmp =>
+      // vocabulary OF the corpus slice (sorted = deterministic ids);
+      // the collect is bounded by the slice's distinct-token count
+      val toks = t(s, dir, "documents")
+        .filter(col("doc_id") % 25 === 0)
+        .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0).distinct()
+        .orderBy(col("t")).collect().map(_.getString(0))
+      val lines = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ toks
+      val w = new java.io.PrintWriter(
+        java.nio.file.Paths.get(tmp, "vocab.txt").toFile, "UTF-8")
+      try lines.foreach(w.println) finally w.close()
+      graft.embed.TransformerCheckpoint.write(
+        java.nio.file.Paths.get(tmp, "model.bin"),
+        graft.embed.TransformerCheckpoint.syntheticWeights(
+          vocabSize = lines.length, hidden = 32, heads = 4, maxPos = 128,
+          intermediate = 64, layers = 2, seed = 0x5EEDL))
+    }
+
+  /** Z-ordered snapshot table for [[zorderPrune]] — per-JVM build. */
+  private def zsnapTable(s: SparkSession, dir: String): String =
+    cachedIndexDir("zsnap", dir) { tmp =>
+      val clustered = ops.ZOrder.clusterWrite(t(s, dir, "documents"),
+        Seq(ops.ZOrder.fixedBucket(col("n_chars"), 40.0, 560.0, 8),
+          ops.ZOrder.hashBucket(col("lang"), 8)), bits = 8, files = 8)
+      store.SnapshotLog.init(clustered, tmp)
+    }
+
+  /** Source-partitioned snapshot + bloom sidecars for
+    * [[bloomFilePruneQ]] — per-JVM build. */
+  private def bloomsnapTable(s: SparkSession, dir: String): String =
+    cachedIndexDir("bloomsnap", dir) { tmp =>
+      store.SnapshotLog.init(
+        t(s, dir, "documents").repartition(8, col("source")), tmp)
+      store.SnapshotLog.writeBloomSidecars(s, tmp, "source"): Unit
+    }
+
+  /** BM25 inverted index for [[bm25Indexed]] — per-JVM build. */
+  private def bm25IndexDir(s: SparkSession, dir: String): String =
+    cachedIndexDir("bm25", dir)(d =>
+      ops.InvertedIndex.write(t(s, dir, "documents"), "doc_id", "text", d))
+
+  /** Stored shingle index (the %10≠3 slice) for [[dedupIncremental]] —
+    * per-JVM build. */
+  private def shingleIndexDir(s: SparkSession, dir: String): String =
+    cachedIndexDir("shingle", dir)(d =>
+      Dedup.writeShingleIndex(
+        t(s, dir, "documents").filter(col("doc_id") % 10 =!= 3),
+        "doc_id", "text", n = 8, d))
+
+  /** Stored IVF layout + label stats sidecar for [[ivfFilteredStored]]
+    * — per-JVM build. */
+  private def ivfStatsStore(s: SparkSession, dir: String): String =
+    cachedIndexDir("ivfstats", dir) { tmp =>
+      SimilaritySearch.ivfWrite(t(s, dir, "embeddings"), tmp,
+        "embedding", dim = 64, numPlanes = 6)
+      SimilaritySearch.ivfWriteStats(s, tmp, Seq("label"))
+    }
+
+  /** Two-commit overlapping-z-range snapshot for [[zorderCompactQ]] —
+    * per-JVM build. */
+  private def zcompactTable(s: SparkSession, dir: String): String =
+    cachedIndexDir("zcompact", dir) { tmp =>
+      val dims = Seq(ops.ZOrder.fixedBucket(col("n_chars"), 40.0, 560.0, 8),
+        ops.ZOrder.hashBucket(col("lang"), 8))
+      val docs = t(s, dir, "documents")
+      store.SnapshotLog.init(ops.ZOrder.clusterWrite(
+        docs.filter(col("doc_id") % 2 === 0), dims, bits = 8, files = 8), tmp)
+      store.SnapshotLog.append(
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("zkey", ops.ZOrder.interleave(dims, 8)).coalesce(1), tmp)
+    }
+
+  /** One-time shared-artifact builders, named by artifact. Bench runs
+    * these in an explicitly-timed "prebuild" section of its JSON so
+    * one-off build cost is attributed to the artifact itself rather
+    * than landing in the first alphabetical consumer's wall time
+    * (which made steady-state-linear queries read as super-linear in
+    * the sf1 scaling table). Each is idempotent per JVM (cachedIndexDir
+    * / computeIfAbsent), so consumers that run without a prebuild pass
+    * — Verify, specs, ad-hoc sessions — still build on first touch. */
+  val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "njpairs" -> ((s, d) => { standardPairs(s, d): Unit }),
+    "njclusters" -> ((s, d) => { standardClusters(s, d): Unit }),
+    "posgram5" -> ((s, d) => { standardPosGrams(s, d): Unit }),
+    "bpe_table" -> ((s, d) => { standardBpeTable(s, d): Unit }),
+    "bm25_index" -> ((s, d) => { bm25IndexDir(s, d): Unit }),
+    "shingle_index" -> ((s, d) => { shingleIndexDir(s, d): Unit }),
+    "ivf_stats_store" -> ((s, d) => { ivfStatsStore(s, d): Unit }),
+    "zorder_snap" -> ((s, d) => { zsnapTable(s, d): Unit }),
+    "bloom_snap" -> ((s, d) => { bloomsnapTable(s, d): Unit }),
+    "zorder_compact_snap" -> ((s, d) => { zcompactTable(s, d): Unit }),
+    "grtf_model" -> ((s, d) => { grtfModelDir(s, d): Unit }))
+
   /** The events table's `ts` has shipped as both TIMESTAMP(NANOS)
     * (older test-data drops — Spark only reads it with nanosAsLong,
     * yielding epoch-ns LongType) and plain timestamp[us] (current
@@ -349,23 +446,7 @@ object Queries {
   def embedReal(s: SparkSession, dir: String): DataFrame = {
     val corpus = t(s, dir, "documents")
       .filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
-    val modelDir = cachedIndexDir("grtf_model", dir) { tmp =>
-      // vocabulary OF the corpus slice (sorted = deterministic ids);
-      // the collect is bounded by the slice's distinct-token count
-      val toks = corpus
-        .select(explode(split(lower(col("text")), "\\s+")).as("t"))
-        .filter(length(col("t")) > 0).distinct()
-        .orderBy(col("t")).collect().map(_.getString(0))
-      val lines = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ toks
-      val w = new java.io.PrintWriter(
-        java.nio.file.Paths.get(tmp, "vocab.txt").toFile, "UTF-8")
-      try lines.foreach(w.println) finally w.close()
-      graft.embed.TransformerCheckpoint.write(
-        java.nio.file.Paths.get(tmp, "model.bin"),
-        graft.embed.TransformerCheckpoint.syntheticWeights(
-          vocabSize = lines.length, hidden = 32, heads = 4, maxPos = 128,
-          intermediate = 64, layers = 2, seed = 0x5EEDL))
-    }
+    val modelDir = grtfModelDir(s, dir)
     val e = graft.embed.OnnxEmbedder(modelDir, dim = 32, batchSize = 8,
       maxSeqLen = 128, provider = graft.embed.TransformerSessionProvider)
     val vecs = e.embed(corpus, "text").select(col("doc_id"), col("vector"))
@@ -468,10 +549,19 @@ object Queries {
     * the standard "does the space cluster by label" gate before an
     * embedding ships. Heap-agg batch-KNN plan; vote ties (count desc,
     * label asc) are deterministic, so the oracle replays the identical
-    * selection with window ranks. */
+    * selection with window ranks.
+    *
+    * ANCHOR PANEL BOUND (vec_id < 2048, vacuous at sf ≤ 0.1 where ids
+    * top out at 1999): the unbounded exact LOO is inherently N² — it
+    * was 45% of the entire sf1 bench run (604.6 s) and extrapolates to
+    * ~17 h at sf10. With the panel the cost is anchors·N — linear —
+    * while every per-anchor prediction stays bit-identical to the
+    * exact eval's (neighbors remain the FULL table). The unbounded
+    * API [[SimilaritySearch.knnClassify]] remains for offline gates. */
   def knnLabelAccuracy(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    SimilaritySearch.knnClassify(e, "vec_id", "embedding", "label", k = 5)
+    SimilaritySearch.knnClassifySampled(e, "vec_id", "embedding", "label",
+        k = 5, sampleMod = 1, maxAnchorId = 2048L)
       .groupBy(col("true_label").as("label"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("pred_label") === col("true_label"), 1L)
@@ -686,9 +776,17 @@ object Queries {
 
   /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.4 — the synthetic
     * embeddings top out at ~0.51 pairwise, so 0.4 exercises real pair
-    * production: 59 pairs at sf0.01, 920 at sf0.1). */
+    * production: 59 pairs at sf0.01, 920 at sf0.1).
+    *
+    * ID-SLICE BOUND (vec_id < 2048, vacuous at sf ≤ 0.1): all-pairs is
+    * the deliberate exact oracle twin of [[dedupEmbeddingBucketed]],
+    * but as a declared query it runs at every scale factor — 109.6 s
+    * at sf1 and quadratic beyond. The slice caps it at a constant
+    * 2048² pair space; the bucketed entry is the corpus-wide path. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    Dedup.embeddingNearDups(
+        t(s, dir, "embeddings").filter(col("vec_id") < 2048),
+        "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
 
   /** Banded sign-LSH plane family shared with the DuckDB oracle. */
@@ -1357,16 +1455,17 @@ object Queries {
   def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
     val sup = broadcast(t(s, dir, "supplier")
       .filter(col("s_nationkey") === 3).select(col("s_suppkey")))
+    // Eager localCheckpoint instead of persist(): the per-part rollup
+    // is materialized once (one fact scan), lineage is truncated, and
+    // the blocks are reclaimed by the ContextCleaner as soon as the
+    // returned plan is garbage-collected — no unpersist() contract on
+    // the caller, no cached-block accumulation in long-lived sessions.
     val perPart = t(s, dir, "lineitem")
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(centsSum(col("l_extendedprice")).as("value_cents"))
-      .persist()
+      .localCheckpoint(true)
     val th = perPart.agg((sum(col("value_cents")) / lit(1000L)).as("__th"))
-    // The cache stays alive until the CALLER's action consumes the
-    // result (an eager count-then-unpersist here would discard the
-    // cache before the caller evaluates, recomputing perPart twice);
-    // Spark's LRU block manager reclaims it under memory pressure.
     val out = perPart.crossJoin(broadcast(th))
       .filter(col("value_cents").cast("double") > col("__th"))
       .select(col("l_partkey"), col("value_cents"))
@@ -1410,9 +1509,8 @@ object Queries {
       .groupBy(col("l_suppkey"))
       .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("total_cents"))
-      .persist()
+      .localCheckpoint(true) // eager; ContextCleaner-reclaimed — see q11
     val mx = perSupp.agg(max(col("total_cents")).as("__mx"))
-    // Cache lives until the caller's action — see q11ImportantParts.
     perSupp.crossJoin(broadcast(mx))
       .filter(col("total_cents") === col("__mx"))
       .join(broadcast(t(s, dir, "supplier")
@@ -1483,12 +1581,7 @@ object Queries {
     * scan; the oracle pins the booleans and replays the row count.
     * The table builds once per JVM (cachedIndexDir). */
   def zorderPrune(s: SparkSession, dir: String): DataFrame = {
-    val table = cachedIndexDir("zsnap", dir) { tmp =>
-      val clustered = ops.ZOrder.clusterWrite(t(s, dir, "documents"),
-        Seq(ops.ZOrder.fixedBucket(col("n_chars"), 40.0, 560.0, 8),
-          ops.ZOrder.hashBucket(col("lang"), 8)), bits = 8, files = 8)
-      store.SnapshotLog.init(clustered, tmp)
-    }
+    val table = zsnapTable(s, dir)
     val (pruned, scanned, total) =
       store.SnapshotLog.scanPruned(s, table, "n_chars", 100.0, 200.0)
     val nPruned = pruned.count()
@@ -1509,11 +1602,7 @@ object Queries {
     * bloom can false-positive — read a file needlessly — but never
     * false-negative, so equality is the contract). */
   def bloomFilePruneQ(s: SparkSession, dir: String): DataFrame = {
-    val table = cachedIndexDir("bloomsnap", dir) { tmp =>
-      store.SnapshotLog.init(
-        t(s, dir, "documents").repartition(8, col("source")), tmp)
-      store.SnapshotLog.writeBloomSidecars(s, tmp, "source"): Unit
-    }
+    val table = bloomsnapTable(s, dir)
     val (pruned, scanned, total) =
       store.SnapshotLog.scanPrunedPoint(s, table, "source", "src7")
     val nPruned = pruned.count()
@@ -1732,8 +1821,7 @@ object Queries {
     * bucket-pruned posting-list query); scores are bit-identical to
     * the scan path, so the oracle SQL is the same. */
   def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
-    val idx = cachedIndexDir("bm25", dir)(d =>
-      ops.InvertedIndex.write(t(s, dir, "documents"), "doc_id", "text", d))
+    val idx = bm25IndexDir(s, dir)
     ops.InvertedIndex.bm25SearchIndexed(s, idx,
       terms = Seq("spark", "join", "window"), topK = 20)
   }
@@ -2584,9 +2672,7 @@ object Queries {
     * the batch (the oracle replays exactly that). */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val idx = cachedIndexDir("shingle", dir)(d =>
-      Dedup.writeShingleIndex(docs.filter(col("doc_id") % 10 =!= 3),
-        "doc_id", "text", n = 8, d))
+    val idx = shingleIndexDir(s, dir)
     val pairs = Dedup.incrementalJaccardPairs(s, idx,
       docs.filter(col("doc_id") % 10 === 3),
       "doc_id", "text", n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
@@ -2951,11 +3037,7 @@ object Queries {
     * (asserted in ScaleOpsSpec). Same oracle shape as [[ivfFiltered]]
     * with `label = 1`. */
   def ivfFilteredStored(s: SparkSession, dir: String): DataFrame = {
-    val store = cachedIndexDir("ivfstats", dir) { tmp =>
-      SimilaritySearch.ivfWrite(t(s, dir, "embeddings"), tmp,
-        "embedding", dim = 64, numPlanes = 6)
-      SimilaritySearch.ivfWriteStats(s, tmp, Seq("label"))
-    }
+    val store = ivfStatsStore(s, dir)
     SimilaritySearch.ivfTopKFilteredStored(s, store, "vec_id", "embedding",
         queryVec(s, dir), k = 10, statsCol = "label", statsValue = "1",
         nProbeInit = 4)
@@ -3172,16 +3254,7 @@ object Queries {
     * pruning effective. Build once per JVM; compact is idempotent so
     * re-runs see the same version. */
   def zorderCompactQ(s: SparkSession, dir: String): DataFrame = {
-    val dims = Seq(ops.ZOrder.fixedBucket(col("n_chars"), 40.0, 560.0, 8),
-      ops.ZOrder.hashBucket(col("lang"), 8))
-    val table = cachedIndexDir("zcompact", dir) { tmp =>
-      val docs = t(s, dir, "documents")
-      store.SnapshotLog.init(ops.ZOrder.clusterWrite(
-        docs.filter(col("doc_id") % 2 === 0), dims, bits = 8, files = 8), tmp)
-      store.SnapshotLog.append(
-        docs.filter(col("doc_id") % 2 === 1)
-          .withColumn("zkey", ops.ZOrder.interleave(dims, 8)).coalesce(1), tmp)
-    }
+    val table = zcompactTable(s, dir)
     val v = ops.ZOrder.compact(s, table)
     val snap = store.SnapshotLog.readSnapshotMeta(table, v)
     val zr = snap.files.flatMap(f => store.SnapshotLog.fileStats(table, f)

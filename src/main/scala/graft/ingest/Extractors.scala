@@ -588,7 +588,16 @@ object Extractors {
           val prefix = dst(dhex.dropRight(4))
           val base = Integer.parseInt(dhex.takeRight(4), 16)
           var c = lo
-          val hiClamped = math.min(hi, lo + 0xFFFF) // 2-byte codespace cap
+          // Two clamps: the source stays inside the 2-byte codespace,
+          // and the incremented destination unit stays ≤ 0xFFFF — the
+          // CMap spec's increment is a byte-increment of the LAST unit,
+          // so letting it wrap past the BMP would silently remap into
+          // an unrelated char (and a carry into the prefix has no
+          // defined scalar-form semantics). Truncate the range's tail
+          // instead: unmapped codes fall through to the subset-font
+          // "contributes nothing" path, never to a wrong char.
+          val hiClamped = math.min(math.min(hi, lo + 0xFFFF),
+            lo + (0xFFFF - base))
           while (c <= hiClamped) {
             m += c -> (prefix + (base + (c - lo)).toChar)
             c += 1

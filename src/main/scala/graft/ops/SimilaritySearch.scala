@@ -546,14 +546,32 @@ object SimilaritySearch {
       .localCheckpoint(true)
     val keptBuckets = rewritten.select(col("bucket"))
       .distinct().collect().map(_.getLong(0)).toSet
+    // stats-sidecar invalidation BEFORE the vectors rewrite (mirrors
+    // ProductQuantization.invalidateStats ordering): a crash between
+    // the vectors overwrite and the sidecar refresh must leave a
+    // MISSING sidecar, never a stale one whose overcounts under-size
+    // probePrefix and silently return fewer than k rows. The untouched-
+    // bucket rows are materialized (localCheckpoint) before the delete
+    // so the merge at the end needs no read of the deleted path.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(vecsPath), spark.sparkContext.hadoopConfiguration)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val keptStats: Option[(Seq[String], DataFrame)] =
+      if (fs.exists(statsPath)) {
+        val old = spark.read.parquet(s"$dir/stats")
+        val statsCols = old.select("col_name").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val kept = old.filter(!col("bucket").isin(touched: _*))
+          .localCheckpoint(true)
+        fs.delete(statsPath, true)
+        Some((statsCols, kept))
+      } else None
     rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(vecsPath)
     // a touched bucket with NO surviving or new rows contributes nothing
     // to the write, so dynamic overwrite never clears it — drop its
     // stale partition dir explicitly (bounded by the touched count)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(vecsPath), spark.sparkContext.hadoopConfiguration)
     touched.filterNot(keptBuckets).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$vecsPath/bucket=$b"), true)
     }
@@ -571,16 +589,12 @@ object SimilaritySearch {
         centroidSchema)
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    // stats-sidecar maintenance, same touched-buckets-only shape as the
+    // stats-sidecar rebuild, same touched-buckets-only shape as the
     // centroids: indexed columns are self-described by the sidecar's
-    // col_name domain, kept rows come from untouched buckets, fresh
-    // rows from one grouped scan of the rewritten touched partitions.
-    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    if (fs.exists(statsPath)) {
-      val old = spark.read.parquet(s"$dir/stats")
-      val statsCols = old.select("col_name").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      val kept = old.filter(!col("bucket").isin(touched: _*))
+    // col_name domain, kept rows were checkpointed above (before the
+    // invalidation), fresh rows come from one grouped scan of the
+    // rewritten touched partitions.
+    keptStats.foreach { case (statsCols, kept) =>
       val fresh = bucketStats(
         spark.read.parquet(vecsPath)
           .filter(col("bucket").isin(touched: _*))
