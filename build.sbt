@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Vector API (public incubator module, JDK 16+) for the SIMD matmul
+  // kernels in graft.embed.VectorKernels; absence at runtime is fine —
+  // the kernels fall back to identical scalar loops.
+  "--add-modules", "jdk.incubator.vector",
 )
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

@@ -82,23 +82,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("graft_search"),
       info("graft_search"),
       (es: Seq[Expression]) => {
-        def str(i: Int): String = es(i).eval().toString
+        // a SQL NULL argument means "omitted" — same default as the
+        // programmatic SearchOptions field (keyword/type predicates
+        // already treat null/empty as a no-op; a null k or threshold
+        // falls back to the config.py defaults), never an NPE
+        def str(i: Int, dflt: String): String =
+          if (es.length > i) Option(es(i).eval()).map(_.toString).getOrElse(dflt)
+          else dflt
         // SQL numeric literals arrive as Decimal (0.4), Integer (6) or
         // Double (0.4D) — normalize all three
-        def num(i: Int): Double = es(i).eval() match {
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble
-          case n: Number => n.doubleValue()
-          case other => other.toString.toDouble
-        }
+        def num(i: Int, dflt: Double): Double =
+          if (es.length <= i) dflt
+          else es(i).eval() match {
+            case null => dflt
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: Number => n.doubleValue()
+            case other => other.toString.toDouble
+          }
         val opts = graft.search.SearchOptions(
-          k = if (es.length > 2) num(2).toInt
-          else graft.search.SearchOptions.DefaultK,
-          scoreThreshold = if (es.length > 3) num(3)
-          else graft.search.SearchOptions.DefaultThreshold,
-          searchTerm = if (es.length > 4) str(4) else "",
-          documentTypes = if (es.length > 5) str(5) else "")
+          k = num(2, graft.search.SearchOptions.DefaultK.toDouble).toInt,
+          scoreThreshold = num(3, graft.search.SearchOptions.DefaultThreshold),
+          searchTerm = str(4, ""),
+          documentTypes = str(5, ""))
+        // db path and query text have no sensible default: NULL is a
+        // caller bug and gets a named error at analysis time
+        def reqStr(i: Int, what: String): String = {
+          val v = es(i).eval()
+          require(v != null, s"graft_search: $what must not be NULL")
+          v.toString
+        }
         graft.search.VectorSearch.searchSql(
-          org.apache.spark.sql.SparkSession.active, str(0), str(1), opts)
+          org.apache.spark.sql.SparkSession.active,
+          reqStr(0, "db path"), reqStr(1, "query text"), opts)
           .queryExecution.logical
       }))
   }

@@ -1341,8 +1341,12 @@ object OracleSql {
         |        CAST('0x' || substring(md5(array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
         |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
         |             FROM w WHERE len(ws) >= 5)),
+        | cap AS (SELECT CASE WHEN count(*) <= 50000 THEN 9223372036854775807
+        |          ELSE greatest(CAST(floor(count(*) * 0.013) AS BIGINT), 6500) END AS c
+        |         FROM documents),
         | d AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
-        |       GROUP BY gh HAVING count(*) >= 2),
+        |       GROUP BY gh HAVING count(*) >= 2
+        |        AND count(*) <= (SELECT c FROM cap)),
         | p AS (SELECT DISTINCT doc_id, pos FROM g JOIN d USING (gh)),
         | i AS (SELECT doc_id, pos,
         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM p)
@@ -1360,8 +1364,12 @@ object OracleSql {
         |        CAST('0x' || substring(md5(array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
         |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
         |             FROM w WHERE len(ws) >= 5)),
+        | cap AS (SELECT CASE WHEN count(*) <= 50000 THEN 9223372036854775807
+        |          ELSE greatest(CAST(floor(count(*) * 0.013) AS BIGINT), 6500) END AS c
+        |         FROM documents),
         | k AS (SELECT gh, min(doc_id) AS keeper FROM (SELECT DISTINCT doc_id, gh FROM g)
-        |       GROUP BY gh HAVING count(*) >= 2),
+        |       GROUP BY gh HAVING count(*) >= 2
+        |        AND count(*) <= (SELECT c FROM cap)),
         | drops AS (SELECT DISTINCT doc_id, wpos FROM (
         |           SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS wpos
         |           FROM g JOIN k USING (gh) WHERE doc_id <> keeper)),

@@ -992,23 +992,40 @@ object Queries {
         n = 8, maxHammingDistance = 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
 
+  /** Span-family boilerplate cap, corpus-scaled with the vacuous-at-
+    * verify discipline: DISABLED (0 = exact) at ≤ 50k docs — every
+    * verify/bench hash through sf1 is unchanged — then 1.3% of the
+    * corpus with a 6,500-doc floor (the [[MinhashDfFraction]] family).
+    * Above the tier, a 5-gram in more docs than the cap is background
+    * text (licenses, headers), not duplication worth a span, and its
+    * corpus-wide position fan-out is what the cap bounds. */
+  private def spanDfCap(nDocs: Long): Long =
+    if (nDocs <= 50000L) 0L
+    else math.max((nDocs * 0.013).toLong, 6500L)
+
   /** Duplicated-substring spans: maximal word runs whose every 5-word
     * gram appears in ≥ 2 distinct docs (the Lee-et-al exact-substring
     * report, relational form). Oracle recomputes grams + the island
-    * merge from raw text in SQL. */
+    * merge from raw text in SQL, deriving the same corpus-scaled
+    * [[spanDfCap]] from count(*). */
   def dupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicatedSpansFromGrams(standardPosGrams(s, dir), n = 5)
+    Dedup.duplicatedSpansFromGrams(standardPosGrams(s, dir), n = 5,
+        maxDocFreq = spanDfCap(t(s, dir, "documents").count()))
       .select(col("sid").as("doc_id"), col("span_start"),
         col("span_end"), col("span_words"))
 
   /** Duplicated-substring removal: words covered by a cross-doc 5-gram
     * whose keeper (min doc id) is another doc are dropped; one
-    * canonical occurrence survives corpus-wide. */
-  def dedupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.removeDuplicatedSpansFromGrams(t(s, dir, "documents"),
-        "doc_id", "text", standardPosGrams(s, dir), n = 5)
+    * canonical occurrence survives corpus-wide. Same corpus-scaled
+    * [[spanDfCap]] as [[dupSpans]]. */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.removeDuplicatedSpansFromGrams(docs,
+        "doc_id", "text", standardPosGrams(s, dir), n = 5,
+        maxDocFreq = spanDfCap(docs.count()))
       .select(col("sid").as("doc_id"), col("cleaned_text"),
         col("n_kept"), col("n_dropped"))
+  }
 
   /** Benchmark decontamination: every 10th doc plays the held-out
     * benchmark set; flag remaining corpus docs sharing any exact 5-word

@@ -17,9 +17,13 @@ package graft.embed
   * full-size checkpoints.
   *
   * Scale/serving posture: inference is executor-local compute inside
-  * `mapPartitions` (no shuffle); this scalar-loop JVM implementation is
-  * sized for test/CI checkpoints (2 layers × 32 dims runs ~µs/token) —
-  * production-size models want the native runtime, not better loops.
+  * `mapPartitions` (no shuffle). The matmul inner loops run through
+  * [[VectorKernels]] — AVX-512/AVX2 `jdk.incubator.vector` saxpy when
+  * the module is on the JVM, the identical scalar loop otherwise, with
+  * BIT-IDENTICAL results either way (element-parallel ops only, no
+  * FMA, no reduction reassociation). Production-size checkpoints still
+  * want the native-runtime provider seam; SIMD closes most of the
+  * single-thread gap measured in the BASELINE.md matmul probe.
   */
 final class TransformerSession(val w: TransformerWeights) extends InferenceSession {
 
@@ -35,6 +39,7 @@ final class TransformerSession(val w: TransformerWeights) extends InferenceSessi
   private val nh = w.heads
   private val dh = H / nh
   private val scale = 1.0 / math.sqrt(dh.toDouble)
+
 
   private def encodeRow(ids: Array[Long], mask: Array[Long]): Array[Array[Float]] = {
     val S = ids.length
@@ -94,10 +99,7 @@ final class TransformerSession(val w: TransformerWeights) extends InferenceSessi
           j = 0
           while (j < S) {
             val a = scores(j) / z
-            if (a != 0.0) {
-              var d = 0
-              while (d < dh) { ctx(i)(off + d) += a * v(j)(off + d); d += 1 }
-            }
+            if (a != 0.0) VectorKernels.saxpyRange(a, v(j), ctx(i), off, dh)
             j += 1
           }
           h += 1
@@ -126,20 +128,37 @@ final class TransformerSession(val w: TransformerWeights) extends InferenceSessi
     x.map(_.map(_.toFloat))
   }
 
-  /** y = x·W + b with W row-major [in][out]. */
+  /** y = x·W + b with W row-major [in][out], float weights streamed
+    * directly (4 B/element — the matrices stay L2-resident far longer
+    * than a widened-double copy would): each float lane load converts
+    * to a full double vector (vcvtps2pd, exact), accumulation stays
+    * double, adds stay in row order, no FMA — bit-identical to the
+    * scalar widening loop. 4-row register blocks amortize the out
+    * load/store (the transform C2's auto-vectorizer never does); a
+    * block with an exact-zero xi falls back to per-row saxpy so the
+    * zero-skip (and its -0.0 identity) matches the scalar path. */
   private def affine(x: Array[Double], wm: Array[Array[Float]],
       b: Array[Float]): Array[Double] = {
     val out = new Array[Double](b.length)
     var d = 0
     while (d < b.length) { out(d) = b(d).toDouble; d += 1 }
+    val n = x.length
     var i = 0
-    while (i < x.length) {
-      val xi = x(i)
-      if (xi != 0.0) {
-        val row = wm(i)
-        var o = 0
-        while (o < out.length) { out(o) += xi * row(o); o += 1 }
+    while (i + 4 <= n) {
+      if (x(i) != 0.0 && x(i + 1) != 0.0 && x(i + 2) != 0.0 && x(i + 3) != 0.0)
+        VectorKernels.saxpy4f(x(i), wm(i), x(i + 1), wm(i + 1),
+          x(i + 2), wm(i + 2), x(i + 3), wm(i + 3), out)
+      else {
+        var j = i
+        while (j < i + 4) {
+          if (x(j) != 0.0) VectorKernels.saxpyf(x(j), wm(j), out)
+          j += 1
+        }
       }
+      i += 4
+    }
+    while (i < n) {
+      if (x(i) != 0.0) VectorKernels.saxpyf(x(i), wm(i), out)
       i += 1
     }
     out

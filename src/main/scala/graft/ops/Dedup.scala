@@ -945,10 +945,19 @@ object Dedup {
     * the span family shares one expensive gram scan when several
     * passes run over the same corpus (report + removal + audit), so a
     * pipeline materializes the grams once and feeds each consumer. */
-  def duplicatedSpansFromGrams(grams: DataFrame, n: Int): DataFrame = {
+  def duplicatedSpansFromGrams(grams: DataFrame, n: Int,
+      maxDocFreq: Long = 0L): DataFrame = {
+    // maxDocFreq > 0 EXCLUDES grams occurring in more than that many
+    // distinct docs from span detection — the boilerplate cap (the
+    // [[jaccardPairs]] posting-list idiom): a gram in thousands of
+    // docs is background text (headers, licenses), and its positions
+    // would otherwise dominate the dupPos shuffle corpus-wide. Spans
+    // made ONLY of such grams are not reported; 0 disables (exact).
     val dupGrams = grams.select("sid", "gh").distinct()
       .groupBy("gh").agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= 2).select("gh")
+      .filter(col("__nd") >= 2 &&
+        (if (maxDocFreq > 0) col("__nd") <= maxDocFreq else lit(true)))
+      .select("gh")
     val dupPos = grams.join(dupGrams, Seq("gh"), "left_semi")
       .select("sid", "pos").distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sid").orderBy("pos")
@@ -1031,10 +1040,17 @@ object Dedup {
     * frame (must be the grams of exactly `df` — see
     * [[duplicatedSpansFromGrams]]). */
   def removeDuplicatedSpansFromGrams(df: DataFrame, idCol: String,
-      textCol: String, grams: DataFrame, n: Int): DataFrame = {
+      textCol: String, grams: DataFrame, n: Int,
+      maxDocFreq: Long = 0L): DataFrame = {
+    // maxDocFreq: same boilerplate cap as [[duplicatedSpansFromGrams]]
+    // — grams in more than that many distinct docs are background, not
+    // duplication, and are left in place everywhere (no keeper; their
+    // position explode would otherwise scale with corpus-wide
+    // occurrences of the hottest gram). 0 disables (exact removal).
     val keepers = grams.groupBy("gh")
       .agg(min("sid").as("__keeper"), countDistinct("sid").as("__nd"))
-      .filter(col("__nd") >= 2)
+      .filter(col("__nd") >= 2 &&
+        (if (maxDocFreq > 0) col("__nd") <= maxDocFreq else lit(true)))
       .select("gh", "__keeper")
     val drops = grams.join(keepers, Seq("gh"))
       .filter(col("sid") =!= col("__keeper"))

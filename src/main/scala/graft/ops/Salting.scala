@@ -35,17 +35,29 @@ object SkewReport {
   * side across all salt values, so one hot key's rows spread over
   * `factor` reducers instead of one straggler task.
   *
-  * DEFAULT RECOMMENDATION (round-9 A/B, `ScaleProbe <n> skew`,
-  * BASELINE.md): for shuffle JOINS on Spark 4, prefer AQE's skew-join
-  * over [[saltedJoin]] — at a 50%-hot key over 4M/8M rows the AQE
-  * plan beat plain SMJ 1.9-2.1× while salting managed 1.4-1.6×
-  * (salting pays the `factor`-fold replication of the small side; AQE
-  * splits only the oversized partitions and co-reads the matching
-  * build side for free). Mind the trigger: AQE only splits partitions
-  * over `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`
-  * (256MB default — right for clusters, far above local-test sizes).
+  * DEFAULT RECOMMENDATION (round-10 A/B at production scale,
+  * `ScaleProbe 64000000 skew256` / `skew`, BASELINE.md — REVISES the
+  * round-9 small-corpus verdict): for a KNOWN heavily-skewed join key
+  * (skew factor ≫ 10 in [[SkewReport]]), prefer [[saltedJoin]]. At a
+  * 50%-hot key over 64M rows, salting factor 16 beat plain SMJ 2.3×
+  * and beat AQE skew-join at BOTH thresholds — stock 256MB (11.6 s vs
+  * 5.6 s: the hot partition splits only ~640MB/256MB ≈ 2-3 ways) and
+  * a tuned 8MB (8.9 s vs 6.6 s) — because the salt spreads the hot
+  * key `factor` ways at MAP time while AQE can only split the already-
+  * shuffled partition at reduce time, block by block, after paying
+  * the skewed write. The round-9 result (AQE ahead at 4-8M rows with
+  * an 8MB override) was the small-corpus regime where the salt's
+  * small-side replication dominated; it does not extrapolate.
   *
-  * Explicit salting remains the tool when (a) the skewed stage is an
+  * AQE skew-join remains the right DEFAULT when skew is not known in
+  * advance: it costs nothing when absent and rescues the straggler
+  * unattended. Mind its trigger: only partitions over
+  * `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`
+  * (256MB stock) split, and the split granularity is that same size —
+  * a 640MB hot partition gains only ~3-way parallelism unless the
+  * threshold/advisory are lowered.
+  *
+  * Explicit salting is also the only tool when (a) the skewed stage is an
   * AGGREGATION with large per-key state (collect_set/distinct) that
   * map-side partial aggregation cannot compact — AQE never splits a
   * skewed GROUP, [[saltedAgg]]'s two-phase merge is the only spread;

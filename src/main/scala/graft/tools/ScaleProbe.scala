@@ -911,6 +911,115 @@ object ScaleProbe {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       large.unpersist(); small.unpersist()
     }
+    // Round-10 re-probe at PRODUCTION defaults: the r9 skew verdict
+    // rests on an 8MB threshold override at 4-8M rows; here the corpus
+    // is sized (≥64M rows, 50% on one key) so the hot partition's
+    // shuffle bytes exceed the STOCK 256MB
+    // skewedPartitionThresholdInBytes — no overrides at all — which is
+    // the regime a production cluster actually sees.
+    if (on("skew256")) {
+      val n256 = math.max(n, 64000000L)
+      val nKeys = 10000L
+      val large = spark.range(n256).select(
+          when(col("id") % 2 === 0, 0L)
+            .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("k"),
+          col("id").as("payload"))
+        .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+      val small = spark.range(nKeys).select(col("id").as("k"),
+        (col("id") * 7).as("v")).persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] skew256 corpus: large=${large.count()} (50% on key 0), small=${small.count()}")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(label: String)(setup: => Unit): Unit = {
+        setup
+        time(label) {
+          println("  [skew256] rows=" + large.join(small, Seq("k")).count())
+        }
+      }
+      run("SMJ join, AQE off") {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      }
+      run("SMJ join, AQE skew-join STOCK defaults (256MB thr)") {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      time("saltedJoin factor 16 (AQE off)") {
+        println("  [skew256] rows=" + graft.ops.Salting.saltedJoin(
+          large, small, "k", factor = 16, spreadCols = Seq("payload")).count())
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      large.unpersist(); small.unpersist()
+    }
+    // SIMD saxpy kernel vs the identical scalar loop, single thread —
+    // the affine (y = x·W + b) inner loop is the forward pass's
+    // bottleneck, and VectorKernels routes it through the Vector API
+    // when the module is present. Results are bit-identical by
+    // construction (element-parallel, no FMA); this times them.
+    if (on("simd")) {
+      println(s"[probe] simd enabled=${graft.embed.VectorKernels.simdEnabled()}" +
+        s" lanes=${graft.embed.VectorKernels.lanes()}")
+      for (h <- Seq(128, 384, 1024)) {
+        val rnd = new java.util.Random(42)
+        // float master, exact-widened double twin: all three paths see
+        // the same values, so the bit-identity require below is valid
+        val wmF = Array.fill(h, h)(rnd.nextFloat() * 0.1f)
+        val wm = wmF.map(_.map(_.toDouble))
+        val x = Array.fill(h)(rnd.nextDouble())
+        val outV = new Array[Double](h)
+        val outS = new Array[Double](h)
+        val outL = new Array[Double](h)
+        // the pre-round-10 inner loop: float rows, per-element widening
+        def affineLegacy(): Unit = {
+          var i = 0
+          while (i < h) {
+            val xi = x(i); val row = wmF(i)
+            var o = 0
+            while (o < h) { outL(o) += xi * row(o); o += 1 }
+            i += 1
+          }
+        }
+        def affineVector(): Unit = {
+          var i = 0
+          while (i + 4 <= h) {
+            graft.embed.VectorKernels.saxpy4f(x(i), wmF(i), x(i + 1), wmF(i + 1),
+              x(i + 2), wmF(i + 2), x(i + 3), wmF(i + 3), outV)
+            i += 4
+          }
+          while (i < h) { graft.embed.VectorKernels.saxpyf(x(i), wmF(i), outV); i += 1 }
+        }
+        def affineScalar(): Unit = {
+          var i = 0
+          while (i < h) {
+            val xi = x(i); val row = wm(i)
+            var o = 0
+            while (o < h) { outS(o) += xi * row(o); o += 1 }
+            i += 1
+          }
+        }
+        val reps = math.max(1000, (64 << 20) / (h * h))
+        (1 to reps).foreach(_ => affineVector()) // warm all paths
+        (1 to reps).foreach(_ => affineScalar())
+        (1 to reps).foreach(_ => affineLegacy())
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => affineVector())
+        val secV = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        (1 to reps).foreach(_ => affineScalar())
+        val secS = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        (1 to reps).foreach(_ => affineLegacy())
+        val secL = (System.nanoTime() - t2) / 1e9
+        val flops = 2.0 * h * h * reps
+        require(java.util.Arrays.equals(outV, outS), "SIMD/scalar drift")
+        println(f"[probe] simd h$h%-4d legacy ${flops / secL / 1e9}%6.2f GFLOP/s" +
+          f"  scalar ${flops / secS / 1e9}%6.2f  vector ${flops / secV / 1e9}%6.2f" +
+          f"  vec/legacy ${secL / secV}%5.2fx  vec/scalar ${secS / secV}%5.2fx")
+      }
+    }
     // TransformerSession throughput: tokens/sec per (model size, batch)
     // — the JVM analogue of the reference's per-model batch-size table
     // (utilities_core.py:162-180). Single-session numbers; the Spark

@@ -506,6 +506,50 @@ class ScaleOpsSpec extends SparkSpec {
            | 'number 3')""".stripMargin).as[Long].collect().toSeq
       assert(filtered.nonEmpty &&
         filtered.toSet.subsetOf(sqlRows.map(_._1).toSet))
+
+      // --- edge semantics: SQL answers must equal the programmatic
+      // API's — no silent wrong-answer path from SQL (r9 verdict #7)
+      def api(o: graft.search.SearchOptions): Seq[Long] =
+        graft.search.VectorSearch.search(s2, dbDir, "topic 3 text", emb, o)
+          .select("id").as[Long].collect().toSeq
+      // k = 0: empty both ways (limit 0, nothing to score)
+      assert(s2.sql(s"SELECT id FROM graft_search('$dbDir', 'topic 3 text', 0, 0.0)")
+        .count() == 0L)
+      assert(api(graft.search.SearchOptions(k = 0, scoreThreshold = 0.0)).isEmpty)
+      // threshold > 1: similarity is clipped to [0,1], so the P4
+      // filter removes every hit — empty both ways, never an error
+      assert(s2.sql(s"SELECT id FROM graft_search('$dbDir', 'topic 3 text', 5, 1.5)")
+        .count() == 0L)
+      assert(api(graft.search.SearchOptions(k = 5, scoreThreshold = 1.5)).isEmpty)
+      // NULL keyword term = omitted (the programmatic no-op predicate):
+      // same rows as the unfiltered call
+      assert(s2.sql(
+        s"""SELECT id FROM graft_search('$dbDir', 'topic 3 text', 5, 0.0,
+           | CAST(NULL AS STRING))""".stripMargin)
+        .as[Long].collect().toSeq == sqlRows.map(_._1))
+      // keyword matching nothing: empty both ways (no backfill — O5)
+      assert(s2.sql(
+        s"""SELECT id FROM graft_search('$dbDir', 'topic 3 text', 5, 0.0,
+           | 'zz-no-such-term')""".stripMargin).count() == 0L)
+      assert(api(graft.search.SearchOptions(k = 5, scoreThreshold = 0.0,
+        searchTerm = "zz-no-such-term")).isEmpty)
+      // unknown db: the SAME missing-manifest error as the programmatic
+      // path, surfaced at analysis time with the path in the message
+      val sqlErr = intercept[Exception] {
+        s2.sql("SELECT id FROM graft_search('/no/such/db', 'q', 5, 0.0)").collect()
+      }
+      val apiErr = intercept[Exception] {
+        graft.search.VectorSearch.searchSql(s2, "/no/such/db", "q")
+      }
+      def rootOf(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootOf(t.getCause)
+      assert(rootOf(sqlErr).getClass == rootOf(apiErr).getClass &&
+        rootOf(sqlErr).getMessage.contains("/no/such/db"))
+      // NULL db path / query text: a named argument error, not an NPE
+      val nullDb = intercept[Exception] {
+        s2.sql("SELECT id FROM graft_search(CAST(NULL AS STRING), 'q')").collect()
+      }
+      assert(rootOf(nullDb).getMessage.contains("db path must not be NULL"))
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }
