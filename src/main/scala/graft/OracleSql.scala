@@ -472,14 +472,14 @@ object OracleSql {
 
     // Leave-one-out 5-NN majority-vote label recovery, per-label
     // rollup; vote tie-break (count desc, label asc) replayed with
-    // window ranks. Anchor panel vec_id < 2048 (vacuous at sf ≤ 0.1)
-    // mirrors the engine's linear-cost bound; neighbors stay full.
+    // window ranks. Anchor panel vec_id < 2048 (vacuous at sf ≤ 0.1),
+    // tightening to 512 past 20k vectors — the engine's tiers.
     "knn_label_accuracy" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
         | s AS (SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid, b.label AS blabel,
         |        list_cosine_similarity(a.e, b.e) AS c
         |       FROM v a JOIN v b ON a.vec_id <> b.vec_id
-        |       WHERE a.vec_id < 2048),
+        |       WHERE a.vec_id < (SELECT CASE WHEN count(*) <= 20000 THEN 2048 ELSE 512 END FROM embeddings)),
         | kn AS (SELECT aid, alabel, blabel FROM (
         |         SELECT aid, alabel, blabel,
         |          row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
@@ -698,7 +698,7 @@ object OracleSql {
         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
@@ -717,7 +717,7 @@ object OracleSql {
         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
@@ -756,7 +756,7 @@ object OracleSql {
         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
@@ -1272,7 +1272,7 @@ object OracleSql {
         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
@@ -2158,7 +2158,7 @@ object OracleSql {
         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
@@ -2261,7 +2261,7 @@ object OracleSql {
         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
@@ -2330,7 +2330,7 @@ object OracleSql {
         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
@@ -2869,7 +2869,7 @@ object OracleSql {
         |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
         |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
         | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+        | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
         | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
         |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
         |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),
@@ -3101,7 +3101,7 @@ object OracleSql {
     * (band, key) equi-join, exact cosine verification on candidates. */
   /** Corpus-scaled band width: the SQL derives bandBits from count(*)
     * with the SAME tiers as Queries.dedupEmbeddingBucketed (n ≤ 4096 →
-    * `bandBits`, ≤ 262144 → 8, else 16), so the oracle stays valid at
+    * `bandBits`, ≤ 65536 → 8, else 16), so the oracle stays valid at
     * every corpus size instead of silently hash-mismatching above the
     * first tier (r9 ADVICE finding). */
   private def dedupEmbeddingBucketedSql(dim: Int, numPlanes: Int,
@@ -3113,7 +3113,7 @@ object OracleSql {
       s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $comps) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH p AS (SELECT CASE WHEN count(*) <= 4096 THEN $bandBits
-       |        WHEN count(*) <= 262144 THEN 8 ELSE 16 END AS bb
+       |        WHEN count(*) <= 65536 THEN 8 ELSE 16 END AS bb
        |       FROM embeddings),
        | b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |        ($bucketExpr) AS bits
@@ -3525,7 +3525,7 @@ object OracleSql {
       |             CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
       |             FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i FROM documents)),
       | dfc AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
-      | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= 64),
+      | rare AS (SELECT sid, sh.h FROM sh JOIN dfc USING (h) WHERE c <= (SELECT greatest(64, CAST(floor(count(*) * 0.0128) AS BIGINT)) FROM documents)),
       | cand AS (SELECT a.sid AS id_a, b.sid AS id_b
       |          FROM rare a JOIN rare b ON a.h = b.h AND a.sid < b.sid
       |          GROUP BY a.sid, b.sid HAVING count(*) >= 2),

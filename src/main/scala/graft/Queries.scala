@@ -51,13 +51,27 @@ object Queries {
     * (Same contract as the shingle/BM25 index caches above.) */
   private def standardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = cachedIndexDir("njpairs", dir) { tmp =>
-      val p = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+      val docs = t(s, dir, "documents")
+      val p = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 8, threshold = 0.2, maxDocFreq = pairDfCap(docs.count()),
+        minShared = 2)
       p.write.mode("overwrite").parquet(s"$tmp/pairs")
       p.unpersist()
     }
     s.read.parquet(s"$d/pairs")
   }
+
+  /** Posting-list df cap for the standard pair graph, CORPUS-SCALED
+    * (the round-9 lesson: fixed caps saturate — at sf10 every shingle
+    * of the 100×-replicated corpus has df ≥ 100, so the old fixed 64
+    * emptied the graph and starved every pair-consuming query).
+    * max(64, 1.28% of docs): exactly 64 at ≤ 5,000 docs — sf0.01/sf0.1
+    * verify and bench hashes unchanged — then grows with the corpus
+    * (640 at sf1, 6,400 at sf10) so clone cliques keep pairing while
+    * true boilerplate shingles stay capped. Every oracle derives the
+    * same greatest(64, floor(count(*) · 0.0128)) from the table. */
+  private def pairDfCap(nDocs: Long): Int =
+    math.max(64L, (nDocs * 0.0128).toLong).toInt
 
   /** Per-JVM materialized positional 5-gram table over `documents`
     * ((sid, pos, gh) — the span family's shared scan): the
@@ -556,12 +570,17 @@ object Queries {
     * was 45% of the entire sf1 bench run (604.6 s) and extrapolates to
     * ~17 h at sf10. With the panel the cost is anchors·N — linear —
     * while every per-anchor prediction stays bit-identical to the
-    * exact eval's (neighbors remain the FULL table). The unbounded
-    * API [[SimilaritySearch.knnClassify]] remains for offline gates. */
+    * exact eval's (neighbors remain the FULL table). Past 20k vectors
+    * the panel tightens to 512 anchors (sf1 numbers unchanged): even
+    * linear, 2048 × 200k pairs measured past the 600 s bench timeout
+    * at sf10, and a quarter-size panel is the same eval with smaller
+    * rollup counts. The unbounded API
+    * [[SimilaritySearch.knnClassify]] remains for offline gates. */
   def knnLabelAccuracy(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    val panel = if (e.count() <= 20000L) 2048L else 512L
     SimilaritySearch.knnClassifySampled(e, "vec_id", "embedding", "label",
-        k = 5, sampleMod = 1, maxAnchorId = 2048L)
+        k = 5, sampleMod = 1, maxAnchorId = panel)
       .groupBy(col("true_label").as("label"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("pred_label") === col("true_label"), 1L)
@@ -811,8 +830,14 @@ object Queries {
   def dedupEmbeddingBucketed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val n = e.count()
+    // tier boundaries keep the EXPECTED bucket ≤ ~256 rows (the
+    // within-bucket pair join is quadratic in bucket size): the old
+    // n ≤ 262144 tier for 8 bits left ~780-row buckets at sf10's 200k
+    // vectors — ~311M candidate pairs, a measured 600s timeout. 8 bits
+    // now ends at 65,536 (sf1's 20k unchanged); 32 planes divisible by
+    // all widths.
     val bits = if (n <= 4096L) EmbBucketBandBits
-      else if (n <= 262144L) 8 else 16 // 32 planes divisible by all
+      else if (n <= 65536L) 8 else 16
     Dedup.embeddingNearDupsBucketed(e, "vec_id", "embedding",
         threshold = 0.4, numPlanes = EmbBucketPlanes, bandBits = bits)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
@@ -2692,7 +2717,8 @@ object Queries {
     val idx = shingleIndexDir(s, dir)
     val pairs = Dedup.incrementalJaccardPairs(s, idx,
       docs.filter(col("doc_id") % 10 === 3),
-      "doc_id", "text", n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2)
+      "doc_id", "text", n = 8, threshold = 0.2,
+      maxDocFreq = pairDfCap(docs.count()), minShared = 2)
     // localCheckpoint (eager) copies the small pair result out of the
     // lineage so the MEMORY_AND_DISK cache the builder returned can be
     // released here instead of accumulating across bench/oracle runs.

@@ -136,10 +136,52 @@ case class GramMatrix(
 object GramFunctions {
   /** Column API: `df.agg(gramMatrix($"vec", 64))`. Input casts to
     * array<double>; micro-unit longs keep the sum exact for ≤ ~9.2M
-    * unit-ball rows PER AGGREGATE — shard-and-average (each shard its
-    * own gram, combine as weighted covariances) past that. */
+    * unit-ball rows PER AGGREGATE — use [[momentsSharded]] past that. */
   def gramMatrix(vec: Column, d: Int): Column =
     ColumnBridge.column(GramMatrix(
       ColumnBridge.expression(vec.cast("array<double>")), d)
       .toAggregateExpression())
+
+  /** Exact second moments at ANY corpus size — the shard-and-combine
+    * form of [[gramMatrix]] (its scaladoc's envelope, implemented):
+    * rows shard by a deterministic CONTENT hash of the vector (shard
+    * count from one count(), sized so each shard stays far inside the
+    * ~9.2M-row long envelope), one exact long buffer per shard, and
+    * the shard moments combine in BigInt driver-side. The combined
+    * (n, Σxμ, Σxμxμᵀ) is the mathematically identical integer a
+    * single wide-enough buffer would hold — same partition/merge-order
+    * invariance, same downstream double math (BigInt→double rounds
+    * exactly like long→double inside the long range, so results are
+    * bit-identical to the unsharded path wherever both are feasible).
+    * One shard short-circuits to the plain aggregate (no extra
+    * shuffle). The content-hash shard key means a corpus of ~9M+
+    * copies of ONE identical vector still lands in one shard — that
+    * pathology keeps the loud addExact failure, never a silent
+    * corruption. */
+  def momentsSharded(df: org.apache.spark.sql.DataFrame, vec: Column, d: Int,
+      rowsPerShard: Long = 4000000L): (Long, Array[BigInt], Array[BigInt]) = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(rowsPerShard >= 1, "rowsPerShard must be positive")
+    val n = df.count()
+    val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
+    val rows =
+      if (shards == 1)
+        Array(df.agg(gramMatrix(vec, d).as("m")).select(col("m")).head().getStruct(0))
+      else
+        df.groupBy(pmod(xxhash64(vec.cast("array<double>")), lit(shards)).as("__shard"))
+          .agg(gramMatrix(vec, d).as("m"))
+          .select(col("m")).collect().map(_.getStruct(0))
+    var tot = 0L
+    val s = Array.fill(d)(BigInt(0))
+    val g = Array.fill(d * (d + 1) / 2)(BigInt(0))
+    rows.foreach { r =>
+      tot += r.getLong(0)
+      val rs = r.getSeq[Long](1); val rg = r.getSeq[Long](2)
+      var i = 0
+      while (i < s.length) { s(i) += rs(i); i += 1 }
+      i = 0
+      while (i < g.length) { g(i) += rg(i); i += 1 }
+    }
+    (tot, s, g)
+  }
 }

@@ -43,8 +43,16 @@ object DataProfile {
          else approx_count_distinct(col(c), rsd = 0.02)).as(s"__nd_$c"),
         min(col(c)).cast(StringType).as(s"__min_$c"),
         max(col(c)).cast(StringType).as(s"__max_$c"),
-        (if (isNum) sum(round(col(c).cast("double") * 1000000).cast("long"))
-         else lit(null).cast("long")).as(s"__micro_$c"))
+        // per-row micro-units stay exact longs; the SUM accumulates in
+        // decimal(38,0) — exact integer arithmetic with 1e38 headroom,
+        // where a long sum overflowed at sf10 (o_custkey ≈ 1.5e12 micro
+        // × 15M rows ≈ 2e19 > Long.MaxValue, a measured ANSI
+        // ARITHMETIC_OVERFLOW). Deterministic like the long: integer
+        // addition in any order; the downstream double division rounds
+        // the same integer value identically.
+        (if (isNum) sum(round(col(c).cast("double") * 1000000)
+            .cast("decimal(28,0)"))
+         else lit(null).cast("decimal(38,0)")).as(s"__micro_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val perCol = cols.map { c =>
@@ -84,20 +92,19 @@ object DataProfile {
     val d = cols.size
     val vec = array(cols.map { case (c, s) =>
       (col(c).cast("double") / lit(s)) }: _*)
-    val row = df.agg(
-      graft.functions.GramFunctions.gramMatrix(vec, d).as("m"))
-      .head().getStruct(0)
-    val n = row.getLong(0)
+    // sharded exact moments: one shard (bit-identical to the plain
+    // aggregate) until ~4M rows, then content-hash shards + BigInt
+    // combine — sf10's 60M-row lineitem overflowed the single long
+    // buffer's documented ~9.2M-row envelope (loudly, by design)
+    val (n, sArr, g) = graft.functions.GramFunctions.momentsSharded(df, vec, d)
     require(n > 1, s"correlation needs at least 2 rows, got $n")
-    val sArr = row.getSeq[Long](1)
-    val g = row.getSeq[Long](2)
-    val mean = sArr.map(_ / 1e6 / n)
+    val mean = sArr.map(_.toDouble / 1e6 / n)
     def gIdx(i: Int, j: Int): Int = {
       val (a, b) = if (i <= j) (i, j) else (j, i)
       a * d - a * (a - 1) / 2 + (b - a)
     }
     def cov(i: Int, j: Int): Double =
-      g(gIdx(i, j)) / 1e12 / n - mean(i) * mean(j)
+      g(gIdx(i, j)).toDouble / 1e12 / n - mean(i) * mean(j)
     val out = for {
       i <- 0 until d
       j <- (i + 1) until d

@@ -43,22 +43,29 @@ object Pca {
   }
 
   /** One pass + driver eigensolve. `vecCol` casts to array<double>;
-    * rows must all have dimension `dim`. */
+    * rows must all have dimension `dim`. Past ~4M rows the moments
+    * come from content-hash shards combined exactly in BigInt
+    * ([[GramFunctions.momentsSharded]]) — same model, any corpus. */
   def fit(vecs: DataFrame, vecCol: String, dim: Int, k: Int): Model = {
-    val row = vecs.agg(GramFunctions.gramMatrix(col(vecCol), dim).as("m"))
-      .head().getStruct(0)
-    modelFromMoments(row.getLong(0), row.getSeq[Long](1).toArray,
-      row.getSeq[Long](2).toArray, dim, k)
+    val (n, s, g) = GramFunctions.momentsSharded(vecs, col(vecCol), dim)
+    modelFromBigMoments(n, s, g, dim, k)
   }
 
   /** Eigensolve from exact micro-unit moments — shared by [[fit]] and
     * the streaming maintainer (whose persisted state IS these longs,
     * so streamed and batch models are bit-identical by construction). */
   def modelFromMoments(n: Long, s: Array[Long], g: Array[Long],
+      dim: Int, k: Int): Model =
+    modelFromBigMoments(n, s.map(BigInt(_)), g.map(BigInt(_)), dim, k)
+
+  /** BigInt-moment form (exact shard-combined sums past the long
+    * envelope); BigInt→double rounds identically to long→double inside
+    * the long range, so long-moment callers are bit-unchanged. */
+  def modelFromBigMoments(n: Long, s: Array[BigInt], g: Array[BigInt],
       dim: Int, k: Int): Model = {
     require(k > 0 && k <= dim, s"k must be in [1, $dim], got $k")
     require(n > 1, s"PCA needs at least 2 rows, got $n")
-    val mean = s.map(_ / 1e6 / n)
+    val mean = s.map(_.toDouble / 1e6 / n)
     // covariance: E[xy] - E[x]E[y]; micro-products carry 1e12 scale
     val cov = Array.ofDim[Double](dim, dim)
     var idx = 0
@@ -66,7 +73,7 @@ object Pca {
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val c = g(idx) / 1e12 / n - mean(i) * mean(j)
+        val c = g(idx).toDouble / 1e12 / n - mean(i) * mean(j)
         cov(i)(j) = c; cov(j)(i) = c
         idx += 1; j += 1
       }

