@@ -52,7 +52,12 @@ object Queries {
   private def standardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = cachedIndexDir("njpairs", dir) { tmp =>
       val docs = t(s, dir, "documents")
-      val p = Dedup.jaccardPairs(docs, "doc_id", "text",
+      // collapse-first form: identical pair set to jaccardPairs
+      // (OpsSpec-asserted), but candidate volume is the DISTINCT
+      // corpus's — the direct posting join materializes Σ C(df,2)
+      // rows, which on sf10's 100×-replicated corpus (every df ≥ 100)
+      // was ~12G candidate rows and a measured disk-full
+      val p = Dedup.jaccardPairsCollapsed(docs, "doc_id", "text",
         n = 8, threshold = 0.2, maxDocFreq = pairDfCap(docs.count()),
         minShared = 2)
       p.write.mode("overwrite").parquet(s"$tmp/pairs")

@@ -385,6 +385,114 @@ object Dedup {
     verified // caller owns the persisted pair frame: unpersist() when done
   }
 
+  /** [[jaccardPairs]] with EXACT-DUPLICATE COLLAPSE first — the scale
+    * architecture for replica-heavy corpora, producing the IDENTICAL
+    * pair set (asserted in OpsSpec against the direct path):
+    *
+    *  1. collapse byte-identical texts into classes (sha-256 key, rep =
+    *     min id, member list carried);
+    *  2. run the posting-list candidate machinery over REPRESENTATIVES
+    *     only, with each shingle's df measured as the SUM OF CLASS
+    *     SIZES — i.e. the full-corpus df, so the cap keeps its exact
+    *     semantics;
+    *  3. verify exact Jaccard on rep pairs (identical texts have
+    *     identical shingle sets, so every member pair inherits its
+    *     reps' jaccard verbatim);
+    *  4. expand: within-class pairs (jaccard exactly 1.0 — emitted only
+    *     when the class's capped-rare shingle count reaches `minShared`
+    *     and 1.0 ≥ threshold, which is precisely when the direct path
+    *     emits them) plus cross-class member products of the verified
+    *     rep pairs.
+    *
+    * Why: the direct posting join materializes Σ C(df, 2) candidate
+    * rows, and on a corpus where every doc has F−1 verbatim clones
+    * every shingle's df is ≥ F — at sf10 (F = 100) that was ~12G
+    * candidate rows and a disk-full, for a TRUE pair set of ~27M. The
+    * collapsed form's candidate volume is the DISTINCT corpus's — it
+    * no longer grows with the replication factor at all; only the
+    * final output (which is the answer) does. On a mostly-unique
+    * corpus classes ≈ docs and the plan degenerates to the direct one
+    * plus a cheap sha groupBy. Eager; returns the persisted pair
+    * frame (caller unpersists). */
+  def jaccardPairsCollapsed(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int, minShared: Int = 1,
+      broadcastBytesCap: Long = 128L << 20): DataFrame = {
+    require(maxDocFreq > 0, "jaccardPairsCollapsed needs a posting-list cap")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = df
+      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
+      .groupBy(sha2(coalesce(col("__text"), lit("")), 256).as("__k"))
+      .agg(min(col("__id")).as("rep"),
+        sort_array(collect_list(col("__id"))).as("members"),
+        count(lit(1)).as("w"),
+        first(col("__text")).as("__text"))
+      .drop("__k")
+      .persist(lvl)
+    val weights = classes.select(col("rep").as("sid"), col("w"))
+    val sets = shingleHashSets(
+        classes.select(col("rep"), col("__text")), "rep", "__text", n)
+      .persist(lvl)
+    // plain equi-join: the weight table is rep-sized (could itself be
+    // corpus-sized on a unique corpus) — AQE broadcasts it when small
+    val sh = sets.select(col("sid"), explode(col("hs")).as("h"))
+      .join(weights, Seq("sid"))
+    // posting lists over reps; the df CAP applies to the weighted
+    // (full-corpus) doc frequency, the list length stays rep-sized
+    val lists = sh.groupBy("h")
+      .agg(collect_list(col("sid")).as("sids"), sum(col("w")).as("wdf"))
+      .filter(col("wdf") <= maxDocFreq)
+    val cand = lists
+      .select(explode(postingPairsUdf(col("sids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+      .persist(lvl)
+    cand.count()
+    // per-rep count of capped-rare shingles: gates within-class pairs
+    // exactly like the direct path (clone pairs share their whole set,
+    // so their shared-rare count is the set's rare count)
+    val rareCnt = lists.select(explode(col("sids")).as("sid"))
+      .groupBy("sid").agg(count(lit(1)).as("rare_cnt"))
+    // exact-jaccard verification on rep pairs (same shape as
+    // jaccardPairs' step 2, candidate volume is rep-scale here)
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
+    val prunedSets = sets.join(candIds, Seq("sid"), "left_semi").persist(lvl)
+    val st = prunedSets.agg(count(lit(1)), coalesce(sum(col("sz")), lit(0L))).head()
+    val vsets = if (st.getLong(0) * 64L + st.getLong(1) * 8L < broadcastBytesCap)
+      broadcast(prunedSets) else prunedSets
+    val joinedA = cand.join(vsets, cand("id_a") === vsets("sid"))
+      .select(col("id_a"), col("id_b"), col("hs").as("set_a"), col("sz").as("sz_a"))
+    val repPairs = joinedA.join(vsets, joinedA("id_b") === vsets("sid"))
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sortedIntersectCount(col("set_a"), col("hs")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("jaccard"))
+    // expansion — within-class clone pairs (jaccard exactly 1.0) ...
+    val within = classes.filter(col("w") > 1)
+      .join(rareCnt.withColumnRenamed("sid", "rep"), Seq("rep"))
+      .filter(col("rare_cnt") >= minShared && lit(1.0) >= lit(threshold))
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members) - i - 1),
+          |    y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+    // ... and cross-class member products of the verified rep pairs
+    val memA = classes.select(col("rep").as("rep_a"), col("members").as("__ma"))
+    val memB = classes.select(col("rep").as("rep_b"), col("members").as("__mb"))
+    val cross = repPairs.join(memA, Seq("rep_a")).join(memB, Seq("rep_b"))
+      .select(explode(col("__ma")).as("a"), col("__mb"), col("jaccard"))
+      .select(col("a"), explode(col("__mb")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
+    val out = within.unionByName(cross).persist(lvl)
+    out.count()
+    cand.unpersist(); prunedSets.unpersist(); sets.unpersist(); classes.unpersist()
+    out
+  }
+
   /** Persist the per-doc shingle-hash sets as a parquet index under
     * `dir/sets` — the stored half of INCREMENTAL dedup. Mode "append"
     * is the ingest-time upsert: after a batch is admitted, its sets

@@ -56,6 +56,51 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (x, y) => x == 4L || y == 4L })
   }
 
+  test("collapsed jaccard pairs == direct pairs, incl. a clone-heavy corpus") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    // clone-heavy: 4 distinct texts × 5 verbatim clones each (strided
+    // ids, the ScaleData shape), one near-dup bridge, one loner, one
+    // too-short text whose clones share NO shingles (must emit nothing)
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta " * 3,
+      "alpha beta gamma delta epsilon zeta eta thXta " * 3, // near-dup of 0
+      "totally different content about joins and shuffles " * 3,
+      "yet another unrelated block of words entirely here " * 3)
+    val clones = for {
+      (t, g) <- base.zipWithIndex
+      c <- 0 until 5
+    } yield ((c * 10 + g).toLong, t)
+    val corpus = (clones ++ Seq((100L, "loner document with its own content " * 3),
+      (101L, ""), (102L, ""))).toDF("doc_id", "text")
+    for ((cap, shared) <- Seq((64, 2), (8, 1))) {
+      val direct = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        n = 8, threshold = 0.2, maxDocFreq = cap, minShared = shared)
+      val collapsed = Dedup.jaccardPairsCollapsed(corpus, "doc_id", "text",
+        n = 8, threshold = 0.2, maxDocFreq = cap, minShared = shared)
+      val (d, c) = (pairSet(direct), pairSet(collapsed))
+      direct.unpersist(); collapsed.unpersist()
+      assert(d == c, s"cap=$cap minShared=$shared: " +
+        s"direct-only=${d -- c} collapsed-only=${c -- d}")
+      assert(d.nonEmpty)
+      assert(!d.exists { case (a, b, _) => a == 101L || b == 101L },
+        "shingle-less clones must not pair")
+    }
+    // unique corpus (classes == docs): degenerates to the direct plan
+    val uniq = Seq.tabulate(12)(i =>
+      (i.toLong, s"unique words number $i with some shared prefix text " * 2))
+      .toDF("doc_id", "text")
+    val d2 = Dedup.jaccardPairs(uniq, "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 6, minShared = 2)
+    val c2 = Dedup.jaccardPairsCollapsed(uniq, "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 6, minShared = 2)
+    val eq = pairSet(d2) == pairSet(c2)
+    d2.unpersist(); c2.unpersist()
+    assert(eq)
+  }
+
   test("dedup ladder: exact collapse then near-dup, lower id survives") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
     val docs = Seq(
