@@ -436,14 +436,19 @@ object Dedup {
     // corpus-sized on a unique corpus) — AQE broadcasts it when small
     val sh = sets.select(col("sid"), explode(col("hs")).as("h"))
       .join(weights, Seq("sid"))
-    // posting lists over reps; the df CAP applies to the weighted
-    // (full-corpus) doc frequency, the list length stays rep-sized
-    val lists = sh.groupBy("h")
-      .agg(collect_list(col("sid")).as("sids"), sum(col("w")).as("wdf"))
-      .filter(col("wdf") <= maxDocFreq)
-    val cand = lists
-      .select(explode(postingPairsUdf(col("sids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // rare grams: the df CAP applies to the weighted (full-corpus)
+    // doc frequency
+    val rareGrams = sh.groupBy("h").agg(sum(col("w")).as("wdf"))
+      .filter(col("wdf") <= maxDocFreq).select("h")
+    val rare = sh.join(rareGrams, Seq("h"), "left_semi").select("sid", "h")
+      .persist(lvl)
+    // candidate pairs by STREAMING self-join (never an in-row pair
+    // array: with a corpus-scaled cap, C(cap, 2) per-gram arrays OOM
+    // an executor long before the shuffle volume hurts — measured at
+    // sf10's 6400 cap)
+    val cand = rare.as("a").join(rare.as("b"), col("a.h") === col("b.h"))
+      .filter(col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select("id_a", "id_b")
@@ -452,8 +457,7 @@ object Dedup {
     // per-rep count of capped-rare shingles: gates within-class pairs
     // exactly like the direct path (clone pairs share their whole set,
     // so their shared-rare count is the set's rare count)
-    val rareCnt = lists.select(explode(col("sids")).as("sid"))
-      .groupBy("sid").agg(count(lit(1)).as("rare_cnt"))
+    val rareCnt = rare.groupBy("sid").agg(count(lit(1)).as("rare_cnt"))
     // exact-jaccard verification on rep pairs (same shape as
     // jaccardPairs' step 2, candidate volume is rep-scale here)
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
@@ -489,7 +493,8 @@ object Dedup {
         greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
     val out = within.unionByName(cross).persist(lvl)
     out.count()
-    cand.unpersist(); prunedSets.unpersist(); sets.unpersist(); classes.unpersist()
+    cand.unpersist(); rare.unpersist(); prunedSets.unpersist()
+    sets.unpersist(); classes.unpersist()
     out
   }
 
@@ -529,36 +534,60 @@ object Dedup {
       broadcastBytesCap: Long = 128L << 20): DataFrame = {
     require(maxDocFreq > 0, "incrementalJaccardPairs needs a posting-list cap")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val newSets = shingleHashSets(newDocs, idCol, textCol, n).persist(lvl)
-    val newPost = newSets.select(col("sid"), explode(col("hs")).as("h"))
+    // COLLAPSE-FIRST (the [[jaccardPairsCollapsed]] architecture, keyed
+    // on SET identity since the stored index has no text): Jaccard is a
+    // function of the shingle sets alone, so docs with identical
+    // (sorted) hash arrays are interchangeable — group them into
+    // classes, run candidates + verification over representatives with
+    // weighted dfs, and expand member pairs at the end. On the
+    // replica-heavy corpora this op exists for, the per-gram pair work
+    // stops growing with the replication factor; on unique corpora
+    // classes ≈ docs and the plan degenerates to the direct one.
+    val newSets = shingleHashSets(newDocs, idCol, textCol, n)
+      .withColumn("__new", lit(true))
     val storedSets = spark.read.parquet(s"$dir/sets")
-    val newGrams = newPost.select("h").distinct()
+      .withColumn("__new", lit(false))
+    // exact array grouping key (sorted hash arrays: set-equal ⟺
+    // array-equal) — a hashed key would merge distinct classes
+    // silently on collision
+    val classes = storedSets.unionByName(newSets)
+      .groupBy(col("hs"))
+      .agg(min(col("sid")).as("rep"),
+        sort_array(collect_list(struct(col("sid"), col("__new")))).as("members"),
+        count(lit(1)).as("w"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("w_new"),
+        first(col("sz")).as("sz"))
+      .persist(lvl)
+    classes.count()
+    // rarity: weighted df over stored ∪ new, but only for grams present
+    // in the new batch (a pair touching a new doc can only share grams
+    // that doc has — index work scales with batch overlap)
+    val post = classes.select(col("rep").as("sid"), col("w"), col("w_new"),
+      explode(col("hs")).as("h"))
+    val newGrams = post.filter(col("w_new") > 0).select("h").distinct()
     val nGrams = newGrams.count()
     val gramsSide = if (nGrams * 24L < broadcastBytesCap) broadcast(newGrams) else newGrams
-    val storedPost = storedSets.select(col("sid"), explode(col("hs")).as("h"))
-      .join(gramsSide, Seq("h"), "left_semi")
-    val lists = storedPost.unionByName(newPost)
-      .groupBy("h").agg(collect_list(col("sid")).as("sids"))
-      .filter(size(col("sids")) <= maxDocFreq)
-    val newIds = newSets.select(col("sid")).distinct()
-      .withColumnRenamed("sid", "__nid").withColumn("__new", lit(true))
-    val nNew = newIds.count()
-    val idsSide = if (nNew * 32L < broadcastBytesCap) broadcast(newIds) else newIds
-    val cand = lists.select(explode(postingPairsUdf(col("sids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val batchPost = post.join(gramsSide, Seq("h"), "left_semi")
+    val rareGrams = batchPost.groupBy("h").agg(sum(col("w")).as("wdf"))
+      .filter(col("wdf") <= maxDocFreq).select("h")
+    val rare = batchPost.join(rareGrams, Seq("h"), "left_semi")
+      .select("sid", "h", "w_new").persist(lvl)
+    // rep candidates by streaming self-join (no in-row pair arrays —
+    // C(cap, 2) arrays OOM at corpus-scaled caps), keeping pairs where
+    // at least one side's class contains a new doc
+    val cand = rare.as("a").join(rare.as("b"), col("a.h") === col("b.h"))
+      .filter(col("a.sid") < col("b.sid") &&
+        (col("a.w_new") > 0 || col("b.w_new") > 0))
+      .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .join(idsSide, col("id_a") === col("__nid"), "left")
-      .withColumnRenamed("__new", "__new_a").drop("__nid")
-      .join(idsSide, col("id_b") === col("__nid"), "left")
-      .filter(col("__new_a").isNotNull || col("__new").isNotNull)
       .select("id_a", "id_b")
       .persist(lvl)
     val nPairs = cand.count()
-    val allSets = storedSets.unionByName(newSets)
+    val repSets = classes.select(col("rep").as("sid"), col("hs"), col("sz"))
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
     val idsFit = nPairs * 2L * 24L < broadcastBytesCap
-    val prunedSets = allSets.join(
+    val prunedSets = repSets.join(
         if (idsFit) broadcast(candIds) else candIds, Seq("sid"), "left_semi")
       .persist(lvl)
     val st = prunedSets.agg(count(lit(1)), coalesce(sum(col("sz")), lit(0L))).head()
@@ -566,18 +595,40 @@ object Dedup {
     val vsets = if (setsBytes < broadcastBytesCap) broadcast(prunedSets) else prunedSets
     val joinedA = cand.join(vsets, cand("id_a") === vsets("sid"))
       .select(col("id_a"), col("id_b"), col("hs").as("set_a"), col("sz").as("sz_a"))
-    val verified = joinedA.join(vsets, joinedA("id_b") === vsets("sid"))
+    val repPairs = joinedA.join(vsets, joinedA("id_b") === vsets("sid"))
       .withColumn("inter",
         graft.functions.ArrayFunctions.sortedIntersectCount(col("set_a"), col("hs")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz") - col("inter")).cast("double"))
       .filter(col("jaccard") >= lit(threshold))
-      .select("id_a", "id_b", "jaccard")
-      .persist(lvl)
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("jaccard"))
+    // within-class expansion: clone pairs (jaccard exactly 1.0) with at
+    // least one new member, gated by the class's rare-shingle count
+    // like the direct path; old-old pairs were found at their own
+    // ingest and are dropped
+    val rareCnt = rare.groupBy("sid").agg(count(lit(1)).as("rare_cnt"))
+    val within = classes.filter(col("w") > 1 && col("w_new") > 0)
+      .join(rareCnt.withColumnRenamed("sid", "rep"), Seq("rep"))
+      .filter(col("rare_cnt") >= minShared && lit(1.0) >= lit(threshold))
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members) - i - 1),
+          |    y -> struct(x.sid AS id_a, y.sid AS id_b,
+          |      x.__new OR y.__new AS touches_new))))""".stripMargin)).as("p"))
+      .filter(col("p.touches_new"))
+      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+    // cross-class expansion of verified rep pairs, touching-new only
+    val memA = classes.select(col("rep").as("rep_a"), col("members").as("__ma"))
+    val memB = classes.select(col("rep").as("rep_b"), col("members").as("__mb"))
+    val cross = repPairs.join(memA, Seq("rep_a")).join(memB, Seq("rep_b"))
+      .select(explode(col("__ma")).as("a"), col("__mb"), col("jaccard"))
+      .select(col("a"), explode(col("__mb")).as("b"), col("jaccard"))
+      .filter(col("a.__new") || col("b.__new"))
+      .select(least(col("a.sid"), col("b.sid")).as("id_a"),
+        greatest(col("a.sid"), col("b.sid")).as("id_b"), col("jaccard"))
+    val verified = within.unionByName(cross).persist(lvl)
     verified.count()
-    cand.unpersist()
-    prunedSets.unpersist()
-    newSets.unpersist()
+    cand.unpersist(); rare.unpersist(); prunedSets.unpersist(); classes.unpersist()
     verified
   }
 
