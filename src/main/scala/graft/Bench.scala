@@ -78,17 +78,25 @@ object Bench {
     // also disables, reproducing the old first-consumer attribution).
     val doPrebuild = only.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREBUILD", "1") != "0"
+    // A FAILED prebuild is machine-readable in the artifact (r10
+    // ADVICE): its partial wall time is emitted NEGATIVE (the
+    // sentinel) and its name joins protocol.failed_prebuilds — the
+    // real build cost then lands in the first consumer's wall time,
+    // and bench_scaling.py can discount those queries instead of
+    // reading the misattribution as a regression.
     val prebuildTimes: Seq[(String, Double)] =
       if (!doPrebuild) Seq.empty
       else Queries.prebuilds.map { case (name, build) =>
         val t0 = System.nanoTime()
-        try build(spark, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] prebuild $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { build(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] prebuild $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] prebuild $name%s ${dt}%.3fs")
-        name -> dt
+        System.err.println(f"[bench] prebuild $name%s ${dt}%.3fs ok=$ok")
+        name -> (if (ok) dt else -dt)
       }
     spark.catalog.clearCache()
 
@@ -170,6 +178,8 @@ object Bench {
     val prebuildJson = prebuildTimes
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedPrebuildJson = prebuildTimes.filter(_._2 < 0).map(_._1)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val zombieJson = zombies.distinct
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Self-describing protocol fields: min-of-N runs and the box's
@@ -177,7 +187,7 @@ object Bench {
     // loaded-box outlier from a code regression without a re-run.
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_out":$rowsOut,"protocol":{"runs":$runs,"agg":"min","cpus":$cpus,"timeout_sec":$timeoutSec,"prebuild_sec":$prebuildJson,"zombies":$zombieJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_out":$rowsOut,"protocol":{"runs":$runs,"agg":"min","cpus":$cpus,"timeout_sec":$timeoutSec,"prebuild_sec":$prebuildJson,"failed_prebuilds":$failedPrebuildJson,"zombies":$zombieJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}"""
     println(json)
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
       .getOrElse {

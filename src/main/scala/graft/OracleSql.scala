@@ -586,12 +586,14 @@ object OracleSql {
     // invariants (corpus size, dim, unit norm, exact top-1
     // self-retrieval) — the vectors themselves are the checkpoint's
     // business, the CONTRACT is SQL-replayable.
+    // Query panel bound (doc_id < 50000) replayed literally —
+    // vacuous at sf <= 1, caps the self-search at 500 queries x N.
     "embed_real" ->
       """SELECT doc_id AS query_doc_id,
         | (SELECT count(*) FROM documents WHERE doc_id % 25 = 0) AS n_corpus,
         | TRUE AS dim_ok, TRUE AS unit_norm_ok,
         | 1.0 AS top1_sim, TRUE AS top1_exact
-        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
+        |FROM documents WHERE doc_id % 100 = 0 AND doc_id < 50000""".stripMargin,
 
     "embed_chunks" ->
       """SELECT doc_id, i - 1 AS chunk_ordinal,
@@ -1625,40 +1627,54 @@ object OracleSql {
         |SELECT doc_id, i AS frame_index, CAST(least(256, bl - i*256) AS BIGINT) AS frame_len
         |FROM (SELECT doc_id, bl, unnest(generate_series(0, nf - 1, 2)) AS i FROM f)""".stripMargin,
 
-    // SemDeDup: the kmeans_clusters assignment replay (identical
-    // corpus-scaled-k x 2-iteration exact-snapped trajectory; k =
-    // greatest(4, n/512) = 4 at sf<=0.1) + within-cell min-id greedy
-    // survivor at cosine >= 0.4.
-    "semantic_dedup" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
-        |        FROM v ORDER BY vec_id
-        |        LIMIT (SELECT greatest(4, count(*) // 512) FROM v)),
-        | d1 AS (SELECT v.vec_id, c.cl,
-        |         list_sum(list_transform(generate_series(1, 64),
-        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
-        |        FROM v CROSS JOIN c0 c),
-        | a1 AS (SELECT vec_id, cl FROM d1
-        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
-        | m1 AS (SELECT cl, i, CAST(round(avg(e[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
-        |        FROM (SELECT a1.cl, v.e, unnest(generate_series(1, 64)) AS i
-        |              FROM a1 JOIN v USING (vec_id))
-        |        GROUP BY cl, i),
-        | c1 AS (SELECT cl, list(c ORDER BY i) AS e FROM m1 GROUP BY cl),
-        | d2 AS (SELECT v.vec_id, c.cl,
-        |         list_sum(list_transform(generate_series(1, 64),
-        |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
-        |        FROM v CROSS JOIN c1 c),
-        | a2 AS (SELECT vec_id, cl FROM d2
-        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
-        | dropped AS (SELECT DISTINCT b.vec_id
-        |        FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
-        |        JOIN v va ON va.vec_id = a.vec_id
-        |        JOIN v vb ON vb.vec_id = b.vec_id
-        |        WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.4)
-        |SELECT a2.vec_id, a2.cl AS cluster,
-        | a2.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
-        |FROM a2""".stripMargin,
+    // SemDeDup: LSH-sharded kmeans assignment replay — shard bits b
+    // derived from count(*) with exact INTEGER arithmetic (bit-length
+    // of (n-1)//2048, no cross-engine log2 rounding), the +-1 sign
+    // projections interpolated as literals from the SAME
+    // Clustering.shardProjections the engine uses, then the fixed
+    // k=4 x 2-iteration exact-snapped Lloyd trajectory PER SHARD +
+    // within-cell min-id greedy survivor at cosine >= 0.4. b = 0 at
+    // sf <= 0.1 (n <= 2048): shard = K % 1 = 0 and the replay
+    // degenerates to the classic single-shard k=4 path.
+    "semantic_dedup" -> {
+      val dim = 64; val maxBits = 16
+      val wLits = graft.ops.Clustering.shardProjections(maxBits, dim)
+        .map(_.mkString("(CAST([", ", ", "] AS DOUBLE[]))"))
+      val signTerms = (0 until maxBits).map { j =>
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, $dim), i -> e[i] * ${wLits(j)}[i])) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         | p AS (SELECT CASE WHEN count(*) <= 2048 THEN 0
+         |         ELSE length(bin((count(*) - 1) // 2048)) END AS b FROM v0),
+         | v AS (SELECT vec_id, e, ($signTerms) % (1 << b) AS shard FROM v0, p),
+         | c0 AS (SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY vec_id) - 1 AS cl, e
+         |        FROM v QUALIFY row_number() OVER (PARTITION BY shard ORDER BY vec_id) <= 4),
+         | d1 AS (SELECT v.vec_id, v.shard, c.cl,
+         |         list_sum(list_transform(generate_series(1, $dim),
+         |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+         |        FROM v JOIN c0 c ON v.shard = c.shard),
+         | a1 AS (SELECT vec_id, shard, cl FROM d1
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+         | m1 AS (SELECT shard, cl, i, CAST(round(avg(e[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
+         |        FROM (SELECT a1.shard, a1.cl, v.e, unnest(generate_series(1, $dim)) AS i
+         |              FROM a1 JOIN v USING (vec_id))
+         |        GROUP BY shard, cl, i),
+         | c1 AS (SELECT shard, cl, list(c ORDER BY i) AS e FROM m1 GROUP BY shard, cl),
+         | d2 AS (SELECT v.vec_id, v.shard, c.cl,
+         |         list_sum(list_transform(generate_series(1, $dim),
+         |           i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))) AS d2
+         |        FROM v JOIN c1 c ON v.shard = c.shard),
+         | a2 AS (SELECT vec_id, shard, cl FROM d2
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+         | dropped AS (SELECT DISTINCT b.vec_id
+         |        FROM a2 a JOIN a2 b ON a.shard = b.shard AND a.cl = b.cl AND a.vec_id < b.vec_id
+         |        JOIN v0 va ON va.vec_id = a.vec_id
+         |        JOIN v0 vb ON vb.vec_id = b.vec_id
+         |        WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.4)
+         |SELECT a2.vec_id, a2.shard * 4 + a2.cl AS cluster,
+         | a2.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+         |FROM a2""".stripMargin
+    },
 
     "shard_assign" ->
       """SELECT doc_id, shard,
@@ -2498,10 +2514,12 @@ object OracleSql {
     "decontaminate_fuzzy" -> minhashDecontaminateSql(numHashes = 16,
       rowsPerBand = 4, minMatches = 4),
 
+    // Anchor panel bound (vec_id < 20000) replayed literally —
+    // vacuous at sf <= 1, caps the mining at 200 anchors x N beyond.
     "hard_negatives" ->
       """WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv,
         |        label AS alabel
-        |       FROM embeddings WHERE vec_id % 100 = 0),
+        |       FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 20000),
         | s AS (SELECT a.anchor_id, e.vec_id,
         |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.qv) AS c
         |       FROM embeddings e, a WHERE e.label <> a.alabel),

@@ -457,11 +457,19 @@ object Queries {
     * pure-JVM BERT forward pass on EXECUTORS ([[graft.embed
     * .OnnxEmbedder]] mapPartitions, executor-local session cache —
     * the production shape, reference embedding_models.py:54-131), and
-    * each query doc (doc_id %100 = 0) searches the built index with
-    * its own text. The gate pins the structural invariants the oracle
-    * replays: corpus size, dimension, unit norm (≤1e-4 deviation),
-    * and EXACT top-1 self-retrieval (identical text ⇒ identical
-    * deterministic vector ⇒ 6-dp cosine exactly 1.0). */
+    * each query doc (doc_id %100 = 0, doc_id < 50000) searches the
+    * built index with its own text. The gate pins the structural
+    * invariants the oracle replays: corpus size, dimension, unit norm
+    * (≤1e-4 deviation), and EXACT top-1 self-retrieval (identical
+    * text ⇒ identical deterministic vector ⇒ 6-dp cosine exactly 1.0).
+    *
+    * QUERY PANEL BOUND (doc_id < 50000, vacuous at sf ≤ 1 where doc
+    * ids top out at 49999): a %100 query slice is a corpus FRACTION,
+    * so the self-search was (N/100)·(N/25) — quadratic, 25.9× per 10×
+    * at sf10. The id bound caps the panel at 500 queries; the embed
+    * pass (the operator under test) stays linear in the corpus and
+    * untouched, and each query's top-1 is bit-identical (the indexed
+    * side is never sliced). The oracle replays the literal bound. */
   def embedReal(s: SparkSession, dir: String): DataFrame = {
     val corpus = t(s, dir, "documents")
       .filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
@@ -476,8 +484,9 @@ object Queries {
       round(max(abs(sqrt(aggregate(col("vector"), lit(0.0d),
         (a, x) => a + x.cast("double") * x.cast("double"))) - 1.0d)), 4)
         .as("norm_dev"))
-    val queries = vecs.filter(col("doc_id") % 100 === 0)
+    val queries = vecs.filter(col("doc_id") % 100 === 0 && col("doc_id") < 50000)
       .select(col("doc_id").as("query_id"), col("vector").as("qv"))
+    SimilaritySearch.assertPanelNonEmpty(queries, vecs, "embedReal")
     SimilaritySearch.bruteForceTopKBatchAgg(
         vecs, "doc_id", "vector", queries, "query_id", "qv", k = 1)
       .select(col("query_id").as("query_doc_id"), r6(col("cosine")).as("top1_sim"))
@@ -2140,19 +2149,28 @@ object Queries {
         length(col("frame_bytes")).cast("long").as("frame_len"))
   }
 
-  /** SemDeDup semantic dedup: k-means cells (same k=4 x 2-iteration
-    * trajectory as kmeans_clusters) + within-cell greedy min-id
-    * survivor at cosine >= 0.4; full per-vector keep/drop decision. */
+  /** SemDeDup semantic dedup: LSH-sharded k-means cells (fixed k=4 ×
+    * 2 Lloyd iterations per shard) + within-cell greedy min-id
+    * survivor at cosine >= 0.4; full per-vector keep/drop decision.
+    *
+    * Cell sizing history: a fixed k=4 made the within-cell pair phase
+    * quadratic (29× per 10× at sf1); the r9 corpus-scaled
+    * k = max(4, n/512) fixed the PAIR phase but made the Lloyd
+    * ASSIGNMENT n·k = n²/512 (17.2× per 10×, 98.7 s at sf10). The
+    * scale form: shardBits = ⌈log2(n/2048)⌉ sign-bit LSH shards, k=4
+    * Lloyd within each — assignment n·4 linear, expected cell
+    * n/(2^bits·4) ≈ 512. The bits formula is exact INTEGER arithmetic
+    * (bit-length of (n−1)/2048) so the oracle derives the identical
+    * value from count(*) with no cross-engine log2 rounding risk.
+    * Vacuous ≤ sf0.1 (n ≤ 2048 → 0 bits → the classic k=4 path,
+    * hashes unchanged). */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // cells sized to ~512 rows: the within-cell pair phase is
-    // quadratic PER CELL, so a fixed k means quadratic growth with
-    // the corpus (sf1 bench: 29× at 10× data with k=4). k =
-    // max(4, n/512) keeps Σ C(cell,2) linear; SQL-replayable as a
-    // LIMIT (SELECT greatest(...)) on the seed CTE. Vacuous ≤ sf0.1.
-    val k = math.max(4L, e.count() / 512L).toInt
+    val n = e.count()
+    val bits = if (n <= 2048L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1L) / 2048L)
     Dedup.semanticDedup(e, "vec_id", "embedding",
-        dim = 64, k = k, iters = 2, threshold = 0.4)
+        dim = 64, k = 4, iters = 2, threshold = 0.4, shardBits = bits)
       .withColumn("cluster", col("cluster").cast("long"))
   }
 
@@ -2834,12 +2852,24 @@ object Queries {
   }
 
   /** Hard-negative mining over the embeddings table: for each of the
-    * vec_id % 100 == 0 anchors, the 5 most-cosine-similar vectors
-    * carrying a DIFFERENT label. */
+    * vec_id % 100 == 0 anchors with vec_id < 20000, the 5 most-
+    * cosine-similar vectors carrying a DIFFERENT label.
+    *
+    * ANCHOR PANEL BOUND (vec_id < 20000, vacuous at sf ≤ 1 where ids
+    * top out at 19999): a pure modulus sample is a corpus FRACTION,
+    * so its anchors·N cost is still quadratic — N²/100 measured 435 s
+    * at sf10 (190.9× for 10× data, the worst number in the r10 sf10
+    * artifact). The id bound caps the panel at 200 anchors — the
+    * [[knnLabelAccuracy]] fixed-panel discipline — making the mining
+    * anchors·N = linear while each anchor's negatives stay
+    * bit-identical (the corpus side is never sliced). The oracle
+    * replays the literal bound. */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    val anchors = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 20000)
+    SimilaritySearch.assertPanelNonEmpty(anchors, e, "hardNegatives")
     SimilaritySearch.hardNegatives(e, "vec_id", "embedding", "label",
-        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", "label", k = 5)
+        anchors, "vec_id", "embedding", "label", k = 5)
       .select(col("anchor_id"), col("vec_id"), col("rank"),
         r6(col("cosine")).as("cosine"))
   }

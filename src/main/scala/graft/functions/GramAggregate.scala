@@ -154,13 +154,23 @@ object GramFunctions {
     * exactly like long→double inside the long range, so results are
     * bit-identical to the unsharded path wherever both are feasible).
     * One shard short-circuits to the plain aggregate (no extra
-    * shuffle). The content-hash shard key means a corpus of ~9M+
-    * copies of ONE identical vector still lands in one shard — that
-    * pathology keeps the loud addExact failure, never a silent
-    * corruption. */
+    * shuffle).
+    *
+    * The shard key mixes the content hash with `spark_partition_id()`
+    * (r10 ADVICE): a pure content hash cannot split DUPLICATE vectors
+    * — and low-cardinality column sets (two small-domain columns at
+    * sf10) put tens of millions of identical rows in one shard, the
+    * overflow the sharding exists to avoid. The partition id is
+    * run-dependent, but integer sums commute: every (shard → BigInt)
+    * split combines to the identical exact total, so results stay
+    * bit-stable across runs. A same-content group can still overflow
+    * only if a SINGLE input partition holds > ~9.2M unit-ball rows
+    * (far above any maxPartitionBytes-sized scan partition) — and
+    * that residual pathology keeps the loud addExact failure, never a
+    * silent corruption. */
   def momentsSharded(df: org.apache.spark.sql.DataFrame, vec: Column, d: Int,
       rowsPerShard: Long = 4000000L): (Long, Array[BigInt], Array[BigInt]) = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, pmod, spark_partition_id, xxhash64}
     require(rowsPerShard >= 1, "rowsPerShard must be positive")
     val n = df.count()
     val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
@@ -168,7 +178,8 @@ object GramFunctions {
       if (shards == 1)
         Array(df.agg(gramMatrix(vec, d).as("m")).select(col("m")).head().getStruct(0))
       else
-        df.groupBy(pmod(xxhash64(vec.cast("array<double>")), lit(shards)).as("__shard"))
+        df.groupBy(pmod(xxhash64(vec.cast("array<double>")) +
+            spark_partition_id().cast("long"), lit(shards)).as("__shard"))
           .agg(gramMatrix(vec, d).as("m"))
           .select(col("m")).collect().map(_.getStruct(0))
     var tot = 0L

@@ -72,6 +72,113 @@ object Clustering {
     (assigned, centroids)
   }
 
+  /** Deterministic ±1 LSH shard projections: the sign for bit `j`,
+    * component `i` is the low bit of md5("graft-shard:j:i") — the
+    * repo's portable-hash idiom, structure-free (a multiplicative-
+    * parity alternative produced near-complementary rows, i.e.
+    * redundant hyperplanes) and balanced (~32/64 positive per row).
+    * The SQL oracle interpolates these as LITERALS from this very
+    * function, so the two engines cannot drift. */
+  def shardProjections(bits: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until bits).map { j =>
+      (0 until dim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-shard:$j:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Sign-bit LSH shard key over `bits` hyperplanes:
+    * shard = Σ_j 2^j · [⟨v, w_j⟩ ≥ 0] ∈ [0, 2^bits). Each dot product
+    * is a strict left-to-right fold (i ascending) so the SQL replay's
+    * `list_sum(list_transform(...))` adds in the same order; a sign
+    * flip would need the dot to sit within one ulp of 0.0. bits = 0 →
+    * constant shard 0 (the unsharded degenerate, vacuous at verify
+    * scale). */
+  def signShard(vecCol: Column, bits: Int, dim: Int): Column =
+    if (bits <= 0) lit(0L)
+    else {
+      val w = shardProjections(bits, dim)
+      (0 until bits).map { j =>
+        val dot = (0 until dim).map(i => vecCol(i) * lit(w(j)(i))).reduceLeft(_ + _)
+        when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduceLeft(_ + _)
+    }
+
+  /** LSH-sharded k-means — the SCALE form of cell assignment for
+    * [[graft.ops.Dedup.semanticDedup]]: vectors are pre-sharded by
+    * [[signShard]] (2^shardBits shards), then FIXED-k Lloyd runs
+    * independently inside every shard. Assignment cost is n·k per
+    * iteration with k constant — linear in the corpus — while cell
+    * count (2^shardBits · k) scales with it; the corpus-scaled-k
+    * single-level alternative (k ∝ n/512) made every Lloyd iteration
+    * n²/512 (17.2× per 10× data, measured at sf10). Verbatim-replica
+    * vectors always share a shard (identical dots ⇒ identical signs);
+    * the recall trade for NON-identical near-dups is the usual LSH
+    * one — a pair at angle θ agrees on one sign bit with probability
+    * 1 − θ/π — on top of SemDeDup's own same-nearest-centroid
+    * approximation.
+    *
+    * Same determinism contract as [[kmeans]]: seeds are the k
+    * lowest-id vectors PER SHARD (cl = per-shard id-rank − 1), means
+    * snap to exact micro-units, argmin ties break to the lower cl
+    * (the fold below keeps the FIRST minimum of the cl-sorted
+    * centroid array — strictly-less updates only).
+    *
+    * Scale shape, fully collect-free: the shard key is a map-side
+    * projection; seeds are one row_number window over the shard key;
+    * each iteration is one broadcast of the (2^shardBits · k)-row
+    * centroid table joined back on the shard key plus one partial-agg
+    * groupBy(shard, cluster) — no driver-side centroid matrix at any
+    * shard count. Returns (idCol, shard, cluster) with cluster the
+    * PER-SHARD index in [0, k). */
+  def kmeansSharded(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, shardBits: Int): DataFrame = {
+    require(k > 0 && iters > 0 && dim > 0 && shardBits >= 0 && shardBits <= 20,
+      "k, iters, dim must be positive; shardBits in [0, 20]")
+    val v = vecs.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__shard", signShard(col("__v"), shardBits, dim))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__id").asc)
+    val seeds = v.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__shard"), (col("__rn") - 1).cast("int").as("cl"),
+        col("__v").as("__e"))
+    // shard -> cl-sorted centroid array (sort_array on struct orders
+    // by the leading cl field); broadcast-joined back per iteration
+    def centArr(c: DataFrame): DataFrame =
+      c.groupBy(col("__shard"))
+        .agg(sort_array(collect_list(struct(col("cl"), col("__e")))).as("__cents"))
+    def assign(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents), Seq("__shard"))
+        .withColumn("__best", aggregate(col("__cents"),
+          struct(lit(Double.MaxValue).as("d"), lit(Int.MaxValue).as("cl")),
+          (acc, c) => {
+            // squared distance, strict i-ascending fold (the SQL
+            // replay's list_sum order); sqrt dropped — argmin-invariant
+            val dd = aggregate(
+              zip_with(col("__v"), c("__e"), (a, b) => (a - b) * (a - b)),
+              lit(0.0d), (s, x) => s + x)
+            when(dd < acc("d"), struct(dd.as("d"), c("cl").as("cl")))
+              .otherwise(acc)
+          }))
+        .select(col("__id"), col("__shard"), col("__v"),
+          col("__best").getField("cl").as("cluster"))
+    var assigned = assign(centArr(seeds))
+    for (_ <- 1 until iters) {
+      val meanCols = (0 until dim).map(i =>
+        (round(avg(col("__v")(i)) * 1000000.0).cast("long") / 1000000.0).as(s"c$i"))
+      val means = assigned.groupBy(col("__shard"), col("cluster"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .select(col("__shard"), col("cluster").as("cl"),
+          array((0 until dim).map(i => col(s"c$i")): _*).as("__e"))
+      assigned = assign(centArr(means))
+    }
+    assigned.select(col("__id").as(idCol), col("__shard").as("shard"),
+      col("cluster"))
+  }
+
   /** Centroid-based silhouette per cluster — the standard "are these
     * clusters real" diagnostic, in its scalable simplified form
     * (Kaufman & Rousseeuw's a/b over CENTROID distances instead of

@@ -43,13 +43,20 @@ object DataProfile {
          else approx_count_distinct(col(c), rsd = 0.02)).as(s"__nd_$c"),
         min(col(c)).cast(StringType).as(s"__min_$c"),
         max(col(c)).cast(StringType).as(s"__max_$c"),
-        // per-row micro-units stay exact longs; the SUM accumulates in
-        // decimal(38,0) — exact integer arithmetic with 1e38 headroom,
-        // where a long sum overflowed at sf10 (o_custkey ≈ 1.5e12 micro
-        // × 15M rows ≈ 2e19 > Long.MaxValue, a measured ANSI
-        // ARITHMETIC_OVERFLOW). Deterministic like the long: integer
-        // addition in any order; the downstream double division rounds
-        // the same integer value identically.
+        // The SUM accumulates in decimal(38,0) — exact integer
+        // arithmetic with 1e38 headroom, where a long sum overflowed
+        // at sf10 (o_custkey ≈ 1.5e12 micro × 15M rows ≈ 2e19 >
+        // Long.MaxValue, a measured ANSI ARITHMETIC_OVERFLOW).
+        // Deterministic: integer addition in any order; the downstream
+        // double division rounds the same integer value identically.
+        // PER-ROW envelope (r10 ADVICE): round(col·1e6) is exact only
+        // while the micro value fits double's 2^53 integer range —
+        // raw |value| ≤ ~9.0e9. Beyond that the double product loses
+        // integer exactness SILENTLY before the decimal cast; a
+        // profile over columns past that envelope should feed decimal
+        // sources (col.cast("decimal(22,6)")·1e6 is exact) instead.
+        // All gated tables sit orders of magnitude inside it
+        // (TPC-H money/keys ≤ ~1e12 micro).
         (if (isNum) sum(round(col(c).cast("double") * 1000000)
             .cast("decimal(28,0)"))
          else lit(null).cast("decimal(38,0)")).as(s"__micro_$c"))

@@ -419,8 +419,11 @@ object Dedup {
       broadcastBytesCap: Long = 128L << 20): DataFrame = {
     require(maxDocFreq > 0, "jaccardPairsCollapsed needs a posting-list cap")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // id type preserved (no cast): the collapsed path must be a
+    // drop-in for [[jaccardPairs]], which keeps the input id type —
+    // min/sort_array/least/greatest below are all type-generic
     val classes = df
-      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
       .groupBy(sha2(coalesce(col("__text"), lit("")), 256).as("__k"))
       .agg(min(col("__id")).as("rep"),
         sort_array(collect_list(col("__id"))).as("members"),
@@ -543,8 +546,19 @@ object Dedup {
     // replica-heavy corpora this op exists for, the per-gram pair work
     // stops growing with the replication factor; on unique corpora
     // classes ≈ docs and the plan degenerates to the direct one.
+    // DRIVER-BARRIER BUDGET (r10 found 4 eager count()/agg barriers
+    // made this the slowest sf0.1 query at 6.06 s despite the right
+    // distributed shape): sizing decisions now come from (a) one tiny
+    // agg over the BATCH-side sets — an upper bound on the distinct
+    // new-gram count, never a corpus pass — and (b) one agg over the
+    // already-pruned verification sets; the candIds semi-join build
+    // side is left to AQE's runtime-stats broadcast conversion. Two
+    // driver actions total (plus the eager-contract count at return).
     val newSets = shingleHashSets(newDocs, idCol, textCol, n)
       .withColumn("__new", lit(true))
+      .persist(lvl)
+    // distinct new grams <= Σ per-doc set sizes (batch-sized job)
+    val szNewBound = newSets.agg(coalesce(sum(col("sz")), lit(0L))).head().getLong(0)
     val storedSets = spark.read.parquet(s"$dir/sets")
       .withColumn("__new", lit(false))
     // exact array grouping key (sorted hash arrays: set-equal ⟺
@@ -558,15 +572,13 @@ object Dedup {
         sum(when(col("__new"), 1L).otherwise(0L)).as("w_new"),
         first(col("sz")).as("sz"))
       .persist(lvl)
-    classes.count()
     // rarity: weighted df over stored ∪ new, but only for grams present
     // in the new batch (a pair touching a new doc can only share grams
     // that doc has — index work scales with batch overlap)
     val post = classes.select(col("rep").as("sid"), col("w"), col("w_new"),
       explode(col("hs")).as("h"))
     val newGrams = post.filter(col("w_new") > 0).select("h").distinct()
-    val nGrams = newGrams.count()
-    val gramsSide = if (nGrams * 24L < broadcastBytesCap) broadcast(newGrams) else newGrams
+    val gramsSide = if (szNewBound * 24L < broadcastBytesCap) broadcast(newGrams) else newGrams
     val batchPost = post.join(gramsSide, Seq("h"), "left_semi")
     val rareGrams = batchPost.groupBy("h").agg(sum(col("w")).as("wdf"))
       .filter(col("wdf") <= maxDocFreq).select("h")
@@ -583,12 +595,11 @@ object Dedup {
       .filter(col("shared") >= minShared)
       .select("id_a", "id_b")
       .persist(lvl)
-    val nPairs = cand.count()
     val repSets = classes.select(col("rep").as("sid"), col("hs"), col("sz"))
+    // candIds' broadcast-vs-shuffle call is AQE's: the build side's
+    // runtime shuffle stats decide, no driver count barrier
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
-    val idsFit = nPairs * 2L * 24L < broadcastBytesCap
-    val prunedSets = repSets.join(
-        if (idsFit) broadcast(candIds) else candIds, Seq("sid"), "left_semi")
+    val prunedSets = repSets.join(candIds, Seq("sid"), "left_semi")
       .persist(lvl)
     val st = prunedSets.agg(count(lit(1)), coalesce(sum(col("sz")), lit(0L))).head()
     val setsBytes = st.getLong(0) * 64L + st.getLong(1) * 8L
@@ -628,7 +639,8 @@ object Dedup {
         greatest(col("a.sid"), col("b.sid")).as("id_b"), col("jaccard"))
     val verified = within.unionByName(cross).persist(lvl)
     verified.count()
-    cand.unpersist(); rare.unpersist(); prunedSets.unpersist(); classes.unpersist()
+    cand.unpersist(); rare.unpersist(); prunedSets.unpersist()
+    classes.unpersist(); newSets.unpersist()
     verified
   }
 
@@ -949,12 +961,26 @@ object Dedup {
     * on the cluster id. `maxCell` fail-fasts if any cell exceeds the
     * cap (quadratic blow-up guard — raise k, not the cap): one cheap
     * grouped count next to the C(cell,2) cosine evaluations it
-    * prevents. */
+    * prevents.
+    *
+    * `shardBits` > 0 switches cell assignment to
+    * [[Clustering.kmeansSharded]] — sign-bit LSH shards × fixed-k
+    * Lloyd, cluster id = shard·k + per-shard cl. That keeps the
+    * assignment n·k (LINEAR) while cell count 2^shardBits·k scales
+    * with the corpus; a corpus-scaled single-level k made every Lloyd
+    * iteration n²/512 (17.2× per 10× data, measured at sf10).
+    * shardBits = 0 is bit-identical to the classic path. */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, iters: Int, threshold: Double,
-      maxCell: Long = 100000L): DataFrame = {
-    val assigned = Clustering.kmeans(vecs, idCol, vecCol, dim, k, iters)
-      .select(col(idCol).as("sid"), col("cluster"))
+      maxCell: Long = 100000L, shardBits: Int = 0): DataFrame = {
+    val assigned =
+      if (shardBits <= 0)
+        Clustering.kmeans(vecs, idCol, vecCol, dim, k, iters)
+          .select(col(idCol).as("sid"), col("cluster"))
+      else
+        Clustering.kmeansSharded(vecs, idCol, vecCol, dim, k, iters, shardBits)
+          .select(col(idCol).as("sid"),
+            (col("shard") * k + col("cluster")).cast("int").as("cluster"))
     val withVec = assigned.join(
       vecs.select(col(idCol).as("sid"), col(vecCol).as("v")), "sid")
     if (maxCell != Long.MaxValue) {

@@ -255,11 +255,24 @@ object SimilaritySearch {
       labelCol: String, k: Int, sampleMod: Long,
       maxAnchorId: Long = Long.MaxValue): DataFrame = {
     require(sampleMod >= 1, "sampleMod must be >= 1")
-    knnClassifyOver(df,
-      df.filter(pmod(col(idCol), lit(sampleMod)) === 0 &&
-        col(idCol) < lit(maxAnchorId)),
-      idCol, vecCol, labelCol, k)
+    val anchors = df.filter(pmod(col(idCol), lit(sampleMod)) === 0 &&
+      col(idCol) < lit(maxAnchorId))
+    assertPanelNonEmpty(anchors, df, "knnClassifySampled")
+    knnClassifyOver(df, anchors, idCol, vecCol, labelCol, k)
   }
+
+  /** Guard against the silent-vacuous-eval failure mode of fixed id
+    * panels (`id < bound` assumes ids dense from 0): a corpus whose
+    * ids all start above the bound selects ZERO anchors, and the
+    * zero-row result still "verifies" because the oracle applies the
+    * same slice. Two limit-1 scans (panel first, full table only if
+    * the panel came back empty) — bounded work, loud failure. */
+  private[graft] def assertPanelNonEmpty(panel: DataFrame, full: DataFrame,
+      what: String): Unit =
+    require(!panel.isEmpty || full.isEmpty,
+      s"$what: the fixed anchor/query panel selected ZERO rows from a " +
+        "non-empty table — id-bound panels assume ids dense from 0; " +
+        "re-key the corpus or widen the bound")
 
   private def knnClassifyOver(df: DataFrame, anchorsDf: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {

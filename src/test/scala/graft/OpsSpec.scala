@@ -1357,6 +1357,62 @@ class OpsSpec extends SparkSpec {
     assert(dims.toSeq == Seq((0, 31, 62, "jpeg"), (1, 31, 62, "jpeg")))
   }
 
+  test("kmeansSharded: equals per-shard classic kmeans; verbatim dups co-shard; bits formula") {
+    import graft.ops.Clustering
+    val vecs = (1L to 200L).map { i =>
+      // ids 151..160 are verbatim copies of ids 1..10 (dup co-shard check)
+      val src = if (i > 150 && i <= 160) i - 150 else i
+      (i, Array.tabulate(8)(d => math.sin(src * 0.37 + d * 1.13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val bits = 2
+    val sharded = Clustering.kmeansSharded(vecs, "vec_id", "embedding",
+        dim = 8, k = 3, iters = 2, shardBits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sharded.length == 200)
+    val byId = sharded.map(t => t._1 -> (t._2, t._3)).toMap
+    (1L to 10L).foreach { i =>
+      assert(byId(i) == byId(i + 150L),
+        s"verbatim duplicate $i / ${i + 150} must share (shard, cluster)") }
+    // independent replay: shard via signShard, then CLASSIC kmeans
+    // inside each shard — the sharded op must be exactly that
+    val withShard = vecs.withColumn("__s",
+      Clustering.signShard(col("embedding").cast("array<double>"), bits, 8))
+    val shards = withShard.select("__s").distinct().collect().map(_.getLong(0))
+    assert(shards.length > 1, "test data must actually spread over shards")
+    val expect = shards.flatMap { s =>
+      Clustering.kmeans(withShard.filter(col("__s") === s),
+          "vec_id", "embedding", dim = 8, k = 3, iters = 2)
+        .collect().map(r => (r.getLong(0), s, r.getInt(1)))
+    }
+    assert(sharded.toSet == expect.toSet,
+      "sharded assignment must equal per-shard classic kmeans")
+    // the oracle's integer bits formula == the Queries formula
+    def bitsOf(n: Long): Int = if (n <= 2048L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1L) / 2048L)
+    assert(Seq(1L, 500L, 2000L, 2048L, 2049L, 4096L, 4097L, 20000L, 200000L)
+      .map(bitsOf) == Seq(0, 0, 0, 0, 1, 1, 2, 4, 7))
+  }
+
+  test("semantic dedup sharded: identical vectors dedup across the sharded path") {
+    def v(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    // 40 spread vectors + verbatim dups of ids 1 and 2 at high ids
+    val base = (1L to 40L).map(i =>
+      (i, v(math.cos(i * 0.7), math.sin(i * 0.7), math.cos(i * 0.3), 0.4)))
+    val dups = Seq((41L, base(0)._2.clone()), (42L, base(1)._2.clone()))
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 2, threshold = 0.999, shardBits = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.size == 42)
+    assert(out(1L)._2 && out(2L)._2, "lowest id of each dup group survives")
+    assert(!out(41L)._2 && !out(42L)._2,
+      "verbatim dups always co-shard (identical dots => identical signs) and drop")
+    assert(out(1L)._1 == out(41L)._1 && out(2L)._1 == out(42L)._1)
+  }
+
   test("semantic dedup: within-cell min-id survivor; cross-cell near-dups untouched") {
     def v(xs: Double*): Array[Float] = {
       val n = math.sqrt(xs.map(x => x * x).sum)

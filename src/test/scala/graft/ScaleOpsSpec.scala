@@ -589,6 +589,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!sdPlan.contains("CartesianProduct") &&
       !sdPlan.contains("BroadcastNestedLoopJoin"),
       s"semanticDedup must stay an equi-join on cluster:\n$sdPlan")
+
+    // sharded SemDeDup (the at-scale path): Lloyd assignment must be
+    // a BROADCAST join of the (2^bits * k)-row centroid table on the
+    // shard key — never a cartesian, never a shuffle of vector rows
+    // against centroids — and the pair phase stays an equi-join
+    val sd2 = graft.ops.Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 2, threshold = 0.9, shardBits = 3)
+    val sd2Plan = sd2.queryExecution.executedPlan.toString
+    assert(!sd2Plan.contains("CartesianProduct") &&
+      !sd2Plan.contains("BroadcastNestedLoopJoin"),
+      s"sharded semanticDedup must stay equi-joins:\n$sd2Plan")
+    assert(sd2Plan.contains("BroadcastHashJoin"),
+      s"sharded Lloyd assignment must broadcast the centroid table:\n$sd2Plan")
   }
 
   test("round-6 batch-2 plan shapes: broadcast stats, no global sorts, one agg shuffle") {
