@@ -117,11 +117,15 @@ object Queries {
       val w = new java.io.PrintWriter(
         java.nio.file.Paths.get(tmp, "vocab.txt").toFile, "UTF-8")
       try lines.foreach(w.println) finally w.close()
+      val weights = graft.embed.TransformerCheckpoint.syntheticWeights(
+        vocabSize = lines.length, hidden = 32, heads = 4, maxPos = 128,
+        intermediate = 64, layers = 2, seed = 0x5EEDL)
       graft.embed.TransformerCheckpoint.write(
-        java.nio.file.Paths.get(tmp, "model.bin"),
-        graft.embed.TransformerCheckpoint.syntheticWeights(
-          vocabSize = lines.length, hidden = 32, heads = 4, maxPos = 128,
-          intermediate = 64, layers = 2, seed = 0x5EEDL))
+        java.nio.file.Paths.get(tmp, "model.bin"), weights)
+      // the same checkpoint as a REAL model.onnx protobuf (+ the HF
+      // config.json) — embed_real's session loads THIS file through
+      // the ONNX parser, so the ONNX path sits inside the oracle gate
+      graft.embed.OnnxCheckpoint.write(java.nio.file.Paths.get(tmp), weights)
     }
 
   /** Z-ordered snapshot table for [[zorderPrune]] — per-JVM build. */
@@ -474,8 +478,13 @@ object Queries {
     val corpus = t(s, dir, "documents")
       .filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
     val modelDir = grtfModelDir(s, dir)
+    // OnnxSessionProvider: parses the model dir's model.onnx (real
+    // protobuf, HF tensor names) into the pure-JVM forward pass;
+    // falls back to the GRTF model.bin when no ONNX file is present.
+    // Weights are bit-identical either way, so the gate's golden
+    // invariants also pin the ONNX parse.
     val e = graft.embed.OnnxEmbedder(modelDir, dim = 32, batchSize = 8,
-      maxSeqLen = 128, provider = graft.embed.TransformerSessionProvider)
+      maxSeqLen = 128, provider = graft.embed.OnnxSessionProvider)
     val vecs = e.embed(corpus, "text").select(col("doc_id"), col("vector"))
       .localCheckpoint(true) // embed once; consumed by stats + search
     val stats = vecs.agg(

@@ -309,6 +309,85 @@ class EmbedderSpec extends SparkSpec {
     assert(a(0).zip(b(0)).forall { case (x, y) => x.sameElements(y) })
   }
 
+  test("onnx checkpoint: write/read round-trip bit-identical; forward pass matches GRTF") {
+    import graft.embed.{OnnxCheckpoint, TransformerCheckpoint, TransformerSession}
+    val w = TransformerCheckpoint.syntheticWeights(vocabSize = 12, hidden = 8,
+      heads = 2, maxPos = 16, intermediate = 12, layers = 2, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("onnx_ckpt")
+    OnnxCheckpoint.write(dir, w)
+    val r = OnnxCheckpoint.read(dir)
+    assert(r.vocabSize == 12 && r.hidden == 8 && r.heads == 2 &&
+      r.maxPos == 16 && r.intermediate == 12 && r.layers.length == 2)
+    assert(r.wordEmb.zip(w.wordEmb).forall { case (x, y) => x.sameElements(y) })
+    assert(r.posEmb.zip(w.posEmb).forall { case (x, y) => x.sameElements(y) })
+    assert(r.typeEmb.sameElements(w.typeEmb))
+    // the transposed linear layout must round-trip exactly
+    Seq((r.layers(0).wq, w.layers(0).wq), (r.layers(1).wi, w.layers(1).wi),
+        (r.layers(1).wo2, w.layers(1).wo2)).foreach { case (a, b) =>
+      assert(a.zip(b).forall { case (x, y) => x.sameElements(y) }) }
+    // bit-identical hidden states vs the GRTF session on the same weights
+    val ids = Array(Array(2L, 5L, 3L), Array(2L, 3L, 0L))
+    val mask = Array(Array(1L, 1L, 1L), Array(1L, 1L, 0L))
+    val a = new TransformerSession(w).run(ids, mask)
+    val b = new TransformerSession(r).run(ids, mask)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.zip(y).forall { case (p, q) => p.sameElements(q) } })
+  }
+
+  test("onnx checkpoint: reads bert.-prefixed names and float_data payloads; loud failures") {
+    import graft.embed.{OnnxCheckpoint, TransformerCheckpoint}
+    val w = TransformerCheckpoint.syntheticWeights(vocabSize = 6, hidden = 4,
+      heads = 1, maxPos = 8, intermediate = 6, layers = 1, seed = 3L)
+    val dir = java.nio.file.Files.createTempDirectory("onnx_pfx")
+    OnnxCheckpoint.write(dir, w)
+    // rewrite the file with a bert. prefix on every initializer name
+    // and float_data (packed) payloads instead of raw_data — the two
+    // public export variants the reader must also accept
+    val tensors = OnnxCheckpoint.readInitializers(dir.resolve("model.onnx"))
+    val g = new graft.embed.ProtoIO.Writer
+    g.string(2, "prefixed")
+    tensors.values.foreach { t =>
+      val tm = new graft.embed.ProtoIO.Writer
+      t.dims.foreach(d => tm.int(1, d.toLong))
+      tm.int(2, 1L)
+      tm.string(8, "bert." + t.name)
+      // packed floats: little-endian fixed32s inside one length-delimited field
+      val bb = java.nio.ByteBuffer.allocate(t.data.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      t.data.foreach(bb.putFloat)
+      tm.bytes(4, bb.array())
+      g.message(5, tm)
+    }
+    val m = new graft.embed.ProtoIO.Writer
+    m.int(1, 8L); m.message(7, g)
+    java.nio.file.Files.write(dir.resolve("model.onnx"), m.toByteArray)
+    val r = OnnxCheckpoint.read(dir)
+    assert(r.wordEmb.zip(w.wordEmb).forall { case (x, y) => x.sameElements(y) })
+    assert(r.layers(0).wq.zip(w.layers(0).wq).forall { case (x, y) => x.sameElements(y) })
+    // loud failure on a missing config.json (heads not recoverable)
+    java.nio.file.Files.delete(dir.resolve("config.json"))
+    val e = intercept[IllegalArgumentException] { OnnxCheckpoint.read(dir) }
+    assert(e.getMessage.contains("config.json"))
+  }
+
+  test("onnx session provider: model.onnx preferred, model.bin fallback, loud when neither") {
+    import graft.embed.{OnnxCheckpoint, OnnxSessionProvider, TransformerCheckpoint}
+    val w = TransformerCheckpoint.syntheticWeights(vocabSize = 6, hidden = 4,
+      heads = 2, maxPos = 8, intermediate = 6, layers = 1, seed = 11L)
+    val ids = Array(Array(2L, 4L)); val mask = Array(Array(1L, 1L))
+    // onnx-only dir
+    val onnxDir = java.nio.file.Files.createTempDirectory("onnx_only")
+    OnnxCheckpoint.write(onnxDir, w)
+    val a = OnnxSessionProvider.open(onnxDir.toString).run(ids, mask)
+    // grtf-only dir -> fallback path, same weights -> identical states
+    val binDir = java.nio.file.Files.createTempDirectory("grtf_only")
+    TransformerCheckpoint.write(binDir.resolve("model.bin"), w)
+    val b = OnnxSessionProvider.open(binDir.toString).run(ids, mask)
+    assert(a(0).zip(b(0)).forall { case (x, y) => x.sameElements(y) })
+    val emptyDir = java.nio.file.Files.createTempDirectory("no_model")
+    intercept[Exception] { OnnxSessionProvider.open(emptyDir.toString) }
+  }
+
   test("real-weights pipeline: 2-layer 32-dim fixture — golden vectors, invariances, Spark path") {
     import graft.embed.{OnnxEmbedder, TransformerCheckpoint, TransformerSessionProvider}
     val dir = java.nio.file.Files.createTempDirectory("grtf_model")

@@ -2194,6 +2194,34 @@ class OpsSpec extends SparkSpec {
     assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).toSeq.sorted}")
   }
 
+  test("scale-bound inventory tripwire: fractional slices audited; bound queries exist") {
+    // rounds 9 and 10 each re-found the same bug class (a % mod slice
+    // is a corpus FRACTION -> anchors x corpus is quadratic) in a new
+    // place. The tripwire: recount the fractional-slice sites in
+    // Queries.scala; drift from the audited constant fails until the
+    // new site is either given a panel bound (+ ScaleBounds entry) or
+    // confirmed a benign linear split and the audit count is bumped.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Queries.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val slices = """% \d+ (===|=!=)""".r.findAllMatchIn(src).size
+    assert(slices == ScaleBounds.auditedFractionalSlices,
+      s"Queries.scala now has $slices fractional % slices " +
+        s"(audited: ${ScaleBounds.auditedFractionalSlices}). Audit the new " +
+        "site against ScaleBounds' PANEL/SCALED-PARAM discipline, add an " +
+        "entry if it feeds an anchor product, and bump auditedFractionalSlices.")
+    // every inventory row points at live query keys
+    val known = Queries.all.keySet
+    val ghost = ScaleBounds.entries.flatMap(_.queries).filterNot(known)
+    assert(ghost.isEmpty, s"ScaleBounds names unknown queries: $ghost")
+    // and the flagship panel bounds keep their literal values in sync
+    // with the oracle text (the replay is a string — drift is silent)
+    val oracles = OracleSql.all
+    assert(oracles("hard_negatives").contains("vec_id < 20000"))
+    assert(oracles("embed_real").contains("doc_id < 50000"))
+    assert(oracles("semantic_dedup").contains("(count(*) - 1) // 2048"))
+  }
+
   test("correlation matrix: planted perfect/anti/zero correlations, zero-variance null, scale-invariant") {
     import graft.ops.DataProfile
     val rows = (0 until 400).map { i =>
