@@ -825,11 +825,13 @@ object Queries {
     * but as a declared query it runs at every scale factor — 109.6 s
     * at sf1 and quadratic beyond. The slice caps it at a constant
     * 2048² pair space; the bucketed entry is the corpus-wide path. */
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(
-        t(s, dir, "embeddings").filter(col("vec_id") < 2048),
-        "vec_id", "embedding", 0.4)
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val panel = e.filter(col("vec_id") < 2048)
+    SimilaritySearch.assertPanelNonEmpty(panel, e, "dedupEmbedding")
+    Dedup.embeddingNearDups(panel, "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
+  }
 
   /** Banded sign-LSH plane family shared with the DuckDB oracle. */
   val EmbBucketPlanes = 32

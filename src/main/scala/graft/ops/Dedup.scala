@@ -548,17 +548,14 @@ object Dedup {
     // classes ≈ docs and the plan degenerates to the direct one.
     // DRIVER-BARRIER BUDGET (r10 found 4 eager count()/agg barriers
     // made this the slowest sf0.1 query at 6.06 s despite the right
-    // distributed shape): sizing decisions now come from (a) one tiny
-    // agg over the BATCH-side sets — an upper bound on the distinct
-    // new-gram count, never a corpus pass — and (b) one agg over the
-    // already-pruned verification sets; the candIds semi-join build
-    // side is left to AQE's runtime-stats broadcast conversion. Two
-    // driver actions total (plus the eager-contract count at return).
+    // distributed shape): the new-gram and candIds semi-join build
+    // sides are left to AQE's runtime-stats broadcast conversion
+    // (both are batch-overlap-sized — AQE sees their shuffle stats
+    // and broadcasts when they fit); the only explicit sizing agg
+    // left is over the already-pruned verification sets. One driver
+    // action plus the eager-contract count at return.
     val newSets = shingleHashSets(newDocs, idCol, textCol, n)
       .withColumn("__new", lit(true))
-      .persist(lvl)
-    // distinct new grams <= Σ per-doc set sizes (batch-sized job)
-    val szNewBound = newSets.agg(coalesce(sum(col("sz")), lit(0L))).head().getLong(0)
     val storedSets = spark.read.parquet(s"$dir/sets")
       .withColumn("__new", lit(false))
     // exact array grouping key (sorted hash arrays: set-equal ⟺
@@ -578,8 +575,7 @@ object Dedup {
     val post = classes.select(col("rep").as("sid"), col("w"), col("w_new"),
       explode(col("hs")).as("h"))
     val newGrams = post.filter(col("w_new") > 0).select("h").distinct()
-    val gramsSide = if (szNewBound * 24L < broadcastBytesCap) broadcast(newGrams) else newGrams
-    val batchPost = post.join(gramsSide, Seq("h"), "left_semi")
+    val batchPost = post.join(newGrams, Seq("h"), "left_semi")
     val rareGrams = batchPost.groupBy("h").agg(sum(col("w")).as("wdf"))
       .filter(col("wdf") <= maxDocFreq).select("h")
     val rare = batchPost.join(rareGrams, Seq("h"), "left_semi")
@@ -640,7 +636,7 @@ object Dedup {
     val verified = within.unionByName(cross).persist(lvl)
     verified.count()
     cand.unpersist(); rare.unpersist(); prunedSets.unpersist()
-    classes.unpersist(); newSets.unpersist()
+    classes.unpersist()
     verified
   }
 

@@ -1204,20 +1204,23 @@ object TextAnalytics {
     * aggregation rather than a small driver loop). Top-`k` by count,
     * ties lexicographic.
     *
-    * Scale shape: two nested explodes (word, then in-word pair) feeding
-    * ONE partial-aggregating count — pair vocabulary is tiny (≤
-    * alphabet²), so map-side combine collapses almost everything;
-    * per-word substring extraction is O(len²) only in the word length
-    * (words are short by definition — this is not the document-level
-    * substring anti-pattern). */
+    * Scale shape (r11, the [[bpeTrain]] trick): corpus pair counts =
+    * Σ over DISTINCT words of wordFreq × pairsInWord, so the corpus
+    * pass is ONE word-frequency hash aggregate (map-side combine over
+    * a tiny vocabulary) and the per-character pair explode runs on the
+    * VOCAB-sized table only. The previous form exploded a substring
+    * pair row per corpus character — linear, but its row churn was the
+    * whole cost of the query at 100× (5G 2-char rows through two
+    * explodes); this one's explode is corpus-size-independent. */
   def bpePairStats(df: DataFrame, textCol: String, k: Int = 30): DataFrame = {
     require(k >= 1, "k must be positive")
     df.select(explode(
         filter(split(trim(col(textCol)), "\\s+"), w => w =!= lit(""))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
       .filter(length(col("__w")) >= 2)
-      .select(explode(expr(
+      .select(col("__cnt"), explode(expr(
         "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))")).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
+      .groupBy(col("pair")).agg(sum(col("__cnt")).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair").asc)
       .limit(k)
   }
