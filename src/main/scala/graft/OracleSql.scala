@@ -2895,7 +2895,8 @@ object OracleSql {
         | v AS (SELECT id_a, id_b, len(list_intersect(sa.ls, sb.ls)) AS i, sa.s AS s_a, sb.s AS s_b
         |       FROM cand JOIN sets sa ON sa.sid = id_a JOIN sets sb ON sb.sid = id_b),
         | p AS MATERIALIZED (SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (s_a + s_b - i), 6) AS jaccard
-        |      FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2 AND id_a < 1000),
+        |      FROM v WHERE CAST(i AS DOUBLE) / (s_a + s_b - i) >= 0.2
+        |        AND id_a < (SELECT CASE WHEN count(*) <= 50000 THEN 1000 ELSE 250 END FROM documents)),
         | anch AS (SELECT DISTINCT id_a FROM p),
         | excl AS MATERIALIZED (SELECT id_a AS a, id_b AS x FROM p
         |         UNION SELECT id_b, id_a FROM p UNION SELECT id_a, id_a FROM p),

@@ -3413,8 +3413,15 @@ object Queries {
     * the duplicated corpus's pair graph exploded); per-batch cost is
     * batch·corpus — linear. Vacuous at sf0.01 (all ids < 1000). */
   def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    // ANCHOR PANEL TIER (id_a < 1000, tightening to 250 past 50k
+    // docs; vacuous at sf ≤ 1): the mining pass is anchors·N — linear
+    // — but even linear, 1000 anchors × 200k vectors measured 204 s
+    // at sf10 (r11 spot run); a quarter panel is the same mining with
+    // a smaller triple set, the knnLabelAccuracy tier discipline.
+    // The oracle replays the tier from count(*).
+    val cap = if (t(s, dir, "documents").count() <= 50000L) 1000L else 250L
     val pairs = standardPairs(s, dir)
-      .filter(col("id_a") < 1000)
+      .filter(col("id_a") < cap)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
     SimilaritySearch.contrastiveTriples(pairs,
         t(s, dir, "embeddings"), "vec_id", "embedding")

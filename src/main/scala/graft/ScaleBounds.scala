@@ -61,8 +61,8 @@ object ScaleBounds {
       "literal bound in the anchor CTE"),
     Bound(Seq("contrastive_pairs"),
       "Queries.contrastivePairs / SimilaritySearch.contrastiveTriples", "panel",
-      "anchor side = near-dup pair graph (corpus-tiny by construction), mined in id-sliced batches",
-      "oracle replays the pair-graph construction; batches are a physical split only"),
+      "anchor pairs sliced to id_a < 1000, tightening to 250 past 50000 docs (count()-tiered; vacuous sf <= 1)",
+      "id_a < (SELECT CASE WHEN count(*) <= 50000 THEN 1000 ELSE 250 END FROM documents)"),
     Bound(Seq("dedup_embedding"),
       "Queries.dedupEmbedding", "panel",
       "exact all-pairs twin sliced to vec_id < 2048 (constant 2048^2 pair space; vacuous sf <= 0.1)",

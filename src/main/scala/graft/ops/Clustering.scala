@@ -139,6 +139,27 @@ object Clustering {
     val v = vecs.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__shard", signShard(col("__v"), shardBits, dim))
+      // co-partition by the shard key UP FRONT with an EXPLICIT
+      // partition count: the seed window reuses this exact
+      // partitioning (no second exchange), and — the r11 sf10
+      // event-log lesson, twice — (a) a narrow parquet corpus (200k ×
+      // 64 floats ≈ one 51 MB scan partition) would otherwise run
+      // every per-row assignment evaluation on a single core
+      // (15.7 s/pass measured), and (b) a bare repartition(col) gets
+      // AQE-coalesced back to 2-3 tasks because its sizing is BYTES
+      // and this stage is CPU-bound (higher-order-function distance
+      // evals, ~75 µs/row interpreted). AQE honors user-specified
+      // counts, so pin one: min(shard count, 4× default parallelism).
+      .repartition(math.min(1 << math.min(shardBits, 16),
+        vecs.sparkSession.sparkContext.defaultParallelism * 4).max(1), col("__shard"))
+      // cache the sharded vectors: the seed window, every Lloyd
+      // iteration, and the final assignment all re-read them — without
+      // the cache each broadcast-build subjob re-runs the scan+shard
+      // map side (single-task on a narrow corpus) from scratch. The
+      // cache is n × (dim+2) doubles; the caller's eager materialization
+      // of the returned assignment is what bounds its lifetime (the
+      // bench/session cache clear releases it).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__shard")).orderBy(col("__id").asc)
     val seeds = v.withColumn("__rn", row_number().over(w))

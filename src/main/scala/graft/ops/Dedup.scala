@@ -974,9 +974,16 @@ object Dedup {
         Clustering.kmeans(vecs, idCol, vecCol, dim, k, iters)
           .select(col(idCol).as("sid"), col("cluster"))
       else
+        // the sharded trajectory is fully LAZY (collect-free): without
+        // a cut, the maxCell guard + the pair self-join + the final
+        // output each re-run the whole window/broadcast-join Lloyd
+        // pipeline. The assignment is n narrow rows — an eager
+        // localCheckpoint materializes it once (the r11 sf10 run
+        // measured the recompute at ~2× the query)
         Clustering.kmeansSharded(vecs, idCol, vecCol, dim, k, iters, shardBits)
           .select(col(idCol).as("sid"),
             (col("shard") * k + col("cluster")).cast("int").as("cluster"))
+          .localCheckpoint(true)
     val withVec = assigned.join(
       vecs.select(col(idCol).as("sid"), col(vecCol).as("v")), "sid")
     if (maxCell != Long.MaxValue) {
@@ -987,19 +994,37 @@ object Dedup {
           s"(> maxCell=$maxCell): the within-cell pair phase is quadratic per cell — " +
           "raise k so cells shrink, or raise maxCell explicitly")
     }
-    val a = withVec.select(col("cluster"), col("sid").as("id_a"), col("v").as("v_a"))
-    val b = withVec.select(col("cluster"), col("sid").as("id_b"), col("v").as("v_b"))
-    val dropped = a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      // Round to 6 dp BEFORE thresholding (repo convention — Scoring/BM25/
-      // kmeans do the same) so a pair sitting exactly at the threshold
-      // cannot flip kept/dropped on a last-ulp accumulation difference
-      // vs the DuckDB oracle's list_cosine_similarity.
+    // COLLAPSE-FIRST pair phase (the [[jaccardPairsCollapsed]]
+    // architecture): identical vectors always share a cell (identical
+    // dots ⇒ identical shard and argmin), and cos(v, v) rounds to 1.0,
+    // so the pairwise min-id drop rule FACTORS through clone classes:
+    //   dropped(x) ⟺ (x ≠ min of its clone class ∧ threshold ≤ 1)
+    //              ∨ (∃ neighbor class N in the cell with
+    //                 round(cos(rep_N, rep_x), 6) ≥ threshold ∧ rep_N < x)
+    // — bit-identical to the member-level self-join (rep vectors ARE
+    // the member vectors), but the cosine work is C(distinct-in-cell, 2)
+    // instead of C(cell, 2): on a 100×-replicated corpus that is a
+    // 10⁴× cut in the quadratic term. On a unique corpus classes ≈
+    // rows and this degenerates to the direct plan plus one groupBy.
+    val classes = withVec.groupBy(col("cluster"), col("v"))
+      .agg(min(col("sid")).as("rep"), collect_list(col("sid")).as("members"))
+    val a = classes.select(col("cluster"), col("rep").as("rep_a"), col("v").as("v_a"))
+    val b = classes.select(col("cluster"), col("rep").as("rep_b"), col("v").as("v_b"))
+    // Round to 6 dp BEFORE thresholding (repo convention — Scoring/BM25/
+    // kmeans do the same) so a pair sitting exactly at the threshold
+    // cannot flip kept/dropped on a last-ulp accumulation difference
+    // vs the DuckDB oracle's list_cosine_similarity.
+    val neighborMin = a.join(b, Seq("cluster"))
+      .filter(col("rep_a") =!= col("rep_b"))
       .filter(round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6) >= lit(threshold))
-      .select(col("id_b").as("sid")).distinct()
-    withVec.join(dropped.withColumn("__drop", lit(true)), Seq("sid"), "left")
-      .select(col("sid").as(idCol), col("cluster"),
-        coalesce(col("__drop"), lit(false)).unary_!.as("kept"))
+      .groupBy(col("rep_b").as("rep")).agg(min(col("rep_a")).as("__nmin"))
+    val cloneDrops = 1.0 >= threshold // cos(v, v) = 1.0 ≥ t ⇒ non-rep members drop
+    classes.join(neighborMin, Seq("rep"), "left")
+      .select(col("cluster"), col("rep"), col("__nmin"),
+        explode(col("members")).as("__m"))
+      .select(col("__m").as(idCol), col("cluster"),
+        ((col("__m") === col("rep") || lit(!cloneDrops)) &&
+          (col("__nmin").isNull || col("__m") < col("__nmin"))).as("kept"))
   }
 
   /** The full dedup ladder as one corpus pass, in the measured-correct

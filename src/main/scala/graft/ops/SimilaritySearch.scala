@@ -360,10 +360,17 @@ object SimilaritySearch {
         graft.functions.VectorFunctions.cosineSimilarity(col(vecCol), col("__av")))
       .join(broadcast(excl),
         col("id_a") === col("__xa") && col(idCol) === col("__xv"), "left_anti")
+    // k=1 needs no heap: a declarative max(struct(score, -id)) keeps
+    // the whole aggregation inside whole-stage codegen. The r11 sf10
+    // run measured the ObjectHashAggregate TopKHits path at ~0.5M
+    // rows/s against this plan's anchor×corpus row volume — the
+    // codegen max is the difference between 406 s and linear here.
+    // Tie-break matches the oracle: score desc, then LOWEST id.
     val negs = scored.groupBy(col("id_a"))
-      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col(idCol), 1).as("hits"))
-      .select(col("id_a"), col("hits")(0)("id").as("negative_id"),
-        col("hits")(0)("score").as("neg_cosine"))
+      .agg(max(struct(col("cosine").as("score"),
+        (-col(idCol).cast("long")).as("nid"))).as("m"))
+      .select(col("id_a"), (-col("m.nid")).as("negative_id"),
+        col("m.score").as("neg_cosine"))
     pairs.join(broadcast(negs), Seq("id_a"))
       .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
         col("jaccard"), col("negative_id"), col("neg_cosine"))

@@ -1046,6 +1046,65 @@ object ScaleProbe {
         }
       }
     }
+    // SemDeDup assignment A/B: corpus-scaled-k kmeans (r9, assignment
+    // n·k = n²/512 — quadratic) vs LSH-sharded fixed-k kmeans (r11,
+    // n·4 — linear). Corpus plants a 0.995-cosine near-dup at every
+    // id%10==9 (a jittered copy of id-9), so pair RECALL — the
+    // fraction of planted pairs landing in one cell — is measured
+    // against a FREE construction-known ground truth, no n² scan.
+    if (on("semdedup")) {
+      import graft.ops.Dedup
+      def compsOf(c: org.apache.spark.sql.Column) = (0 until dim).map(d =>
+        (xxhash64(lit(d), c).cast("double") / lit(Long.MaxValue.toDouble)).cast("float"))
+      def planted(m: Long) = {
+        val src = when(col("id") % 10 === 9, col("id") - 9).otherwise(col("id"))
+        val base = compsOf(src)
+        val noise = compsOf(col("id") + lit(1000000007L))
+        val mixed = (0 until dim).map(d => base(d) * lit(0.995f) +
+          when(col("id") % 10 === 9, noise(d) * lit(0.1f)).otherwise(lit(0f)))
+        spark.range(m).select(col("id").as("vec_id"),
+          VectorFunctions.l2Normalize(array(mixed: _*)).as("embedding"))
+      }
+      def recall(out: org.apache.spark.sql.DataFrame, m: Long): Double = {
+        val cells = out.select(col("vec_id"), col("cluster")).persist(StorageLevel.MEMORY_AND_DISK)
+        val pairs = spark.range(m).filter(col("id") % 10 === 9)
+          .select((col("id") - 9).as("ia"), col("id").as("ib"))
+        val hit = pairs
+          .join(cells.select(col("vec_id").as("ia"), col("cluster").as("ca")), "ia")
+          .join(cells.select(col("vec_id").as("ib"), col("cluster").as("cb")), "ib")
+          .filter(col("ca") === col("cb")).count()
+        cells.unpersist()
+        hit.toDouble / (m / 10).toDouble
+      }
+      for (m <- Seq(20000L, 200000L, 2000000L)) {
+        val v = planted(m).persist(StorageLevel.MEMORY_AND_DISK)
+        v.count()
+        val bits = if (m <= 2048L) 0
+          else 64 - java.lang.Long.numberOfLeadingZeros((m - 1L) / 2048L)
+        var r = 0.0
+        var drops = 0L
+        // sum over kept forces the PAIR PHASE (column pruning would
+        // otherwise skip it for the cluster-only recall join)
+        def dropsOf(o: org.apache.spark.sql.DataFrame): Long =
+          o.agg(sum(when(col("kept"), 0L).otherwise(1L))).head().getLong(0)
+        time(f"semdedup SHARDED (bits=$bits%2d, k=4) n=$m%-8d") {
+          val o = Dedup.semanticDedup(v, "vec_id", "embedding",
+            dim = dim, k = 4, iters = 2, threshold = 0.4, shardBits = bits)
+          drops = dropsOf(o); r = recall(o, m)
+        }
+        println(f"[probe]   sharded: recall $r%.3f dropped $drops%d")
+        if (m <= 200000L) { // the quadratic path is the probe's POINT; 2M would be ~10 min
+          val kOld = math.max(4L, m / 512L).toInt
+          time(f"semdedup corpus-k (k=$kOld%4d)    n=$m%-8d") {
+            val o = Dedup.semanticDedup(v, "vec_id", "embedding",
+              dim = dim, k = kOld, iters = 2, threshold = 0.4)
+            drops = dropsOf(o); r = recall(o, m)
+          }
+          println(f"[probe]   corpus-k: recall $r%.3f dropped $drops%d")
+        }
+        v.unpersist()
+      }
+    }
     spark.stop()
   }
 }

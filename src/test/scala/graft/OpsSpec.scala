@@ -2220,6 +2220,8 @@ class OpsSpec extends SparkSpec {
     assert(oracles("hard_negatives").contains("vec_id < 20000"))
     assert(oracles("embed_real").contains("doc_id < 50000"))
     assert(oracles("semantic_dedup").contains("(count(*) - 1) // 2048"))
+    assert(oracles("contrastive_pairs")
+      .contains("CASE WHEN count(*) <= 50000 THEN 1000 ELSE 250 END"))
   }
 
   test("correlation matrix: planted perfect/anti/zero correlations, zero-variance null, scale-invariant") {

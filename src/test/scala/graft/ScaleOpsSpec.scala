@@ -703,14 +703,15 @@ class ScaleOpsSpec extends SparkSpec {
       (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
       .toDF("vec_id", "embedding")
     // contrastive mining: exclusion anti-join and pair fetch-back both
-    // broadcast; negatives on the heap aggregate — no window, no
-    // sort-merge join anywhere
+    // broadcast; k=1 negatives on a declarative max(struct(score,-id))
+    // partial aggregate (r11: ~3× the heap aggregate's row rate on the
+    // anchors×corpus volume) — no window, no sort-merge join anywhere
     val ct = graft.ops.SimilaritySearch.contrastiveTriples(pairs, vecs,
       "vec_id", "embedding")
     val ctPlan = ct.queryExecution.executedPlan.toString
-    assert(ctPlan.contains("partial_top_k_hits") && !ctPlan.contains("SortMergeJoin") &&
+    assert(ctPlan.contains("partial_max") && !ctPlan.contains("SortMergeJoin") &&
       !ctPlan.contains("Window"),
-      s"contrastiveTriples must broadcast exclusions + heap-agg negatives:\n$ctPlan")
+      s"contrastiveTriples must broadcast exclusions + max-struct negatives:\n$ctPlan")
 
     // the composed pipeline: quality gates map-only, ONE sha-window
     // exchange for exact dedup, decontamination semi-join broadcast —
