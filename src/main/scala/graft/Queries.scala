@@ -807,14 +807,50 @@ object Queries {
     * [[dedupCorpus]]'s: boilerplate shingles shared by most docs
     * otherwise align minhashes and inflate every band bucket —
     * quadratic bucket joins (the round-1 bench regression). */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
-      n = 8, numHashes = 16, rowsPerBand = 4,
-      maxDocFreqFraction = MinhashDfFraction, dfFloor = MinhashDfFloor)
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // duplication-adaptive (identical pair set either way,
+    // OpsSpec-asserted): on the replica-heavy scale corpora every band
+    // bucket holds ≥ F aligned clone signatures — the direct bucket
+    // self-join is F² per distinct bucket and the md5 shingle pass
+    // runs F× — so past the dispatch threshold the collapsed form
+    // runs signatures/banding over distinct texts only; below it the
+    // direct single-pass plan avoids the collapse's extra exchange
+    val docs = t(s, dir, "documents")
+    if (textDupFactor(docs, "text") >= CollapseDispatchFactor)
+      Dedup.minhashLshCandidatesCollapsed(docs, "doc_id", "text",
+        n = 8, numHashes = 16, rowsPerBand = 4,
+        maxDocFreqFraction = MinhashDfFraction, dfFloor = MinhashDfFloor)
+    else
+      Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        n = 8, numHashes = 16, rowsPerBand = 4,
+        maxDocFreqFraction = MinhashDfFraction, dfFloor = MinhashDfFloor)
+  }
 
   /** Hot-shingle cap constants shared with the DuckDB oracle replay. */
   val MinhashDfFraction = 0.013
   val MinhashDfFloor = 16
+
+  /** Measured exact-duplication factor (rows / distinct texts) — the
+    * dispatch statistic for the collapse-first twins: ≈ 1 on curated
+    * corpora, where collapsing buys nothing and its sha-shuffle +
+    * expansion is pure overhead, and ≫ 1 on raw crawls / the
+    * replica-amplified bench corpora, where it removes the F² clone
+    * blowup. One bounded aggregation job (HLL over the sha-256 text
+    * key — 2% rsd is far finer than the 1.5× dispatch threshold).
+    * Output-invariant: both paths produce the identical row set
+    * (OpsSpec-asserted), so the dispatch never touches correctness. */
+  private def textDupFactor(df: DataFrame, textCol: String): Double = {
+    val r = df.agg(
+      count(lit(1)).cast("double"),
+      approx_count_distinct(sha2(coalesce(col(textCol), lit("")), 256))
+        .cast("double")).head()
+    if (r.getDouble(1) == 0.0) 1.0 else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Collapse-first pays past ~1.5× duplication (measured: the
+    * collapsed LSH path is ~2.2× the direct one on a dup-free corpus,
+    * and ≥ F/2× faster once clone classes dominate). */
+  private val CollapseDispatchFactor = 1.5
 
   /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.4 — the synthetic
     * embeddings top out at ~0.51 pairwise, so 0.4 exercises real pair
@@ -1038,7 +1074,10 @@ object Queries {
     * blocked on 4×15-bit fingerprint chunks (pigeonhole: hamming ≤ 3
     * pairs share ≥ 1 exact chunk — no all-pairs join). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+    // collapse-first form (identical pair set, OpsSpec-asserted):
+    // clones carry identical fingerprints, so the direct chunk join
+    // is ~4·F²/2 candidate rows per clone class before the distinct
+    Dedup.simhashNearDupsCollapsed(t(s, dir, "documents"), "doc_id", "text",
         n = 8, maxHammingDistance = 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
 
@@ -1084,16 +1123,22 @@ object Queries {
     * family, so the oracle replays the overlap join exactly. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    Dedup.decontaminate(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-        n = 5)
-      .select(col("sid").as("doc_id"), col("n_contaminated_grams"))
+    // per-doc content-determined output → collapse-first (identical
+    // rows, OpsSpec-asserted): the corpus-side gram explode + md5 runs
+    // once per distinct text
+    Dedup.perDocCollapsed(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", outId = "sid") {
+      reps => Dedup.decontaminate(reps, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
+    }.select(col("sid").as("doc_id"), col("n_contaminated_grams"))
   }
 
-  /** Within-doc repetition signals (Gopher/C4 quality-filter family). */
+  /** Within-doc repetition signals (Gopher/C4 quality-filter family).
+    * Per-doc content-determined → collapse-first over distinct texts. */
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.repetitionStats(t(s, dir, "documents"), "doc_id", "text", gramN = 5)
+    Dedup.perDocCollapsed(t(s, dir, "documents"), "doc_id", "text", outId = "sid") {
+      reps => TextAnalytics.repetitionStats(reps, "doc_id", "text", gramN = 5)
+    }
       .select(col("sid").as("doc_id"),
         r6(col("top_word_frac")).as("top_word_frac"),
         r6(col("distinct_word_ratio")).as("distinct_word_ratio"),
@@ -1814,7 +1859,11 @@ object Queries {
       .toDF("doc_id", "text")
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .unionByName(planted)
-    TextAnalytics.qualityFilter(docs, "text")
+    // per-doc content-determined metrics → collapse-first: the regex /
+    // marker-count passes (the whole cost) run once per distinct text
+    Dedup.perDocCollapsed(docs, "doc_id", "text", outId = "doc_id") {
+      reps => TextAnalytics.qualityFilter(reps, "text").drop("text")
+    }
       .select(col("doc_id"), col("n_words"),
         col("ok_word_count").cast("int").as("ok_word_count"),
         col("ok_word_len").cast("int").as("ok_word_len"),
@@ -2498,12 +2547,14 @@ object Queries {
     * same bench slice (doc_id % 10 == 0) as [[decontaminate]]. */
   def decontaminateOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    Dedup.decontaminateOverlap(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-        n = 5)
-      .select(col("sid").as("doc_id"), col("n_grams"),
-        col("n_contaminated"), col("overlap_frac"))
+    // per-doc content-determined output → collapse-first, as
+    // [[decontaminate]]
+    Dedup.perDocCollapsed(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", outId = "sid") {
+      reps => Dedup.decontaminateOverlap(reps, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
+    }.select(col("sid").as("doc_id"), col("n_grams"),
+      col("n_contaminated"), col("overlap_frac"))
   }
 
   /** Cross-source duplication matrix: [[dedupJaccard]]'s near-dup pairs
@@ -2855,7 +2906,10 @@ object Queries {
     * paraphrased benchmark leakage. */
   def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    Dedup.minhashDecontaminate(
+    // corpus-side collapse-first (identical rows, OpsSpec-asserted):
+    // the signature pass — the whole corpus-side cost — runs once per
+    // distinct text instead of once per clone
+    Dedup.minhashDecontaminateCollapsed(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
         n = 8, numHashes = 16, rowsPerBand = 4, threshold = 0.25)
@@ -3153,9 +3207,12 @@ object Queries {
     ops.RetrievalEval.evalRanking(results, labels, 10)
   }
 
-  /** Distinct-1/2/3 diversity per source over the raw corpus. */
+  /** Distinct-1/2/3 diversity per source over the raw corpus —
+    * collapse-first (identical output, OpsSpec-asserted): occurrence
+    * counts are Σ clone-weight × grams-per-distinct-text, so the
+    * corpus-dominating gram explode runs once per distinct text. */
   def ngramDiversityQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.ngramDiversity(t(s, dir, "documents"), "source", "text", maxN = 3)
+    TextAnalytics.ngramDiversityCollapsed(t(s, dir, "documents"), "source", "text", maxN = 3)
       .withColumnRenamed("grp", "source")
 
   /** HLL diversity twin, gate-is-oracle (the corpus_distinct_approx
@@ -3165,9 +3222,9 @@ object Queries {
     * runs (the exact join here is the verification). */
   def ngramDiversityApproxQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val exact = TextAnalytics.ngramDiversity(docs, "source", "text", maxN = 3)
+    val exact = TextAnalytics.ngramDiversityCollapsed(docs, "source", "text", maxN = 3)
       .select(col("grp"), col("n"), col("n_grams"), col("n_distinct"))
-    val approx = TextAnalytics.ngramDiversityApprox(docs, "source", "text", maxN = 3)
+    val approx = TextAnalytics.ngramDiversityApproxCollapsed(docs, "source", "text", maxN = 3)
       .select(col("grp"), col("n"), col("n_distinct_est"))
     exact.join(broadcast(approx), Seq("grp", "n"))
       .select(col("grp").as("source"), col("n"), col("n_grams"), col("n_distinct"),
@@ -3504,13 +3561,30 @@ object Queries {
     val docs = t(s, dir, "documents")
     val pool = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
     val bench = docs.filter(col("doc_id") % 10 === 0)
-    val q = TextAnalytics.qualityFilter(pool, "text")
-      .filter(col("passes_quality")).select(col("doc_id"), col("text"))
-    val ex = Dedup.exact(q, "doc_id", "text")
-    val flagged = Dedup.decontaminate(ex, "doc_id", "text",
+    // Duplication-adaptive ORDERING of the quality↔dedup stages —
+    // provably identical output: quality is a pure function of the
+    // text, so a clone class passes or fails AS A WHOLE, and
+    // exact-dedup's min-id survivor per class is the same whether the
+    // class was quality-filtered before or after. On a replica-heavy
+    // corpus, dedup-FIRST makes the regex-heavy quality gate and the
+    // gram-explode decontamination run at distinct-text scale (the
+    // standard crawl-pipeline ordering — CCNet dedups before LM
+    // scoring for exactly this reason); on a curated corpus,
+    // quality-FIRST cuts the pool before the text shuffle.
+    val dedupFirst = textDupFactor(pool, "text") >= CollapseDispatchFactor
+    val q =
+      if (dedupFirst)
+        TextAnalytics.qualityFilter(Dedup.exact(pool, "doc_id", "text"), "text")
+          .filter(col("passes_quality")).select(col("doc_id"), col("text"))
+      else
+        Dedup.exact(TextAnalytics.qualityFilter(pool, "text")
+          .filter(col("passes_quality")).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+    val flagged = Dedup.decontaminate(q, "doc_id", "text",
         bench, "doc_id", "text", n = 5)
       .select(col("sid").as("doc_id"))
-    val clean = ex.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    val clean = q.select(col("doc_id"))
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
     TextAnalytics.hashSplit(clean, "doc_id").select(col("doc_id"), col("split"))
   }
 
@@ -3521,16 +3595,11 @@ object Queries {
     * Exact dyadic fraction novel/total. Scale shape: one distinct
     * (doc, gram) rollup, one gram-df aggregate, one broadcast-free
     * equi-join on the gram key, one per-doc partial agg. */
-  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val grams = Dedup.wordGramHashes(t(s, dir, "documents"), "doc_id", "text", n = 5)
-    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
-    grams.join(dfreq, "gh")
-      .groupBy(col("sid").as("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .withColumn("novelty",
-        col("n_novel").cast("double") / col("n_grams").cast("double"))
-  }
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    // collapse-first (identical rows, OpsSpec-asserted): gram df is
+    // the weighted df over distinct texts, so the explode + df join
+    // run at distinct-text scale
+    Dedup.ngramNoveltyCollapsed(t(s, dir, "documents"), "doc_id", "text", n = 5)
 
   /** Quantile bucketing of event values WITHOUT a global sort: decile
     * thresholds per event type from one percentile aggregate

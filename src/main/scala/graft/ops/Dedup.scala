@@ -702,17 +702,24 @@ object Dedup {
     * ordering — deterministic, replayed by the SQL oracle). The
     * fallback path touches only the lost docs' rows: the capped
     * mainline stays a broadcast anti-join, no corpus-wide window. */
+  /** Distinct candidate pairs (a < b) from banded signatures: docs
+    * sharing any (band, band_key) bucket. Shared by the direct and
+    * collapsed LSH paths. */
+  private def bandBucketPairs(signatures: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = lshBandKeys(signatures, numHashes, rowsPerBand)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .distinct()
+  }
+
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, maxDocFreq: Int = 0,
       maxDocFreqFraction: Double = 0.0, dfFloor: Int = 16): DataFrame = {
-    def bandPairs0(signatures: DataFrame): DataFrame = {
-      val bands = lshBandKeys(signatures, numHashes, rowsPerBand)
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-            col("a.sid") < col("b.sid"))
-        .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
-        .distinct()
-    }
+    def bandPairs0(signatures: DataFrame): DataFrame =
+      bandBucketPairs(signatures, numHashes, rowsPerBand)
     def bandPairs(sh: DataFrame): DataFrame =
       bandPairs0(minhashSignatures(sh, numHashes))
     if (maxDocFreq <= 0 && maxDocFreqFraction <= 0) {
@@ -776,6 +783,130 @@ object Dedup {
     }
   }
 
+  /** Byte-identical-text clone classes — the shared first rung of the
+    * collapse-first family ([[jaccardPairsCollapsed]]'s step 1 as a
+    * reusable frame): one row per distinct text with `rep` = min id,
+    * `members` = sorted id list, `w` = class size, `__text` carried
+    * for the representative pass. One sha-256 hash-shuffle; id type
+    * preserved. */
+  private def cloneClasses(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .groupBy(sha2(coalesce(col("__text"), lit("")), 256).as("__k"))
+      .agg(min(col("__id")).as("rep"),
+        sort_array(collect_list(col("__id"))).as("members"),
+        count(lit(1)).as("w"),
+        first(col("__text")).as("__text"))
+      .drop("__k")
+
+  /** All within-class member pairs (a < b) of the multi-member clone
+    * classes — members are sorted, so position order IS id order. */
+  private def withinClassPairs(classes: DataFrame): DataFrame =
+    classes.filter(col("w") > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members) - i - 1),
+          |    y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+
+  /** Cross-class expansion: each verified representative pair
+    * (`rep_a`, `rep_b`, carry…) becomes the full member product of its
+    * two classes, re-canonicalized a < b (strided clone ids interleave
+    * across classes). `carry` columns (hamming, jaccard, …) copy
+    * through unchanged — they are functions of the texts, which are
+    * identical within each class. */
+  private def expandRepPairs(repPairs: DataFrame, classes: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val memA = classes.select(col("rep").as("rep_a"), col("members").as("__ma"))
+    val memB = classes.select(col("rep").as("rep_b"), col("members").as("__mb"))
+    repPairs.join(memA, Seq("rep_a")).join(memB, Seq("rep_b"))
+      .select((explode(col("__ma")).as("__a") +: col("__mb") +: carry.map(col)): _*)
+      .select((explode(col("__mb")).as("__b") +: col("__a") +: carry.map(col)): _*)
+      .select((least(col("__a"), col("__b")).as("id_a") +:
+        greatest(col("__a"), col("__b")).as("id_b") +: carry.map(col)): _*)
+  }
+
+  /** [[minhashLshCandidates]] with EXACT-DUPLICATE COLLAPSE first —
+    * IDENTICAL pair set (OpsSpec-asserted), replica-proof cost:
+    *
+    *  1. collapse byte-identical texts ([[cloneClasses]]);
+    *  2. signatures/banding over REPRESENTATIVES only, with each
+    *     shingle's doc frequency measured as the SUM OF CLASS SIZES
+    *     (= the full-corpus df, so the hot-shingle cap and the
+    *     all-hot fallback ranking keep their exact semantics — both
+    *     are content-determined, so clones always agree);
+    *  3. expand: within-class pairs (identical texts ⇒ identical
+    *     signatures ⇒ co-bucketed in every band — emitted whenever the
+    *     class has ≥ 1 shingle, i.e. whenever it has a signature at
+    *     all) plus cross-class member products of the rep band pairs.
+    *
+    * Why: on a corpus where every doc has F−1 verbatim clones, every
+    * band bucket holds ≥ F aligned signatures — the direct bucket
+    * self-join materializes F² rows per distinct bucket (and the md5
+    * shingle pass runs F× too). Collapsed, candidate volume is the
+    * DISTINCT corpus's; only the output (the answer) scales with F.
+    * Eager; returns the persisted pair frame (caller unpersists). */
+  def minhashLshCandidatesCollapsed(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, maxDocFreq: Int = 0,
+      maxDocFreqFraction: Double = 0.0, dfFloor: Int = 16): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = cloneClasses(df, idCol, textCol).persist(lvl)
+    val weights = classes.select(col("rep").as("sid"), col("w"))
+    val sets = shingleHashSets(
+        classes.select(col("rep"), col("__text")), "rep", "__text", n)
+      .persist(lvl)
+    val all = sets.select(col("sid"), explode(col("hs")).as("h"))
+    val repPairs =
+      if (maxDocFreq <= 0 && maxDocFreqFraction <= 0)
+        bandBucketPairs(minhashSignatures(all, numHashes), numHashes, rowsPerBand)
+      else {
+        val capDf =
+          if (maxDocFreq > 0)
+            df.sparkSession.range(1).select(lit(maxDocFreq.toLong).as("cap"))
+          else weights.agg(greatest(floor(sum(col("w")) * lit(maxDocFreqFraction)),
+            lit(dfFloor.toLong)).as("cap"))
+        // weighted df = full-corpus doc frequency (each clone counted)
+        val dfc = all.join(weights, Seq("sid"))
+          .groupBy("h").agg(sum(col("w")).as("dfh"))
+        val hot = dfc.crossJoin(broadcast(capDf))
+          .filter(col("dfh") > col("cap")).select("h")
+        val h28 = shiftright(col("h"), 32)
+        val keptMins = minhashSeeds(numHashes).zipWithIndex.map { case ((a, b), i) =>
+          min(when(col("hot_flag").isNull,
+            (h28 * lit(a) + lit(b)) % lit(MinhashP))).as(s"mh$i")
+        }
+        val sigs = all
+          .join(broadcast(hot.withColumn("hot_flag", lit(1))), Seq("h"), "left")
+          .groupBy("sid")
+          .agg(keptMins.head, (keptMins.tail :+
+            count(when(col("hot_flag").isNull, lit(1))).as("kept_cnt")): _*)
+          .persist(lvl)
+        val okSigs = sigs.filter(col("kept_cnt") > 0).drop("kept_cnt")
+        val lost = sigs.filter(col("kept_cnt") === 0).select("sid")
+        val fallbackRows = all.join(broadcast(lost), Seq("sid"), "left_semi")
+          .join(dfc, Seq("h"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("sid")).orderBy(col("dfh").asc, col("h").asc)))
+          .filter(col("rk") <= numHashes)
+          .select("sid", "h")
+        val allSigs = okSigs.unionByName(minhashSignatures(fallbackRows, numHashes))
+        val p = bandBucketPairs(allSigs, numHashes, rowsPerBand).persist(lvl)
+        p.count()
+        sigs.unpersist()
+        p
+      }
+    // a class is banded iff it has ≥ 1 shingle (kept rows sign its
+    // mainline signature; an all-hot class still gets the fallback one)
+    val sigful = sets.filter(col("sz") > 0).select(col("sid").as("rep"))
+    val within = withinClassPairs(classes.join(sigful, Seq("rep"), "left_semi"))
+    val cross = expandRepPairs(
+      repPairs.withColumnRenamed("id_a", "rep_a").withColumnRenamed("id_b", "rep_b"),
+      classes, carry = Seq.empty)
+    val out = within.unionByName(cross).persist(lvl)
+    out.count()
+    repPairs.unpersist(); sets.unpersist(); classes.unpersist()
+    out // caller owns the persisted pair frame: unpersist() when done
+  }
+
   /** FUZZY benchmark decontamination: corpus documents whose MinHash
     * signature overlaps a benchmark document's above `threshold` — the
     * near-duplicate complement of the exact n-gram [[decontaminate]]
@@ -813,6 +944,111 @@ object Dedup {
       .filter(col("minhash_est") >= threshold)
   }
 
+  /** [[minhashDecontaminate]] with EXACT-DUPLICATE COLLAPSE of the
+    * CORPUS side first — identical output rows (OpsSpec-asserted):
+    * both the LSH banding and the signature-match fraction are pure
+    * functions of the text, so every clone of a flagged class is
+    * flagged against the same bench ids with the same estimate. The
+    * corpus-side shingle scan + signature groupBy (the whole cost at
+    * scale — the bench side broadcasts) then run once per DISTINCT
+    * text instead of once per clone. The benchmark side is left
+    * as-is: it is corpus-tiny by contract. Eager; returns the
+    * persisted frame (caller unpersists). */
+  def minhashDecontaminateCollapsed(corpus: DataFrame, corpusId: String,
+      corpusText: String, benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = cloneClasses(corpus, corpusId, corpusText).persist(lvl)
+    val repOut = minhashDecontaminate(
+      classes.select(col("rep"), col("__text")), "rep", "__text",
+      benchmark, benchId, benchText, n, numHashes, rowsPerBand, threshold)
+    val out = repOut
+      .join(classes.select(col("rep").as("sid"), col("members")), Seq("sid"))
+      .select(explode(col("members")).as("sid"),
+        col("bench_id"), col("minhash_est"))
+      .persist(lvl)
+    out.count()
+    classes.unpersist()
+    out // caller owns the persisted pair frame: unpersist() when done
+  }
+
+  /** Per-document n-gram novelty with EXACT-DUPLICATE COLLAPSE —
+    * identical output to the direct form (OpsSpec-asserted): the
+    * fraction of a doc's distinct word n-grams appearing in NO other
+    * document. Gram document-frequency is the WEIGHTED df over
+    * distinct texts (Σ class sizes = full-corpus df — a gram is novel
+    * iff its only class has exactly one member), and per-doc counts
+    * are class constants, so both the gram explode and the df join
+    * run at distinct-text scale; only the per-doc output expansion is
+    * corpus-sized. Eager; returns the persisted frame (caller
+    * unpersists). */
+  def ngramNoveltyCollapsed(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = cloneClasses(df, idCol, textCol).persist(lvl)
+    val weights = classes.select(col("rep").as("sid"), col("w"))
+    val grams = wordGramHashes(
+        classes.select(col("rep"), col("__text")), "rep", "__text", n)
+      .persist(lvl) // two consumers: weighted df + per-rep rollup
+    val dfreq = grams.join(weights, Seq("sid"))
+      .groupBy("gh").agg(sum(col("w")).as("__df"))
+    val perRep = grams.join(dfreq, Seq("gh"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    val out = perRep
+      .join(classes.select(col("rep").as("sid"), col("members")), Seq("sid"))
+      .select(explode(col("members")).as("doc_id"),
+        col("n_grams"), col("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .persist(lvl)
+    out.count()
+    grams.unpersist(); classes.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
+  /** Generic EXACT-DUPLICATE COLLAPSE for per-doc, content-determined
+    * transforms — the dictionary-execution combinator behind the
+    * collapsed query family: run `f` over one representative of each
+    * byte-identical text class, then expand every produced row to all
+    * clone ids.
+    *
+    * Exactness contract: `f`'s output must be a PURE FUNCTION of the
+    * text — ≤ 1 row per input id, carrying the id column named
+    * `outId` plus content-determined columns (per-doc quality stats,
+    * gram counts, fingerprints, contamination counts, …). Under that
+    * contract the expansion reproduces the direct output row set
+    * verbatim: clones have identical texts, hence identical rows up
+    * to the id. Transforms that aggregate ACROSS docs (df counts,
+    * corpus LMs) need a weighted twin instead — see
+    * [[graft.ops.TextAnalytics.ngramDiversityCollapsed]].
+    *
+    * Cost: one sha-256 hash-shuffle of the corpus + `f` at
+    * distinct-text scale + an output-sized expansion join, vs `f` at
+    * corpus scale. On an F×-replicated corpus every per-byte pass
+    * inside `f` (regex, md5, tokenization) runs F× less; on a
+    * mostly-unique corpus it degenerates to `f` plus the one extra
+    * exchange. Eager; returns the persisted frame (caller
+    * unpersists). */
+  def perDocCollapsed(df: DataFrame, idCol: String, textCol: String,
+      outId: String)(f: DataFrame => DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = cloneClasses(df, idCol, textCol).persist(lvl)
+    val reps = classes.select(col("rep").as(idCol), col("__text").as(textCol))
+    val repOut = f(reps)
+    val carried = repOut.columns.filterNot(_ == outId).toSeq
+    val out = repOut
+      .join(classes.select(col("rep"), col("members")),
+        repOut(outId) === col("rep"))
+      .select((explode(col("members")).as(outId) +: carried.map(col)): _*)
+      .persist(lvl)
+    out.count()
+    classes.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
   /** SimHash: 60-bit fingerprint from per-shingle bit votes over the
     * portable 60-bit md5-prefix hash ([[shingleHashSets]]), so the SQL
     * oracle can replay it bit for bit. One wide groupBy (60 small sum
@@ -846,6 +1082,51 @@ object Dedup {
     cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHammingDistance)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** [[simhashNearDups]] with EXACT-DUPLICATE COLLAPSE first —
+    * IDENTICAL pair set (OpsSpec-asserted). SimHash is a pure function
+    * of the text, so clones carry identical fingerprints: the direct
+    * chunk self-join puts every F-clone class in the same 4 chunk
+    * buckets and materializes ~4·F²/2 candidate rows per class before
+    * the distinct — at 100× replication that is the query's entire
+    * cost. Collapsed: fingerprints and the chunk join run on class
+    * REPRESENTATIVES; within-class pairs expand directly (hamming 0 —
+    * emitted whenever the class has ≥ 1 shingle, i.e. a fingerprint,
+    * exactly when the direct path buckets them); cross-class rep pairs
+    * expand to member products with the reps' hamming (fingerprints
+    * are class constants). Eager; returns the persisted pair frame
+    * (caller unpersists). */
+  def simhashNearDupsCollapsed(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHammingDistance: Int): DataFrame = {
+    require(maxHammingDistance >= 0, "maxHammingDistance must be >= 0")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = cloneClasses(df, idCol, textCol).persist(lvl)
+    val fps = simhash(hashedShingles(
+        classes.select(col("rep"), col("__text")), "rep", "__text", n))
+      .persist(lvl) // two consumers (chunk join + sigful gate): one md5 pass
+    val chunks = fps.select(col("sid"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("ci"))
+      .withColumn("chunk",
+        expr("shiftright(simhash, ci * 15)").bitwiseAND(lit(0x7FFFL)))
+    val repPairs = chunks.as("a").join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("rep_a"), col("b.sid").as("rep_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHammingDistance)
+      .select("rep_a", "rep_b", "hamming")
+    // fingerprinted ⇔ ≥ 1 shingle row survives the simhash groupBy
+    val sigful = fps.select(col("sid").as("rep"))
+    val within = withinClassPairs(classes.join(sigful, Seq("rep"), "left_semi"))
+      .withColumn("hamming", lit(0L))
+    val cross = expandRepPairs(repPairs, classes, carry = Seq("hamming"))
+    val out = within.unionByName(cross).persist(lvl)
+    out.count()
+    fps.unpersist(); classes.unpersist()
+    out // caller owns the persisted pair frame: unpersist() when done
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).

@@ -1547,10 +1547,17 @@ object TextAnalytics {
   /** Shared explode for the diversity family: one scan emits every
     * word n-gram for ALL n ≤ maxN as (grp, n, g) rows. */
   private def ngramRows(df: DataFrame, groupCol: String, textCol: String,
-      maxN: Int): DataFrame = {
+      maxN: Int): DataFrame =
+    ngramRowsW(df.select(col(groupCol).as("grp"), lit(1L).as("w"),
+      col(textCol).as("__t")), maxN)
+
+  /** [[ngramRows]] over pre-weighted rows (grp, w, __t): emits
+    * (grp, w, n, g) — the occurrence weight rides along so collapsed
+    * callers can count occurrences without re-exploding clones. */
+  private def ngramRowsW(rows: DataFrame, maxN: Int): DataFrame = {
     require(maxN >= 1, "maxN must be >= 1")
-    val withWords = df.select(col(groupCol).as("grp"),
-      split(trim(col(textCol)), "\\s+").as("words"))
+    val withWords = rows.select(col("grp"), col("w"),
+      split(trim(col("__t")), "\\s+").as("words"))
     val gramArms = (1 to maxN).map { n =>
       s"""CASE WHEN size(words) >= $n THEN
          |  transform(sequence(1, size(words) - ${n - 1}),
@@ -1558,10 +1565,51 @@ object TextAnalytics {
          |ELSE array() END""".stripMargin
     }.mkString("flatten(array(", ", ", "))")
     withWords
-      .select(col("grp"), explode(expr(gramArms)).as("ng"))
-      .select(col("grp"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .select(col("grp"), col("w"), explode(expr(gramArms)).as("ng"))
+      .select(col("grp"), col("w"), col("ng.n").as("n"), col("ng.g").as("g"))
       .filter(col("g") =!= "")
   }
+
+  /** Clone classes per group for the weighted diversity twins: one row
+    * per (grp, distinct text) with its clone count `w`. Keyed by the
+    * GROUP TOO — clones in different groups stay separate, so the
+    * collapse is exact even when id-siblings disagree on `groupCol`. */
+  private def groupedTextClasses(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), col(textCol).as("__t0"))
+      .groupBy(col("grp"), sha2(coalesce(col("__t0"), lit("")), 256).as("__k"))
+      .agg(count(lit(1)).as("w"), first(col("__t0")).as("__t"))
+      .select(col("grp"), col("w"), col("__t"))
+
+  /** [[ngramDiversity]] with EXACT-DUPLICATE COLLAPSE (identical
+    * output, OpsSpec-asserted): occurrence counts become Σ w ×
+    * grams-per-distinct-text and the distinct-gram set is unchanged
+    * (clones add no new grams), so the corpus-dominating explode runs
+    * once per distinct text instead of once per clone. */
+  def ngramDiversityCollapsed(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 3): DataFrame =
+    ngramRowsW(groupedTextClasses(df, groupCol, textCol), maxN)
+      .groupBy("grp", "n").agg(
+        sum(col("w")).as("n_grams"),
+        count_distinct(col("g")).as("n_distinct"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 6)
+          .as("diversity"))
+
+  /** [[ngramDiversityApprox]] with the same collapse — the HLL sketch
+    * sees the identical DISTINCT value set (multiplicity-insensitive
+    * by construction), so the estimate is bit-identical. */
+  def ngramDiversityApproxCollapsed(df: DataFrame, groupCol: String,
+      textCol: String, maxN: Int = 3, rsd: Double = 0.02): DataFrame =
+    ngramRowsW(groupedTextClasses(df, groupCol, textCol), maxN)
+      .groupBy("grp", "n").agg(
+        sum(col("w")).as("n_grams"),
+        approx_count_distinct(col("g"), rsd = rsd).as("n_distinct_est"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        col("n_grams"), col("n_distinct_est"),
+        round(col("n_distinct_est").cast("double") / col("n_grams"), 6)
+          .as("diversity_est"))
 
   /** Unicode script mix: per-doc character fractions by script class —
     * the script-level complement of [[langIdColumn]]'s stopword

@@ -101,6 +101,155 @@ class OpsSpec extends SparkSpec {
     assert(eq)
   }
 
+  test("collapsed simhash + minhash-lsh pairs == direct, incl. clone-heavy corpus") {
+    // same ScaleData shape as the jaccard collapse spec: 4 distinct
+    // texts × 5 verbatim clones (one near-dup bridge), a loner, and
+    // shingle-less empties that must stay invisible to both paths
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta " * 3,
+      "alpha beta gamma delta epsilon zeta eta thXta " * 3,
+      "totally different content about joins and shuffles " * 3,
+      "yet another unrelated block of words entirely here " * 3)
+    val clones = for {
+      (t, g) <- base.zipWithIndex
+      c <- 0 until 5
+    } yield ((c * 10 + g).toLong, t)
+    val corpus = (clones ++ Seq((100L, "loner document with its own content " * 3),
+      (101L, ""), (102L, ""))).toDF("doc_id", "text")
+
+    def simSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (maxHam <- Seq(3, 0)) {
+      val direct = simSet(Dedup.simhashNearDups(corpus, "doc_id", "text",
+        n = 8, maxHammingDistance = maxHam))
+      val coll = Dedup.simhashNearDupsCollapsed(corpus, "doc_id", "text",
+        n = 8, maxHammingDistance = maxHam)
+      val c = simSet(coll); coll.unpersist()
+      assert(direct == c, s"simhash maxHam=$maxHam: " +
+        s"direct-only=${direct -- c} collapsed-only=${c -- direct}")
+      assert(c.nonEmpty)
+      assert(!c.exists { case (a, b, _) => a >= 101L || b >= 101L },
+        "shingle-less clones must not pair")
+    }
+
+    def lshSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped (fraction + floor low enough to engage the hot cap on the
+    // clone corpus), fixed-cap, and uncapped branches
+    // mdf=2 drives every clone class all-hot → exercises the
+    // lowest-df fallback re-signature on both paths
+    for ((mdf, frac, floor) <- Seq((0, 0.3, 2), (8, 0.0, 16), (2, 0.0, 16), (0, 0.0, 16))) {
+      val direct0 = Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+        n = 8, numHashes = 16, rowsPerBand = 4,
+        maxDocFreq = mdf, maxDocFreqFraction = frac, dfFloor = floor)
+      val d = lshSet(direct0); direct0.unpersist()
+      val coll = Dedup.minhashLshCandidatesCollapsed(corpus, "doc_id", "text",
+        n = 8, numHashes = 16, rowsPerBand = 4,
+        maxDocFreq = mdf, maxDocFreqFraction = frac, dfFloor = floor)
+      val c = lshSet(coll); coll.unpersist()
+      assert(d == c, s"lsh mdf=$mdf frac=$frac floor=$floor: " +
+        s"direct-only=${d -- c} collapsed-only=${c -- d}")
+      assert(c.nonEmpty)
+    }
+
+    // fuzzy decontamination: corpus-side collapse, identical rows
+    val bench = Seq((1000L, base(0)), (1001L, "benchmark only text " * 4))
+      .toDF("doc_id", "text")
+    def fzSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fd = fzSet(Dedup.minhashDecontaminate(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 8, numHashes = 16, rowsPerBand = 4,
+      threshold = 0.25))
+    val fcoll = Dedup.minhashDecontaminateCollapsed(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 8, numHashes = 16, rowsPerBand = 4,
+      threshold = 0.25)
+    val fc = fzSet(fcoll); fcoll.unpersist()
+    assert(fd == fc, s"fuzzy: direct-only=${fd -- fc} collapsed-only=${fc -- fd}")
+    assert(fc.nonEmpty)
+  }
+
+  test("collapsed per-doc / weighted twins == direct: quality, repetition, " +
+      "decontaminate(+overlap), novelty, diversity(+approx)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted
+      df.select(cols.head, cols.tail: _*).collect().map(_.toString).toSet
+    }
+    def assertSame(direct: org.apache.spark.sql.DataFrame,
+        collapsed: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val (d, c) = (rows(direct), rows(collapsed))
+      collapsed.unpersist()
+      assert(d == c, s"$what: direct-only=${d -- c} collapsed-only=${c -- d}")
+      assert(d.nonEmpty, s"$what: vacuous fixture")
+    }
+    // clone-heavy fixture with per-doc variety: long clean text (quota
+    // clones), repetitive text, symbol junk, empty, loner — and the
+    // SAME text planted under two different sources for the
+    // group-keyed diversity collapse
+    val clean = "the cat sat on the mat and it is a fine day in the sun " * 4
+    val repet = "spam spam spam spam spam ham spam spam spam spam spam spam " * 3
+    val docsRaw = (for {
+      (t, g) <- Seq(clean, repet,
+        "#### $$$$ %%%% {{{{ }}}} <<<< >>>> #### $$$$ %%%%",
+        "yet another unrelated block of words entirely here now ok " * 3).zipWithIndex
+      c <- 0 until 4
+    } yield ((c * 10 + g).toLong, t, if (g % 2 == 0) "web" else "books")) ++
+      Seq((100L, "loner document with its own content words here " * 3, "web"),
+        (101L, "", "web"),
+        (200L, clean, "books"), // same text, other source
+        // clean clones on NON-%10 ids: land in the decontamination
+        // POOL (the %10==0 clean clones land in bench) so the
+        // contaminated output is non-vacuous
+        (7L, clean, "web"), (17L, clean, "web"))
+    val corpus = docsRaw.toDF("doc_id", "text", "source")
+
+    assertSame(
+      TextAnalytics.qualityFilter(corpus.select($"doc_id", $"text"), "text").drop("text"),
+      Dedup.perDocCollapsed(corpus.select($"doc_id", $"text"), "doc_id", "text",
+        outId = "doc_id") { reps =>
+        TextAnalytics.qualityFilter(reps, "text").drop("text") },
+      "qualityFilter")
+    assertSame(
+      TextAnalytics.repetitionStats(corpus, "doc_id", "text", gramN = 5),
+      Dedup.perDocCollapsed(corpus, "doc_id", "text", outId = "sid") { reps =>
+        TextAnalytics.repetitionStats(reps, "doc_id", "text", gramN = 5) },
+      "repetitionStats")
+
+    val pool = corpus.filter($"doc_id" % 10 =!= 0)
+    val bench = corpus.filter($"doc_id" % 10 === 0)
+    assertSame(
+      Dedup.decontaminate(pool, "doc_id", "text", bench, "doc_id", "text", n = 5),
+      Dedup.perDocCollapsed(pool, "doc_id", "text", outId = "sid") { reps =>
+        Dedup.decontaminate(reps, "doc_id", "text", bench, "doc_id", "text", n = 5) },
+      "decontaminate")
+    assertSame(
+      Dedup.decontaminateOverlap(pool, "doc_id", "text", bench, "doc_id", "text", n = 5),
+      Dedup.perDocCollapsed(pool, "doc_id", "text", outId = "sid") { reps =>
+        Dedup.decontaminateOverlap(reps, "doc_id", "text", bench, "doc_id", "text", n = 5) },
+      "decontaminateOverlap")
+
+    // novelty: direct formula vs the weighted-df collapse
+    val grams = Dedup.wordGramHashes(corpus, "doc_id", "text", n = 5)
+    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
+    val directNovelty = grams.join(dfreq, "gh")
+      .groupBy(col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+    assertSame(directNovelty,
+      Dedup.ngramNoveltyCollapsed(corpus, "doc_id", "text", n = 5),
+      "ngramNovelty")
+
+    assertSame(
+      TextAnalytics.ngramDiversity(corpus, "source", "text", maxN = 3),
+      TextAnalytics.ngramDiversityCollapsed(corpus, "source", "text", maxN = 3),
+      "ngramDiversity")
+    assertSame(
+      TextAnalytics.ngramDiversityApprox(corpus, "source", "text", maxN = 3),
+      TextAnalytics.ngramDiversityApproxCollapsed(corpus, "source", "text", maxN = 3),
+      "ngramDiversityApprox")
+  }
+
   test("dedup ladder: exact collapse then near-dup, lower id survives") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
     val docs = Seq(
