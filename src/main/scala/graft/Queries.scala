@@ -49,22 +49,26 @@ object Queries {
     * rather than `.persist` so the cache survives the harness's
     * `clearCache()` between queries and holds no executor memory.
     * (Same contract as the shingle/BM25 index caches above.) */
-  private def standardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = cachedIndexDir("njpairs", dir) { tmp =>
+  private def standardPairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${standardPairsDir(s, dir)}/pairs")
+
+  private def standardPairsDir(s: SparkSession, dir: String): String =
+    cachedIndexDir("njpairs", dir) { tmp =>
       val docs = t(s, dir, "documents")
       // collapse-first form: identical pair set to jaccardPairs
       // (OpsSpec-asserted), but candidate volume is the DISTINCT
       // corpus's — the direct posting join materializes Σ C(df,2)
       // rows, which on sf10's 100×-replicated corpus (every df ≥ 100)
-      // was ~12G candidate rows and a measured disk-full
+      // was ~12G candidate rows and a measured disk-full. sideDir
+      // materializes the COLLAPSED graph parts (classes, rep pairs,
+      // within-clique reps) next to the expanded pairs for the
+      // clustering consumer below.
       val p = Dedup.jaccardPairsCollapsed(docs, "doc_id", "text",
         n = 8, threshold = 0.2, maxDocFreq = pairDfCap(docs.count()),
-        minShared = 2)
+        minShared = 2, sideDir = Some(tmp))
       p.write.mode("overwrite").parquet(s"$tmp/pairs")
       p.unpersist()
     }
-    s.read.parquet(s"$d/pairs")
-  }
 
   /** Posting-list df cap for the standard pair graph, CORPUS-SCALED
     * (the round-9 lesson: fixed caps saturate — at sf10 every shingle
@@ -95,9 +99,19 @@ object Queries {
     * NOTE: [[standardPairs]] is forced BEFORE entering the cache
     * builder — `computeIfAbsent` must not nest on the same map. */
   private def standardClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = standardPairs(s, dir)
+    // connected components over the COLLAPSED graph parts (identical
+    // rows to clustering the expanded pairs, OpsSpec-asserted): the
+    // expanded sf10 graph is ~25M clique edges — past the driver
+    // union-find guard, 219 s of distributed propagation — while the
+    // rep graph is distinct-corpus-sized
+    val pd = standardPairsDir(s, dir)
     val d = cachedIndexDir("njclusters", dir) { tmp =>
-      Dedup.dedupClusters(pairs).write.mode("overwrite").parquet(s"$tmp/clusters")
+      val c = Dedup.dedupClustersFromCollapsed(
+        s.read.parquet(s"$pd/classes"),
+        s.read.parquet(s"$pd/reppairs"),
+        s.read.parquet(s"$pd/withinreps"))
+      c.write.mode("overwrite").parquet(s"$tmp/clusters")
+      c.unpersist()
     }
     s.read.parquet(s"$d/clusters")
   }

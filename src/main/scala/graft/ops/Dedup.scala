@@ -416,7 +416,8 @@ object Dedup {
     * frame (caller unpersists). */
   def jaccardPairsCollapsed(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int, minShared: Int = 1,
-      broadcastBytesCap: Long = 128L << 20): DataFrame = {
+      broadcastBytesCap: Long = 128L << 20,
+      sideDir: Option[String] = None): DataFrame = {
     require(maxDocFreq > 0, "jaccardPairsCollapsed needs a posting-list cap")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // id type preserved (no cast): the collapsed path must be a
@@ -470,17 +471,20 @@ object Dedup {
       broadcast(prunedSets) else prunedSets
     val joinedA = cand.join(vsets, cand("id_a") === vsets("sid"))
       .select(col("id_a"), col("id_b"), col("hs").as("set_a"), col("sz").as("sz_a"))
-    val repPairs = joinedA.join(vsets, joinedA("id_b") === vsets("sid"))
+    val repPairs0 = joinedA.join(vsets, joinedA("id_b") === vsets("sid"))
       .withColumn("inter",
         graft.functions.ArrayFunctions.sortedIntersectCount(col("set_a"), col("hs")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz") - col("inter")).cast("double"))
       .filter(col("jaccard") >= lit(threshold))
       .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("jaccard"))
+    // two consumers when sideDir is set (expansion + the side write)
+    val repPairs = if (sideDir.isDefined) repPairs0.persist(lvl) else repPairs0
     // expansion — within-class clone pairs (jaccard exactly 1.0) ...
-    val within = classes.filter(col("w") > 1)
+    val withinEligible = classes.filter(col("w") > 1)
       .join(rareCnt.withColumnRenamed("sid", "rep"), Seq("rep"))
       .filter(col("rare_cnt") >= minShared && lit(1.0) >= lit(threshold))
+    val within = withinEligible
       .select(explode(expr(
         """flatten(transform(members, (x, i) ->
           |  transform(slice(members, i + 2, size(members) - i - 1),
@@ -496,6 +500,18 @@ object Dedup {
         greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
     val out = within.unionByName(cross).persist(lvl)
     out.count()
+    // side outputs for graph consumers (the collapsed-CC path): clone
+    // classes, the verified rep-level pair graph, and the reps whose
+    // within-class clique pairs were emitted — together they determine
+    // the expanded graph exactly, at distinct-corpus size
+    sideDir.foreach { d =>
+      classes.select(col("rep"), col("members"), col("w"))
+        .write.mode("overwrite").parquet(s"$d/classes")
+      repPairs.write.mode("overwrite").parquet(s"$d/reppairs")
+      withinEligible.select(col("rep"))
+        .write.mode("overwrite").parquet(s"$d/withinreps")
+    }
+    repPairs.unpersist()
     cand.unpersist(); rare.unpersist(); prunedSets.unpersist()
     sets.unpersist(); classes.unpersist()
     out
@@ -1685,6 +1701,44 @@ object Dedup {
     result.count()
     handle.unpersist()
     result // caller owns the persisted (sid, cluster) frame
+  }
+
+  /** Connected-component clustering from the COLLAPSED pair graph (the
+    * [[jaccardPairsCollapsed]] `sideDir` products) — identical
+    * (sid, cluster) rows to `dedupClusters(expanded pairs)`
+    * (OpsSpec-asserted), at distinct-corpus cost.
+    *
+    * Why exact: a clone class is a clique in the expanded graph, so
+    * its members belong to exactly the component their representative
+    * belongs to; and the min-id cluster label factors through classes
+    * because each rep IS its class minimum (so the component minimum
+    * over members equals the minimum over reps, which is what
+    * propagation over the rep graph computes). Membership in the
+    * graph matches the direct path too: a member appears iff its
+    * class emitted within-clique pairs (`withinReps`) or sits in a
+    * verified rep pair. On the 100×-replicated sf10 corpus the
+    * expanded graph (~25M clique edges) forced the distributed
+    * propagation loop (219 s); the rep graph is thousands of edges —
+    * driver union-find territory. */
+  def dedupClustersFromCollapsed(classes: DataFrame, repPairs: DataFrame,
+      withinReps: DataFrame, maxIters: Int = 50,
+      maxLocalPairs: Long = 4000000L): DataFrame = {
+    val repEdges = repPairs.select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+    val repClusters = dedupClusters(repEdges, maxIters, maxLocalPairs)
+    val inGraph = repEdges.select(col("id_a").as("rep"))
+      .unionByName(repEdges.select(col("id_b").as("rep")))
+      .unionByName(withinReps.select(col("rep")))
+      .distinct()
+    val out = classes.join(inGraph, Seq("rep"), "left_semi")
+      // no broadcast hint: rep-graph nodes are distinct-corpus-sized on
+      // a unique corpus — AQE broadcasts when the runtime stats allow
+      .join(repClusters.withColumnRenamed("sid", "rep"), Seq("rep"), "left")
+      .select(explode(col("members")).as("sid"),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    repClusters.unpersist()
+    out // caller owns the persisted (sid, cluster) frame
   }
 
   /** [[dedupCorpus]] with TRANSITIVE collapse: near-dup pairs are

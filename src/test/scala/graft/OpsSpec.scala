@@ -250,6 +250,43 @@ class OpsSpec extends SparkSpec {
       "ngramDiversityApprox")
   }
 
+  test("collapsed-graph connected components == clustering the expanded pairs") {
+    // clone-heavy corpus incl. a near-dup BRIDGE between two clone
+    // classes (cross-class component), an isolated clone class
+    // (within-only component), a loner, and shingle-less empties
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta " * 3,
+      "alpha beta gamma delta epsilon zeta eta thXta " * 3, // near-dup of 0
+      "totally different content about joins and shuffles " * 3,
+      "yet another unrelated block of words entirely here " * 3)
+    val clones = for {
+      (t, g) <- base.zipWithIndex
+      c <- 0 until 5
+    } yield ((c * 10 + g).toLong, t)
+    val corpus = (clones ++ Seq((100L, "loner document with its own content " * 3),
+      (101L, ""), (102L, ""))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccside").toString
+    val pairs = Dedup.jaccardPairsCollapsed(corpus, "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2,
+      sideDir = Some(tmp))
+    def cset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.dedupClusters(pairs)
+    val collapsed = Dedup.dedupClustersFromCollapsed(
+      spark.read.parquet(s"$tmp/classes"),
+      spark.read.parquet(s"$tmp/reppairs"),
+      spark.read.parquet(s"$tmp/withinreps"))
+    val (d, c) = (cset(direct), cset(collapsed))
+    direct.unpersist(); collapsed.unpersist(); pairs.unpersist()
+    assert(d == c, s"direct-only=${d -- c} collapsed-only=${c -- d}")
+    assert(d.nonEmpty)
+    // the two near-dup clone classes form ONE cross-class component
+    // labeled by the global min id (0); the other classes label by
+    // their own reps
+    assert(c.filter(_._2 == 0L).map(_._1) ==
+      (0 until 5).flatMap(cc => Seq(cc * 10L, cc * 10L + 1L)).toSet)
+  }
+
   test("dedup ladder: exact collapse then near-dup, lower id survives") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
     val docs = Seq(
