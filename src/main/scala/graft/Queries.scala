@@ -1038,9 +1038,41 @@ object Queries {
     * ([[graft.ops.GraphOps.pageRankMicro]]), 5 fixed iterations; the
     * oracle unrolls the identical recurrence as chained CTEs with
     * DuckDB floor division. */
-  def dedupPagerank(s: SparkSession, dir: String): DataFrame =
-    graft.ops.GraphOps.pageRankUndirected(standardPairs(s, dir), iters = 5)
-      .select(col("id").as("doc_id"), col("rank_micro"))
+  /** Collapsed-graph parts of the standard pair graph (clone classes,
+    * rep pairs, within-clique reps) for the quotient graph consumers. */
+  private def standardGraphParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val pd = standardPairsDir(s, dir)
+    (s.read.parquet(s"$pd/classes"), s.read.parquet(s"$pd/reppairs"),
+      s.read.parquet(s"$pd/withinreps"))
+  }
+
+  /** EXACT duplication factor of the standard graph's corpus, from the
+    * materialized classes table (Σ class size / #classes — one scan of
+    * the rep-sized parquet, two pruned columns): the quotient-PageRank
+    * dispatch statistic, the [[textDupFactor]] counterpart for
+    * consumers that already paid the collapse. */
+  private def graphDupFactor(classes: DataFrame): Double = {
+    val r = classes.agg(count(lit(1)).cast("double"),
+      coalesce(sum(col("w")), lit(0L)).cast("double")).head()
+    if (r.getDouble(0) == 0.0) 1.0 else r.getDouble(1) / r.getDouble(0)
+  }
+
+  def dedupPagerank(s: SparkSession, dir: String): DataFrame = {
+    // duplication-adaptive (identical ranks either way,
+    // OpsSpec-asserted): the expanded sf10 clique graph is ~50M arcs
+    // × 5 rounds — 155 s — while the quotient graph is
+    // distinct-corpus-sized; on a dup-free corpus the quotient's
+    // extra per-round joins are pure overhead, so dispatch on the
+    // exact class-weight duplication factor
+    val (classes, repPairs, withinReps) = standardGraphParts(s, dir)
+    val ranks =
+      if (graphDupFactor(classes) >= CollapseDispatchFactor)
+        graft.ops.GraphOps.pageRankUndirectedCollapsed(
+          classes, repPairs, withinReps, iters = 5)
+      else graft.ops.GraphOps.pageRankUndirected(standardPairs(s, dir), iters = 5)
+    ranks.select(col("id").as("doc_id"), col("rank_micro"))
+  }
 
   /** PERSONALIZED PageRank over the same near-dup graph: init and
     * teleport mass restricted to the seed docs (doc_id % 3 == 0 —
@@ -1052,9 +1084,17 @@ object Queries {
   def pprExpand(s: SparkSession, dir: String): DataFrame = {
     val seeds = t(s, dir, "documents")
       .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
-    graft.ops.GraphOps.personalizedPageRankUndirected(
+    // duplication-adaptive quotient PPR (identical ranks,
+    // OpsSpec-asserted): seed membership refines each clone class
+    // into ≤ 2 structurally symmetric types
+    val (classes, repPairs, withinReps) = standardGraphParts(s, dir)
+    val ranks =
+      if (graphDupFactor(classes) >= CollapseDispatchFactor)
+        graft.ops.GraphOps.personalizedPageRankUndirectedCollapsed(
+          classes, repPairs, withinReps, seeds, iters = 5)
+      else graft.ops.GraphOps.personalizedPageRankUndirected(
         standardPairs(s, dir), seeds, iters = 5)
-      .select(col("id").as("doc_id"), col("rank_micro"))
+    ranks.select(col("id").as("doc_id"), col("rank_micro"))
   }
 
   /** The curation decision the graph ops compose into: per near-dup
@@ -1065,7 +1105,12 @@ object Queries {
     * aggregate — no per-cluster window sort. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val clusters = standardClusters(s, dir)
-    val ranks = graft.ops.GraphOps.pageRankUndirected(standardPairs(s, dir), iters = 5)
+    val (gclasses, grepPairs, gwithinReps) = standardGraphParts(s, dir)
+    val ranks =
+      if (graphDupFactor(gclasses) >= CollapseDispatchFactor)
+        graft.ops.GraphOps.pageRankUndirectedCollapsed(
+          gclasses, grepPairs, gwithinReps, iters = 5)
+      else graft.ops.GraphOps.pageRankUndirected(standardPairs(s, dir), iters = 5)
     val out = clusters.join(ranks, clusters("sid") === ranks("id"))
       .groupBy(col("cluster"))
       .agg(max(struct(col("rank_micro"), (-col("sid")).as("negid"))).as("m"),

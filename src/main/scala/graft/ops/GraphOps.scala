@@ -157,6 +157,144 @@ object GraphOps {
     personalizedPageRankMicro(arcs, "src", "dst", seeds, iters)
   }
 
+  /** [[pageRankUndirected]] over the COLLAPSED pair graph (the
+    * `jaccardPairsCollapsed(sideDir=…)` products) — identical
+    * (id, rank_micro) rows to running the loop on the expanded pairs
+    * (OpsSpec-asserted), at quotient-graph cost.
+    *
+    * Why exact: clone classes are STRUCTURALLY SYMMETRIC in the
+    * expanded graph (every member of A links all members of adjacent
+    * classes, plus its w−1 siblings when A's clique pairs were
+    * emitted), so by induction every member of A carries the same
+    * rank r_A, the same degree deg_A = (w_A−1)·[clique] + Σ_B w_B,
+    * and the same per-arc contribution c_A = r_A div deg_A — and the
+    * member recurrence collapses to the class recurrence
+    * in_A = [clique]·(w_A−1)·c_A + Σ_B w_B·c_B,
+    * r_A' = tele + (17·in_A) div 20, all in the SAME integer
+    * micro-unit arithmetic as [[pageRankMicro]] (teleport and init
+    * use the EXPANDED node count n = Σ w). The expanded sf10 graph is
+    * ~25M clique edges × 2 arcs × 5 rounds; the quotient graph is
+    * distinct-corpus-sized. */
+  def pageRankUndirectedCollapsed(classes: DataFrame, repPairs: DataFrame,
+      withinReps: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 0, s"pageRankUndirectedCollapsed: iters must be >= 0, got $iters")
+    val (cls, adj, n) = quotientGraph(classes, repPairs, withinReps)
+    require(n > 0, "pageRankUndirectedCollapsed: empty graph")
+    var ranks = cls.select(col("rep"), lit(1000000L / n).as("rank_micro"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(cls.select("rep", "w", "wi", "deg"), Seq("rep"))
+        .select(col("rep"), col("w"), col("wi"),
+          expr("rank_micro div deg").as("c"))
+      val nbr = adj.join(contrib.select(col("rep").as("b"),
+          (col("w") * col("c")).as("wc")), Seq("b"))
+        .groupBy("a").agg(sum(col("wc")).as("nin"))
+      ranks = contrib
+        .join(nbr.withColumnRenamed("a", "rep"), Seq("rep"), "left")
+        .select(col("rep"),
+          (lit(150000L / n) +
+            expr("(17 * ((w - 1) * wi * c + coalesce(nin, 0L))) div 20"))
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    cls.select(col("rep"), col("members")).join(ranks, Seq("rep"))
+      .select(explode(col("members")).as("id"), col("rank_micro"))
+  }
+
+  /** Personalized twin of [[pageRankUndirectedCollapsed]]: seed
+    * membership refines each class into at most two STRUCTURALLY
+    * SYMMETRIC member types (seed / non-seed — degrees are class
+    * constants either way), so ranks are constant per (class, type)
+    * and the quotient recurrence runs over typed class rows:
+    * with m_A = s_A·c_{A,seed} + (w_A−s_A)·c_{A,non} (the total
+    * contribution mass of A's members),
+    * in_{A,t} = [clique]·(m_A − c_{A,t}) + Σ_B m_B and
+    * r'_{A,t} = tele_t + (17·in) div 20 — the same integer micro
+    * arithmetic, with init/teleport mass 1000000/s · [t=seed] over
+    * s = Σ s_A seeds that are graph nodes, exactly
+    * [[personalizedPageRankMicro]]'s. */
+  def personalizedPageRankUndirectedCollapsed(classes: DataFrame,
+      repPairs: DataFrame, withinReps: DataFrame, seeds: DataFrame,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 0,
+      s"personalizedPageRankUndirectedCollapsed: iters must be >= 0, got $iters")
+    val (cls, adj, _) = quotientGraph(classes, repPairs, withinReps)
+    val seedIds = seeds.toDF("id")
+    // per-class seed count (one linear member pass)
+    val sCnt = cls.select(col("rep"), explode(col("members")).as("id"))
+      .join(broadcast(seedIds), Seq("id"), "left_semi")
+      .groupBy("rep").agg(count(lit(1)).as("s"))
+    val typed0 = cls.join(sCnt, Seq("rep"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+    val s = typed0.agg(coalesce(sum(col("s")), lit(0L))).head.getLong(0)
+    require(s > 0, "personalizedPageRankUndirectedCollapsed: no seed is a graph node")
+    // (class, type) rows with member counts; empty types dropped
+    val typed = typed0
+      .select(col("rep"), col("members"), col("w"), col("wi"), col("deg"),
+        explode(expr("array(struct(1 AS t, s AS cnt), " +
+          "struct(0 AS t, w - s AS cnt))")).as("ty"))
+      .select(col("rep"), col("members"), col("w"), col("wi"), col("deg"),
+        col("ty.t").as("t"), col("ty.cnt").as("cnt"))
+      .filter(col("cnt") > 0)
+      .localCheckpoint()
+    var ranks = typed.select(col("rep"), col("t"),
+        when(col("t") === 1, lit(1000000L / s)).otherwise(lit(0L))
+          .as("rank_micro"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(typed.select("rep", "t", "cnt", "wi", "deg"), Seq("rep", "t"))
+        .select(col("rep"), col("t"), col("cnt"), col("wi"),
+          expr("rank_micro div deg").as("c"))
+        .localCheckpoint() // consumed by the mass rollup AND the update
+      val mass = contrib.groupBy("rep")
+        .agg(sum(col("cnt") * col("c")).as("m"))
+      val nbr = adj.join(mass.withColumnRenamed("rep", "b"), Seq("b"))
+        .groupBy("a").agg(sum(col("m")).as("nin"))
+      ranks = contrib
+        .join(mass, Seq("rep"))
+        .join(nbr.withColumnRenamed("a", "rep"), Seq("rep"), "left")
+        .select(col("rep"), col("t"),
+          (when(col("t") === 1, lit(150000L / s)).otherwise(lit(0L)) +
+            expr("(17 * (wi * (m - c) + coalesce(nin, 0L))) div 20"))
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    // expand: seed members take the seed-type rank, the rest non-seed
+    val members = typed.select(col("rep"), explode(col("members")).as("id"))
+      .distinct() // typed carries ≤ 2 rows per class
+      .join(broadcast(seedIds.withColumn("__sd", lit(1))), Seq("id"), "left")
+      .select(col("rep"), col("id"),
+        coalesce(col("__sd"), lit(0)).as("t"))
+    members.join(ranks, Seq("rep", "t")).select(col("id"), col("rank_micro"))
+  }
+
+  /** Shared quotient-graph construction for the collapsed PageRank
+    * family: in-graph classes with clique flag `wi`, member degree
+    * `deg` (a class constant), the rep adjacency (both directions),
+    * and the EXPANDED node count Σ w. */
+  private def quotientGraph(classes: DataFrame, repPairs: DataFrame,
+      withinReps: DataFrame): (DataFrame, DataFrame, Long) = {
+    val within = withinReps.select(col("rep")).withColumn("__wi", lit(1L))
+    val adj = repPairs.select(col("rep_a").as("a"), col("rep_b").as("b"))
+      .unionByName(repPairs.select(col("rep_b").as("a"), col("rep_a").as("b")))
+      .localCheckpoint()
+    val inGraph = adj.select(col("a").as("rep"))
+      .unionByName(within.select("rep")).distinct()
+    val base = classes.join(inGraph, Seq("rep"), "left_semi")
+      .join(within, Seq("rep"), "left")
+      .select(col("rep"), col("members"), col("w"),
+        coalesce(col("__wi"), lit(0L)).as("wi"))
+    val nbrW = adj.join(base.select(col("rep").as("b"), col("w").as("wb")), Seq("b"))
+      .groupBy("a").agg(sum(col("wb")).as("adjw"))
+    val cls = base.join(nbrW.withColumnRenamed("a", "rep"), Seq("rep"), "left")
+      .select(col("rep"), col("members"), col("w"), col("wi"),
+        ((col("w") - 1L) * col("wi") + coalesce(col("adjw"), lit(0L))).as("deg"))
+      .localCheckpoint()
+    val n = cls.agg(coalesce(sum(col("w")), lit(0L))).head.getLong(0)
+    (cls, adj, n)
+  }
+
   /** Exact triangle count with the degree-ordered orientation (Suri &
     * Vassilvitskii 2011) — the distributed-graph shape that survives
     * skew: every undirected edge orients from its lower (degree, id)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalytics}
+import graft.ops.{Dedup, GraphOps, Multimodal, SimilaritySearch, TextAnalytics}
 import org.apache.spark.sql.functions._
 
 /** Scale-extension operators: dedup ladder, text analytics, similarity
@@ -285,6 +285,51 @@ class OpsSpec extends SparkSpec {
     // their own reps
     assert(c.filter(_._2 == 0L).map(_._1) ==
       (0 until 5).flatMap(cc => Seq(cc * 10L, cc * 10L + 1L)).toSet)
+  }
+
+  test("quotient pagerank (global + personalized) == expanded-graph ranks") {
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta " * 3,
+      "alpha beta gamma delta epsilon zeta eta thXta " * 3, // near-dup of 0
+      "totally different content about joins and shuffles " * 3,
+      "yet another unrelated block of words entirely here " * 3)
+    // UNEVEN clone counts (3/5/2/4) so class weights actually matter,
+    // plus a loner and empties
+    val clones = for {
+      (t, g) <- base.zipWithIndex
+      c <- 0 until Seq(3, 5, 2, 4)(g)
+    } yield ((c * 10 + g).toLong, t)
+    val corpus = (clones ++ Seq((100L, "loner document with its own content " * 3),
+      (101L, ""), (102L, ""))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prside").toString
+    val pairs = Dedup.jaccardPairsCollapsed(corpus, "doc_id", "text",
+      n = 8, threshold = 0.2, maxDocFreq = 64, minShared = 2,
+      sideDir = Some(tmp))
+    val classes = spark.read.parquet(s"$tmp/classes")
+    val repPairs = spark.read.parquet(s"$tmp/reppairs")
+    val withinReps = spark.read.parquet(s"$tmp/withinreps")
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val d1 = rset(GraphOps.pageRankUndirected(pairs, iters = 5))
+    val c1 = rset(GraphOps.pageRankUndirectedCollapsed(
+      classes, repPairs, withinReps, iters = 5))
+    assert(d1 == c1, s"global: direct-only=${d1 -- c1} collapsed-only=${c1 -- d1}")
+    assert(d1.nonEmpty)
+    // uneven weights must produce distinct per-class ranks somewhere
+    assert(d1.map(_._2).size > 1)
+
+    // seeds cut ACROSS classes (doc_id % 3) — exercises the 2-type split
+    val seeds = corpus.select($"doc_id").filter($"doc_id" % 3 === 0)
+    val d2 = rset(GraphOps.personalizedPageRankUndirected(pairs, seeds, iters = 5))
+    val c2 = rset(GraphOps.personalizedPageRankUndirectedCollapsed(
+      classes, repPairs, withinReps, seeds, iters = 5))
+    pairs.unpersist()
+    assert(d2 == c2, s"ppr: direct-only=${d2 -- c2} collapsed-only=${c2 -- d2}")
+    assert(d2.nonEmpty)
+    // seed and non-seed members of the same class must differ in rank
+    // (teleport mass separates the types)
+    assert(d2 != d1)
   }
 
   test("dedup ladder: exact collapse then near-dup, lower id survives") {
