@@ -425,7 +425,7 @@ object Dedup {
     // min/sort_array/least/greatest below are all type-generic
     val classes = df
       .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .groupBy(sha2(coalesce(col("__text"), lit("")), 256).as("__k"))
+      .groupBy(textClassKey(col("__text")).as("__k"))
       .agg(min(col("__id")).as("rep"),
         sort_array(collect_list(col("__id"))).as("members"),
         count(lit(1)).as("w"),
@@ -799,15 +799,27 @@ object Dedup {
     }
   }
 
+  /** Clone-class grouping key: sha-256 of the text with a NULL/non-NULL
+    * flag prefixed, so a NULL text and an empty-string text land in
+    * DIFFERENT classes. Without the flag `coalesce(text, '')` merges
+    * them into one class whose `first(text)` representative is
+    * nondeterministic, and per-doc collapsed twins would then give a
+    * null-text doc the metrics of the ''-text rep (or vice versa) —
+    * the direct path distinguishes them (null words vs 0 words). */
+  private[graft] def textClassKey(text: Column): Column =
+    sha2(concat(when(text.isNull, lit("0")).otherwise(lit("1")),
+      coalesce(text, lit(""))), 256)
+
   /** Byte-identical-text clone classes — the shared first rung of the
     * collapse-first family ([[jaccardPairsCollapsed]]'s step 1 as a
     * reusable frame): one row per distinct text with `rep` = min id,
     * `members` = sorted id list, `w` = class size, `__text` carried
     * for the representative pass. One sha-256 hash-shuffle; id type
-    * preserved. */
+    * preserved; NULL and '' texts are distinct classes
+    * ([[textClassKey]]). */
   private def cloneClasses(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .groupBy(sha2(coalesce(col("__text"), lit("")), 256).as("__k"))
+      .groupBy(textClassKey(col("__text")).as("__k"))
       .agg(min(col("__id")).as("rep"),
         sort_array(collect_list(col("__id"))).as("members"),
         count(lit(1)).as("w"),
@@ -1054,6 +1066,15 @@ object Dedup {
     val classes = cloneClasses(df, idCol, textCol).persist(lvl)
     val reps = classes.select(col("rep").as(idCol), col("__text").as(textCol))
     val repOut = f(reps)
+    // enforce the documented contract: the expansion join below would
+    // silently mis-resolve if f's output reuses the internal class
+    // column names, and it needs the id column to join on
+    require(repOut.columns.contains(outId),
+      s"perDocCollapsed: f's output must carry the id column '$outId' " +
+        s"(got ${repOut.columns.mkString(", ")})")
+    require(!repOut.columns.contains("rep") && !repOut.columns.contains("members"),
+      "perDocCollapsed: f's output must not use the reserved internal " +
+        "column names 'rep'/'members'")
     val carried = repOut.columns.filterNot(_ == outId).toSeq
     val out = repOut
       .join(classes.select(col("rep"), col("members")),

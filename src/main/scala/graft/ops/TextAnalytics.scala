@@ -1573,11 +1573,12 @@ object TextAnalytics {
   /** Clone classes per group for the weighted diversity twins: one row
     * per (grp, distinct text) with its clone count `w`. Keyed by the
     * GROUP TOO — clones in different groups stay separate, so the
-    * collapse is exact even when id-siblings disagree on `groupCol`. */
+    * collapse is exact even when id-siblings disagree on `groupCol`.
+    * NULL and '' texts stay distinct classes ([[Dedup.textClassKey]]). */
   private def groupedTextClasses(df: DataFrame, groupCol: String,
       textCol: String): DataFrame =
     df.select(col(groupCol).as("grp"), col(textCol).as("__t0"))
-      .groupBy(col("grp"), sha2(coalesce(col("__t0"), lit("")), 256).as("__k"))
+      .groupBy(col("grp"), Dedup.textClassKey(col("__t0")).as("__k"))
       .agg(count(lit(1)).as("w"), first(col("__t0")).as("__t"))
       .select(col("grp"), col("w"), col("__t"))
 

@@ -248,6 +248,21 @@ class OpsSpec extends SparkSpec {
       TextAnalytics.ngramDiversityApprox(corpus, "source", "text", maxN = 3),
       TextAnalytics.ngramDiversityApproxCollapsed(corpus, "source", "text", maxN = 3),
       "ngramDiversityApprox")
+
+    // NULL and '' texts must land in DIFFERENT clone classes: the
+    // direct path gives them different metrics (null words vs 0
+    // words), so merging them (the old coalesce-only class key) made
+    // the expanded rows nondeterministic across runs
+    val neCorpus = Seq(
+      (1L, Some("shared words here")), (2L, Some("")), (4L, Some("")),
+      (3L, None: Option[String]), (5L, None: Option[String]))
+      .toDF("doc_id", "text")
+    assertSame(
+      TextAnalytics.qualityFilter(neCorpus, "text").drop("text"),
+      Dedup.perDocCollapsed(neCorpus, "doc_id", "text",
+        outId = "doc_id") { reps =>
+        TextAnalytics.qualityFilter(reps, "text").drop("text") },
+      "qualityFilter-null-vs-empty")
   }
 
   test("collapsed-graph connected components == clustering the expanded pairs") {
