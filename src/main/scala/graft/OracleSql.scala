@@ -807,18 +807,21 @@ object OracleSql {
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         | q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
         | js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        | st AS (SELECT (count(*) + 32767) // 32768 AS stride FROM v),
+        | tr AS (SELECT v.* FROM v, st WHERE vec_id % stride = 0),
         | seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
-        |           FROM v ORDER BY vec_id LIMIT 16),
+        |           FROM tr ORDER BY vec_id LIMIT 16),
         | cb0 AS (SELECT j, code, list_slice(e, j*8 + 1, j*8 + 8) AS w FROM seeds, js),
         | sub AS (SELECT vec_id, j, list_slice(e, j*8 + 1, j*8 + 8) AS sv FROM v, js),
+        | subtr AS (SELECT vec_id, j, list_slice(e, j*8 + 1, j*8 + 8) AS sv FROM tr, js),
         | a0 AS (SELECT vec_id, j, code,
         |         row_number() OVER (PARTITION BY vec_id, j
         |           ORDER BY round(list_distance(sv, w), 6), code) AS rk
-        |        FROM sub JOIN cb0 USING (j)),
+        |        FROM subtr JOIN cb0 USING (j)),
         | as0 AS (SELECT vec_id, j, code FROM a0 WHERE rk = 1),
         | mean1 AS (SELECT j, code, i,
         |            CAST(round(avg(sv[i]) * 1000000) AS BIGINT) / 1000000.0 AS c
-        |           FROM as0 JOIN sub USING (vec_id, j),
+        |           FROM as0 JOIN subtr USING (vec_id, j),
         |                (SELECT unnest(generate_series(1, 8)) AS i) ii
         |           GROUP BY j, code, i),
         | newcb AS (SELECT j, code, list(c ORDER BY i) AS w FROM mean1 GROUP BY j, code),

@@ -93,7 +93,11 @@ object ScaleBounds {
     Bound(Seq("dedup_embedding_bucketed"),
       "Queries.dedupEmbeddingBucketed", "scaled-param",
       "LSH band bits tiered by count so EXPECTED bucket <= ~256 rows: 4 bits (n <= 4096), 8 (<= 65536), 16 beyond",
-      "the same count(*) CASE tiers in the banding CTE"))
+      "the same count(*) CASE tiers in the banding CTE"),
+    Bound(Seq("pq_topk"),
+      "Queries.PqTrainCap / ProductQuantization.train", "scaled-param",
+      "train sample = vec_id % stride == 0, stride = (n + 32767) / 32768 exact integer (stride 1, i.e. full corpus, at n <= 32768 - vacuous sf <= 1)",
+      "st CTE: (count(*) + 32767) // 32768; tr = v WHERE vec_id % stride = 0 feeds seeds + Lloyd means"))
 
   /** The audited number of fractional `% N ===` / `% N =!=` slice
     * sites in Queries.scala (panels included, benign splits included).

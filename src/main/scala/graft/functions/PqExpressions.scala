@@ -33,13 +33,30 @@ final class PqKernel(val dim: Int, val m: Int, val ksub: Int,
   private def get(x: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
 
-  /** argmin code per subspace on 6dp-rounded distance, ties low. */
+  /** argmin code per subspace on 6dp-rounded distance, ties low.
+    *
+    * Fast path: the naive form calls [[round6]] (a BigDecimal
+    * construction) ksub times per subspace — m·ksub = 128 BigDecimal
+    * allocations per row at the standard 8×16 shape, which measured
+    * as ~10 s per 200k-row scan (the whole pq_topk sf10 wall). The
+    * rounding only matters for TIE RESOLUTION: round6 is monotone
+    * non-decreasing (shortest-repr decimals of ordered doubles are
+    * ordered), so the minimum ROUNDED distance is round6 of the
+    * minimum RAW distance, and the selected code is the lowest index
+    * whose rounded distance equals it. Only candidates inside the
+    * rounding window [0, r + 5e-7) can tie; anything beyond
+    * r + 5e-7 + 1e-9 provably rounds higher (double↔shortest-decimal
+    * error is ≤ half an ulp ≈ 1e-16, absorbed by the 1e-9 margin).
+    * So: one raw squared-distance pass, one round6 of the min, and
+    * round6 re-checks only for the (almost always single) candidate
+    * inside the window — bit-identical selection to the naive form. */
   def codes(x: ArrayData, isFloat: Boolean): Array[Int] = {
     val out = new Array[Int](m)
+    val sq = new Array[Double](ksub)
     var j = 0
     while (j < m) {
       val base = j * ds
-      var best = 0; var bestD = Double.MaxValue
+      var minS = Double.MaxValue
       var i = 0
       while (i < ksub) {
         val w = words(j)(i)
@@ -47,10 +64,24 @@ final class PqKernel(val dim: Int, val m: Int, val ksub: Int,
         while (d < ds) {
           val diff = get(x, isFloat, base + d) - w(d); s += diff * diff; d += 1
         }
-        val dist = round6(math.sqrt(s))
-        if (dist < bestD) { bestD = dist; best = i }
+        sq(i) = s
+        if (s < minS) minS = s
         i += 1
       }
+      val r = round6(math.sqrt(minS))
+      val cut = r + 5.0e-7 + 1.0e-9
+      val c2 = cut * cut
+      var best = -1
+      i = 0
+      while (best < 0 && i < ksub) {
+        if (sq(i) <= c2 && round6(math.sqrt(sq(i))) == r) best = i
+        i += 1
+      }
+      // unreachable for finite inputs (the raw argmin always
+      // qualifies); NaN components would have thrown in the naive
+      // form too (BigDecimal rejects NaN)
+      if (best < 0) throw new IllegalArgumentException(
+        s"pq_codes: non-finite distances in subspace $j")
       out(j) = best; j += 1
     }
     out

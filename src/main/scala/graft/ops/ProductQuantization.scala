@@ -52,18 +52,31 @@ object ProductQuantization {
       words.map(_.map(_.toArray).toArray).toArray)
   }
 
-  private def subvec(v: Column, j: Int, ds: Int): Column =
-    slice(v, j * ds + 1, ds)
 
   /** `iters` Lloyd mean-updates per subspace (0 = seed codebook as-is:
-    * the subvectors of the `ksub` lowest-id rows). */
+    * the subvectors of the `ksub` lowest-id rows).
+    *
+    * BOUNDED-SAMPLE CONTRACT (`trainCap` > 0): training cost must not
+    * scale with the corpus — the model is dim·ksub doubles regardless
+    * of rows. With a cap, training (seeds AND Lloyd updates) runs on
+    * the deterministic systematic sample `id % stride == 0` with
+    * `stride = (n + trainCap − 1) / trainCap` (exact integer
+    * arithmetic an oracle derives from the same count; stride 1 — the
+    * full corpus — whenever n ≤ trainCap, so small-scale results are
+    * unchanged). Requires an integral, non-negative id column when
+    * active. `trainCap` = 0 trains on everything (caller bounds). */
   def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      m: Int, ksub: Int, iters: Int): PqCodebook = {
+      m: Int, ksub: Int, iters: Int, trainCap: Long = 0L): PqCodebook = {
     require(m > 0 && dim % m == 0, s"dim ($dim) must divide evenly into m ($m) subspaces")
     require(ksub > 0 && iters >= 0, "ksub must be positive, iters non-negative")
     val ds = dim / m
-    val v = df.select(col(idCol).as("__id"),
+    val v0 = df.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
+    val v =
+      if (trainCap > 0) {
+        val stride = (v0.count() + trainCap - 1) / trainCap
+        if (stride > 1) v0.filter(pmod(col("__id"), lit(stride)) === 0) else v0
+      } else v0
     val seeds = v.orderBy(col("__id").asc).limit(ksub).collect()
       .map(_.getSeq[Double](1).toVector)
     require(seeds.length == ksub, s"need at least ksub=$ksub rows to seed the codebook")
@@ -71,12 +84,14 @@ object ProductQuantization {
       (0 until m).map(j => seeds.map(_.slice(j * ds, (j + 1) * ds)).toVector).toVector)
 
     for (_ <- 1 to iters) {
-      // one explode row → (subspace, code, subvector), one m·ksub-group agg
-      val codes = PqFunctions.pqCodes(col("__v"), cb.kernel)
-      val assigned = v.select(explode(array((0 until m).map(j =>
-          struct(lit(j).as("j"), element_at(codes, j + 1).as("code"),
-            subvec(col("__v"), j, ds).as("sv"))): _*)).as("a"))
-        .select(col("a.j"), col("a.code"), col("a.sv"))
+      // one kernel call per row (posexplode of the m-code array — the
+      // previous per-struct element_at form re-evaluated the argmin
+      // kernel m times per row), then one m·ksub-group agg
+      val assigned = v
+        .select(col("__v"),
+          posexplode(PqFunctions.pqCodes(col("__v"), cb.kernel)))
+        .select(col("pos").as("j"), col("col").as("code"),
+          slice(col("__v"), col("pos") * lit(ds) + lit(1), lit(ds)).as("sv"))
       val meanCols = (0 until ds).map(i =>
         (round(avg(col("sv")(i)) * 1000000.0).cast("long") / 1000000.0).as(s"c$i"))
       val updated = assigned.groupBy(col("j"), col("code"))
@@ -117,9 +132,11 @@ object ProductQuantization {
     * structure survives compression. */
   def topK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, m: Int, ksub: Int, iters: Int,
-      candidates: Int = 50, trained: Option[PqCodebook] = None): DataFrame = {
+      candidates: Int = 50, trained: Option[PqCodebook] = None,
+      trainCap: Long = 0L): DataFrame = {
     val dim = query.length
-    val cb = trained.getOrElse(train(df, idCol, vecCol, dim, m, ksub, iters))
+    val cb = trained.getOrElse(
+      train(df, idCol, vecCol, dim, m, ksub, iters, trainCap))
     val q = lit(query)
     val approx = df
       .withColumn("approx_cosine",
