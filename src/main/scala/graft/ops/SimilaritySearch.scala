@@ -274,22 +274,157 @@ object SimilaritySearch {
         "non-empty table — id-bound panels assume ids dense from 0; " +
         "re-key the corpus or widen the bound")
 
+  /** SIMD batched partial top-k: the hot kernel under the batch-KNN
+    * family (LOO classify, hard negatives). Anchors arrive as driver
+    * arrays (the callers' ScaleBounds contracts bound the panel; the
+    * previous `broadcast(anchors)` cross-join collected them to the
+    * driver too) and ship as ONE broadcast in TRANSPOSED layout
+    * (`colsByDim(d)(a)`), so each corpus row's scores against all
+    * anchors are a saxpy accumulation over dimensions —
+    * [[graft.embed.VectorKernels]] lanes across the anchor axis.
+    *
+    * BIT-IDENTICAL to the per-pair [[VectorFunctions.cosineSimilarity]]
+    * expression: each (row, anchor) dot / row-norm / anchor-norm is
+    * summed in ascending dimension order with one IEEE multiply+add
+    * per element (the kernels' no-reduction/no-FMA contract), the
+    * score is `dot / sqrt(nx·ny)` with the same zero-norm guard, and
+    * per-anchor partials keep TopKBuffer's (score desc, id asc)
+    * order — so downstream TopKHits merges see exactly the rows the
+    * cross-join plan produced. The expression's min-length semantics
+    * survive via the ragged-row fallback.
+    *
+    * Scale shape: one corpus pass (repartitioned up to the session
+    * parallelism when the scan is under-split), partials of
+    * k·anchors·partitions rows into the existing TopKHits merge —
+    * shuffle volume unchanged from the cross-join plan, per-pair cost
+    * ~10× lower (no per-pair join-row materialization, SIMD lanes). */
+  private def simdTopKPartials(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: Option[String], aIds: Array[Long],
+      aVecs: Array[Array[Double]], aLabels: Array[Long], k: Int,
+      excludeSelf: Boolean, excludeSameLabel: Boolean): DataFrame = {
+    require(!excludeSameLabel || labelCol.nonEmpty,
+      "excludeSameLabel needs a corpus label column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nA = aIds.length
+    val dim = if (nA == 0) 0 else aVecs(0).length
+    require(aVecs.forall(_.length == dim), "anchor dims must agree")
+    // transposed layout + per-anchor norms, both in ascending-dim
+    // accumulation order (the expression's order)
+    val colsByDim = Array.ofDim[Double](dim, nA)
+    val norms = new Array[Double](nA)
+    var a = 0
+    while (a < nA) {
+      val v = aVecs(a)
+      var d = 0; var ny = 0.0
+      while (d < dim) { colsByDim(d)(a) = v(d); ny += v(d) * v(d); d += 1 }
+      norms(a) = ny; a += 1
+    }
+    val bc = spark.sparkContext.broadcast((colsByDim, norms, aIds, aLabels, aVecs))
+
+    val base0 = labelCol match {
+      case Some(lc) =>
+        val f = df.select(col(idCol).cast("long"),
+          col(vecCol).cast("array<double>"), col(lc).cast("long"))
+        (if (excludeSameLabel) f.filter(col(lc).isNotNull) else f)
+          .filter(col(idCol).isNotNull)
+      case None =>
+        df.select(col(idCol).cast("long"),
+          col(vecCol).cast("array<double>"), lit(0L))
+          .filter(col(idCol).isNotNull)
+    }
+    val base = base0.as[(Long, Array[Double], Long)]
+    val parts = spark.sparkContext.defaultParallelism
+    val sized = if (base.rdd.getNumPartitions < parts) base.repartition(parts) else base
+
+    sized.mapPartitions { it =>
+      val (cols, nys, ids, lbls, avs) = bc.value
+      val n = ids.length
+      val heaps = Array.fill(n)(new graft.functions.TopKBuffer(k))
+      val out = new Array[Double](n)
+      it.foreach { case (id, x, lbl) =>
+        if (x != null && n > 0) {
+          if (x.length == dim) {
+            java.util.Arrays.fill(out, 0.0)
+            var nx = 0.0
+            var d = 0
+            while (d < dim) { nx += x(d) * x(d); d += 1 }
+            d = 0
+            while (d + 4 <= dim) {
+              graft.embed.VectorKernels.saxpy4(
+                x(d), cols(d), x(d + 1), cols(d + 1),
+                x(d + 2), cols(d + 2), x(d + 3), cols(d + 3), out)
+              d += 4
+            }
+            while (d < dim) {
+              graft.embed.VectorKernels.saxpy(x(d), cols(d), out); d += 1
+            }
+            var ai = 0
+            while (ai < n) {
+              if (!((excludeSelf && ids(ai) == id) ||
+                  (excludeSameLabel && lbls(ai) == lbl))) {
+                val ny = nys(ai)
+                val s = if (nx == 0.0 || ny == 0.0) 0.0
+                  else out(ai) / math.sqrt(nx * ny)
+                heaps(ai).insert(s, id)
+              }
+              ai += 1
+            }
+          } else {
+            // ragged row: per-pair scalar with the expression's
+            // min-length semantics (norms over the shared prefix only)
+            var ai = 0
+            while (ai < n) {
+              if (!((excludeSelf && ids(ai) == id) ||
+                  (excludeSameLabel && lbls(ai) == lbl))) {
+                val av = avs(ai)
+                val m = math.min(x.length, dim)
+                var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
+                while (d < m) {
+                  val xi = x(d); val yi = av(d)
+                  dot += xi * yi; nx += xi * xi; ny += yi * yi; d += 1
+                }
+                val s = if (nx == 0.0 || ny == 0.0) 0.0
+                  else dot / math.sqrt(nx * ny)
+                heaps(ai).insert(s, id)
+              }
+              ai += 1
+            }
+          }
+        }
+      }
+      (0 until n).iterator.flatMap { ai =>
+        val h = heaps(ai)
+        (0 until h.size).iterator.map(i => (ids(ai), h.ids(i), h.scores(i)))
+      }
+    }.toDF("anchor_id", "__nid", "cosine")
+  }
+
   private def knnClassifyOver(df: DataFrame, anchorsDf: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val anchors = anchorsDf.select(col(idCol).as("anchor_id"),
-      col(vecCol).as("anchor_vec"), col(labelCol).as("anchor_label"))
-    val scored = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(anchors))
-      .filter(col(idCol) =!= col("anchor_id")) // leave-one-out
-      .withColumn("cosine",
-        VectorFunctions.cosineSimilarity(col(vecCol), col("anchor_vec")))
-    val labels = df.select(col(idCol).as("__nid"), col(labelCol).as("__nlabel"))
-    val votes = scored.groupBy(col("anchor_id"), col("anchor_label"))
-      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col(idCol), k).as("hits"))
+    // bounded anchor panel → driver arrays (the broadcast cross-join
+    // collected the same rows); null-vec/null-id anchors drop exactly
+    // as the per-pair plan dropped them (null cosine / null-filtered)
+    val anchorRows = anchorsDf
+      .select(col(idCol).cast("long").as("aid"),
+        col(vecCol).cast("array<double>").as("av"))
+      .filter(col("aid").isNotNull && col("av").isNotNull)
+      .collect()
+    val aIds = anchorRows.map(_.getLong(0))
+    val aVecs = anchorRows.map(_.getSeq[Double](1).toArray)
+    val partials = simdTopKPartials(df, idCol, vecCol, None,
+      aIds, aVecs, new Array[Long](aIds.length), k,
+      excludeSelf = true, excludeSameLabel = false)
+    val aLabelFrame = anchorsDf.select(col(idCol).cast("long").as("anchor_id"),
+      col(labelCol).as("anchor_label"))
+    val labels = df.select(col(idCol).as("__nid0"), col(labelCol).as("__nlabel"))
+    val votes = partials.groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col("__nid"), k).as("hits"))
+      .join(broadcast(aLabelFrame), "anchor_id")
       .select(col("anchor_id"), col("anchor_label"),
         explode(col("hits")).as("h"))
-      .select(col("anchor_id"), col("anchor_label"), col("h.id").as("__nid"))
-      .join(broadcast(labels), "__nid")
+      .select(col("anchor_id"), col("anchor_label"), col("h.id").as("__nid0"))
+      .join(broadcast(labels), "__nid0")
       .groupBy(col("anchor_id"), col("anchor_label"), col("__nlabel"))
       .agg(count(lit(1)).as("__n"))
     votes.groupBy(col("anchor_id"), col("anchor_label"))
@@ -314,14 +449,24 @@ object SimilaritySearch {
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, anchors: DataFrame, anchorIdCol: String,
       anchorVecCol: String, anchorLabelCol: String, k: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(anchors.select(
-        col(anchorIdCol).as("anchor_id"), col(anchorVecCol).as("anchor_vec"),
-        col(anchorLabelCol).as("anchor_label"))))
-      .filter(col(labelCol) =!= col("anchor_label"))
-      .withColumn("cosine",
-        graft.functions.VectorFunctions.cosineSimilarity(col(vecCol), col("anchor_vec")))
-    scored.groupBy(col("anchor_id"))
-      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col(idCol), k).as("hits"))
+    // SIMD partial-scorer plan (bit-identical rows to the broadcast
+    // cross-join — see simdTopKPartials); null-label/null-vec anchors
+    // drop exactly as the `label =!= anchor_label` filter / null
+    // cosine dropped them. Labels must be integral (the same contract
+    // the classify vote's long cast already assumes).
+    val anchorRows = anchors
+      .select(col(anchorIdCol).cast("long").as("aid"),
+        col(anchorVecCol).cast("array<double>").as("av"),
+        col(anchorLabelCol).cast("long").as("albl"))
+      .filter(col("aid").isNotNull && col("av").isNotNull && col("albl").isNotNull)
+      .collect()
+    val aIds = anchorRows.map(_.getLong(0))
+    val aVecs = anchorRows.map(_.getSeq[Double](1).toArray)
+    val aLabels = anchorRows.map(_.getLong(2))
+    val partials = simdTopKPartials(df, idCol, vecCol, Some(labelCol),
+      aIds, aVecs, aLabels, k, excludeSelf = false, excludeSameLabel = true)
+    partials.groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKFunctions.topKHits(col("cosine"), col("__nid"), k).as("hits"))
       .select(col("anchor_id"), posexplode(col("hits")).as(Seq("pos", "h")))
       .select(col("anchor_id"), col("h.id").as(idCol),
         (col("pos") + 1).cast("long").as("rank"), col("h.score").as("cosine"))
