@@ -253,12 +253,73 @@ object LshBucket {
   }
 }
 
+/** Affine row kernel: `out(j) = Σ_i x(i)·rows(j)(i) − offsets(j)` in
+  * ONE expression call per input row. The matrix rides as a JVM
+  * reference object (the [[PqKernel]] pattern) — the per-component
+  * `dot_product(v, array(<dim> literals))` form this replaces built a
+  * fresh boxed literal array per (row, component), which measured as
+  * 84 of pca_ann's 90 s at sf10. Each output element accumulates in
+  * ascending index order with one IEEE multiply+add — bit-identical
+  * to the [[DotProduct]]-minus-literal chain. Rows shorter than a
+  * matrix row read as the DotProduct min-length prefix. */
+final class MatVecKernel(val rows: Array[Array[Double]],
+    val offsets: Array[Double]) extends Serializable {
+  require(rows.length == offsets.length, "one offset per matrix row")
+  def apply(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val out = new Array[Any](rows.length)
+    val xn = x.numElements()
+    var j = 0
+    while (j < rows.length) {
+      val r = rows(j)
+      val n = math.min(xn, r.length)
+      var acc = 0.0; var i = 0
+      if (isFloat) while (i < n) { acc += x.getFloat(i).toDouble * r(i); i += 1 }
+      else while (i < n) { acc += x.getDouble(i) * r(i); i += 1 }
+      out(j) = acc - offsets(j); j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def equals(o: Any): Boolean = o match {
+    case k: MatVecKernel =>
+      java.util.Arrays.deepEquals(
+        k.rows.asInstanceOf[Array[AnyRef]], rows.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(k.offsets, offsets)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Arrays.deepHashCode(rows.asInstanceOf[Array[AnyRef]]) * 31 +
+      java.util.Arrays.hashCode(offsets)
+}
+
+/** mat_vec(vec) → array<double> of per-row affine projections. */
+case class MatVecProject(child: Expression, kernel: MatVecKernel)
+    extends UnaryExpression {
+  import VectorExprUtils._
+  override def prettyName: String = "mat_vec"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(prettyName, child)
+  private lazy val isFloat: Boolean = elementType(child) == FloatType
+  override def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVecKernel", kernel,
+      classOf[MatVecKernel].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.apply($x, $isFloat);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level API + SQL registration for the vector expressions. */
 object VectorFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
   def dotProduct(x: Column, y: Column): Column = col(DotProduct(ex(x), ex(y)))
+  def matVec(x: Column, rows: Array[Array[Double]],
+      offsets: Array[Double]): Column =
+    col(MatVecProject(ex(x), new MatVecKernel(rows, offsets)))
   def cosineSimilarity(x: Column, y: Column): Column = col(CosineSimilarity(ex(x), ex(y)))
   def cosineDistance(x: Column, y: Column): Column =
     org.apache.spark.sql.functions.lit(1.0) - cosineSimilarity(x, y)

@@ -28,8 +28,17 @@ object DataProfile {
     * distinct column (probed 4.16 s exact vs 1.39 s HLL on the sf0.1
     * profile, and the tax grows linearly in profiled columns), while
     * `approx_count_distinct` keeps the whole profile a single
-    * partial-agg scan however many columns ride along. The exact form
-    * remains for oracle replay (the `schema_profile` query pins it). */
+    * partial-agg scan however many columns ride along.
+    *
+    * The exact form remains for oracle replay (the `schema_profile`
+    * query pins it) — but NOT via the multi-distinct Expand: each
+    * exact distinct runs as its OWN single-distinct aggregation
+    * (Spark rewrites a lone countDistinct into a partial-distinct
+    * two-stage, so the map side dedups before the exchange) over a
+    * column-pruned scan of just that column, cross-joined back onto
+    * the base profile row. p columns = p+1 pruned scans instead of
+    * one scan Expanded p+1-fold through a full-row shuffle — measured
+    * 121.7 → ~8 s on the 15M-row sf10 profile, identical counts. */
   def profile(df: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -39,38 +48,58 @@ object DataProfile {
       Seq(
         count(lit(1)).as(s"__n_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        (if (exactDistinct) countDistinct(col(c))
-         else approx_count_distinct(col(c), rsd = 0.02)).as(s"__nd_$c"),
         min(col(c)).cast(StringType).as(s"__min_$c"),
         max(col(c)).cast(StringType).as(s"__max_$c"),
-        // The SUM accumulates in decimal(38,0) — exact integer
-        // arithmetic with 1e38 headroom, where a long sum overflowed
-        // at sf10 (o_custkey ≈ 1.5e12 micro × 15M rows ≈ 2e19 >
-        // Long.MaxValue, a measured ANSI ARITHMETIC_OVERFLOW).
+        // Exact integer micro sum as a TWO-LONG decomposition:
+        // lo = micro % 1e9, hi = (micro − lo) / 1e9 per row, each
+        // summed as a plain codegen'd long; the total reconstructs in
+        // decimal(38,0) on the (columns-sized) OUTPUT row only. This
+        // replaces the previous per-row decimal(28,0) sum — one
+        // BigDecimal allocation per (row, column), measured as 43 of
+        // schema_profile's 50 s at sf10 — with primitive arithmetic,
+        // same integer total, same mean to the bit.
+        // Envelopes (all ANSI-loud, never silent): round(col·1e6) is
+        // exact while |value| ≤ ~9.0e9 (the 2^53 micro range — r10
+        // ADVICE; feed decimal sources beyond it); the hi/lo long
+        // sums overflow-throw past ~9·10^9 rows (lo < 1e9 each) /
+        // ~10^12 rows (hi ≤ 9e6 each) per profiled table.
         // Deterministic: integer addition in any order; the downstream
         // double division rounds the same integer value identically.
-        // PER-ROW envelope (r10 ADVICE): round(col·1e6) is exact only
-        // while the micro value fits double's 2^53 integer range —
-        // raw |value| ≤ ~9.0e9. Beyond that the double product loses
-        // integer exactness SILENTLY before the decimal cast; a
-        // profile over columns past that envelope should feed decimal
-        // sources (col.cast("decimal(22,6)")·1e6 is exact) instead.
-        // All gated tables sit orders of magnitude inside it
-        // (TPC-H money/keys ≤ ~1e12 micro).
-        (if (isNum) sum(round(col(c).cast("double") * 1000000)
-            .cast("decimal(28,0)"))
-         else lit(null).cast("decimal(38,0)")).as(s"__micro_$c"))
+        (if (isNum) {
+          val L = round(col(c).cast("double") * 1000000).cast("long")
+          sum(L % lit(1000000000L))
+        } else lit(null).cast("long")).as(s"__mlo_$c"),
+        (if (isNum) {
+          val L = round(col(c).cast("double") * 1000000).cast("long")
+          val lo = L % lit(1000000000L)
+          sum(((L - lo) / lit(1000000000L)).cast("long"))
+        } else lit(null).cast("long")).as(s"__mhi_$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val ndAggs: Seq[Column] =
+      if (exactDistinct) Nil
+      else cols.map(c => approx_count_distinct(col(c), rsd = 0.02).as(s"__nd_$c"))
+    val allAggs = aggs ++ ndAggs
+    val base = df.agg(allAggs.head, allAggs.tail: _*)
+    val row =
+      if (exactDistinct)
+        cols.foldLeft(base) { (r, c) =>
+          r.crossJoin(df.select(col(c))
+            .agg(countDistinct(col(c)).as(s"__nd_$c")))
+        }
+      else base
     val perCol = cols.map { c =>
+      // exact reconstruction hi·1e9 + lo in decimal(38,0) — one
+      // decimal op per OUTPUT row, not per input row
+      val micro = col(s"__mhi_$c").cast("decimal(38,0)") *
+        lit(1000000000L) + col(s"__mlo_$c")
       struct(lit(c).as("column"),
         col(s"__n_$c").as("n_rows"),
         col(s"__nulls_$c").as("n_nulls"),
         col(s"__nd_$c").as("n_distinct"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"),
-        when(col(s"__micro_$c").isNotNull && col(s"__n_$c") > col(s"__nulls_$c"),
-          round(col(s"__micro_$c").cast("double") / 1e6 /
+        when(col(s"__mlo_$c").isNotNull && col(s"__n_$c") > col(s"__nulls_$c"),
+          round(micro.cast("double") / 1e6 /
             (col(s"__n_$c") - col(s"__nulls_$c")).cast("double"), 6))
           .as("mean"))
     }

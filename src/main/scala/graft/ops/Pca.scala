@@ -143,12 +143,15 @@ object Pca {
   def project(vecs: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val zs = model.components.map { c =>
-      val offset = c.zip(model.mean).map { case (ci, mi) => ci * mi }.sum
-      VectorFunctions.dotProduct(v, array(c.map(lit).toIndexedSeq: _*)) -
-        lit(offset)
-    }
-    vecs.select(col(idCol), array(zs.toIndexedSeq: _*).as("z"))
+    // one kernel call per row ([[graft.functions.MatVecKernel]]) —
+    // bit-identical to the per-component dot_product(v, array(lit…))
+    // minus literal-offset chain it replaces (same ascending-index
+    // accumulation, same driver-computed offsets), without the boxed
+    // literal array that form rebuilt per (row, component)
+    val rows = model.components.map(_.toArray).toArray
+    val offsets = model.components.map(c =>
+      c.zip(model.mean).map { case (ci, mi) => ci * mi }.sum).toArray
+    vecs.select(col(idCol), VectorFunctions.matVec(v, rows, offsets).as("z"))
       .withColumn("sq_norm",
         expr("aggregate(z, 0D, (acc, x) -> acc + x * x)"))
   }

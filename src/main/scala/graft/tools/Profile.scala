@@ -12,6 +12,14 @@ object Profile {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // local bench corpora arrive as one or two large parquet files;
+      // the 128 MB default would scan them on 2 of 32 cores. 16 MB
+      // splits match the core count at these file sizes (a multi-file
+      // cluster layout would not need this). Partition count never
+      // changes results: every declared query is partition-agnostic
+      // (micro-snapped means, merge-deterministic sketches, bounded
+      // heaps with total-order ties).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
