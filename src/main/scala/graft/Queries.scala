@@ -95,6 +95,42 @@ object Queries {
     s.read.parquet(s"$d/grams")
   }
 
+  /** Rep-keyed twin of [[standardPosGrams]] over the shared text
+    * classes — the span family's collapsed scan (positional grams of
+    * class REPRESENTATIVES only; consumers weight doc counts by class
+    * size and fan spans out to members). */
+  private def standardRepPosGrams(s: SparkSession, dir: String): DataFrame = {
+    val d = cachedIndexDir("posgram5c", dir) { tmp =>
+      Dedup.positionalWordGramHashes(
+          textClassesDf(s, dir).select(col("rep").as("doc_id"),
+            col("__text").as("text")),
+          "doc_id", "text", n = 5)
+        .write.mode("overwrite").parquet(s"$tmp/grams")
+    }
+    s.read.parquet(s"$d/grams")
+  }
+
+  /** Span-family dispatch: one shared probe per corpus. */
+  private def spanCollapsed(s: SparkSession, dir: String): Boolean =
+    textDupFactor(t(s, dir, "documents"), "text",
+      s"$dir/documents") >= CollapseDispatchFactor
+
+  /** Clone classes of an id-predicate SLICE of the documents table,
+    * derived from the shared full-corpus [[textClassesDf]] without
+    * rescanning text: members filter to the slice, rep becomes the
+    * minimum surviving member (members are sorted), weight = the
+    * surviving count. Exact because clones share their text — only
+    * membership changes. `pred` is a SQL lambda body over member `x`. */
+  private def memberSliceClasses(s: SparkSession, dir: String,
+      pred: String): DataFrame =
+    textClassesDf(s, dir)
+      .select(expr(s"filter(members, x -> $pred)").as("members"),
+        col("rep").as("__oldrep"), col("__text"))
+      .filter(size(col("members")) > 0)
+      .select(element_at(col("members"), 1).as("rep"), col("members"),
+        size(col("members")).cast("long").as("w"), col("__text"),
+        col("__oldrep"))
+
   /** Connected components of [[standardPairs]], cached the same way.
     * NOTE: [[standardPairs]] is forced BEFORE entering the cache
     * builder — `computeIfAbsent` must not nest on the same map. */
@@ -207,7 +243,12 @@ object Queries {
   val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "njpairs" -> ((s, d) => { standardPairs(s, d): Unit }),
     "njclusters" -> ((s, d) => { standardClusters(s, d): Unit }),
-    "posgram5" -> ((s, d) => { standardPosGrams(s, d): Unit }),
+    // adaptive: build the gram table the span queries will actually
+    // read (rep-keyed when the corpus dispatches to collapse)
+    "posgram5" -> ((s, d) => {
+      if (spanCollapsed(s, d)) standardRepPosGrams(s, d): Unit
+      else standardPosGrams(s, d): Unit
+    }),
     "bpe_table" -> ((s, d) => { standardBpeTable(s, d): Unit }),
     "bm25_index" -> ((s, d) => { bm25IndexDir(s, d): Unit }),
     "shingle_index" -> ((s, d) => { shingleIndexDir(s, d): Unit }),
@@ -215,7 +256,8 @@ object Queries {
     "zorder_snap" -> ((s, d) => { zsnapTable(s, d): Unit }),
     "bloom_snap" -> ((s, d) => { bloomsnapTable(s, d): Unit }),
     "zorder_compact_snap" -> ((s, d) => { zcompactTable(s, d): Unit }),
-    "grtf_model" -> ((s, d) => { grtfModelDir(s, d): Unit }))
+    "grtf_model" -> ((s, d) => { grtfModelDir(s, d): Unit }),
+    "txt_classes" -> ((s, d) => { textClassesDf(s, d): Unit }))
 
   /** The events table's `ts` has shipped as both TIMESTAMP(NANOS)
     * (older test-data drops — Spark only reads it with nanosAsLong,
@@ -346,14 +388,27 @@ object Queries {
   /** Corpus rollup with subtotals: ROLLUP(lang_pred) gives per-language
     * rows plus the grand total in one pass (partial-agg friendly;
     * Catalyst plans Expand + single aggregation, not two jobs). */
-  def corpusRollup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("lang_pred", TextAnalytics.langIdColumn(col("text")))
-      .rollup(col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text")).cast("long")).as("total_chars"))
-      .select(coalesce(col("lang_pred"), lit("<all>")).as("lang_pred"),
-        col("n_docs"), col("total_chars"))
+  def corpusRollup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive weighted rollup (identical rows): lang-id
+    // and char length are pure functions of the text
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      textClassesDf(s, dir)
+        .withColumn("lang_pred", TextAnalytics.langIdColumn(col("__text")))
+        .rollup(col("lang_pred"))
+        .agg(sum(col("w")).as("n_docs"),
+          sum(col("w") * length(col("__text")).cast("long")).as("total_chars"))
+        .select(coalesce(col("lang_pred"), lit("<all>")).as("lang_pred"),
+          col("n_docs"), col("total_chars"))
+    else
+      docs
+        .withColumn("lang_pred", TextAnalytics.langIdColumn(col("text")))
+        .rollup(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .select(coalesce(col("lang_pred"), lit("<all>")).as("lang_pred"),
+          col("n_docs"), col("total_chars"))
+  }
 
   /** One-pass Pearson correlation matrix over lineitem's numeric
     * columns ([[graft.ops.DataProfile.correlationMatrix]]): the gram
@@ -455,18 +510,21 @@ object Queries {
     * unit norm per chunk — the vectors themselves are not
     * SQL-expressible, the chunk frame and normalization contract are).
     * One map-only stage: no shuffle between chunking and embedding. */
-  def embedChunks(s: SparkSession, dir: String): DataFrame = {
-    val chunks = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(Chunker.chunkFixedCol(col("text"), lit(200))).as("c"))
-      .select(col("doc_id"), col("c.ordinal").cast("long").as("chunk_ordinal"),
-        col("c.text").as("chunk_text"))
-    graft.embed.DeterministicEmbedder(dim = 64).embed(chunks, "chunk_text")
-      .select(col("doc_id"), col("chunk_ordinal"),
-        size(col("vector")).cast("long").as("vec_dim"),
-        round(sqrt(aggregate(col("vector"), lit(0.0d),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("vec_norm"))
-  }
+  def embedChunks(s: SparkSession, dir: String): DataFrame =
+    // chunking + the deterministic embedder are pure functions of the
+    // text → collapse-first multi-row expansion
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      val chunks = reps
+        .select(col("doc_id"),
+          explode(Chunker.chunkFixedCol(col("text"), lit(200))).as("c"))
+        .select(col("doc_id"), col("c.ordinal").cast("long").as("chunk_ordinal"),
+          col("c.text").as("chunk_text"))
+      graft.embed.DeterministicEmbedder(dim = 64).embed(chunks, "chunk_text")
+        .select(col("doc_id"), col("chunk_ordinal"),
+          size(col("vector")).cast("long").as("vec_dim"),
+          round(sqrt(aggregate(col("vector"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("vec_norm"))
+    }
 
   /** REAL-WEIGHTS embedding pipeline, end to end (gate-is-oracle): a
     * GRTF transformer checkpoint (2 layers, hidden 32, deterministic
@@ -546,12 +604,13 @@ object Queries {
     val tok = graft.embed.WordPieceTokenizer.fromLines(wpVocabLines)
     val maxLen = wpMaxLen
     val enc = udf((text: String) => tok.encode(if (text == null) "" else text, maxLen))
-    t(s, dir, "documents")
-      .select(col("doc_id"), enc(col("text")).as("ids"))
-      .select(col("doc_id"),
-        size(col("ids")).cast("long").as("n_tokens"),
-        expr("size(filter(ids, x -> x = 1))").cast("long").as("n_unk"),
-        expr("array_join(transform(ids, x -> cast(x as string)), ' ')").as("ids_str"))
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      reps.select(col("doc_id"), enc(col("text")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          expr("size(filter(ids, x -> x = 1))").cast("long").as("n_unk"),
+          expr("array_join(transform(ids, x -> cast(x as string)), ' ')").as("ids_str"))
+    }
   }
 
   /** P2 — printable-ASCII clean. */
@@ -878,6 +937,38 @@ object Queries {
     * and ≥ F/2× faster once clone classes dominate). */
   private val CollapseDispatchFactor = 1.5
 
+  /** Parquet-cached clone classes of the documents table — the shared
+    * first rung of every per-doc collapsed query. A production
+    * pipeline materializes the collapse ONCE per corpus and feeds all
+    * content-determined passes from it; this gives bench/verify runs
+    * the same shape (the njpairs pattern): the first collapsed
+    * consumer pays one sha-256 shuffle, the rest read rep-scale
+    * parquet. */
+  private def textClassesDf(s: SparkSession, dir: String): DataFrame = {
+    val d = cachedIndexDir("txtclasses", dir) { tmp =>
+      Dedup.cloneClasses(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .write.parquet(s"$tmp/classes")
+    }
+    s.read.parquet(s"$d/classes")
+  }
+
+  /** Duplication-adaptive per-doc transform over the documents table:
+    * `f` must be a pure function of the text ([[Dedup.perDocCollapsed]]
+    * contract, output id column `outId`). Past the dispatch threshold
+    * it runs over the shared [[textClassesDf]] representatives and
+    * expands; below it, directly. Output row set identical either way
+    * (OpsSpec-asserted per consumer). */
+  private def perDocAdaptive(s: SparkSession, dir: String, outId: String)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      Dedup.perDocCollapsedWithClasses(textClassesDf(s, dir),
+        "doc_id", "text", outId)(f)
+    else f(docs)
+  }
+
   /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.4 — the synthetic
     * embeddings top out at ~0.51 pairwise, so 0.4 exercises real pair
     * production: 59 pairs at sf0.01, 920 at sf0.1).
@@ -1181,11 +1272,19 @@ object Queries {
     * report, relational form). Oracle recomputes grams + the island
     * merge from raw text in SQL, deriving the same corpus-scaled
     * [[spanDfCap]] from count(*). */
-  def dupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicatedSpansFromGrams(standardPosGrams(s, dir), n = 5,
-        maxDocFreq = spanDfCap(t(s, dir, "documents").count()))
-      .select(col("sid").as("doc_id"), col("span_start"),
-        col("span_end"), col("span_words"))
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val cap = spanDfCap(t(s, dir, "documents").count())
+    // duplication-adaptive (identical rows, OpsSpec-asserted):
+    // weighted distinct-doc counts + rep-scale island windows
+    val spans =
+      if (spanCollapsed(s, dir))
+        Dedup.duplicatedSpansFromGramsCollapsed(standardRepPosGrams(s, dir),
+          textClassesDf(s, dir), n = 5, maxDocFreq = cap)
+      else Dedup.duplicatedSpansFromGrams(standardPosGrams(s, dir), n = 5,
+        maxDocFreq = cap)
+    spans.select(col("sid").as("doc_id"), col("span_start"),
+      col("span_end"), col("span_words"))
+  }
 
   /** Duplicated-substring removal: words covered by a cross-doc 5-gram
     * whose keeper (min doc id) is another doc are dropped; one
@@ -1193,11 +1292,18 @@ object Queries {
     * [[spanDfCap]] as [[dupSpans]]. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    Dedup.removeDuplicatedSpansFromGrams(docs,
-        "doc_id", "text", standardPosGrams(s, dir), n = 5,
-        maxDocFreq = spanDfCap(docs.count()))
-      .select(col("sid").as("doc_id"), col("cleaned_text"),
-        col("n_kept"), col("n_dropped"))
+    val cap = spanDfCap(docs.count())
+    // duplication-adaptive (identical rows, OpsSpec-asserted): the
+    // keeper rule factors into two variants per class — see
+    // [[Dedup.removeDuplicatedSpansFromGramsCollapsed]]
+    val removed =
+      if (spanCollapsed(s, dir))
+        Dedup.removeDuplicatedSpansFromGramsCollapsed(textClassesDf(s, dir),
+          standardRepPosGrams(s, dir), n = 5, maxDocFreq = cap)
+      else Dedup.removeDuplicatedSpansFromGrams(docs,
+        "doc_id", "text", standardPosGrams(s, dir), n = 5, maxDocFreq = cap)
+    removed.select(col("sid").as("doc_id"), col("cleaned_text"),
+      col("n_kept"), col("n_dropped"))
   }
 
   /** Benchmark decontamination: every 10th doc plays the held-out
@@ -1208,19 +1314,30 @@ object Queries {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // per-doc content-determined output → collapse-first (identical
-    // rows, OpsSpec-asserted): the corpus-side gram explode + md5 runs
-    // once per distinct text
-    Dedup.perDocCollapsed(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", outId = "sid") {
-      reps => Dedup.decontaminate(reps, "doc_id", "text",
+    // rows, OpsSpec-asserted): BOTH gram explodes run at rep scale —
+    // pool classes derive from the shared table; the bench side
+    // reduces to its distinct gram set, so bench-class reps suffice
+    val r =
+      if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor) {
+        val benchReps = memberSliceClasses(s, dir, "x % 10 = 0")
+          .select(col("rep").as("doc_id"), col("__text").as("text"))
+        Dedup.perDocCollapsedWithClasses(
+            memberSliceClasses(s, dir, "x % 10 != 0").drop("__oldrep"),
+            "doc_id", "text", outId = "sid") {
+          reps => Dedup.decontaminate(reps, "doc_id", "text",
+            benchReps, "doc_id", "text", n = 5)
+        }
+      } else Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
-    }.select(col("sid").as("doc_id"), col("n_contaminated_grams"))
+    r.select(col("sid").as("doc_id"), col("n_contaminated_grams"))
   }
 
   /** Within-doc repetition signals (Gopher/C4 quality-filter family).
-    * Per-doc content-determined → collapse-first over distinct texts. */
+    * Per-doc content-determined → collapse-first over the shared
+    * distinct-text classes. */
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
-    Dedup.perDocCollapsed(t(s, dir, "documents"), "doc_id", "text", outId = "sid") {
+    perDocAdaptive(s, dir, outId = "sid") {
       reps => TextAnalytics.repetitionStats(reps, "doc_id", "text", gramN = 5)
     }
       .select(col("sid").as("doc_id"),
@@ -1231,16 +1348,45 @@ object Queries {
   /** PII redaction over deterministically enriched text (the synthetic
     * corpus carries no organic PII, so the query plants one email, one
     * IPv4, and one phone per doc — making the counts and replacements
-    * non-vacuous while staying exactly replayable in SQL). */
+    * non-vacuous while staying exactly replayable in SQL).
+    *
+    * Duplication-adaptive (identical rows, OpsSpec-asserted): the
+    * enrichment embeds the doc id, so the ENRICHED text never
+    * collapses — but the regex passes factor exactly. The planted
+    * tail starts with a space and all three patterns exclude spaces,
+    * so no match can cross the text/tail boundary: redacting the
+    * concatenation equals redacting the halves and concatenating.
+    * The tail half is fully determined — the id-bearing spans are
+    * each consumed whole by their category (local-part chars swallow
+    * `user<id>`, the phone run swallows the padded digits, the
+    * octets the id mod 256) — so it contributes exactly one match
+    * per category and the constant redacted suffix. The text half is
+    * a pure function of the text → collapse-first. */
   def piiRedact(s: SparkSession, dir: String): DataFrame = {
-    val enriched = t(s, dir, "documents")
-      .select(col("doc_id"),
-        concat(col("text"),
-          lit(" contact user"), col("doc_id"), lit("@example.com or +1555010"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-          lit(" from 192.168."), pmod(col("doc_id"), lit(256)), lit(".1")).as("pii_text"))
-    TextAnalytics.redactPii(enriched, "pii_text")
-      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"), col("redacted"))
+    val docs = t(s, dir, "documents")
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor) {
+      val textSide = Dedup.perDocCollapsedWithClasses(textClassesDf(s, dir),
+        "doc_id", "text", outId = "doc_id") { reps =>
+        TextAnalytics.redactPii(reps, "text")
+          .select(col("doc_id"), col("n_email"), col("n_ipv4"),
+            col("n_phone"), col("redacted"))
+      }
+      textSide.select(col("doc_id"),
+        (col("n_email") + 1).as("n_email"),
+        (col("n_ipv4") + 1).as("n_ipv4"),
+        (col("n_phone") + 1).as("n_phone"),
+        concat(col("redacted"),
+          lit(" contact <EMAIL> or <PHONE> from <IP>")).as("redacted"))
+    } else {
+      val enriched = docs
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +1555010"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" from 192.168."), pmod(col("doc_id"), lit(256)), lit(".1")).as("pii_text"))
+      TextAnalytics.redactPii(enriched, "pii_text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"), col("redacted"))
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -1249,10 +1395,11 @@ object Queries {
 
   /** BPE-ish regex token count next to the whitespace count. */
   def tokenBpe(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      reps.select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
         TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    }
 
   /** As-of join: each purchase matched to the user's most recent view
     * at or before it (union + running-last window — one shuffle, no
@@ -2012,10 +2159,17 @@ object Queries {
 
   /** BM25 lexical top-20 for a three-term query — two corpus passes
     * (row-local tf/dl, one broadcast stats row) + TakeOrdered; scores
-    * 6 dp-rounded BEFORE ranking. */
-  def bm25Search(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.bm25Search(t(s, dir, "documents"), "doc_id", "text",
-      terms = Seq("spark", "join", "window"), topK = 20)
+    * 6 dp-rounded BEFORE ranking. Duplication-adaptive collapsed twin
+    * (identical rows, OpsSpec-asserted). */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      TextAnalytics.bm25SearchCollapsed(docs, "doc_id", "text",
+        terms = Seq("spark", "join", "window"), topK = 20)
+    else
+      TextAnalytics.bm25Search(docs, "doc_id", "text",
+        terms = Seq("spark", "join", "window"), topK = 20)
+  }
 
   /** Same BM25 query through the materialized inverted index (build +
     * bucket-pruned posting-list query); scores are bit-identical to
@@ -2051,8 +2205,13 @@ object Queries {
     * points (expected ~64-char chunks), the dedup-stable alternative
     * to fixed-size chunking. */
   def chunkCdc(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.contentDefinedChunks(t(s, dir, "documents"), "doc_id", "text",
-      n = 8, divisor = 64)
+    // per-doc content-determined MULTI-ROW output (cut points depend
+    // only on the text) → collapse-first; every rep chunk row fans out
+    // to the clone members
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      TextAnalytics.contentDefinedChunks(reps, "doc_id", "text",
+        n = 8, divisor = 64)
+    }
 
   /** The point of CDC chunking, proven end-to-end: chunk-level dedup
     * stability under edits. Corpus + prefix-edited copy of every doc →
@@ -2063,16 +2222,29 @@ object Queries {
     * collapses them (reuse_pct ≈ 1 - divisor/len; a fixed-size chunker
     * would score ~0 here). All joins are on chunk_text after a distinct
     * — the 1-row stat frames cross-join at the end. */
-  def chunkCdcDedup(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.cdcDedupStats(
-      t(s, dir, "documents").select(col("doc_id"), col("text")),
-      "doc_id", "text", editPrefix = "prefix edit ", n = 8, divisor = 64)
+  def chunkCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // duplication-adaptive (identical row, OpsSpec-asserted): the
+    // per-position md5 chunk scan runs once per distinct text
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      TextAnalytics.cdcDedupStatsCollapsed(docs,
+        "doc_id", "text", editPrefix = "prefix edit ", n = 8, divisor = 64)
+    else
+      TextAnalytics.cdcDedupStats(docs,
+        "doc_id", "text", editPrefix = "prefix edit ", n = 8, divisor = 64)
+  }
 
   /** CCNet-style fluency score: mean unigram log-probability under the
     * corpus's own unigram LM (explode → freq join → per-doc mean, 6 dp
     * before output). */
-  def lmScore(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive weighted-count LM twin (identical rows,
+    // OpsSpec-asserted)
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      TextAnalytics.unigramLogProbCollapsed(docs, "doc_id", "text")
+    else TextAnalytics.unigramLogProb(docs, "doc_id", "text")
+  }
 
   /** Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
     * lexical top-50 and the cosine vector top-50 (doc i ↔ embedding i
@@ -2089,10 +2261,14 @@ object Queries {
       df.withColumn("rank", row_number().over(
         Window.partitionBy(pmod(col(idC), lit(1)))
           .orderBy(col(scoreC).desc, col(idC).asc)))
-    val bm = ranked(
-        TextAnalytics.bm25Search(docs, "doc_id", "text",
-          terms = Seq("spark", "join", "window"), topK = 50),
-        "doc_id", "bm25")
+    // duplication-adaptive BM25 leg (identical rows, OpsSpec-asserted)
+    val bmTop =
+      if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+        TextAnalytics.bm25SearchCollapsed(docs, "doc_id", "text",
+          terms = Seq("spark", "join", "window"), topK = 50)
+      else TextAnalytics.bm25Search(docs, "doc_id", "text",
+        terms = Seq("spark", "join", "window"), topK = 50)
+    val bm = ranked(bmTop, "doc_id", "bm25")
       .select(col("doc_id"), col("rank"))
     val docEmb = t(s, dir, "embeddings")
       .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
@@ -2119,37 +2295,59 @@ object Queries {
           "transform(centroid, x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS STRING))"))
           .as("centroid_u"))
 
-  /** Corpus-wide top word 3-grams: the boilerplate report. */
-  def topNgrams(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.topNgrams(t(s, dir, "documents"), "doc_id", "text", n = 3, k = 50)
+  /** Corpus-wide top word 3-grams: the boilerplate report.
+    * Duplication-adaptive weighted-count twin (identical rows,
+    * OpsSpec-asserted). */
+  def topNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      TextAnalytics.topNgramsCollapsed(docs, "doc_id", "text", n = 3, k = 50)
+    else
+      TextAnalytics.topNgrams(docs, "doc_id", "text", n = 3, k = 50)
+  }
 
   /** Per-doc top-3 TF-IDF keywords (6dp-rounded scores rank, word
     * breaks ties — reproducible across engines). */
-  def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
-      .select(col("sid").as("doc_id"), col("keyword"),
-        col("rk").cast("long").as("rk"), col("tfidf"))
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive weighted-df twin (identical rows,
+    // OpsSpec-asserted)
+    val r =
+      if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+        TextAnalytics.tfidfKeywordsCollapsed(docs, "doc_id", "text", k = 3)
+      else TextAnalytics.tfidfKeywords(docs, "doc_id", "text", k = 3)
+    r.select(col("sid").as("doc_id"), col("keyword"),
+      col("rk").cast("long").as("rk"), col("tfidf"))
+  }
 
-  /** P7+P9 — display whitespace normalization + text coercion. */
+  /** P7+P9 — display whitespace normalization + text coercion.
+    * Per-doc → collapse-first. */
   def normalizeWs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      reps.select(col("doc_id"),
         TextFunctions.normalizeWhitespace(col("text")).as("normalized"),
         TextFunctions.coerceText(col("text")).as("coerced"))
+    }
 
   /** Token/char/ratio surface stats + quality score. */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.withStats(t(s, dir, "documents"), "text")
-      .select(col("doc_id"), col("n_tokens"),
-        r6(col("avg_token_len")).as("avg_token_len"),
-        r6(col("punct_ratio")).as("punct_ratio"),
-        r6(col("digit_ratio")).as("digit_ratio"),
-        r6(TextAnalytics.qualityScore(col("text"))).as("quality"))
+    // per-doc content-determined → collapse-first over the shared
+    // classes (identical rows, OpsSpec equality suite)
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      TextAnalytics.withStats(reps, "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("avg_token_len")).as("avg_token_len"),
+          r6(col("punct_ratio")).as("punct_ratio"),
+          r6(col("digit_ratio")).as("digit_ratio"),
+          r6(TextAnalytics.qualityScore(col("text"))).as("quality"))
+    }
 
-  /** N-gram-marker language ID. */
+  /** N-gram-marker language ID. Per-doc → collapse-first. */
   def langId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalytics.langIdColumn(col("text")).as("lang_pred"))
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      reps.select(col("doc_id"),
+        TextAnalytics.langIdColumn(col("text")).as("lang_pred"))
+    }
 
   /** Deterministic train/val/test split (portable md5 id hash — the
     * oracle replays the identical buckets). */
@@ -2181,24 +2379,43 @@ object Queries {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
   }
 
-  /** K-min-sketch document fingerprint (4 smallest md5 8-gram hashes). */
+  /** K-min-sketch document fingerprint (4 smallest md5 8-gram hashes).
+    * Per-doc → collapse-first over the shared classes. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 8, k = 4)
-      .select(col("sid").as("doc_id"), col("fingerprint"))
+    perDocAdaptive(s, dir, outId = "sid") { reps =>
+      TextAnalytics.fingerprint(reps, "doc_id", "text", n = 8, k = 4)
+    }.select(col("sid").as("doc_id"), col("fingerprint"))
 
   /** Corpus rollup by predicted language. distinct_docs counts distinct
     * sha256(text), not distinct text: the count is identical (modulo
     * 2^-256 collisions) but the distinct shuffle moves 32-byte keys
     * instead of whole documents — at corpus scale the difference is
     * shuffling the entire corpus vs a hash column. */
-  def corpusStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("lang_pred", TextAnalytics.langIdColumn(col("text")))
-      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
-      .groupBy(col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive weighted rollup (identical rows): lang-id
+    // and token count are pure functions of the text, so per-language
+    // doc counts are Σ class-weight, token totals Σ weight·tokens, and
+    // distinct_docs — distinct texts per language — is the CLASS count
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      textClassesDf(s, dir)
+        .withColumn("lang_pred", TextAnalytics.langIdColumn(col("__text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("__text")).cast("long"))
+        .groupBy(col("lang_pred"))
+        .agg(sum(col("w")).as("n_docs"),
+          sum(col("w") * col("n_tokens")).as("total_tokens"),
+          // direct counts distinct sha2(text), and sha2(null) is null
+          // (countDistinct skips it) — so null-text classes don't count
+          count(when(col("__text").isNotNull, 1)).as("distinct_docs"))
+    else
+      docs
+        .withColumn("lang_pred", TextAnalytics.langIdColumn(col("text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
+  }
 
   /** Deterministic linear-probe weights shared with the DuckDB oracle
     * (Double.toString round-trips exactly into the SQL literal). */
@@ -2239,8 +2456,21 @@ object Queries {
     * [[corpusDistinctApprox]]: Spark computes exact AND estimate; the
     * oracle replays the exact side and pins `approx_ok` TRUE. */
   def corpusOverlapApprox(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(pmod(col("doc_id"), lit(2)).as("side"),
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive (identical rows): the frame under the
+    // distinct is a SET of (side, token) pairs, which one
+    // representative per (side, distinct text) reproduces verbatim —
+    // HLL register merges are order/multiplicity-insensitive, so the
+    // estimates match bit for bit too
+    val toks = (
+      if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+        memberSliceClasses(s, dir, "x % 2 = 0")
+          .select(lit(0L).as("side"), col("__text").as("text"))
+          .unionByName(memberSliceClasses(s, dir, "x % 2 = 1")
+            .select(lit(1L).as("side"), col("__text").as("text")))
+      else docs.select(pmod(col("doc_id"), lit(2)).as("side"), col("text"))
+    )
+      .select(col("side"),
         explode(filter(split(trim(col("text")), "\\s+"), w => w =!= lit(""))).as("tok"))
       .distinct()
     val exact = toks.groupBy(col("tok"))
@@ -2337,9 +2567,12 @@ object Queries {
 
   /** Blocklist screen over three terms at a 5% hit-ratio gate. */
   def blocklistFilter(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.blocklistScore(t(s, dir, "documents"), "doc_id", "text",
-        terms = Seq("slow", "big", "merge"), maxRatio = 0.05)
-      .select(col("doc_id"), col("n_hits"), col("hit_ratio"), col("flagged"))
+    // per-doc AC screen → collapse-first
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      TextAnalytics.blocklistScore(reps, "doc_id", "text",
+          terms = Seq("slow", "big", "merge"), maxRatio = 0.05)
+        .select(col("doc_id"), col("n_hits"), col("hit_ratio"), col("flagged"))
+    }
 
   /** The phrase-blocklist list shared by both Aho–Corasick queries:
     * multi-word phrases, a nested pattern pair ("scan" fires inside
@@ -2354,9 +2587,12 @@ object Queries {
     * O(len) regardless of pattern count (the 10⁴-term scale shape;
     * [[blocklistFilter]]'s per-term plan is the small-list twin). */
   def blocklistPhrases(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.blocklistPhrases(t(s, dir, "documents"), "doc_id", "text",
-        phrases = phraseList, maxRatio = 0.05)
-      .select(col("doc_id"), col("n_hits"), col("hit_ratio"), col("flagged"))
+    // per-doc AC walk → collapse-first
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      TextAnalytics.blocklistPhrases(reps, "doc_id", "text",
+          phrases = phraseList, maxRatio = 0.05)
+        .select(col("doc_id"), col("n_hits"), col("hit_ratio"), col("flagged"))
+    }
 
   /** Per-phrase corpus audit: total occurrences + doc frequency from
     * the same single-walk count vectors, partial-agg compacted. */
@@ -2564,11 +2800,19 @@ object Queries {
     * dedup_incremental split) — all three backoff branches live. */
   def lmStupidBackoff(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    TextAnalytics.stupidBackoffScore(
+    // duplication-adaptive weighted-count LM twin (identical rows,
+    // OpsSpec-asserted)
+    val r =
+      if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+        TextAnalytics.stupidBackoffScoreCollapsed(
+          docs.filter(col("doc_id") % 10 === 3),
+          docs.filter(col("doc_id") % 10 =!= 3),
+          "doc_id", "text", alpha = 0.4)
+      else TextAnalytics.stupidBackoffScore(
         docs.filter(col("doc_id") % 10 === 3),
         docs.filter(col("doc_id") % 10 =!= 3),
         "doc_id", "text", alpha = 0.4)
-      .select(col("doc_id"), col("n_trigrams"), col("mean_sb_logprob"))
+    r.select(col("doc_id"), col("n_trigrams"), col("mean_sb_logprob"))
   }
 
   /** Canary decontamination screen — the exact-substring complement of
@@ -2607,7 +2851,8 @@ object Queries {
     *    cost. */
   def compressionRatio(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.DeflateFunctions.deflateLength
-    TextAnalytics.compressionStats(t(s, dir, "documents"), "doc_id", "text",
+    perDocAdaptive(s, dir, outId = "doc_id") { reps =>
+      TextAnalytics.compressionStats(reps, "doc_id", "text",
         level = 6, minRatio = 0.3, maxRatio = 1.1)
       .withColumn("deflate_len2",
         deflateLength(concat(col("text"), col("text")), 6))
@@ -2618,13 +2863,20 @@ object Queries {
              lit(5) * ceil(col("n_bytes").cast("double") / 16383.0).cast("long") +
              lit(16))) &&
          col("deflate_len2") <= col("deflate_len") * 2 + lit(64)).as("deflate_ok"))
+    }
   }
 
   /** Top-50 adjacent-word collocations by PMI (count ≥ 5), 6 dp-rounded
     * before ranking, pair-lexicographic tie-break. */
-  def pmiCollocations(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.pmiCollocations(t(s, dir, "documents"), "text",
-      minCount = 5, k = 50)
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive weighted-count twin (identical rows,
+    // OpsSpec-asserted)
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      TextAnalytics.pmiCollocationsCollapsed(docs, "doc_id", "text",
+        minCount = 5, k = 50)
+    else TextAnalytics.pmiCollocations(docs, "text", minCount = 5, k = 50)
+  }
 
   /** Graded decontamination: per-doc distinct 5-gram total, benchmark
     * overlap count (zeros included), and exact overlap fraction —
@@ -2632,12 +2884,21 @@ object Queries {
   def decontaminateOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // per-doc content-determined output → collapse-first, as
-    // [[decontaminate]]
-    Dedup.perDocCollapsed(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", outId = "sid") {
-      reps => Dedup.decontaminateOverlap(reps, "doc_id", "text",
+    // [[decontaminate]] (both sides rep-scale)
+    val r =
+      if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor) {
+        val benchReps = memberSliceClasses(s, dir, "x % 10 = 0")
+          .select(col("rep").as("doc_id"), col("__text").as("text"))
+        Dedup.perDocCollapsedWithClasses(
+            memberSliceClasses(s, dir, "x % 10 != 0").drop("__oldrep"),
+            "doc_id", "text", outId = "sid") {
+          reps => Dedup.decontaminateOverlap(reps, "doc_id", "text",
+            benchReps, "doc_id", "text", n = 5)
+        }
+      } else Dedup.decontaminateOverlap(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
-    }.select(col("sid").as("doc_id"), col("n_grams"),
+    r.select(col("sid").as("doc_id"), col("n_grams"),
       col("n_contaminated"), col("overlap_frac"))
   }
 
@@ -2731,22 +2992,27 @@ object Queries {
     * off the last unrolled training CTE (word = the packed token
     * string with sentinels removed). */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
     val table = standardBpeTable(s, dir)
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val sent = TextAnalytics.BpeSentinel
-    val words = filter(split(trim(col("text")), "\\s+"),
-      w => w =!= lit("") && !w.contains(lit(sent)))
-    val segs = transform(words,
-      w => concat_ws(" ", TextAnalytics.bpeSegment(w, table)))
-    docs
-      .withColumn("__segs", segs)
-      .select(col("doc_id"),
-        size(words).as("n_words"),
-        size(filter(split(array_join(col("__segs"), " "), " "),
-          x => x =!= lit(""))).as("n_tokens"),
-        array_join(col("__segs"), " | ").as("seg_str"))
+    def encode(in: DataFrame): DataFrame = {
+      val words = filter(split(trim(col("text")), "\\s+"),
+        w => w =!= lit("") && !w.contains(lit(sent)))
+      val segs = transform(words,
+        w => concat_ws(" ", TextAnalytics.bpeSegment(w, table)))
+      in.withColumn("__segs", segs)
+        .select(col("doc_id"),
+          size(words).as("n_words"),
+          size(filter(split(array_join(col("__segs"), " "), " "),
+            x => x =!= lit(""))).as("n_tokens"),
+          array_join(col("__segs"), " | ").as("seg_str"))
+    }
+    // duplication-adaptive (identical rows, OpsSpec-asserted): the
+    // packed-replace segmentation chain is a pure per-doc function of
+    // the text given the collected merge table, so on a replica-heavy
+    // corpus it runs once per distinct text (shared classes cache)
+    perDocAdaptive(s, dir, outId = "doc_id")(encode)
   }
 
   /** Hot-key skew report over the events join key: top-5 users by row
@@ -2874,8 +3140,14 @@ object Queries {
   /** Per-doc mean bigram log-prob under the corpus's own Laplace-
     * smoothed bigram LM (context-sensitive fluency; docs < 2 words
     * emit nothing). */
-  def bigramLm(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive weighted-count LM twin (identical rows,
+    // OpsSpec-asserted)
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      TextAnalytics.bigramLogProbCollapsed(docs, "doc_id", "text")
+    else TextAnalytics.bigramLogProb(docs, "doc_id", "text")
+  }
 
   /** Incremental dedup: docs with doc_id % 10 == 3 play the new batch
     * against a stored shingle index of the rest; pairs are bit-equal to
@@ -2940,18 +3212,33 @@ object Queries {
     * curated set" setup of Xie et al. 2302.03169). */
   def dsirScore(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    TextAnalytics.dsirWeights(docs, docs.filter(col("lang") === "en"),
-        "doc_id", "text", buckets = 1024)
-      .select(col("sid").as("doc_id"), col("logw_micro"), col("logw"))
+    // duplication-adaptive (identical rows, OpsSpec-asserted): DSIR is
+    // count-shaped end to end, so both model sides collapse to
+    // weighted distinct-text counts and rep scores expand verbatim
+    val w =
+      if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+        TextAnalytics.dsirWeightsCollapsed(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024)
+      else TextAnalytics.dsirWeights(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024)
+    w.select(col("sid").as("doc_id"), col("logw_micro"), col("logw"))
   }
 
   /** DSIR Gumbel-top-k resample: the 200 documents a DSIR pass would
-    * keep, exactly reproducible (portable-hash Gumbel draws). */
+    * keep, exactly reproducible (portable-hash Gumbel draws).
+    * Duplication-adaptive like [[dsirScore]] (the Gumbel key is a
+    * map-only function applied after expansion). */
   def dsirSample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    TextAnalytics.dsirResample(docs, docs.filter(col("lang") === "en"),
-        "doc_id", "text", k = 200, buckets = 1024)
-      .select(col("sid").as("doc_id"), col("logw"), col("gumbel_key"))
+    val r =
+      if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+        TextAnalytics.dsirResampleCollapsed(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text",
+          k = 200, buckets = 1024)
+      else TextAnalytics.dsirResample(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text",
+        k = 200, buckets = 1024)
+    r.select(col("sid").as("doc_id"), col("logw"), col("gumbel_key"))
   }
 
   /** Bounded-memory heavy hitters with a verified deterministic bound
@@ -3036,9 +3323,13 @@ object Queries {
       .withColumn("cluster", col("cluster").cast("long"))
 
   /** CCNet head/middle/tail perplexity buckets per language. */
-  def pplBuckets(s: SparkSession, dir: String): DataFrame =
-    TextAnalytics.perplexityBuckets(t(s, dir, "documents"),
-      "doc_id", "text", "lang")
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive over the collapsed unigram-LM pass
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      TextAnalytics.perplexityBucketsCollapsed(docs, "doc_id", "text", "lang")
+    else TextAnalytics.perplexityBuckets(docs, "doc_id", "text", "lang")
+  }
 
   /** Embedding drift between the even- and odd-id halves of the
     * embeddings table — the deployment drift monitor over a stand-in
@@ -3189,14 +3480,24 @@ object Queries {
     * stay latin — both branches exercised), fr/es/de get accented
     * Latin (non-ASCII but still script=Latin), en gets digits. */
   def scriptMixQ(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "documents").select(col("doc_id"),
+    val docs = t(s, dir, "documents")
+    val e = docs.select(col("doc_id"),
       concat(col("text"),
         when(col("lang") === "zh", concat(lit(" "), lit("数据处理系统一二三十" * 24)))
           .when(col("lang") === "fr", lit(" café déjà élève"))
           .when(col("lang") === "es", lit(" niño más año"))
           .when(col("lang") === "de", lit(" größe über straße"))
           .otherwise(lit(" 1234567890"))).as("st"))
-    TextAnalytics.scriptMix(e, "doc_id", "st").withColumnRenamed("sid", "doc_id")
+    // the enrichment depends on lang, not just text, so this collapses
+    // on the ENRICHED column (classes ≈ distinct texts × ≤5 langs) —
+    // its own collapse, not the shared raw-text cache. Identical rows
+    // (the generic perDocCollapsed equality contract).
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      Dedup.perDocCollapsed(e, "doc_id", "st", outId = "sid") { reps =>
+        TextAnalytics.scriptMix(reps, "doc_id", "st")
+      }.withColumnRenamed("sid", "doc_id")
+    else
+      TextAnalytics.scriptMix(e, "doc_id", "st").withColumnRenamed("sid", "doc_id")
   }
 
   /** Per-JVM cache of the trained unigram-LM vocabulary (driver-local
@@ -3397,7 +3698,13 @@ object Queries {
       .filter(col("id_a") % 7 === 0)
       .withColumn("id_b", col("id_a") + 1)
       .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
-    Dedup.editVerifyPairs(pairs, d, "doc_id", "text", minSim = 0.3)
+    // duplication-adaptive pair collapse (identical rows,
+    // OpsSpec-asserted): the O(len²) levenshtein runs once per
+    // distinct (text_a, text_b) combination
+    if (textDupFactor(d, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      Dedup.editVerifyPairsCollapsed(pairs, d, "doc_id", "text", minSim = 0.3)
+    else
+      Dedup.editVerifyPairs(pairs, d, "doc_id", "text", minSim = 0.3)
   }
 
   /** Vocabulary coverage curve at candidate sizes 100/1000/5000 —
@@ -3448,14 +3755,25 @@ object Queries {
     * text (even docs get a valid test PAN, odd docs an off-by-one
     * invalid one — same planting pattern as [[piiRedact]]). */
   def luhnCardsQ(s: SparkSession, dir: String): DataFrame = {
-    val enriched = t(s, dir, "documents").select(col("doc_id"),
+    val docs = t(s, dir, "documents")
+    val enriched = docs.select(col("doc_id"),
       concat(col("text"), lit(" pay "),
         when(col("doc_id") % 2 === 0, "4111111111111111")
           .otherwise("4111111111111112"),
         lit(" end")).as("card_text"))
-    TextAnalytics.luhnCards(enriched, "card_text")
-      .select(col("doc_id"), col("n_card_candidates"), col("n_luhn_valid"),
-        col("redacted"))
+    // enrichment depends on doc_id parity → collapse on the ENRICHED
+    // column (classes ≈ distinct texts × 2); identical rows
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      Dedup.perDocCollapsed(enriched, "doc_id", "card_text",
+        outId = "doc_id") { reps =>
+        TextAnalytics.luhnCards(reps, "card_text")
+          .select(col("doc_id"), col("n_card_candidates"),
+            col("n_luhn_valid"), col("redacted"))
+      }
+    else
+      TextAnalytics.luhnCards(enriched, "card_text")
+        .select(col("doc_id"), col("n_card_candidates"), col("n_luhn_valid"),
+          col("redacted"))
   }
 
   /** IBAN screen over planted candidates: even docs carry the valid
@@ -3466,14 +3784,25 @@ object Queries {
     * discipline). Oracle replays the streaming modulus with
     * list_reduce. */
   def ibanScreenQ(s: SparkSession, dir: String): DataFrame = {
-    val enriched = t(s, dir, "documents").select(col("doc_id"),
+    val docs = t(s, dir, "documents")
+    val enriched = docs.select(col("doc_id"),
       concat(col("text"), lit(" acct "),
         when(col("doc_id") % 2 === 0, "DE89370400440532013000")
           .otherwise("DE89370400440532013001"),
         lit(" end")).as("iban_text"))
-    TextAnalytics.ibanAccounts(enriched, "iban_text")
-      .select(col("doc_id"), col("n_iban_candidates"), col("n_mod97_valid"),
-        col("redacted"))
+    // enrichment depends on doc_id parity → collapse on the ENRICHED
+    // column (classes ≈ distinct texts × 2); identical rows
+    if (textDupFactor(docs, "text", s"$dir/documents") >= CollapseDispatchFactor)
+      Dedup.perDocCollapsed(enriched, "doc_id", "iban_text",
+        outId = "doc_id") { reps =>
+        TextAnalytics.ibanAccounts(reps, "iban_text")
+          .select(col("doc_id"), col("n_iban_candidates"),
+            col("n_mod97_valid"), col("redacted"))
+      }
+    else
+      TextAnalytics.ibanAccounts(enriched, "iban_text")
+        .select(col("doc_id"), col("n_iban_candidates"), col("n_mod97_valid"),
+          col("redacted"))
   }
 
   /** Z-order OPTIMIZE end-to-end (gate-is-oracle): half the corpus
@@ -3712,13 +4041,31 @@ object Queries {
     * 5-grams — the span-level complement of [[decontaminate]]. */
   def decontaminateSpansQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // positional grams are row-local, so the corpus-slice predicate
-    // commutes to a sid filter on the shared cached gram table
-    Dedup.decontaminateSpansFromGrams(
-        standardPosGrams(s, dir).filter(col("sid") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
-      .select(col("sid").as("doc_id"), col("span_start"), col("span_end"),
-        col("span_words"))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val spans =
+      if (spanCollapsed(s, dir)) {
+        // the pool slice is by MEMBER id → derive pool classes from
+        // the shared full-corpus classes ([[memberSliceClasses]]) and
+        // re-key the rep-keyed gram table to the pool reps (grams
+        // depend only on the text, which the class shares)
+        val poolClasses = memberSliceClasses(s, dir, "x % 10 != 0")
+        val poolRepGrams = standardRepPosGrams(s, dir)
+          .join(poolClasses.select(col("__oldrep").as("sid"),
+            col("rep").as("__newsid")), "sid")
+          .select(col("__newsid").as("sid"), col("pos"), col("gh"))
+        // bench side collapses too: its DISTINCT gram set — all the op
+        // consumes — equals that of one representative per distinct
+        // bench text, so the bench gram scan runs at rep scale
+        val benchReps = memberSliceClasses(s, dir, "x % 10 = 0")
+          .select(col("rep").as("doc_id"), col("__text").as("text"))
+        Dedup.decontaminateSpansFromGramsCollapsed(poolRepGrams,
+          poolClasses.drop("__oldrep"), benchReps, "doc_id", "text", n = 5)
+      } else
+        Dedup.decontaminateSpansFromGrams(
+          standardPosGrams(s, dir).filter(col("sid") % 10 =!= 0),
+          bench, "doc_id", "text", n = 5)
+    spans.select(col("sid").as("doc_id"), col("span_start"), col("span_end"),
+      col("span_words"))
   }
 
   /** Near-dup cluster size histogram — the duplication-profile report

@@ -104,5 +104,9 @@ object ScaleBounds {
     * OpsSpec recounts with the same regex; a drift fails the build
     * until the new site is audited (new entry above, or confirmed a
     * benign linear split) and this constant is bumped. */
-  val auditedFractionalSlices: Int = 67
+  /** r12 audit: 67 → 69 — lm_stupid_backoff's benign `% 10` corpus
+    * split now appears in BOTH branches of its duplication-adaptive
+    * dispatch (collapsed + direct), same linear consumption as the
+    * original single site. */
+  val auditedFractionalSlices: Int = 69
 }

@@ -101,6 +101,44 @@ object Dedup {
         col("verified"))
   }
 
+  /** [[editVerifyPairs]] with EXACT-DUPLICATE PAIR COLLAPSE (identical
+    * rows, OpsSpec-asserted): edit distance is a pure function of the
+    * two texts, so the O(|a|·|b|) levenshtein — the query's whole
+    * cost — runs once per DISTINCT (text_a, text_b) combination and
+    * the scored row fans back out to every pair carrying that combo.
+    * On an F×-replicated corpus the combo count is ~1/F of the pair
+    * count; on a unique corpus the extra (key, key) exchange makes the
+    * direct form the right dispatch. */
+  def editVerifyPairsCollapsed(pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, minSim: Double): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    val keyed = pairs.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        textClassKey(col("__ta")).as("__ka"), textClassKey(col("__tb")).as("__kb"),
+        col("__ta"), col("__tb"))
+      .persist(lvl)
+    val combos = keyed
+      .groupBy(col("__ka"), col("__kb"))
+      .agg(first(col("__ta")).as("__ta"), first(col("__tb")).as("__tb"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_sim", round(lit(1.0) -
+        col("edit_dist").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1)).cast("double"), 6))
+      .withColumn("verified", col("edit_sim") >= minSim)
+      .select(col("__ka"), col("__kb"), col("edit_dist"), col("edit_sim"),
+        col("verified"))
+    val out = keyed.select(col("id_a"), col("id_b"), col("__ka"), col("__kb"))
+      .join(combos, Seq("__ka", "__kb"))
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"),
+        col("verified"))
+      .persist(lvl)
+    out.count()
+    keyed.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
   /** Edit-distance ≤ 1 similarity JOIN via deletion neighborhoods
     * (FastSS, Bocek et al. 2007) — the blocking that makes fuzzy key
     * matching linear instead of all-pairs: every key emits itself plus
@@ -816,8 +854,9 @@ object Dedup {
     * `members` = sorted id list, `w` = class size, `__text` carried
     * for the representative pass. One sha-256 hash-shuffle; id type
     * preserved; NULL and '' texts are distinct classes
-    * ([[textClassKey]]). */
-  private def cloneClasses(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * ([[textClassKey]]). Package-visible: the weighted collapse twins
+    * in [[TextAnalytics]] build on the same classes. */
+  private[graft] def cloneClasses(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .groupBy(textClassKey(col("__text")).as("__k"))
       .agg(min(col("__id")).as("rep"),
@@ -1044,7 +1083,8 @@ object Dedup {
     * clone ids.
     *
     * Exactness contract: `f`'s output must be a PURE FUNCTION of the
-    * text — ≤ 1 row per input id, carrying the id column named
+    * text — any number of rows per input id (per-doc stats, chunk
+    * explodes), carrying the id column named
     * `outId` plus content-determined columns (per-doc quality stats,
     * gram counts, fingerprints, contamination counts, …). Under that
     * contract the expansion reproduces the direct output row set
@@ -1064,6 +1104,18 @@ object Dedup {
       outId: String)(f: DataFrame => DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val classes = cloneClasses(df, idCol, textCol).persist(lvl)
+    try perDocCollapsedWithClasses(classes, idCol, textCol, outId)(f)
+    finally classes.unpersist()
+  }
+
+  /** [[perDocCollapsed]] over a PREBUILT classes frame (a
+    * [[cloneClasses]] result, e.g. parquet-cached per corpus so many
+    * collapsed queries share one collapse pass). Caller owns the
+    * classes frame's lifecycle; same output contract. */
+  private[graft] def perDocCollapsedWithClasses(classes: DataFrame,
+      idCol: String, textCol: String, outId: String)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val reps = classes.select(col("rep").as(idCol), col("__text").as(textCol))
     val repOut = f(reps)
     // enforce the documented contract: the expansion join below would
@@ -1082,7 +1134,6 @@ object Dedup {
       .select((explode(col("members")).as(outId) +: carried.map(col)): _*)
       .persist(lvl)
     out.count()
-    classes.unpersist()
     out // caller owns the persisted frame: unpersist() when done
   }
 
@@ -1493,6 +1544,37 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_words"))
   }
 
+  /** [[duplicatedSpansFromGrams]] with EXACT-DUPLICATE COLLAPSE
+    * (identical rows, OpsSpec-asserted): a gram's distinct-doc count
+    * is the weighted sum over classes containing it (every clone of a
+    * containing text contains it), and a doc's spans are a pure
+    * function of its text given the duplicated-gram set — so the
+    * positional scan, the distinct, and the island window all run at
+    * rep scale and the spans fan out to clone members. `repGrams`
+    * must be [[positionalWordGramHashes]] over the class
+    * representatives (sid = rep). */
+  def duplicatedSpansFromGramsCollapsed(repGrams: DataFrame,
+      classes: DataFrame, n: Int, maxDocFreq: Long = 0L): DataFrame = {
+    val weights = classes.select(col("rep").as("sid"), col("w"))
+    val dupGrams = repGrams.select("sid", "gh").distinct()
+      .join(weights, "sid")
+      .groupBy("gh").agg(sum(col("w")).as("__nd"))
+      .filter(col("__nd") >= 2 &&
+        (if (maxDocFreq > 0) col("__nd") <= maxDocFreq else lit(true)))
+      .select("gh")
+    val dupPos = repGrams.join(dupGrams, Seq("gh"), "left_semi")
+      .select("sid", "pos").distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sid").orderBy("pos")
+    dupPos.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("sid"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .join(classes.select(col("rep").as("sid"), col("members")), "sid")
+      .select(explode(col("members")).as("sid"),
+        col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+  }
+
   /** SURGICAL span-level decontamination — the cross-set form of
     * [[duplicatedSpans]]: for each corpus document, the maximal word
     * spans covered by word n-grams that ALSO occur in the benchmark
@@ -1537,6 +1619,32 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(n - 1)).as("span_end"))
       .select(col("sid"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+  }
+
+  /** [[decontaminateSpansFromGrams]] with EXACT-DUPLICATE COLLAPSE
+    * (identical rows): contaminated spans are a pure function of the
+    * text given the benchmark gram set, so the hit scan and island
+    * window run at rep scale and fan out to members. */
+  def decontaminateSpansFromGramsCollapsed(repGrams: DataFrame,
+      classes: DataFrame, benchmark: DataFrame, benchId: String,
+      benchText: String, n: Int = 5,
+      broadcastBytesCap: Long = 128L << 20): DataFrame = {
+    val benchGrams = wordGramHashes(benchmark, benchId, benchText, n)
+      .select(col("gh")).distinct()
+    val nBench = benchGrams.count()
+    val benchSide = if (nBench * 24L < broadcastBytesCap) broadcast(benchGrams) else benchGrams
+    val hitPos = repGrams
+      .join(benchSide, Seq("gh"), "left_semi")
+      .select("sid", "pos").distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sid").orderBy("pos")
+    hitPos.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("sid"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .join(classes.select(col("rep").as("sid"), col("members")), "sid")
+      .select(explode(col("members")).as("sid"),
+        col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_words"))
   }
 
@@ -1596,6 +1704,79 @@ object Dedup {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** [[removeDuplicatedSpansFromGrams]] with EXACT-DUPLICATE COLLAPSE
+    * (identical rows, OpsSpec-asserted). The keeper rule (a
+    * duplicated gram's words survive only in the minimum containing
+    * doc id) is NOT content-determined — but it factors through
+    * classes into exactly TWO variants:
+    *
+    *  - a gram's keeper is the min containing doc = the min `rep`
+    *    over containing classes (clones contain identical gram sets
+    *    and `rep` is the class minimum);
+    *  - a NON-REP member is never any gram's keeper (its rep contains
+    *    the same gram with a smaller id), so it drops EVERY
+    *    duplicated-gram position of its text;
+    *  - the REP drops positions of grams whose keeper is a smaller
+    *    rep.
+    *
+    * So each class rebuilds at most two cleaned texts (rep variant +
+    * member variant, the latter only when w ≥ 2), and the per-doc
+    * output copies the right variant to each member — text rebuild
+    * cost is per distinct text, not per clone. */
+  def removeDuplicatedSpansFromGramsCollapsed(classes: DataFrame,
+      repGrams: DataFrame, n: Int, maxDocFreq: Long = 0L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val weights = classes.select(col("rep").as("sid"), col("w"))
+    val keepers = repGrams.select("sid", "gh").distinct()
+      .join(weights, "sid")
+      .groupBy("gh")
+      .agg(min(col("sid")).as("__keeper"), sum(col("w")).as("__nd"))
+      .filter(col("__nd") >= 2 &&
+        (if (maxDocFreq > 0) col("__nd") <= maxDocFreq else lit(true)))
+      .select("gh", "__keeper")
+    val gk = repGrams.join(keepers, Seq("gh")).persist(lvl)
+    // rep variant ("r"): drop grams kept by a SMALLER rep; member
+    // variant ("m"): drop all duplicated-gram positions
+    val drops = gk.filter(col("__keeper") =!= col("sid"))
+      .select(col("sid"), lit("r").as("__v"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("wpos"))
+      .unionByName(gk.select(col("sid"), lit("m").as("__v"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("wpos")))
+      .distinct()
+    val variants = classes.select(col("rep").as("sid"), col("__text"),
+      explode(when(col("w") > 1, array(lit("r"), lit("m")))
+        .otherwise(array(lit("r")))).as("__v"))
+    val words = variants
+      .select(col("sid"), col("__v"),
+        posexplode(split(trim(col("__text")), "\\s+")))
+      .select(col("sid"), col("__v"), (col("pos") + 1).as("wpos"),
+        col("col").as("word"))
+    val kept = words.join(drops, Seq("sid", "__v", "wpos"), "left_anti")
+      .groupBy("sid", "__v")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("wpos"), col("word")))),
+          x => x.getField("word")), " ").as("cleaned_text"))
+    val perVariant = variants
+      .select(col("sid"), col("__v"),
+        size(split(trim(col("__text")), "\\s+")).cast("long").as("__total"))
+      .join(kept, Seq("sid", "__v"), "left")
+      .select(col("sid").as("rep"), col("__v"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    val cm = classes.select(col("rep"), col("members"))
+    val repRows = perVariant.filter(col("__v") === "r").join(cm, "rep")
+      .select(col("rep").as("sid"), col("cleaned_text"),
+        col("n_kept"), col("n_dropped"))
+    val memberRows = perVariant.filter(col("__v") === "m").join(cm, "rep")
+      .select(explode(expr("filter(members, x -> x != rep)")).as("sid"),
+        col("cleaned_text"), col("n_kept"), col("n_dropped"))
+    val out = repRows.unionByName(memberRows).persist(lvl)
+    out.count()
+    gk.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
   }
 
   /** Transitive near-dup clustering: connected components over an

@@ -290,6 +290,32 @@ object TextAnalytics {
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
 
+  /** [[topNgrams]] with EXACT-DUPLICATE COLLAPSE (identical output,
+    * OpsSpec-asserted): gram occurrences become Σ class-weight ×
+    * grams-per-distinct-text and containing-doc counts become
+    * Σ class-weight over classes containing the gram (every clone of
+    * a containing text contains it), so the corpus-dominating explode
+    * runs once per distinct text. One (rep, gram) rollup replaces the
+    * direct plan's count_distinct expansion. */
+  def topNgramsCollapsed(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val reps = Dedup.cloneClasses(df, idCol, textCol)
+      .select(col("rep").as("sid"), col("w"),
+        split(trim(col("__text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= n)
+    reps
+      .select(col("sid"), col("w"), explode(expr(
+        s"transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n)))"))
+        .as("gram"))
+      .groupBy(col("gram"), col("sid"), col("w"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("gram"))
+      .agg(sum(col("w") * col("__cnt")).as("n_occurrences"),
+        sum(col("w")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Per-document top-`k` keywords by TF-IDF (tf · ln(N/df), N = docs
     * with ≥1 word). N and df are computed IN-PLAN (scalar aggregate
     * cross-joined in), so the pass is two bounded shuffles — (doc,
@@ -318,6 +344,73 @@ object TextAnalytics {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("sid"), col("w").as("keyword"), col("rk"), col("tfidf"))
+  }
+
+  /** [[tfidfKeywords]] with EXACT-DUPLICATE COLLAPSE (identical rows,
+    * OpsSpec-asserted): tf is a pure function of the text; df and N
+    * are weighted sums over classes; scores and the per-doc rank
+    * window are therefore class constants that expand to members. The
+    * word explode and the rank window run at rep scale. */
+  def tfidfKeywordsCollapsed(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = Dedup.cloneClasses(df, idCol, textCol).persist(lvl)
+    val words = classes.select(col("rep").as("sid"), col("w").as("__cw0"),
+        explode(split(trim(col("__text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("sid", "w")
+      .agg(count(lit(1)).as("tf"), first(col("__cw0")).as("__cw0"))
+    val dfreq = tf.groupBy("w").agg(sum(col("__cw0")).as("df"))
+    val nDocs = classes.filter(length(trim(col("__text"))) > 0)
+      .agg(coalesce(sum(col("w")), lit(0L)).as("n_corpus_docs"))
+    val scored = tf.join(dfreq, Seq("w")).crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("n_corpus_docs").cast("double") / col("df").cast("double")), 6))
+    val win = Window.partitionBy(col("sid"))
+      .orderBy(col("tfidf").desc, col("w").asc)
+    val repOut = scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("sid"), col("w").as("keyword"), col("rk"), col("tfidf"))
+    val out = repOut
+      .join(classes.select(col("rep").as("sid"), col("members")), "sid")
+      .select(explode(col("members")).as("sid"), col("keyword"),
+        col("rk"), col("tfidf"))
+      .persist(lvl)
+    out.count()
+    classes.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
+  /** [[pmiCollocations]] with EXACT-DUPLICATE COLLAPSE (identical
+    * rows): unigram/bigram counts and their totals are weighted sums
+    * over distinct texts — every count the PMI formula reads is the
+    * direct integer, so scores match to the bit. */
+  def pmiCollocationsCollapsed(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val ws = Dedup.cloneClasses(df, idCol, textCol).select(col("w").as("__k0"),
+      filter(split(trim(col("__text")), "\\s+"), x => x =!= lit("")).as("__ws"))
+    val uni = ws.select(col("__k0"), explode(col("__ws")).as("__w"))
+      .groupBy(col("__w")).agg(sum(col("__k0")).as("__cw"))
+    val totalWords = uni.agg(sum(col("__cw")).as("__tw"))
+    val bi = ws.filter(size(col("__ws")) >= 2)
+      .select(col("__k0"), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS a, __ws[i] AS b))"))
+        .as("__p"))
+      .select(col("__k0"), col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("__k0")).as("n_pairs"))
+    val totalBigrams = bi.agg(sum(col("n_pairs")).as("__tb"))
+    bi.filter(col("n_pairs") >= minCount)
+      .join(broadcast(uni.select(col("__w").as("a"), col("__cw").as("__ca"))), "a")
+      .join(broadcast(uni.select(col("__w").as("b"), col("__cw").as("__cb"))), "b")
+      .crossJoin(broadcast(totalWords))
+      .crossJoin(broadcast(totalBigrams))
+      .withColumn("pmi", round(log(
+        (col("n_pairs").cast("double") * col("__tw").cast("double") * col("__tw").cast("double")) /
+          (col("__tb").cast("double") * col("__ca").cast("double") * col("__cb").cast("double"))), 6))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .select(col("a"), col("b"), col("n_pairs"), col("pmi"))
   }
 
   /** Portable 60-bit hash of an id rendered as a string: the
@@ -476,6 +569,55 @@ object TextAnalytics {
       .select(col(idCol), col("bm25"))
   }
 
+  /** [[bm25Search]] with EXACT-DUPLICATE COLLAPSE (identical rows,
+    * OpsSpec-asserted): tf and dl are pure functions of the text, so
+    * the tokenize/filter passes run once per distinct text; the
+    * corpus stats are weighted sums over classes (N = Σw, Σdl =
+    * Σ w·dl_rep, df_t = Σw over classes containing t — all exact
+    * integers, so avgdl and every idf are the direct doubles to the
+    * bit); rep scores are class constants that expand to members
+    * before the (score desc, id asc) top-k, which therefore selects
+    * the identical docs. The expansion moves only (id, score) pairs —
+    * the per-byte work is what collapses. */
+  def bm25SearchCollapsed(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = Dedup.cloneClasses(df, idCol, textCol).persist(lvl)
+    val words = split(trim(col("__text")), "\\s+")
+    val tfCols = terms.indices.map(i =>
+      size(filter(words, w => w === lit(terms(i)))).cast("double").as(s"__tf$i"))
+    val repBase = classes.select(
+      col("rep") +: col("members") +: col("w") +:
+        TextFunctions.tokenCount(col("__text")).cast("long").as("__dl") +: tfCols: _*)
+    val statAggs =
+      sum(col("w")).cast("double").as("__n") +:
+        (sum(col("w") * col("__dl")).cast("double") /
+          sum(col("w")).cast("double")).as("__avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, col("w")).otherwise(0L))
+            .cast("double").as(s"__df$i"))
+    val stats = repBase.agg(statAggs.head, statAggs.tail: _*)
+    val dl = col("__dl").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i"); val dfT = col(s"__df$i")
+      log((col("__n") - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0)) *
+        (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("__avgdl")))
+    }.reduce(_ + _)
+    val out = repBase.crossJoin(broadcast(stats))
+      .withColumn("bm25", round(score, 6))
+      .filter(col("bm25") > 0)
+      .select(explode(col("members")).as(idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+      .persist(lvl)
+    out.count()
+    classes.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
   /** Single-pass CDC chunker kernel: one in-row scan computing the
     * portable 60-bit md5-prefix hash of each full character n-gram
     * (the same hash family as `Dedup.shingleHashesUdf`, so cut points
@@ -582,6 +724,54 @@ object TextAnalytics {
           .as("reuse_pct"))
   }
 
+  /** [[cdcDedupStats]] with EXACT-DUPLICATE COLLAPSE (identical single
+    * output row, OpsSpec-asserted). Clones produce identical chunk
+    * multisets (the chunker is a pure function of the text), so:
+    * total/orig/edited/reused counts are weighted sums over rep
+    * chunks; `surviving_chunks` — the exact-dedup winner count — is
+    * the number of DISTINCT chunk texts, a set clones cannot grow, so
+    * the rep-side distinct count is the corpus value verbatim. The
+    * per-position md5 chunk scan (the query's whole cost) runs once
+    * per distinct text. */
+  def cdcDedupStatsCollapsed(df: DataFrame, idCol: String, textCol: String,
+      editPrefix: String, n: Int = 8, divisor: Int = 64): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = Dedup.cloneClasses(df, idCol, textCol).persist(lvl)
+    val tagged = classes
+      .select(col("w"), concat(lit("o:"), col("rep")).as("cid"),
+        col("__text").as("text"))
+      .unionByName(classes.select(col("w"),
+        concat(lit("e:"), col("rep")).as("cid"),
+        concat(lit(editPrefix), col("__text")).as("text")))
+    val weights = tagged.select(col("cid"), col("w"))
+    val chunks = contentDefinedChunks(tagged, "cid", "text", n, divisor)
+      .join(weights, "cid")
+      .persist(lvl)
+    val survivors = chunks.select(col("chunk_text")).distinct()
+      .agg(count(lit(1)).as("surviving_chunks"))
+    val counts = chunks.agg(
+      coalesce(sum(col("w")), lit(0L)).as("total_chunks"),
+      coalesce(sum(when(col("cid").startsWith("o:"), col("w")).otherwise(0L)),
+        lit(0L)).as("orig_chunks"),
+      coalesce(sum(when(col("cid").startsWith("e:"), col("w")).otherwise(0L)),
+        lit(0L)).as("edited_chunks"))
+    val origTexts = chunks.filter(col("cid").startsWith("o:"))
+      .select("chunk_text").distinct()
+    val reused = chunks.filter(col("cid").startsWith("e:"))
+      .join(origTexts, Seq("chunk_text"), "left_semi")
+      .agg(coalesce(sum(col("w")), lit(0L)).as("reused_chunks"))
+    val out = counts.crossJoin(survivors).crossJoin(reused)
+      .select(col("total_chunks"), col("orig_chunks"), col("edited_chunks"),
+        col("surviving_chunks"), col("reused_chunks"),
+        round(col("reused_chunks").cast("double") / col("edited_chunks"), 6)
+          .as("reuse_pct"))
+      .persist(lvl)
+    out.count()
+    chunks.unpersist()
+    classes.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
   /** Corpus snapshot diff — the dataset-versioning primitive: given
     * two corpus versions keyed by `idCol`, classify every id as
     * `added` (new only), `removed` (old only), `changed` (both, text
@@ -632,6 +822,36 @@ object TextAnalytics {
         sum(log(col("__wc").cast("double") / col("__tc").cast("double"))).as("__lp"))
       .select(col(idCol), col("n_tokens"),
         round(col("__lp") / col("n_tokens").cast("double"), 6).as("mean_logprob"))
+  }
+
+  /** [[unigramLogProb]] with EXACT-DUPLICATE COLLAPSE (identical rows
+    * up to the documented 6dp-round tolerance on the double log sum,
+    * OpsSpec-asserted): word frequencies and the token total are
+    * weighted sums over distinct texts, and a doc's mean log-prob is a
+    * pure function of its text given those counts — rep scores expand
+    * to clone members. The corpus word explode runs once per distinct
+    * text. */
+  def unigramLogProbCollapsed(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = Dedup.cloneClasses(df, idCol, textCol).persist(lvl)
+    val words = classes.select(col("rep"), col("w"),
+        explode(split(regexp_replace(col("__text"), "^\\s+|\\s+$", ""), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val freqs = words.groupBy(col("__w")).agg(sum(col("w")).as("__wc"))
+    val total = words.agg(coalesce(sum(col("w")), lit(0L)).as("__tc"))
+    val repScores = words.join(freqs, "__w").crossJoin(broadcast(total))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("__wc").cast("double") / col("__tc").cast("double"))).as("__lp"))
+    val out = repScores
+      .join(classes.select(col("rep"), col("members")), "rep")
+      .select(explode(col("members")).as(idCol), col("n_tokens"),
+        round(col("__lp") / col("n_tokens").cast("double"), 6).as("mean_logprob"))
+      .persist(lvl)
+    out.count()
+    classes.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
   }
 
   /** Deterministic stratified RATE sampling — the per-domain /
@@ -981,6 +1201,45 @@ object TextAnalytics {
           (col("__ca").cast("double") + col("__v").cast("double")))).as("__lp"))
       .select(col(idCol), col("n_bigrams"),
         round(col("__lp") / col("n_bigrams").cast("double"), 6).as("mean_bigram_logprob"))
+  }
+
+  /** [[bigramLogProb]] with EXACT-DUPLICATE COLLAPSE (identical rows
+    * up to the documented 6dp-round tolerance on the double log sum,
+    * OpsSpec-asserted): unigram/bigram counts are weighted sums over
+    * distinct texts (the vocabulary — distinct words — is unchanged:
+    * clones add no new words), and a doc's mean bigram log-prob is a
+    * pure function of its text given those counts. The two corpus
+    * explodes run once per distinct text. */
+  def bigramLogProbCollapsed(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classes = Dedup.cloneClasses(df, idCol, textCol).persist(lvl)
+    val ws = classes.select(col("rep"), col("w"),
+      filter(split(trim(col("__text")), "\\s+"), x => x =!= lit("")).as("__ws"))
+    val bi = ws.filter(size(col("__ws")) >= 2)
+      .select(col("rep"), col("w"), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS a, __ws[i] AS b))"))
+        .as("__p"))
+      .select(col("rep"), col("w"), col("__p.a").as("__a"), col("__p.b").as("__b"))
+    val uni = ws.select(col("w"), explode(col("__ws")).as("__a"))
+      .groupBy(col("__a")).agg(sum(col("w")).as("__ca"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val biCounts = bi.groupBy(col("__a"), col("__b")).agg(sum(col("w")).as("__cab"))
+    val repScores = bi.drop("w").join(biCounts, Seq("__a", "__b"))
+      .join(uni, Seq("__a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("__cab").cast("double") + lit(1.0)) /
+          (col("__ca").cast("double") + col("__v").cast("double")))).as("__lp"))
+    val out = repScores
+      .join(classes.select(col("rep"), col("members")), "rep")
+      .select(explode(col("members")).as(idCol), col("n_bigrams"),
+        round(col("__lp") / col("n_bigrams").cast("double"), 6).as("mean_bigram_logprob"))
+      .persist(lvl)
+    out.count()
+    classes.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
   }
 
   /** C4 line filter (Raffel et al. 2020 §2.2, the "clean" rules'
@@ -1370,6 +1629,99 @@ object TextAnalytics {
         col("mean_logprob"), col("ppl_bucket"))
   }
 
+  /** [[perplexityBuckets]] over the collapsed unigram-LM pass —
+    * identical rows: per-doc scores expand before the per-language
+    * percentile thresholds, so the bucket boundaries see the same
+    * score multiset. */
+  def perplexityBucketsCollapsed(df: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val scored = unigramLogProbCollapsed(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val th = scored.groupBy(col(langCol)).agg(
+      round(expr("percentile(mean_logprob, 0.333333)"), 6).as("__lo"),
+      round(expr("percentile(mean_logprob, 0.666667)"), 6).as("__hi"))
+    scored.join(broadcast(th), Seq(langCol))
+      .withColumn("ppl_bucket",
+        when(col("mean_logprob") > col("__hi"), "head")
+          .when(col("mean_logprob") < col("__lo"), "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        col("mean_logprob"), col("ppl_bucket"))
+  }
+
+  /** [[stupidBackoffScore]] with EXACT-DUPLICATE COLLAPSE on both
+    * sides (identical rows up to the 6dp-round tolerance on the
+    * double log sum, OpsSpec-asserted): corpus uni/bi/tri counts are
+    * weighted sums over distinct texts; a scored doc's mean backoff
+    * log-prob is a pure function of its text given those counts, so
+    * rep scores expand to clone members. The corpus n-gram explodes —
+    * the dominant cost — run once per distinct text on each side. */
+  def stupidBackoffScoreCollapsed(score: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classesC = Dedup.cloneClasses(corpus, idCol, textCol)
+    val classesS = Dedup.cloneClasses(score, idCol, textCol).persist(lvl)
+    val cws = classesC.select(col("w"),
+      filter(split(trim(col("__text")), "\\s+"), x => x =!= lit("")).as("__ws"))
+    val uni = cws.select(col("w"), explode(col("__ws")).as("__w"))
+      .groupBy(col("__w")).agg(sum(col("w")).as("__c1"))
+    val totals = uni.agg(sum(col("__c1")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val bi = cws.filter(size(col("__ws")) >= 2)
+      .select(col("w"), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS a, __ws[i] AS b))"))
+        .as("__p"))
+      .select(col("w"), col("__p.a").as("__a"), col("__p.b").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(sum(col("w")).as("__c2"))
+    val triCounts = cws.filter(size(col("__ws")) >= 3)
+      .select(col("w"), explode(expr(
+        "transform(sequence(1, size(__ws) - 2), i -> struct(__ws[i-1] AS a, __ws[i] AS b, __ws[i+1] AS c))"))
+        .as("__t"))
+      .select(col("w"), col("__t.a").as("__a"), col("__t.b").as("__b"),
+        col("__t.c").as("__c"))
+      .groupBy(col("__a"), col("__b"), col("__c")).agg(sum(col("w")).as("__c3"))
+    val tri = classesS
+      .select(col("rep"),
+        filter(split(trim(col("__text")), "\\s+"), x => x =!= lit("")).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("rep"), explode(expr(
+        "transform(sequence(1, size(__ws) - 2), i -> struct(__ws[i-1] AS a, __ws[i] AS b, __ws[i+1] AS c))"))
+        .as("__t"))
+      .select(col("rep"), col("__t.a").as("__a"), col("__t.b").as("__b"),
+        col("__t.c").as("__c"))
+    val scored = tri
+      .join(triCounts, Seq("__a", "__b", "__c"), "left")
+      .join(bi.select(col("__a"), col("__b"), col("__c2").as("__c2ab")),
+        Seq("__a", "__b"), "left")
+      .join(bi.select(col("__a").as("__b"), col("__b").as("__c"),
+        col("__c2").as("__c2bc")), Seq("__b", "__c"), "left")
+      .join(uni.select(col("__w").as("__b"), col("__c1").as("__c1b")),
+        Seq("__b"), "left")
+      .join(uni.select(col("__w").as("__c"), col("__c1").as("__c1c")),
+        Seq("__c"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s",
+        when(col("__c3").isNotNull,
+          col("__c3").cast("double") / col("__c2ab").cast("double"))
+          .when(col("__c2bc").isNotNull,
+            lit(alpha) * col("__c2bc").cast("double") / col("__c1b").cast("double"))
+          .otherwise(lit(alpha * alpha) *
+            (coalesce(col("__c1c"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("__n") + col("__v"))))
+    val repScores = scored.groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(log(col("__s"))) / count(lit(1)).cast("double"), 6)
+          .as("mean_sb_logprob"))
+    val out = repScores
+      .join(classesS.select(col("rep"), col("members")), "rep")
+      .select(explode(col("members")).as(idCol), col("n_trigrams"),
+        col("mean_sb_logprob"))
+      .persist(lvl)
+    out.count()
+    classesS.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
   // -------------------------------------------------------------------
   // DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
   // -------------------------------------------------------------------
@@ -1440,6 +1792,63 @@ object TextAnalytics {
         (col("logw_micro").cast("double") / 1e6).as("logw"))
   }
 
+  /** [[dsirWeights]] with EXACT-DUPLICATE COLLAPSE on both sides
+    * (identical output, OpsSpec-asserted). Every piece of DSIR is
+    * count-shaped, so clones factor out exactly:
+    *
+    *  - bucket counts and totals are weighted sums over distinct
+    *    texts (`Σ class-weight · per-rep bucket count` = the direct
+    *    corpus counts — raw and target collapse INDEPENDENTLY, so
+    *    clones that disagree on target membership stay exact);
+    *  - the ≤B-row log-ratio table is therefore bit-identical;
+    *  - a doc's score is a pure function of its text given that
+    *    table, so rep scores expand to clone members verbatim.
+    *
+    * The corpus-dominating word explode + md5 runs once per distinct
+    * text; only the sha collapse shuffle and the output-sized
+    * expansion join are new. */
+  def dsirWeightsCollapsed(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val classesR = Dedup.cloneClasses(raw, idCol, textCol).persist(lvl)
+    val classesT = Dedup.cloneClasses(target, idCol, textCol)
+    def repBucketCounts(classes: DataFrame): DataFrame =
+      wordBuckets(classes.select(col("rep"), col("__text")), "rep", "__text", buckets)
+        .groupBy(col("sid"), col("b")).agg(count(lit(1)).as("nb"))
+    // weighted bucket counts / totals == the direct corpus's
+    def weighted(classes: DataFrame, cnt: String, tot: String)
+        : (DataFrame, DataFrame) = {
+      val per = repBucketCounts(classes)
+        .join(classes.select(col("rep").as("sid"), col("w")), "sid")
+      (per.groupBy("b").agg(sum(col("nb") * col("w")).as(cnt)),
+        per.agg(coalesce(sum(col("nb") * col("w")), lit(0L)).as(tot)))
+    }
+    val (tgtCounts, tgtTotal) = weighted(classesT, "ct", "tt")
+    val (rawCounts, rawTotal) = weighted(classesR, "cr", "tr")
+    val ratio = rawCounts.join(broadcast(tgtCounts), Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tgtTotal)).crossJoin(broadcast(rawTotal))
+      .select(col("b"),
+        round((log((col("ct") + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("tr") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("lw_micro"))
+    val repScores = repBucketCounts(classesR)
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("sid")
+      .agg(sum(col("nb") * col("lw_micro")).as("logw_micro"))
+    val out = repScores
+      .join(classesR.select(col("rep").as("sid"), col("members")), "sid")
+      .select(explode(col("members")).as("sid"), col("logw_micro"),
+        (col("logw_micro").cast("double") / 1e6).as("logw"))
+      .persist(lvl)
+    out.count()
+    classesR.unpersist()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
   /** DSIR resampling: top-`k` raw documents by importance weight plus
     * deterministic Gumbel noise — the Gumbel-max trick makes top-k of
     * `logw + g_d` an EXACT sample without replacement from the
@@ -1453,11 +1862,25 @@ object TextAnalytics {
     * Scale shape: [[dsirWeights]]'s passes + a map-only key column +
     * TakeOrdered top-k (bounded driver result, no global sort). */
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, k: Int, buckets: Int = 1024): DataFrame = {
+      textCol: String, k: Int, buckets: Int = 1024): DataFrame =
+    gumbelTopK(dsirWeights(raw, target, idCol, textCol, buckets), k)
+
+  /** [[dsirResample]] over the collapsed weight pass — the Gumbel key
+    * is a map-only function of (doc id, logw) applied AFTER the clone
+    * expansion, so collapsing the weights changes nothing about which
+    * docs the top-k keeps. Eager via the collapsed weights (caller
+    * unpersists the returned frame's lineage is consumed by top-k). */
+  def dsirResampleCollapsed(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024): DataFrame =
+    gumbelTopK(dsirWeightsCollapsed(raw, target, idCol, textCol, buckets), k)
+
+  /** The shared resample step: deterministic per-doc Gumbel noise on
+    * top of the weight frame, TakeOrdered top-k. */
+  private def gumbelTopK(weights: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val u = (pmod(portableIdHash(col("sid")), lit(1000000L)).cast("double") +
       lit(0.5)) / lit(1e6)
-    dsirWeights(raw, target, idCol, textCol, buckets)
+    weights
       .withColumn("gumbel_micro",
         round(-log(-log(u)) * 1e6).cast("long"))
       .withColumn("key_micro", col("logw_micro") + col("gumbel_micro"))

@@ -249,6 +249,153 @@ class OpsSpec extends SparkSpec {
       TextAnalytics.ngramDiversityApproxCollapsed(corpus, "source", "text", maxN = 3),
       "ngramDiversityApprox")
 
+    // weighted top-ngrams twin (count + containing-doc count per gram)
+    assertSame(
+      TextAnalytics.topNgrams(corpus, "doc_id", "text", n = 3, k = 50),
+      TextAnalytics.topNgramsCollapsed(corpus, "doc_id", "text", n = 3, k = 50),
+      "topNgrams")
+
+    // DSIR: both model sides collapse to weighted counts; rep scores
+    // expand verbatim; the Gumbel key rides after expansion. Target =
+    // the 'books' slice, so clone siblings DISAGREE on membership —
+    // the independent-collapse exactness claim is exercised.
+    val dsirTarget = corpus.filter($"source" === "books")
+      .select($"doc_id", $"text")
+    val dsirPool = corpus.select($"doc_id", $"text")
+    assertSame(
+      TextAnalytics.dsirWeights(dsirPool, dsirTarget, "doc_id", "text", buckets = 64),
+      TextAnalytics.dsirWeightsCollapsed(dsirPool, dsirTarget, "doc_id", "text", buckets = 64),
+      "dsirWeights")
+    assertSame(
+      TextAnalytics.dsirResample(dsirPool, dsirTarget, "doc_id", "text", k = 7, buckets = 64),
+      TextAnalytics.dsirResampleCollapsed(dsirPool, dsirTarget, "doc_id", "text", k = 7, buckets = 64),
+      "dsirResample")
+
+    // CDC dedup stats: weighted chunk counts, distinct-survivor set
+    assertSame(
+      TextAnalytics.cdcDedupStats(corpus.select($"doc_id", $"text"),
+        "doc_id", "text", editPrefix = "prefix edit ", n = 4, divisor = 8),
+      TextAnalytics.cdcDedupStatsCollapsed(corpus.select($"doc_id", $"text"),
+        "doc_id", "text", editPrefix = "prefix edit ", n = 4, divisor = 8),
+      "cdcDedupStats")
+
+    // edit-verify: one levenshtein per distinct (text_a, text_b) combo
+    val evPairs = corpus.select($"doc_id".as("id_a"))
+      .crossJoin(corpus.select($"doc_id".as("id_b")))
+      .filter($"id_a" < $"id_b" && ($"id_a" + $"id_b") % 3 === 0)
+    assertSame(
+      Dedup.editVerifyPairs(evPairs, corpus, "doc_id", "text", minSim = 0.3),
+      Dedup.editVerifyPairsCollapsed(evPairs, corpus, "doc_id", "text", minSim = 0.3),
+      "editVerifyPairs")
+
+    // LM scores: weighted word/bigram counts + per-doc score expansion
+    assertSame(
+      TextAnalytics.unigramLogProb(corpus, "doc_id", "text"),
+      TextAnalytics.unigramLogProbCollapsed(corpus, "doc_id", "text"),
+      "unigramLogProb")
+    assertSame(
+      TextAnalytics.bigramLogProb(corpus, "doc_id", "text"),
+      TextAnalytics.bigramLogProbCollapsed(corpus, "doc_id", "text"),
+      "bigramLogProb")
+
+    // tfidf / PMI: weighted df/counts + rep-scale rank windows
+    assertSame(
+      TextAnalytics.tfidfKeywords(corpus, "doc_id", "text", k = 3),
+      TextAnalytics.tfidfKeywordsCollapsed(corpus, "doc_id", "text", k = 3),
+      "tfidfKeywords")
+    assertSame(
+      TextAnalytics.pmiCollocations(corpus, "text", minCount = 2, k = 50),
+      TextAnalytics.pmiCollocationsCollapsed(corpus, "doc_id", "text",
+        minCount = 2, k = 50),
+      "pmiCollocations")
+
+    // multi-row per-doc expansion (chunk explodes)
+    assertSame(
+      TextAnalytics.contentDefinedChunks(corpus.select($"doc_id", $"text"),
+        "doc_id", "text", n = 4, divisor = 8),
+      Dedup.perDocCollapsed(corpus.select($"doc_id", $"text"),
+        "doc_id", "text", outId = "doc_id") { reps =>
+        TextAnalytics.contentDefinedChunks(reps, "doc_id", "text",
+          n = 4, divisor = 8)
+      },
+      "contentDefinedChunks")
+
+    // span family: weighted distinct-doc counts; the removal's keeper
+    // rule factors into the rep/member variants. Fixture adds partial
+    // cross-doc overlap so spans exist beyond whole-doc clones.
+    val spanDocs = corpus.select($"doc_id", $"text").unionByName(Seq(
+      (300L, "unique preamble " + clean),
+      (301L, clean + " unique epilogue words here")).toDF("doc_id", "text"))
+    val spanClasses = graft.ops.Dedup.cloneClasses(spanDocs, "doc_id", "text")
+    val spanRepGrams = Dedup.positionalWordGramHashes(
+      spanClasses.select($"rep".as("doc_id"), $"__text".as("text")),
+      "doc_id", "text", n = 5)
+    val directGrams = Dedup.positionalWordGramHashes(spanDocs, "doc_id", "text", n = 5)
+    assertSame(
+      Dedup.duplicatedSpansFromGrams(directGrams, n = 5),
+      Dedup.duplicatedSpansFromGramsCollapsed(spanRepGrams, spanClasses, n = 5),
+      "duplicatedSpans")
+    assertSame(
+      Dedup.removeDuplicatedSpansFromGrams(spanDocs, "doc_id", "text",
+        directGrams, n = 5),
+      Dedup.removeDuplicatedSpansFromGramsCollapsed(spanClasses,
+        spanRepGrams, n = 5),
+      "removeDuplicatedSpans")
+    val spanBench = spanDocs.filter($"doc_id" % 10 === 0)
+    val spanPool = spanDocs.filter($"doc_id" % 10 =!= 0)
+    val poolClasses = graft.ops.Dedup.cloneClasses(spanPool, "doc_id", "text")
+    val poolRepGrams = Dedup.positionalWordGramHashes(
+      poolClasses.select($"rep".as("doc_id"), $"__text".as("text")),
+      "doc_id", "text", n = 5)
+    assertSame(
+      Dedup.decontaminateSpansFromGrams(
+        Dedup.positionalWordGramHashes(spanPool, "doc_id", "text", n = 5),
+        spanBench, "doc_id", "text", n = 5),
+      Dedup.decontaminateSpansFromGramsCollapsed(poolRepGrams, poolClasses,
+        spanBench, "doc_id", "text", n = 5),
+      "decontaminateSpans")
+
+    // stupid-backoff: weighted tri/bi/uni counts + per-doc expansion
+    val sbScore = corpus.filter($"doc_id" % 10 === 3).select($"doc_id", $"text")
+    val sbCorpus = corpus.filter($"doc_id" % 10 =!= 3).select($"doc_id", $"text")
+    assertSame(
+      TextAnalytics.stupidBackoffScore(sbScore, sbCorpus, "doc_id", "text"),
+      TextAnalytics.stupidBackoffScoreCollapsed(sbScore, sbCorpus, "doc_id", "text"),
+      "stupidBackoffScore")
+    assertSame(
+      TextAnalytics.perplexityBuckets(corpus, "doc_id", "text", "source"),
+      TextAnalytics.perplexityBucketsCollapsed(corpus, "doc_id", "text", "source"),
+      "perplexityBuckets")
+
+    // BM25: weighted stats + class-constant scores expand before top-k
+    assertSame(
+      TextAnalytics.bm25Search(corpus, "doc_id", "text",
+        terms = Seq("cat", "spam", "words"), topK = 10),
+      TextAnalytics.bm25SearchCollapsed(corpus, "doc_id", "text",
+        terms = Seq("cat", "spam", "words"), topK = 10),
+      "bm25Search")
+
+    // pii boundary-split: redacting the id-enriched concatenation ==
+    // collapsed text-half redaction + the constant tail (no pattern
+    // can cross the space boundary; the tail is fully determined)
+    val tailExpr = concat($"text",
+      lit(" contact user"), $"doc_id", lit("@example.com or +1555010"),
+      lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
+      lit(" from 192.168."), pmod($"doc_id", lit(256)), lit(".1"))
+    val piiDirect = TextAnalytics.redactPii(
+        corpus.select($"doc_id", tailExpr.as("pii_text")), "pii_text")
+      .select($"doc_id", $"n_email", $"n_ipv4", $"n_phone", $"redacted")
+    val piiCollapsed = Dedup.perDocCollapsed(corpus.select($"doc_id", $"text"),
+        "doc_id", "text", outId = "doc_id") { reps =>
+        TextAnalytics.redactPii(reps, "text")
+          .select($"doc_id", $"n_email", $"n_ipv4", $"n_phone", $"redacted")
+      }
+      .select($"doc_id", ($"n_email" + 1).as("n_email"),
+        ($"n_ipv4" + 1).as("n_ipv4"), ($"n_phone" + 1).as("n_phone"),
+        concat($"redacted", lit(" contact <EMAIL> or <PHONE> from <IP>"))
+          .as("redacted"))
+    assertSame(piiDirect, piiCollapsed, "piiRedact")
+
     // NULL and '' texts must land in DIFFERENT clone classes: the
     // direct path gives them different metrics (null words vs 0
     // words), so merging them (the old coalesce-only class key) made
@@ -3267,10 +3414,18 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"profile must not join:\n$plan")
     assert(!plan.contains("Expand"), s"HLL default must not Expand:\n$plan")
-    val exactPlan = DataProfile.profile(rows, Seq("k", "v", "s"),
-      exactDistinct = true).queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"),
-      "exact multi-distinct is the Expand form (oracle-only path)")
+    val exactDf = DataProfile.profile(rows, Seq("k", "v", "s"),
+      exactDistinct = true)
+    val exactPlan = exactDf.queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("Expand"),
+      "exact distincts run as per-column single-distinct aggregations " +
+        s"(1-row cross joins), never the multi-distinct Expand:\n$exactPlan")
+    // exact == HLL at tiny cardinality, so the hand-derived stats
+    // above pin the exact path too
+    val exactProf = exactDf
+      .as[(String, Long, Long, Long, String, String, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(exactProf == prof, "exact and HLL profiles must agree here")
     // HLL and exact agree at tiny cardinality (HLL++ is exact there),
     // so the hand-derived stats above hold under the default too
   }
