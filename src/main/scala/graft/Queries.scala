@@ -100,10 +100,13 @@ object Queries {
     * class REPRESENTATIVES only; consumers weight doc counts by class
     * size and fan spans out to members). */
   private def standardRepPosGrams(s: SparkSession, dir: String): DataFrame = {
+    // NOTE: txtclasses is forced BEFORE entering the posgram5c cache
+    // builder — computeIfAbsent must not nest on the same map (the
+    // standardClusters rule)
+    val classes = textClassesDf(s, dir)
     val d = cachedIndexDir("posgram5c", dir) { tmp =>
       Dedup.positionalWordGramHashes(
-          textClassesDf(s, dir).select(col("rep").as("doc_id"),
-            col("__text").as("text")),
+          classes.select(col("rep").as("doc_id"), col("__text").as("text")),
           "doc_id", "text", n = 5)
         .write.mode("overwrite").parquet(s"$tmp/grams")
     }
