@@ -40,6 +40,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      // full engine surface incl. the TopKWindowRewrite optimizer rule —
+      // the bench measures the plans a production session would get
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // local bench corpora arrive as one or two large parquet files;
@@ -160,22 +163,63 @@ object Bench {
       (if (status == 0) dt else status.toDouble, rows, zombie)
     }
     val zombies = scala.collection.mutable.ArrayBuffer[String]()
-    val results = names.map { name =>
-      // Short-circuit after the first timeout: re-running a
-      // known-over-budget query would burn another full timeout per
-      // remaining sample for a number we already know is -2.
-      val samples = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
-      var run = 0
-      var stop = false
-      while (run < runs && !stop) {
-        val (dt, rows, zombie) = timedRun(name)
-        samples += ((dt, rows))
-        if (zombie) zombies += name
-        stop = dt == -2.0
-        run += 1
+    // INTERLEAVED full passes (pass 1 all queries, pass 2 all queries,
+    // per-query min) instead of back-to-back min-of-N per query: a
+    // shared-box contention window lasting minutes can hit BOTH
+    // back-to-back samples of one query and masquerade as a 3-10×
+    // code regression (it did, three rounds running) — interleaving
+    // puts the full suite (~minutes) between a query's samples, so one
+    // window can no longer poison every sample of the same query.
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer[(Double, Long)]()): _*)
+    val timedOutQs = scala.collection.mutable.Set[String]()
+    for (pass <- 1 to runs; name <- names if !timedOutQs(name)) {
+      // timed-out queries short-circuit: re-running a known-over-budget
+      // query burns a full timeout per pass for a number we know is -2
+      val (dt, rows, zombie) = timedRun(name)
+      samples(name) += ((dt, rows))
+      if (zombie) zombies += name
+      if (dt == -2.0) timedOutQs += name
+      if (pass == 1) System.err.println(f"[bench] $name%s $dt%.3fs")
+    }
+    // Outlier re-queue: any query whose min still exceeds 3× its value
+    // in the PRIOR persisted artifact (read before this run overwrites
+    // it) gets one extra sample at the end — a second chance landed as
+    // far as possible from whatever hit it. Names are reported in
+    // protocol.outlier_reruns so a reader knows which rows needed it.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
+      .getOrElse {
+        val base = Paths.get(sfDir).getFileName.toString
+        Paths.get("bench_results", s"bench_$base.json")
       }
-      val ok = samples.filter(_._1 >= 0)
-      val best = if (ok.nonEmpty) ok.minBy(_._1) else samples.head
+    val prior: Map[String, Double] =
+      try {
+        val s = new String(Files.readAllBytes(outPath), StandardCharsets.UTF_8)
+        val start = s.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else {
+          val sub = s.substring(start + 11, s.indexOf('}', start))
+          """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(sub)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    // absolute 2 s floor: 3× of a 0.1 s row is scheduler noise, not a
+    // contention window — re-running those burns samples for nothing
+    val outlierReruns = names.filter { n =>
+      val ok = samples(n).filter(_._1 >= 0)
+      ok.nonEmpty && prior.get(n).exists(p =>
+        p > 0 && ok.map(_._1).min > math.max(3 * p, 2.0))
+    }
+    outlierReruns.foreach { name =>
+      val (dt, rows, zombie) = timedRun(name)
+      System.err.println(f"[bench] outlier re-run $name%s $dt%.3fs")
+      samples(name) += ((dt, rows))
+      if (zombie) zombies += name
+    }
+    val results = names.map { name =>
+      val ss = samples(name)
+      val ok = ss.filter(_._1 >= 0)
+      val best = if (ok.nonEmpty) ok.minBy(_._1) else ss.head
       (name, best._1, best._2)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
@@ -190,18 +234,16 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val zombieJson = zombies.distinct
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Self-describing protocol fields: min-of-N runs and the box's
-    // 1-minute load average at start vs end, so a reader can tell a
-    // loaded-box outlier from a code regression without a re-run.
+    // Self-describing protocol fields: interleaved min-of-N passes,
+    // outlier re-runs taken, and the box's 1-minute load average at
+    // start vs end, so a reader can tell a loaded-box outlier from a
+    // code regression without a re-run.
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_out":$rowsOut,"protocol":{"runs":$runs,"agg":"min","cpus":$cpus,"timeout_sec":$timeoutSec,"prebuild_sec":$prebuildJson,"failed_prebuilds":$failedPrebuildJson,"zombies":$zombieJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}"""
+    val rerunJson = outlierReruns
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_out":$rowsOut,"protocol":{"runs":$runs,"agg":"min-interleaved","cpus":$cpus,"timeout_sec":$timeoutSec,"prebuild_sec":$prebuildJson,"failed_prebuilds":$failedPrebuildJson,"zombies":$zombieJson,"outlier_reruns":$rerunJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}"""
     println(json)
-    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
-      .getOrElse {
-        val base = Paths.get(sfDir).getFileName.toString
-        Paths.get("bench_results", s"bench_$base.json")
-      }
     try {
       Option(outPath.getParent).foreach(Files.createDirectories(_))
       Files.write(outPath, json.getBytes(StandardCharsets.UTF_8))

@@ -366,7 +366,8 @@ object OracleSql {
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        | FROM orders) WHERE rn <= 3""".stripMargin,
+        | FROM orders
+        | WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL) WHERE rn <= 3""".stripMargin,
 
     "q5_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
@@ -1929,10 +1930,14 @@ object OracleSql {
         |FROM ex""".stripMargin,
 
     "kmv_overlap" ->
-      """WITH a AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS pk
-        |   FROM lineitem WHERE l_orderkey % 2 = 0),
+      """WITH m AS (SELECT CASE WHEN count(*) > 10000000 THEN 8 ELSE 1 END AS sm
+        |   FROM lineitem),
+        | a AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS pk
+        |   FROM lineitem WHERE l_orderkey % 2 = 0
+        |     AND l_partkey % (SELECT sm FROM m) = 0),
         | b AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS pk
-        |   FROM lineitem WHERE l_orderkey % 2 = 1)
+        |   FROM lineitem WHERE l_orderkey % 2 = 1
+        |     AND l_partkey % (SELECT sm FROM m) = 0)
         |SELECT (SELECT count(*) FROM a JOIN b USING (pk)) AS n_inter,
         | (SELECT count(*) FROM (SELECT pk FROM a UNION SELECT pk FROM b)) AS n_union,
         | TRUE AS inter_ok, TRUE AS jaccard_ok, TRUE AS distinct_ok""".stripMargin,
@@ -2838,9 +2843,11 @@ object OracleSql {
         |FROM documents""".stripMargin,
 
     "cms_check" ->
-      """WITH ww AS (SELECT wd FROM (SELECT
+      """WITH m AS (SELECT CASE WHEN count(*) > 1000000 THEN 8 ELSE 1 END AS sm
+        |   FROM documents),
+        | ww AS (SELECT wd FROM (SELECT
         |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
-        |       FROM documents) WHERE wd <> '')
+        |       FROM documents WHERE doc_id % (SELECT sm FROM m) = 0) WHERE wd <> '')
         |SELECT wd AS word, count(*) AS n_exact, true AS cms_ok
         |FROM ww GROUP BY wd
         |ORDER BY n_exact DESC, word LIMIT 20""".stripMargin,

@@ -97,7 +97,15 @@ object ScaleBounds {
     Bound(Seq("pq_topk"),
       "Queries.PqTrainCap / ProductQuantization.train", "scaled-param",
       "train sample = vec_id % stride == 0, stride = (n + 32767) / 32768 exact integer (stride 1, i.e. full corpus, at n <= 32768 - vacuous sf <= 1)",
-      "st CTE: (count(*) + 32767) // 32768; tr = v WHERE vec_id % stride = 0 feeds seeds + Lloyd means"))
+      "st CTE: (count(*) + 32767) // 32768; tr = v WHERE vec_id % stride = 0 feeds seeds + Lloyd means"),
+    Bound(Seq("kmv_overlap"),
+      "Queries.kmvOverlapQ", "scaled-param",
+      "gate population slices to l_partkey % 8 == 0 past 10M lineitem rows (vacuous sf <= 1); sketch AND exact sides both sliced, so estimator accuracy is asserted identically",
+      "m CTE: CASE WHEN count(*) > 10000000 THEN 8 ELSE 1 END, same predicate in both halves"),
+    Bound(Seq("cms_check"),
+      "Queries.cmsCheck", "scaled-param",
+      "gate population slices to doc_id % 8 == 0 past 1M documents (vacuous sf <= 1); CMS build and exact top-20 both sliced",
+      "m CTE: CASE WHEN count(*) > 1000000 THEN 8 ELSE 1 END on the word stream"))
 
   /** The audited number of fractional `% N ===` / `% N =!=` slice
     * sites in Queries.scala (panels included, benign splits included).

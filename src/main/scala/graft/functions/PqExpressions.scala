@@ -69,7 +69,13 @@ final class PqKernel(val dim: Int, val m: Int, val ksub: Int,
         i += 1
       }
       val r = round6(math.sqrt(minS))
-      val cut = r + 5.0e-7 + 1.0e-9
+      // margin scales with ulp(r): the fixed 1e-9 absorbs shortest-
+      // decimal representation error only while distances stay below
+      // ~1e7 (half-ulp grows with magnitude); beyond that a true tie
+      // candidate could sit past the fixed cut and the prefilter would
+      // exclude it — 4·ulp(r) keeps the window provably inclusive at
+      // any magnitude
+      val cut = r + 5.0e-7 + math.max(1.0e-9, 4.0 * Math.ulp(r))
       val c2 = cut * cut
       var best = -1
       i = 0

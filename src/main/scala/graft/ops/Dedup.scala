@@ -79,6 +79,27 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** [[exactNormalized]] with the BYTE-EXACT RUNG FIRST — identical
+    * output rows (OpsSpec-asserted): the NFC + regex canonical key is
+    * constant within a byte-identical clone class, so keep-lowest-id
+    * under it factors through [[exact]] — the byte rung's per-class
+    * min-id survivor is exactly the row the canonical-key group's
+    * global min-id rule would pick (min over class minima = group
+    * min), full payload intact. On an F×-replicated corpus the
+    * expensive key then runs over ~1/F of the rows for one extra
+    * cheap sha shuffle; on a unique corpus that shuffle is pure
+    * overhead — dispatch on the duplication factor. */
+  def exactNormalizedCollapsed(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    exactNormalized(exact(df, idCol, textCol), idCol, textCol)
+
+  /** [[exactAggressive]] with the byte-exact rung first — same
+    * identical-rows argument as [[exactNormalizedCollapsed]] (the
+    * aggressive key is likewise constant per byte class). */
+  def exactAggressiveCollapsed(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    exactAggressive(exact(df, idCol, textCol), idCol, textCol)
+
   /** Edit-distance verification of near-dup CANDIDATE pairs — the
     * exact-verify stage a production fuzzy-dedup pipeline runs after
     * LSH/banding (banded MinHash admits false positives; Levenshtein
@@ -1134,6 +1155,48 @@ object Dedup {
       .select((explode(col("members")).as(outId) +: carried.map(col)): _*)
       .persist(lvl)
     out.count()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
+  /** [[perDocCollapsedWithClasses]] for enrichments that depend on the
+    * text AND a small ID-DERIVED TAG (the luhn/iban/mojibake planting
+    * pattern: `when(doc_id % m === r, variantA).otherwise(variantB)`).
+    * Collapsing on the enriched column works but still pays the
+    * enrichment + sha-256 over EVERY row; this combinator instead
+    * reuses the prebuilt raw-text classes — no full-text pass at all:
+    * members explode to (rep, id, tag), `f` runs once per DISTINCT
+    * (class, tag) combination (≤ |tags| rows per class), and results
+    * join back on (rep, tag). `f` receives (`outId` = rep id, `__tag`,
+    * `textCol`) and must return rows keyed by (outId, `__tag`) whose
+    * other columns are pure functions of (text, tag) — identical
+    * output to running `f` over the full corpus (OpsSpec-asserted per
+    * consumer). Eager; returns the persisted frame (caller
+    * unpersists). */
+  private[graft] def perDocTaggedCollapsedWithClasses(classes: DataFrame,
+      textCol: String, outId: String, tagOf: Column => Column)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val mem = classes.select(col("rep"), explode(col("members")).as(outId))
+      .withColumn("__tag", tagOf(col(outId)))
+      .persist(lvl)
+    val work = mem.select(col("rep"), col("__tag")).distinct()
+      .join(classes.select(col("rep"), col("__text")), Seq("rep"))
+      .select(col("rep").as(outId), col("__tag"), col("__text").as(textCol))
+    val repOut = f(work)
+    require(repOut.columns.contains(outId) && repOut.columns.contains("__tag"),
+      s"perDocTaggedCollapsed: f's output must carry '$outId' and '__tag' " +
+        s"(got ${repOut.columns.mkString(", ")})")
+    require(!repOut.columns.contains("rep") && !repOut.columns.contains("members"),
+      "perDocTaggedCollapsed: f's output must not use the reserved " +
+        "internal column names 'rep'/'members'")
+    val carried = repOut.columns
+      .filterNot(c => c == outId || c == "__tag").toSeq
+    val out = mem
+      .join(repOut.withColumnRenamed(outId, "rep"), Seq("rep", "__tag"))
+      .select((col(outId) +: carried.map(col)): _*)
+      .persist(lvl)
+    out.count()
+    mem.unpersist()
     out // caller owns the persisted frame: unpersist() when done
   }
 

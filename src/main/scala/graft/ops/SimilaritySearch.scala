@@ -400,8 +400,29 @@ object SimilaritySearch {
     }.toDF("anchor_id", "__nid", "cosine")
   }
 
+  /** The SIMD partial-scorer plan reads ids and labels as primitive
+    * longs; a non-integral column would silently cast to null and DROP
+    * rows (anchors gone, corpus rows gone under excludeSameLabel) — a
+    * narrowed contract that must fail loudly at plan time, not return
+    * an empty frame. */
+  private def requireIntegral(df: DataFrame, colName: String,
+      what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(colName).dataType
+    val integral = dt == ByteType || dt == ShortType ||
+      dt == IntegerType || dt == LongType
+    require(integral,
+      s"$what: column '$colName' must be an integral type (got ${dt.sql}); " +
+        "the SIMD scorer reads ids/labels as longs — a non-integral " +
+        "column would cast to null and silently drop rows")
+  }
+
   private def knnClassifyOver(df: DataFrame, anchorsDf: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    requireIntegral(df, idCol, "knnClassify corpus")
+    requireIntegral(df, labelCol, "knnClassify corpus")
+    requireIntegral(anchorsDf, idCol, "knnClassify anchors")
+    requireIntegral(anchorsDf, labelCol, "knnClassify anchors")
     // bounded anchor panel → driver arrays (the broadcast cross-join
     // collected the same rows); null-vec/null-id anchors drop exactly
     // as the per-pair plan dropped them (null cosine / null-filtered)
@@ -449,6 +470,10 @@ object SimilaritySearch {
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, anchors: DataFrame, anchorIdCol: String,
       anchorVecCol: String, anchorLabelCol: String, k: Int): DataFrame = {
+    requireIntegral(df, idCol, "hardNegatives corpus")
+    requireIntegral(df, labelCol, "hardNegatives corpus")
+    requireIntegral(anchors, anchorIdCol, "hardNegatives anchors")
+    requireIntegral(anchors, anchorLabelCol, "hardNegatives anchors")
     // SIMD partial-scorer plan (bit-identical rows to the broadcast
     // cross-join — see simdTopKPartials); null-label/null-vec anchors
     // drop exactly as the `label =!= anchor_label` filter / null

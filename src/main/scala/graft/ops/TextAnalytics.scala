@@ -1296,6 +1296,40 @@ object TextAnalytics {
         (col("__total") - coalesce(col("n_paras_kept"), lit(0L))).as("n_paras_dropped"))
   }
 
+  /** [[dedupParagraphs]] with EXACT-DUPLICATE COLLAPSE (identical rows,
+    * OpsSpec-asserted), the 2-variant keeper rule: clone-class reps are
+    * min-id, so a paragraph's global min-(doc, pos) winner always has a
+    * REP doc id (any doc containing it has a rep ≤ it with the same
+    * text) — running the op over reps alone computes every rep's row
+    * exactly. A non-rep member keeps NOTHING (its own rep holds every
+    * one of its paragraphs at a smaller id), so its row is derivable
+    * from the rep's: empty text, 0 kept, kept+dropped dropped.
+    * `mlOf` builds the (pure-text) multi-line input from the raw text
+    * column. Eager; returns the persisted frame (caller unpersists). */
+  def dedupParagraphsCollapsedWithClasses(classes: DataFrame,
+      mlOf: Column => Column): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val repOut = dedupParagraphs(
+      classes.select(col("rep").as("sid"), mlOf(col("__text")).as("__ml")),
+      "sid", "__ml")
+    val out = repOut
+      .join(classes.select(col("rep"), col("members")),
+        repOut("sid") === col("rep"))
+      .select(explode(col("members")).as("__mid"), col("rep"),
+        col("cleaned_text"), col("n_paras_kept"), col("n_paras_dropped"))
+      .select(col("__mid").as("sid"),
+        when(col("__mid") === col("rep"), col("cleaned_text"))
+          .otherwise(lit("")).as("cleaned_text"),
+        when(col("__mid") === col("rep"), col("n_paras_kept"))
+          .otherwise(lit(0L)).as("n_paras_kept"),
+        when(col("__mid") === col("rep"), col("n_paras_dropped"))
+          .otherwise(col("n_paras_kept") + col("n_paras_dropped"))
+          .as("n_paras_dropped"))
+      .persist(lvl)
+    out.count()
+    out // caller owns the persisted frame: unpersist() when done
+  }
+
   /** Incremental paragraph dedup against a PERSISTED hash index — the
     * cross-batch form of [[dedupParagraphs]] for incremental ingest:
     * a paragraph seen in ANY earlier batch is excised (first writer

@@ -10,6 +10,8 @@ object Profile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
+      // same extensions as Bench — profile the production plans
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       // local bench corpora arrive as one or two large parquet files;
@@ -30,7 +32,12 @@ object Profile {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // eager queries return persisted frames under a caller-owns-
+        // unpersist contract — this harness is that caller, and a
+        // long profiling session must not accumulate cached plans
+        spark.catalog.clearCache()
+        dt
       }
       println(f"[profile] $name%-22s cold=${times(0)}%7.3f warm=${times(1)}%7.3f")
     }

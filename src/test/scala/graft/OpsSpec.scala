@@ -170,15 +170,27 @@ class OpsSpec extends SparkSpec {
 
   test("collapsed per-doc / weighted twins == direct: quality, repetition, " +
       "decontaminate(+overlap), novelty, diversity(+approx)") {
+    // MULTISET compare + schema (name, dataType) equality: a twin that
+    // duplicated/dropped repeated rows or changed a column type would
+    // pass a Set[String]-of-Row.toString compare — this suite is the
+    // correctness guarantee the production dispatch cites, so it must
+    // be multiplicity- and type-sensitive (r12 ADVICE).
     def rows(df: org.apache.spark.sql.DataFrame) = {
       val cols = df.columns.sorted
-      df.select(cols.head, cols.tail: _*).collect().map(_.toString).toSet
+      val p = df.select(cols.head, cols.tail: _*)
+      (p.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        p.collect().map(_.toString).groupBy(identity)
+          .map { case (k, v) => (k, v.length) })
     }
     def assertSame(direct: org.apache.spark.sql.DataFrame,
         collapsed: org.apache.spark.sql.DataFrame, what: String): Unit = {
-      val (d, c) = (rows(direct), rows(collapsed))
+      val (dSchema, d) = rows(direct)
+      val (cSchema, c) = rows(collapsed)
       collapsed.unpersist()
-      assert(d == c, s"$what: direct-only=${d -- c} collapsed-only=${c -- d}")
+      assert(dSchema == cSchema,
+        s"$what schema: direct=$dSchema collapsed=$cSchema")
+      assert(d == c, s"$what: direct-only=${d.toSet -- c.toSet} " +
+        s"collapsed-only=${c.toSet -- d.toSet}")
       assert(d.nonEmpty, s"$what: vacuous fixture")
     }
     // clone-heavy fixture with per-doc variety: long clean text (quota
@@ -410,6 +422,83 @@ class OpsSpec extends SparkSpec {
         outId = "doc_id") { reps =>
         TextAnalytics.qualityFilter(reps, "text").drop("text") },
       "qualityFilter-null-vs-empty")
+  }
+
+  test("round-13 collapsed twins == direct: exact-key rungs, tagged per-doc, " +
+      "paragraph dedup") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    def rows(df: DataFrame) = {
+      val cols = df.columns.sorted
+      val p = df.select(cols.head, cols.tail: _*)
+      (p.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        p.collect().map(_.toString).groupBy(identity)
+          .map { case (k, v) => (k, v.length) })
+    }
+    def assertSame(direct: DataFrame, collapsed: DataFrame,
+        what: String): Unit = {
+      val (dSchema, d) = rows(direct)
+      val (cSchema, c) = rows(collapsed)
+      collapsed.unpersist()
+      assert(dSchema == cSchema,
+        s"$what schema: direct=$dSchema collapsed=$cSchema")
+      assert(d == c, s"$what: direct-only=${d.toSet -- c.toSet} " +
+        s"collapsed-only=${c.toSet -- d.toSet}")
+      assert(d.nonEmpty, s"$what: vacuous fixture")
+    }
+    // clone-heavy fixture: case/whitespace/digit-decoration variants
+    // that byte-hash keeps apart but the canonical/aggressive keys
+    // must merge; plus empty and loner
+    val clean = "The Cat sat on the Mat and it is a Fine Day " * 3
+    val corpus = ((for {
+      (t, g) <- Seq(clean, clean.toLowerCase,
+        "spam ham spam ham spam ham spam ham spam here " * 2,
+        "unrelated block of words entirely here now ok " * 2).zipWithIndex
+      c <- 0 until 4
+    } yield ((c * 10 + g).toLong, t)) ++ Seq(
+      (100L, "loner document with its own content words " * 2),
+      (101L, ""))).toDF("doc_id", "text")
+
+    // exact-key rungs: union with decorated twins, the dedup_unicode /
+    // dedup_aggressive query shape
+    val uni = corpus.unionByName(corpus.select(($"doc_id" + 1000L).as("doc_id"),
+      concat(upper($"text"), lit("  Post #123, 4 views! ")).as("text")))
+    assertSame(
+      Dedup.exactNormalized(uni, "doc_id", "text"),
+      Dedup.exactNormalizedCollapsed(uni, "doc_id", "text"),
+      "exactNormalizedCollapsed")
+    assertSame(
+      Dedup.exactAggressive(uni, "doc_id", "text"),
+      Dedup.exactAggressiveCollapsed(uni, "doc_id", "text"),
+      "exactAggressiveCollapsed")
+
+    // tagged per-doc collapse: enrichment mixing text with an
+    // id-derived tag (the luhn/iban/mojibake planting pattern)
+    val classes = Dedup.cloneClasses(corpus, "doc_id", "text")
+    def tagF(d: DataFrame): DataFrame =
+      d.select($"doc_id", $"__tag",
+        length(concat($"text",
+          when($"__tag", lit(" EVEN")).otherwise(lit(" odd!"))))
+          .cast("long").as("len"),
+        upper(concat($"text",
+          when($"__tag", lit(" EVEN")).otherwise(lit(" odd!")))).as("u"))
+    val directTagged = tagF(corpus.select($"doc_id",
+        ($"doc_id" % 2 === 0).as("__tag"), $"text"))
+      .drop("__tag")
+    val collTagged = Dedup.perDocTaggedCollapsedWithClasses(classes,
+      "text", "doc_id", id => id % 2 === 0)(tagF)
+    assertSame(directTagged, collTagged, "perDocTaggedCollapsed")
+
+    // paragraph dedup: 2-variant keeper-rule collapse (reps keep their
+    // computed row, non-rep members keep nothing)
+    def mlOf(text: Column) = concat_ws("\n\n",
+      substring(text, 1, 30),
+      lit("subscribe to our newsletter"),
+      substring(text, 31, 30))
+    assertSame(
+      TextAnalytics.dedupParagraphs(
+        corpus.select($"doc_id", mlOf($"text").as("ml")), "doc_id", "ml"),
+      TextAnalytics.dedupParagraphsCollapsedWithClasses(classes, mlOf),
+      "dedupParagraphsCollapsed")
   }
 
   test("collapsed-graph connected components == clustering the expanded pairs") {

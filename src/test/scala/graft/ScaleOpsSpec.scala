@@ -1010,8 +1010,10 @@ class ScaleOpsSpec extends SparkSpec {
         r.getDouble(2), r.getInt(3))).toSet
       assert(got == expect, s"rewritten results must equal window results")
       // ineligible: projecting a column the heap cannot carry → no rewrite
+      // round-13: payload projections now FIRE via the TopKRows carry
+      // (no join-back — exact row-for-row even with duplicate ids)
       val extra = (0L until 100L).map(i =>
-        (s"g${i % 3}", i, i.toDouble, s"payload$i"))
+        (s"g${i % 3}", i, (i % 11).toDouble, s"payload$i"))
         .toDF("grp", "id", "score", "payload")
       extra.createOrReplaceTempView("lb2")
       val q2 =
@@ -1019,8 +1021,53 @@ class ScaleOpsSpec extends SparkSpec {
           |  SELECT *, row_number() OVER
           |    (PARTITION BY grp ORDER BY score DESC, id ASC) AS rn FROM lb2)
           |WHERE rn <= 3""".stripMargin
-      assert(s2.sql(q2).queryExecution.optimizedPlan.toString.contains("Window"),
-        "payload projection must decline the rewrite")
+      val rw2 = s2.sql(q2)
+      val opt2 = rw2.queryExecution.optimizedPlan.toString
+      assert(opt2.contains("top_k_rows") && !opt2.contains("Window"),
+        s"payload rewrite must fire via top_k_rows:\n$opt2")
+      val got2 = rw2.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toSet
+      val extraPlain = spark.createDataFrame(extra.collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))))
+        .toDF("grp", "id", "score", "payload")
+      extraPlain.createOrReplaceTempView("lb2_plain")
+      val want2 = spark.sql(q2.replace("lb2", "lb2_plain")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toSet
+      assert(got2 == want2,
+        s"payload rewrite rows: missing=${want2 -- got2} extra=${got2 -- want2}")
+
+      // round-13: the withColumn(rn, …cast(long)).filter shape (the
+      // Project lands UNDER the Filter, with a widening cast on rn)
+      // must fire too — the real-world DataFrame form of the idiom
+      val dfForm = s2.createDataFrame(extra.collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))))
+        .toDF("grp", "id", "score", "payload")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+            .orderBy(col("score").desc, col("id").asc)).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("grp", "id", "payload", "rn")
+      val optDf = dfForm.queryExecution.optimizedPlan.toString
+      assert(optDf.contains("top_k_rows") && !optDf.contains("Window"),
+        s"withColumn-cast shape must fire:\n$optDf")
+      val gotDf = dfForm.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(gotDf == want2.map(t => (t._1, t._2, t._3, t._4.toLong)),
+        "withColumn-cast shape rows differ")
+
+      // round-13: q4_window_rank itself gets the heap plan in an
+      // extensions session
+      val q4 = graft.Queries.q4WindowRank(s2, "/root/testdata/sf0.001")
+      val q4opt = q4.queryExecution.optimizedPlan.toString
+      assert(!q4opt.contains("Window"),
+        s"q4_window_rank must take the heap plan:\n$q4opt")
+      val q4want = graft.Queries.q4WindowRank(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).sorted.toSeq
+      val q4got = q4.collect().map(_.toString).sorted.toSeq
+      assert(q4got == q4want, "q4_window_rank heap plan rows differ")
       // ineligible: no deterministic id tie-break → no rewrite
       val q3 =
         """SELECT grp, id, score, rn FROM (
