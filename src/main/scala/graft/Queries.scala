@@ -3972,15 +3972,43 @@ object Queries {
     * guaranteed-heavy words within each language, same gate. */
   def heavyHittersByLang(s: SparkSession, dir: String): DataFrame = {
     val cap = 29
-    val words = t(s, dir, "documents")
-      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
+    val docs = t(s, dir, "documents")
+    // duplication-adaptive (identical rows): on a clone-heavy corpus
+    // the word stream collapses to (lang, word, weight) rows — one per
+    // distinct text's word per language it appears under — and the MG
+    // side takes the WEIGHTED aggregate (a weight-w bump is a batch of
+    // w occurrences, so it is a valid MG summary of the expanded
+    // stream; the guaranteed-heavy output rows and their booleans are
+    // summary-independent by the MG deficit theorem).
+    val weighted =
+      textDupFactor(docs.select(col("doc_id"), col("text")), "text",
+        s"$dir/documents") >= CollapseDispatchFactor
+    val (words, wCol) =
+      if (weighted) {
+        val classes = textClassesDf(s, dir)
+        val classLang = classes
+          .select(col("rep"), explode(col("members")).as("doc_id"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("rep"), col("lang")).agg(count(lit(1)).as("wt"))
+        val repWords = classes.select(col("rep"),
+            explode(split(trim(lower(col("__text"))), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("rep"), col("w")).agg(count(lit(1)).as("c"))
+        (repWords.join(classLang, "rep")
+          .select(col("lang"), col("w"), (col("c") * col("wt")).as("n")),
+          col("n"))
+      } else
+        (docs.select(col("lang"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .filter(col("w") =!= "").withColumn("n", lit(1L)),
+          lit(1L))
     val mg = words.groupBy("lang")
-      .agg(graft.functions.MgFunctions.misraGries(col("w"), cap).as("mg"))
+      .agg(graft.functions.MgFunctions
+        .misraGriesWeighted(col("w"), wCol, cap).as("mg"))
       .select(col("lang"), explode(col("mg")).as("e"))
       .select(col("lang"), col("e.item").as("w"), col("e.est").as("est"))
-    val exact = words.groupBy("lang", "w").agg(count(lit(1)).as("n_exact"))
-    val total = words.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val exact = words.groupBy("lang", "w").agg(sum(col("n")).as("n_exact"))
+    val total = words.groupBy("lang").agg(sum(col("n")).as("n_total"))
     exact.join(broadcast(total), "lang")
       .filter(col("n_exact") * (cap + 1) > col("n_total"))
       .join(broadcast(mg), Seq("lang", "w"))

@@ -45,6 +45,18 @@ final class MgBuffer(val k: Int) {
     }
   }
 
+  /** WEIGHTED add — exactly merging a singleton summary {item: w}
+    * (the mergeable-summaries view: a weight-w item is a batch of w
+    * occurrences), so the deterministic deficit bound extends to
+    * weighted streams: true(x) − W/(k+1) ≤ est(x) ≤ true(x) with W =
+    * total weight. This is what lets the collapse-first twins feed one
+    * counter bump per DISTINCT text instead of one per replica. */
+  def add(item: String, w: Long): Unit = {
+    if (w <= 0L) return
+    counts.put(item, counts.get(item) + w)
+    if (counts.size > k) trimToK()
+  }
+
   def mergeFrom(o: MgBuffer): Unit = {
     val it = o.counts.entrySet().iterator()
     while (it.hasNext) {
@@ -52,21 +64,23 @@ final class MgBuffer(val k: Int) {
       val cur = counts.get(e.getKey)
       counts.put(e.getKey, cur + e.getValue)
     }
-    if (counts.size > k) {
-      // subtract the (k+1)-th largest count from everything: at most k
-      // counters can be strictly larger, so ≤ k survive; the subtracted
-      // mass per item is ≤ what the two streams' bounds already allow
-      val values = new Array[Long](counts.size)
-      var i = 0
-      val vit = counts.values().iterator()
-      while (vit.hasNext) { values(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(values)
-      val cut = values(values.length - (k + 1)) // (k+1)-th largest
-      val eit = counts.entrySet().iterator()
-      while (eit.hasNext) {
-        val e = eit.next()
-        if (e.getValue <= cut) eit.remove() else e.setValue(e.getValue - cut)
-      }
+    if (counts.size > k) trimToK()
+  }
+
+  // subtract the (k+1)-th largest count from everything: at most k
+  // counters can be strictly larger, so ≤ k survive; the subtracted
+  // mass per item is ≤ what the contributing streams' bounds allow
+  private def trimToK(): Unit = {
+    val values = new Array[Long](counts.size)
+    var i = 0
+    val vit = counts.values().iterator()
+    while (vit.hasNext) { values(i) = vit.next(); i += 1 }
+    java.util.Arrays.sort(values)
+    val cut = values(values.length - (k + 1)) // (k+1)-th largest
+    val eit = counts.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      if (e.getValue <= cut) eit.remove() else e.setValue(e.getValue - cut)
     }
   }
 }
@@ -173,11 +187,123 @@ case class MisraGries(
   override def prettyName: String = "misra_gries"
 }
 
+/** misra_gries_weighted(item, weight, k) — [[MisraGries]] over a
+  * weighted stream: each row bumps its item's counter by `weight`
+  * (a batch of `weight` occurrences; null/non-positive weights are
+  * no-ops, matching the unweighted form's null-item skip). Same
+  * buffer, same guarantee with W = Σ weights — the summary a
+  * collapse-first pass builds from (distinct text, class size) rows
+  * is a valid MG summary of the EXPANDED stream. */
+case class MisraGriesWeighted(
+    item: Expression,
+    weight: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(item, weight)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (item.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries_weighted item must be STRING, got ${item.dataType.sql}")
+    else if (weight.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries_weighted weight must be BIGINT, got ${weight.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = item.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null)
+      buf.add(v.asInstanceOf[UTF8String].toString, w.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: MgBuffer, other: MgBuffer): MgBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: MgBuffer): Any = {
+    val entries = new Array[(String, Long)](buf.counts.size)
+    var i = 0
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1
+    }
+    val sorted = entries.sortBy { case (w, c) => (-c, w) }
+    new GenericArrayData(sorted.map { case (w, c) =>
+      InternalRow(UTF8String.fromString(w), c)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: MgBuffer): Array[Byte] = MgCodec.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): MgBuffer = MgCodec.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGriesWeighted =
+    copy(item = newChildren(0), weight = newChildren(1))
+  override def prettyName: String = "misra_gries_weighted"
+}
+
+/** Shared MG shuffle byte layout (length-prefixed UTF-8 — see the
+  * serializer note on [[MisraGries]]). */
+private[functions] object MgCodec {
+  def toBytes(buf: MgBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.counts.size)
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+  def fromBytes(bytes: Array[Byte]): MgBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new MgBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counts.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    buf
+  }
+}
+
 object MgFunctions {
   /** Column API: `df.agg(misraGries($"word", 64))`. */
   def misraGries(item: Column, k: Int): Column =
     ColumnBridge.column(MisraGries(
       ColumnBridge.expression(item.cast("string")), k)
+      .toAggregateExpression())
+
+  /** Column API: `df.agg(misraGriesWeighted($"word", $"n", 64))`. */
+  def misraGriesWeighted(item: Column, weight: Column, k: Int): Column =
+    ColumnBridge.column(MisraGriesWeighted(
+      ColumnBridge.expression(item.cast("string")),
+      ColumnBridge.expression(weight.cast("long")), k)
       .toAggregateExpression())
 }
 

@@ -441,9 +441,19 @@ object EventAnalytics {
     val ui = events.select(col(userCol).as("__u"), col(itemCol).as("__i")).distinct()
     val itemCounts = ui.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val nUsers = ui.select(col("__u")).distinct().agg(count(lit(1)).as("__nu"))
-    ui.as("a").join(ui.as("b"),
-        col("a.__u") === col("b.__u") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+    // per-user sorted basket → in-row pair explode: the same (a < b)
+    // pair multiset the distinct×distinct self-join produced, minus
+    // the join — one groupBy(user) exchange replaces the keyed join's
+    // exchange + probe, and pair generation is map-side. Basket sizes
+    // are catalog-bounded (items per user), never corpus-bounded.
+    ui.groupBy(col("__u"))
+      .agg(sort_array(collect_list(col("__i"))).as("__is"))
+      .select(explode(expr(
+        """flatten(transform(__is, (x, i) ->
+          |  transform(slice(__is, i + 2, size(__is) - i - 1),
+          |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
       .join(broadcast(itemCounts.select(col("__i").as("item_a"), col("__ni").as("n_a"))), "item_a")

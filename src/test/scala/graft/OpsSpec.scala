@@ -2875,6 +2875,26 @@ class OpsSpec extends SparkSpec {
         assert(tru - est <= n / 11, s"parts=$parts $w deficit: $tru - $est")
       }
     }
+    // WEIGHTED form (the collapse-first feed: one (word, count) row per
+    // distinct text): same stream pre-aggregated to weights must keep
+    // the identical guarantee — heavies present, est <= true, deficit
+    // <= W/(k+1) — under any partitioning/merge tree
+    val weightedRows = exact.toSeq
+    for (parts <- Seq(1, 4, 13)) {
+      val got = weightedRows.toDF("w", "n").repartition(parts)
+        .agg(graft.functions.MgFunctions
+          .misraGriesWeighted($"w", $"n", 10).as("mg"))
+        .select(explode($"mg").as("e")).select($"e.item", $"e.est")
+        .as[(String, Long)].collect().toMap
+      assert(got.contains("hot") && got.contains("warm"),
+        s"weighted parts=$parts: $got")
+      got.foreach { case (w, est) =>
+        val tru = exact(w)
+        assert(est <= tru, s"weighted parts=$parts $w overestimates: $est > $tru")
+        assert(tru - est <= n / 11,
+          s"weighted parts=$parts $w deficit: $tru - $est")
+      }
+    }
   }
 
   test("unigram LM tokenizer: seed counts hand-derived; Viterbi picks the modeled token; EM keeps the useful vocab; encode round") {
