@@ -2843,7 +2843,7 @@ object OracleSql {
         |FROM documents""".stripMargin,
 
     "cms_check" ->
-      """WITH m AS (SELECT CASE WHEN count(*) > 1000000 THEN 8 ELSE 1 END AS sm
+      """WITH m AS (SELECT CASE WHEN count(*) > 100000 THEN 8 ELSE 1 END AS sm
         |   FROM documents),
         | ww AS (SELECT wd FROM (SELECT
         |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd

@@ -1627,26 +1627,26 @@ object Queries {
       .withColumn("__late",
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
           .cast("int"))
-    // Pre-aggregate to (orderkey, suppkey, max(late)) grain FIRST: both
-    // per-order counts then become plain counts over unique supplier
-    // rows — the naive two-countDistinct aggregate plans an Expand that
-    // doubles the 60M-row join output before the exchange. The shared
-    // (orderkey, suppkey) aggregate subtree below both consumers is
-    // picked up by ReusedExchange, so the join+partial-agg runs once.
+    // SINGLE PASS over the join output: pre-aggregate to (orderkey,
+    // suppkey, max(late)) grain — both per-order counts then become
+    // plain counts over unique supplier rows, where the naive
+    // two-countDistinct aggregate plans an Expand that doubles the
+    // 60M-row join output before the exchange. And because a
+    // qualifying order has EXACTLY ONE late supplier, that supplier's
+    // identity is recoverable in the SAME rollup (max over the late
+    // rows' suppkeys) — no second pass over the join, no join-back,
+    // no exchange reuse to hope for.
     val ls = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("__late")).as("__late"))
-    val stats = ls.groupBy(col("l_orderkey"))
+    val qualifying = ls.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"),
-        sum(col("__late")).cast("long").as("n_late_supp"))
+        sum(col("__late")).cast("long").as("n_late_supp"),
+        max(when(col("__late") === 1, col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
-      .select(col("l_orderkey"))
     val sup = broadcast(t(s, dir, "supplier")
       .select(col("s_suppkey"), col("s_name")))
-    // qualifying orders have exactly ONE late supplier row at this
-    // grain, so count(1) per supplier == countDistinct(orderkey)
-    ls.filter(col("__late") === 1)
-      .join(stats, Seq("l_orderkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
+    qualifying
+      .join(sup, col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
@@ -3444,12 +3444,12 @@ object Queries {
     * Oracle recomputes the exact side and emits `true`. */
   def cmsCheck(s: SparkSession, dir: String): DataFrame = {
     // ScaleBounds (count-tiered slice): both the CMS build and its
-    // exact top-20 verification scan every word occurrence; past 1M
+    // exact top-20 verification scan every word occurrence; past 100k
     // docs the gate population slices to doc_id % 8 == 0 (vacuous at
     // sf ≤ 1; the oracle derives the same CASE from count(*)) — the
     // sketch guarantee is asserted identically on the sliced stream.
     val sliceMod =
-      if (t(s, dir, "documents").count() > 1000000L) 8L else 1L
+      if (t(s, dir, "documents").count() > 100000L) 8L else 1L
     val words = t(s, dir, "documents")
       .filter(col("doc_id") % sliceMod === 0)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))

@@ -22,6 +22,15 @@ object Profile {
       // (micro-snapped means, merge-deterministic sketches, bounded
       // heaps with total-order ties).
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // TypedImperativeAggregate plans (top_k_hits/rows, sketches) keep
+      // tiny bounded buffers per group, but ObjectHashAggregate falls
+      // back to SORT-BASED aggregation after only 128 distinct keys per
+      // task (a default tuned for huge collect_list buffers) - a full
+      // local sort that erases the heap plan's win on high-cardinality
+      // groups (q4's 1.5M customers). 16 MB input splits bound per-task
+      // key counts, so a 4M-key hash map is the cheaper, safe path.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
