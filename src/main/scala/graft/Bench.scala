@@ -185,11 +185,22 @@ object Bench {
     for (pass <- 1 to runs; name <- names if !timedOutQs(name)) {
       // timed-out queries short-circuit: re-running a known-over-budget
       // query burns a full timeout per pass for a number we know is -2
-      val (dt, rows, zombie) = timedRun(name)
-      samples(name) += ((dt, rows))
-      if (zombie) zombies += name
-      if (dt == -2.0) timedOutQs += name
-      if (pass == 1) System.err.println(f"[bench] $name%s $dt%.3fs")
+      // The FINAL pass samples each query twice back-to-back: cycling
+      // 200+ queries evicts Spark's 100-entry codegen cache between a
+      // query's interleaved samples, so without a back-to-back pair
+      // every sample pays ~0.5-1.5 s of recompilation and small
+      // queries read systematically high. Min over (interleaved…,
+      // back-to-back pair) keeps both protections: a contention
+      // window can't hit all of a query's samples, and at least one
+      // sample runs codegen-warm.
+      val reps = if (pass == runs) 2 else 1
+      for (_ <- 1 to reps if !timedOutQs(name)) {
+        val (dt, rows, zombie) = timedRun(name)
+        samples(name) += ((dt, rows))
+        if (zombie) zombies += name
+        if (dt == -2.0) timedOutQs += name
+        if (pass == 1) System.err.println(f"[bench] $name%s $dt%.3fs")
+      }
     }
     // Outlier re-queue: any query whose min still exceeds 3× its value
     // in the PRIOR persisted artifact (read before this run overwrites
