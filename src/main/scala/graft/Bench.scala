@@ -61,7 +61,8 @@ object Bench {
       // groups (q4's 1.5M customers). 16 MB input splits bound per-task
       // key counts, so a 4M-key hash map is the cheaper, safe path.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (4 * 1024 * 1024).toString)
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS",
+          (4 * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
