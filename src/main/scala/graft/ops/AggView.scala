@@ -60,16 +60,24 @@ object AggView {
       buckets: Int = 16): Unit = {
     require(buckets > 0, "buckets must be positive")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // persist the rollup before fanning out: it is keyspace-sized
+    // (tiny), but its LINEAGE is the full base scan — without the
+    // persist the distinct-bucket probe and every bucket write each
+    // replay that scan (1 + buckets full passes; 336 s at sf10 for a
+    // 3-row result).
     val agg = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"),
         sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"))
       .withColumn("__b", bucketOf(col("key"), buckets))
-    val bs = agg.select("__b").distinct().collect().map(_.getLong(0))
-    bs.foreach { b =>
-      agg.filter(col("__b") === b).drop("__b")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(bucketDir(dir, b).toString)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bs = agg.select("__b").distinct().collect().map(_.getLong(0))
+      bs.foreach { b =>
+        agg.filter(col("__b") === b).drop("__b")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(bucketDir(dir, b).toString)
+      }
+    } finally agg.unpersist()
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_meta.json"),
       s"""{"buckets": $buckets}""".getBytes)
   }
