@@ -231,9 +231,19 @@ object Bench {
       ok.nonEmpty && prior.get(n).exists(p =>
         p > 0 && ok.map(_._1).min > math.max(3 * p, 2.0))
     }
+    // The re-queue is deliberately one-sided (only regressions vs the
+    // prior artifact get an extra min() sample), which would ratchet
+    // reported times downward invisibly — so the PRE-rerun min is
+    // recorded next to each re-run name (protocol.pre_rerun_min): a
+    // reader can separate "contention recovered" (pre ≫ final) from a
+    // genuine speedup without trusting the ratchet.
+    val preRerunMin: Map[String, Double] = outlierReruns.map { n =>
+      n -> samples(n).map(_._1).filter(_ >= 0).min
+    }.toMap
     outlierReruns.foreach { name =>
       val (dt, rows, zombie) = timedRun(name)
-      System.err.println(f"[bench] outlier re-run $name%s $dt%.3fs")
+      System.err.println(f"[bench] outlier re-run $name%s $dt%.3fs" +
+        f" (pre-rerun min ${preRerunMin(name)}%.3fs)")
       samples(name) += ((dt, rows))
       if (zombie) zombies += name
     }
@@ -263,7 +273,10 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val rerunJson = outlierReruns
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_out":$rowsOut,"protocol":{"runs":$runs,"agg":"min-interleaved","cpus":$cpus,"timeout_sec":$timeoutSec,"prebuild_sec":$prebuildJson,"failed_prebuilds":$failedPrebuildJson,"zombies":$zombieJson,"outlier_reruns":$rerunJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}"""
+    val preRerunJson = outlierReruns
+      .map(n => "\"" + n + "\":" + f"${preRerunMin(n)}%.3f")
+      .mkString("{", ",", "}")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","rows_out":$rowsOut,"protocol":{"runs":$runs,"agg":"min-interleaved","cpus":$cpus,"timeout_sec":$timeoutSec,"prebuild_sec":$prebuildJson,"failed_prebuilds":$failedPrebuildJson,"zombies":$zombieJson,"outlier_reruns":$rerunJson,"pre_rerun_min":$preRerunJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}}"""
     println(json)
     try {
       Option(outPath.getParent).foreach(Files.createDirectories(_))

@@ -104,8 +104,8 @@ object ScaleBounds {
       "m CTE: CASE WHEN count(*) > 10000000 THEN 8 ELSE 1 END, same predicate in both halves"),
     Bound(Seq("cms_check"),
       "Queries.cmsCheck", "scaled-param",
-      "gate population slices to doc_id % 8 == 0 past 1M documents (vacuous sf <= 1); CMS build and exact top-20 both sliced",
-      "m CTE: CASE WHEN count(*) > 1000000 THEN 8 ELSE 1 END on the word stream"))
+      "gate population slices to doc_id % 8 == 0 past 100k documents (vacuous sf <= 1, active at sf10's ~500k docs); CMS build and exact top-20 both sliced",
+      "m CTE: CASE WHEN count(*) > 100000 THEN 8 ELSE 1 END over documents, same predicate in both halves"))
 
   /** The audited number of fractional `% N ===` / `% N =!=` slice
     * sites in Queries.scala (panels included, benign splits included).

@@ -40,9 +40,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Eager queries (jaccard/minhash/corpus) return persisted frames
-      // with a caller-owns-unpersist contract — this harness is that
-      // caller, and the result is fully consumed by the write above.
+      // Eager twins return localCheckpoint-backed frames (reclaimed by
+      // the ContextCleaner); clearCache drops any cached plans a query
+      // registered internally between dumps.
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

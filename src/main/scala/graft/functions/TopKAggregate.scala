@@ -18,9 +18,19 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
 
   /** true if (s, id) ranks strictly better than (s2, id2):
-    * higher score, or equal score and lower id. */
-  @inline private def better(s: Double, id: Long, s2: Double, id2: Long): Boolean =
-    s > s2 || (s == s2 && id < id2)
+    * higher score, or equal score and lower id. Scores compare under
+    * Spark's total order for doubles ([[java.lang.Double.compare]]:
+    * NaN largest, -0.0 < 0.0) so a rewrite from a window sort — which
+    * uses that same total order — stays row-for-row exact even when
+    * groups contain NaN scores (IEEE `>`/`==` would silently rank NaN
+    * worse-than-everything instead). The `+ 0.0` canonicalizes -0.0
+    * to 0.0 first, matching Spark's NormalizeFloatingNumbers treatment
+    * of sort keys (-0.0 and 0.0 tie, the id breaks it) while stored
+    * scores keep their original bits. */
+  @inline private def better(s: Double, id: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s + 0.0, s2 + 0.0)
+    c > 0 || (c == 0 && id < id2)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size < k) {
@@ -146,8 +156,12 @@ final class TopKRowsBuffer(val k: Int) {
   val ids = new Array[Long](k)
   val payloads = new Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow](k)
 
-  @inline private def better(s: Double, id: Long, s2: Double, id2: Long): Boolean =
-    s > s2 || (s == s2 && id < id2)
+  @inline private def better(s: Double, id: Long, s2: Double, id2: Long): Boolean = {
+    // Spark's sort-key total order (NaN largest, -0.0 == 0.0) — see
+    // TopKBuffer.better for the rationale.
+    val c = java.lang.Double.compare(s + 0.0, s2 + 0.0)
+    c > 0 || (c == 0 && id < id2)
+  }
 
   /** Would (s, id) enter the buffer? Callers use this to skip the
     * payload row copy for the (overwhelmingly common at scale)

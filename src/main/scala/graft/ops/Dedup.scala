@@ -154,10 +154,9 @@ object Dedup {
       .join(combos, Seq("__ka", "__kb"))
       .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"),
         col("verified"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     keyed.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Edit-distance ≤ 1 similarity JOIN via deletion neighborhoods
@@ -436,12 +435,11 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz") - col("inter")).cast("double"))
       .filter(col("jaccard") >= lit(threshold))
       .select("id_a", "id_b", "jaccard")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.count() // materialize, then drop the (larger) intermediates
+      .localCheckpoint(true) // eager: drop the (larger) intermediates below
     cand2.unpersist()
     prunedSets.unpersist()
     sets.unpersist()
-    verified // caller owns the persisted pair frame: unpersist() when done
+    verified // eager localCheckpoint: ContextCleaner reclaims the blocks
   }
 
   /** [[jaccardPairs]] with EXACT-DUPLICATE COLLAPSE first — the scale
@@ -472,7 +470,7 @@ object Dedup {
     * final output (which is the answer) does. On a mostly-unique
     * corpus classes ≈ docs and the plan degenerates to the direct one
     * plus a cheap sha groupBy. Eager; returns the persisted pair
-    * frame (caller unpersists). */
+    * frame (no unpersist contract). */
   def jaccardPairsCollapsed(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int, minShared: Int = 1,
       broadcastBytesCap: Long = 128L << 20,
@@ -557,8 +555,7 @@ object Dedup {
       .select(col("a"), explode(col("__mb")).as("b"), col("jaccard"))
       .select(least(col("a"), col("b")).as("id_a"),
         greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
-    val out = within.unionByName(cross).persist(lvl)
-    out.count()
+    val out = within.unionByName(cross).localCheckpoint(true)
     // side outputs for graph consumers (the collapsed-CC path): clone
     // classes, the verified rep-level pair graph, and the reps whose
     // within-class clique pairs were emitted — together they determine
@@ -605,7 +602,7 @@ object Dedup {
     *  - verification uses the full stored/new hash sets with the same
     *    measured-broadcast discipline as [[jaccardPairs]].
     *
-    * Eager; returns the persisted pair frame (caller unpersists). */
+    * Eager; returns a localCheckpoint-backed pair frame (no unpersist contract). */
   def incrementalJaccardPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String, newDocs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int, minShared: Int = 1,
@@ -850,11 +847,10 @@ object Dedup {
         .select("sid", "h")
       val allSigs = okSigs.unionByName(minhashSignatures(fallbackRows, numHashes))
       val result = bandPairs0(allSigs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      result.count() // materialize, then drop the scan + signature caches
+        .localCheckpoint(true) // eager: drop the scan + signature caches below
       sigs.unpersist()
       sets.unpersist()
-      result // caller owns the persisted pair frame: unpersist() when done
+      result // eager localCheckpoint: ContextCleaner reclaims the blocks
     }
   }
 
@@ -932,7 +928,7 @@ object Dedup {
     * self-join materializes F² rows per distinct bucket (and the md5
     * shingle pass runs F× too). Collapsed, candidate volume is the
     * DISTINCT corpus's; only the output (the answer) scales with F.
-    * Eager; returns the persisted pair frame (caller unpersists). */
+    * Eager; returns a localCheckpoint-backed pair frame (no unpersist contract). */
   def minhashLshCandidatesCollapsed(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, maxDocFreq: Int = 0,
       maxDocFreqFraction: Double = 0.0, dfFloor: Int = 16): DataFrame = {
@@ -989,10 +985,9 @@ object Dedup {
     val cross = expandRepPairs(
       repPairs.withColumnRenamed("id_a", "rep_a").withColumnRenamed("id_b", "rep_b"),
       classes, carry = Seq.empty)
-    val out = within.unionByName(cross).persist(lvl)
-    out.count()
+    val out = within.unionByName(cross).localCheckpoint(true)
     repPairs.unpersist(); sets.unpersist(); classes.unpersist()
-    out // caller owns the persisted pair frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** FUZZY benchmark decontamination: corpus documents whose MinHash
@@ -1041,7 +1036,7 @@ object Dedup {
     * scale — the bench side broadcasts) then run once per DISTINCT
     * text instead of once per clone. The benchmark side is left
     * as-is: it is corpus-tiny by contract. Eager; returns the
-    * persisted frame (caller unpersists). */
+    * persisted frame (no unpersist contract). */
   def minhashDecontaminateCollapsed(corpus: DataFrame, corpusId: String,
       corpusText: String, benchmark: DataFrame, benchId: String, benchText: String,
       n: Int = 8, numHashes: Int = 16, rowsPerBand: Int = 4,
@@ -1055,10 +1050,9 @@ object Dedup {
       .join(classes.select(col("rep").as("sid"), col("members")), Seq("sid"))
       .select(explode(col("members")).as("sid"),
         col("bench_id"), col("minhash_est"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     classes.unpersist()
-    out // caller owns the persisted pair frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Per-document n-gram novelty with EXACT-DUPLICATE COLLAPSE —
@@ -1091,10 +1085,9 @@ object Dedup {
         col("n_grams"), col("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     grams.unpersist(); classes.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Generic EXACT-DUPLICATE COLLAPSE for per-doc, content-determined
@@ -1153,9 +1146,8 @@ object Dedup {
       .join(classes.select(col("rep"), col("members")),
         repOut(outId) === col("rep"))
       .select((explode(col("members")).as(outId) +: carried.map(col)): _*)
-      .persist(lvl)
-    out.count()
-    out // caller owns the persisted frame: unpersist() when done
+      .localCheckpoint(true)
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** [[perDocCollapsedWithClasses]] for enrichments that depend on the
@@ -1194,10 +1186,9 @@ object Dedup {
     val out = mem
       .join(repOut.withColumnRenamed(outId, "rep"), Seq("rep", "__tag"))
       .select((col(outId) +: carried.map(col)): _*)
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     mem.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** SimHash: 60-bit fingerprint from per-shingle bit votes over the
@@ -1247,7 +1238,7 @@ object Dedup {
     * exactly when the direct path buckets them); cross-class rep pairs
     * expand to member products with the reps' hamming (fingerprints
     * are class constants). Eager; returns the persisted pair frame
-    * (caller unpersists). */
+    * (no unpersist contract). */
   def simhashNearDupsCollapsed(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxHammingDistance: Int): DataFrame = {
     require(maxHammingDistance >= 0, "maxHammingDistance must be >= 0")
@@ -1274,10 +1265,9 @@ object Dedup {
     val within = withinClassPairs(classes.join(sigful, Seq("rep"), "left_semi"))
       .withColumn("hamming", lit(0L))
     val cross = expandRepPairs(repPairs, classes, carry = Seq("hamming"))
-    val out = within.unionByName(cross).persist(lvl)
-    out.count()
+    val out = within.unionByName(cross).localCheckpoint(true)
     fps.unpersist(); classes.unpersist()
-    out // caller owns the persisted pair frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
@@ -1836,10 +1826,9 @@ object Dedup {
     val memberRows = perVariant.filter(col("__v") === "m").join(cm, "rep")
       .select(explode(expr("filter(members, x -> x != rep)")).as("sid"),
         col("cleaned_text"), col("n_kept"), col("n_dropped"))
-    val out = repRows.unionByName(memberRows).persist(lvl)
-    out.count()
+    val out = repRows.unionByName(memberRows).localCheckpoint(true)
     gk.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Transitive near-dup clustering: connected components over an
@@ -1874,7 +1863,7 @@ object Dedup {
     *    if so; the local path always converges).
     *
     * Eager, like the pair generators: runs at call time and returns the
-    * final persisted (sid, cluster) frame — caller owns `unpersist()`. */
+    * final localCheckpoint-backed (sid, cluster) frame (no unpersist contract). */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 50,
       maxLocalPairs: Long = 4000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1958,14 +1947,14 @@ object Dedup {
           s"component of diameter > $maxIters, which no near-dup process produces; " +
           "raise maxIters explicitly if this topology is intended")
     }
-    // re-root the (sid, cluster) projection as its own cache entry so the
-    // caller's unpersist() releases everything (the projected frame's
-    // plan is not the cached aggregate's, so unpersisting via it would
-    // otherwise leave the final round's cache behind)
-    val result = labels.persist(lvl)
-    result.count()
+    // re-root the (sid, cluster) projection via eager localCheckpoint:
+    // lineage to the iteration caches is truncated, so the final
+    // round's cache can be dropped here and the blocks behind the
+    // returned frame are reclaimed by the ContextCleaner when it is
+    // garbage-collected — no unpersist contract on the caller
+    val result = labels.localCheckpoint(true)
     handle.unpersist()
-    result // caller owns the persisted (sid, cluster) frame
+    result // eager localCheckpoint: ContextCleaner reclaims the blocks
   }
 
   /** Connected-component clustering from the COLLAPSED pair graph (the
@@ -2000,10 +1989,9 @@ object Dedup {
       .join(repClusters.withColumnRenamed("sid", "rep"), Seq("rep"), "left")
       .select(explode(col("members")).as("sid"),
         coalesce(col("cluster"), col("rep")).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      .localCheckpoint(true)
     repClusters.unpersist()
-    out // caller owns the persisted (sid, cluster) frame
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks
   }
 
   /** [[dedupCorpus]] with TRANSITIVE collapse: near-dup pairs are
@@ -2025,12 +2013,11 @@ object Dedup {
     val drop = broadcast(
       clusters.filter(col("sid") =!= col("cluster")).select(col("sid").as(idCol)))
     val result = survivors.join(drop, Seq(idCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
+      .localCheckpoint(true)
     clusters.unpersist()
     pairs.unpersist()
     survivors.unpersist()
-    result // caller owns unpersist()
+    result // eager localCheckpoint: ContextCleaner reclaims the blocks
   }
 
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String, n: Int = 8,
@@ -2054,11 +2041,10 @@ object Dedup {
     // a sort-merge join)
     val drop = broadcast(pairs.select(col("id_b").as(idCol)).distinct())
     val result = survivors.join(drop, Seq(idCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize so the upstream caches can be released
+      .localCheckpoint(true) // eager: upstream caches can be released
     pairs.unpersist()
     survivors.unpersist()
-    result // caller owns unpersist() (at 100 TB: write to a staging
-           // parquet instead of holding the cache)
+    result // eager localCheckpoint — ContextCleaner reclaims the blocks
+           // (at 100 TB: write to a staging parquet instead)
   }
 }

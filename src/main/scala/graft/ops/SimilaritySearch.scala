@@ -301,9 +301,17 @@ object SimilaritySearch {
   private def simdTopKPartials(df: DataFrame, idCol: String, vecCol: String,
       labelCol: Option[String], aIds: Array[Long],
       aVecs: Array[Array[Double]], aLabels: Array[Long], k: Int,
-      excludeSelf: Boolean, excludeSameLabel: Boolean): DataFrame = {
+      excludeSelf: Boolean, excludeSameLabel: Boolean,
+      aExcl: Array[Array[Long]] = null): DataFrame = {
     require(!excludeSameLabel || labelCol.nonEmpty,
       "excludeSameLabel needs a corpus label column")
+    // optional per-anchor excluded-id sets (contrastive mining's
+    // same-cluster exclusions): SORTED arrays, binary-searched in the
+    // hot loop — sets are pair-graph-tiny, the search is ~log2(|excl|)
+    require(aExcl == null ||
+      (aExcl.length == aIds.length && aExcl.forall(e =>
+        e != null && (e.isEmpty || e.zip(e.tail).forall(p => p._1 <= p._2)))),
+      "aExcl must be one SORTED array per anchor")
     val spark = df.sparkSession
     import spark.implicits._
     val nA = aIds.length
@@ -320,7 +328,8 @@ object SimilaritySearch {
       while (d < dim) { colsByDim(d)(a) = v(d); ny += v(d) * v(d); d += 1 }
       norms(a) = ny; a += 1
     }
-    val bc = spark.sparkContext.broadcast((colsByDim, norms, aIds, aLabels, aVecs))
+    val bc = spark.sparkContext.broadcast(
+      (colsByDim, norms, aIds, aLabels, aVecs, aExcl))
 
     val base0 = labelCol match {
       case Some(lc) =>
@@ -338,10 +347,12 @@ object SimilaritySearch {
     val sized = if (base.rdd.getNumPartitions < parts) base.repartition(parts) else base
 
     sized.mapPartitions { it =>
-      val (cols, nys, ids, lbls, avs) = bc.value
+      val (cols, nys, ids, lbls, avs, excl) = bc.value
       val n = ids.length
       val heaps = Array.fill(n)(new graft.functions.TopKBuffer(k))
       val out = new Array[Double](n)
+      @inline def excluded(ai: Int, id: Long): Boolean =
+        excl != null && java.util.Arrays.binarySearch(excl(ai), id) >= 0
       it.foreach { case (id, x, lbl) =>
         if (x != null && n > 0) {
           if (x.length == dim) {
@@ -362,7 +373,8 @@ object SimilaritySearch {
             var ai = 0
             while (ai < n) {
               if (!((excludeSelf && ids(ai) == id) ||
-                  (excludeSameLabel && lbls(ai) == lbl))) {
+                  (excludeSameLabel && lbls(ai) == lbl) ||
+                  excluded(ai, id))) {
                 val ny = nys(ai)
                 val s = if (nx == 0.0 || ny == 0.0) 0.0
                   else out(ai) / math.sqrt(nx * ny)
@@ -376,7 +388,8 @@ object SimilaritySearch {
             var ai = 0
             while (ai < n) {
               if (!((excludeSelf && ids(ai) == id) ||
-                  (excludeSameLabel && lbls(ai) == lbl))) {
+                  (excludeSameLabel && lbls(ai) == lbl) ||
+                  excluded(ai, id))) {
                 val av = avs(ai)
                 val m = math.min(x.length, dim)
                 var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
@@ -517,30 +530,43 @@ object SimilaritySearch {
     * corpora. */
   def contrastiveTriples(pairs: DataFrame, vecs: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val anchors = pairs.select(col("id_a")).distinct()
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__av")), "id_a")
+    // SIMD partial-scorer plan (r14): the previous broadcast cross-join
+    // + codegen max(struct) was the correct linear plan but still paid
+    // per-pair join-row materialization — the sf10 #1 resident at 48 s.
+    // The anchor panel and the pair graph's exclusion edges are both
+    // bounded by the caller's batching contract (they were broadcast
+    // before, i.e. driver-collected already); mining is now one corpus
+    // pass through [[simdTopKPartials]] — bit-identical scores, k=1
+    // heap per anchor, same (score desc, lowest id) tie-break as the
+    // old max(struct(score, -id)).
+    val anchorRows = pairs.select(col("id_a")).distinct()
+      .join(vecs.select(col(idCol).cast("long").as("id_a"),
+        col(vecCol).cast("array<double>").as("__av")), "id_a")
+      .filter(col("__av").isNotNull)
+      .collect()
+    val aIds = anchorRows.map(_.getLong(0))
+    val aVecs = anchorRows.map(_.getSeq[Double](1).toArray)
     // same-cluster exclusions: the anchor itself + partners both ways
-    val excl = pairs.select(col("id_a").as("__xa"), col("id_b").as("__xv"))
-      .unionByName(pairs.select(col("id_b").as("__xa"), col("id_a").as("__xv")))
-      .unionByName(pairs.select(col("id_a").as("__xa"), col("id_a").as("__xv")))
-      .distinct()
-    val scored = vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(anchors))
-      .withColumn("cosine",
-        graft.functions.VectorFunctions.cosineSimilarity(col(vecCol), col("__av")))
-      .join(broadcast(excl),
-        col("id_a") === col("__xa") && col(idCol) === col("__xv"), "left_anti")
-    // k=1 needs no heap: a declarative max(struct(score, -id)) keeps
-    // the whole aggregation inside whole-stage codegen. The r11 sf10
-    // run measured the ObjectHashAggregate TopKHits path at ~0.5M
-    // rows/s against this plan's anchor×corpus row volume — the
-    // codegen max is the difference between 406 s and linear here.
-    // Tie-break matches the oracle: score desc, then LOWEST id.
-    val negs = scored.groupBy(col("id_a"))
-      .agg(max(struct(col("cosine").as("score"),
-        (-col(idCol).cast("long")).as("nid"))).as("m"))
-      .select(col("id_a"), (-col("m.nid")).as("negative_id"),
-        col("m.score").as("neg_cosine"))
+    val exclEdges = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("v"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("a"),
+        col("id_a").cast("long").as("v")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (a, vs) => a -> vs.map(_._2).toSet }
+    val aExcl = aIds.map(a =>
+      (exclEdges.getOrElse(a, Set.empty[Long]) + a).toArray.sorted)
+    val partials = simdTopKPartials(vecs, idCol, vecCol, None,
+      aIds, aVecs, new Array[Long](aIds.length), k = 1,
+      excludeSelf = false, excludeSameLabel = false, aExcl = aExcl)
+    val negs = partials.groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKFunctions
+        .topKHits(col("cosine"), col("__nid"), 1).as("hits"))
+      // fully-excluded anchor → empty heap → no row (as the anti-join
+      // plan produced no scored rows for it)
+      .filter(size(col("hits")) > 0)
+      .select(col("anchor_id").as("id_a"),
+        col("hits")(0)("id").as("negative_id"),
+        col("hits")(0)("score").as("neg_cosine"))
     pairs.join(broadcast(negs), Seq("id_a"))
       .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
         col("jaccard"), col("negative_id"), col("neg_cosine"))

@@ -375,10 +375,9 @@ object TextAnalytics {
       .join(classes.select(col("rep").as("sid"), col("members")), "sid")
       .select(explode(col("members")).as("sid"), col("keyword"),
         col("rk"), col("tfidf"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     classes.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** [[pmiCollocations]] with EXACT-DUPLICATE COLLAPSE (identical
@@ -612,10 +611,9 @@ object TextAnalytics {
       .select(explode(col("members")).as(idCol), col("bm25"))
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(topK)
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     classes.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Single-pass CDC chunker kernel: one in-row scan computing the
@@ -765,11 +763,10 @@ object TextAnalytics {
         col("surviving_chunks"), col("reused_chunks"),
         round(col("reused_chunks").cast("double") / col("edited_chunks"), 6)
           .as("reuse_pct"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     chunks.unpersist()
     classes.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Corpus snapshot diff — the dataset-versioning primitive: given
@@ -848,10 +845,9 @@ object TextAnalytics {
       .join(classes.select(col("rep"), col("members")), "rep")
       .select(explode(col("members")).as(idCol), col("n_tokens"),
         round(col("__lp") / col("n_tokens").cast("double"), 6).as("mean_logprob"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     classes.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Deterministic stratified RATE sampling — the per-domain /
@@ -1236,10 +1232,9 @@ object TextAnalytics {
       .join(classes.select(col("rep"), col("members")), "rep")
       .select(explode(col("members")).as(idCol), col("n_bigrams"),
         round(col("__lp") / col("n_bigrams").cast("double"), 6).as("mean_bigram_logprob"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     classes.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** C4 line filter (Raffel et al. 2020 §2.2, the "clean" rules'
@@ -1305,7 +1300,7 @@ object TextAnalytics {
     * one of its paragraphs at a smaller id), so its row is derivable
     * from the rep's: empty text, 0 kept, kept+dropped dropped.
     * `mlOf` builds the (pure-text) multi-line input from the raw text
-    * column. Eager; returns the persisted frame (caller unpersists). */
+    * column. Eager; returns a localCheckpoint-backed frame (no unpersist contract). */
   def dedupParagraphsCollapsedWithClasses(classes: DataFrame,
       mlOf: Column => Column): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1325,9 +1320,8 @@ object TextAnalytics {
         when(col("__mid") === col("rep"), col("n_paras_dropped"))
           .otherwise(col("n_paras_kept") + col("n_paras_dropped"))
           .as("n_paras_dropped"))
-      .persist(lvl)
-    out.count()
-    out // caller owns the persisted frame: unpersist() when done
+      .localCheckpoint(true)
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** Incremental paragraph dedup against a PERSISTED hash index — the
@@ -1750,10 +1744,9 @@ object TextAnalytics {
       .join(classesS.select(col("rep"), col("members")), "rep")
       .select(explode(col("members")).as(idCol), col("n_trigrams"),
         col("mean_sb_logprob"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     classesS.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   // -------------------------------------------------------------------
@@ -1877,10 +1870,9 @@ object TextAnalytics {
       .join(classesR.select(col("rep").as("sid"), col("members")), "sid")
       .select(explode(col("members")).as("sid"), col("logw_micro"),
         (col("logw_micro").cast("double") / 1e6).as("logw"))
-      .persist(lvl)
-    out.count()
+      .localCheckpoint(true)
     classesR.unpersist()
-    out // caller owns the persisted frame: unpersist() when done
+    out // eager localCheckpoint: ContextCleaner reclaims the blocks (see q11)
   }
 
   /** DSIR resampling: top-`k` raw documents by importance weight plus

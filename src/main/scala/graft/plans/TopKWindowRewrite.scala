@@ -178,11 +178,24 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
 
       // Spark's InferWindowGroupLimit may already have slid a
       // WindowGroupLimit under the window (a per-partition sort+limit
-      // pass). The heap aggregate subsumes it — peel it off (only when
-      // it provably keeps at least the top k, i.e. it was inferred
-      // from this same rank filter) so the plan sorts nowhere at all.
+      // pass). The heap aggregate subsumes it — peel it off, but only
+      // when it provably keeps at least the top k OF THIS WINDOW'S
+      // order: same partition spec, same (score desc nulls-last,
+      // id asc) sort, row_number semantics, limit ≥ k. A WGL with any
+      // other spec (however it got there) prunes rows the heap still
+      // needs, so it must stay.
+      def sameOrder(os: Seq[SortOrder]): Boolean = os match {
+        case Seq(SortOrder(s, Descending, NullsLast, _),
+                 SortOrder(i, Ascending, _, _)) =>
+          s.semanticEquals(score) && i.semanticEquals(id)
+        case _ => false
+      }
+      def samePart(ps: Seq[Expression]): Boolean =
+        ps.length == partSpec.length &&
+          ps.zip(partSpec).forall { case (a, b) => a.semanticEquals(b) }
       val child = child0 match {
-        case WindowGroupLimit(_, _, RowNumber(), limit, c) if limit >= k => c
+        case WindowGroupLimit(ps, os, RowNumber(), limit, c)
+            if limit >= k && samePart(ps) && sameOrder(os) => c
         case other => other
       }
 

@@ -835,6 +835,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pq kernel argmin fast path == naive 6dp argmin at large-magnitude near-ties") {
+    // The kernel's prefilter window must stay inclusive where
+    // ulp(distance) exceeds the old fixed 1e-9 margin (>= ~1e7): sweep
+    // candidate distances across the 6dp rounding cut at magnitudes up
+    // to 1e9 and assert the fast path selects exactly what the naive
+    // round-everything argmin (ties to the lower index) selects.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def round6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    for (mag <- Seq(1.0e6, 1.0e7, 1.0e8, 1.0e9); step <- -8 to 8) {
+      // raw min is codeword 1 at distance ~mag; codeword 0 sits delta
+      // above it, with delta swept in ulp steps around the 5e-7 cut
+      val delta = 5.0e-7 + step * Math.ulp(mag)
+      val words = Array(Array(Array(0.0, 0.0), Array(delta, 0.0)))
+      val kern = new graft.functions.PqKernel(2, 1, 2, words)
+      val x = new GenericArrayData(Array[Any](mag + delta, 0.0))
+      val naive = {
+        val d = words(0).map { w =>
+          val dx = (mag + delta) - w(0)
+          round6(math.sqrt(dx * dx))
+        }
+        if (d(0) <= d(1)) 0 else 1 // argmin, ties to the lower index
+      }
+      val fast = kern.codes(x, isFloat = false)(0)
+      assert(fast == naive,
+        s"mag=$mag step=$step: fast=$fast naive=$naive (d0-d1 delta=$delta)")
+    }
+  }
+
   test("product quantization: clustered corpus — approx scan finds the right cluster") {
     import spark.implicits._
     val dim = 8
@@ -2402,6 +2431,29 @@ class OpsSpec extends SparkSpec {
       .collect().sortBy(_._3).toSeq
     assert(got.map(_._2) == Seq(2L, 3L, 4L)) // cosine order, no label-0 row
     assert(got.forall(_._1 == 0L))
+  }
+
+  test("hard negatives / knn classify: non-integral id or label fails loudly at plan time") {
+    // The SIMD partial-scorer reads ids and labels as primitive longs;
+    // a string label would silently cast to null and DROP rows. The
+    // contract must fail at plan time, never return an empty frame.
+    val strLabels = Seq(
+      (0L, Array(1.0f, 0.0f), "news"),
+      (1L, Array(0.0f, 1.0f), "spam")).toDF("vec_id", "embedding", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      SimilaritySearch.hardNegatives(strLabels, "vec_id", "embedding", "label",
+        strLabels, "vec_id", "embedding", "label", k = 1)
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.knnClassify(strLabels, "vec_id", "embedding", "label", k = 1)
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    val strIds = Seq(("a", Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val e3 = intercept[IllegalArgumentException] {
+      SimilaritySearch.knnClassify(strIds, "vec_id", "embedding", "label", k = 1)
+    }
+    assert(e3.getMessage.contains("integral"), e3.getMessage)
   }
 
   test("perplexity buckets: per-lang terciles, fluent docs head, rare-word docs tail") {

@@ -702,16 +702,16 @@ class ScaleOpsSpec extends SparkSpec {
     val vecs = (1L to 100L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
       .toDF("vec_id", "embedding")
-    // contrastive mining: exclusion anti-join and pair fetch-back both
-    // broadcast; k=1 negatives on a declarative max(struct(score,-id))
-    // partial aggregate (r11: ~3× the heap aggregate's row rate on the
-    // anchors×corpus volume) — no window, no sort-merge join anywhere
+    // contrastive mining (r14): negatives via the SIMD partial-scorer —
+    // one corpus pass, bounded top_k_hits merge, pair fetch-back
+    // broadcast; no cross-join row materialization, no window, no
+    // sort-merge join anywhere
     val ct = graft.ops.SimilaritySearch.contrastiveTriples(pairs, vecs,
       "vec_id", "embedding")
     val ctPlan = ct.queryExecution.executedPlan.toString
-    assert(ctPlan.contains("partial_max") && !ctPlan.contains("SortMergeJoin") &&
-      !ctPlan.contains("Window"),
-      s"contrastiveTriples must broadcast exclusions + max-struct negatives:\n$ctPlan")
+    assert(ctPlan.contains("top_k_hits") && !ctPlan.contains("SortMergeJoin") &&
+      !ctPlan.contains("Window") && !ctPlan.contains("CartesianProduct"),
+      s"contrastiveTriples must run the SIMD partial-scorer plan:\n$ctPlan")
 
     // the composed pipeline: quality gates map-only, ONE sha-window
     // exchange for exact dedup, decontamination semi-join broadcast —
@@ -1076,6 +1076,31 @@ class ScaleOpsSpec extends SparkSpec {
           |WHERE rn <= 3""".stripMargin
       assert(s2.sql(q3).queryExecution.optimizedPlan.toString.contains("Window"),
         "missing tie-break must decline the rewrite")
+
+      // round-14 (r13 ADVICE): NaN and signed-zero scores — the heap
+      // must match the window's TOTAL order (Spark sorts NaN as the
+      // largest double; NormalizeFloatingNumbers makes -0.0 == 0.0 in
+      // sort keys), not IEEE `>` which ranks NaN below everything
+      val nanRows = Seq(
+        ("a", 1L, 5.0), ("a", 2L, Double.NaN), ("a", 3L, 7.0),
+        ("a", 4L, Double.NaN), ("b", 5L, Double.NaN), ("b", 6L, 1.0),
+        ("c", 7L, -0.0), ("c", 8L, 0.0), ("c", 9L, 2.0), ("c", 10L, -1.0))
+      nanRows.toDF("grp", "id", "score").createOrReplaceTempView("lbn")
+      val qn = q.replace("lb", "lbn")
+      val rwN = s2.sql(qn)
+      assert(rwN.queryExecution.optimizedPlan.toString.contains("top_k_hits"),
+        "NaN case must still take the heap plan")
+      spark.createDataFrame(nanRows).toDF("grp", "id", "score")
+        .createOrReplaceTempView("lbn_plain")
+      def keyN(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1),
+          if (r.getDouble(2).isNaN) "NaN" else r.getDouble(2).toString,
+          r.getInt(3))
+      val wantN = spark.sql(qn.replace("lbn", "lbn_plain")).collect()
+        .map(keyN).toSet
+      val gotN = rwN.collect().map(keyN).toSet
+      assert(gotN == wantN,
+        s"NaN ranking: missing=${wantN -- gotN} extra=${gotN -- wantN}")
     } finally {
       SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
     }
@@ -1230,5 +1255,41 @@ class ScaleOpsSpec extends SparkSpec {
           ("m", min("v"), (c: org.apache.spark.sql.Column) => min(c))))
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(salted == plain)
+  }
+
+  test("round-14 persist hygiene: collapsed twins leave no cached frames behind") {
+    // The eager-twin contract is localCheckpoint (ContextCleaner-owned
+    // blocks), NOT persist-with-caller-unpersist: a long-lived driver
+    // consuming twins must end each call with an EMPTY CacheManager —
+    // intermediates are unpersisted inside the op, and the returned
+    // frame holds no cache entry. This is the r13-verdict leak gate.
+    import graft.ops.{Dedup, TextAnalytics}
+    spark.catalog.clearCache()
+    val docs = ((1L to 40L).map(i => (i, s"shared clone text block ${i % 5}")) ++
+      Seq((100L, "a unique loner document with its own words")))
+      .toDF("doc_id", "text")
+    // per-doc collapse twin
+    Dedup.perDocCollapsed(docs, "doc_id", "text", outId = "doc_id") { reps =>
+      TextAnalytics.qualityFilter(reps, "text").drop("text")
+    }.collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "perDocCollapsed left cached frames behind")
+    // pair-producing eager op + transitive clustering + full corpus dedup
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4,
+      threshold = 0.5, maxDocFreq = 64, minShared = 1)
+    pairs.collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "jaccardPairs left cached frames behind")
+    Dedup.dedupClusters(pairs).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupClusters left cached frames behind")
+    Dedup.dedupCorpus(docs, "doc_id", "text", n = 4, threshold = 0.5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupCorpus left cached frames behind")
+    // BM25 collapsed search twin
+    TextAnalytics.bm25SearchCollapsed(docs, "doc_id", "text",
+      terms = Seq("clone", "text"), topK = 5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bm25SearchCollapsed left cached frames behind")
   }
 }

@@ -91,12 +91,11 @@ def main(sf_dir: str, out_dir: str, json_out: str = None):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
-    json_out = None
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--json":
-            json_out = sys.argv[1:][i + 1]
-            args = [x for x in args if x != json_out]
-        elif a.startswith("--json="):
-            json_out = a.split("=", 1)[1]
-    sys.exit(main(args[0], args[1], json_out))
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", help="parquet table dir (e.g. /root/testdata/sf0.01)")
+    ap.add_argument("out_dir", help="Verify output dir (per-query parquet + oracle_sql.json)")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="also write per-query machine-readable record here")
+    ns = ap.parse_args()
+    sys.exit(main(ns.sf_dir, ns.out_dir, ns.json_out))
