@@ -598,11 +598,23 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(1L, 4L, 5L))
   }
 
+  /** The r13-verdict leak contract: eager dedup entry points release
+    * every INTERMEDIATE cache themselves; their returned frames are
+    * eager localCheckpoints whose blocks the ContextCleaner reclaims
+    * once the caller drops the reference — so after consumption the
+    * only persistent RDDs allowed are locally-checkpointed results
+    * still referenced by this scope, and the CacheManager is empty. */
+  private def assertNoLeakedCaches(): Unit = {
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cached frames leaked past consumption")
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
+    assert(leaked.isEmpty, s"non-checkpoint persisted RDDs leaked: $leaked")
+  }
+
   test("dedup cache ownership: zero persisted blocks after round-trip + unpersist") {
-    // the eager dedup entry points persist their returned frames under a
-    // caller-owns-unpersist contract and must release every intermediate
-    // cache themselves — a long-lived session running the ladder
-    // repeatedly must not accumulate blocks
+    // a long-lived session running the ladder repeatedly must not
+    // accumulate blocks: no cached plans, no persisted intermediates
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val ladder = Dedup.dedupCorpus(docs, "doc_id", "text",
@@ -616,7 +628,7 @@ class OpsSpec extends SparkSpec {
     val jp = Dedup.jaccardPairs(docs, "doc_id", "text",
       n = 4, threshold = 0.5, maxDocFreq = 64)
     jp.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assertNoLeakedCaches()
   }
 
   test("transitive clustering: chains collapse, components stay separate") {
@@ -641,7 +653,7 @@ class OpsSpec extends SparkSpec {
       Dedup.dedupClusters(pairs, maxIters = 1, maxLocalPairs = 0)
     }
     assert(e.getMessage.contains("did not converge"))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assertNoLeakedCaches()
   }
 
   test("transitive clustering accepts string ids on both execution paths") {
@@ -657,7 +669,7 @@ class OpsSpec extends SparkSpec {
     val got = dist.as[(String, String)].collect().toMap
     dist.unpersist()
     assert(got == expected)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assertNoLeakedCaches()
   }
 
   test("transitive ladder collapses shared-near-dup components; greedy keeps them") {
