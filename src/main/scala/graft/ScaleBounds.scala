@@ -116,5 +116,8 @@ object ScaleBounds {
     * split now appears in BOTH branches of its duplication-adaptive
     * dispatch (collapsed + direct), same linear consumption as the
     * original single site. */
-  val auditedFractionalSlices: Int = 69
+  // r14: kmv_overlap and join_size_estimate fold their half-splits
+  // into a boolean projection feeding single-pass aggregates (two
+  // `% 2 ===` filter sites removed; both remain benign linear splits)
+  val auditedFractionalSlices: Int = 67
 }

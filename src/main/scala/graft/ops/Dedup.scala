@@ -32,8 +32,17 @@ object Dedup {
   /** Exact dedup by content hash: keep the lowest-id row per distinct
     * text (deterministic winner), drop the rest. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol).asc)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    // min_by over the text-class key instead of a row_number window:
+    // identical survivor rows (min-id per class; ids are unique), but
+    // the aggregate does MAP-SIDE partial aggregation — on a
+    // replica-heavy corpus one candidate row per class per partition
+    // crosses the exchange instead of every clone riding a full
+    // shuffle-and-sort (guide-§2.3 aggregate-before-shuffle; the sort
+    // itself disappears too).
+    val cols = df.columns.map(col)
+    df.groupBy(sha2(col(textCol), 256).as("__k"))
+      .agg(min_by(struct(cols: _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** Canonical dedup key: Unicode NFC ([[graft.functions.NfcNormalize]],
@@ -643,14 +652,19 @@ object Dedup {
       .persist(lvl)
     // rarity: weighted df over stored ∪ new, but only for grams present
     // in the new batch (a pair touching a new doc can only share grams
-    // that doc has — index work scales with batch overlap)
+    // that doc has — index work scales with batch overlap). ONE per-gram
+    // aggregate carries both facts (df ≤ cap, present-in-batch): the
+    // old newGrams-distinct → semi-join → df-groupBy chain re-exploded
+    // the posting lists three times for the same answer — batch
+    // presence only FILTERS grams, it never drops a kept gram's
+    // postings, so df over the filtered postings equals df over all.
     val post = classes.select(col("rep").as("sid"), col("w"), col("w_new"),
       explode(col("hs")).as("h"))
-    val newGrams = post.filter(col("w_new") > 0).select("h").distinct()
-    val batchPost = post.join(newGrams, Seq("h"), "left_semi")
-    val rareGrams = batchPost.groupBy("h").agg(sum(col("w")).as("wdf"))
-      .filter(col("wdf") <= maxDocFreq).select("h")
-    val rare = batchPost.join(rareGrams, Seq("h"), "left_semi")
+    val rareGrams = post.groupBy("h")
+      .agg(sum(col("w")).as("wdf"), sum(col("w_new")).as("w_new_tot"))
+      .filter(col("w_new_tot") > 0 && col("wdf") <= maxDocFreq)
+      .select("h")
+    val rare = post.join(rareGrams, Seq("h"), "left_semi")
       .select("sid", "h", "w_new").persist(lvl)
     // rep candidates by streaming self-join (no in-row pair arrays —
     // C(cap, 2) arrays OOM at corpus-scaled caps), keeping pairs where
@@ -705,11 +719,11 @@ object Dedup {
       .filter(col("a.__new") || col("b.__new"))
       .select(least(col("a.sid"), col("b.sid")).as("id_a"),
         greatest(col("a.sid"), col("b.sid")).as("id_b"), col("jaccard"))
-    val verified = within.unionByName(cross).persist(lvl)
-    verified.count()
+    val verified = within.unionByName(cross)
+      .localCheckpoint(true) // eager: intermediates below can be released
     cand.unpersist(); rare.unpersist(); prunedSets.unpersist()
     classes.unpersist()
-    verified
+    verified // eager localCheckpoint: ContextCleaner reclaims the blocks
   }
 
   /** MinHash seed constants: per-hash affine coefficients (a_i, b_i),
