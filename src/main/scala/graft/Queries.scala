@@ -246,6 +246,7 @@ object Queries {
   val prebuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "njpairs" -> ((s, d) => { standardPairs(s, d): Unit }),
     "njclusters" -> ((s, d) => { standardClusters(s, d): Unit }),
+    "njranks" -> ((s, d) => { standardRanks(s, d): Unit }),
     // adaptive: build the gram table the span queries will actually
     // read (rep-keyed when the corpus dispatches to collapse)
     "posgram5" -> ((s, d) => {
@@ -1087,7 +1088,7 @@ object Queries {
     * the documented LSH banding lever. */
   def dedupEmbeddingBucketed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val n = e.count()
+    val n = tableCount(s, dir, "embeddings")
     // tier boundaries keep the EXPECTED bucket ≤ ~256 rows (the
     // within-bucket pair join is quadratic in bucket size): the old
     // n ≤ 262144 tier for 8 bits left ~780-row buckets at sf10's 200k
@@ -1260,21 +1261,33 @@ object Queries {
       if (r.getDouble(0) == 0.0) 1.0 else r.getDouble(1) / r.getDouble(0)
     }
 
-  def dedupPagerank(s: SparkSession, dir: String): DataFrame = {
-    // duplication-adaptive (identical ranks either way,
-    // OpsSpec-asserted): the expanded sf10 clique graph is ~50M arcs
-    // × 5 rounds — 155 s — while the quotient graph is
-    // distinct-corpus-sized; on a dup-free corpus the quotient's
-    // extra per-round joins are pure overhead, so dispatch on the
-    // exact class-weight duplication factor
+  /** Per-JVM materialized PageRank over the standard near-dup graph —
+    * [[dedupPagerank]] and [[dedupCanonical]] both consume EXACTLY this
+    * ranking (same graph, same 5 iterations); previously each re-ran
+    * the full propagation loop. Same parquet-backed contract as
+    * [[standardClusters]]. NOTE: graph parts are forced BEFORE the
+    * cache builder (computeIfAbsent must not nest on the same map). */
+  private def standardRanks(s: SparkSession, dir: String): DataFrame = {
     val (classes, repPairs, withinReps) = standardGraphParts(s, dir)
-    val ranks =
-      if (graphDupFactor(classes, dir) >= CollapseDispatchFactor)
-        graft.ops.GraphOps.pageRankUndirectedCollapsed(
-          classes, repPairs, withinReps, iters = 5)
-      else graft.ops.GraphOps.pageRankUndirected(standardPairs(s, dir), iters = 5)
-    ranks.select(col("id").as("doc_id"), col("rank_micro"))
+    val d = cachedIndexDir("njranks", dir) { tmp =>
+      // duplication-adaptive (identical ranks either way,
+      // OpsSpec-asserted): the expanded sf10 clique graph is ~50M arcs
+      // × 5 rounds — 155 s — while the quotient graph is
+      // distinct-corpus-sized; on a dup-free corpus the quotient's
+      // extra per-round joins are pure overhead, so dispatch on the
+      // exact class-weight duplication factor
+      val ranks =
+        if (graphDupFactor(classes, dir) >= CollapseDispatchFactor)
+          graft.ops.GraphOps.pageRankUndirectedCollapsed(
+            classes, repPairs, withinReps, iters = 5)
+        else graft.ops.GraphOps.pageRankUndirected(standardPairs(s, dir), iters = 5)
+      ranks.write.mode("overwrite").parquet(s"$tmp/ranks")
+    }
+    s.read.parquet(s"$d/ranks")
   }
+
+  def dedupPagerank(s: SparkSession, dir: String): DataFrame =
+    standardRanks(s, dir).select(col("id").as("doc_id"), col("rank_micro"))
 
   /** PERSONALIZED PageRank over the same near-dup graph: init and
     * teleport mass restricted to the seed docs (doc_id % 3 == 0 —
@@ -1307,12 +1320,9 @@ object Queries {
     * aggregate — no per-cluster window sort. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val clusters = standardClusters(s, dir)
-    val (gclasses, grepPairs, gwithinReps) = standardGraphParts(s, dir)
-    val ranks =
-      if (graphDupFactor(gclasses, dir) >= CollapseDispatchFactor)
-        graft.ops.GraphOps.pageRankUndirectedCollapsed(
-          gclasses, grepPairs, gwithinReps, iters = 5)
-      else graft.ops.GraphOps.pageRankUndirected(standardPairs(s, dir), iters = 5)
+    // the SAME 5-iteration ranking dedupPagerank reports — read the
+    // shared artifact instead of re-running the propagation loop
+    val ranks = standardRanks(s, dir)
     val out = clusters.join(ranks, clusters("sid") === ranks("id"))
       .groupBy(col("cluster"))
       .agg(max(struct(col("rank_micro"), (-col("sid")).as("negid"))).as("m"),
@@ -2647,7 +2657,7 @@ object Queries {
     * hashes unchanged). */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val n = e.count()
+    val n = tableCount(s, dir, "embeddings")
     val bits = if (n <= 2048L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros((n - 1L) / 2048L)
     Dedup.semanticDedup(e, "vec_id", "embedding",
